@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Central SparkSession factory for the graft engine.
+  *
+  * Design point: the engine targets a large multi-executor cluster; locally we
+  * run `local[N]`. All scale-sensitive knobs live here so every entry point
+  * (tests, Verify, Bench, user code) gets the same, cluster-honest defaults:
+  *
+  *   - `spark.sql.shuffle.partitions` sized to the core count (not the 200
+  *     default, which is wrong for local mode and would be re-derived by AQE
+  *     coalescing on a real cluster anyway);
+  *   - AQE on (runtime partition coalescing, skew-join splitting, dynamic
+  *     broadcast) — the same plan survives a 100x scale-up because AQE re-plans
+  *     from runtime statistics;
+  *   - UTC session timezone so event-time semantics match the DuckDB oracle and
+  *     are deployment-independent.
+  */
+object GraftSession {
+
+  def defaultParallelism: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
+
+  /** Apply graft engine defaults to an arbitrary builder (so Verify/Bench can
+    * keep their driver-mandated master/partition settings). */
+  def tune(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.parquet.filterPushdown", "true")
+    .config("spark.ui.enabled", "false")
+    // our state-free batch queries re-read tiny dims often in tests; keep the
+    // broadcast threshold at the default 10 MB (cluster-safe), AQE raises it
+    // dynamically when runtime stats allow.
+
+  def local(appName: String = "graft", cores: Int = defaultParallelism): SparkSession = {
+    val spark = tune(
+      SparkSession.builder()
+        .appName(appName)
+        .master(s"local[$cores]")
+        .config("spark.sql.shuffle.partitions", cores.toString)
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,172 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.tables.Tables
+
+/** Batch queries over the `events` table — the stand-in for the reference's
+  * sensor stream (mapping per FIXTURES.md: event_id↔messageId, user_id↔sensor
+  * id, ts↔timestamp, value↔temperature, props.k↔humidity).
+  *
+  * Each query mirrors an operator of the reference pipeline
+  * (reference/src/main/java/stream/StreamProcessor.java and the KSQL layer in
+  * reference/README.md:72-107) as a declarative Spark plan: filters and
+  * projections reach the parquet scan via Catalyst pushdown, aggregations get
+  * partial (map-side) combine from HashAggregateExec automatically, and the
+  * event-time windows are the same `window()` construct Structured Streaming
+  * uses — so the streaming half (graft.streaming) shares these plans verbatim.
+  */
+object EventQueries {
+
+  /** Typed view of events with the JSON `props.k` extracted once.
+    *
+    * JSON parse mirrors the reference's Gson map
+    * (reference/src/main/java/stream/StreamProcessor.java:87-92) via
+    * `from_json` — schema-driven, codegen-friendly, no UDF.
+    */
+  def parsed(t: Tables): DataFrame = {
+    val kSchema = StructType(Seq(StructField("k", LongType)))
+    t.events.withColumn("k", from_json(col("props"), kSchema).getField("k"))
+  }
+
+  /** R4 validity filter (reference StreamProcessor.java:61-78), thresholds
+    * adapted to the events domain (value<50 ∨ k<50), preserving both quirks:
+    * the both-zero "empty measurement" drop (zero is the null sentinel, see
+    * SURVEY.md §1.3 — nulls normalized to 0 first) and the OR (not AND)
+    * range predicate. */
+  def validityPredicate(value: Column, k: Column): Column = {
+    val v = coalesce(value, lit(0.0))
+    val h = coalesce(k, lit(0L))
+    !(v === 0.0 && h === 0L) && (v < 50.0 || h < 50L)
+  }
+
+  def filterValid(spark: SparkSession, dir: String): DataFrame = {
+    val e = parsed(Tables(spark, dir))
+    e.filter(validityPredicate(col("value"), col("k")))
+      .select(col("event_id"), col("user_id"), col("value"), col("k"))
+      .orderBy(col("event_id"))
+  }
+
+  /** R2: schema-driven JSON parse of the props payload. */
+  def parseJsonProps(spark: SparkSession, dir: String): DataFrame =
+    parsed(Tables(spark, dir))
+      .select(col("event_id"), col("k"))
+      .orderBy(col("event_id"))
+
+  /** R6: the Mongo sink's flatten/rename projection
+    * (reference/src/main/java/stream/mongodb/MongoDBRawData.java:38-42). */
+  def flattenProject(spark: SparkSession, dir: String): DataFrame =
+    parsed(Tables(spark, dir)).select(
+      col("event_id").as("message_id"),
+      col("user_id").as("sensor_id"),
+      Out.epochSec(col("ts")).as("ts_sec"),
+      col("value").as("temperature"),
+      col("k").as("humidity")
+    ).orderBy(col("message_id"))
+
+  /** K4+K5: 1-minute tumbling MAX per key (reference/README.md:87-92). */
+  def tumblingMax(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(window(col("ts"), "1 minute").as("w"), col("user_id"))
+      .agg(max(col("value")).as("max_value"))
+      .select(col("user_id"), Out.epochSec(col("w.start")).as("w_start"), col("max_value"))
+      .orderBy(col("user_id"), col("w_start"))
+
+  /** K6: same window, MIN + AVG (+count) per key (reference/README.md:72). */
+  def tumblingMinAvg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(window(col("ts"), "1 minute").as("w"), col("user_id"))
+      .agg(
+        min(col("value")).as("min_value"),
+        Out.davg(col("value")).as("avg_value"),
+        count(lit(1)).as("n")
+      )
+      .select(col("user_id"), Out.epochSec(col("w.start")).as("w_start"),
+        col("min_value"), col("avg_value"), col("n"))
+      .orderBy(col("user_id"), col("w_start"))
+
+  /** K5/K6 without the time window: grouped aggregate per event_type. */
+  def groupedAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        max(col("value")).as("max_value"),
+        min(col("value")).as("min_value"),
+        Out.dsum(col("value")).as("sum_value")
+      )
+      .orderBy(col("event_type"))
+
+  /** Sliding window (size 10 min, slide 5 min): each event lands in exactly
+    * two windows. Extension beyond the reference's tumbling-only windows. */
+  def slidingCount(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), max(col("value")).as("max_value"))
+      .select(col("event_type"), Out.epochSec(col("w.start")).as("w_start"),
+        col("n"), col("max_value"))
+      .orderBy(col("event_type"), col("w_start"))
+
+  /** Session windows (30-minute gap) per user: the third streaming window
+    * kind. Batch plan uses the same `session_window` construct Structured
+    * Streaming supports. */
+  def sessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), Out.dsum(col("value")).as("sum_value"))
+      .select(col("user_id"), Out.epochSec(col("w.start")).as("session_start"),
+        col("n"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  /** Exact deduplication, deterministic variant: first event (min event_id)
+    * per (user_id, event_type). `dropDuplicates` keeps an arbitrary row —
+    * fine for streams, wrong for an oracle check — so the library's
+    * oracle-facing dedup pins the survivor with a window rank, which scales
+    * as one shuffle on the dedup key (no global sort). */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type")).orderBy(col("event_id"))
+    Tables(spark, dir).events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** As-of join (backward): for each purchase, the latest prior event of the
+    * same user (any type), within no time bound. Spark has no built-in as-of
+    * join; the scalable formulation is a union + per-key ordered carry-forward
+    * (one shuffle on the key, no range-explosion), not a correlated subquery.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(spark, dir).events
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("side", lit(1))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("side", lit(0))
+    // Union, order by (ts, side) within user: side=0 (click) sorts before the
+    // purchase at identical ts, so last_value over the preceding frame picks
+    // the latest click with click.ts <= purchase.ts.
+    val unioned = purchases.unionByName(clicks)
+      .withColumn("click_id", when(col("side") === 0, col("event_id")))
+      .withColumn("click_ts", when(col("side") === 0, col("ts")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("last_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("last_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(
+        col("event_id").as("purchase_id"),
+        col("user_id"),
+        Out.epochSec(col("ts")).as("purchase_ts"),
+        col("last_click_id").as("click_id"),
+        Out.epochSec(col("last_click_ts")).as("click_ts"))
+      .orderBy(col("purchase_id"))
+  }
+}

@@ -1,0 +1,108 @@
+package graft.ops
+
+import graft.QueryDef
+
+/** Oracle SQL (DuckDB dialect, ANSI subset) for graft.ops.EventQueries.
+  * Tables are referenced by bare name — the driver views them over the same
+  * parquet files. Every query ends with ORDER BY on a unique key and emits
+  * only BIGINT / DOUBLE / VARCHAR columns (see graft.ops.Out). */
+object EventRegistry {
+
+  private val K = "CAST(json_extract_string(props,'$.k') AS BIGINT)"
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q_filter_valid",
+      s"""WITH e AS (SELECT event_id, user_id, value, $K AS k FROM events)
+         |SELECT event_id, user_id, value, k FROM e
+         |WHERE NOT (COALESCE(value,0)=0 AND COALESCE(k,0)=0)
+         |  AND (COALESCE(value,0) < 50 OR COALESCE(k,0) < 50)
+         |ORDER BY event_id""".stripMargin)(EventQueries.filterValid),
+
+    QueryDef("q_parse_json_props",
+      s"SELECT event_id, $K AS k FROM events ORDER BY event_id")(
+      EventQueries.parseJsonProps),
+
+    QueryDef("q_flatten_project",
+      s"""SELECT event_id AS message_id, user_id AS sensor_id,
+         |  ${Out.sql.epochSec("ts")} AS ts_sec,
+         |  value AS temperature, $K AS humidity
+         |FROM events ORDER BY message_id""".stripMargin)(
+      EventQueries.flattenProject),
+
+    QueryDef("q_tumbling_max",
+      s"""SELECT user_id, ${Out.sql.epochSec("date_trunc('minute', ts)")} AS w_start,
+         |  MAX(value) AS max_value
+         |FROM events GROUP BY 1, 2 ORDER BY user_id, w_start""".stripMargin)(
+      EventQueries.tumblingMax),
+
+    QueryDef("q_tumbling_min_avg",
+      s"""SELECT user_id, ${Out.sql.epochSec("date_trunc('minute', ts)")} AS w_start,
+         |  MIN(value) AS min_value,
+         |  ${Out.sql.davg("value")} AS avg_value,
+         |  COUNT(*) AS n
+         |FROM events GROUP BY 1, 2 ORDER BY user_id, w_start""".stripMargin)(
+      EventQueries.tumblingMinAvg),
+
+    QueryDef("q_grouped_agg",
+      s"""SELECT event_type, COUNT(*) AS n, MAX(value) AS max_value,
+         |  MIN(value) AS min_value, ${Out.sql.dsum("value")} AS sum_value
+         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)(
+      EventQueries.groupedAgg),
+
+    QueryDef("q_sliding_count",
+      s"""WITH w AS (
+         |  SELECT event_type, value,
+         |    unnest([CAST(FLOOR(EPOCH(ts)/300)*300 AS BIGINT),
+         |            CAST(FLOOR(EPOCH(ts)/300)*300 - 300 AS BIGINT)]) AS w_start
+         |  FROM events)
+         |SELECT event_type, w_start, COUNT(*) AS n, MAX(value) AS max_value
+         |FROM w GROUP BY 1, 2 ORDER BY event_type, w_start""".stripMargin)(
+      EventQueries.slidingCount),
+
+    QueryDef("q_session_window",
+      s"""WITH o AS (
+         |  SELECT user_id, ts, value,
+         |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+         |              < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+         |  FROM events),
+         |s AS (
+         |  SELECT user_id, ts, value,
+         |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         |      ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM o)
+         |SELECT user_id, ${Out.sql.epochSec("MIN(ts)")} AS session_start,
+         |  COUNT(*) AS n, ${Out.sql.dsum("value")} AS sum_value
+         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)(
+      EventQueries.sessionWindow),
+
+    QueryDef("q_dedup_exact",
+      s"""WITH r AS (
+         |  SELECT event_id, user_id, event_type, value,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+         |      ORDER BY event_id) AS rn
+         |  FROM events)
+         |SELECT event_id, user_id, event_type, value FROM r
+         |WHERE rn = 1 ORDER BY event_id""".stripMargin)(
+      EventQueries.dedupExact),
+
+    QueryDef("q_asof_join",
+      s"""WITH u AS (
+         |  SELECT user_id, ts, event_id, 1 AS side FROM events WHERE event_type = 'purchase'
+         |  UNION ALL
+         |  SELECT user_id, ts, event_id, 0 AS side FROM events WHERE event_type = 'click'),
+         |m AS (
+         |  SELECT user_id, ts, event_id, side,
+         |    LAST_VALUE(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY ts, side, event_id
+         |            ROWS UNBOUNDED PRECEDING) AS click_id,
+         |    LAST_VALUE(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY ts, side, event_id
+         |            ROWS UNBOUNDED PRECEDING) AS click_ts
+         |  FROM u)
+         |SELECT event_id AS purchase_id, user_id,
+         |  ${Out.sql.epochSec("ts")} AS purchase_ts,
+         |  click_id, ${Out.sql.epochSec("click_ts")} AS click_ts
+         |FROM m WHERE side = 1 ORDER BY purchase_id""".stripMargin)(
+      EventQueries.asofJoin)
+  )
+}

@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Output-determinism helpers shared by every oracle-checked query.
+  *
+  * The driver hash-compares our parquet output against DuckDB's result, so
+  * every emitted column must be bit-identical across both engines:
+  *
+  *   - timestamps → epoch seconds as BIGINT (`floor`, matching DuckDB
+  *     `CAST(FLOOR(EPOCH(ts)) AS BIGINT)`); avoids parquet physical-type and
+  *     timezone representation drift entirely;
+  *   - SUM over doubles → sum a DECIMAL cast (exact, order-independent —
+  *     a parallel double sum is not reproducible across partitionings), then
+  *     cast the result to DOUBLE;
+  *   - AVG over doubles → exact decimal SUM divided by COUNT, in double;
+  *   - integer keys → BIGINT everywhere (int32 vs int64 physical types would
+  *     otherwise depend on the engine).
+  *
+  * These are not test-only hacks: order-independent aggregation is exactly
+  * what a 1000-executor run needs for reproducible results.
+  */
+object Out {
+  /** Decimal type used for exact money/measure sums; wide enough for 100 TB
+    * row counts (38-4 = 34 integer digits). */
+  val SumDecimal: DecimalType = DecimalType(38, 4)
+
+  /** Timestamp column → epoch seconds as BIGINT (floor). */
+  def epochSec(c: Column): Column = floor(c.cast("double")).cast("long")
+
+  /** Exact, partition-order-independent sum of a double measure, as DOUBLE. */
+  def dsum(c: Column): Column = sum(c.cast(SumDecimal)).cast("double")
+
+  /** Deterministic average: exact decimal sum / count, evaluated in double. */
+  def davg(c: Column): Column =
+    sum(c.cast(SumDecimal)).cast("double") / count(c)
+
+  /** DuckDB-side equivalents (string builders for oracle SQL). */
+  object sql {
+    def epochSec(expr: String): String =
+      s"CAST(FLOOR(EPOCH($expr)) AS BIGINT)"
+    def dsum(expr: String): String =
+      s"CAST(SUM(CAST(($expr) AS DECIMAL(38,4))) AS DOUBLE)"
+    def davg(expr: String): String =
+      s"CAST(SUM(CAST(($expr) AS DECIMAL(38,4))) AS DOUBLE) / COUNT($expr)"
+  }
+}
