@@ -27,8 +27,12 @@ object Out {
     * row counts (38-4 = 34 integer digits). */
   val SumDecimal: DecimalType = DecimalType(38, 4)
 
-  /** Timestamp column → epoch seconds as BIGINT (floor). */
-  def epochSec(c: Column): Column = floor(c.cast("double")).cast("long")
+  /** Timestamp column → epoch seconds as BIGINT (floor). The leading
+    * timestamp cast folds TIMESTAMP_NTZ (how Spark reads parquet timestamps
+    * without a UTC flag) into session-UTC timestamps, which is exactly how
+    * DuckDB's EPOCH treats naive timestamps. */
+  def epochSec(c: Column): Column =
+    floor(c.cast("timestamp").cast("double")).cast("long")
 
   /** Exact, partition-order-independent sum of a double measure, as DOUBLE. */
   def dsum(c: Column): Column = sum(c.cast(SumDecimal)).cast("double")

@@ -1,0 +1,252 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Relational batch operators — the extension surface beyond the reference's
+  * stream job (SURVEY.md §2.3: the reference has no joins, sorts, analytic
+  * windows, grouping sets, or set ops; the rebuild owns them natively).
+  *
+  * Scale notes (100 TB design point):
+  *   - fact⋈fact joins (orders⋈customer at scale) stay shuffle hash/sort-merge
+  *     on the join key — AQE picks the strategy and splits skewed partitions;
+  *   - dimension joins (nation, region) are explicitly `broadcast()` — a
+  *     bounded-size dim must never shuffle the fact side;
+  *   - top-k is `orderBy().limit(k)` which Spark plans as
+  *     TakeOrderedAndProject: per-partition heaps + driver merge of k rows,
+  *     never a global sort;
+  *   - analytic windows shuffle once on the partition key; frames are bounded.
+  */
+object RelationalQueries {
+
+  /** Inner equi-join fact⋈dim (orders⋈customer). */
+  def joinInner(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders.join(t.customer, col("o_custkey") === col("c_custkey"), "inner")
+      .select(col("o_orderkey"), col("c_custkey"), col("c_name"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Left outer join + aggregate: per-customer order stats, keeping
+    * order-less customers (COUNT of non-null = 0). */
+  def joinLeft(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer.join(t.orders, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        Out.dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left-semi join (EXISTS): customers having any order > 400k. */
+  def joinSemi(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val bigOrders = t.orders.filter(col("o_totalprice") > 400000.0)
+    t.customer.join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no orders at all. */
+  def joinAnti(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer.join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Star join with explicit broadcast of the bounded dims (nation: 25 rows,
+    * region: 5 rows — broadcast regardless of fact-side size). */
+  def joinBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), Out.dsum(col("c_acctbal")).as("sum_bal"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Top-k: 100 most expensive orders. Planned as TakeOrderedAndProject
+    * (bounded memory at any scale), tie-broken on the unique key. */
+  def sortLimitTopK(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+
+  /** Ranking window functions: top-3 orders per customer. */
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables(spark, dir).orders
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rnk", rank().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("rn"), col("rnk"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Analytic window functions with frames: lag/lead + running and moving
+    * sums per customer order history (decimal-exact, see Out). */
+  def windowLagFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val dec = col("o_totalprice").cast(Out.SumDecimal)
+    Tables(spark, dir).orders
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+      .withColumn("running_sum",
+        sum(dec).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .withColumn("moving_sum3",
+        sum(dec).over(w.rowsBetween(-2, Window.currentRow)).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        Out.epochSec(col("o_orderdate")).as("order_ts"),
+        col("o_totalprice"), col("prev_price"), col("next_price"),
+        col("running_sum"), col("moving_sum3"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private def grouped(df: org.apache.spark.sql.RelationalGroupedDataset): DataFrame = df
+    .agg(count(lit(1)).as("n"),
+      Out.dsum(col("l_quantity")).as("sum_qty"),
+      Out.dsum(col("l_extendedprice")).as("sum_price"))
+
+  /** ROLLUP over (returnflag, linestatus); null grouping markers folded to
+    * 'ALL' so the output stays string-typed and oracle-comparable. */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    grouped(Tables(spark, dir).lineitem.rollup(col("l_returnflag"), col("l_linestatus")))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("g_flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("g_status"),
+        col("n"), col("sum_qty"), col("sum_price"))
+      .orderBy(col("g_flag"), col("g_status"))
+
+  /** CUBE over the same keys. */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    grouped(Tables(spark, dir).lineitem.cube(col("l_returnflag"), col("l_linestatus")))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("g_flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("g_status"),
+        col("n"), col("sum_qty"), col("sum_price"))
+      .orderBy(col("g_flag"), col("g_status"))
+
+  /** GROUPING SETS via the SQL surface (temp view + spark.sql) — exercises
+    * the engine's SQL entry point alongside the DataFrame API. */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).lineitem.createOrReplaceTempView("graft_lineitem")
+    spark.sql(
+      """SELECT COALESCE(l_returnflag, 'ALL') AS g_flag,
+        |       COALESCE(l_linestatus, 'ALL') AS g_status,
+        |       COUNT(1) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
+        |FROM graft_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY g_flag, g_status""".stripMargin)
+  }
+
+  private def segBuilding(t: Tables): DataFrame =
+    t.customer.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+  private def segRich(t: Tables): DataFrame =
+    t.customer.filter(col("c_acctbal") > 7000.0).select(col("c_custkey"))
+
+  /** UNION (distinct) of two customer segments. */
+  def setUnion(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    segBuilding(t).union(segRich(t)).distinct().orderBy(col("c_custkey"))
+  }
+
+  /** INTERSECT of the segments. */
+  def setIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    segBuilding(t).intersect(segRich(t)).orderBy(col("c_custkey"))
+  }
+
+  /** EXCEPT (building customers that are not rich). */
+  def setExcept(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    segBuilding(t).except(segRich(t)).orderBy(col("c_custkey"))
+  }
+
+  /** String scalar-function coverage over part. */
+  def scalarString(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).part.select(
+      col("p_partkey"),
+      upper(col("p_name")).as("u_name"),
+      lower(col("p_brand")).as("l_brand"),
+      substring(col("p_type"), 1, 5).as("type5"),
+      length(col("p_name")).cast("long").as("name_len"),
+      concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+      regexp_replace(col("p_name"), " ", "_").as("snake_name"),
+      lpad(col("p_brand"), 12, "*").as("pad_brand"),
+      reverse(col("p_name")).as("rev_name"),
+      when(col("p_type").like("%BRASS%"), lit(1L)).otherwise(lit(0L)).as("is_brass")
+    ).orderBy(col("p_partkey"))
+
+  /** Date/time scalar-function coverage over orders. */
+  def scalarDate(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders.select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).cast("long").as("o_year"),
+      month(col("o_orderdate")).cast("long").as("o_month"),
+      dayofmonth(col("o_orderdate")).cast("long").as("o_day"),
+      quarter(col("o_orderdate")).cast("long").as("o_quarter"),
+      Out.epochSec(date_trunc("month", col("o_orderdate"))).as("month_start"),
+      Out.epochSec(col("o_orderdate") + expr("INTERVAL 30 DAY")).as("due_ts"),
+      datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long")
+        .as("days_since_epoch_start")
+    ).orderBy(col("o_orderkey"))
+
+  /** Math scalar-function coverage over lineitem (IEEE-exact ops only:
+    * sqrt/abs/ceil/floor/mod and explicit multiplication — no libm-divergent
+    * transcendentals in oracle-checked outputs). */
+  def scalarMath(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem.select(
+      col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+      round(col("l_extendedprice"), 1).as("price_r1"),
+      abs(col("l_discount") - 0.05).as("disc_dev"),
+      ceil(col("l_quantity")).cast("long").as("qty_ceil"),
+      floor(col("l_quantity")).cast("long").as("qty_floor"),
+      sqrt(col("l_extendedprice")).as("price_sqrt"),
+      ((lit(1.0) + col("l_tax")) * (lit(1.0) + col("l_tax"))).as("tax_sq"),
+      (col("l_orderkey") % 7).as("key_mod7")
+    ).orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Flagship batch query: TPC-H Q1-style pricing summary.
+    * Filter pushed to the parquet scan; one partial+final hash aggregate.
+    * The price×discount×tax products are computed in DECIMAL arithmetic
+    * (exact, associative) rather than double — a double product cast to
+    * decimal rounds differently across engines AND across partitionings. */
+  def tpch1Pricing(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val priceDec = col("l_extendedprice").cast(DecimalType(12, 2))
+    val discF = (lit(1.0) - col("l_discount")).cast(DecimalType(4, 2))
+    val taxF = (lit(1.0) + col("l_tax")).cast(DecimalType(4, 2))
+    Tables(spark, dir).lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Out.dsum(col("l_quantity")).as("sum_qty"),
+        Out.dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(priceDec * discF).cast("double").as("sum_disc_price"),
+        sum(priceDec * discF * taxF).cast("double").as("sum_charge"),
+        Out.davg(col("l_quantity")).as("avg_qty"),
+        Out.davg(col("l_extendedprice")).as("avg_price"),
+        Out.davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Approximate distinct (HLL++) — engine-specific sketch, so no SQL oracle;
+    * ScalaTest checks the estimate against the exact count. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+}

@@ -1,0 +1,176 @@
+package graft.ops
+
+import graft.QueryDef
+import Out.{sql => S}
+
+/** DuckDB oracle SQL for graft.ops.RelationalQueries. */
+object RelationalRegistry {
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q_join_inner",
+      """SELECT o_orderkey, c_custkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin)(RelationalQueries.joinInner),
+
+    QueryDef("q_join_left",
+      s"""SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+         |  ${S.dsum("o_totalprice")} AS sum_price
+         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         |GROUP BY 1, 2 ORDER BY c_custkey""".stripMargin)(
+      RelationalQueries.joinLeft),
+
+    QueryDef("q_join_semi",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin)(RelationalQueries.joinSemi),
+
+    QueryDef("q_join_anti",
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin)(RelationalQueries.joinAnti),
+
+    QueryDef("q_join_broadcast",
+      s"""SELECT r_name, n_name, COUNT(*) AS n_cust,
+         |  ${S.dsum("c_acctbal")} AS sum_bal
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY 1, 2 ORDER BY r_name, n_name""".stripMargin)(
+      RelationalQueries.joinBroadcast),
+
+    QueryDef("q_sort_limit_topk",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)(
+      RelationalQueries.sortLimitTopK),
+
+    QueryDef("q_window_rank",
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+        |    RANK() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk FROM r
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)(
+      RelationalQueries.windowRank),
+
+    QueryDef("q_window_lag_frame",
+      s"""SELECT o_custkey, o_orderkey, ${S.epochSec("o_orderdate")} AS order_ts,
+         |  o_totalprice,
+         |  LAG(o_totalprice, 1) OVER w AS prev_price,
+         |  LEAD(o_totalprice, 1) OVER w AS next_price,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) OVER (w ROWS BETWEEN
+         |    UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_sum,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) OVER (w ROWS BETWEEN
+         |    2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum3
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         |ORDER BY o_custkey, o_orderkey""".stripMargin)(
+      RelationalQueries.windowLagFrame),
+
+    QueryDef("q_rollup",
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS g_flag,
+         |  COALESCE(l_linestatus, 'ALL') AS g_status,
+         |  COUNT(*) AS n, ${S.dsum("l_quantity")} AS sum_qty,
+         |  ${S.dsum("l_extendedprice")} AS sum_price
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY g_flag, g_status""".stripMargin)(RelationalQueries.rollupAgg),
+
+    QueryDef("q_cube",
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS g_flag,
+         |  COALESCE(l_linestatus, 'ALL') AS g_status,
+         |  COUNT(*) AS n, ${S.dsum("l_quantity")} AS sum_qty,
+         |  ${S.dsum("l_extendedprice")} AS sum_price
+         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         |ORDER BY g_flag, g_status""".stripMargin)(RelationalQueries.cubeAgg),
+
+    QueryDef("q_grouping_sets",
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS g_flag,
+         |  COALESCE(l_linestatus, 'ALL') AS g_status,
+         |  COUNT(1) AS n, ${S.dsum("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         |ORDER BY g_flag, g_status""".stripMargin)(
+      RelationalQueries.groupingSets),
+
+    QueryDef("q_union",
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 7000
+        |ORDER BY c_custkey""".stripMargin)(RelationalQueries.setUnion),
+
+    QueryDef("q_intersect",
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 7000
+        |ORDER BY c_custkey""".stripMargin)(RelationalQueries.setIntersect),
+
+    QueryDef("q_except",
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |EXCEPT
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 7000
+        |ORDER BY c_custkey""".stripMargin)(RelationalQueries.setExcept),
+
+    QueryDef("q_scalar_string",
+      """SELECT p_partkey,
+        |  UPPER(p_name) AS u_name,
+        |  LOWER(p_brand) AS l_brand,
+        |  SUBSTRING(p_type, 1, 5) AS type5,
+        |  CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+        |  p_brand || '#' || p_type AS brand_type,
+        |  REPLACE(p_name, ' ', '_') AS snake_name,
+        |  LPAD(p_brand, 12, '*') AS pad_brand,
+        |  REVERSE(p_name) AS rev_name,
+        |  CASE WHEN p_type LIKE '%BRASS%' THEN 1 ELSE 0 END AS is_brass
+        |FROM part ORDER BY p_partkey""".stripMargin)(
+      RelationalQueries.scalarString),
+
+    QueryDef("q_scalar_date",
+      s"""SELECT o_orderkey,
+         |  CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+         |  CAST(MONTH(o_orderdate) AS BIGINT) AS o_month,
+         |  CAST(DAYOFMONTH(o_orderdate) AS BIGINT) AS o_day,
+         |  CAST(QUARTER(o_orderdate) AS BIGINT) AS o_quarter,
+         |  ${S.epochSec("DATE_TRUNC('month', o_orderdate)")} AS month_start,
+         |  ${S.epochSec("o_orderdate + INTERVAL 30 DAY")} AS due_ts,
+         |  CAST(DATE_DIFF('day', DATE '1995-01-01', o_orderdate) AS BIGINT)
+         |    AS days_since_epoch_start
+         |FROM orders ORDER BY o_orderkey""".stripMargin)(
+      RelationalQueries.scalarDate),
+
+    QueryDef("q_scalar_math",
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  ROUND(l_extendedprice, 1) AS price_r1,
+        |  ABS(l_discount - 0.05) AS disc_dev,
+        |  CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
+        |  CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+        |  SQRT(l_extendedprice) AS price_sqrt,
+        |  (1.0 + l_tax) * (1.0 + l_tax) AS tax_sq,
+        |  l_orderkey % 7 AS key_mod7
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)(
+      RelationalQueries.scalarMath),
+
+    QueryDef("q_tpch1_pricing",
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${S.dsum("l_quantity")} AS sum_qty,
+         |  ${S.dsum("l_extendedprice")} AS sum_base_price,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+         |    * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+         |    * CAST(1.0 - l_discount AS DECIMAL(4,2))
+         |    * CAST(1.0 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+         |  ${S.davg("l_quantity")} AS avg_qty,
+         |  ${S.davg("l_extendedprice")} AS avg_price,
+         |  ${S.davg("l_discount")} AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin)(
+      RelationalQueries.tpch1Pricing),
+
+    QueryDef.noOracle("q_approx_distinct")(RelationalQueries.approxDistinct)
+  )
+}
