@@ -50,10 +50,14 @@ object RelationalQueries {
       .orderBy(col("c_custkey"))
   }
 
-  /** Left-anti join (NOT EXISTS): customers with no orders at all. */
+  /** Left-anti join (NOT EXISTS): customers with no high-value (>450k)
+    * order. The filter on the right side is applied before the join so the
+    * anti-join's build side shrinks (and produces a non-empty result on the
+    * dense-FK testdata, unlike "no orders at all"). */
   def joinAnti(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    t.customer.join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+    val big = t.orders.filter(col("o_totalprice") > 450000.0)
+    t.customer.join(big, col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
       .orderBy(col("c_custkey"))
   }
@@ -84,8 +88,8 @@ object RelationalQueries {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     Tables(spark, dir).orders
-      .withColumn("rn", row_number().over(w))
-      .withColumn("rnk", rank().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("rnk", rank().over(w).cast("long"))
       .filter(col("rn") <= 3)
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
         col("rn"), col("rnk"))

@@ -27,7 +27,8 @@ object RelationalRegistry {
 
     QueryDef("q_join_anti",
       """SELECT c_custkey, c_name, c_acctbal FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
         |ORDER BY c_custkey""".stripMargin)(RelationalQueries.joinAnti),
 
     QueryDef("q_join_broadcast",

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.RelationalQueries
+import graft.tables.Tables
+
+/** Brute-force + plan-shape checks for the relational operator library. */
+class RelationalQueriesSpec extends SparkSpec {
+
+  private lazy val orders: Seq[(Long, Long, Double)] =
+    Tables(spark, sf).orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+  test("top-k matches a full driver-side sort") {
+    val expected = orders.sortBy(o => (-o._3, o._1)).take(100).map(_._1)
+    val got = rows(RelationalQueries.sortLimitTopK(spark, sf))
+      .map(_(0).asInstanceOf[Long])
+    got shouldBe expected
+  }
+
+  test("top-k plans as TakeOrderedAndProject (no global sort)") {
+    val df = Tables(spark, sf).orders
+      .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(100)
+    plan(df) should include("TakeOrderedAndProject")
+  }
+
+  test("window rank returns at most 3 rows per customer, correctly ordered") {
+    val got = rows(RelationalQueries.windowRank(spark, sf))
+      .map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long],
+        r(2).asInstanceOf[Double], r(3).asInstanceOf[Long]))
+    val byCust = got.groupBy(_._1)
+    val expected = orders.groupBy(_._2).map { case (c, os) =>
+      c -> os.sortBy(o => (-o._3, o._1)).take(3).map(_._1)
+    }
+    byCust.foreach { case (c, rs) =>
+      rs.size should be <= 3
+      rs.map(_._2) shouldBe expected(c)
+      rs.map(_._4) shouldBe (1L to rs.size)
+    }
+    byCust.keySet shouldBe expected.filter(_._2.nonEmpty).keySet
+  }
+
+  test("semi + anti join partition the customers exactly") {
+    val semi = rows(RelationalQueries.joinSemi(spark, sf)).map(_(0)).toSet
+    // joinSemi threshold is 400k, joinAnti is 450k — recompute anti at 400k
+    val t = Tables(spark, sf)
+    val anti400 = t.customer.join(
+        t.orders.filter(col("o_totalprice") > 400000.0),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"))
+    val anti = rows(anti400).map(_(0)).toSet
+    val all = rows(t.customer.select(col("c_custkey"))).map(_(0)).toSet
+    (semi intersect anti) shouldBe empty
+    (semi union anti) shouldBe all
+  }
+
+  test("broadcast star join actually broadcasts the dims") {
+    val p = plan(RelationalQueries.joinBroadcast(spark, sf))
+    p should include("BroadcastHashJoin")
+    (p should not).include("SortMergeJoin")
+  }
+
+  test("left join keeps customers without matching orders") {
+    val leftN = RelationalQueries.joinLeft(spark, sf).count()
+    leftN shouldBe Tables(spark, sf).customer.count()
+  }
+
+  test("rollup row count = groups + flag-subtotals + grand total") {
+    val li = Tables(spark, sf).lineitem
+      .select(col("l_returnflag"), col("l_linestatus")).collect()
+    val pairs = li.map(r => (r.getString(0), r.getString(1))).toSeq
+    val nPairs = pairs.distinct.size
+    val nFlags = pairs.map(_._1).distinct.size
+    RelationalQueries.rollupAgg(spark, sf).count() shouldBe (nPairs + nFlags + 1)
+    RelationalQueries.cubeAgg(spark, sf).count() shouldBe
+      (nPairs + nFlags + pairs.map(_._2).distinct.size + 1)
+  }
+
+  test("set ops: |union| = |A| + |B| - |intersect|; |except| = |A| - |intersect|") {
+    val t = Tables(spark, sf)
+    val a = t.customer.filter(col("c_mktsegment") === "BUILDING").count()
+    val b = t.customer.filter(col("c_acctbal") > 7000.0).count()
+    val i = RelationalQueries.setIntersect(spark, sf).count()
+    RelationalQueries.setUnion(spark, sf).count() shouldBe (a + b - i)
+    RelationalQueries.setExcept(spark, sf).count() shouldBe (a - i)
+  }
+
+  test("tpch1 filter is pushed to the parquet scan") {
+    val df = Tables(spark, sf).lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .select(col("l_returnflag"))
+    plan(df) should include("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate")
+  }
+
+  test("approx distinct is within 5% of exact") {
+    val t = Tables(spark, sf)
+    val exact = t.events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows(RelationalQueries.approxDistinct(spark, sf)).foreach { r =>
+      val (tpe, approx) = (r(0).asInstanceOf[String], r(1).asInstanceOf[Long])
+      approx.toDouble shouldBe (exact(tpe).toDouble +- exact(tpe) * 0.05)
+    }
+  }
+}
