@@ -1,0 +1,96 @@
+package graft.ops
+
+import graft.QueryDef
+
+/** DuckDB oracle SQL mirroring [[DedupQueries]] expression-for-expression
+  * (same MD5-derived hashes, same shingle construction, same rounding). */
+object DedupRegistry {
+
+  private val words = "string_split(text, ' ')"
+
+  /** Distinct 3-word shingles — DuckDB spelling of DedupQueries.shingleSet
+    * (slice is inclusive-inclusive in DuckDB, hence i:i+2 for 3 tokens). */
+  private val shingleSet =
+    s"list_distinct(list_transform(generate_series(1, len($words) - 2), i -> array_to_string(($words)[i:i+2], ' ')))"
+
+  private val hash48 = "('0x' || substr(md5(t), 1, 12))::BIGINT"
+
+  def all: Seq[QueryDef] = Seq(
+    QueryDef("q_dedup_doc_exact",
+      """SELECT md5(text) AS content_md5, min(doc_id) AS keeper_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keeper_id""".stripMargin)(
+      DedupQueries.dedupDocExact),
+
+    QueryDef("q_dedup_ngram_jaccard",
+      s"""WITH d AS (SELECT doc_id, $shingleSet AS sh FROM documents),
+         |p0 AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS s FROM d),
+         |rare AS (SELECT s FROM p0 GROUP BY s HAVING count(*) <= 100),
+         |p AS (SELECT p0.* FROM p0 JOIN rare USING (s)),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.nsh AS na,
+         |         b.nsh AS nb, count(*) AS n_common
+         |  FROM p a JOIN p b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT doc_a, doc_b, n_common,
+         |  round(CAST(n_common AS DOUBLE) / (na + nb - n_common), 4) AS jaccard
+         |FROM pairs
+         |WHERE round(CAST(n_common AS DOUBLE) / (na + nb - n_common), 4) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin)(DedupQueries.dedupNgramJaccard),
+
+    QueryDef("q_minhash_lsh",
+      s"""WITH d AS (SELECT doc_id, $shingleSet AS sh FROM documents),
+         |s AS (SELECT doc_id,
+         |        list_transform(generate_series(0, 15),
+         |          p -> list_min(list_transform(sh, x -> md5(p::VARCHAR || ':' || x)))) AS sig
+         |      FROM d WHERE len(sh) > 0),
+         |bnd AS (SELECT doc_id, sig, b.b AS band_idx,
+         |          md5(array_to_string(sig[b.b*4+1 : b.b*4+4], '|')) AS band_key
+         |        FROM s CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) b),
+         |cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         any_value(a.sig) AS sig_a, any_value(b.sig) AS sig_b
+         |  FROM bnd a JOIN bnd b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |   AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  round(len(list_filter(generate_series(1, 16), i -> sig_a[i] = sig_b[i])) / 16.0, 4)
+         |    AS est_jaccard
+         |FROM cand ORDER BY doc_a, doc_b""".stripMargin)(DedupQueries.minhashLsh),
+
+    QueryDef("q_simhash",
+      s"""WITH h AS (SELECT doc_id,
+         |  CAST(len(list_distinct($words)) AS BIGINT) AS n_tokens,
+         |  list_transform(list_distinct($words), t -> $hash48) AS hs
+         |FROM documents)
+         |SELECT doc_id, n_tokens,
+         |  CAST(list_sum(list_transform(generate_series(0, 47), b ->
+         |    CASE WHEN CAST(list_sum(list_transform(hs, h ->
+         |           CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) AS BIGINT) > 0
+         |         THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash
+         |FROM h ORDER BY doc_id""".stripMargin)(DedupQueries.simhash),
+
+    QueryDef("q_simhash_pairs",
+      s"""WITH h AS (SELECT doc_id,
+         |  list_transform(list_distinct($words), t -> $hash48) AS hs
+         |FROM documents),
+         |sh AS (SELECT doc_id,
+         |  CAST(list_sum(list_transform(generate_series(0, 47), b ->
+         |    CASE WHEN CAST(list_sum(list_transform(hs, h ->
+         |           CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) AS BIGINT) > 0
+         |         THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash
+         |FROM h),
+         |ch AS (SELECT doc_id, simhash, c.c AS chunk_idx,
+         |         (simhash >> (c.c * 12)) % 4096 AS chunk
+         |       FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c) c),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |         FROM ch a JOIN ch b
+         |           ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+         |          AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM cand
+         |WHERE hamming <= 6 ORDER BY doc_a, doc_b""".stripMargin)(
+      DedupQueries.simhashPairs)
+  )
+}
