@@ -32,6 +32,10 @@ object GraftSession {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.parquet.filterPushdown", "true")
     .config("spark.ui.enabled", "false")
+    // events.ts is parquet TIMESTAMP(NANOS), which the vectorized reader
+    // rejects; read nanos as long session-wide (harmless for non-nanos files)
+    // instead of mutating the conf at plan-build time (round-1 ADVICE).
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     // our state-free batch queries re-read tiny dims often in tests; keep the
     // broadcast threshold at the default 10 MB (cluster-safe), AQE raises it
     // dynamically when runtime stats allow.

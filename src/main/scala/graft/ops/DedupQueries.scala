@@ -36,6 +36,19 @@ object DedupQueries {
   /** Distinct 3-word shingle set per document (set semantics for Jaccard). */
   private val shingleSet = s"array_distinct(${shinglesExpr(3)})"
 
+  /** Fan a narrow scan out across all cores before a CPU-dense hashing stage.
+    *
+    * Shingling + MD5 signatures cost orders of magnitude more CPU than the
+    * scan that feeds them, so their parallelism must not be inherited from the
+    * input split count (locally: one small parquet file = ONE task doing all
+    * the hashing; on a cluster: a few large splits bottleneck the same way).
+    * An explicit-width hash repartition on the primary key rebalances at the
+    * cost of shuffling only the raw text — kilobytes against seconds of CPU.
+    * Width is pinned (not left to AQE) because AQE's coalescing targets
+    * shuffle *bytes*, which are tiny here precisely when the CPU cost is not. */
+  private def fanout(df: DataFrame, key: String): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(key))
+
   /** Exact dedup: group by content hash, keep the smallest doc_id. */
   def dedupDocExact(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
@@ -45,7 +58,7 @@ object DedupQueries {
 
   /** Shingle posting list (doc_id, set size, shingle), df-capped at 100. */
   private def postings(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir).documents
+    val docs = fanout(Tables(spark, dir).documents.select("doc_id", "text"), "doc_id")
       .select(col("doc_id"), expr(shingleSet).as("sh"))
       .select(col("doc_id"), size(col("sh")).as("nsh"), explode(col("sh")).as("s"))
     val rare = docs.groupBy(col("s"))
@@ -79,7 +92,7 @@ object DedupQueries {
   /** MinHash LSH candidates: 4 bands × 4 rows; pairs sharing any band key,
     * with the signature-agreement Jaccard estimate. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sig = Tables(spark, dir).documents
+    val sig = fanout(Tables(spark, dir).documents.select("doc_id", "text"), "doc_id")
       .select(col("doc_id"), expr(shingleSet).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), expr(sigExpr).as("sig"))
@@ -110,7 +123,7 @@ object DedupQueries {
        |       then shiftleft(cast(1 as bigint), b) else cast(0 as bigint) end)""".stripMargin
 
   private def simhashed(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).documents
+    fanout(Tables(spark, dir).documents.select("doc_id", "text"), "doc_id")
       .select(col("doc_id"), expr(s"array_distinct($wordsExpr)").as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
         expr(s"transform(toks, t -> ${hash48("t")})").as("hs"))
@@ -121,8 +134,14 @@ object DedupQueries {
     simhashed(spark, dir).orderBy(col("doc_id"))
 
   /** SimHash near-dup pairs: band the 48-bit signature into 4 × 12-bit
-    * chunks, equi-join on any equal chunk (a Hamming-≤3 pair must agree on
-    * at least one chunk — pigeonhole), verify Hamming ≤ 6. */
+    * chunks, equi-join on any equal chunk, keep candidates with Hamming ≤ 6.
+    *
+    * Recall contract (round-1 ADVICE): 4-chunk banding guarantees (pigeonhole)
+    * that every Hamming-≤3 pair agrees on at least one chunk, so recall is
+    * EXACT for Hamming ≤ 3. Pairs at Hamming 4–6 are best-effort candidates:
+    * one whose differing bits spread across all four chunks is missed. The
+    * oracle computes the identical banded candidate set, so the gate compares
+    * like with like. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val s = simhashed(spark, dir)
     val chunks = s.select(col("doc_id"), col("simhash"),

@@ -124,7 +124,7 @@ object RelationalRegistry {
         |  REPLACE(p_name, ' ', '_') AS snake_name,
         |  LPAD(p_brand, 12, '*') AS pad_brand,
         |  REVERSE(p_name) AS rev_name,
-        |  CASE WHEN p_type LIKE '%BRASS%' THEN 1 ELSE 0 END AS is_brass
+        |  CAST(CASE WHEN p_type LIKE '%BRASS%' THEN 1 ELSE 0 END AS BIGINT) AS is_brass
         |FROM part ORDER BY p_partkey""".stripMargin)(
       RelationalQueries.scalarString),
 

@@ -21,11 +21,14 @@ object TextRegistry {
 
   def all: Seq[QueryDef] = Seq(
     QueryDef("q_text_stats",
+      // CASTs: DuckDB's bare SUM(INTEGER) is HUGEINT (int128); Spark emits
+      // BIGINT. Cast in the oracle so the driver's hash compare sees the same
+      // type on both sides (round-1 ADVICE, CORRECTNESS_r01 hash_match=false).
       s"""SELECT lang,
          |  count(*) AS n_docs,
-         |  sum(n_chars) AS total_chars,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
          |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
-         |  sum(len($words)) AS total_tokens
+         |  CAST(sum(len($words)) AS BIGINT) AS total_tokens
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)(TextQueries.textStats),
 
     QueryDef("q_token_count",

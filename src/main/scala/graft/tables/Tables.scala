@@ -14,10 +14,15 @@ final case class Tables(spark: SparkSession, dir: String) {
   def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects; read it as a long (legacy conf) and truncate to microsecond
-    * timestamps (the same truncation DuckDB applies when reading nanos). */
+    * rejects; `spark.sql.legacy.parquet.nanosAsLong=true` (set once in
+    * [[graft.GraftSession.tune]]) reads it as a long, truncated here to
+    * microsecond timestamps (the same truncation DuckDB applies). Requiring
+    * the session conf — instead of setting it as a side effect per call —
+    * keeps plan building pure (round-1 ADVICE). */
   private def withNanoTs(name: String, tsCol: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events requires spark.sql.legacy.parquet.nanosAsLong=true — build the " +
+        "session via GraftSession (local/tune)")
     import org.apache.spark.sql.functions._
     table(name).withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
   }

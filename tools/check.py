@@ -35,19 +35,31 @@ def main():
         try:
             exp = con.sql(sql)
             exp_cols = sorted(exp.columns)
+            exp_types = {c: str(t) for c, t in zip(exp.columns, exp.types)}
             exp_rows = [tuple(norm(r[exp.columns.index(c)]) for c in exp_cols)
                         for r in exp.fetchall()]
             got = con.sql(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
             got_cols = sorted(got.columns)
+            got_types = {c: str(t) for c, t in zip(got.columns, got.types)}
             got_rows = [tuple(norm(r[got.columns.index(c)]) for c in got_cols)
                         for r in got.fetchall()]
         except Exception as e:
             print(f"FAIL {name}: exception {e}")
             n_bad += 1
             continue
+        # The driver's hash compare is type-sensitive: a DuckDB HUGEINT vs a
+        # Spark BIGINT hashes differently even when values agree (round-1
+        # q_text_stats). Compare oracle result types against the types DuckDB
+        # assigns to Spark's parquet output — they must be identical.
+        type_bad = [c for c in exp_cols
+                    if c in got_types and exp_types[c] != got_types[c]]
         if exp_cols != got_cols:
             print(f"FAIL {name}: columns oracle={exp_cols} spark={got_cols}")
             n_bad += 1
+        elif type_bad:
+            n_bad += 1
+            print(f"FAIL {name}: type drift " + ", ".join(
+                f"{c}: oracle={exp_types[c]} spark={got_types[c]}" for c in type_bad))
         elif exp_rows != got_rows:
             n_bad += 1
             print(f"FAIL {name}: rows oracle={len(exp_rows)} spark={len(got_rows)}")
