@@ -1,0 +1,194 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Similarity search over the `embeddings` table (`embedding: array<float>`,
+  * 64-dim ~unit vectors) — the vector half of a training-data pipeline
+  * (north-star extension; the reference has no vector operations).
+  *
+  * Three escalating search strategies plus the dedup + clustering building
+  * blocks, each the standard industrial shape re-expressed Spark-first:
+  *
+  *   1. **Brute force** ([[similarVectors]]): exact cosine top-k via a
+  *      broadcast single-row probe — the correctness baseline. The scan is
+  *      embarrassingly parallel; `ORDER BY sim LIMIT k` compiles to
+  *      `TakeOrderedAndProject` (per-partition heap + driver merge of k rows,
+  *      never a full sort shuffle), so it scales to any corpus the scan scales
+  *      to: at 100 TB it is one pass, zero shuffles.
+  *   2. **Random-hyperplane LSH** ([[annLsh]], [[dedupEmbedding]]): 16 sign
+  *      bits (Charikar SimHash for angles), banded 4×4; candidates share at
+  *      least one 4-bit band. Signatures come from a broadcast join against a
+  *      16-row plane table, so the per-vector cost is 16 dot products and the
+  *      pair enumeration is an equi-join on (band, value) — never a cross
+  *      product. Recall for a pair at angle θ is 1-(1-(1-θ/π)^4)^4: ≈95% at
+  *      cosine 0.9, falling fast for unrelated pairs — the classic LSH
+  *      precision/recall dial (more bands → recall, more bits → precision).
+  *   3. **IVF** ([[ivfSearch]]): coarse-quantize every vector to its nearest
+  *      centroid (inverted lists), search only the `nprobe` lists nearest the
+  *      probe. Centroids here are deterministically seeded (vec_id < 10) so
+  *      the DuckDB oracle can replay them; a production pipeline would refine
+  *      them with Lloyd iterations built from [[vectorCentroids]] — the
+  *      M-step — but the *serving* path (assign → invert → nprobe → exact
+  *      rerank) is exactly this shape. At 100 TB the assignment becomes the
+  *      partitioning key, so a probe touches nprobe/nlists of the data.
+  *
+  * Determinism contract shared with the DuckDB oracle: all arithmetic is
+  * double-precision with the same left-fold summation order (`aggregate` in
+  * Spark, `list_sum`/`list_reduce` in DuckDB — verified bit-identical), so
+  * similarity values, sign bits, and argmax assignments agree exactly; every
+  * emitted double is `round`ed once at the output.
+  */
+object VectorQueries {
+
+  /** Sequential-fold dot product of two array<double> columns — matches
+    * DuckDB's `list_sum(list_transform(...))` bit-for-bit (same order). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Embeddings with the float vector cast to array<double> once. */
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("embedding").cast("array<double>").as("e"))
+
+  /** Single-row probe vector (vec_id = `id`), for broadcasting. */
+  private def probe(spark: SparkSession, dir: String, id: Long): DataFrame =
+    emb(spark, dir).filter(col("vec_id") === id).select(col("e").as("pe"))
+
+  /** Brute-force exact cosine top-20 neighbors of vec 0 (SURVEY §2.4
+    * `q_similar_vectors`). One narrow pass + TakeOrderedAndProject. */
+  def similarVectors(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir)
+      .crossJoin(broadcast(probe(spark, dir, 0L)))
+      .filter(col("vec_id") =!= 0L)
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("e"), col("pe")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(20)
+
+  /** 16-row hyperplane table: plane p's component d is ±1 by MD5 parity of
+    * "p:d" — deterministic, engine-portable pseudo-randomness (the same
+    * [[TextQueries.hash48]] trick as the text dedup family). */
+  private def planes(spark: SparkSession): DataFrame = {
+    val parity = TextQueries.hash48("concat(cast(p as string), ':', cast(d as string))")
+    spark.range(16).select(col("id").as("p"))
+      .select(col("p"),
+        expr(s"transform(sequence(0, 63), d -> cast(1 - 2 * ($parity % 2) as double))")
+          .as("signs"))
+  }
+
+  /** 16-bit LSH signature per vector: bit p = sign of the projection onto
+    * plane p. Broadcast join (16 planes) → 16 dots/vector → groupBy pack. */
+  private def signatures(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir)
+      .crossJoin(broadcast(planes(spark)))
+      .select(col("vec_id"), col("p"), dot(col("e"), col("signs")).as("proj"))
+      .groupBy(col("vec_id"))
+      .agg(sum(expr("case when proj >= 0 then shiftleft(cast(1 as bigint), cast(p as int)) " +
+        "else cast(0 as bigint) end")).as("sig"))
+
+  /** Banded signature: 4 bands × 4 bits → (vec_id, band_idx, band_val). */
+  private def bands(spark: SparkSession, dir: String): DataFrame =
+    signatures(spark, dir)
+      .select(col("vec_id"),
+        posexplode(expr("transform(sequence(0, 3), b -> shiftright(sig, b * 4) % 16)")))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_val")
+
+  /** ANN via LSH: candidates sharing ≥1 band with probe vec 0, exact-cosine
+    * reranked, top 10. The candidate set is an equi-join on (band_idx,
+    * band_val) against the probe's 4 rows — O(collisions), not O(n). */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val b = bands(spark, dir)
+    val probeBands = b.filter(col("vec_id") === 0L)
+      .select(col("band_idx"), col("band_val"))
+    val candidates = b.join(broadcast(probeBands), Seq("band_idx", "band_val"))
+      .filter(col("vec_id") =!= 0L)
+      .select(col("vec_id")).distinct()
+    candidates
+      .join(emb(spark, dir), Seq("vec_id"))
+      .crossJoin(broadcast(probe(spark, dir, 0L)))
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("e"), col("pe")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Embedding near-dup pairs: LSH band-join candidates, exact-cosine
+    * verified at ≥ 0.25. (The testdata vectors are random unit vectors — max
+    * pairwise cosine ≈0.5 — so the demo threshold is low; a production dedup
+    * runs the identical plan at ≥0.9 where banding recall is ≈95%.) The
+    * band self-join + distinct bounds the verify stage to actual collisions;
+    * no O(n²) pair enumeration exists anywhere in the plan. */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val b = bands(spark, dir)
+    val a = b.select(col("band_idx"), col("band_val"), col("vec_id").as("vec_a"))
+    val c = b.select(col("band_idx"), col("band_val"), col("vec_id").as("vec_b"))
+    val pairs = a.join(c, Seq("band_idx", "band_val"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
+    val e = emb(spark, dir)
+    pairs
+      .join(e.select(col("vec_id").as("vec_a"), col("e").as("ea")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("e").as("eb")), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(cosine(col("ea"), col("eb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.25)
+      .select(col("vec_a"), col("vec_b"), col("cos_sim"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** IVF search: centroids = vectors 0..9 (deterministic seed), every vector
+    * assigned to its argmax-cosine centroid (inverted lists), probe vec 42
+    * scans the nprobe=3 nearest lists, exact top-10 rerank. */
+  def ivfSearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cents = e.filter(col("vec_id") < 10L)
+      .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+    // Assignment: argmax over the broadcast centroid table. On a cluster this
+    // result is the table's partitioning (cluster by cent_id) — here it is a
+    // window argmax so the oracle can replay it row-for-row.
+    val byDot = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cdot").desc, col("cent_id"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("e"), col("cent_id"),
+        dot(col("e"), col("ce")).as("cdot"))
+      .withColumn("rn", row_number().over(byDot))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("e"), col("cent_id"))
+    // nprobe=3 centroid lists nearest the probe.
+    val probeLists = cents
+      .crossJoin(broadcast(probe(spark, dir, 42L)))
+      .select(col("cent_id"), dot(col("ce"), col("pe")).as("pdot"))
+      .orderBy(col("pdot").desc, col("cent_id"))
+      .limit(3)
+      .select(col("cent_id"))
+    assigned
+      .join(broadcast(probeLists), Seq("cent_id"))
+      .filter(col("vec_id") =!= 42L)
+      .crossJoin(broadcast(probe(spark, dir, 42L)))
+      .select(col("vec_id"), col("cent_id"),
+        round(cosine(col("e"), col("pe")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Per-label mean vector, one row per (label, dim) — the Lloyd M-step /
+    * class-prototype computation. Componentwise means use an exact
+    * DECIMAL(38,12) sum (order-independent: a parallel double sum is not
+    * reproducible across partitionings) divided by the count, in double. */
+  def vectorCentroids(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir)
+      .select(col("label"), posexplode(col("e")))
+      .filter(col("pos") < 8) // keep dims 0-7: filter BEFORE the shuffle
+      .groupBy(col("label"), col("pos").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"),
+        round((sum(col("col").cast("decimal(38,12)")).cast("double") / count(lit(1))), 6)
+          .as("mean_c"))
+      .orderBy(col("label"), col("dim"))
+}

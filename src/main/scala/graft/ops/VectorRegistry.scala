@@ -1,0 +1,106 @@
+package graft.ops
+
+import graft.QueryDef
+
+/** DuckDB oracle SQL mirroring [[VectorQueries]] expression-for-expression.
+  *
+  * Precision contract: every dot product is a left-fold double sum —
+  * `list_sum(list_transform(...))` here, `aggregate(zip_with(...))` in Spark —
+  * which the two engines evaluate bit-identically (verified), so sign bits,
+  * argmax assignments and rounded similarities agree exactly. */
+object VectorRegistry {
+
+  /** Sequential-fold dot product over DOUBLE[] columns. */
+  private def dot(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a) + 1), i -> ($a)[i] * ($b)[i]))"
+
+  private def cos(a: String, b: String): String =
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+
+  /** Embeddings cast to DOUBLE[] (same elementwise float→double widening as
+    * Spark's `cast(embedding as array<double>)`). */
+  private val embCte =
+    "emb AS (SELECT vec_id, CAST(label AS BIGINT) AS label, embedding::DOUBLE[] AS e FROM embeddings)"
+
+  /** ±1 hyperplane components by MD5 parity of "p:d" (TextQueries.hash48). */
+  private val planesCte =
+    """planes AS (SELECT p, list_transform(range(0, 64), d ->
+      |  CAST(1 - 2 * ((('0x' || substr(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 12))::BIGINT) % 2) AS DOUBLE)) AS signs
+      |FROM (SELECT unnest(range(0, 16)) AS p))""".stripMargin
+
+  /** 16-bit signature + 4×4 banding, shared by the two LSH queries. */
+  private val sigBandCtes =
+    s"""$planesCte,
+       |proj AS (SELECT vec_id, p, ${dot("e", "signs")} AS proj
+       |         FROM emb CROSS JOIN planes),
+       |sig AS (SELECT vec_id,
+       |          CAST(sum(CASE WHEN proj >= 0 THEN (1::BIGINT << CAST(p AS INT))
+       |                        ELSE 0::BIGINT END) AS BIGINT) AS sig
+       |        FROM proj GROUP BY vec_id),
+       |bands AS (SELECT vec_id, b.b AS band_idx, ((sig >> CAST(b.b * 4 AS INT)) % 16) AS band_val
+       |          FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b)""".stripMargin
+
+  def all: Seq[QueryDef] = Seq(
+    QueryDef("q_similar_vectors",
+      s"""WITH $embCte,
+         |p AS (SELECT e AS pe FROM emb WHERE vec_id = 0)
+         |SELECT vec_id, label, round(${cos("e", "pe")}, 6) AS cos_sim
+         |FROM emb, p WHERE vec_id <> 0
+         |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin)(
+      VectorQueries.similarVectors),
+
+    QueryDef("q_ann_lsh",
+      s"""WITH $embCte,
+         |$sigBandCtes,
+         |cand AS (SELECT DISTINCT a.vec_id
+         |         FROM bands a JOIN bands pb
+         |           ON a.band_idx = pb.band_idx AND a.band_val = pb.band_val
+         |         WHERE pb.vec_id = 0 AND a.vec_id <> 0),
+         |p AS (SELECT e AS pe FROM emb WHERE vec_id = 0)
+         |SELECT emb.vec_id, emb.label, round(${cos("e", "pe")}, 6) AS cos_sim
+         |FROM cand JOIN emb USING (vec_id), p
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)(
+      VectorQueries.annLsh),
+
+    QueryDef("q_dedup_embedding",
+      s"""WITH $embCte,
+         |$sigBandCtes,
+         |pairs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |          FROM bands a JOIN bands b
+         |            ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |           AND a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, round(${cos("ea.e", "eb.e")}, 6) AS cos_sim
+         |FROM pairs
+         |JOIN emb ea ON ea.vec_id = vec_a
+         |JOIN emb eb ON eb.vec_id = vec_b
+         |WHERE round(${cos("ea.e", "eb.e")}, 6) >= 0.25
+         |ORDER BY vec_a, vec_b""".stripMargin)(
+      VectorQueries.dedupEmbedding),
+
+    QueryDef("q_ivf_search",
+      s"""WITH $embCte,
+         |cents AS (SELECT vec_id AS cent_id, e AS ce FROM emb WHERE vec_id < 10),
+         |assigned AS (
+         |  SELECT vec_id, label, e, cent_id FROM (
+         |    SELECT emb.vec_id, emb.label, emb.e AS e, c.cent_id,
+         |      row_number() OVER (PARTITION BY emb.vec_id
+         |                         ORDER BY ${dot("emb.e", "c.ce")} DESC, c.cent_id) AS rn
+         |    FROM emb CROSS JOIN cents c) WHERE rn = 1),
+         |p AS (SELECT e AS pe FROM emb WHERE vec_id = 42),
+         |probelists AS (SELECT cent_id FROM cents, p
+         |               ORDER BY ${dot("ce", "pe")} DESC, cent_id LIMIT 3)
+         |SELECT a.vec_id, a.cent_id, round(${cos("a.e", "pe")}, 6) AS cos_sim
+         |FROM assigned a JOIN probelists USING (cent_id), p
+         |WHERE a.vec_id <> 42
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)(
+      VectorQueries.ivfSearch),
+
+    QueryDef("q_vector_centroids",
+      s"""WITH $embCte
+         |SELECT label, d.d AS dim, count(*) AS n,
+         |  round(CAST(sum(CAST(e[CAST(d.d AS INT) + 1] AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS mean_c
+         |FROM emb CROSS JOIN (SELECT unnest(range(0, 8)) AS d) d
+         |GROUP BY label, d.d ORDER BY label, dim""".stripMargin)(
+      VectorQueries.vectorCentroids)
+  )
+}

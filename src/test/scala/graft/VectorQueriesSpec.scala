@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.VectorQueries
+import graft.tables.Tables
+
+/** Brute-force + plan-shape checks for the vector similarity library. */
+class VectorQueriesSpec extends SparkSpec {
+
+  /** All embeddings as (vec_id, vector) for driver-side brute force. */
+  private lazy val vecs: Map[Long, Array[Double]] =
+    Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().toSeq
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+
+  private def cosine(a: Array[Double], b: Array[Double]): Double = {
+    def dot(x: Array[Double], y: Array[Double]) =
+      x.zip(y).foldLeft(0.0) { case (acc, (u, v)) => acc + u * v }
+    dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+  }
+
+  test("brute-force top-20 matches a driver-side scan") {
+    val p = vecs(0L)
+    val expected = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) =>
+        (id, BigDecimal(cosine(p, v)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .sortBy { case (id, c) => (-c, id) }.take(20)
+    val got = rows(VectorQueries.similarVectors(spark, sf))
+      .map(r => (r(0).asInstanceOf[Long], r(2).asInstanceOf[Double]))
+    got shouldBe expected
+  }
+
+  test("brute-force top-k plans as TakeOrderedAndProject with a broadcast probe") {
+    val p = plan(VectorQueries.similarVectors(spark, sf))
+    p should include("TakeOrderedAndProject")
+    p should include("BroadcastNestedLoopJoin")
+  }
+
+  test("LSH ANN results are a subset of brute-force ranking with exact sims") {
+    val p = vecs(0L)
+    val exact = vecs.toSeq.filter(_._1 != 0L).map { case (id, v) =>
+      id -> BigDecimal(cosine(p, v)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    val got = rows(VectorQueries.annLsh(spark, sf))
+      .map(r => (r(0).asInstanceOf[Long], r(2).asInstanceOf[Double]))
+    got.foreach { case (id, c) => c shouldBe exact(id) }
+    // sims must arrive in descending order (rerank is exact)
+    got.map(_._2) shouldBe got.map(_._2).sorted.reverse
+  }
+
+  test("embedding near-dup pairs are exactly the banded candidates above threshold") {
+    val got = rows(VectorQueries.dedupEmbedding(spark, sf))
+      .map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long],
+        r(2).asInstanceOf[Double]))
+    got.foreach { case (a, b, c) =>
+      a should be < b
+      c should be >= 0.25
+      // the reported similarity is the exact cosine, not an estimate
+      val exact = BigDecimal(cosine(vecs(a), vecs(b)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      c shouldBe exact
+    }
+  }
+
+  test("IVF search returns vectors only from the probed lists, exact sims, sorted") {
+    val cents = (0L until 10L).map(id => id -> vecs(id)).toMap
+    def assign(v: Array[Double]): Long =
+      cents.toSeq.map { case (c, cv) => (c, cosine(v, cv)) }
+        .sortBy { case (c, d) => (-d, c) }.head._1
+    val probe = vecs(42L)
+    val probed = cents.toSeq.map { case (c, cv) => (c, cosine(cv, probe)) }
+      .sortBy { case (c, d) => (-d, c) }.take(3).map(_._1).toSet
+    val got = rows(VectorQueries.ivfSearch(spark, sf))
+      .map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long],
+        r(2).asInstanceOf[Double]))
+    got.foreach { case (id, cent, c) =>
+      probed should contain(cent)
+      assign(vecs(id)) shouldBe cent
+      val exact = BigDecimal(cosine(vecs(id), probe))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      c shouldBe exact
+    }
+    got.map(_._3) shouldBe got.map(_._3).sorted.reverse
+  }
+
+  test("per-label centroids match driver-side means on dims 0-7") {
+    val labels = Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("label").cast("long"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    val byLabel = labels.groupBy(_._2)
+    val got = rows(VectorQueries.vectorCentroids(spark, sf))
+      .map(r => ((r(0).asInstanceOf[Long], r(1).asInstanceOf[Long]),
+        (r(2).asInstanceOf[Long], r(3).asInstanceOf[Double]))).toMap
+    byLabel.foreach { case (lab, members) =>
+      val arrs = members.map(m => vecs(m._1))
+      (0 until 8).foreach { d =>
+        val (n, mean) = got((lab, d.toLong))
+        n shouldBe arrs.size
+        mean shouldBe (arrs.map(_(d)).sum / arrs.size) +- 1e-6
+      }
+    }
+  }
+}
