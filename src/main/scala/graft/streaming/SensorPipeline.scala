@@ -1,0 +1,153 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** The reference's end-to-end pipeline (R1–R5 + K1–K8) rebuilt as Structured
+  * Streaming — same semantics, Spark-first shape.
+  *
+  * Reference chain (reference/src/main/java/stream/StreamProcessor.java:52-81
+  * + reference/README.md:59-107): MQTT source → Gson parse → raw Mongo persist
+  * (PRE-filter: invalid rows ARE stored) → validity filter → Kafka JSON sink →
+  * KSQL 1-minute tumbling MAX/MIN/AVG per sensor id → Mongo via Connect.
+  *
+  * Spark mapping:
+  *   - transport: the reference's MQTT specifics are transport, not query
+  *     semantics (SURVEY.md §7.4). The pipeline takes any streaming DataFrame
+  *     of JSON `value` strings — file source here (replay/tests), Kafka in
+  *     production (`readStream.format("kafka")`), both byte-identical from
+  *     [[parse]] onward. A custom DSv2 MicroBatchStream over an MQTT client
+  *     would slot in the same seam; out of scope offline.
+  *   - the reference's dangling side-effect maps (Flink runs them; Spark is
+  *     lazy) become two explicit streaming sinks sharing one source.
+  *   - per-record KafkaProducer (StreamProcessor.java:118) is replaced by
+  *     Spark's pooled sink — the cautionary tale SURVEY.md §7.6 flags.
+  *   - KSQL's table state becomes a watermarked windowed aggregation: Spark's
+  *     state store gives exactly-once for the agg, strictly stronger than the
+  *     reference's checkpoint-free at-most-once.
+  *
+  * Every transform is defined once on an untyped DataFrame and works in BOTH
+  * batch and streaming (Structured Streaming's unified API) — the batch-stream
+  * equivalence test in StreamingPipelineSpec leans on exactly this.
+  */
+object SensorPipeline {
+
+  /** Wire schema of a sensor event (reference SensorEvent.java:4-9 +
+    * README.md:76-83): stringly epoch-seconds timestamp, nested metrics. */
+  val sensorSchema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("messageId", StringType),
+    StructField("timestamp", StringType),
+    StructField("metrics", StructType(Seq(
+      StructField("temperature", LongType),
+      StructField("humidity", LongType))))))
+
+  /** R2: JSON → typed columns. Gson's missing-field defaults (SURVEY.md §1.3:
+    * zero is the null sentinel — `metrics: {}` parses to temperature=0,
+    * humidity=0) are reproduced with `coalesce`, because `from_json` yields
+    * NULLs where Gson yields Java default 0s. Event time is the stringly
+    * epoch-seconds field cast properly (the KSQL layer actually windowed on
+    * Kafka record time; field time is the documented, strictly-more-correct
+    * deviation — SURVEY.md §7.6). */
+  def parse(raw: DataFrame): DataFrame =
+    raw.select(from_json(col("value"), sensorSchema).as("ev"))
+      .select(
+        col("ev.id").as("id"),
+        col("ev.messageId").as("messageId"),
+        col("ev.timestamp").as("timestamp"),
+        coalesce(col("ev.metrics.temperature"), lit(0L)).as("temperature"),
+        coalesce(col("ev.metrics.humidity"), lit(0L)).as("humidity"))
+      .withColumn("eventTime", to_timestamp(from_unixtime(col("timestamp").cast("long"))))
+
+  /** R4 validity predicate, exact reference semantics
+    * (StreamProcessor.java:61-78): drop the both-zero "empty measurement",
+    * else keep iff temperature<50 OR humidity<100 — OR, not AND: a record
+    * with temp=60 ∧ hum=90 PASSES (encoded in the spec's truth table). */
+  def isValid(temperature: Column, humidity: Column): Column =
+    !(temperature === 0L && humidity === 0L) &&
+      (temperature < 50L || humidity < 100L)
+
+  /** R6: the raw sink's flatten/rename (MongoDBRawData.java:38-42). */
+  def flatten(df: DataFrame): DataFrame =
+    df.select(
+      col("messageId").as("_messageId"),
+      col("id").as("sensorId"),
+      col("timestamp"),
+      col("temperature"),
+      col("humidity"))
+
+  /** R5: re-serialize for the Kafka topic — (key, value) JSON shape
+    * (StreamProcessor.java:110-131). Works against the real Kafka sink or any
+    * test sink unchanged. */
+  def kafkaShape(df: DataFrame): DataFrame =
+    df.select(
+      col("id").as("key"),
+      to_json(struct(col("id"), col("messageId"), col("timestamp"),
+        struct(col("temperature"), col("humidity")).as("metrics"))).as("value"))
+
+  /** K4–K6: 1-minute tumbling MAX/MIN/AVG(+count) per sensor id
+    * (README.md:72,87-92). `withWatermark` bounds state for append-mode
+    * streaming (the late-data policy the reference never declared —
+    * SURVEY.md §7.6); the identical plan runs in batch where the watermark is
+    * a no-op. avg decomposes into exact sum/count at output time. */
+  def windowedAgg(parsed: DataFrame, watermark: String = "10 minutes"): DataFrame = {
+    val wm = if (parsed.isStreaming) parsed.withWatermark("eventTime", watermark) else parsed
+    wm.groupBy(window(col("eventTime"), "1 minute").as("w"), col("id"))
+      .agg(
+        max(col("temperature")).as("max_temperature"),
+        min(col("temperature")).as("min_temperature"),
+        (sum(col("temperature")).cast("double") / count(lit(1))).as("avg_temperature"),
+        count(lit(1)).as("n"))
+      .select(col("id"), col("w.start").as("w_start"),
+        col("max_temperature"), col("min_temperature"),
+        col("avg_temperature"), col("n"))
+  }
+
+  /** Output directories of a [[replay]] run. */
+  final case class ReplayOut(raw: String, filtered: String, agg: String)
+
+  /** Replays JSON-line files through the full pipeline with three sinks:
+    *
+    *   1. `raw`    — R3/K7: every event, flattened, PRE-filter (invalid rows
+    *                 are stored, reference README.md:44), parquet.
+    *   2. `filtered` — R5: survivors in Kafka (key, value) shape, parquet
+    *                 standing in for the topic.
+    *   3. `agg`    — K8: watermarked 1-minute aggregates, append mode (only
+    *                 watermark-finalized windows emit), parquet via the same
+    *                 `foreachBatch` seam a Mongo/Connect-shaped sink uses.
+    *
+    * `Trigger.AvailableNow` drains the input then stops — micro-batched like
+    * production, bounded like a test. One source feeds three queries; Spark
+    * schedules them as independent checkpointed streams (the Flink contrast:
+    * its dangling maps ran implicitly, SURVEY.md §3.1). */
+  def replay(spark: SparkSession, inDir: String, outBase: String): ReplayOut = {
+    val raw = spark.readStream.schema(StructType(Seq(StructField("value", StringType))))
+      .text(inDir).toDF("value")
+    val parsed = parse(raw)
+    val out = ReplayOut(s"$outBase/raw", s"$outBase/filtered", s"$outBase/agg")
+
+    val qRaw = flatten(parsed).writeStream
+      .format("parquet").option("path", out.raw)
+      .option("checkpointLocation", s"$outBase/_cp_raw")
+      .trigger(Trigger.AvailableNow()).start()
+    val qFiltered = kafkaShape(parsed.filter(isValid(col("temperature"), col("humidity"))))
+      .writeStream
+      .format("parquet").option("path", out.filtered)
+      .option("checkpointLocation", s"$outBase/_cp_filtered")
+      .trigger(Trigger.AvailableNow()).start()
+    val qAgg = windowedAgg(parsed).writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out.agg)
+      }
+      .option("checkpointLocation", s"$outBase/_cp_agg")
+      .trigger(Trigger.AvailableNow()).start()
+
+    qRaw.awaitTermination()
+    qFiltered.awaitTermination()
+    qAgg.awaitTermination()
+    out
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.streaming.{SensorPipeline, StreamRegistry}
+
+/** Batch–stream equivalence + reference-semantics checks for the pipeline
+  * (SURVEY.md §5 item 4): the same transforms run as a batch plan and as an
+  * AvailableNow streaming replay must agree. */
+class StreamingPipelineSpec extends SparkSpec {
+
+  private lazy val base: String = {
+    val b = Files.createTempDirectory("graft_stream_spec").toString
+    StreamRegistry.eventsAsSensorJson(spark, sf, s"$b/in")
+    b
+  }
+
+  /** The same input parsed in BATCH mode (unified API: identical transforms). */
+  private lazy val batchParsed: DataFrame =
+    SensorPipeline.parse(spark.read.text(s"$base/in").toDF("value")).cache()
+
+  private lazy val out = SensorPipeline.replay(spark, s"$base/in", s"$base/out")
+
+  test("raw sink persists every event pre-filter (R3 semantics)") {
+    val rawCount = spark.read.parquet(out.raw).count()
+    rawCount shouldBe spark.read.text(s"$base/in").count()
+    // flattened 5-column shape of the Mongo raw document
+    spark.read.parquet(out.raw).columns.toSeq shouldBe
+      Seq("_messageId", "sensorId", "timestamp", "temperature", "humidity")
+  }
+
+  test("filtered sink equals the batch filter of the same input (R4/R5)") {
+    val streamed = spark.read.parquet(out.filtered)
+      .select(col("key"), col("value")).collect().toSet
+    val batch = SensorPipeline.kafkaShape(
+      batchParsed.filter(SensorPipeline.isValid(col("temperature"), col("humidity"))))
+      .collect().toSet
+    streamed shouldBe batch
+  }
+
+  test("streamed windowed agg rows equal the batch agg for finalized windows") {
+    val streamed = spark.read.parquet(out.agg)
+      .select(col("id"), col("w_start"), col("max_temperature"),
+        col("min_temperature"), col("avg_temperature"), col("n"))
+      .collect().toSet
+    val batchAll = SensorPipeline.windowedAgg(batchParsed)
+      .select(col("id"), col("w_start"), col("max_temperature"),
+        col("min_temperature"), col("avg_temperature"), col("n"))
+      .collect().toSet
+    // Append mode emits only watermark-finalized windows: every streamed row
+    // must match batch exactly, and the gap must be only the tail windows
+    // within the watermark delay of max event time.
+    streamed.subsetOf(batchAll) shouldBe true
+    val maxT = batchParsed.agg(max(col("eventTime"))).collect()(0).getTimestamp(0)
+    val unemitted = batchAll -- streamed
+    unemitted.foreach { r =>
+      val wStart = r.getTimestamp(1)
+      // window end (start+1min) past watermark (maxT - 10min) ⇒ legitimately held back
+      assert(wStart.getTime + 60000L > maxT.getTime - 600000L,
+        s"finalized window missing from streamed output: $r")
+    }
+  }
+
+  test("empty metrics drop, OR-range keep: the R4 truth table end to end") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      """{"id":"s1","messageId":"m1","timestamp":"1700000000","metrics":{}}""", // empty→drop
+      """{"id":"s1","messageId":"m2","timestamp":"1700000000","metrics":{"temperature":60,"humidity":90}}""", // OR passes
+      """{"id":"s1","messageId":"m3","timestamp":"1700000000","metrics":{"temperature":50,"humidity":100}}""", // both at limit→drop
+      """{"id":"s1","messageId":"m4","timestamp":"1700000000","metrics":{"temperature":10,"humidity":120}}""", // temp ok→keep
+      """{"id":"s1","messageId":"m5","timestamp":"1700000000"}""" // missing metrics = empty→drop
+    ).toDF("value")
+    val kept = SensorPipeline.parse(rows)
+      .filter(SensorPipeline.isValid(col("temperature"), col("humidity")))
+      .select("messageId").as[String].collect().toSet
+    kept shouldBe Set("m2", "m4")
+  }
+
+  test("q_stream_pipeline entry returns finalized agg rows") {
+    val df = StreamRegistry.streamPipeline(spark, sf)
+    df.count() should be > 0L
+  }
+}
