@@ -39,13 +39,19 @@ object DedupRegistry {
          |ORDER BY doc_a, doc_b""".stripMargin)(DedupQueries.dedupNgramJaccard),
 
     QueryDef("q_minhash_lsh",
+      // 16 minhash lanes = non-overlapping 32-bit windows of two sha256
+      // digests per shingle — DuckDB spelling of DedupQueries.minhashSig.
       s"""WITH d AS (SELECT doc_id, $shingleSet AS sh FROM documents),
+         |hx AS (SELECT doc_id,
+         |         list_transform(sh, x -> sha256('0:' || x) || sha256('1:' || x)) AS hx
+         |       FROM d WHERE len(sh) > 0),
          |s AS (SELECT doc_id,
          |        list_transform(generate_series(0, 15),
-         |          p -> list_min(list_transform(sh, x -> md5(p::VARCHAR || ':' || x)))) AS sig
-         |      FROM d WHERE len(sh) > 0),
+         |          p -> list_min(list_transform(hx,
+         |                 h -> ('0x' || h[p*8+1 : p*8+8])::BIGINT))) AS sig
+         |      FROM hx),
          |bnd AS (SELECT doc_id, sig, b.b AS band_idx,
-         |          md5(array_to_string(sig[b.b*4+1 : b.b*4+4], '|')) AS band_key
+         |          array_to_string(sig[b.b*4+1 : b.b*4+4], '|') AS band_key
          |        FROM s CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) b),
          |cand AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

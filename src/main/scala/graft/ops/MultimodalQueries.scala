@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Multimodal-column plumbing: treat media payloads as opaque `binary`
+  * columns with typed metadata (north-star extension).
+  *
+  * The container has no image/audio codecs, so the *decode* step is a
+  * clearly-marked deterministic stub ([[fakeDecodeExpr]] /
+  * [[graft.functions.MultimodalStub]]); everything around it — the binary
+  * column type, byte-level functions (length/hash/header slicing), the
+  * metadata schema, partitioning, and the batched per-partition UDF shape —
+  * is real Spark plumbing, which is the part that matters at 100 TB:
+  *
+  *   - payload stays a single `BinaryType` column (parquet BYTE_ARRAY) —
+  *     scanned lazily, prunable, never driver-collected;
+  *   - byte ops are codegen'd expressions (`length`, `md5`, `substring` on
+  *     binary), not UDFs;
+  *   - real decoding belongs in a batched per-partition map with one decoder
+  *     instance per partition (see [[graft.functions.MultimodalStub]]) — the
+  *     Scala analog of `mapInPandas` — never a per-row lambda that would
+  *     re-initialize a codec per record (the reference's producer-per-record
+  *     anti-pattern, StreamProcessor.java:118, applied to codecs).
+  *
+  * The testdata has no real media bytes, so `documents.text` UTF-8 bytes
+  * stand in for the payload; the plumbing is payload-agnostic.
+  */
+object MultimodalQueries {
+
+  /** Deterministic fake "image decode": dimensions derived from the payload
+    * hash. STUB — stands in for a real codec (not available offline); the
+    * derivation is engine-portable so the oracle can verify the plumbing. */
+  private def fakeDecodeExpr(h: String): Map[String, String] = Map(
+    "width" -> s"64 + $h % 1857",
+    "height" -> s"64 + ($h div 1857) % 1017",
+    "channels" -> s"1 + $h % 4")
+
+  /** 48-bit value from the hex digest itself (the payload is already hashed
+    * — no second md5, unlike [[TextQueries.hash48]] which hashes its input). */
+  private val hFromMd5 = "cast(conv(substr(content_md5, 1, 12), 16, 10) as bigint)"
+
+  /** Byte-level metadata + stub-decoded dimensions for every payload. */
+  def blobMeta(spark: SparkSession, dir: String): DataFrame = {
+    val d = fakeDecodeExpr("h")
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(
+        col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        md5(col("payload")).as("content_md5"),
+        lower(hex(substring(col("payload"), 1, 8))).as("header_hex"))
+      .withColumn("h", expr(hFromMd5))
+      .select(col("doc_id"), col("n_bytes"), col("content_md5"), col("header_hex"),
+        expr(d("width")).cast("long").as("width"),
+        expr(d("height")).cast("long").as("height"),
+        expr(d("channels")).cast("long").as("channels"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Frame-sampling plan for "video" payloads: per payload, the frame count
+    * (stub-derived) and the evenly-spaced sample positions a real pipeline
+    * would hand to the decoder — array logic in codegen-friendly expressions. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("content_md5"))
+      .withColumn("h", expr(hFromMd5))
+      .select(
+        col("doc_id"),
+        expr("1 + h % 240").cast("long").as("n_frames"),
+        expr("greatest(1, (1 + h % 240) div 4)").cast("long").as("frame_step"))
+      .withColumn("n_sampled",
+        expr("size(sequence(cast(0 as bigint), n_frames - 1, frame_step))").cast("long"))
+      .select(col("doc_id"), col("n_frames"), col("frame_step"), col("n_sampled"))
+      .orderBy(col("doc_id"))
+}

@@ -1,0 +1,34 @@
+package graft.ops
+
+import graft.QueryDef
+
+/** DuckDB oracle SQL mirroring [[MultimodalQueries]] — the payload is
+  * `encode(text)` (UTF-8 bytes, same bytes Spark's `cast(text as binary)`
+  * produces), so byte lengths, MD5s, and header slices agree exactly. */
+object MultimodalRegistry {
+
+  private val h = "('0x' || substr(content_md5, 1, 12))::BIGINT"
+
+  def all: Seq[QueryDef] = Seq(
+    QueryDef("q_blob_meta",
+      s"""WITH b AS (SELECT doc_id, text, encode(text) AS payload, md5(text) AS content_md5
+         |           FROM documents)
+         |SELECT doc_id,
+         |  CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+         |  content_md5,
+         |  lower(hex(encode(substr(text, 1, 8)))) AS header_hex,
+         |  64 + $h % 1857 AS width,
+         |  64 + ($h // 1857) % 1017 AS height,
+         |  1 + $h % 4 AS channels
+         |FROM b ORDER BY doc_id""".stripMargin)(MultimodalQueries.blobMeta),
+
+    QueryDef("q_frame_sample",
+      s"""WITH b AS (SELECT doc_id, md5(text) AS content_md5 FROM documents),
+         |f AS (SELECT doc_id, 1 + $h % 240 AS n_frames,
+         |        greatest(1, (1 + $h % 240) // 4) AS frame_step
+         |      FROM b)
+         |SELECT doc_id, n_frames, frame_step,
+         |  CAST(len(range(0, n_frames, frame_step)) AS BIGINT) AS n_sampled
+         |FROM f ORDER BY doc_id""".stripMargin)(MultimodalQueries.frameSample)
+  )
+}

@@ -1,0 +1,192 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Statistical / analytical operators over the TPC-H-ish batch tables —
+  * exact percentiles, histograms, correlation, pivot, weighted aggregates,
+  * deterministic sampling, and a binned range join.
+  *
+  * Determinism rules (SURVEY.md §7.6) applied throughout:
+  *
+  *   - **Never sum raw doubles across partitions.** Partial-aggregation order
+  *     differs between engines (and between runs), so any oracle-checked sum
+  *     goes through DECIMAL: the testdata's numeric columns are clean 2/4-dp
+  *     decimals stored as doubles (verified: max |x·100 − round(x·100)| ≈
+  *     1e-9), so `CAST(x AS DECIMAL(18,2))` lands on the same exact decimal in
+  *     both engines and decimal sums are order-independent integers.
+  *   - **Derived moments in double, from exact inputs.** corr/stddev are
+  *     computed from the exact decimal sums with an explicit double formula —
+  *     identical expression tree in both engines → bit-identical result —
+  *     rather than the engines' streaming `corr()`/`stddev()` implementations,
+  *     whose merge order is nondeterministic.
+  *   - **Exact percentiles** (`percentile` ≡ DuckDB `quantile_cont`): both
+  *     engines sort and linearly interpolate `lower + frac·(upper − lower)`.
+  */
+object StatsQueries {
+
+  /** Exact quartiles of extended price per return flag. At 100 TB exact
+    * percentile is a sort-based aggregate per group; the grouped form keeps
+    * the sort partition-local per key (vs a global median, which would need
+    * `approx_percentile` — provided separately as q_approx_distinct-style
+    * non-oracle ops). */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
+      .orderBy(col("l_returnflag"))
+
+  /** Fixed-width histogram of extended price (5000-wide buckets): the
+    * classic distributed histogram — one narrow projection, one shuffle on
+    * the bucket id, count/min/max are order-independent. */
+  def histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .select((floor(col("l_extendedprice") / 5000)).cast("long").as("bucket"),
+        col("l_extendedprice"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"))
+      .orderBy(col("bucket"))
+
+  /** Pearson correlation + sample stddev of (quantity, extendedprice) per
+    * return flag, decomposed into exact decimal power sums (map-side partial
+    * agg, one tiny shuffle) with the moment formulas evaluated in double —
+    * the scalable AND deterministic spelling of `corr()`/`stddev_samp()`. */
+  def corrStats(spark: SparkSession, dir: String): DataFrame = {
+    val q = expr("cast(l_quantity as decimal(18,2))")
+    val p = expr("cast(l_extendedprice as decimal(18,2))")
+    Tables(spark, dir).lineitem
+      .select(col("l_returnflag"), q.as("q"), p.as("p"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("q")).cast("double").as("sq"),
+        sum(col("p")).cast("double").as("sp"),
+        sum(col("q") * col("q")).cast("double").as("sqq"),
+        sum(col("p") * col("p")).cast("double").as("spp"),
+        sum(col("q") * col("p")).cast("double").as("sqp"))
+      .select(
+        col("l_returnflag"),
+        col("n").cast("long").as("n"),
+        round((col("n") * col("sqp") - col("sq") * col("sp")) /
+          (sqrt(col("n") * col("sqq") - col("sq") * col("sq")) *
+            sqrt(col("n") * col("spp") - col("sp") * col("sp"))), 6).as("corr_qp"),
+        round(sqrt((col("n") * col("sqq") - col("sq") * col("sq")) /
+          (col("n") * (col("n") - 1))), 6).as("stddev_q"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Pivot: line counts by return flag × line status, statuses as columns —
+    * Spark's `pivot` with explicit values (no extra pass to discover them;
+    * at scale the value list is a catalog fact, not a runtime discovery). */
+  def pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+      // Spark pivot yields NULL for an empty cell where DuckDB's
+      // `count(*) FILTER` yields 0 — normalize to the SQL semantics.
+      .select(col("l_returnflag"),
+        coalesce(col("F"), lit(0L)).as("F"),
+        coalesce(col("O"), lit(0L)).as("O"))
+      .orderBy(col("l_returnflag"))
+
+  /** Revenue-weighted average discount per return flag: exact decimal
+    * sum-of-products / sum, single shuffle, division in double at the end. */
+  def weightedAvg(spark: SparkSession, dir: String): DataFrame = {
+    val p = expr("cast(l_extendedprice as decimal(18,2))")
+    val d = expr("cast(l_discount as decimal(18,2))")
+    Tables(spark, dir).lineitem
+      .select(col("l_returnflag"), p.as("p"), d.as("d"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("p") * col("d")).cast("double").as("wsum"),
+        sum(col("p")).cast("double").as("psum"))
+      .select(col("l_returnflag"), col("n"),
+        round(col("wsum") / col("psum"), 6).as("wavg_discount"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Deterministic 5% hash sample of orders: MD5(key) mod 20 — reproducible
+    * across engines, runs, and cluster sizes (unlike `TABLESAMPLE`/`rand()`),
+    * and pushed into the scan as a cheap per-row predicate. The standard way
+    * to cut a stable dev slice from a 100 TB table. */
+  def sampleHash(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .filter(expr(
+        s"${TextQueries.hash48("cast(o_orderkey as string)")} % 20 = 0"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .orderBy(col("o_orderkey"))
+
+  /** Binned range self-join: pairs of events by the same user within 60 s,
+    * counted per user. The scalable spelling of the θ-join
+    * `|ts_a − ts_b| ≤ 60 s`: bucket time into 60-s bins, equi-join on
+    * (user, bin) with each left row exploded to its 3 candidate bins, then
+    * verify the exact predicate. Every true pair matches on exactly one bin
+    * (the right row's own), so no dedup pass is needed, and the shuffle key
+    * (user, bin) bounds every join group — a plain θ-join would be a
+    * broadcast-nested-loop at any scale. */
+  def rangeJoinBinned(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("bin", expr("us div 60000000"))
+    val a = e.select(col("user_id"), col("event_id").as("id_a"), col("us").as("us_a"),
+      explode(expr("array(bin - 1, bin, bin + 1)")).as("bin"))
+    val b = e.select(col("user_id"), col("event_id").as("id_b"), col("us").as("us_b"), col("bin"))
+    a.join(b, Seq("user_id", "bin"))
+      .filter(col("id_a") < col("id_b") && abs(col("us_a") - col("us_b")) <= 60000000L)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Array-function coverage over the token array: sort/distinct/slice/join,
+    * membership, negative indexing — one narrow codegen'd projection. */
+  def arrayOps(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), expr(TextQueries.wordsExpr).as("w"))
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        expr("array_join(slice(array_sort(array_distinct(w)), 1, 5), ',')").as("first5"),
+        array_contains(col("w"), "the").cast("long").as("has_the"),
+        element_at(col("w"), -1).as("last_token"))
+      .orderBy(col("doc_id"))
+
+  /** Correlated scalar subqueries through the SQL front end — Catalyst
+    * decorrelates both into left outer aggregate joins (one shuffle each),
+    * which is exactly the 100 TB-safe plan; the text is also the oracle. */
+  val scalarSubquerySql: String =
+    """SELECT c_custkey, c_name,
+      |  (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+      |  (SELECT max(o_totalprice) FROM orders o WHERE o.o_custkey = c.c_custkey) AS max_price
+      |FROM customer c ORDER BY c_custkey""".stripMargin
+
+  /** EXISTS + NOT IN subqueries (semi/anti decorrelation) via SQL. */
+  val existsInSql: String =
+    """SELECT c_custkey, c_mktsegment FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+      |  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+      |ORDER BY c_custkey""".stripMargin
+
+  private def sqlOnViews(spark: SparkSession, dir: String, sql: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer.createOrReplaceTempView("customer")
+    t.orders.createOrReplaceTempView("orders")
+    spark.sql(sql)
+  }
+
+  def scalarSubquery(spark: SparkSession, dir: String): DataFrame =
+    sqlOnViews(spark, dir, scalarSubquerySql)
+
+  def existsIn(spark: SparkSession, dir: String): DataFrame =
+    sqlOnViews(spark, dir, existsInSql)
+}

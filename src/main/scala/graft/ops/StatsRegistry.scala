@@ -1,0 +1,84 @@
+package graft.ops
+
+import graft.QueryDef
+
+/** DuckDB oracle SQL mirroring [[StatsQueries]].
+  *
+  * Numeric determinism: every double sum goes through DECIMAL(18,2) on both
+  * sides (exact — the testdata's doubles are clean 2-dp values), and every
+  * derived moment (corr, stddev, weighted avg) is one explicit double formula
+  * evaluated from those exact sums with the identical expression tree, so the
+  * engines agree bitwise. The two SQL-front-end queries use the *same text*
+  * as both the Spark query and the oracle. */
+object StatsRegistry {
+
+  /** Exact decimal power sums per return flag, cast to double — the shared
+    * CTE for the moment queries. */
+  private val momentsCte =
+    """s AS (SELECT l_returnflag,
+      |  CAST(count(*) AS DOUBLE) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sqq,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS spp,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sqp
+      |FROM lineitem GROUP BY l_returnflag)""".stripMargin
+
+  def all: Seq[QueryDef] = Seq(
+    QueryDef("q_percentiles",
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)(StatsQueries.percentiles),
+
+    QueryDef("q_histogram",
+      """SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bucket,
+        |  count(*) AS n, min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)(StatsQueries.histogram),
+
+    QueryDef("q_corr_stats",
+      s"""WITH $momentsCte
+         |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+         |  round((n * sqp - sq * sp) /
+         |        (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)), 6) AS corr_qp,
+         |  round(sqrt((n * sqq - sq * sq) / (n * (n - 1))), 6) AS stddev_q
+         |FROM s ORDER BY l_returnflag""".stripMargin)(StatsQueries.corrStats),
+
+    QueryDef("q_pivot",
+      """SELECT l_returnflag,
+        |  count(*) FILTER (WHERE l_linestatus = 'F') AS "F",
+        |  count(*) FILTER (WHERE l_linestatus = 'O') AS "O"
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)(StatsQueries.pivot),
+
+    QueryDef("q_weighted_avg",
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |        / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS wavg_discount
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)(StatsQueries.weightedAvg),
+
+    QueryDef("q_sample_hash",
+      """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 12))::BIGINT % 20 = 0
+        |ORDER BY o_orderkey""".stripMargin)(StatsQueries.sampleHash),
+
+    QueryDef("q_range_join_binned",
+      """SELECT a.user_id AS user_id, count(*) AS n_pairs
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin)(StatsQueries.rangeJoinBinned),
+
+    QueryDef("q_array_ops",
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:5], ',') AS first5,
+        |  CAST(list_contains(string_split(text, ' '), 'the') AS BIGINT) AS has_the,
+        |  string_split(text, ' ')[-1] AS last_token
+        |FROM documents ORDER BY doc_id""".stripMargin)(StatsQueries.arrayOps),
+
+    QueryDef("q_scalar_subquery", StatsQueries.scalarSubquerySql)(StatsQueries.scalarSubquery),
+
+    QueryDef("q_exists_in", StatsQueries.existsInSql)(StatsQueries.existsIn)
+  )
+}

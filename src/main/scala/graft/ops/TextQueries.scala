@@ -38,12 +38,24 @@ object TextQueries {
 
   /** Word n-gram shingles as space-joined strings; empty array when the doc
     * has fewer than n tokens (Spark's `sequence(1, stop)` with stop < 1 would
-    * count *down*, so the guard is semantic, not cosmetic). */
-  def shinglesExpr(n: Int): String =
-    s"""case when size($wordsExpr) >= $n
-       |  then transform(sequence(1, size($wordsExpr) - ${n - 1}),
-       |                 i -> concat_ws(' ', slice($wordsExpr, i, $n)))
+    * count *down*, so the guard is semantic, not cosmetic).
+    *
+    * `words` MUST be a bound column/attribute name, not an expression:
+    * higher-order functions are CodegenFallback in Spark, so an expression
+    * inside the lambda (e.g. `split(text, ' ')`) would be RE-EVALUATED once
+    * per shingle index — O(tokens²) per document. Materialize the token array
+    * into a column first (see [[shingled]]). */
+  def shinglesExpr(n: Int, words: String = "w"): String =
+    s"""case when size($words) >= $n
+       |  then transform(sequence(1, size($words) - ${n - 1}),
+       |                 i -> concat_ws(' ', slice($words, i, $n)))
        |  else array() end""".stripMargin
+
+  /** (doc_id, sh) with `sh` = distinct n-word shingles, tokenized once. */
+  def shingled(df: DataFrame, n: Int): DataFrame =
+    df.select(col("doc_id"), expr(wordsExpr).as("w"))
+      .select(col("doc_id"),
+        expr(s"array_distinct(${shinglesExpr(n)})").as("sh"))
 
   /** Stopword markers for the language-ID heuristic (shared with the oracle
     * SQL in [[TextRegistry]] — keep in sync). */
@@ -121,11 +133,12 @@ object TextQueries {
     * sub-5-token docs. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
+      .select(col("doc_id"), md5(col("text")).as("doc_md5"), expr(wordsExpr).as("w"))
       .select(
         col("doc_id"),
-        md5(col("text")).as("doc_md5"),
+        col("doc_md5"),
         coalesce(
           expr(s"array_min(transform(${shinglesExpr(5)}, s -> md5(s)))"),
-          md5(col("text"))).as("min_shingle_md5"))
+          col("doc_md5")).as("min_shingle_md5"))
       .orderBy(col("doc_id"))
 }

@@ -104,7 +104,7 @@ object VectorQueries {
     * reranked, top 10. The candidate set is an equi-join on (band_idx,
     * band_val) against the probe's 4 rows — O(collisions), not O(n). */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
-    val b = bands(spark, dir)
+    val b = bands(spark, dir).persist() // probe side + candidate side share it
     val probeBands = b.filter(col("vec_id") === 0L)
       .select(col("band_idx"), col("band_val"))
     val candidates = b.join(broadcast(probeBands), Seq("band_idx", "band_val"))
@@ -126,18 +126,26 @@ object VectorQueries {
     * band self-join + distinct bounds the verify stage to actual collisions;
     * no O(n²) pair enumeration exists anywhere in the plan. */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
-    val b = bands(spark, dir)
+    // Band table feeds both sides of the candidate self-join — persist it so
+    // the 16 projections per vector run once, not once per side (signature
+    // materialization, same as the text-dedup family).
+    val b = bands(spark, dir).persist()
     val a = b.select(col("band_idx"), col("band_val"), col("vec_id").as("vec_a"))
     val c = b.select(col("band_idx"), col("band_val"), col("vec_id").as("vec_b"))
     val pairs = a.join(c, Seq("band_idx", "band_val"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b")).distinct()
+    // Norms are per-VECTOR quantities: compute the n of them once here, never
+    // per candidate pair (the pair stage is ~200× larger than the vector
+    // table on this corpus) — cos = dot / (nrm_a · nrm_b) is the identical
+    // double expression tree as cosine(), so the oracle still matches bitwise.
     val e = emb(spark, dir)
+      .select(col("vec_id"), col("e"), sqrt(dot(col("e"), col("e"))).as("nrm"))
     pairs
-      .join(e.select(col("vec_id").as("vec_a"), col("e").as("ea")), Seq("vec_a"))
-      .join(e.select(col("vec_id").as("vec_b"), col("e").as("eb")), Seq("vec_b"))
+      .join(e.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("nrm").as("na")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("nrm").as("nb")), Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(cosine(col("ea"), col("eb")), 6).as("cos_sim"))
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= 0.25)
       .select(col("vec_a"), col("vec_b"), col("cos_sim"))
       .orderBy(col("vec_a"), col("vec_b"))

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.StatsQueries
+import graft.tables.Tables
+
+/** Brute-force oracles for the stats/analytics operators (sf0.001). */
+class StatsQueriesSpec extends SparkSpec {
+
+  test("histogram buckets partition the table: counts sum to row count") {
+    val li = Tables(spark, sf).lineitem
+    val h = StatsQueries.histogram(spark, sf).collect()
+    h.map(_.getAs[Long]("n")).sum shouldBe li.count()
+    // every row's price sits inside its bucket's [lo, hi]
+    h.foreach { r =>
+      val (lo, hi) = (r.getAs[Double]("lo"), r.getAs[Double]("hi"))
+      val b = r.getAs[Long]("bucket")
+      math.floor(lo / 5000).toLong shouldBe b
+      math.floor(hi / 5000).toLong shouldBe b
+    }
+  }
+
+  test("percentiles are ordered and bracketed by min/max") {
+    StatsQueries.percentiles(spark, sf).collect().foreach { r =>
+      val (p25, p50, p75) = (r.getAs[Double]("p25"), r.getAs[Double]("p50"), r.getAs[Double]("p75"))
+      assert(p25 <= p50 && p50 <= p75)
+    }
+  }
+
+  test("corr matches a driver-side two-pass computation") {
+    val rows = Tables(spark, sf).lineitem
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .collect().groupBy(_.getString(0))
+    val got = StatsQueries.corrStats(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("corr_qp")).toMap
+    rows.foreach { case (flag, rs) =>
+      val q = rs.map(_.getDouble(1)); val p = rs.map(_.getDouble(2))
+      val n = q.length.toDouble
+      val mq = q.sum / n; val mp = p.sum / n
+      val cov = q.zip(p).map { case (a, b) => (a - mq) * (b - mp) }.sum
+      val ref = cov / math.sqrt(q.map(a => (a - mq) * (a - mq)).sum *
+        p.map(b => (b - mp) * (b - mp)).sum)
+      got(flag) shouldBe ref +- 1e-4
+    }
+  }
+
+  test("pivot cells sum to group totals") {
+    val piv = StatsQueries.pivot(spark, sf).collect()
+    val totals = Tables(spark, sf).lineitem.groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    piv.foreach { r =>
+      r.getAs[Long]("F") + r.getAs[Long]("O") shouldBe totals(r.getString(0))
+    }
+  }
+
+  test("hash sample is deterministic and ~5%") {
+    val s1 = StatsQueries.sampleHash(spark, sf).collect().map(_.getLong(0)).toSeq
+    val s2 = StatsQueries.sampleHash(spark, sf).collect().map(_.getLong(0)).toSeq
+    s1 shouldBe s2
+    val total = Tables(spark, sf).orders.count()
+    assert(s1.length > total / 40 && s1.length < total / 10) // 2.5%..10% band
+  }
+
+  test("binned range join equals the naive θ-join") {
+    val e = Tables(spark, sf).events
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val naive = e.as("a").join(e.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_id") < col("b.event_id") &&
+          abs(col("a.us") - col("b.us")) <= 60000000L)
+      .groupBy(col("a.user_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val binned = StatsQueries.rangeJoinBinned(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_pairs")).toMap
+    binned shouldBe naive
+  }
+
+  test("scalar subquery counts match a join-side aggregate") {
+    val sub = StatsQueries.scalarSubquery(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_orders")).toMap
+    val joined = Tables(spark, sf).customer.join(
+        Tables(spark, sf).orders, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey")).agg(count(col("o_orderkey")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n")).toMap
+    sub shouldBe joined
+  }
+}
