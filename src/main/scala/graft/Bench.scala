@@ -9,6 +9,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the session (codegen compiler, shuffle machinery, parquet reader)
+    // so the first timed query measures the query, not JVM/session startup.
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/nation.parquet").count()
     // Local-iteration filter: SPARK_GRAFT_ONLY=q_a,q_b times just those.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])

@@ -26,6 +26,8 @@ object GraftSession {
   /** Apply graft engine defaults to an arbitrary builder (so Verify/Bench can
     * keep their driver-mandated master/partition settings). */
   def tune(b: SparkSession.Builder): SparkSession.Builder = b
+    // native engine expressions (graft_dot, …) — see GraftExtensions
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")

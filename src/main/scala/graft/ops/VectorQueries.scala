@@ -43,10 +43,13 @@ import graft.tables.Tables
   */
 object VectorQueries {
 
-  /** Sequential-fold dot product of two array<double> columns — matches
-    * DuckDB's `list_sum(list_transform(...))` bit-for-bit (same order). */
+  /** Sequential-fold dot product of two array<double> columns — the native
+    * codegen'd [[graft.functions.DotProduct]] kernel (registered by
+    * GraftExtensions), bit-identical to both the `aggregate(zip_with(...))`
+    * composition it replaced and DuckDB's `list_sum(list_transform(...))`
+    * oracle spelling (same left-fold order). */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    call_function("graft_dot", a, b)
 
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))

@@ -49,7 +49,22 @@ object StreamRegistry {
       .orderBy(col("id"), col("w_start"))
   }
 
+  /** The DSv2 sensor generator (reference mqttgen, R7) driven through the
+    * reference's parse→filter→aggregate chain in batch mode — proves the
+    * native source end-to-end without file staging. Deterministic (seeded)
+    * but Spark-side only, so no SQL oracle; SensorGenSpec holds the
+    * distribution + batch-stream-equivalence checks. */
+  def sensorGenAgg(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.format("sensor-gen")
+      .option("messages", 2000).option("threads", 4).load()
+    val parsed = SensorPipeline.parse(raw)
+    SensorPipeline.windowedAgg(
+      parsed.filter(SensorPipeline.isValid(col("temperature"), col("humidity"))))
+      .orderBy(col("id"), col("w_start"))
+  }
+
   def all: Seq[QueryDef] = Seq(
-    QueryDef.noOracle("q_stream_pipeline")(streamPipeline)
+    QueryDef.noOracle("q_stream_pipeline")(streamPipeline),
+    QueryDef.noOracle("q_sensor_gen")(sensorGenAgg)
   )
 }

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+import graft.tables.Tables
+
+/** Physical-plan shape assertions — the 100 TB design contract, checked
+  * against what Catalyst actually planned, not what the code intended:
+  * broadcasts where dims are small, pushdown reaching the parquet scan,
+  * top-k never globally sorting, no nested-loop joins sneaking in. */
+class PlanShapeSpec extends SparkSpec {
+
+  test("broadcast join: nation/region dims are broadcast, not shuffled") {
+    val p = plan(RelationalQueries.joinBroadcast(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), "small-dim join must not SMJ")
+  }
+
+  test("filter + projection push down to the parquet scan") {
+    val df = Tables(spark, sf).lineitem
+      .filter(col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"),
+      s"filter must reach the scan:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"scan must prune to the 2 selected columns:\n$p")
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, never a global sort") {
+    val p = plan(RelationalQueries.sortLimitTopK(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("exact cosine top-k is also TakeOrderedAndProject (one pass, no shuffle sort)") {
+    val p = plan(VectorQueries.similarVectors(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("binned range join stays an equi-join (no nested-loop/cartesian)") {
+    val p = plan(StatsQueries.rangeJoinBinned(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join must not degrade to a product:\n$p")
+  }
+
+  test("grouped aggregates use partial (map-side) aggregation") {
+    val p = plan(EventQueries.groupedAgg(spark, sf))
+    assert(p.contains("partial_"), s"expected partial aggregation before the shuffle:\n$p")
+  }
+
+  test("graft_dot native expression: bit-identical to the HOF fold, and codegen'd") {
+    val df = Tables(spark, sf).embeddings.limit(50)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val both = df.select(
+        expr("graft_dot(e, e)").as("native"),
+        aggregate(zip_with(col("e"), col("e"), (x, y) => x * y),
+          lit(0.0), (acc, v) => acc + v).as("hof"))
+      .collect()
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+      s"native ${r.getDouble(0)} != hof ${r.getDouble(1)}")) // exact, not approx
+    // the native kernel must not break WholeStageCodegen (HOFs do):
+    // a codegen'd stage prints as "*(n) Project" in the simple plan format
+    val p = plan(df.select(expr("graft_dot(e, e)").as("d")))
+    assert(p.contains("*(1) Project [graft_dot"), s"expected codegen'd projection:\n$p")
+  }
+
+  test("hash sample predicate is evaluated in the scan stage, not post-shuffle") {
+    val p = plan(StatsQueries.sampleHash(spark, sf))
+    // deterministic md5 filter can't be a parquet PushedFilter, but it must
+    // sit directly on the scan (same WholeStageCodegen), before any exchange
+    assert(p.indexOf("Filter") < p.indexOf("Scan parquet"),
+      s"sample filter must precede (sit atop) the scan:\n$p")
+  }
+}

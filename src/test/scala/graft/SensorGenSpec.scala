@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.{SensorPipeline, StatefulOps}
+
+/** The DSv2 sensor generator (reference mqttgen.py rebuilt as a native
+  * source) + the flatMapGroupsWithState record-high operator. */
+class SensorGenSpec extends SparkSpec {
+
+  private def gen(messages: Long, threads: Int) =
+    spark.read.format("sensor-gen")
+      .option("messages", messages).option("threads", threads).load()
+
+  test("batch read: row count = messages x threads, deterministic across reads") {
+    val df = gen(500, 4)
+    df.count() shouldBe 2000
+    val a = df.collect().map(_.getString(0)).sorted
+    val b = gen(500, 4).collect().map(_.getString(0)).sorted
+    a shouldBe b
+  }
+
+  test("payload distribution matches mqttgen: 1% empty, ~9% outlier, rest normal") {
+    val parsed = SensorPipeline.parse(gen(1000, 2))
+    val n = parsed.count()
+    val empty = parsed.filter(col("temperature") === 0L && col("humidity") === 0L).count()
+    val outlier = parsed.filter(col("temperature") >= 50L && col("humidity") >= 100L).count()
+    empty shouldBe n / 100 // every 100th loop
+    outlier shouldBe (n / 10 - n / 100) // every 10th except every 100th
+    // validity filter keeps exactly the non-empty, non-outlier rows
+    parsed.filter(SensorPipeline.isValid(col("temperature"), col("humidity"))).count() shouldBe
+      (n - empty - outlier)
+  }
+
+  test("micro-batch stream equals batch read and respects rowsPerBatch offsets") {
+    val out = spark.readStream.format("sensor-gen")
+      .option("messages", 300).option("threads", 2).option("rowsPerBatch", 100)
+      .load()
+    val q = out.writeStream.format("memory").queryName("sensor_gen_mb")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sensor_gen_mb").collect().map(_.getString(0)).sorted
+      val batch = gen(300, 2).collect().map(_.getString(0)).sorted
+      streamed shouldBe batch
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3) // 300/100 micro-batches
+    } finally q.stop()
+  }
+
+  test("record-high operator: streaming state equals batch fold") {
+    val parsed = SensorPipeline.parse(
+      spark.readStream.format("sensor-gen")
+        .option("messages", 400).option("threads", 2).option("rowsPerBatch", 80).load())
+    val q = StatefulOps.recordHighs(parsed)
+      .writeStream.format("memory").queryName("record_highs")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("record_highs").as[StatefulOps.RecordHigh](
+        org.apache.spark.sql.Encoders.product[StatefulOps.RecordHigh])
+        .collect().sortBy(r => (r.id, r.messageId)).toSeq
+      val batch = StatefulOps.recordHighsBatch(
+        SensorPipeline.parse(gen(400, 2))).sortBy(r => (r.id, r.messageId))
+      // Stream processes in 80-row micro-batches in event order (generator is
+      // ordered), so the cross-batch fold matches the single-pass batch fold.
+      streamed shouldBe batch
+      // every emitted high strictly exceeds the previous max
+      streamed.foreach(r => assert(r.temperature >= r.prev_max))
+    } finally q.stop()
+  }
+}
