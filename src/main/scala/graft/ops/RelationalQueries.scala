@@ -253,4 +253,45 @@ object RelationalQueries {
       .agg(approx_count_distinct(col("user_id")).as("approx_users"),
         count(lit(1)).as("n"))
       .orderBy(col("event_type"))
+
+  /** Ordered string aggregation per nation — spelled as
+    * `concat_ws(sort_array(collect_list(...)))` rather than LISTAGG because
+    * the sort makes the result independent of partition arrival order (the
+    * only listagg that is reproducible on a cluster). */
+  def stringAgg(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.supplier.join(broadcast(t.nation),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        concat_ws(",", sort_array(collect_list(col("s_name")))).as("suppliers"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Distribution window functions: quartile bucket, percent_rank, cume_dist
+    * of each order within its priority class. */
+  def ntilePercent(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables(spark, dir).orders
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        ntile(4).over(w).cast("long").as("quartile"), // DuckDB ntile is BIGINT
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Unpivot: lineitem measures → (measure, value) rows, then per-measure
+    * stats — the wide→long reshape. Spark's native `unpivot`; the oracle
+    * spells it as UNION ALL (portable ANSI). */
+  def unpivotMeasures(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .unpivot(
+        ids = Array(col("l_orderkey")),
+        values = Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        variableColumnName = "measure",
+        valueColumnName = "value")
+      .groupBy(col("measure"))
+      .agg(count(lit(1)).as("n"), min(col("value")).as("lo"), max(col("value")).as("hi"))
+      .orderBy(col("measure"))
 }

@@ -172,6 +172,32 @@ object RelationalRegistry {
          |ORDER BY l_returnflag, l_linestatus""".stripMargin)(
       RelationalQueries.tpch1Pricing),
 
-    QueryDef.noOracle("q_approx_distinct")(RelationalQueries.approxDistinct)
+    QueryDef.noOracle("q_approx_distinct")(RelationalQueries.approxDistinct),
+
+    QueryDef("q_string_agg",
+      """SELECT n_name, count(*) AS n_suppliers,
+        |  array_to_string(list_sort(list(s_name)), ',') AS suppliers
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)(RelationalQueries.stringAgg),
+
+    QueryDef("q_ntile_percent",
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin)(RelationalQueries.ntilePercent),
+
+    QueryDef("q_unpivot",
+      """WITH long AS (
+        |  SELECT l_orderkey, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, 'l_discount', l_discount FROM lineitem)
+        |SELECT measure, count(*) AS n, min(value) AS lo, max(value) AS hi
+        |FROM long GROUP BY measure ORDER BY measure""".stripMargin)(
+      RelationalQueries.unpivotMeasures)
   )
 }

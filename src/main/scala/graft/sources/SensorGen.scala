@@ -70,8 +70,11 @@ object SensorGen {
     * 1-based loop counter, `messageId = id + loop`, epoch-seconds timestamp,
     * distribution empty (%100) / outlier (%10) / normal. */
   def payload(seed: Long, startEpoch: Long, intervalMs: Long, thread: Int, loop: Long): String = {
-    val sensor = draw(seed, thread, loop, 1L, 1, 2) // 2 sensors per thread, like config_env.json
-    val id = s"sensor$sensor-t$thread"
+    // 2 sensors SHARED by all threads (config_env.json is per-container, all
+    // generator threads read it) — so messageId = id + loop collides across
+    // threads exactly as the reference's does (FIXTURES.md §1).
+    val sensor = draw(seed, thread, loop, 1L, 1, 2)
+    val id = s"sensor${sensor}rcc"
     val ts = startEpoch + loop * intervalMs / 1000
     val metrics =
       if (loop % 100 == 0) "{}"

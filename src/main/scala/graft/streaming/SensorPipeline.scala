@@ -118,24 +118,32 @@ object SensorPipeline {
     *                 watermark-finalized windows emit), parquet via the same
     *                 `foreachBatch` seam a Mongo/Connect-shaped sink uses.
     *
+    * Two queries, not three: the reference's topology is ONE pass with
+    * side-effect sinks hanging off it (Flink materializes the dangling maps,
+    * SURVEY.md §3.1), so the raw + filtered sinks here share a single
+    * `foreachBatch` that caches each micro-batch, persists it pre-filter,
+    * and writes survivors — one read/parse per batch instead of one per
+    * sink. The windowed aggregate stays a separate query because it owns
+    * watermarked state the multi-sink batch writer must not replay.
+    *
     * `Trigger.AvailableNow` drains the input then stops — micro-batched like
-    * production, bounded like a test. One source feeds three queries; Spark
-    * schedules them as independent checkpointed streams (the Flink contrast:
-    * its dangling maps ran implicitly, SURVEY.md §3.1). */
+    * production, bounded like a test. */
   def replay(spark: SparkSession, inDir: String, outBase: String): ReplayOut = {
     val raw = spark.readStream.schema(StructType(Seq(StructField("value", StringType))))
       .text(inDir).toDF("value")
     val parsed = parse(raw)
     val out = ReplayOut(s"$outBase/raw", s"$outBase/filtered", s"$outBase/agg")
 
-    val qRaw = flatten(parsed).writeStream
-      .format("parquet").option("path", out.raw)
-      .option("checkpointLocation", s"$outBase/_cp_raw")
-      .trigger(Trigger.AvailableNow()).start()
-    val qFiltered = kafkaShape(parsed.filter(isValid(col("temperature"), col("humidity"))))
-      .writeStream
-      .format("parquet").option("path", out.filtered)
-      .option("checkpointLocation", s"$outBase/_cp_filtered")
+    val qRawFiltered = parsed.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        try {
+          flatten(batch).write.mode("append").parquet(out.raw)
+          kafkaShape(batch.filter(isValid(col("temperature"), col("humidity"))))
+            .write.mode("append").parquet(out.filtered)
+        } finally batch.unpersist()
+      }
+      .option("checkpointLocation", s"$outBase/_cp_rawfiltered")
       .trigger(Trigger.AvailableNow()).start()
     val qAgg = windowedAgg(parsed).writeStream
       .outputMode("append")
@@ -145,8 +153,7 @@ object SensorPipeline {
       .option("checkpointLocation", s"$outBase/_cp_agg")
       .trigger(Trigger.AvailableNow()).start()
 
-    qRaw.awaitTermination()
-    qFiltered.awaitTermination()
+    qRawFiltered.awaitTermination()
     qAgg.awaitTermination()
     out
   }

@@ -37,7 +37,10 @@ object StatefulOps {
   def foldKey(rows: Iterator[Reading], max0: Option[Long]): (Seq[RecordHigh], Long) = {
     var mx = max0.getOrElse(Long.MinValue)
     val out = Seq.newBuilder[RecordHigh]
-    rows.toSeq.sortBy(r => (r.eventTime.getTime, r.messageId)).foreach { r =>
+    // temperature in the sort key: messageIds can collide across generator
+    // threads (FIXTURES.md §1), so (time, id) alone would leave the order of
+    // colliding rows — and thus prev_max attribution — nondeterministic.
+    rows.toSeq.sortBy(r => (r.eventTime.getTime, r.messageId, r.temperature)).foreach { r =>
       if (r.temperature > mx) {
         out += RecordHigh(r.id, r.messageId, r.eventTime, r.temperature,
           if (mx == Long.MinValue) r.temperature else mx)
@@ -72,4 +75,26 @@ object StatefulOps {
       .as[Reading].collect().groupBy(_.id).toSeq
       .flatMap { case (_, rs) => foldKey(rs.iterator, None)._1 }
   }
+
+  /** Streaming exact dedup on message identity. The reference's generator
+    * REUSES messageId values across threads (mqttgen.py:32 — per-thread loop
+    * counters with the same sensor ids), so an exactly-once downstream needs
+    * this; the watermark bounds the dedup state: ids older than the horizon
+    * are dropped from the store, which is what makes exact streaming dedup
+    * viable at 100 TB (unbounded dedup state is not).
+    *
+    * In batch mode the same call degenerates to a plain `dropDuplicates` —
+    * one shuffle on the id — preserving batch-stream parity. */
+  def dedupByMessage(parsed: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    if (parsed.isStreaming)
+      parsed.withWatermark("eventTime", watermark)
+        .dropDuplicatesWithinWatermark("messageId")
+    else parsed.dropDuplicates("messageId")
+
+  /** Stream-static join: enrich the event stream with a dimension table (the
+    * sensor → site mapping a fleet would hold in a catalog). The static side
+    * is broadcast per micro-batch — no state, no shuffle of the stream — the
+    * 100 TB-safe enrichment shape. Works identically in batch. */
+  def enrich(parsed: DataFrame, sites: DataFrame): DataFrame =
+    parsed.join(org.apache.spark.sql.functions.broadcast(sites), Seq("id"), "left")
 }

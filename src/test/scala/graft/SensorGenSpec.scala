@@ -47,6 +47,44 @@ class SensorGenSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup: cross-thread messageId collisions collapse to batch distinct") {
+    // mqttgen reuses messageIds across threads (same sensor ids + per-thread
+    // loop counters) — the generator reproduces that, so distinct < total.
+    val batchParsed = SensorPipeline.parse(gen(300, 3))
+    val distinctIds = batchParsed.select("messageId").distinct().count()
+    assert(distinctIds < 900, "fixture must actually contain collisions")
+    val streamed = SensorPipeline.parse(
+      spark.readStream.format("sensor-gen")
+        .option("messages", 300).option("threads", 3).option("rowsPerBatch", 300).load())
+    val q = StatefulOps.dedupByMessage(streamed)
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      q.processAllAvailable()
+      // all collisions here are intra-batch (single 300-row batch per thread
+      // set): streaming dedup must agree with batch distinct-count
+      spark.table("dedup_stream").count() shouldBe distinctIds
+    } finally q.stop()
+  }
+
+  test("stream-static enrichment joins the broadcast dim without state") {
+    val sites = spark.createDataFrame(Seq(("sensor1rcc", "site-A"), ("sensor2rcc", "site-B")))
+      .toDF("id", "site")
+    val streamed = SensorPipeline.parse(
+      spark.readStream.format("sensor-gen")
+        .option("messages", 200).option("threads", 1).load())
+    val q = StatefulOps.enrich(streamed, sites)
+      .writeStream.format("memory").queryName("enriched")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("enriched")
+      got.count() shouldBe 200 // left join keeps every event
+      got.filter(col("site").isNull).count() shouldBe 0 // both sensors mapped
+      got.filter(col("id") === "sensor1rcc" && col("site") =!= "site-A").count() shouldBe 0
+    } finally q.stop()
+  }
+
   test("record-high operator: streaming state equals batch fold") {
     val parsed = SensorPipeline.parse(
       spark.readStream.format("sensor-gen")
