@@ -87,9 +87,13 @@ object DedupQueries {
     * sit at ≥0.97, noise below 0.08 — the threshold is not load-bearing).
     *
     * Inverted-index shape: one shuffle keyed by shingle builds df-capped
-    * posting buckets, pairs explode inside each bucket (≤ C(100,2)), and a
-    * second shuffle counts shared shingles per pair. Shingles are computed
-    * exactly once. */
+    * posting buckets (≤ 100 docs each — the cap bounds every bucket, so
+    * unlike the simhash chunks there is no straggler risk), pairs explode
+    * inside each bucket, and a second shuffle counts shared shingles per
+    * pair. Shingles are computed exactly once. (A codegen'd self-join shape
+    * was tried and measured SLOWER here: with well-bounded buckets the extra
+    * shuffle + dual cache reads cost more than the interpreted pair
+    * expansion saves — the opposite trade to simhashPairs' skewed buckets.) */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val postings = docShingles(spark, dir)
       .select(col("doc_id"), size(col("sh")).as("nsh"), explode(col("sh")).as("s"))
@@ -111,10 +115,13 @@ object DedupQueries {
 
   /** 16 minhash lanes from 2 sha256 digests per shingle: lane p is the
     * minimum over the shingle set of the p-th non-overlapping 32-bit window
-    * of `sha256('0:'+x) ++ sha256('1:'+x)` (128 hex chars = 16 windows). */
+    * of `sha256('0:'+x) ++ sha256('1:'+x)` (128 hex chars = 16 windows).
+    * Windows stay STRINGS: fixed-width lowercase hex orders lexicographically
+    * exactly as its numeric value, so `array_min` needs no radix conversion —
+    * `conv()` per (lane × shingle) was the hottest interpreted call here. */
   private val minhashSig =
     """transform(sequence(0, 15), p -> array_min(
-      |  transform(hx, s -> cast(conv(substr(s, p * 8 + 1, 8), 16, 10) as bigint))))""".stripMargin
+      |  transform(hx, s -> substr(s, p * 8 + 1, 8))))""".stripMargin
 
   /** MinHash LSH near-dup pairs: 4 bands × 4 lanes; pairs sharing any band,
     * with the signature-agreement Jaccard estimate. */

@@ -48,7 +48,7 @@ object DedupRegistry {
          |s AS (SELECT doc_id,
          |        list_transform(generate_series(0, 15),
          |          p -> list_min(list_transform(hx,
-         |                 h -> ('0x' || h[p*8+1 : p*8+8])::BIGINT))) AS sig
+         |                 h -> h[p*8+1 : p*8+8]))) AS sig
          |      FROM hx),
          |bnd AS (SELECT doc_id, sig, b.b AS band_idx,
          |          array_to_string(sig[b.b*4+1 : b.b*4+4], '|') AS band_key
