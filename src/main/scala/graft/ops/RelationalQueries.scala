@@ -254,6 +254,23 @@ object RelationalQueries {
         count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** Approximate percentiles (t-digest-style sketch) — engine-specific, so
+    * no SQL oracle; ScalaTest brackets the estimates with the exact values.
+    * At 100 TB this is the only viable GLOBAL percentile (exact needs a full
+    * sort; the sketch is one pass, mergeable across partitions). */
+  def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)").as("approx_q"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        col("approx_q").getItem(0).as("p25"),
+        col("approx_q").getItem(1).as("p50"),
+        col("approx_q").getItem(2).as("p75"),
+        col("n"))
+      .orderBy(col("l_returnflag"))
+
   /** Ordered string aggregation per nation — spelled as
     * `concat_ws(sort_array(collect_list(...)))` rather than LISTAGG because
     * the sort makes the result independent of partition arrival order (the

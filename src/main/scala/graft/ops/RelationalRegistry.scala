@@ -173,6 +173,7 @@ object RelationalRegistry {
       RelationalQueries.tpch1Pricing),
 
     QueryDef.noOracle("q_approx_distinct")(RelationalQueries.approxDistinct),
+    QueryDef.noOracle("q_approx_percentiles")(RelationalQueries.approxPercentiles),
 
     QueryDef("q_string_agg",
       """SELECT n_name, count(*) AS n_suppliers,
