@@ -101,6 +101,19 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("no oracle query plans a cartesian product; BNLJ only for broadcast probes") {
+    // 1-row broadcast probes (vector queries) legitimately plan
+    // BroadcastNestedLoopJoin; everything else must stay equi-join shaped.
+    val probeQueries = Set("q_similar_vectors", "q_ann_lsh", "q_ivf_search", "q_dedup_embedding")
+    SparkEntry.all.filter(_.oracle.isDefined).foreach { q =>
+      val p = plan(q.fn(spark, sf))
+      assert(!p.contains("CartesianProduct"), s"${q.name} plans a cartesian:\n$p")
+      if (!probeQueries(q.name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"${q.name} degrades to a nested-loop join:\n$p")
+    }
+  }
+
   test("hash sample predicate is evaluated in the scan stage, not post-shuffle") {
     val p = plan(StatsQueries.sampleHash(spark, sf))
     // deterministic md5 filter can't be a parquet PushedFilter, but it must

@@ -51,6 +51,24 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("kafka-shape serialization round-trips: parse(kafkaShape(x)) ≡ x") {
+    // R5's to_json must be the exact inverse of R2's from_json for every
+    // reachable record (the reference relies on this implicitly: its Kafka
+    // topic is re-parsed by KSQL with the same schema).
+    val metric = Gen.chooseNum(0L, 150L)
+    val cases = samples(Gen.zip(metric, metric), 150).zipWithIndex.map {
+      case ((t, h), i) => (s"s$i", s"m$i", s"${1700000000L + i}", t, h)
+    }
+    val df = spark.createDataFrame(cases)
+      .toDF("id", "messageId", "timestamp", "temperature", "humidity")
+    val roundTripped = SensorPipeline.parse(SensorPipeline.kafkaShape(df))
+      .select("id", "messageId", "timestamp", "temperature", "humidity")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .sorted.toSeq
+    roundTripped shouldBe cases.sorted
+  }
+
   test("record-high fold is invariant under input permutation") {
     val readings = Gen.listOfN(12,
       Gen.zip(Gen.chooseNum(0L, 100L), Gen.chooseNum(0L, 50L)))
