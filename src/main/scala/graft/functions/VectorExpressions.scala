@@ -79,3 +79,81 @@ case class DotProduct(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
 }
+
+/** 48-bit SimHash from an array of 48-bit token hashes: bit b of the result
+  * is set iff strictly more tokens have bit b set than cleared (the Charikar
+  * majority vote; reference semantics in graft.ops.DedupQueries).
+  *
+  * Replaces a doubly-nested higher-order `aggregate` (48 × n_tokens
+  * interpreted lambda evaluations per row, CodegenFallback) with one
+  * generated two-level primitive loop — same integer logic, so the DuckDB
+  * oracle (list_sum over generate_series) matches bit-for-bit.
+  *
+  * Null token hashes are skipped (counted neither direction), matching the
+  * dense non-null inputs both engines actually see. Registered as
+  * `graft_simhash` via [[graft.GraftExtensions]]. */
+case class SimHash48(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${other.sql}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_simhash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](48)
+    var i = 0
+    val n = hs.numElements()
+    while (i < n) {
+      if (!hs.isNullAt(i)) {
+        val h = hs.getLong(i)
+        var b = 0
+        while (b < 48) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 48) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, hs => {
+      val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val sig = ctx.freshName("sig")
+      s"""
+         |int[] $votes = new int[48];
+         |for (int $i = 0; $i < $hs.numElements(); $i++) {
+         |  if (!$hs.isNullAt($i)) {
+         |    long $h = $hs.getLong($i);
+         |    for (int $b = 0; $b < 48; $b++) {
+         |      if ((($h >>> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
+         |    }
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $b = 0; $b < 48; $b++) {
+         |  if ($votes[$b] > 0) $sig |= (1L << $b);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash48 =
+    copy(child = newChild)
+}

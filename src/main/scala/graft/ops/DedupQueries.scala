@@ -152,20 +152,16 @@ object DedupQueries {
   }
 
   /** 48-bit SimHash over the distinct-token set: bit b is the sign of the
-    * token-vote sum for that bit of each token's 48-bit hash. Zero-shuffle:
-    * the whole signature is one nested higher-order expression per row. */
-  private val simhashExpr =
-    s"""aggregate(sequence(0, 47), cast(0 as bigint), (acc, b) -> acc +
-       |  case when aggregate(hs, cast(0 as bigint),
-       |         (a2, h) -> a2 + case when shiftright(h, b) % 2 = 1 then 1 else -1 end) > 0
-       |       then shiftleft(cast(1 as bigint), b) else cast(0 as bigint) end)""".stripMargin
-
+    * token-vote sum for that bit of each token's 48-bit hash. Zero-shuffle,
+    * and the vote loop is the native codegen'd
+    * [[graft.functions.SimHash48]] kernel (a nested higher-order `aggregate`
+    * here costs 48 × n_tokens interpreted lambda steps per row). */
   private def simhashed(spark: SparkSession, dir: String): DataFrame =
     fanout(Tables(spark, dir).documents.select("doc_id", "text"), "doc_id")
       .select(col("doc_id"), expr(s"array_distinct($wordsExpr)").as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
         expr(s"transform(toks, t -> ${hash48("t")})").as("hs"))
-      .select(col("doc_id"), col("n_tokens"), expr(simhashExpr).as("simhash"))
+      .select(col("doc_id"), col("n_tokens"), expr("graft_simhash(hs)").as("simhash"))
 
   /** SimHash signatures per document. */
   def simhash(spark: SparkSession, dir: String): DataFrame =

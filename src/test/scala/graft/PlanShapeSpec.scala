@@ -63,6 +63,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("*(1) Project [graft_dot"), s"expected codegen'd projection:\n$p")
   }
 
+  test("graft_simhash native kernel matches the HOF majority-vote fold") {
+    val df = Tables(spark, sf).documents.limit(40)
+      .select(expr("transform(array_distinct(split(text, ' ')), " +
+        "t -> cast(conv(substr(md5(t), 1, 12), 16, 10) as bigint))").as("hs"))
+    val hof =
+      """aggregate(sequence(0, 47), cast(0 as bigint), (acc, b) -> acc +
+        |  case when aggregate(hs, cast(0 as bigint),
+        |         (a2, h) -> a2 + case when shiftright(h, b) % 2 = 1 then 1 else -1 end) > 0
+        |       then shiftleft(cast(1 as bigint), b) else cast(0 as bigint) end)""".stripMargin
+    df.select(expr("graft_simhash(hs)").as("native"), expr(hof).as("hof")).collect()
+      .foreach(r => r.getLong(0) shouldBe r.getLong(1))
+  }
+
   test("partitioned write + read prunes partitions at plan time") {
     val base = sys.props("java.io.tmpdir") + "/graft_part_events"
     Tables(spark, sf).events
