@@ -97,4 +97,31 @@ object StatefulOps {
     * 100 TB-safe enrichment shape. Works identically in batch. */
   def enrich(parsed: DataFrame, sites: DataFrame): DataFrame =
     parsed.join(org.apache.spark.sql.functions.broadcast(sites), Seq("id"), "left")
+
+  /** Stream-stream inner join: correlate two independent feeds of the same
+    * sensor fleet — each left reading matched with the right-feed readings of
+    * the SAME sensor within ±60 s of event time.
+    *
+    * The two constraints that make this state-bounded (and thus viable on an
+    * unbounded stream): watermarks on BOTH sides give Spark an eviction
+    * horizon, and the time-range predicate bounds how long a row can still
+    * find partners — together the state store holds only ~2 watermark-delays
+    * of data per side. Inner-join matches emit eagerly (no watermark wait);
+    * the same expression works in batch, which the spec exploits for
+    * equivalence. Column prefixes keep the two sides' schemas disjoint. */
+  def correlateFeeds(left: DataFrame, right: DataFrame,
+      watermark: String = "2 minutes"): DataFrame = {
+    def side(df: DataFrame, p: String): DataFrame = {
+      val wm = if (df.isStreaming) df.withWatermark("eventTime", watermark) else df
+      wm.select(col("id").as(s"${p}_id"), col("messageId").as(s"${p}_mid"),
+        col("eventTime").as(s"${p}_time"), col("temperature").as(s"${p}_temp"))
+    }
+    side(left, "l").join(side(right, "r"),
+      expr("""l_id = r_id AND
+              r_time BETWEEN l_time - INTERVAL 60 SECONDS
+                         AND l_time + INTERVAL 60 SECONDS"""))
+      .select(col("l_id").as("id"), col("l_mid"), col("r_mid"),
+        col("l_temp"), col("r_temp"),
+        (unix_micros(col("r_time")) - unix_micros(col("l_time"))).as("dt_us"))
+  }
 }

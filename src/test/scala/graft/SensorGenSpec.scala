@@ -102,6 +102,32 @@ class SensorGenSpec extends SparkSpec {
     kept.select("messageId").collect()(0).getString(0) shouldBe "m1"
   }
 
+  test("stream-stream time-bounded join equals the batch join of the same feeds") {
+    def feed(seed: Long, streaming: Boolean) = {
+      val r = if (streaming)
+        spark.readStream.format("sensor-gen")
+          .option("messages", 120).option("threads", 1)
+          .option("seed", seed).option("rowsPerBatch", 40).load()
+      else
+        spark.read.format("sensor-gen")
+          .option("messages", 120).option("threads", 1).option("seed", seed).load()
+      SensorPipeline.parse(r)
+    }
+    val q = StatefulOps.correlateFeeds(feed(1, streaming = true), feed(2, streaming = true))
+      .writeStream.format("memory").queryName("ss_join")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ss_join").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(5))).sorted.toSeq
+      val batch = StatefulOps.correlateFeeds(feed(1, streaming = false), feed(2, streaming = false))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(5))).sorted.toSeq
+      assert(batch.nonEmpty, "fixture must produce matches")
+      streamed shouldBe batch
+    } finally q.stop()
+  }
+
   test("record-high operator: streaming state equals batch fold") {
     val parsed = SensorPipeline.parse(
       spark.readStream.format("sensor-gen")
