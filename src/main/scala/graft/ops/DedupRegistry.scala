@@ -87,9 +87,12 @@ object DedupRegistry {
          |           CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) AS BIGINT) > 0
          |         THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash
          |FROM h),
-         |ch AS (SELECT doc_id, simhash, c.c AS chunk_idx,
+         |ch0 AS (SELECT doc_id, simhash, c.c AS chunk_idx,
          |         (simhash >> (c.c * 12)) % 4096 AS chunk
          |       FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c) c),
+         |ok AS (SELECT chunk_idx, chunk FROM ch0
+         |       GROUP BY 1, 2 HAVING count(*) <= 1000),
+         |ch AS (SELECT ch0.* FROM ch0 JOIN ok USING (chunk_idx, chunk)),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |         FROM ch a JOIN ch b
