@@ -4,7 +4,7 @@ import java.util
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -153,22 +153,34 @@ final case class SensorGenOffset(emitted: Long) extends Offset {
   override def json(): String = emitted.toString
 }
 
-class SensorGenStream(conf: SensorGenConfig) extends MicroBatchStream {
+/** Offset pacing via SupportsAdmissionControl — the stateless restart-safe
+  * protocol: Spark hands `latestOffset(start, limit)` the CURRENT start
+  * offset, so pacing needs no mutable source state. (A stateful
+  * `latestOffset()` counter is a checkpoint-recovery bug: after a restart
+  * whose last batch committed, Spark plans the next batch WITHOUT first
+  * calling `deserializeOffset`, and a fresh counter would regress the end
+  * offset below the start and replay data — caught by the exactly-once
+  * recovery test.) */
+class SensorGenStream(conf: SensorGenConfig) extends MicroBatchStream
+    with SupportsAdmissionControl {
   override def initialOffset(): Offset = SensorGenOffset(0L)
-  override def deserializeOffset(json: String): Offset = {
-    // Checkpoint recovery: never let latestOffset fall behind a restored
-    // offset (latestOffset must be monotone w.r.t. the start offset).
-    lastPlanned = math.max(lastPlanned, json.toLong)
-    SensorGenOffset(json.toLong)
+  override def deserializeOffset(json: String): Offset = SensorGenOffset(json.toLong)
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxRows(conf.rowsPerBatch * conf.threads)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    // Advance up to the read limit per trigger until the configured run is
+    // drained — the bounded-replay analog of the reference's finite loop.
+    val s = start.asInstanceOf[SensorGenOffset].emitted
+    val step = limit match {
+      case r: ReadMaxRows => math.max(1L, r.maxRows() / conf.threads)
+      case _ => conf.messages // all-available
+    }
+    SensorGenOffset(math.min(conf.messages, s + step))
   }
-  override def latestOffset(): Offset = {
-    // Advance rowsPerBatch per trigger until the configured run is drained —
-    // the bounded-replay analog of the reference's finite generator loop.
-    val next = math.min(conf.messages, lastPlanned + conf.rowsPerBatch)
-    lastPlanned = next
-    SensorGenOffset(next)
-  }
-  @volatile private var lastPlanned: Long = 0L
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-control source: Spark calls latestOffset(start, limit)")
+  override def reportLatestOffset(): Offset = SensorGenOffset(conf.messages)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[SensorGenOffset].emitted
     val e = end.asInstanceOf[SensorGenOffset].emitted
