@@ -21,6 +21,10 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // Signature-table persists (dedup/vector queries) are per-plan and
+      // never unpersisted by the builders; drop them between queries so the
+      // 60+-query run doesn't accumulate cached partitions.
+      spark.sharedState.cacheManager.clearCache()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

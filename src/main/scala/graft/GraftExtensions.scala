@@ -10,14 +10,22 @@ import graft.functions.{DotProduct, SimHash48}
   * engine's native expressions so they are usable from both the DataFrame API
   * (`call_function("graft_dot", ...)`) and plain SQL. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private def arity(name: String, n: Int)(b: Seq[Expression] => Expression)
+      : Seq[Expression] => Expression = { children =>
+    // A clean analysis error instead of an IndexOutOfBounds from the builder.
+    if (children.length != n) throw new IllegalArgumentException(
+      s"$name expects $n argument(s), got ${children.length}")
+    b(children)
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+      arity("graft_dot", 2)(c => DotProduct(c.head, c(1)))))
     ext.injectFunction((
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash48].getName, "graft_simhash"),
-      (children: Seq[Expression]) => SimHash48(children.head)))
+      arity("graft_simhash", 1)(c => SimHash48(c.head))))
   }
 }

@@ -25,9 +25,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * it replaces and of DuckDB's `list_sum(list_transform(...))` oracle
   * spelling, so results are bit-identical to both.
   *
-  * Null elements are treated as 0 contribution (embeddings are dense;
-  * defensive rather than semantic). Registered as `graft_dot` via
-  * [[graft.GraftExtensions]].
+  * Length-mismatched inputs return NULL — the loud malformed-data signal the
+  * zip_with composition also gave (its null padding nulled the fold); a
+  * silent min-length truncation would mask corrupt embeddings inside
+  * similarity ranks (review finding). Null elements are treated as 0
+  * contribution (embeddings are dense; defensive rather than semantic).
+  * Registered as `graft_dot` via [[graft.GraftExtensions]].
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -45,10 +48,13 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -64,14 +70,18 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
-         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |      $acc += $a.getDouble($i) * $b.getDouble($i);
+         |    }
          |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -138,7 +138,12 @@ object DedupQueries {
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key")
     bands.groupBy(col("band_idx"), col("band_key"))
       .agg(collect_list(struct(col("doc_id"), col("sig"))).as("xs"))
-      .filter(size(col("xs")) > 1)
+      // Bucket cap (same lever as SimhashBucketCap, review finding): a band
+      // key shared by more than 1000 docs is a degenerate "everything looks
+      // alike" bucket whose C(k,2) struct expansion would straggle one task;
+      // skip it rather than materialize it. No current-SF bucket approaches
+      // the cap, and the oracle applies the identical bound.
+      .filter(size(col("xs")).between(2, SimhashBucketCap))
       .select(explode(expr(bucketPairs(
         // `/ cast(16 as double)`, not `/ 16.0`: a decimal literal in Spark
         // SQL text is DecimalType, which would propagate DECIMAL(16,4) to the

@@ -53,10 +53,13 @@ object DedupRegistry {
          |bnd AS (SELECT doc_id, sig, b.b AS band_idx,
          |          array_to_string(sig[b.b*4+1 : b.b*4+4], '|') AS band_key
          |        FROM s CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) b),
+         |okb AS (SELECT band_idx, band_key FROM bnd
+         |        GROUP BY 1, 2 HAVING count(*) <= 1000),
+         |bndc AS (SELECT bnd.* FROM bnd JOIN okb USING (band_idx, band_key)),
          |cand AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |         any_value(a.sig) AS sig_a, any_value(b.sig) AS sig_b
-         |  FROM bnd a JOIN bnd b
+         |  FROM bndc a JOIN bndc b
          |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
          |   AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)

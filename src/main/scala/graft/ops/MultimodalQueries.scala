@@ -45,12 +45,15 @@ object MultimodalQueries {
   def blobMeta(spark: SparkSession, dir: String): DataFrame = {
     val d = fakeDecodeExpr("h")
     Tables(spark, dir).documents
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(col("doc_id"), col("text"), col("text").cast("binary").as("payload"))
       .select(
         col("doc_id"),
         length(col("payload")).cast("long").as("n_bytes"),
         md5(col("payload")).as("content_md5"),
-        lower(hex(substring(col("payload"), 1, 8))).as("header_hex"))
+        // first-8-CHARACTERS header, encoded: byte-slicing the payload would
+        // split a multi-byte UTF-8 sequence where the oracle's text slice
+        // cannot (review finding; latent on the ASCII testdata)
+        lower(hex(substring(col("text"), 1, 8).cast("binary"))).as("header_hex"))
       .withColumn("h", expr(hFromMd5))
       .select(col("doc_id"), col("n_bytes"), col("content_md5"), col("header_hex"),
         expr(d("width")).cast("long").as("width"),

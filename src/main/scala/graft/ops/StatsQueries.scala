@@ -178,10 +178,16 @@ object StatsQueries {
       |ORDER BY c_custkey""".stripMargin
 
   private def sqlOnViews(spark: SparkSession, dir: String, sql: String): DataFrame = {
-    val t = Tables(spark, dir)
+    // A child session (shared context/conf/extensions, ISOLATED temp-view
+    // catalog) so registering `customer`/`orders` cannot clobber same-named
+    // views a caller holds in the shared session (review finding — the same
+    // session-mutation class round 1 removed from plan building). The oracle
+    // requires these exact names: DuckDB's views are named after the tables.
+    val scoped = spark.newSession()
+    val t = Tables(scoped, dir)
     t.customer.createOrReplaceTempView("customer")
     t.orders.createOrReplaceTempView("orders")
-    spark.sql(sql)
+    scoped.sql(sql)
   }
 
   def scalarSubquery(spark: SparkSession, dir: String): DataFrame =

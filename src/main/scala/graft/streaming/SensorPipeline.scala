@@ -118,13 +118,14 @@ object SensorPipeline {
     *                 watermark-finalized windows emit), parquet via the same
     *                 `foreachBatch` seam a Mongo/Connect-shaped sink uses.
     *
-    * Two queries, not three: the reference's topology is ONE pass with
-    * side-effect sinks hanging off it (Flink materializes the dangling maps,
-    * SURVEY.md §3.1), so the raw + filtered sinks here share a single
-    * `foreachBatch` that caches each micro-batch, persists it pre-filter,
-    * and writes survivors — one read/parse per batch instead of one per
-    * sink. The windowed aggregate stays a separate query because it owns
-    * watermarked state the multi-sink batch writer must not replay.
+    * Three parquet `writeStream` sinks, on purpose: the streaming file sink's
+    * `_spark_metadata` transaction log makes every sink EXACTLY-once across
+    * micro-batch retries. (A round-2 rework briefly merged raw+filtered into
+    * one `foreachBatch` with blind `mode("append")` writes to save a source
+    * pass — review caught that as a correctness downgrade: a batch retried
+    * between the two appends duplicates rows. A production Mongo-shaped sink
+    * would keep `foreachBatch` but write idempotently — upsert keyed on
+    * `_messageId` — which plain parquet appends cannot express.)
     *
     * `Trigger.AvailableNow` drains the input then stops — micro-batched like
     * production, bounded like a test. */
@@ -134,26 +135,20 @@ object SensorPipeline {
     val parsed = parse(raw)
     val out = ReplayOut(s"$outBase/raw", s"$outBase/filtered", s"$outBase/agg")
 
-    val qRawFiltered = parsed.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.persist()
-        try {
-          flatten(batch).write.mode("append").parquet(out.raw)
-          kafkaShape(batch.filter(isValid(col("temperature"), col("humidity"))))
-            .write.mode("append").parquet(out.filtered)
-        } finally batch.unpersist()
-      }
-      .option("checkpointLocation", s"$outBase/_cp_rawfiltered")
-      .trigger(Trigger.AvailableNow()).start()
-    val qAgg = windowedAgg(parsed).writeStream
+    def sink(df: DataFrame, path: String, cp: String) = df.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(out.agg)
-      }
-      .option("checkpointLocation", s"$outBase/_cp_agg")
+      .format("parquet").option("path", path)
+      .option("checkpointLocation", s"$outBase/_cp_$cp")
       .trigger(Trigger.AvailableNow()).start()
 
-    qRawFiltered.awaitTermination()
+    val qRaw = sink(flatten(parsed), out.raw, "raw")
+    val qFiltered = sink(
+      kafkaShape(parsed.filter(isValid(col("temperature"), col("humidity")))),
+      out.filtered, "filtered")
+    val qAgg = sink(windowedAgg(parsed), out.agg, "agg")
+
+    qRaw.awaitTermination()
+    qFiltered.awaitTermination()
     qAgg.awaitTermination()
     out
   }
