@@ -6,7 +6,8 @@ object SparkEntry {
   def all: Seq[QueryDef] =
     ops.EventRegistry.all ++ ops.RelationalRegistry.all ++ ops.TextRegistry.all ++
       ops.DedupRegistry.all ++ ops.VectorRegistry.all ++ ops.StatsRegistry.all ++
-      ops.MultimodalRegistry.all ++ streaming.StreamRegistry.all
+      ops.MultimodalRegistry.all ++ ops.CurationRegistry.all ++
+      streaming.StreamRegistry.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The K1→K6 chain of the reference: validity filter + 1-minute tumbling

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** The end-to-end training-data curation pipeline — the composition the
+  * individual operators exist for, as ONE lazy Spark plan:
+  *
+  *   1. **quality gate**: length-saturation × lexical-diversity score
+  *      (TextQueries.qualityScore semantics) ≥ 0.5;
+  *   2. **exact dedup**: one survivor (min doc_id) per content MD5;
+  *   3. **near-dup prune**: MinHash-LSH candidate pairs (DedupQueries
+  *      semantics) with signature-agreement ≥ 0.5; the greedy keep-lowest
+  *      rule drops every pair's higher doc_id — the standard one-pass
+  *      approximation of connected-component dedup (no iteration, fully
+  *      relational, deterministic);
+  *   4. **language gate**: stopword-ratio language-ID keeps 'en'.
+  *
+  * Everything is built from the same expressions the standalone queries use,
+  * so the whole pipeline stays codegen-friendly, shuffles only at the dedup
+  * group-bys, and — because each stage is deterministic — the full
+  * composition is DuckDB-oracle-checked end to end (CurationRegistry).
+  *
+  * At 100 TB each stage is the documented scalable shape: narrow scoring
+  * scan → hash-groupBy → banded candidate join (bucket-capped) → narrow
+  * filter. Nothing in the chain collects to the driver or depends on
+  * partition order. */
+object CurationQueries {
+
+  import TextQueries.{shingled, stopwordsSqlList, wordsExpr}
+
+  def curate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+
+    // stage 1+4 inputs: per-doc quality + language features, one narrow pass
+    val scored = docs
+      .withColumn("w", expr(wordsExpr))
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+      .withColumn("uniq_ratio",
+        round(size(expr("array_distinct(w)")).cast("double") / col("n_tokens"), 4))
+      .withColumn("len_score",
+        round(least(col("n_tokens").cast("double") / 100.0, lit(1.0)), 4))
+      .withColumn("quality",
+        round(col("len_score") * 0.4 + col("uniq_ratio") * 0.6, 4))
+      .withColumn("stop_ratio", round(
+        size(expr(s"filter(w, t -> t in ($stopwordsSqlList))")).cast("double")
+          / col("n_tokens"), 4))
+      .select(col("doc_id"), col("text"), col("n_tokens"), col("quality"), col("stop_ratio"))
+
+    val qualified = scored.filter(col("quality") >= 0.5)
+
+    // stage 2: exact dedup — min doc_id per content hash
+    val exactKeepers = qualified
+      .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val uniqueDocs = qualified.join(exactKeepers, Seq("doc_id"))
+
+    // stage 3: near-dup prune via MinHash LSH over the survivors
+    val sig = shingled(uniqueDocs.select("doc_id", "text"), 3)
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        expr("transform(sh, x -> concat(sha2(concat('0:', x), 256), sha2(concat('1:', x), 256)))")
+          .as("hx"))
+      .select(col("doc_id"), expr(
+        """transform(sequence(0, 15), p -> array_min(
+          |  transform(hx, s -> substr(s, p * 8 + 1, 8))))""".stripMargin).as("sig"))
+    val bands = sig.select(col("doc_id"), col("sig"),
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> concat_ws('|', slice(sig, b * 4 + 1, 4)))")))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key")
+    val dropIds = bands.groupBy(col("band_idx"), col("band_key"))
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("xs"))
+      .filter(size(col("xs")).between(2, DedupQueries.SimhashBucketCap))
+      .select(explode(expr(
+        """flatten(transform(xs, a ->
+          |  transform(filter(xs, b -> b.doc_id > a.doc_id),
+          |            b -> named_struct('doc_b', b.doc_id,
+          |                              'est', size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), v -> v)) / cast(16 as double)))))""".stripMargin))
+        .as("p"))
+      .filter(col("p.est") >= 0.5)
+      .select(col("p.doc_b").as("doc_id")).distinct()
+
+    // stage 4: language gate on the near-dup survivors
+    uniqueDocs.join(dropIds, Seq("doc_id"), "left_anti")
+      .filter(col("stop_ratio") >= 0.05)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+}
