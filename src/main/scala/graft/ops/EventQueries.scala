@@ -134,19 +134,20 @@ object EventQueries {
       .orderBy(col("event_id"))
   }
 
-  /** As-of join (backward): for each purchase, the latest prior event of the
-    * same user (any type), within no time bound. Spark has no built-in as-of
-    * join; the scalable formulation is a union + per-key ordered carry-forward
-    * (one shuffle on the key, no range-explosion), not a correlated subquery.
-    */
+  /** As-of join (backward): for each purchase, the latest prior CLICK of the
+    * same user, within no time bound (the quote-to-trade shape of an as-of
+    * join — the match side is a chosen event type, not "any event"). Spark
+    * has no built-in as-of join; the scalable formulation is a union +
+    * per-key ordered carry-forward (one shuffle on the key, no
+    * range-explosion), not a correlated subquery. */
   def asofJoin(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Tables(spark, dir).events
     val purchases = e.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .select(col("user_id"), col("ts"), col("event_id"))
       .withColumn("side", lit(1))
     val clicks = e.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .select(col("user_id"), col("ts"), col("event_id"))
       .withColumn("side", lit(0))
     // Union, order by (ts, side) within user: side=0 (click) sorts before the
     // purchase at identical ts, so last_value over the preceding frame picks

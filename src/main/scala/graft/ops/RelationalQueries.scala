@@ -142,8 +142,12 @@ object RelationalQueries {
   /** GROUPING SETS via the SQL surface (temp view + spark.sql) — exercises
     * the engine's SQL entry point alongside the DataFrame API. */
   def groupingSets(spark: SparkSession, dir: String): DataFrame = {
-    Tables(spark, dir).lineitem.createOrReplaceTempView("graft_lineitem")
-    spark.sql(
+    // child session: an isolated temp-view catalog, so registering the view
+    // cannot clobber (or leak into) the caller's shared session — the same
+    // scoped pattern as StatsQueries.sqlOnViews (review finding).
+    val scoped = spark.newSession()
+    Tables(scoped, dir).lineitem.createOrReplaceTempView("graft_lineitem")
+    scoped.sql(
       """SELECT COALESCE(l_returnflag, 'ALL') AS g_flag,
         |       COALESCE(l_linestatus, 'ALL') AS g_status,
         |       COUNT(1) AS n,

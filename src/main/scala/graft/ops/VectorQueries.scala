@@ -96,12 +96,24 @@ object VectorQueries {
       .agg(sum(expr("case when proj >= 0 then shiftleft(cast(1 as bigint), cast(p as int)) " +
         "else cast(0 as bigint) end")).as("sig"))
 
-  /** Banded signature: 4 bands × 4 bits → (vec_id, band_idx, band_val). */
-  private def bands(spark: SparkSession, dir: String): DataFrame =
-    signatures(spark, dir)
+  /** Banded signature: 4 bands × 4 bits → (vec_id, band_idx, band_val),
+    * with degenerate buckets (> [[DedupQueries.SimhashBucketCap]] vectors
+    * sharing one band value) dropped before any candidate join — the same
+    * quadratic-bucket guard as the text-dedup family. The 16-bucket-per-band
+    * geometry is sized to this corpus (≈ n/16 per bucket at 2 k vectors); at
+    * larger n the production dial is a wider signature (more bits per band),
+    * with the cap as the backstop either way. */
+  private def bands(spark: SparkSession, dir: String): DataFrame = {
+    val all = signatures(spark, dir)
       .select(col("vec_id"),
         posexplode(expr("transform(sequence(0, 3), b -> shiftright(sig, b * 4) % 16)")))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_val")
+    val ok = all.groupBy(col("band_idx"), col("band_val"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= DedupQueries.SimhashBucketCap)
+      .select(col("band_idx"), col("band_val"))
+    all.join(broadcast(ok), Seq("band_idx", "band_val"))
+  }
 
   /** ANN via LSH: candidates sharing ≥1 band with probe vec 0, exact-cosine
     * reranked, top 10. The candidate set is an equi-join on (band_idx,

@@ -37,8 +37,11 @@ object VectorRegistry {
        |          CAST(sum(CASE WHEN proj >= 0 THEN (1::BIGINT << CAST(p AS INT))
        |                        ELSE 0::BIGINT END) AS BIGINT) AS sig
        |        FROM proj GROUP BY vec_id),
-       |bands AS (SELECT vec_id, b.b AS band_idx, ((sig >> CAST(b.b * 4 AS INT)) % 16) AS band_val
-       |          FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b)""".stripMargin
+       |bands0 AS (SELECT vec_id, b.b AS band_idx, ((sig >> CAST(b.b * 4 AS INT)) % 16) AS band_val
+       |           FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b),
+       |okband AS (SELECT band_idx, band_val FROM bands0
+       |           GROUP BY 1, 2 HAVING count(*) <= 1000),
+       |bands AS (SELECT bands0.* FROM bands0 JOIN okband USING (band_idx, band_val))""".stripMargin
 
   def all: Seq[QueryDef] = Seq(
     QueryDef("q_similar_vectors",

@@ -59,7 +59,11 @@ object SensorPipeline {
         col("ev.timestamp").as("timestamp"),
         coalesce(col("ev.metrics.temperature"), lit(0L)).as("temperature"),
         coalesce(col("ev.metrics.humidity"), lit(0L)).as("humidity"))
-      .withColumn("eventTime", to_timestamp(from_unixtime(col("timestamp").cast("long"))))
+      // timestamp_seconds: direct epoch→timestamp arithmetic. The previous
+      // to_timestamp(from_unixtime(...)) spelling round-tripped through a
+      // LOCAL-time string — lossy in DST-ambiguous hours under a non-UTC
+      // session timezone, and a per-row format+parse on the hot path.
+      .withColumn("eventTime", timestamp_seconds(col("timestamp").cast("long")))
 
   /** R4 validity predicate, exact reference semantics
     * (StreamProcessor.java:61-78): drop the both-zero "empty measurement",
@@ -142,10 +146,13 @@ object SensorPipeline {
       .trigger(Trigger.AvailableNow()).start()
 
     val qRaw = sink(flatten(parsed), out.raw, "raw")
-    val qFiltered = sink(
-      kafkaShape(parsed.filter(isValid(col("temperature"), col("humidity")))),
-      out.filtered, "filtered")
-    val qAgg = sink(windowedAgg(parsed), out.agg, "agg")
+    val filtered = parsed.filter(isValid(col("temperature"), col("humidity")))
+    val qFiltered = sink(kafkaShape(filtered), out.filtered, "filtered")
+    // The aggregate consumes the POST-filter stream: the reference's KSQL
+    // layer reads the Kafka topic, which carries only validity survivors
+    // (chain in the header; review caught the agg briefly reading pre-filter
+    // data, which let invalid zero readings poison window minima).
+    val qAgg = sink(windowedAgg(filtered), out.agg, "agg")
 
     qRaw.awaitTermination()
     qFiltered.awaitTermination()

@@ -44,7 +44,9 @@ class StreamingPipelineSpec extends SparkSpec {
       .select(col("id"), col("w_start"), col("max_temperature"),
         col("min_temperature"), col("avg_temperature"), col("n"))
       .collect().toSet
-    val batchAll = SensorPipeline.windowedAgg(batchParsed)
+    // K8 semantics: the aggregate reads the post-filter stream
+    val batchAll = SensorPipeline.windowedAgg(
+        batchParsed.filter(SensorPipeline.isValid(col("temperature"), col("humidity"))))
       .select(col("id"), col("w_start"), col("max_temperature"),
         col("min_temperature"), col("avg_temperature"), col("n"))
       .collect().toSet
