@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, SimHash48}
+import graft.functions.{DotProduct, MinHash16, Shingles, SimHash48}
 
 /** Engine extension point, installed via `spark.sql.extensions`
   * ([[GraftSession.tune]] wires it into every entry point): registers the
@@ -27,5 +27,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash48].getName, "graft_simhash"),
       arity("graft_simhash", 1)(c => SimHash48(c.head))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHash16].getName, "graft_minhash"),
+      arity("graft_minhash", 1)(c => MinHash16(c.head))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[Shingles].getName, "graft_shingles"),
+      arity("graft_shingles", 2)(c => Shingles(c.head, c(1)))))
   }
 }

@@ -64,12 +64,7 @@ object CurationQueries {
     // stage 3: near-dup prune via MinHash LSH over the survivors
     val sig = shingled(uniqueDocs.select("doc_id", "text"), 3)
       .filter(size(col("sh")) > 0)
-      .select(col("doc_id"),
-        expr("transform(sh, x -> concat(sha2(concat('0:', x), 256), sha2(concat('1:', x), 256)))")
-          .as("hx"))
-      .select(col("doc_id"), expr(
-        """transform(sequence(0, 15), p -> array_min(
-          |  transform(hx, s -> substr(s, p * 8 + 1, 8))))""".stripMargin).as("sig"))
+      .select(col("doc_id"), expr("graft_minhash(sh)").as("sig"))
     val bands = sig.select(col("doc_id"), col("sig"),
       posexplode(expr(
         "transform(sequence(0, 3), b -> concat_ws('|', slice(sig, b * 4 + 1, 4)))")))

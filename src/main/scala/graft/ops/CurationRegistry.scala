@@ -39,7 +39,7 @@ object CurationRegistry {
          |          array_to_string(sig[b.b*4+1 : b.b*4+4], '|') AS band_key
          |        FROM s CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) b),
          |okb AS (SELECT band_idx, band_key FROM bnd
-         |        GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 1000),
+         |        GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND ${DedupQueries.SimhashBucketCap}),
          |bndc AS (SELECT bnd.* FROM bnd JOIN okb USING (band_idx, band_key)),
          |drops AS (SELECT DISTINCT b.doc_id
          |          FROM bndc a JOIN bndc b

@@ -83,29 +83,94 @@ object DedupQueries {
        |  transform(filter(xs, b -> b.doc_id > a.doc_id),
        |            b -> named_struct('doc_a', a.doc_id, 'doc_b', b.doc_id$extra))))""".stripMargin
 
+  /** Shingles seen in more than this many documents are dropped entirely
+    * (stop-shingles carry no near-dup signal and would otherwise produce
+    * O(df²) candidate pairs). Shared with the oracle SQL via interpolation. */
+  val JaccardDfCap = 100
+
   /** N-gram Jaccard near-dup pairs (threshold 0.5; the planted testdata dups
     * sit at ≥0.97, noise below 0.08 — the threshold is not load-bearing).
     *
-    * Inverted-index shape: one shuffle keyed by shingle builds df-capped
-    * posting buckets (≤ 100 docs each — the cap bounds every bucket, so
-    * unlike the simhash chunks there is no straggler risk), pairs explode
-    * inside each bucket, and a second shuffle counts shared shingles per
-    * pair. Shingles are computed exactly once. (A codegen'd self-join shape
-    * was tried and measured SLOWER here: with well-bounded buckets the extra
-    * shuffle + dual cache reads cost more than the interpreted pair
-    * expansion saves — the opposite trade to simhashPairs' skewed buckets.) */
+    * Round-3 rework: **exact prefix filtering** (the AllPairs/PPJoin family)
+    * instead of the exhaustive inverted index. Each document indexes only a
+    * PREFIX of its shingle set under a global rarity order; every qualifying
+    * pair provably shares a prefix shingle, so candidates come from a
+    * self-join on prefix postings — which hold the RAREST shingles, so the
+    * posting buckets that dominated the exhaustive plan (df ~ cap) almost
+    * never appear in a prefix. Candidates are then verified with one exact
+    * set intersection per pair, replacing the former
+    * count-every-shared-shingle shuffle (O(Σ df²) rows) with O(candidates).
+    *
+    * Exactness (why this is NOT an LSH-style approximation): let A', B' be
+    * the df-capped shingle sets, na/nb the full set sizes, o = |A' ∩ B'|.
+    * The emitted jaccard is o / (na + nb − o) ≥ 0.5 ⟹ 3o ≥ na + nb; with
+    * nb ≥ o this gives o ≥ na/2 (and symmetrically o ≥ nb/2). Sort each A'
+    * by global (df, shingle) order and index its first
+    * |A'| − max(1, ⌊na/2⌋) + 1 elements: if the globally-smallest common
+    * shingle of a qualifying pair were outside A's prefix, all prefix
+    * elements would be non-shared and o ≤ max(1,⌊na/2⌋) − 1 — contradiction.
+    * So candidate generation is a strict superset of qualifying pairs and
+    * the exhaustive DuckDB oracle matches bit-for-bit. (The ⌊na/2⌋ bound
+    * already absorbs the round(,4) ≥ 0.5 threshold slack for any na < 10⁴.)
+    *
+    * At 100 TB: the df pass and the prefix join are the two shuffles that
+    * matter; both are keyed by shingle with bounded buckets (df cap, and
+    * prefixes bias toward df≈1). Posting lists are never collected into one
+    * aggregation buffer (the df count is a partial agg, unlike a
+    * collect_list-per-shingle shape which a stop-shingle would blow up). */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val postings = docShingles(spark, dir)
+    // Per-doc shingle ARRAYS are cached (one row per doc), not the exploded
+    // postings (one row per posting): same bytes, ~500× fewer row headers —
+    // measured 2× cheaper to materialize. Both consumers below re-explode
+    // from the cache, which pipelines without materializing. (Caller clears
+    // the cache; see the class-level persist contract note.)
+    val docs = docShingles(spark, dir).persist()
+    val postings = docs
       .select(col("doc_id"), size(col("sh")).as("nsh"), explode(col("sh")).as("s"))
-    val buckets = postings.groupBy(col("s"))
-      .agg(collect_list(struct(col("doc_id"), col("nsh"))).as("xs"))
-      .filter(size(col("xs")).between(2, 100))
-    buckets
-      .select(explode(expr(bucketPairs(", 'na', a.nsh, 'nb', b.nsh"))).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-        col("p.na").as("na"), col("p.nb").as("nb"))
-      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("n_common"))
+    // Census of REPEATED shingles only (df ≥ 2): the overwhelming majority of
+    // shingles are unique, so this join side stays small enough for AQE to
+    // broadcast (27 k rows vs 2.5 M postings at sf0.1) while degrading to a
+    // plain shuffled join — never a collect — if a 100× corpus outgrows it.
+    // df=1 is reconstructed via coalesce; the df cap then drops stop-shingles.
+    val dfreq = postings.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+    // Per-doc df-capped shingle list in global (df, shingle) rarity order,
+    // with the prefix length from the proof above.
+    val sets = postings.join(dfreq, Seq("s"), "left")
+      .withColumn("df", coalesce(col("df"), lit(1L)))
+      .filter(col("df") <= JaccardDfCap)
+      .groupBy(col("doc_id"), col("nsh"))
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("rs"))
+      .select(col("doc_id"), col("nsh"), expr("transform(rs, x -> x.s)").as("rsh"))
+      .withColumn("plen",
+        (size(col("rsh")) - greatest(lit(1L), floor(col("nsh") / 2)) + 1).cast("int"))
+      .persist() // feeds prefix postings + both verify sides
+    // Prefix postings carry (position, capped-set length, full-set length) so
+    // the candidate join can apply the two classic AllPairs/PPJoin prunes:
+    //   length: jaccard ≥ t needs max(na,nb) ≤ 2·min(na,nb)  (t = 0.5);
+    //   position: o ≤ min(la−pa, lb−pb), so require 3·that ≥ na+nb.
+    // Both use one unit of integer slack so round(j, 4) ≥ 0.5 borderline
+    // pairs can never be pruned; exact pairs always share a prefix shingle
+    // that survives both bounds (proof above).
+    val pref = sets.filter(col("plen") >= 1)
+      .select(col("doc_id"), col("nsh"), size(col("rsh")).as("lr"),
+        posexplode(expr("slice(rsh, 1, plen)")))
+    val cands = pref.select(col("col").as("s"), col("doc_id").as("doc_a"),
+        col("nsh").as("na"), col("lr").as("la"), col("pos").as("pa"))
+      .join(pref.select(col("col").as("s"), col("doc_id").as("doc_b"),
+        col("nsh").as("nb"), col("lr").as("lb"), col("pos").as("pb")), Seq("s"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(greatest(col("na"), col("nb")) <= lit(2) * least(col("na"), col("nb")) + 1)
+      .filter(lit(3) * least(col("la") - col("pa"), col("lb") - col("pb")) >=
+        col("na") + col("nb") - 1)
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("nsh").as("na"),
+        col("rsh").as("ra")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("nsh").as("nb"),
+        col("rsh").as("rb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+        size(array_intersect(col("ra"), col("rb"))).cast("long").as("n_common"))
       .withColumn("jaccard", round(col("n_common").cast("double") /
         (col("na") + col("nb") - col("n_common")), 4))
       .filter(col("jaccard") >= 0.5)
@@ -113,25 +178,18 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** 16 minhash lanes from 2 sha256 digests per shingle: lane p is the
-    * minimum over the shingle set of the p-th non-overlapping 32-bit window
-    * of `sha256('0:'+x) ++ sha256('1:'+x)` (128 hex chars = 16 windows).
-    * Windows stay STRINGS: fixed-width lowercase hex orders lexicographically
-    * exactly as its numeric value, so `array_min` needs no radix conversion —
-    * `conv()` per (lane × shingle) was the hottest interpreted call here. */
-  private val minhashSig =
-    """transform(sequence(0, 15), p -> array_min(
-      |  transform(hx, s -> substr(s, p * 8 + 1, 8))))""".stripMargin
-
   /** MinHash LSH near-dup pairs: 4 bands × 4 lanes; pairs sharing any band,
-    * with the signature-agreement Jaccard estimate. */
+    * with the signature-agreement Jaccard estimate. Signatures come from the
+    * native one-pass [[graft.functions.MinHash16]] kernel (lane p = min over
+    * the shingle set of the p-th 8-hex-char window of
+    * `sha256('0:'+x) ++ sha256('1:'+x)`; fixed-width lowercase hex orders
+    * lexicographically as its numeric value, so minima stay strings) —
+    * bit-identical to the HOF composition it replaced (PropertySpec) and to
+    * the DuckDB oracle spelling. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sig = docShingles(spark, dir)
       .filter(size(col("sh")) > 0)
-      .select(col("doc_id"),
-        expr("transform(sh, x -> concat(sha2(concat('0:', x), 256), sha2(concat('1:', x), 256)))")
-          .as("hx"))
-      .select(col("doc_id"), expr(minhashSig).as("sig"))
+      .select(col("doc_id"), expr("graft_minhash(sh)").as("sig"))
     val bands = sig.select(col("doc_id"), col("sig"),
       posexplode(expr(
         "transform(sequence(0, 3), b -> concat_ws('|', slice(sig, b * 4 + 1, 4)))")))

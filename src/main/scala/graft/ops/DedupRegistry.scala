@@ -25,7 +25,7 @@ object DedupRegistry {
     QueryDef("q_dedup_ngram_jaccard",
       s"""WITH d AS (SELECT doc_id, $shingleSet AS sh FROM documents),
          |p0 AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS s FROM d),
-         |rare AS (SELECT s FROM p0 GROUP BY s HAVING count(*) <= 100),
+         |rare AS (SELECT s FROM p0 GROUP BY s HAVING count(*) <= ${DedupQueries.JaccardDfCap}),
          |p AS (SELECT p0.* FROM p0 JOIN rare USING (s)),
          |pairs AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.nsh AS na,
@@ -54,7 +54,7 @@ object DedupRegistry {
          |          array_to_string(sig[b.b*4+1 : b.b*4+4], '|') AS band_key
          |        FROM s CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) b),
          |okb AS (SELECT band_idx, band_key FROM bnd
-         |        GROUP BY 1, 2 HAVING count(*) <= 1000),
+         |        GROUP BY 1, 2 HAVING count(*) <= ${DedupQueries.SimhashBucketCap}),
          |bndc AS (SELECT bnd.* FROM bnd JOIN okb USING (band_idx, band_key)),
          |cand AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -94,7 +94,7 @@ object DedupRegistry {
          |         (simhash >> (c.c * 12)) % 4096 AS chunk
          |       FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c) c),
          |ok AS (SELECT chunk_idx, chunk FROM ch0
-         |       GROUP BY 1, 2 HAVING count(*) <= 1000),
+         |       GROUP BY 1, 2 HAVING count(*) <= ${DedupQueries.SimhashBucketCap}),
          |ch AS (SELECT ch0.* FROM ch0 JOIN ok USING (chunk_idx, chunk)),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming

@@ -51,11 +51,12 @@ object TextQueries {
        |                 i -> concat_ws(' ', slice($words, i, $n)))
        |  else array() end""".stripMargin
 
-  /** (doc_id, sh) with `sh` = distinct n-word shingles, tokenized once. */
+  /** (doc_id, sh) with `sh` = distinct n-word shingles, tokenized once.
+    * Uses the native one-pass [[graft.functions.Shingles]] kernel
+    * (element-identical to `array_distinct(shinglesExpr)`, PropertySpec). */
   def shingled(df: DataFrame, n: Int): DataFrame =
     df.select(col("doc_id"), expr(wordsExpr).as("w"))
-      .select(col("doc_id"),
-        expr(s"array_distinct(${shinglesExpr(n)})").as("sh"))
+      .select(col("doc_id"), expr(s"graft_shingles(w, $n)").as("sh"))
 
   /** Stopword markers for the language-ID heuristic (shared with the oracle
     * SQL in [[TextRegistry]] — keep in sync). */

@@ -83,6 +83,56 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("graft_minhash ≡ the HOF sha256-window composition, bit for bit") {
+    // The native kernel (functions/MinHash16.scala) must match the spelling
+    // it replaced — lane p = array_min over shingles of the p-th 8-hex-char
+    // window of sha2('0:'+x)++sha2('1:'+x) — on arbitrary inputs including
+    // unicode, nulls inside the array, and empty arrays.
+    val shingle = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(12)),
+      Gen.oneOf("", "a b c", "émigré café", "日本語テスト", "tab\tsep", "q'uote\"d"))
+    val arr = Gen.frequency(
+      (8, Gen.listOfN(20, shingle).map(_.map(Option(_)))),
+      (1, Gen.listOfN(5, Gen.option(shingle))),
+      (1, Gen.const(List.empty[Option[String]])))
+    val cases = samples(arr, 120).zipWithIndex
+      .map { case (sh, i) => (i.toLong, sh.map(_.orNull)) }
+    val df = spark.createDataFrame(cases).toDF("case_id", "sh")
+    val hof =
+      """transform(sequence(0, 15), p -> array_min(
+        |  transform(transform(sh, x -> concat(sha2(concat('0:', x), 256),
+        |                                      sha2(concat('1:', x), 256))),
+        |            s -> substr(s, p * 8 + 1, 8))))""".stripMargin
+    val rows = df.select(col("case_id"), expr("graft_minhash(sh)").as("native"),
+        expr(hof).as("ref")).collect()
+    rows should have length 120
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"case ${r.getLong(0)}: native=${r.getSeq[String](1)} ref=${r.getSeq[String](2)}")
+    }
+  }
+
+  test("graft_shingles ≡ array_distinct ∘ transform-slice composition") {
+    // The native kernel (functions/Shingles.scala) must match the HOF
+    // spelling it replaced — including first-occurrence dedup order and the
+    // fewer-than-n-tokens empty result — for arbitrary token arrays.
+    val token = Gen.oneOf(Gen.alphaNumStr.map(_.take(6)),
+      Gen.oneOf("", "a", "的", "naïve", "x"))
+    val arr = Gen.chooseNum(0, 30).flatMap(k => Gen.listOfN(k, token))
+    val cases = samples(arr, 150).zipWithIndex.map { case (w, i) => (i.toLong, w) }
+    val df = spark.createDataFrame(cases).toDF("case_id", "w")
+    Seq(1, 2, 3, 5).foreach { n =>
+      val rows = df.select(col("case_id"),
+          expr(s"graft_shingles(w, $n)").as("native"),
+          expr(s"array_distinct(${ops.TextQueries.shinglesExpr(n)})").as("ref"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"n=$n case ${r.getLong(0)}: native=${r.getSeq[String](1)} ref=${r.getSeq[String](2)}")
+      }
+    }
+  }
+
   test("windowed agg equals brute force for arbitrary event times") {
     val events = samples(Gen.listOfN(40,
       Gen.zip(Gen.oneOf("a", "b", "c"), Gen.chooseNum(0L, 600L), Gen.chooseNum(1L, 99L))), 20)
