@@ -18,14 +18,15 @@ import graft.tables.Tables
   *      `TakeOrderedAndProject` (per-partition heap + driver merge of k rows,
   *      never a full sort shuffle), so it scales to any corpus the scan scales
   *      to: at 100 TB it is one pass, zero shuffles.
-  *   2. **Random-hyperplane LSH** ([[annLsh]], [[dedupEmbedding]]): 16 sign
-  *      bits (Charikar SimHash for angles), banded 4×4; candidates share at
-  *      least one 4-bit band. Signatures come from a broadcast join against a
-  *      16-row plane table, so the per-vector cost is 16 dot products and the
+  *   2. **Random-hyperplane LSH** ([[annLsh]], [[dedupEmbedding]]): 64 sign
+  *      bits (Charikar SimHash for angles), banded 8×8; candidates share at
+  *      least one 8-bit band. Signatures come from a broadcast join against a
+  *      64-row plane table, so the per-vector cost is 64 dot products and the
   *      pair enumeration is an equi-join on (band, value) — never a cross
-  *      product. Recall for a pair at angle θ is 1-(1-(1-θ/π)^4)^4: ≈95% at
-  *      cosine 0.9, falling fast for unrelated pairs — the classic LSH
-  *      precision/recall dial (more bands → recall, more bits → precision).
+  *      product. The geometry is a function of corpus size (see
+  *      [[VectorQueries.EmbeddingLsh]] for the recall formula, the
+  *      `geometryFor` sizing knob, and the worked n = 10⁹ example), with
+  *      [[lshBucketStats]] as the cap-skip monitor.
   *   3. **IVF** ([[ivfSearch]]): coarse-quantize every vector to its nearest
   *      centroid (inverted lists), search only the `nprobe` lists nearest the
   *      probe. Centroids here are deterministically seeded (vec_id < 10) so
@@ -75,45 +76,104 @@ object VectorQueries {
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(20)
 
-  /** 16-row hyperplane table: plane p's component d is ±1 by MD5 parity of
-    * "p:d" — deterministic, engine-portable pseudo-randomness (the same
-    * [[TextQueries.hash48]] trick as the text dedup family). */
-  private def planes(spark: SparkSession): DataFrame = {
+  /** Random-hyperplane LSH geometry — the scale dial the round-2 review
+    * flagged as missing. Candidate recall for a pair at angle θ under
+    * `bands` bands of `bits` bits each is
+    *
+    *   recall(θ) = 1 − (1 − (1 − θ/π)^bits)^bands
+    *
+    * and the expected bucket size on an unclustered corpus of n vectors is
+    * n / 2^bits, so `bits` must grow with log₂(n) to keep buckets under the
+    * skip cap and `bands` must grow to buy the recall back. The defaults
+    * (8 × 8 = 64-bit signatures, 256 buckets/band) replace round 2's fixed
+    * 4 × 4 geometry, whose 16 buckets/band meant every bucket blew past the
+    * cap once n ≈ 16 k — silent recall collapse. [[geometryFor]] is the
+    * production knob; [[VectorQueries.lshBucketStats]] is the monitor that
+    * makes cap-skips visible instead of silent.
+    *
+    * Worked example at n = 10⁹, cap = 1000, dedup at cosine ≥ 0.95
+    * (per-bit agreement p = 1 − acos(0.95)/π ≈ 0.899): bits = 22 keeps
+    * expected buckets at n/2²² ≈ 240 < cap; a band matches with
+    * p²² ≈ 0.096, so 30 bands give recall 1 − (1 − 0.096)³⁰ ≈ 0.95 — that
+    * is what `geometryFor(1e9.toLong)` returns. Signature cost is
+    * bands × bits = 660 dot products per vector, amortized once at
+    * signature-build time (the standard accuracy/cost trade at that scale). */
+  object EmbeddingLsh {
+    val Bands = 8
+    val BitsPerBand = 8
+
+    /** (bands, bits) sized for corpus size n: bits from the bucket-size
+      * bound 2^bits ≥ 4n/cap, bands from inverting the recall formula at
+      * `minCosine`/`targetRecall`. */
+    def geometryFor(n: Long, cap: Int = DedupQueries.SimhashBucketCap,
+        minCosine: Double = 0.95, targetRecall: Double = 0.95): (Int, Int) = {
+      val bits = math.max(8,
+        math.ceil(math.log(4.0 * n / cap) / math.log(2.0)).toInt)
+      val pBand = math.pow(1.0 - math.acos(minCosine) / math.Pi, bits)
+      val bands = math.max(4,
+        math.ceil(math.log1p(-targetRecall) / math.log1p(-pBand)).toInt)
+      (bands, bits)
+    }
+  }
+
+  /** (bands × bits)-row hyperplane table: plane p's component d is ±1 by MD5
+    * parity of "p:d" — deterministic, engine-portable pseudo-randomness (the
+    * same [[TextQueries.hash48]] trick as the text dedup family). */
+  private def planes(spark: SparkSession, nPlanes: Int): DataFrame = {
     val parity = TextQueries.hash48("concat(cast(p as string), ':', cast(d as string))")
-    spark.range(16).select(col("id").as("p"))
+    spark.range(nPlanes).select(col("id").as("p"))
       .select(col("p"),
         expr(s"transform(sequence(0, 63), d -> cast(1 - 2 * ($parity % 2) as double))")
           .as("signs"))
   }
 
-  /** 16-bit LSH signature per vector: bit p = sign of the projection onto
-    * plane p. Broadcast join (16 planes) → 16 dots/vector → groupBy pack. */
-  private def signatures(spark: SparkSession, dir: String): DataFrame =
+  /** Raw banded signature (vec_id, band_idx, band_val): band b's value packs
+    * the sign bits of planes [b·bits, (b+1)·bits). Band values are aggregated
+    * directly per (vec_id, band) — never packed through one 64-bit signature
+    * word — so `bits × bands` can exceed 64 and no arithmetic-shift sign trap
+    * exists in either engine. Broadcast join (plane table is tiny) → one dot
+    * per (vector, plane) → map-side-combined groupBy. */
+  private def rawBands(spark: SparkSession, dir: String,
+      nBands: Int = EmbeddingLsh.Bands, bits: Int = EmbeddingLsh.BitsPerBand): DataFrame =
     emb(spark, dir)
-      .crossJoin(broadcast(planes(spark)))
+      .crossJoin(broadcast(planes(spark, nBands * bits)))
       .select(col("vec_id"), col("p"), dot(col("e"), col("signs")).as("proj"))
-      .groupBy(col("vec_id"))
-      .agg(sum(expr("case when proj >= 0 then shiftleft(cast(1 as bigint), cast(p as int)) " +
-        "else cast(0 as bigint) end")).as("sig"))
+      .groupBy(col("vec_id"), floor(col("p") / bits).as("band_idx"))
+      .agg(sum(when(col("proj") >= 0,
+          expr(s"shiftleft(cast(1 as bigint), cast(p % $bits as int))")).otherwise(lit(0L)))
+        .as("band_val"))
 
-  /** Banded signature: 4 bands × 4 bits → (vec_id, band_idx, band_val),
-    * with degenerate buckets (> [[DedupQueries.SimhashBucketCap]] vectors
-    * sharing one band value) dropped before any candidate join — the same
-    * quadratic-bucket guard as the text-dedup family. The 16-bucket-per-band
-    * geometry is sized to this corpus (≈ n/16 per bucket at 2 k vectors); at
-    * larger n the production dial is a wider signature (more bits per band),
-    * with the cap as the backstop either way. */
+  /** Banded signature with degenerate buckets (> [[DedupQueries.SimhashBucketCap]]
+    * vectors sharing one band value) dropped before any candidate join — the
+    * same quadratic-bucket guard as the text-dedup family. Skipped buckets
+    * are observable via [[lshBucketStats]] (`q_lsh_bucket_stats`), not silent. */
   private def bands(spark: SparkSession, dir: String): DataFrame = {
-    val all = signatures(spark, dir)
-      .select(col("vec_id"),
-        posexplode(expr("transform(sequence(0, 3), b -> shiftright(sig, b * 4) % 16)")))
-      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_val")
+    val all = rawBands(spark, dir)
     val ok = all.groupBy(col("band_idx"), col("band_val"))
       .agg(count(lit(1)).as("bn"))
       .filter(col("bn") <= DedupQueries.SimhashBucketCap)
       .select(col("band_idx"), col("band_val"))
     all.join(broadcast(ok), Seq("band_idx", "band_val"))
   }
+
+  /** Per-band bucket census for the embedding LSH: bucket count, the largest
+    * bucket, and how many buckets/vectors the [[DedupQueries.SimhashBucketCap]]
+    * guard skips. This is the recall monitor a production pipeline alerts on
+    * (skips > 0 on an unclustered corpus means the geometry is undersized —
+    * re-run [[EmbeddingLsh.geometryFor]]); kept oracle-checked like every
+    * other operator. */
+  def lshBucketStats(spark: SparkSession, dir: String): DataFrame =
+    rawBands(spark, dir)
+      .groupBy(col("band_idx"), col("band_val"))
+      .agg(count(lit(1)).as("bn"))
+      .groupBy(col("band_idx").cast("long").as("band_idx"))
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("bn")).as("max_bucket"),
+        sum(when(col("bn") > DedupQueries.SimhashBucketCap, 1L).otherwise(0L))
+          .as("n_skipped"),
+        sum(when(col("bn") > DedupQueries.SimhashBucketCap, col("bn")).otherwise(0L))
+          .as("vecs_in_skipped"))
+      .orderBy(col("band_idx"))
 
   /** ANN via LSH: candidates sharing ≥1 band with probe vec 0, exact-cosine
     * reranked, top 10. The candidate set is an equi-join on (band_idx,

@@ -22,25 +22,31 @@ object VectorRegistry {
   private val embCte =
     "emb AS (SELECT vec_id, CAST(label AS BIGINT) AS label, embedding::DOUBLE[] AS e FROM embeddings)"
 
-  /** ±1 hyperplane components by MD5 parity of "p:d" (TextQueries.hash48). */
+  /** ±1 hyperplane components by MD5 parity of "p:d" (TextQueries.hash48);
+    * 8 bands × 8 bits = 64 planes (VectorQueries.EmbeddingLsh). */
   private val planesCte =
-    """planes AS (SELECT p, list_transform(range(0, 64), d ->
-      |  CAST(1 - 2 * ((('0x' || substr(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 12))::BIGINT) % 2) AS DOUBLE)) AS signs
-      |FROM (SELECT unnest(range(0, 16)) AS p))""".stripMargin
+    s"""planes AS (SELECT p, list_transform(range(0, 64), d ->
+       |  CAST(1 - 2 * ((('0x' || substr(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 12))::BIGINT) % 2) AS DOUBLE)) AS signs
+       |FROM (SELECT unnest(range(0, ${VectorQueries.EmbeddingLsh.Bands * VectorQueries.EmbeddingLsh.BitsPerBand})) AS p))""".stripMargin
 
-  /** 16-bit signature + 4×4 banding, shared by the two LSH queries. */
+  /** Per-(vec, band) sign-bit packing — band values aggregated directly
+    * (mirrors VectorQueries.rawBands; no 64-bit signature word, no
+    * arithmetic-shift sign trap). */
+  private val bands0Cte =
+    s"""proj AS (SELECT vec_id, p, ${dot("e", "signs")} AS proj
+       |         FROM emb CROSS JOIN planes),
+       |bands0 AS (SELECT vec_id, p // ${VectorQueries.EmbeddingLsh.BitsPerBand} AS band_idx,
+       |             CAST(sum(CASE WHEN proj >= 0
+       |                           THEN (1::BIGINT << CAST(p % ${VectorQueries.EmbeddingLsh.BitsPerBand} AS INT))
+       |                           ELSE 0::BIGINT END) AS BIGINT) AS band_val
+       |           FROM proj GROUP BY 1, 2)""".stripMargin
+
+  /** Banding + degenerate-bucket cap, shared by the two LSH queries. */
   private val sigBandCtes =
     s"""$planesCte,
-       |proj AS (SELECT vec_id, p, ${dot("e", "signs")} AS proj
-       |         FROM emb CROSS JOIN planes),
-       |sig AS (SELECT vec_id,
-       |          CAST(sum(CASE WHEN proj >= 0 THEN (1::BIGINT << CAST(p AS INT))
-       |                        ELSE 0::BIGINT END) AS BIGINT) AS sig
-       |        FROM proj GROUP BY vec_id),
-       |bands0 AS (SELECT vec_id, b.b AS band_idx, ((sig >> CAST(b.b * 4 AS INT)) % 16) AS band_val
-       |           FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b),
+       |$bands0Cte,
        |okband AS (SELECT band_idx, band_val FROM bands0
-       |           GROUP BY 1, 2 HAVING count(*) <= 1000),
+       |           GROUP BY 1, 2 HAVING count(*) <= ${DedupQueries.SimhashBucketCap}),
        |bands AS (SELECT bands0.* FROM bands0 JOIN okband USING (band_idx, band_val))""".stripMargin
 
   def all: Seq[QueryDef] = Seq(
@@ -79,6 +85,18 @@ object VectorRegistry {
          |WHERE round(${cos("ea.e", "eb.e")}, 6) >= 0.25
          |ORDER BY vec_a, vec_b""".stripMargin)(
       VectorQueries.dedupEmbedding),
+
+    QueryDef("q_lsh_bucket_stats",
+      s"""WITH $embCte,
+         |$planesCte,
+         |$bands0Cte,
+         |census AS (SELECT band_idx, band_val, count(*) AS bn
+         |           FROM bands0 GROUP BY 1, 2)
+         |SELECT band_idx, count(*) AS n_buckets, max(bn) AS max_bucket,
+         |  CAST(sum(CASE WHEN bn > ${DedupQueries.SimhashBucketCap} THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+         |  CAST(sum(CASE WHEN bn > ${DedupQueries.SimhashBucketCap} THEN bn ELSE 0 END) AS BIGINT) AS vecs_in_skipped
+         |FROM census GROUP BY band_idx ORDER BY band_idx""".stripMargin)(
+      VectorQueries.lshBucketStats),
 
     QueryDef("q_ivf_search",
       s"""WITH $embCte,

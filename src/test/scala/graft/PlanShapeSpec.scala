@@ -117,7 +117,8 @@ class PlanShapeSpec extends SparkSpec {
   test("no oracle query plans a cartesian product; BNLJ only for broadcast probes") {
     // 1-row broadcast probes (vector queries) legitimately plan
     // BroadcastNestedLoopJoin; everything else must stay equi-join shaped.
-    val probeQueries = Set("q_similar_vectors", "q_ann_lsh", "q_ivf_search", "q_dedup_embedding")
+    val probeQueries = Set("q_similar_vectors", "q_ann_lsh", "q_ivf_search",
+      "q_dedup_embedding", "q_lsh_bucket_stats")
     SparkEntry.all.filter(_.oracle.isDefined).foreach { q =>
       val p = plan(q.fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"${q.name} plans a cartesian:\n$p")

@@ -85,6 +85,44 @@ class VectorQueriesSpec extends SparkSpec {
     got.map(_._3) shouldBe got.map(_._3).sorted.reverse
   }
 
+  test("geometryFor sizes bands and bits to corpus scale") {
+    import VectorQueries.EmbeddingLsh.geometryFor
+    // the scaladoc's worked n = 1e9 example, exactly
+    geometryFor(1000000000L) shouldBe ((30, 22))
+    // small corpora keep the 8-bit floor; bits grow monotonically with n
+    geometryFor(2000L)._2 shouldBe 8
+    val bitsByN = Seq(1e4, 1e6, 1e8, 1e10).map(n => geometryFor(n.toLong)._2)
+    bitsByN shouldBe bitsByN.sorted
+    // every geometry hits the target recall at its design point
+    Seq(1e4, 1e7, 1e9).foreach { n =>
+      val (bands, bits) = geometryFor(n.toLong)
+      val pBand = math.pow(1 - math.acos(0.95) / math.Pi, bits)
+      (1 - math.pow(1 - pBand, bands)) should be >= 0.95
+    }
+  }
+
+  test("dup-heavy stress probe: cap skips degenerate buckets and stats expose it") {
+    // 6000 near-identical vectors — the adversarial corpus for any banding
+    // scheme: every vector lands in the same bucket of every band, so an
+    // uncapped plan would materialize C(6000,2) ≈ 18M candidate pairs. The
+    // cap must skip those buckets (bounded work, recall consciously zero)
+    // and lshBucketStats must report exactly what was skipped.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lsh_stress").toString
+    val n = 6000
+    spark.range(n).selectExpr("id AS vec_id", "cast(1 as int) AS label",
+        "transform(sequence(0, 63), d -> cast(1.0 + 0.0001 * (d + 1) as float)) AS embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val stats = VectorQueries.lshBucketStats(spark, tmp).collect()
+    stats should have length 8
+    stats.foreach { r =>
+      r.getAs[Long]("max_bucket") shouldBe n.toLong
+      r.getAs[Long]("n_skipped") shouldBe 1L
+      r.getAs[Long]("vecs_in_skipped") shouldBe n.toLong
+    }
+    // the dedup plan completes fast with zero pairs instead of exploding
+    VectorQueries.dedupEmbedding(spark, tmp).count() shouldBe 0L
+  }
+
   test("per-label centroids match driver-side means on dims 0-7") {
     val labels = Tables(spark, sf).embeddings
       .select(col("vec_id"), col("label").cast("long"))
