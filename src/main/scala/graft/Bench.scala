@@ -8,6 +8,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
+    GraftExtensions.ensureRegistered(spark)
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (codegen compiler, shuffle machinery, parquet reader)
     // so the first timed query measures the query, not JVM/session startup.

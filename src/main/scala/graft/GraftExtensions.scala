@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{DotProduct, MinHash16, Shingles, SimHash48}
@@ -10,6 +10,11 @@ import graft.functions.{DotProduct, MinHash16, Shingles, SimHash48}
   * engine's native expressions so they are usable from both the DataFrame API
   * (`call_function("graft_dot", ...)`) and plain SQL. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.registrations.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
   private def arity(name: String, n: Int)(b: Seq[Expression] => Expression)
       : Seq[Expression] => Expression = { children =>
     // A clean analysis error instead of an IndexOutOfBounds from the builder.
@@ -18,22 +23,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     b(children)
   }
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      arity("graft_dot", 2)(c => DotProduct(c.head, c(1)))))
-    ext.injectFunction((
-      FunctionIdentifier("graft_simhash"),
-      new ExpressionInfo(classOf[SimHash48].getName, "graft_simhash"),
-      arity("graft_simhash", 1)(c => SimHash48(c.head))))
-    ext.injectFunction((
-      FunctionIdentifier("graft_minhash"),
-      new ExpressionInfo(classOf[MinHash16].getName, "graft_minhash"),
-      arity("graft_minhash", 1)(c => MinHash16(c.head))))
-    ext.injectFunction((
-      FunctionIdentifier("graft_shingles"),
-      new ExpressionInfo(classOf[Shingles].getName, "graft_shingles"),
-      arity("graft_shingles", 2)(c => Shingles(c.head, c(1)))))
+  private def fn(name: String, clazz: Class[_], n: Int)(b: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), arity(name, n)(b))
+
+  /** The engine's native expressions — one list shared by the extension
+    * injection and the imperative fallback below. */
+  val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    fn("graft_dot", classOf[DotProduct], 2)(c => DotProduct(c.head, c(1))),
+    fn("graft_simhash", classOf[SimHash48], 1)(c => SimHash48(c.head)),
+    fn("graft_minhash", classOf[MinHash16], 1)(c => MinHash16(c.head)),
+    fn("graft_shingles", classOf[Shingles], 2)(c => Shingles(c.head, c(1))))
+
+  /** `builder.getOrCreate()` silently IGNORES `spark.sql.extensions` when a
+    * SparkSession already exists in the JVM (an embedding host may have built
+    * one first) — the engine's functions would then fail to resolve at
+    * analysis time, far from the cause. Register imperatively into the
+    * session's own function registry when that happens; idempotent. */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    registrations.foreach { case (id, info, builder) =>
+      if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
+    }
   }
 }

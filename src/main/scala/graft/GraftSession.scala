@@ -49,6 +49,10 @@ object GraftSession {
         .master(s"local[$cores]")
         .config("spark.sql.shuffle.partitions", cores.toString)
     ).getOrCreate()
+    // getOrCreate() ignores spark.sql.extensions when it returns a session
+    // that already existed — re-register the native functions imperatively
+    // so resolution never fails at a confusing distance (round-2 ADVICE).
+    GraftExtensions.ensureRegistered(spark)
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

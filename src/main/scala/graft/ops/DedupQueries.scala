@@ -46,6 +46,16 @@ import graft.tables.Tables
   *     an expression inside a lambda is re-evaluated per element, so
   *     `slice(split(text), i, n)` would re-split per shingle index —
   *     O(tokens²). [[TextQueries.shingled]] materializes the token array.
+  *
+  * ==Persist contract==
+  * [[dedupNgramJaccard]] and [[simhashPairs]] `persist()` their signature /
+  * set tables (a subplan feeding both sides of a self-join is otherwise
+  * recomputed per side). A lazy builder cannot unpersist what the caller has
+  * not yet executed, so the contract is the caller's: run the returned plan,
+  * then drop the backing cache — per-table `unpersist()` or
+  * `spark.sharedState.cacheManager.clearCache()` as `Verify`/`Bench` do after
+  * every query. Long-lived sessions that skip this accumulate cached
+  * partitions across invocations (MEMORY_AND_DISK: degraded, not fatal).
   */
 object DedupQueries {
 

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
 
@@ -41,6 +40,11 @@ import graft.tables.Tables
   * Spark, `list_sum`/`list_reduce` in DuckDB — verified bit-identical), so
   * similarity values, sign bits, and argmax assignments agree exactly; every
   * emitted double is `round`ed once at the output.
+  *
+  * Persist contract: [[annLsh]] and [[dedupEmbedding]] `persist()` the banded
+  * signature table (it feeds both sides of the candidate join). The caller
+  * runs the plan and then clears the cache — see the identical contract note
+  * on [[DedupQueries]].
   */
 object VectorQueries {
 
@@ -233,17 +237,19 @@ object VectorQueries {
     val e = emb(spark, dir)
     val cents = e.filter(col("vec_id") < 10L)
       .select(col("vec_id").as("cent_id"), col("e").as("ce"))
-    // Assignment: argmax over the broadcast centroid table. On a cluster this
-    // result is the table's partitioning (cluster by cent_id) — here it is a
-    // window argmax so the oracle can replay it row-for-row.
-    val byDot = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cdot").desc, col("cent_id"))
+    // Assignment: argmax over the broadcast centroid table, as a map-side
+    // combinable `max_by` aggregate — one partial-agg row per vector reaches
+    // the shuffle, where a window argmax would shuffle and sort the whole
+    // 10×-exploded assignment table (round-2 review). The ordering struct
+    // (cdot, -cent_id) reproduces the oracle's ORDER BY cdot DESC, cent_id.
     val assigned = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("label"), col("e"), col("cent_id"),
         dot(col("e"), col("ce")).as("cdot"))
-      .withColumn("rn", row_number().over(byDot))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("label"), col("e"), col("cent_id"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("label"), col("e"), col("cent_id")),
+        struct(col("cdot"), (-col("cent_id")).as("tb"))).as("m"))
+      .select(col("vec_id"), col("m.label").as("label"), col("m.e").as("e"),
+        col("m.cent_id").as("cent_id"))
     // nprobe=3 centroid lists nearest the probe.
     val probeLists = cents
       .crossJoin(broadcast(probe(spark, dir, 42L)))

@@ -4,7 +4,7 @@ import java.util
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -171,9 +171,18 @@ class SensorGenStream(conf: SensorGenConfig) extends MicroBatchStream
     // Advance up to the read limit per trigger until the configured run is
     // drained — the bounded-replay analog of the reference's finite loop.
     val s = start.asInstanceOf[SensorGenOffset].emitted
-    val step = limit match {
-      case r: ReadMaxRows => math.max(1L, r.maxRows() / conf.threads)
-      case _ => conf.messages // all-available
+    // Spark hands a CompositeReadLimit when several admission options combine
+    // (e.g. maxRows + minRows): honor the contained row cap rather than
+    // falling through to all-available and overshooting the trigger size.
+    def rowCap(l: ReadLimit): Option[Long] = l match {
+      case r: ReadMaxRows => Some(r.maxRows())
+      case c: CompositeReadLimit =>
+        c.getReadLimits.flatMap(rowCap(_)).headOption
+      case _ => None
+    }
+    val step = rowCap(limit) match {
+      case Some(rows) => math.max(1L, rows / conf.threads)
+      case None => conf.messages // all-available
     }
     SensorGenOffset(math.min(conf.messages, s + step))
   }

@@ -22,8 +22,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *     group iterator is sorted by (eventTime, messageId) before folding —
   *     deterministic given deterministic batch boundaries (and in batch mode,
   *     where the whole input is one group iterator, fully deterministic);
-  *   - the same fold runs in batch via [[recordHighsBatch]] for the
-  *     batch-stream equivalence test (single "batch" == whole history).
+  *   - the same fold runs in batch for the batch-stream equivalence test
+  *     (single "batch" == whole history; oracle helper lives in test sources).
   */
 object StatefulOps {
 
@@ -33,7 +33,15 @@ object StatefulOps {
       temperature: Long, prev_max: Long)
 
   /** Fold one key's (sorted) readings over the running max, emitting new
-    * record highs. Shared verbatim by the streaming and batch paths. */
+    * record highs. Shared verbatim by the streaming and batch paths.
+    *
+    * Memory bound: the iterator is buffered (`toSeq.sortBy`) because
+    * micro-batch group iterators arrive unordered, so the working set is one
+    * key's rows in ONE MICRO-BATCH — bounded by trigger size, the normal
+    * stateful-streaming envelope. Under BATCH execution the group iterator is
+    * a key's entire history, so the buffer grows with history length: run the
+    * batch path only on bounded key histories (tests, backfills of capped
+    * ranges), or pre-aggregate — persistent STATE is O(1) either way. */
   def foldKey(rows: Iterator[Reading], max0: Option[Long]): (Seq[RecordHigh], Long) = {
     var mx = max0.getOrElse(Long.MinValue)
     val out = Seq.newBuilder[RecordHigh]
@@ -65,15 +73,6 @@ object StatefulOps {
           if (mx != Long.MinValue) state.update(mx)
           out.iterator
         })
-  }
-
-  /** Batch oracle: the same fold applied per key to the whole history. */
-  def recordHighsBatch(parsed: DataFrame): Seq[RecordHigh] = {
-    val spark = parsed.sparkSession
-    import spark.implicits._
-    parsed.select(col("id"), col("messageId"), col("eventTime"), col("temperature"))
-      .as[Reading].collect().groupBy(_.id).toSeq
-      .flatMap { case (_, rs) => foldKey(rs.iterator, None)._1 }
   }
 
   /** Streaming exact dedup on message identity. The reference's generator

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.QueryDef
@@ -30,19 +30,13 @@ object StreamRegistry {
       .write.mode("overwrite").text(outDir)
   }
 
-  private def rmrf(p: String): Unit = {
-    val root = Paths.get(p)
-    if (Files.exists(root)) {
-      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
-    }
-  }
-
   /** Full pipeline on the `events` table: serialize → replay through the
     * three-sink streaming job → return the windowed-agg sink contents. */
   def streamPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val base = sys.props("java.io.tmpdir") + "/graft_stream_pipeline"
-    rmrf(base)
+    // Unique staging root per invocation: a fixed path would let two
+    // concurrent sessions (e.g. a Bench overlapping a Verify) delete each
+    // other's checkpoints mid-run. Hourly sweeps are the OS's job.
+    val base = Files.createTempDirectory("graft_stream_pipeline").toString
     eventsAsSensorJson(spark, dir, s"$base/in")
     val out = SensorPipeline.replay(spark, s"$base/in", s"$base/out")
     spark.read.parquet(out.agg)

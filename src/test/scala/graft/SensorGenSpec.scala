@@ -12,6 +12,18 @@ class SensorGenSpec extends SparkSpec {
     spark.read.format("sensor-gen")
       .option("messages", messages).option("threads", threads).load()
 
+  /** Batch oracle for the record-high operator: StatefulOps.foldKey applied
+    * per key to the whole history, driver-side (test-only — the collect is
+    * exactly what a distributed pipeline must not do). */
+  private def recordHighsBatch(
+      parsed: org.apache.spark.sql.DataFrame): Seq[StatefulOps.RecordHigh] = {
+    import org.apache.spark.sql.Encoders
+    parsed.select(col("id"), col("messageId"), col("eventTime"), col("temperature"))
+      .as[StatefulOps.Reading](Encoders.product[StatefulOps.Reading])
+      .collect().groupBy(_.id).toSeq
+      .flatMap { case (_, rs) => StatefulOps.foldKey(rs.iterator, None)._1 }
+  }
+
   test("batch read: row count = messages x threads, deterministic across reads") {
     val df = gen(500, 4)
     df.count() shouldBe 2000
@@ -163,7 +175,7 @@ class SensorGenSpec extends SparkSpec {
       val streamed = spark.table("record_highs").as[StatefulOps.RecordHigh](
         org.apache.spark.sql.Encoders.product[StatefulOps.RecordHigh])
         .collect().sortBy(r => (r.id, r.messageId)).toSeq
-      val batch = StatefulOps.recordHighsBatch(
+      val batch = recordHighsBatch(
         SensorPipeline.parse(gen(400, 2))).sortBy(r => (r.id, r.messageId))
       // Stream processes in 80-row micro-batches in event order (generator is
       // ordered), so the cross-batch fold matches the single-pass batch fold.
