@@ -84,4 +84,42 @@ class StreamingPipelineSpec extends SparkSpec {
     val df = StreamRegistry.streamPipeline(spark, sf)
     df.count() should be > 0L
   }
+
+  test("changelog upsert is idempotent under batch retry and merges across batches (K8)") {
+    val s = spark
+    import s.implicits._
+    val table = Files.createTempDirectory("graft_changelog_spec").toString + "/t"
+    def mkBatch(rows: Seq[(String, Long, Long, Long, Double, Long)]): DataFrame =
+      rows.toDF("id", "w_start", "max_temperature", "min_temperature",
+        "avg_temperature", "n")
+    val b0 = mkBatch(Seq(("s1", 0L, 10L, 1L, 5.0, 3L), ("s2", 0L, 20L, 2L, 6.0, 4L)))
+    SensorPipeline.upsertBatch(table)(b0, 0L)
+    val after0 = spark.read.parquet(table).collect().toSet
+    // Failure-after-commit replay: re-applying the SAME batch must leave the
+    // table in an identical state (the exactly-once contract of the sink).
+    SensorPipeline.upsertBatch(table)(b0, 0L)
+    spark.read.parquet(table).collect().toSet shouldBe after0
+    // Update-mode semantics: a later batch re-emits a changed (id, window) row
+    // — last write wins — while untouched keys survive the merge.
+    val b1 = mkBatch(Seq(("s1", 0L, 99L, 1L, 7.5, 5L), ("s1", 60L, 30L, 30L, 30.0, 1L)))
+    SensorPipeline.upsertBatch(table)(b1, 1L)
+    val fin = spark.read.parquet(table)
+      .select($"id", $"w_sec", $"max_temperature", $"n").as[(String, Long, Long, Long)]
+      .collect().toSet
+    fin shouldBe Set(("s1", 0L, 99L, 5L), ("s2", 0L, 20L, 4L), ("s1", 60L, 30L, 1L))
+  }
+
+  test("changelog table final state equals the batch aggregate (K8 update mode)") {
+    val streamed = StreamRegistry.changelogTable(spark, sf)
+      .select(col("id"), col("w_start"), col("max_temperature"),
+        col("min_temperature"), col("avg_temperature"), col("n"))
+      .collect().toSet
+    val batch = SensorPipeline.windowedAgg(
+        batchParsed.filter(SensorPipeline.isValid(col("temperature"), col("humidity"))))
+      .select(col("id"), graft.ops.Out.epochSec(col("w_start")).as("w_start"),
+        col("max_temperature"), col("min_temperature"),
+        col("avg_temperature"), col("n"))
+      .collect().toSet
+    streamed shouldBe batch
+  }
 }
