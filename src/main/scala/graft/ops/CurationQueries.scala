@@ -30,7 +30,9 @@ object CurationQueries {
 
   import TextQueries.{shingled, stopwordsSqlList, wordsExpr}
 
-  def curate(spark: SparkSession, dir: String): DataFrame = {
+  /** Stages 1+2 — the shared pipeline prefix: quality-gated docs after exact
+    * dedup, carrying (doc_id, text, n_tokens, quality, stop_ratio). */
+  private def uniqQualified(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
 
     // stage 1+4 inputs: per-doc quality + language features, one narrow pass
@@ -59,9 +61,13 @@ object CurationQueries {
     val exactKeepers = qualified
       .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    val uniqueDocs = qualified.join(exactKeepers, Seq("doc_id"))
+    qualified.join(exactKeepers, Seq("doc_id"))
+  }
 
-    // stage 3: near-dup prune via MinHash LSH over the survivors
+  /** Stage 3's candidate generator: MinHash-LSH near-dup pairs `(a, b)`,
+    * a < b, signature agreement ≥ 0.5, deduplicated across bands. Bounded by
+    * the band bucket cap — O(Σ bucket²) pairs, never all-pairs. */
+  private def nearDupPairs(uniqueDocs: DataFrame): DataFrame = {
     val sig = shingled(uniqueDocs.select("doc_id", "text"), 3)
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), expr("graft_minhash(sh)").as("sig"))
@@ -69,22 +75,51 @@ object CurationQueries {
       posexplode(expr(
         "transform(sequence(0, 3), b -> concat_ws('|', slice(sig, b * 4 + 1, 4)))")))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key")
-    val dropIds = bands.groupBy(col("band_idx"), col("band_key"))
+    bands.groupBy(col("band_idx"), col("band_key"))
       .agg(collect_list(struct(col("doc_id"), col("sig"))).as("xs"))
       .filter(size(col("xs")).between(2, DedupQueries.SimhashBucketCap))
       .select(explode(expr(
         """flatten(transform(xs, a ->
           |  transform(filter(xs, b -> b.doc_id > a.doc_id),
-          |            b -> named_struct('doc_b', b.doc_id,
+          |            b -> named_struct('doc_a', a.doc_id, 'doc_b', b.doc_id,
           |                              'est', size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), v -> v)) / cast(16 as double)))))""".stripMargin))
         .as("p"))
       .filter(col("p.est") >= 0.5)
-      .select(col("p.doc_b").as("doc_id")).distinct()
+      .select(col("p.doc_a").as("a"), col("p.doc_b").as("b")).distinct()
+  }
+
+  def curate(spark: SparkSession, dir: String): DataFrame = {
+    val uniqueDocs = uniqQualified(spark, dir)
+
+    // stage 3: near-dup prune — greedy keep-lowest over the candidate pairs
+    val dropIds = nearDupPairs(uniqueDocs).select(col("b").as("doc_id")).distinct()
 
     // stage 4: language gate on the near-dup survivors
     uniqueDocs.join(dropIds, Seq("doc_id"), "left_anti")
       .filter(col("stop_ratio") >= 0.05)
       .select(col("doc_id"), col("n_tokens"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The CC upgrade of stage 3 (round-2 VERDICT #5): instead of greedily
+    * dropping each pair's higher id — which keeps every LOCAL minimum of the
+    * candidate graph — cluster the near-dup candidate edges into true
+    * connected components and label every quality-gated unique doc with its
+    * cluster representative (the component's minimum doc_id) and cluster
+    * size. Singletons are their own representative. A curation pipeline
+    * keeps `doc_id = comp` for one survivor per duplicate CLUSTER (not per
+    * pair), and the (comp, csize) grouping is what downstream inspection /
+    * stratified sampling of duplicate families consumes. */
+  def curateCC(spark: SparkSession, dir: String): DataFrame = {
+    val uniqueDocs = uniqQualified(spark, dir)
+    val comp = ConnectedComponents.minLabel(nearDupPairs(uniqueDocs))
+      .withColumnRenamed("id", "doc_id")
+    val labeled = uniqueDocs.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("comp", coalesce(col("comp"), col("doc_id")))
+    val sizes = labeled.groupBy(col("comp")).agg(count(lit(1)).as("csize"))
+    labeled.join(sizes, Seq("comp"))
+      .select(col("doc_id"), col("comp"), col("csize"))
       .orderBy(col("doc_id"))
   }
 }

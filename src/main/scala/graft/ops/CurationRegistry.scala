@@ -2,9 +2,12 @@ package graft.ops
 
 import graft.QueryDef
 
-/** DuckDB oracle for the full curation pipeline — the same four stages as
-  * [[CurationQueries.curate]], CTE by CTE, reusing the exact oracle
-  * spellings of the standalone quality/dedup/minhash/lang-id queries. */
+/** DuckDB oracles for the curation pipelines — the same stages as
+  * [[CurationQueries]], CTE by CTE, reusing the exact oracle spellings of
+  * the standalone quality/dedup/minhash/lang-id queries. `q_curation_cc`
+  * anchors the iterative large-star/small-star CC to a recursive-CTE
+  * reachability fixpoint: both sides compute "minimum doc_id reachable over
+  * the candidate-pair graph", by entirely different algorithms. */
 object CurationRegistry {
 
   private val words = "string_split(text, ' ')"
@@ -12,35 +15,40 @@ object CurationRegistry {
   private val shingleSet =
     s"list_distinct(list_transform(generate_series(1, len($words) - 2), i -> array_to_string(($words)[i:i+2], ' ')))"
 
+  /** Stages 1+2 (quality gate, exact dedup) + the banded MinHash signature
+    * tables — shared by both curation oracles. */
+  private val prefixCtes =
+    s"""scored AS (
+       |  SELECT doc_id, text,
+       |    CAST(len($words) AS BIGINT) AS n_tokens,
+       |    round(CAST(len(list_distinct($words)) AS DOUBLE) / len($words), 4) AS uniq_ratio,
+       |    round(least(CAST(len($words) AS DOUBLE) / 100.0, 1.0), 4) AS len_score,
+       |    round(CAST(len(list_filter($words, t -> t IN ($stop))) AS DOUBLE)
+       |          / len($words), 4) AS stop_ratio
+       |  FROM documents),
+       |scored2 AS (SELECT *, round(len_score * 0.4 + uniq_ratio * 0.6, 4) AS quality
+       |            FROM scored),
+       |qualified AS (SELECT * FROM scored2 WHERE quality >= 0.5),
+       |keep AS (SELECT min(doc_id) AS doc_id FROM qualified GROUP BY md5(text)),
+       |uniq AS (SELECT q.* FROM qualified q JOIN keep USING (doc_id)),
+       |d AS (SELECT doc_id, $shingleSet AS sh FROM uniq),
+       |hx AS (SELECT doc_id,
+       |         list_transform(sh, x -> sha256('0:' || x) || sha256('1:' || x)) AS hx
+       |       FROM d WHERE len(sh) > 0),
+       |s AS (SELECT doc_id,
+       |        list_transform(generate_series(0, 15),
+       |          p -> list_min(list_transform(hx, h -> h[p*8+1 : p*8+8]))) AS sig
+       |      FROM hx),
+       |bnd AS (SELECT doc_id, sig, b.b AS band_idx,
+       |          array_to_string(sig[b.b*4+1 : b.b*4+4], '|') AS band_key
+       |        FROM s CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) b),
+       |okb AS (SELECT band_idx, band_key FROM bnd
+       |        GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND ${DedupQueries.SimhashBucketCap}),
+       |bndc AS (SELECT bnd.* FROM bnd JOIN okb USING (band_idx, band_key))""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("q_curation_pipeline",
-      s"""WITH scored AS (
-         |  SELECT doc_id, text,
-         |    CAST(len($words) AS BIGINT) AS n_tokens,
-         |    round(CAST(len(list_distinct($words)) AS DOUBLE) / len($words), 4) AS uniq_ratio,
-         |    round(least(CAST(len($words) AS DOUBLE) / 100.0, 1.0), 4) AS len_score,
-         |    round(CAST(len(list_filter($words, t -> t IN ($stop))) AS DOUBLE)
-         |          / len($words), 4) AS stop_ratio
-         |  FROM documents),
-         |scored2 AS (SELECT *, round(len_score * 0.4 + uniq_ratio * 0.6, 4) AS quality
-         |            FROM scored),
-         |qualified AS (SELECT * FROM scored2 WHERE quality >= 0.5),
-         |keep AS (SELECT min(doc_id) AS doc_id FROM qualified GROUP BY md5(text)),
-         |uniq AS (SELECT q.* FROM qualified q JOIN keep USING (doc_id)),
-         |d AS (SELECT doc_id, $shingleSet AS sh FROM uniq),
-         |hx AS (SELECT doc_id,
-         |         list_transform(sh, x -> sha256('0:' || x) || sha256('1:' || x)) AS hx
-         |       FROM d WHERE len(sh) > 0),
-         |s AS (SELECT doc_id,
-         |        list_transform(generate_series(0, 15),
-         |          p -> list_min(list_transform(hx, h -> h[p*8+1 : p*8+8]))) AS sig
-         |      FROM hx),
-         |bnd AS (SELECT doc_id, sig, b.b AS band_idx,
-         |          array_to_string(sig[b.b*4+1 : b.b*4+4], '|') AS band_key
-         |        FROM s CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) b),
-         |okb AS (SELECT band_idx, band_key FROM bnd
-         |        GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND ${DedupQueries.SimhashBucketCap}),
-         |bndc AS (SELECT bnd.* FROM bnd JOIN okb USING (band_idx, band_key)),
+      s"""WITH $prefixCtes,
          |drops AS (SELECT DISTINCT b.doc_id
          |          FROM bndc a JOIN bndc b
          |            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
@@ -50,6 +58,23 @@ object CurationRegistry {
          |SELECT u.doc_id, u.n_tokens, u.quality
          |FROM uniq u LEFT JOIN drops ON u.doc_id = drops.doc_id
          |WHERE drops.doc_id IS NULL AND u.stop_ratio >= 0.05
-         |ORDER BY u.doc_id""".stripMargin)(CurationQueries.curate)
+         |ORDER BY u.doc_id""".stripMargin)(CurationQueries.curate),
+    QueryDef("q_curation_cc",
+      s"""WITH RECURSIVE $prefixCtes,
+         |edges AS (SELECT DISTINCT a.doc_id AS ea, b.doc_id AS eb
+         |          FROM bndc a JOIN bndc b
+         |            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |           AND a.doc_id < b.doc_id
+         |          WHERE len(list_filter(generate_series(1, 16),
+         |                  i -> a.sig[i] = b.sig[i])) / 16.0 >= 0.5),
+         |bi AS (SELECT ea, eb FROM edges UNION SELECT eb, ea FROM edges),
+         |reach AS (SELECT doc_id AS id, doc_id AS r FROM uniq
+         |          UNION
+         |          SELECT reach.id, bi.eb FROM reach JOIN bi ON bi.ea = reach.r),
+         |comp AS (SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id),
+         |sz AS (SELECT comp, count(*) AS csize FROM comp GROUP BY comp)
+         |SELECT c.doc_id, c.comp, sz.csize
+         |FROM comp c JOIN sz USING (comp)
+         |ORDER BY c.doc_id""".stripMargin)(CurationQueries.curateCC)
   )
 }
