@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 import org.apache.spark.sql.types._
 
 /** The reference's end-to-end pipeline (R1–R5 + K1–K8) rebuilt as Structured
@@ -90,6 +90,26 @@ object SensorPipeline {
       col("id").as("key"),
       to_json(struct(col("id"), col("messageId"), col("timestamp"),
         struct(col("temperature"), col("humidity")).as("metrics"))).as("value"))
+
+  /** R5's PRODUCTION writer — the real `format("kafka")` streaming sink,
+    * fully configured but NOT started (starting needs the
+    * spark-sql-kafka connector jar plus a broker; neither exists in this
+    * sandbox). The seam is the whole point: production code calls
+    * `kafkaWriter(filtered, servers, topic).start()` and nothing else
+    * changes — the (key, value) wire shape is [[kafkaShape]], the same
+    * frame the parquet stand-in sink persists, and FormatsSpec drives
+    * `.start()` far enough to prove the format string reaches Spark's
+    * data-source resolver (and plan-checks the sink node when a connector
+    * is present). Kafka's sink accepts STRING or BINARY key/value — ours
+    * are STRING. */
+  def kafkaWriter(filtered: DataFrame, bootstrapServers: String, topic: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    kafkaShape(filtered).writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
 
   /** K4–K6: 1-minute tumbling MAX/MIN/AVG(+count) per sensor id
     * (README.md:72,87-92). `withWatermark` bounds state for append-mode
