@@ -127,6 +127,86 @@ object TextQueries {
         col("uniq_ratio"), col("len_score"), col("quality"))
       .orderBy(col("doc_id"))
 
+  /** Per-document top-3 TF-IDF keywords — the classic relevance/topic signal
+    * a curation pipeline attaches to every doc before domain mixing.
+    *
+    * Shape at scale: one shuffle to (doc, term) for tf; df reuses the tf
+    * table (already one row per (doc, term)) with a map-side-combinable
+    * count; the corpus size joins in as a broadcast single row; top-k per
+    * doc is the window-rank idiom partitioned by doc_id. Vocabulary is
+    * Zipf-bounded, so the df table stays small relative to the corpus.
+    * Determinism: ties in score (common: equal tf × equal df) break on term
+    * order in BOTH engines. */
+  def tfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir).documents
+    val tf = docs.select(col("doc_id"), explode(expr(wordsExpr)).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("term"), round(col("score"), 6).as("tfidf"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  /** Fixed keyword set for the BM25 retrieval scorer (shared with the oracle
+    * SQL — keep in sync). */
+  val Bm25Terms: Seq[String] = Seq("join", "window", "hash")
+  def bm25TermsSqlList: String = Bm25Terms.map(s => s"'$s'").mkString(", ")
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** BM25 retrieval scoring of the corpus against a fixed keyword query —
+    * the standard quality-weighted term search a data pipeline uses to mine
+    * domain-relevant documents at scale.
+    *
+    * Shape at scale: the term filter lands on the exploded token stream
+    * before any shuffle, so only rows for query terms (|q| = 3) survive to
+    * the (doc, term) aggregate; df and the corpus stats (N, avgdl — exact
+    * integer sums) are broadcast single-digit-row frames; the final top-20 is
+    * `TakeOrderedAndProject`. Per-doc score folds the ≤|q| term scores in
+    * sorted term order (`aggregate` over `array_sort`) — the same left fold
+    * DuckDB's `list_sum(list(s ORDER BY term))` computes, so the double sum
+    * is bit-identical (a bare SUM's order is partition-dependent). */
+  def bm25Search(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), size(expr(wordsExpr)).cast("long").as("dl"), col("text"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = docs.select(col("doc_id"), col("dl"), explode(expr(wordsExpr)).as("term"))
+      .filter(col("term").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("s", col("idf") * (col("tf") * (Bm25K1 + 1.0)) /
+        (col("tf") + Bm25K1 * (1.0 - Bm25B + Bm25B * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        expr("aggregate(array_sort(collect_list(struct(term, s))), cast(0 as double), (acc, x) -> acc + x.s)").as("score"))
+      .select(col("doc_id"), col("n_terms"), round(col("score"), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+  }
+
+  /** Corpus-level bigram frequencies (top 50) — LM-style n-gram statistics
+    * over every occurrence (NOT per-doc distinct shingles; a language-model
+    * count table wants multiplicity). One explode → one partial-agg shuffle
+    * keyed by bigram → `TakeOrderedAndProject` top-k; the classic
+    * count-table shape that scales to any corpus the groupBy scales to. */
+  def ngramCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(expr(wordsExpr).as("w"))
+      .select(explode(expr(shinglesExpr(2))).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram")).limit(50)
+
   /** Document fingerprinting: whole-doc MD5 plus a 1-permutation MinHash over
     * 5-word shingles (the min MD5 of any shingle) — a content-defined
     * fingerprint stable under document reordering of *other* docs and cheap
