@@ -187,7 +187,7 @@ object TextQueries {
       .withColumn("idf", log(lit(1.0) +
         (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
       .withColumn("s", col("idf") * (col("tf") * (Bm25K1 + 1.0)) /
-        (col("tf") + Bm25K1 * (1.0 - Bm25B + Bm25B * col("dl") / col("avgdl"))))
+        (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms"),
         expr("aggregate(array_sort(collect_list(struct(term, s))), cast(0 as double), (acc, x) -> acc + x.s)").as("score"))
