@@ -65,6 +65,75 @@ object TextRegistry {
       s"""SELECT doc_id, md5(text) AS doc_md5,
          |  coalesce(list_min(list_transform($shingles5, s -> md5(s))), md5(text))
          |    AS min_shingle_md5
-         |FROM documents ORDER BY doc_id""".stripMargin)(TextQueries.fingerprint)
+         |FROM documents ORDER BY doc_id""".stripMargin)(TextQueries.fingerprint),
+
+    // tf is BIGINT in both engines (count); the score is a single multiply of
+    // BIGINT by a natural log of a double ratio — one IEEE op each side, so
+    // bit parity holds without a decimal detour. row_number casts to BIGINT
+    // (Spark's is INT). Ties in score break on term in BOTH window orders.
+    QueryDef("q_tfidf_keywords",
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($words) AS term FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |s AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS score
+         |  FROM tf JOIN df USING (term) CROSS JOIN n),
+         |r AS (
+         |  SELECT doc_id, term, score,
+         |    CAST(row_number() OVER (PARTITION BY doc_id
+         |                            ORDER BY score DESC, term) AS BIGINT) AS rk
+         |  FROM s)
+         |SELECT doc_id, rk, term, round(score, 6) AS tfidf
+         |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)(TextQueries.tfidfKeywords),
+
+    // Every fractional constant is CAST(... AS DOUBLE): a bare 0.5 literal in
+    // DuckDB is DECIMAL(1,1) and would drag the whole expression into decimal
+    // arithmetic (memory: decimal-literal trap). k1+1 is spelled as the SUM of
+    // two double casts, not 2.2 — the Scala side computes Bm25K1 + 1.0 at
+    // runtime and the exact IEEE sum is a round-to-even tie, so both engines
+    // must perform the same addition rather than parse a literal. The per-doc
+    // fold is list_sum over a term-ordered list ≡ Spark's aggregate() over
+    // array_sort(collect_list(struct(term, s))) — same left fold, bit-equal.
+    QueryDef("q_bm25_search",
+      s"""WITH docs AS (
+         |  SELECT doc_id, CAST(len($words) AS BIGINT) AS dl, text FROM documents),
+         |stats AS (
+         |  SELECT count(*) AS n_docs,
+         |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM docs),
+         |tok AS (SELECT doc_id, dl, unnest($words) AS term FROM docs),
+         |tf AS (
+         |  SELECT doc_id, dl, term, count(*) AS tf FROM tok
+         |  WHERE term IN (${TextQueries.bm25TermsSqlList})
+         |  GROUP BY doc_id, dl, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |s AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    ln(CAST(1.0 AS DOUBLE)
+         |       + (n_docs - df.df + CAST(0.5 AS DOUBLE)) / (df.df + CAST(0.5 AS DOUBLE)))
+         |    * (tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+         |    / (tf + CAST(1.2 AS DOUBLE)
+         |            * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl)) AS s
+         |  FROM tf JOIN df USING (term) CROSS JOIN stats)
+         |SELECT doc_id, count(*) AS n_terms,
+         |  round(list_sum(list(s ORDER BY term)), 6) AS bm25
+         |FROM s GROUP BY doc_id
+         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin)(TextQueries.bm25Search),
+
+    // Bigrams over every occurrence; DuckDB list slicing is inclusive so
+    // [i:i+1] is the 2-token window, and generate_series(1, len-1) is empty
+    // for 1-token docs (matching Spark's size >= 2 guard). (n, bigram) is a
+    // total order, so LIMIT 50 cuts identically in both engines.
+    QueryDef("q_ngram_counts",
+      s"""WITH w AS (SELECT $words AS w FROM documents),
+         |b AS (
+         |  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+         |                               i -> array_to_string(w[i:i+1], ' '))) AS bigram
+         |  FROM w)
+         |SELECT bigram, count(*) AS n FROM b
+         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""".stripMargin)(TextQueries.ngramCounts)
   )
 }

@@ -115,10 +115,12 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("no oracle query plans a cartesian product; BNLJ only for broadcast probes") {
-    // 1-row broadcast probes (vector queries) legitimately plan
+    // 1-row broadcast probes (vector queries) and 1-row broadcast corpus
+    // stats (tf-idf N, BM25 N/avgdl) legitimately plan
     // BroadcastNestedLoopJoin; everything else must stay equi-join shaped.
     val probeQueries = Set("q_similar_vectors", "q_ann_lsh", "q_ivf_search",
-      "q_dedup_embedding", "q_lsh_bucket_stats")
+      "q_dedup_embedding", "q_lsh_bucket_stats",
+      "q_tfidf_keywords", "q_bm25_search")
     SparkEntry.all.filter(_.oracle.isDefined).foreach { q =>
       val p = plan(q.fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"${q.name} plans a cartesian:\n$p")

@@ -1,0 +1,80 @@
+package graft
+
+import graft.ops.TextQueries
+import graft.tables.Tables
+
+/** Brute-force driver-side oracles for the text-retrieval operators
+  * (sf0.001) — independent recomputation in plain Scala, no SQL on either
+  * side, so these catch semantic drift the DuckDB gate can't (e.g. both
+  * engines agreeing on a wrong fold). */
+class TextQueriesSpec extends SparkSpec {
+
+  private lazy val corpus: Seq[(Long, Array[String])] =
+    Tables(spark, sf).documents.select("doc_id", "text").collect().toSeq
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+
+  test("tfidf keywords match a driver-side recomputation (top-3, tie on term)") {
+    val n = corpus.size.toDouble
+    val tf: Map[(Long, String), Long] = corpus.flatMap { case (d, w) =>
+      w.groupBy(identity).map { case (t, o) => (d, t) -> o.length.toLong }
+    }.toMap
+    val df: Map[String, Long] =
+      tf.keys.groupBy(_._2).map { case (t, ks) => t -> ks.size.toLong }
+    val want: Map[Long, Seq[(String, Double)]] = corpus.map { case (d, w) =>
+      d -> w.distinct.toSeq
+        .map(t => t -> tf((d, t)) * math.log(n / df(t)))
+        .sortBy { case (t, s) => (-s, t) }.take(3)
+    }.toMap
+    val got = TextQueries.tfidfKeywords(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    got.keySet shouldBe want.keySet
+    got.foreach { case (d, rs) =>
+      val byRank = rs.sortBy(_.getLong(1))
+      byRank.map(_.getLong(1)).toSeq shouldBe (1L to byRank.length)
+      byRank.map(_.getString(2)).toSeq shouldBe want(d).map(_._1)
+      byRank.zip(want(d)).foreach { case (r, (_, s)) =>
+        r.getDouble(3) shouldBe s +- 1e-6
+      }
+    }
+  }
+
+  test("bm25 matches a driver-side recomputation of the scoring formula") {
+    val terms = TextQueries.Bm25Terms.toSet
+    val n = corpus.size.toDouble
+    val dl: Map[Long, Long] = corpus.map { case (d, w) => d -> w.length.toLong }.toMap
+    val avgdl = dl.values.sum.toDouble / n
+    val tf: Map[(Long, String), Long] = corpus.flatMap { case (d, w) =>
+      w.filter(terms).groupBy(identity).map { case (t, o) => (d, t) -> o.length.toLong }
+    }.toMap
+    val df: Map[String, Long] =
+      tf.keys.groupBy(_._2).map { case (t, ks) => t -> ks.size.toLong }
+    val score: Map[Long, (Long, Double)] = tf.keys.groupBy(_._1).map {
+      case (d, ks) =>
+        val s = ks.toSeq.map(_._2).sorted.map { t =>
+          val idf = math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5))
+          idf * (tf((d, t)) * (TextQueries.Bm25K1 + 1.0)) /
+            (tf((d, t)) + TextQueries.Bm25K1 *
+              (1.0 - TextQueries.Bm25B + TextQueries.Bm25B * dl(d) / avgdl))
+        }.sum
+        d -> (ks.size.toLong, s)
+    }
+    val want = score.toSeq
+      .map { case (d, (k, s)) => (d, k, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .sortBy { case (d, _, s) => (-s, d) }.take(20)
+    val got = TextQueries.bm25Search(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    got.map(_._1) shouldBe want.map(_._1)
+    got.map(_._2) shouldBe want.map(_._2)
+    got.zip(want).foreach { case ((_, _, g), (_, _, w)) => g shouldBe w +- 1e-6 }
+  }
+
+  test("bigram counts match a driver-side recomputation (top-50)") {
+    val counts = corpus.flatMap { case (_, w) => w.sliding(2).filter(_.length == 2) }
+      .map(_.mkString(" ")).groupBy(identity)
+      .map { case (b, o) => b -> o.size.toLong }
+    val want = counts.toSeq.sortBy { case (b, c) => (-c, b) }.take(50)
+    val got = TextQueries.ngramCounts(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    got shouldBe want
+  }
+}
