@@ -118,6 +118,24 @@ object VectorQueries {
         math.ceil(math.log1p(-targetRecall) / math.log1p(-pBand)).toInt)
       (bands, bits)
     }
+
+    /** Production sizing knob (round-3 review): set this session conf to the
+      * (approximate) corpus vector count and every LSH query in this file
+      * derives its banding from [[geometryFor]] instead of the fixed
+      * defaults — e.g. `spark.conf.set(CorpusSizeConf, "1000000000")` plans
+      * 30 bands × 22 bits. Left unset, the defaults apply (8 × 8), which is
+      * exactly `geometryFor`'s regime for n ≲ 64 k — and keeps the static
+      * DuckDB oracle geometry-stable at test scale. An estimate is fine:
+      * recall degrades gradually with n (the cap-skip monitor
+      * [[VectorQueries.lshBucketStats]] is the alarm for a stale value). */
+    val CorpusSizeConf = "spark.graft.lsh.corpusSize"
+
+    /** Effective (bands, bits) for this session — [[CorpusSizeConf]]-derived
+      * when set, the fixed defaults otherwise. */
+    def geometry(spark: SparkSession): (Int, Int) =
+      spark.conf.getOption(CorpusSizeConf)
+        .map(n => geometryFor(n.trim.toLong))
+        .getOrElse((Bands, BitsPerBand))
   }
 
   /** (bands × bits)-row hyperplane table: plane p's component d is ±1 by MD5
@@ -136,9 +154,11 @@ object VectorQueries {
     * directly per (vec_id, band) — never packed through one 64-bit signature
     * word — so `bits × bands` can exceed 64 and no arithmetic-shift sign trap
     * exists in either engine. Broadcast join (plane table is tiny) → one dot
-    * per (vector, plane) → map-side-combined groupBy. */
-  private def rawBands(spark: SparkSession, dir: String,
-      nBands: Int = EmbeddingLsh.Bands, bits: Int = EmbeddingLsh.BitsPerBand): DataFrame =
+    * per (vector, plane) → map-side-combined groupBy. Geometry comes from
+    * [[EmbeddingLsh.geometry]]: corpus-size-derived when the
+    * [[EmbeddingLsh.CorpusSizeConf]] knob is set, fixed defaults otherwise. */
+  private def rawBands(spark: SparkSession, dir: String): DataFrame = {
+    val (nBands, bits) = EmbeddingLsh.geometry(spark)
     emb(spark, dir)
       .crossJoin(broadcast(planes(spark, nBands * bits)))
       .select(col("vec_id"), col("p"), dot(col("e"), col("signs")).as("proj"))
@@ -146,6 +166,7 @@ object VectorQueries {
       .agg(sum(when(col("proj") >= 0,
           expr(s"shiftleft(cast(1 as bigint), cast(p % $bits as int))")).otherwise(lit(0L)))
         .as("band_val"))
+  }
 
   /** Banded signature with degenerate buckets (> [[DedupQueries.SimhashBucketCap]]
     * vectors sharing one band value) dropped before any candidate join — the
@@ -181,7 +202,8 @@ object VectorQueries {
 
   /** ANN via LSH: candidates sharing ≥1 band with probe vec 0, exact-cosine
     * reranked, top 10. The candidate set is an equi-join on (band_idx,
-    * band_val) against the probe's 4 rows — O(collisions), not O(n). */
+    * band_val) against the probe's `bands` rows (8 at the defaults) —
+    * O(collisions), not O(n). */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val b = bands(spark, dir).persist() // probe side + candidate side share it
     val probeBands = b.filter(col("vec_id") === 0L)
@@ -204,7 +226,14 @@ object VectorQueries {
     * runs the identical plan at ≥0.9 where banding recall is ≈95%.) The
     * band self-join + distinct bounds the verify stage to actual collisions;
     * no O(n²) pair enumeration exists anywhere in the plan. */
-  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    embeddingPairs(spark, dir).orderBy(col("vec_a"), col("vec_b"))
+
+  /** Unordered embedding near-dup pair stream `(vec_a < vec_b, cos_sim)` —
+    * the body of [[dedupEmbedding]] without the presentation sort, so
+    * composing pipelines (multimodal curation CC) don't inherit a range
+    * shuffle they immediately discard. */
+  private[ops] def embeddingPairs(spark: SparkSession, dir: String): DataFrame = {
     // Band table feeds both sides of the candidate self-join — persist it so
     // the 16 projections per vector run once, not once per side (signature
     // materialization, same as the text-dedup family).
@@ -227,7 +256,6 @@ object VectorQueries {
         round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= 0.25)
       .select(col("vec_a"), col("vec_b"), col("cos_sim"))
-      .orderBy(col("vec_a"), col("vec_b"))
   }
 
   /** IVF search: centroids = vectors 0..9 (deterministic seed), every vector
