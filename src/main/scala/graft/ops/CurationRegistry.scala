@@ -75,6 +75,41 @@ object CurationRegistry {
          |sz AS (SELECT comp, count(*) AS csize FROM comp GROUP BY comp)
          |SELECT c.doc_id, c.comp, sz.csize
          |FROM comp c JOIN sz USING (comp)
-         |ORDER BY c.doc_id""".stripMargin)(CurationQueries.curateCC)
+         |ORDER BY c.doc_id""".stripMargin)(CurationQueries.curateCC),
+
+    // Multimodal CC: text LSH edges UNION embedding LSH edges (vec_id ≡
+    // doc_id), both restricted to quality-gated unique docs, then the same
+    // recursive-CTE reachability fixpoint as q_curation_cc — entirely
+    // independent of the Spark large/small-star rounds.
+    QueryDef("q_curation_multimodal",
+      s"""WITH RECURSIVE $prefixCtes,
+         |${VectorRegistry.embCte},
+         |${VectorRegistry.sigBandCtes},
+         |vpairs AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+         |           FROM bands a JOIN bands b
+         |             ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |            AND a.vec_id < b.vec_id),
+         |vedges AS (SELECT va AS ea, vb AS eb FROM vpairs
+         |           JOIN emb ea2 ON ea2.vec_id = va
+         |           JOIN emb eb2 ON eb2.vec_id = vb
+         |           WHERE round(${VectorRegistry.cos("ea2.e", "eb2.e")}, 6) >= 0.25
+         |             AND va IN (SELECT doc_id FROM uniq)
+         |             AND vb IN (SELECT doc_id FROM uniq)),
+         |tedges AS (SELECT DISTINCT a.doc_id AS ea, b.doc_id AS eb
+         |           FROM bndc a JOIN bndc b
+         |             ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |            AND a.doc_id < b.doc_id
+         |           WHERE len(list_filter(generate_series(1, 16),
+         |                   i -> a.sig[i] = b.sig[i])) / 16.0 >= 0.5),
+         |edges AS (SELECT ea, eb FROM tedges UNION SELECT ea, eb FROM vedges),
+         |bi AS (SELECT ea, eb FROM edges UNION SELECT eb, ea FROM edges),
+         |reach AS (SELECT doc_id AS id, doc_id AS r FROM uniq
+         |          UNION
+         |          SELECT reach.id, bi.eb FROM reach JOIN bi ON bi.ea = reach.r),
+         |comp AS (SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id),
+         |sz AS (SELECT comp, count(*) AS csize FROM comp GROUP BY comp)
+         |SELECT c.doc_id, c.comp, sz.csize
+         |FROM comp c JOIN sz USING (comp)
+         |ORDER BY c.doc_id""".stripMargin)(CurationQueries.curateMultimodal)
   )
 }

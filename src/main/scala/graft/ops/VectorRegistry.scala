@@ -14,12 +14,12 @@ object VectorRegistry {
   private def dot(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a) + 1), i -> ($a)[i] * ($b)[i]))"
 
-  private def cos(a: String, b: String): String =
+  private[ops] def cos(a: String, b: String): String =
     s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
 
   /** Embeddings cast to DOUBLE[] (same elementwise float→double widening as
     * Spark's `cast(embedding as array<double>)`). */
-  private val embCte =
+  private[ops] val embCte =
     "emb AS (SELECT vec_id, CAST(label AS BIGINT) AS label, embedding::DOUBLE[] AS e FROM embeddings)"
 
   /** ±1 hyperplane components by MD5 parity of "p:d" (TextQueries.hash48);
@@ -41,8 +41,9 @@ object VectorRegistry {
        |                           ELSE 0::BIGINT END) AS BIGINT) AS band_val
        |           FROM proj GROUP BY 1, 2)""".stripMargin
 
-  /** Banding + degenerate-bucket cap, shared by the two LSH queries. */
-  private val sigBandCtes =
+  /** Banding + degenerate-bucket cap, shared by the two LSH queries (and
+    * reused verbatim by CurationRegistry's multimodal oracle). */
+  private[ops] val sigBandCtes =
     s"""$planesCte,
        |$bands0Cte,
        |okband AS (SELECT band_idx, band_val FROM bands0
