@@ -36,7 +36,14 @@ case class Shingles(left: Expression, right: Expression) extends BinaryExpressio
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(StringType, _), IntegerType) if right.foldable =>
-      TypeCheckResult.TypeCheckSuccess
+      // n is foldable, so positivity is checkable at analysis time (round-3
+      // review: n <= 0 would silently yield arrays of empty-string shingles).
+      right.eval() match {
+        case null => TypeCheckResult.TypeCheckFailure(s"$prettyName: n must not be null")
+        case n: Integer if n <= 0 =>
+          TypeCheckResult.TypeCheckFailure(s"$prettyName: n must be positive, got $n")
+        case _ => TypeCheckResult.TypeCheckSuccess
+      }
     case _ => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires (array<string>, foldable int), got " +
         s"(${left.dataType.sql}, ${right.dataType.sql})")

@@ -79,6 +79,16 @@ object ConnectedComponents {
       e = next
       rounds += 1
     }
+    // Round-3 review: exiting non-converged would silently extract an
+    // inconsistent mapping from a non-star-forest edge set (a vertex could
+    // map to multiple components) — fail loudly instead. 25 rounds covers
+    // any plausible n (rounds ≈ 2·log₂ n); a caller with a pathological
+    // graph raises maxRounds explicitly rather than getting wrong answers.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge within $maxRounds " +
+          "large/small-star rounds; the edge set is not a star forest — " +
+          "raise maxRounds (≈ 2·log₂(vertex count)) for this graph")
     // Converged: a star forest. Non-roots carry (v, root); roots are the
     // b-side ids that never appear on the a-side.
     val nonRoots = e.select(col("a").as("id"), col("b").as("comp"))

@@ -98,6 +98,13 @@ object DedupQueries {
     * O(df²) candidate pairs). Shared with the oracle SQL via interpolation. */
   val JaccardDfCap = 100
 
+  /** Exactness ceiling for [[dedupNgramJaccard]]'s prefix-filter prunes: the
+    * one-unit integer slack absorbs `round(j, 4) >= 0.5` borderline pairs
+    * only while na + nb < ~9·10⁴ (slack needed ≈ 2.3·10⁻⁵·(na+nb)); docs at
+    * or above this many shingles fail loudly (round-3 review) instead of
+    * silently risking a pruned borderline pair the exhaustive oracle emits. */
+  val JaccardExactnessMaxShingles = 10000
+
   /** N-gram Jaccard near-dup pairs (threshold 0.5; the planted testdata dups
     * sit at ≥0.97, noise below 0.08 — the threshold is not load-bearing).
     *
@@ -135,8 +142,18 @@ object DedupQueries {
     // from the cache, which pipelines without materializing. (Caller clears
     // the cache; see the class-level persist contract note.)
     val docs = docShingles(spark, dir).persist()
+    // The when/raise_error guard rides the nsh column (a groupBy key, so it
+    // is never pruned away): any doc large enough to break the prune-slack
+    // exactness proof aborts the query instead of silently dropping pairs.
     val postings = docs
-      .select(col("doc_id"), size(col("sh")).as("nsh"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), size(col("sh")).as("raw_nsh"), explode(col("sh")).as("s"))
+      .withColumn("nsh",
+        when(col("raw_nsh") < JaccardExactnessMaxShingles, col("raw_nsh"))
+          .otherwise(raise_error(concat(
+            lit(s"dedupNgramJaccard exactness requires < $JaccardExactnessMaxShingles " +
+              "shingles/doc (prefix-prune slack bound); got "),
+            col("raw_nsh"), lit(" for doc_id "), col("doc_id")))))
+      .drop("raw_nsh")
     // Census of REPEATED shingles only (df ≥ 2): the overwhelming majority of
     // shingles are unique, so this join side stays small enough for AQE to
     // broadcast (27 k rows vs 2.5 M postings at sf0.1) while degrading to a
