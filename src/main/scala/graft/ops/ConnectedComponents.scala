@@ -42,6 +42,14 @@ object ConnectedComponents {
       .where(col("a") =!= col("b")).distinct()
   }
 
+  /** (row count, order-independent xor of per-row xxhash64) of an (a, b)
+    * edge frame — one partial-agg job, used as the cheap per-round
+    * convergence probe in [[minLabel]]. */
+  private def fingerprint(df: DataFrame): (Long, Long) = {
+    val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("a"), col("b")))).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
   /** One small-star round: every node connects its smaller neighbors (and
     * itself) to the minimum of that set. */
   private def smallStar(e: DataFrame): DataFrame = {
@@ -71,12 +79,25 @@ object ConnectedComponents {
   def minLabel(edges: DataFrame, maxRounds: Int = 25): DataFrame = {
     var e = edges.select(col("a"), col("b"))
       .where(col("a") =!= col("b")).distinct().localCheckpoint()
-    var converged = e.isEmpty
+    var (eCount, eFp) = fingerprint(e)
+    var converged = eCount == 0L
     var rounds = 0
     while (!converged && rounds < maxRounds) {
       val next = smallStar(largeStar(e)).localCheckpoint()
-      converged = next.exceptAll(e).unionByName(e.exceptAll(next)).isEmpty
+      // Convergence test in ONE cheap partial-agg job per round: (count,
+      // order-independent xor fingerprint). Unequal → provably not converged
+      // and the expensive exceptAll is skipped; equal → one exceptAll
+      // CONFIRMS set equality (both sides are distinct'd, so equal count +
+      // empty one-directional difference is full equality — a fingerprint
+      // collision merely costs that one extra exceptAll, never correctness).
+      // The former symmetric exceptAll pair ran every round; this runs a
+      // scan-agg every round and exceptAll exactly once, at the fixpoint.
+      val (nextCount, nextFp) = fingerprint(next)
+      converged = nextCount == eCount && nextFp == eFp &&
+        next.exceptAll(e).isEmpty
       e = next
+      eCount = nextCount
+      eFp = nextFp
       rounds += 1
     }
     // Round-3 review: exiting non-converged would silently extract an

@@ -115,28 +115,44 @@ object CurationQueries {
     clusterAndLabel(uniqueDocs, nearDupPairs(uniqueDocs))
   }
 
+  /** Embedding edges below this cosine are not multimodal DUP evidence.
+    * Deliberately above [[VectorQueries.dedupEmbedding]]'s 0.25 demo
+    * threshold: on this corpus's random unit vectors, 0.25 edges have mean
+    * degree ≳ 1 — transitive closure then welds half the corpus into one
+    * giant cluster (measured: 52-doc components at sf0.01, ~17 s of CC
+    * rounds at sf0.1), which is neither what "duplicate" means nor a
+    * scalable edge density. 0.4 keeps only the strong tail (the testdata
+    * max is ≈ 0.48); a production run with real near-dup embeddings uses
+    * ≥ 0.9 — the same plan, sparser still. Shared with the oracle SQL. */
+  val MultimodalCosMin = 0.4
+
   /** Multimodal near-dup clustering (round-3 VERDICT #6): connected
     * components over the UNION of the text MinHash-LSH candidate edges and
     * the embedding-LSH near-dup pairs ([[VectorQueries.embeddingPairs]],
-    * cosine ≥ 0.25), joined through the corpus's 1:1 `doc_id = vec_id`
-    * mapping (a production pipeline carries an explicit doc↔vec mapping
-    * table; these semi-joins ARE that mapping join, so the shape is
-    * identical). Embedding edges are restricted to endpoints that survive
-    * the quality gate + exact dedup — a vector similarity between documents
-    * the text stages already discarded must not resurrect them into a
-    * cluster. This is the real multimodal dedup a 100 TB pipeline runs: two
-    * independently-banded candidate generators (each bucket-capped, so max
-    * degree stays bounded), one O(log n) relational CC over their union. */
+    * cosine ≥ [[MultimodalCosMin]]), joined through the corpus's 1:1
+    * `doc_id = vec_id` mapping (a production pipeline carries an explicit
+    * doc↔vec mapping table; these semi-joins ARE that mapping join, so the
+    * shape is identical). Embedding edges are restricted to endpoints that
+    * survive the quality gate + exact dedup — a vector similarity between
+    * documents the text stages already discarded must not resurrect them
+    * into a cluster. This is the real multimodal dedup a 100 TB pipeline
+    * runs: two independently-banded candidate generators (each
+    * bucket-capped, so max degree stays bounded), one O(log n) relational
+    * CC over their union. */
   def curateMultimodal(spark: SparkSession, dir: String): DataFrame = {
     val uniqueDocs = uniqQualified(spark, dir)
-    val ids = uniqueDocs.select(col("doc_id"))
-    val embEdges = VectorQueries.embeddingPairs(spark, dir)
+    // The surviving id set feeds two semi-joins and the final labeling;
+    // persisting the one-column frame stops the full quality/dedup subplan
+    // from re-executing per reference (caller clears the cache — see the
+    // persist contract on DedupQueries).
+    val ids = uniqueDocs.select(col("doc_id")).persist()
+    val embEdges = VectorQueries.embeddingPairs(spark, dir, MultimodalCosMin)
       .select(col("vec_a").as("a"), col("vec_b").as("b"))
       .join(ids.select(col("doc_id").as("a")), Seq("a"), "left_semi")
       .join(ids.select(col("doc_id").as("b")), Seq("b"), "left_semi")
       .select(col("a"), col("b"))
     val edges = nearDupPairs(uniqueDocs).unionByName(embEdges).distinct()
-    clusterAndLabel(uniqueDocs, edges)
+    clusterAndLabel(ids, edges)
   }
 
   /** Shared CC tail: label every quality-gated unique doc with its

@@ -92,7 +92,7 @@ object CurationRegistry {
          |vedges AS (SELECT va AS ea, vb AS eb FROM vpairs
          |           JOIN emb ea2 ON ea2.vec_id = va
          |           JOIN emb eb2 ON eb2.vec_id = vb
-         |           WHERE round(${VectorRegistry.cos("ea2.e", "eb2.e")}, 6) >= 0.25
+         |           WHERE round(${VectorRegistry.cos("ea2.e", "eb2.e")}, 6) >= ${CurationQueries.MultimodalCosMin}
          |             AND va IN (SELECT doc_id FROM uniq)
          |             AND vb IN (SELECT doc_id FROM uniq)),
          |tedges AS (SELECT DISTINCT a.doc_id AS ea, b.doc_id AS eb

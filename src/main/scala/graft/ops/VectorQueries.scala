@@ -229,11 +229,12 @@ object VectorQueries {
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
     embeddingPairs(spark, dir).orderBy(col("vec_a"), col("vec_b"))
 
-  /** Unordered embedding near-dup pair stream `(vec_a < vec_b, cos_sim)` —
-    * the body of [[dedupEmbedding]] without the presentation sort, so
-    * composing pipelines (multimodal curation CC) don't inherit a range
-    * shuffle they immediately discard. */
-  private[ops] def embeddingPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** Unordered embedding near-dup pair stream `(vec_a < vec_b, cos_sim)` at
+    * `minCos` — the body of [[dedupEmbedding]] without the presentation
+    * sort, so composing pipelines (multimodal curation CC) don't inherit a
+    * range shuffle they immediately discard. */
+  private[ops] def embeddingPairs(spark: SparkSession, dir: String,
+      minCos: Double = 0.25): DataFrame = {
     // Band table feeds both sides of the candidate self-join — persist it so
     // the 16 projections per vector run once, not once per side (signature
     // materialization, same as the text-dedup family).
@@ -254,7 +255,7 @@ object VectorQueries {
       .join(e.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("nrm").as("nb")), Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("cos_sim"))
-      .filter(col("cos_sim") >= 0.25)
+      .filter(col("cos_sim") >= minCos)
       .select(col("vec_a"), col("vec_b"), col("cos_sim"))
   }
 

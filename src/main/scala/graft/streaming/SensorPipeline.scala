@@ -183,8 +183,20 @@ object SensorPipeline {
     * format with compaction rather than bare parquet. */
   val ChangelogBuckets = 32
 
+  /** Production sizing knob for the changelog table: bucket count should
+    * track key cardinality (buckets ≈ keys / 50 k keeps a bucket's rewrite
+    * cost bounded as keys grow — see the ChangelogProbe measurements in
+    * BASELINE.md). Unset → [[ChangelogBuckets]]. Only consulted when the
+    * table is first created; an existing table keeps its layout (the bucket
+    * column is part of the on-disk partitioning). */
+  val ChangelogBucketsConf = "spark.graft.changelog.buckets"
+  private def changelogBuckets(spark: SparkSession): Int =
+    spark.conf.getOption(ChangelogBucketsConf).map(_.trim.toInt)
+      .getOrElse(ChangelogBuckets)
+
   def upsertBatch(tablePath: String)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    val nBuckets = changelogBuckets(spark)
     // Cache the micro-batch output FIRST: inside foreachBatch every action
     // re-executes the batch plan, and for a stateful query that plan is the
     // whole shuffle + state-store pass — uncached, the emptiness probe, the
@@ -194,7 +206,7 @@ object SensorPipeline {
         col("id"), col("w_start").cast("long").as("w_sec"),
         col("max_temperature"), col("min_temperature"),
         col("avg_temperature"), col("n"))
-      .withColumn("bucket", pmod(hash(col("id"), col("w_sec")), lit(ChangelogBuckets)))
+      .withColumn("bucket", pmod(hash(col("id"), col("w_sec")), lit(nBuckets)))
       .persist()
     try {
       // count(), not isEmpty(): the emptiness probe is a limit-1 partial
@@ -221,7 +233,7 @@ object SensorPipeline {
       // of one per task (32 buckets × 32 tasks ≈ 1k tiny files per batch —
       // measured ~2 s of commit overhead at sf0.1, and a small-file explosion
       // a long-lived table can't afford).
-      val snap = merged.repartition(ChangelogBuckets, col("bucket")).persist()
+      val snap = merged.repartition(nBuckets, col("bucket")).persist()
       snap.count()
       snap.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
