@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Training-data pipeline *assembly* operators — the stages that turn a
+  * curated corpus into a training mix: benchmark decontamination, domain
+  * mixing, sequence packing, and repetition-based quality signals. The
+  * reference (an IoT stream job) has none of these; they are north-star
+  * extensions designed Spark-first for the 100 TB point, following the same
+  * rules as [[TextQueries]]: pure codegen'd column expressions, MD5-derived
+  * engine-portable hashes, ORDER BY on a unique key, rounded doubles.
+  */
+object PipelineQueries {
+
+  import TextQueries.{hash48, shingled, wordsExpr}
+
+  /** Contamination shingle width: an 8-token overlap between a training doc
+    * and an eval doc is (at LM scale) essentially never coincidence — the
+    * standard n for benchmark decontamination sweeps. */
+  val DecontamN = 8
+
+  /** The held-out eval set is identified by provenance, not content: in the
+    * testdata, everything from `source = 'src0'`. Shared with the oracle. */
+  val EvalSource = "src0"
+
+  /** Benchmark decontamination audit: for every TRAINING doc (source ≠
+    * eval), the number of its distinct 8-gram shingles that also occur
+    * anywhere in the EVAL set — docs with `n_contaminated > 0` are the ones
+    * a training run must drop or clean.
+    *
+    * Shape at scale: both sides shingle once (narrow, per-doc); the eval
+    * side collapses to DISTINCT 48-bit shingle hashes — eval benchmarks are
+    * a few MB against a 100 TB corpus, so that set is explicitly
+    * `broadcast()`: the contamination probe is a map-side hash-join with NO
+    * shuffle of the training corpus. The per-doc count is a partial agg
+    * keyed by doc_id. Joining on [[TextQueries.hash48]] instead of the raw
+    * shingle keeps the broadcast table narrow; a 48-bit collision can only
+    * ADD a false contamination flag (conservative in the safe direction),
+    * and the oracle hashes identically so the gate stays exact. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val evalSh = shingled(docs.filter(col("source") === EvalSource), DecontamN)
+      .select(explode(col("sh")).as("s"))
+      .select(expr(hash48("s")).as("h")).distinct()
+    val trainSh = shingled(docs.filter(col("source") =!= EvalSource), DecontamN)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), expr(hash48("s")).as("h"))
+    trainSh.join(broadcast(evalSh), Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-language sampling rates (permille) for the training-mix draw —
+    * the "domain weights" of a data recipe. Default applies to languages
+    * not listed. Shared with the oracle SQL. */
+  val MixPermille: Seq[(String, Int)] =
+    Seq("en" -> 500, "de" -> 1000, "es" -> 250, "zh" -> 750)
+  val MixDefaultPermille = 100
+
+  private def mixRateSql(langCol: String): String =
+    MixPermille.map { case (l, p) => s"WHEN $langCol = '$l' THEN $p" }
+      .mkString("CASE ", " ", s" ELSE $MixDefaultPermille END")
+
+  /** Deterministic domain-mix sample: keep a doc iff its MD5-derived 48-bit
+    * hash mod 1000 falls under its language's target permille. The draw is
+    * a pure function of `doc_id` — re-running the pipeline (or running it
+    * on different cluster sizes / partitionings) selects the SAME sample,
+    * which is what makes a training mix reproducible. No shuffle at all:
+    * the predicate is a narrow codegen'd filter (the ORDER BY is only for
+    * the oracle compare). At 100 TB the same expression runs inside the
+    * scan with the rate table folded into the CASE (or joined broadcast if
+    * the recipe is data-driven). */
+  def domainMix(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .withColumn("permille", expr(mixRateSql("lang")))
+      .filter(expr(s"${hash48("cast(doc_id as string)")} % 1000") < col("permille"))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
+  /** Sequence/context length for packing, in whitespace tokens. Small so the
+    * testdata yields many bins per language. */
+  val PackBudget = 512
+
+  /** Concat-and-cut sequence packing: per language, documents are laid out
+    * in doc_id order and cut into [[PackBudget]]-token training sequences —
+    * `seq` = which sequence a doc's FIRST token lands in (the standard
+    * "concatenate then chunk" LM pre-training layout; a doc straddling a
+    * boundary continues into the next sequence). Output is the packing
+    * manifest: docs and tokens per (lang, seq).
+    *
+    * Shape at scale: one window (running sum) partitioned by lang ordered by
+    * doc_id, then a partial agg keyed by (lang, seq). A single language's
+    * stream is one range-partitioned sort at 100 TB — the same shape as any
+    * global sort, and Spark's range partitioner handles it; pipelines that
+    * don't need a GLOBAL order run the identical plan per shard (salt the
+    * partition key) and pack within shards. */
+  def tokenPacking(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables(spark, dir).documents
+      .select(col("lang"), col("doc_id"), size(expr(wordsExpr)).cast("long").as("toks"))
+      .withColumn("cum_before", coalesce(sum(col("toks")).over(w), lit(0L)))
+      .withColumn("seq", floor(col("cum_before") / PackBudget))
+      .groupBy(col("lang"), col("seq"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      .orderBy(col("lang"), col("seq"))
+  }
+
+  /** Repetition quality signals (the Gopher-rules family): per doc, the
+    * fraction of tokens that are repeats of an earlier token and the
+    * fraction taken by the single most frequent token — high values mark
+    * degenerate/boilerplate text a quality gate should drop.
+    *
+    * Shape at scale: explode → count per (doc_id, token) → per-doc agg.
+    * Both aggregations are map-side-combinable partial aggs over the SAME
+    * (doc_id-keyed) shuffle, so the cost is one shuffle of the token-count
+    * table regardless of document length — the per-doc HOF alternative
+    * (count each distinct token inside a lambda) is O(len²) per doc and
+    * CodegenFallback, wrong at scale on long documents. */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), explode(expr(wordsExpr)).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_count"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("top_count"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 6)
+          .as("dup_frac"),
+        round(col("top_count").cast("double") / col("n_tokens"), 6).as("top_frac"))
+      .orderBy(col("doc_id"))
+}

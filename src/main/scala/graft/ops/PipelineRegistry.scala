@@ -1,0 +1,67 @@
+package graft.ops
+
+import graft.QueryDef
+
+/** DuckDB oracles for [[PipelineQueries]] — same MD5-derived hashes, same
+  * shingle construction, same CASE rate table, same window frames. */
+object PipelineRegistry {
+
+  private val words = "string_split(text, ' ')"
+
+  /** Distinct n-word shingles, DuckDB spelling of TextQueries.shingled
+    * (slice is inclusive-inclusive: i : i+n-1). */
+  private def shingleSet(n: Int) =
+    s"list_distinct(list_transform(generate_series(1, len($words) - ${n - 1}), i -> array_to_string(($words)[i:i+${n - 1}], ' ')))"
+
+  private def hash48(e: String) = s"('0x' || substr(md5($e), 1, 12))::BIGINT"
+
+  private val mixRateSql =
+    PipelineQueries.MixPermille
+      .map { case (l, p) => s"WHEN lang = '$l' THEN $p" }
+      .mkString("CASE ", " ", s" ELSE ${PipelineQueries.MixDefaultPermille} END")
+
+  def all: Seq[QueryDef] = Seq(
+    QueryDef("q_decontaminate",
+      s"""WITH sh AS (SELECT doc_id, source, ${shingleSet(PipelineQueries.DecontamN)} AS sh
+         |            FROM documents),
+         |ev AS (SELECT DISTINCT ${hash48("s")} AS h
+         |       FROM (SELECT unnest(sh) AS s FROM sh
+         |             WHERE source = '${PipelineQueries.EvalSource}')),
+         |tr AS (SELECT doc_id, ${hash48("s")} AS h
+         |       FROM (SELECT doc_id, unnest(sh) AS s FROM sh
+         |             WHERE source <> '${PipelineQueries.EvalSource}'))
+         |SELECT doc_id, count(*) AS n_contaminated
+         |FROM tr JOIN ev USING (h)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin)(PipelineQueries.decontaminate),
+
+    QueryDef("q_domain_mix",
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ${hash48("doc_id::VARCHAR")} % 1000 < ($mixRateSql)
+         |ORDER BY doc_id""".stripMargin)(PipelineQueries.domainMix),
+
+    QueryDef("q_token_packing",
+      s"""WITH d AS (SELECT lang, doc_id,
+         |             CAST(len($words) AS BIGINT) AS toks
+         |           FROM documents),
+         |c AS (SELECT lang, doc_id, toks,
+         |        coalesce(sum(toks) OVER (PARTITION BY lang ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |      FROM d)
+         |SELECT lang, CAST(floor(cum_before / ${PipelineQueries.PackBudget}) AS BIGINT) AS seq,
+         |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens
+         |FROM c GROUP BY 1, 2 ORDER BY lang, seq""".stripMargin)(
+      PipelineQueries.tokenPacking),
+
+    QueryDef("q_repetition_stats",
+      s"""WITH tc AS (SELECT doc_id, t, count(*) AS c
+         |            FROM (SELECT doc_id, unnest($words) AS t FROM documents)
+         |            GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |               count(*) AS n_distinct, max(c) AS top_count
+         |        FROM tc GROUP BY 1)
+         |SELECT doc_id, n_tokens, n_distinct, top_count,
+         |  round(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS dup_frac,
+         |  round(CAST(top_count AS DOUBLE) / n_tokens, 6) AS top_frac
+         |FROM agg ORDER BY doc_id""".stripMargin)(PipelineQueries.repetitionStats)
+  )
+}

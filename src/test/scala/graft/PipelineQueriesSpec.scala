@@ -1,0 +1,91 @@
+package graft
+
+import java.security.MessageDigest
+
+import graft.ops.PipelineQueries
+import graft.tables.Tables
+
+/** Brute-force driver-side oracles for the training-mix assembly operators
+  * (sf0.001) — independent plain-Scala recomputation, catching semantic
+  * drift both SQL engines could agree on. */
+class PipelineQueriesSpec extends SparkSpec {
+
+  private lazy val corpus: Seq[(Long, String, String, Array[String])] =
+    Tables(spark, sf).documents.select("doc_id", "lang", "source", "text")
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3).split(" ", -1)))
+
+  private def md5mod1000(s: String): Long = {
+    val hex = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(12), 16) % 1000
+  }
+
+  private def shingles(w: Array[String], n: Int): Set[String] =
+    if (w.length < n) Set.empty
+    else w.sliding(n).map(_.mkString(" ")).toSet
+
+  test("decontaminate = per-train-doc count of distinct 8-grams shared with eval") {
+    val n = PipelineQueries.DecontamN
+    val eval = corpus.filter(_._3 == PipelineQueries.EvalSource)
+      .flatMap(d => shingles(d._4, n)).toSet
+    val want = corpus.filter(_._3 != PipelineQueries.EvalSource)
+      .map(d => d._1 -> shingles(d._4, n).count(eval))
+      .filter(_._2 > 0).toMap
+    val got = PipelineQueries.decontaminate(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    got shouldBe want
+  }
+
+  test("domain mix keeps exactly the docs whose md5-hash permille is under the lang rate") {
+    val rates = PipelineQueries.MixPermille.toMap
+    val want = corpus.filter { case (id, lang, _, _) =>
+      md5mod1000(id.toString) <
+        rates.getOrElse(lang, PipelineQueries.MixDefaultPermille)
+    }.map(d => (d._1, d._2, d._3))
+    val got = PipelineQueries.domainMix(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    got shouldBe want.sortBy(_._1)
+  }
+
+  test("token packing = concat-and-cut manifest per lang in doc_id order") {
+    val budget = PipelineQueries.PackBudget
+    val want = corpus.groupBy(_._2).toSeq.flatMap { case (lang, ds) =>
+      var cum = 0L
+      ds.sortBy(_._1).map { case (_, _, _, w) =>
+        val seq = cum / budget
+        cum += w.length
+        (lang, seq, w.length.toLong)
+      }
+    }.groupBy(t => (t._1, t._2)).map { case ((lang, seq), xs) =>
+      (lang, seq, xs.size.toLong, xs.map(_._3).sum)
+    }.toSet
+    val got = PipelineQueries.tokenPacking(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    got shouldBe want
+  }
+
+  test("repetition stats match per-doc token frequency recomputation") {
+    val want = corpus.map { case (id, _, _, w) =>
+      val counts = w.groupBy(identity).map(_._2.length)
+      id -> (w.length.toLong, counts.size.toLong, counts.max.toLong)
+    }.toMap
+    val got = PipelineQueries.repetitionStats(spark, sf).collect()
+    got.length shouldBe want.size
+    got.foreach { r =>
+      val (n, d, top) = want(r.getLong(0))
+      r.getLong(1) shouldBe n
+      r.getLong(2) shouldBe d
+      r.getLong(3) shouldBe top
+      r.getDouble(4) shouldBe (1.0 - d.toDouble / n) +- 1e-6
+      r.getDouble(5) shouldBe (top.toDouble / n) +- 1e-6
+    }
+  }
+
+  test("decontamination probe broadcasts the eval shingle set (no corpus shuffle join)") {
+    val p = plan(PipelineQueries.decontaminate(spark, sf))
+    p should include("BroadcastHashJoin")
+    (p should not).include("SortMergeJoin")
+  }
+}
