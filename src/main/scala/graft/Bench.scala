@@ -16,13 +16,22 @@ object Bench {
     // measured ~6-7 s absorbed by whichever query ran first before the
     // representative sf0.001 warmup runs below were added.
     spark.range(1000000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/nation.parquet").count()
-    val warmDir = "/root/testdata/sf0.001"
+    try spark.read.parquet(s"$sfDir/nation.parquet").count()
+    catch { case t: Throwable =>
+      System.err.println(s"[bench] WARMUP FAILED nation scan: ${t.getClass.getSimpleName}")
+    }
+    // Warmup runs at the smallest SF alongside the bench dir (sf0.1 →
+    // sibling sf0.001) so a relocated testdata root doesn't silently skip
+    // warmup; a failed warmup query logs loudly — silence here would
+    // quietly reintroduce the ~6-7 s first-query JIT bias.
+    val warmDir = new java.io.File(sfDir).getParent + "/sf0.001"
     Seq("q_minhash_lsh", "q_dedup_embedding", "q_join_broadcast", "q_window_rank",
         "q_curation_cc")
       .foreach { n =>
         try SparkEntry.queries(n)(spark, warmDir).count()
-        catch { case _: Throwable => () }
+        catch { case t: Throwable =>
+          System.err.println(s"[bench] WARMUP FAILED $n: ${t.getClass.getSimpleName}: ${t.getMessage}")
+        }
       }
     spark.sharedState.cacheManager.clearCache()
     // Local-iteration filter: SPARK_GRAFT_ONLY=q_a,q_b times just those.
@@ -37,17 +46,28 @@ object Bench {
         .toSeq.sortBy(_._1)
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // A failed query must be VISIBLE in the output (round-4 review: the
+      // old swallow-to--1L benched a broken query as ~0 s with rc=0).
+      val err = try { fn(spark, sfDir).count(); None } catch {
+        case t: Throwable =>
+          System.err.println(s"[bench] QUERY FAILED $name: ${t.getClass.getSimpleName}: ${t.getMessage}")
+          Some(t.getClass.getSimpleName)
+      }
       // Signature-table persists (dedup/vector queries) are per-plan and
       // never unpersisted by the builders; drop them between queries so the
       // 60+-query run doesn't accumulate cached partitions.
       spark.sharedState.cacheManager.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v, e) =>
+      "\"" + k + "\":" + e.map(_ => "-1").getOrElse(v.toString)
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) => s"\"$k\":\"$e\"" }
+    val errField =
+      if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
+    val total = results.collect { case (_, v, None) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}""")
     spark.stop()
+    if (errs.nonEmpty) sys.exit(1)
   }
 }

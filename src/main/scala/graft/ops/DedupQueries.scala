@@ -142,18 +142,21 @@ object DedupQueries {
     // from the cache, which pipelines without materializing. (Caller clears
     // the cache; see the class-level persist contract note.)
     val docs = docShingles(spark, dir).persist()
-    // The when/raise_error guard rides the nsh column (a groupBy key, so it
-    // is never pruned away): any doc large enough to break the prune-slack
-    // exactness proof aborts the query instead of silently dropping pairs.
+    // The when/raise_error guard is computed on the per-doc frame BEFORE the
+    // explode (one evaluation per doc, not per posting — round-4 review) and
+    // rides the nsh column, which the `sets` path below uses as a groupBy
+    // key, so the guard is never pruned from the always-executed branch: any
+    // doc large enough to break the prune-slack exactness proof aborts the
+    // query instead of silently dropping pairs.
     val postings = docs
-      .select(col("doc_id"), size(col("sh")).as("raw_nsh"), explode(col("sh")).as("s"))
+      .withColumn("raw_nsh", size(col("sh")))
       .withColumn("nsh",
         when(col("raw_nsh") < JaccardExactnessMaxShingles, col("raw_nsh"))
           .otherwise(raise_error(concat(
             lit(s"dedupNgramJaccard exactness requires < $JaccardExactnessMaxShingles " +
               "shingles/doc (prefix-prune slack bound); got "),
             col("raw_nsh"), lit(" for doc_id "), col("doc_id")))))
-      .drop("raw_nsh")
+      .select(col("doc_id"), col("nsh"), explode(col("sh")).as("s"))
     // Census of REPEATED shingles only (df ≥ 2): the overwhelming majority of
     // shingles are unique, so this join side stays small enough for AQE to
     // broadcast (27 k rows vs 2.5 M postings at sf0.1) while degrading to a

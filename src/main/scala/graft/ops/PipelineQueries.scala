@@ -85,6 +85,13 @@ object PipelineQueries {
     * testdata yields many bins per language. */
   val PackBudget = 512
 
+  /** Documents per prefix-sum shard in [[tokenPacking]]. Small here so the
+    * sf0.01 gate already exercises multi-shard offset stitching (500 docs →
+    * 8 shards); at 100 TB pick ~10⁵–10⁶ docs/shard so the subtotal table
+    * (one row per (lang, shard)) stays in the 10⁴–10⁵ row range — metadata,
+    * not data. */
+  val PackShardDocs = 64
+
   /** Concat-and-cut sequence packing: per language, documents are laid out
     * in doc_id order and cut into [[PackBudget]]-token training sequences —
     * `seq` = which sequence a doc's FIRST token lands in (the standard
@@ -92,18 +99,38 @@ object PipelineQueries {
     * boundary continues into the next sequence). Output is the packing
     * manifest: docs and tokens per (lang, seq).
     *
-    * Shape at scale: one window (running sum) partitioned by lang ordered by
-    * doc_id, then a partial agg keyed by (lang, seq). A single language's
-    * stream is one range-partitioned sort at 100 TB — the same shape as any
-    * global sort, and Spark's range partitioner handles it; pipelines that
-    * don't need a GLOBAL order run the identical plan per shard (salt the
-    * partition key) and pack within shards. */
+    * Shape at scale: the running sum is a **two-pass distributed prefix
+    * sum**, NOT `Window.partitionBy(lang)` — a corpus has ~a handful of
+    * languages, and WindowExec puts each partition key's rows in ONE task,
+    * so the naive window sorts tens of TB per language in a single task
+    * (round-4 review). Instead:
+    *   1. deterministic sharding: `shard = doc_id / PackShardDocs` (pure
+    *      function of the id — no range-sampler nondeterminism, no persist
+    *      needed for the two passes to agree);
+    *   2. per-(lang, shard) token subtotals — one partial agg; the per-lang
+    *      running offset is a window over THAT table, which is
+    *      O(corpus / PackShardDocs) rows of metadata, not data;
+    *   3. offsets broadcast-joined back; each (lang, shard) window partition
+    *      computes its local running sum + offset. Same output bit-for-bit
+    *      (long addition is associative), parallelism = #shards instead of
+    *      #languages.
+    * Non-numeric doc ids would shard by a hash range instead; monotone ids
+    * keep shard order aligned with pack order for free. */
   def tokenPacking(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables(spark, dir).documents
+    val d = Tables(spark, dir).documents
       .select(col("lang"), col("doc_id"), size(expr(wordsExpr)).cast("long").as("toks"))
-      .withColumn("cum_before", coalesce(sum(col("toks")).over(w), lit(0L)))
+      .withColumn("shard", floor(col("doc_id") / PackShardDocs))
+    val wOffset = Window.partitionBy(col("lang")).orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = d.groupBy(col("lang"), col("shard"))
+      .agg(sum(col("toks")).as("sub"))
+      .withColumn("offset", coalesce(sum(col("sub")).over(wOffset), lit(0L)))
+      .select(col("lang"), col("shard"), col("offset"))
+    val wLocal = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.join(broadcast(offsets), Seq("lang", "shard"))
+      .withColumn("cum_before",
+        coalesce(sum(col("toks")).over(wLocal), lit(0L)) + col("offset"))
       .withColumn("seq", floor(col("cum_before") / PackBudget))
       .groupBy(col("lang"), col("seq"))
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))

@@ -130,6 +130,20 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("token packing's data-stream running sum is sharded, not one-task-per-language") {
+    val p = plan(PipelineQueries.tokenPacking(spark, sf))
+    // the window over the full document stream must be keyed (lang, shard);
+    // a lang-only windowspec ordered by doc_id is the one-task-per-language
+    // shape the two-pass prefix sum exists to avoid (round-4 review)
+    assert("""windowspecdefinition\(lang#\d+, shard#\d+L?, doc_id""".r.findFirstIn(p).isDefined,
+      s"expected (lang, shard)-partitioned running sum over documents:\n$p")
+    assert("""windowspecdefinition\(lang#\d+, doc_id""".r.findFirstIn(p).isEmpty,
+      s"found per-language window over the document stream:\n$p")
+    // the per-lang offset window is fine ONLY over the subtotal aggregate —
+    // and the offsets side must come in broadcast, not shuffled
+    assert(p.contains("BroadcastHashJoin"), s"offsets must broadcast-join back:\n$p")
+  }
+
   test("hash sample predicate is evaluated in the scan stage, not post-shuffle") {
     val p = plan(StatsQueries.sampleHash(spark, sf))
     // deterministic md5 filter can't be a parquet PushedFilter, but it must
