@@ -13,6 +13,13 @@ object Verify {
       .getOrCreate()
     GraftExtensions.ensureRegistered(spark)
     spark.sparkContext.setLogLevel("WARN")
+    // The DuckDB oracles bake EmbeddingLsh's DEFAULT geometry at object
+    // construction; a leaked corpus-size conf would re-plan the Spark side
+    // of four vector/multimodal queries and produce opaque hash mismatches.
+    // Fail here with a clear message instead.
+    require(spark.conf.getOption(ops.VectorQueries.EmbeddingLsh.CorpusSizeConf).isEmpty,
+      s"${ops.VectorQueries.EmbeddingLsh.CorpusSizeConf} must be unset during oracle runs: " +
+        "the DuckDB oracles assume the default LSH geometry")
     new java.io.File(outDir).mkdirs()
     // Local-iteration filter (same contract as Bench): SPARK_GRAFT_ONLY=q_a,q_b
     // verifies just those; the driver sets nothing and gets the full dump.

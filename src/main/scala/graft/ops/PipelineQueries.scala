@@ -26,10 +26,10 @@ object PipelineQueries {
     * testdata, everything from `source = 'src0'`. Shared with the oracle. */
   val EvalSource = "src0"
 
-  /** Benchmark decontamination audit: for every TRAINING doc (source ≠
-    * eval), the number of its distinct 8-gram shingles that also occur
-    * anywhere in the EVAL set — docs with `n_contaminated > 0` are the ones
-    * a training run must drop or clean.
+  /** Per-doc contamination counts for TRAINING docs (source ≠ eval): the
+    * number of each doc's distinct [[DecontamN]]-gram shingles that also
+    * occur anywhere in the EVAL set. Inner join — only docs with at least
+    * one shared shingle appear.
     *
     * Shape at scale: both sides shingle once (narrow, per-doc); the eval
     * side collapses to DISTINCT 48-bit shingle hashes — eval benchmarks are
@@ -40,7 +40,7 @@ object PipelineQueries {
     * shingle keeps the broadcast table narrow; a 48-bit collision can only
     * ADD a false contamination flag (conservative in the safe direction),
     * and the oracle hashes identically so the gate stays exact. */
-  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+  private def contaminationCounts(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
     val evalSh = shingled(docs.filter(col("source") === EvalSource), DecontamN)
       .select(explode(col("sh")).as("s"))
@@ -51,8 +51,33 @@ object PipelineQueries {
     trainSh.join(broadcast(evalSh), Seq("h"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_contaminated"))
-      .orderBy(col("doc_id"))
   }
+
+  /** Benchmark decontamination audit — the FLAGGED list: only training docs
+    * with `n_contaminated > 0` appear (absence means clean); these are the
+    * docs a training run must drop or clean. See [[contaminationCounts]]
+    * for the broadcast map-side shape. For the complementary view with
+    * clean docs included, use [[decontaminateKeepList]]. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame =
+    contaminationCounts(spark, dir).orderBy(col("doc_id"))
+
+  /** Benchmark decontamination — the KEEP-LIST view: EVERY training doc,
+    * with its contamination count (0 for clean) and a `keep` flag (1 iff
+    * clean) — the frame a pipeline actually feeds downstream, where a
+    * missing row and a dropped doc must not be confusable. Left join from
+    * the doc table against the flagged counts. No forced broadcast here:
+    * the flagged set is normally a sliver (AQE broadcasts it and the doc
+    * table never shuffles), but it is not BOUNDED — a pervasively
+    * contaminated corpus legitimately needs the shuffle join AQE falls
+    * back to, and pinning `broadcast()` would OOM exactly then. */
+  def decontaminateKeepList(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .filter(col("source") =!= EvalSource)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .join(contaminationCounts(spark, dir), Seq("doc_id"), "left")
+      .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
+      .withColumn("keep", (col("n_contaminated") === 0L).cast("long"))
+      .orderBy(col("doc_id"))
 
   /** Per-language sampling rates (permille) for the training-mix draw —
     * the "domain weights" of a data recipe. Default applies to languages

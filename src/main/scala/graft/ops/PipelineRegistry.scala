@@ -34,6 +34,24 @@ object PipelineRegistry {
          |FROM tr JOIN ev USING (h)
          |GROUP BY 1 ORDER BY doc_id""".stripMargin)(PipelineQueries.decontaminate),
 
+    QueryDef("q_decontaminate_keep",
+      s"""WITH sh AS (SELECT doc_id, source, ${shingleSet(PipelineQueries.DecontamN)} AS sh
+         |            FROM documents),
+         |ev AS (SELECT DISTINCT ${hash48("s")} AS h
+         |       FROM (SELECT unnest(sh) AS s FROM sh
+         |             WHERE source = '${PipelineQueries.EvalSource}')),
+         |tr AS (SELECT doc_id, ${hash48("s")} AS h
+         |       FROM (SELECT doc_id, unnest(sh) AS s FROM sh
+         |             WHERE source <> '${PipelineQueries.EvalSource}')),
+         |cnt AS (SELECT doc_id, count(*) AS n_contaminated
+         |        FROM tr JOIN ev USING (h) GROUP BY 1)
+         |SELECT d.doc_id, d.lang, d.source,
+         |  coalesce(cnt.n_contaminated, 0) AS n_contaminated,
+         |  CAST(coalesce(cnt.n_contaminated, 0) = 0 AS BIGINT) AS keep
+         |FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id
+         |WHERE d.source <> '${PipelineQueries.EvalSource}'
+         |ORDER BY d.doc_id""".stripMargin)(PipelineQueries.decontaminateKeepList),
+
     QueryDef("q_domain_mix",
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE ${hash48("doc_id::VARCHAR")} % 1000 < ($mixRateSql)

@@ -92,7 +92,9 @@ object TextRegistry {
 
     // Every fractional constant is CAST(... AS DOUBLE): a bare 0.5 literal in
     // DuckDB is DECIMAL(1,1) and would drag the whole expression into decimal
-    // arithmetic (memory: decimal-literal trap). k1+1 is spelled as the SUM of
+    // arithmetic (memory: decimal-literal trap). k1/b are interpolated from
+    // TextQueries.Bm25K1/Bm25B (single source of truth — changing the Scala
+    // constants moves the oracle with them). k1+1 is spelled as the SUM of
     // two double casts, not 2.2 — the Scala side computes Bm25K1 + 1.0 at
     // runtime and the exact IEEE sum is a round-to-even tie, so both engines
     // must perform the same addition rather than parse a literal. The per-doc
@@ -114,9 +116,10 @@ object TextRegistry {
          |  SELECT tf.doc_id, tf.term,
          |    ln(CAST(1.0 AS DOUBLE)
          |       + (n_docs - df.df + CAST(0.5 AS DOUBLE)) / (df.df + CAST(0.5 AS DOUBLE)))
-         |    * (tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
-         |    / (tf + CAST(1.2 AS DOUBLE)
-         |            * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl)) AS s
+         |    * (tf * (CAST(${TextQueries.Bm25K1} AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+         |    / (tf + CAST(${TextQueries.Bm25K1} AS DOUBLE)
+         |            * (CAST(${1.0 - TextQueries.Bm25B} AS DOUBLE)
+         |               + CAST(${TextQueries.Bm25B} AS DOUBLE) * dl / avgdl)) AS s
          |  FROM tf JOIN df USING (term) CROSS JOIN stats)
          |SELECT doc_id, count(*) AS n_terms,
          |  round(list_sum(list(s ORDER BY term)), 6) AS bm25

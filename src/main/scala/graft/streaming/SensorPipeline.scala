@@ -186,17 +186,52 @@ object SensorPipeline {
   /** Production sizing knob for the changelog table: bucket count should
     * track key cardinality (buckets ≈ keys / 50 k keeps a bucket's rewrite
     * cost bounded as keys grow — see the ChangelogProbe measurements in
-    * BASELINE.md). Unset → [[ChangelogBuckets]]. Only consulted when the
-    * table is first created; an existing table keeps its layout (the bucket
-    * column is part of the on-disk partitioning). */
+    * BASELINE.md). Unset → [[ChangelogBuckets]]. The count used at table
+    * CREATION is persisted in a `_graft_buckets` marker next to the data and
+    * wins on every later batch — the bucket column is part of the on-disk
+    * layout, so a different count on a replay run would hash keys into
+    * different buckets and the left-anti merge (which only reads AFFECTED
+    * buckets) would let an old copy of a key survive in an old-scheme bucket.
+    * An explicit conf that disagrees with an existing table's marker fails
+    * loudly (resizing requires a rebuild); pre-marker tables adopt the
+    * current setting and get the marker written on their next batch. */
   val ChangelogBucketsConf = "spark.graft.changelog.buckets"
+  private val BucketsMarker = "_graft_buckets"
   private def changelogBuckets(spark: SparkSession): Int =
     spark.conf.getOption(ChangelogBucketsConf).map(_.trim.toInt)
       .getOrElse(ChangelogBuckets)
 
+  /** Resolve the bucket count for `tablePath`: persisted marker if the table
+    * exists (cross-checked against an explicit conf), else the conf/default.
+    * Driver-side metadata reads only — a few bytes, once per micro-batch. */
+  private def resolveBuckets(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      marker: org.apache.hadoop.fs.Path,
+      hasTable: Boolean): Int = {
+    val conf = spark.conf.getOption(ChangelogBucketsConf).map(_.trim.toInt)
+    if (hasTable && fs.exists(marker)) {
+      val in = fs.open(marker)
+      val persisted =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+        finally in.close()
+      conf.filter(_ != persisted).foreach { c =>
+        throw new IllegalStateException(
+          s"changelog table at $marker was created with $persisted buckets but " +
+            s"$ChangelogBucketsConf=$c; resizing an existing table requires a " +
+            "rebuild (the bucket column is baked into the on-disk layout)")
+      }
+      persisted
+    } else conf.getOrElse(ChangelogBuckets)
+  }
+
   def upsertBatch(tablePath: String)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val nBuckets = changelogBuckets(spark)
+    val tableP = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = tableP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val markerP = new org.apache.hadoop.fs.Path(tableP, BucketsMarker)
+    val tableExists = fs.exists(tableP)
+    val nBuckets = resolveBuckets(spark, fs, markerP, tableExists)
     // Cache the micro-batch output FIRST: inside foreachBatch every action
     // re-executes the batch plan, and for a stateful query that plan is the
     // whole shuffle + state-store pass — uncached, the emptiness probe, the
@@ -214,10 +249,7 @@ object SensorPipeline {
       // action would re-run the stateful batch plan for the rest. One count
       // fully populates the cache in a single pass.
       if (keyed.count() == 0L) return
-      val hasTable = new org.apache.hadoop.fs.Path(tablePath)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(new org.apache.hadoop.fs.Path(tablePath))
-      val merged = if (hasTable) {
+      val merged = if (tableExists) {
         // Affected-bucket set is ≤ ChangelogBuckets values — a bounded driver
         // decision, not a data collect.
         val affected = keyed.select(col("bucket")).distinct()
@@ -240,6 +272,12 @@ object SensorPipeline {
         .partitionBy("bucket")
         .parquet(tablePath)
       snap.unpersist()
+      // Pin the layout on first write (and adopt pre-marker tables): the
+      // marker, not the session conf, is the source of truth from now on.
+      if (!fs.exists(markerP)) {
+        val out = fs.create(markerP, true)
+        try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
+      }
     } finally keyed.unpersist()
   }
 

@@ -109,6 +109,36 @@ class StreamingPipelineSpec extends SparkSpec {
     fin shouldBe Set(("s1", 0L, 99L, 5L), ("s2", 0L, 20L, 4L), ("s1", 60L, 30L, 1L))
   }
 
+  test("changelog bucket layout is pinned by the table, not the session conf") {
+    val s = spark
+    import s.implicits._
+    val table = Files.createTempDirectory("graft_changelog_layout").toString + "/t"
+    def batch(rows: (String, Long, Long, Long, Double, Long)*): DataFrame =
+      rows.toDF("id", "w_start", "max_temperature", "min_temperature",
+        "avg_temperature", "n")
+    spark.conf.set(SensorPipeline.ChangelogBucketsConf, "4")
+    try {
+      SensorPipeline.upsertBatch(table)(batch(("s1", 0L, 10L, 1L, 5.0, 3L)), 0L)
+      // a later run with the conf UNSET must keep hashing into the persisted
+      // 4-bucket scheme — a drifting count would leave the old copy of s1 in
+      // an old-scheme bucket the left-anti merge never reads
+      spark.conf.unset(SensorPipeline.ChangelogBucketsConf)
+      SensorPipeline.upsertBatch(table)(batch(("s1", 0L, 99L, 1L, 7.5, 5L)), 1L)
+      val rows = spark.read.parquet(table)
+        .select($"id", $"w_sec", $"max_temperature").as[(String, Long, Long)]
+        .collect()
+      rows.toSet shouldBe Set(("s1", 0L, 99L))
+      spark.read.parquet(table).select($"bucket").distinct().collect()
+        .map(_.getInt(0)).foreach(b => assert(b >= 0 && b < 4))
+      // an explicit conf that disagrees with the existing layout fails loudly
+      spark.conf.set(SensorPipeline.ChangelogBucketsConf, "16")
+      val e = intercept[IllegalStateException] {
+        SensorPipeline.upsertBatch(table)(batch(("s2", 0L, 1L, 1L, 1.0, 1L)), 2L)
+      }
+      e.getMessage should include("requires a rebuild")
+    } finally spark.conf.unset(SensorPipeline.ChangelogBucketsConf)
+  }
+
   test("changelog table final state equals the batch aggregate (K8 update mode)") {
     val streamed = StreamRegistry.changelogTable(spark, sf)
       .select(col("id"), col("w_start"), col("max_temperature"),
