@@ -127,8 +127,9 @@ object TextQueries {
         col("uniq_ratio"), col("len_score"), col("quality"))
       .orderBy(col("doc_id"))
 
-  /** Per-document top-3 TF-IDF keywords — the classic relevance/topic signal
-    * a curation pipeline attaches to every doc before domain mixing.
+  /** Per-document top-`topK` TF-IDF keywords — the classic relevance/topic
+    * signal a curation pipeline attaches to every doc before domain mixing.
+    * The registry runs it at topK = 3.
     *
     * Shape at scale: one shuffle to (doc, term) for tf; df reuses the tf
     * table (already one row per (doc, term)) with a map-side-combinable
@@ -137,7 +138,7 @@ object TextQueries {
     * Zipf-bounded, so the df table stays small relative to the corpus.
     * Determinism: ties in score (common: equal tf × equal df) break on term
     * order in BOTH engines. */
-  def tfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
+  def tfidfKeywords(spark: SparkSession, dir: String, topK: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables(spark, dir).documents
     val tf = docs.select(col("doc_id"), explode(expr(wordsExpr)).as("term"))
@@ -149,7 +150,7 @@ object TextQueries {
       .crossJoin(broadcast(n))
       .withColumn("score", col("tf") * log(col("n_docs").cast("double") / col("df")))
       .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= 3)
+      .filter(col("rk") <= topK)
       .select(col("doc_id"), col("rk"), col("term"), round(col("score"), 6).as("tfidf"))
       .orderBy(col("doc_id"), col("rk"))
   }
@@ -161,25 +162,27 @@ object TextQueries {
   val Bm25K1 = 1.2
   val Bm25B = 0.75
 
-  /** BM25 retrieval scoring of the corpus against a fixed keyword query —
-    * the standard quality-weighted term search a data pipeline uses to mine
-    * domain-relevant documents at scale.
+  /** BM25 retrieval scoring of the corpus against the keyword query `terms`
+    * (top `k` docs) — the standard quality-weighted term search a data
+    * pipeline uses to mine domain-relevant documents at scale. The registry
+    * runs it with [[Bm25Terms]] / k = 20.
     *
     * Shape at scale: the term filter lands on the exploded token stream
-    * before any shuffle, so only rows for query terms (|q| = 3) survive to
+    * before any shuffle, so only rows for query terms (|q| small) survive to
     * the (doc, term) aggregate; df and the corpus stats (N, avgdl — exact
-    * integer sums) are broadcast single-digit-row frames; the final top-20 is
+    * integer sums) are broadcast single-digit-row frames; the final top-k is
     * `TakeOrderedAndProject`. Per-doc score folds the ≤|q| term scores in
     * sorted term order (`aggregate` over `array_sort`) — the same left fold
     * DuckDB's `list_sum(list(s ORDER BY term))` computes, so the double sum
     * is bit-identical (a bare SUM's order is partition-dependent). */
-  def bm25Search(spark: SparkSession, dir: String): DataFrame = {
+  def bm25Search(spark: SparkSession, dir: String,
+      terms: Seq[String] = Bm25Terms, k: Int = 20): DataFrame = {
     val docs = Tables(spark, dir).documents
       .select(col("doc_id"), size(expr(wordsExpr)).cast("long").as("dl"), col("text"))
     val stats = docs.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val tf = docs.select(col("doc_id"), col("dl"), explode(expr(wordsExpr)).as("term"))
-      .filter(col("term").isin(Bm25Terms: _*))
+      .filter(col("term").isin(terms: _*))
       .groupBy(col("doc_id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     tf.join(broadcast(df), Seq("term"))
@@ -192,20 +195,22 @@ object TextQueries {
       .agg(count(lit(1)).as("n_terms"),
         expr("aggregate(array_sort(collect_list(struct(term, s))), cast(0 as double), (acc, x) -> acc + x.s)").as("score"))
       .select(col("doc_id"), col("n_terms"), round(col("score"), 6).as("bm25"))
-      .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(k)
   }
 
-  /** Corpus-level bigram frequencies (top 50) — LM-style n-gram statistics
-    * over every occurrence (NOT per-doc distinct shingles; a language-model
-    * count table wants multiplicity). One explode → one partial-agg shuffle
-    * keyed by bigram → `TakeOrderedAndProject` top-k; the classic
-    * count-table shape that scales to any corpus the groupBy scales to. */
-  def ngramCounts(spark: SparkSession, dir: String): DataFrame =
+  /** Corpus-level `n`-gram frequencies (top `topK`) — LM-style n-gram
+    * statistics over every occurrence (NOT per-doc distinct shingles; a
+    * language-model count table wants multiplicity). The registry runs
+    * bigrams / top 50. One explode → one partial-agg shuffle keyed by gram →
+    * `TakeOrderedAndProject` top-k; the classic count-table shape that
+    * scales to any corpus the groupBy scales to. */
+  def ngramCounts(spark: SparkSession, dir: String,
+      n: Int = 2, topK: Int = 50): DataFrame =
     Tables(spark, dir).documents
       .select(expr(wordsExpr).as("w"))
-      .select(explode(expr(shinglesExpr(2))).as("bigram"))
+      .select(explode(expr(shinglesExpr(n))).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("bigram")).limit(50)
+      .orderBy(col("n").desc, col("bigram")).limit(topK)
 
   /** Document fingerprinting: whole-doc MD5 plus a 1-permutation MinHash over
     * 5-word shingles (the min MD5 of any shingle) — a content-defined

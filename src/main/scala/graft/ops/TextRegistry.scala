@@ -88,7 +88,7 @@ object TextRegistry {
          |                            ORDER BY score DESC, term) AS BIGINT) AS rk
          |  FROM s)
          |SELECT doc_id, rk, term, round(score, 6) AS tfidf
-         |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)(TextQueries.tfidfKeywords),
+         |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)((s, d) => TextQueries.tfidfKeywords(s, d, topK = 3)),
 
     // Every fractional constant is CAST(... AS DOUBLE): a bare 0.5 literal in
     // DuckDB is DECIMAL(1,1) and would drag the whole expression into decimal
@@ -124,7 +124,7 @@ object TextRegistry {
          |SELECT doc_id, count(*) AS n_terms,
          |  round(list_sum(list(s ORDER BY term)), 6) AS bm25
          |FROM s GROUP BY doc_id
-         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin)(TextQueries.bm25Search),
+         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin)((s, d) => TextQueries.bm25Search(s, d, TextQueries.Bm25Terms, k = 20)),
 
     // Bigrams over every occurrence; DuckDB list slicing is inclusive so
     // [i:i+1] is the 2-token window, and generate_series(1, len-1) is empty
@@ -137,6 +137,6 @@ object TextRegistry {
          |                               i -> array_to_string(w[i:i+1], ' '))) AS bigram
          |  FROM w)
          |SELECT bigram, count(*) AS n FROM b
-         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""".stripMargin)(TextQueries.ngramCounts)
+         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""".stripMargin)((s, d) => TextQueries.ngramCounts(s, d, n = 2, topK = 50))
   )
 }

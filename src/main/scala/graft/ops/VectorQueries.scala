@@ -69,16 +69,18 @@ object VectorQueries {
   private def probe(spark: SparkSession, dir: String, id: Long): DataFrame =
     emb(spark, dir).filter(col("vec_id") === id).select(col("e").as("pe"))
 
-  /** Brute-force exact cosine top-20 neighbors of vec 0 (SURVEY §2.4
-    * `q_similar_vectors`). One narrow pass + TakeOrderedAndProject. */
-  def similarVectors(spark: SparkSession, dir: String): DataFrame =
+  /** Brute-force exact cosine top-`k` neighbors of vec `probeId` (SURVEY
+    * §2.4 `q_similar_vectors`; registry runs probe 0 / k = 20). One narrow
+    * pass + TakeOrderedAndProject. */
+  def similarVectors(spark: SparkSession, dir: String,
+      probeId: Long = 0L, k: Int = 20): DataFrame =
     emb(spark, dir)
-      .crossJoin(broadcast(probe(spark, dir, 0L)))
-      .filter(col("vec_id") =!= 0L)
+      .crossJoin(broadcast(probe(spark, dir, probeId)))
+      .filter(col("vec_id") =!= probeId)
       .select(col("vec_id"), col("label"),
         round(cosine(col("e"), col("pe")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
-      .limit(20)
+      .limit(k)
 
   /** Random-hyperplane LSH geometry — the scale dial the round-2 review
     * flagged as missing. Candidate recall for a pair at angle θ under
@@ -200,24 +202,25 @@ object VectorQueries {
           .as("vecs_in_skipped"))
       .orderBy(col("band_idx"))
 
-  /** ANN via LSH: candidates sharing ≥1 band with probe vec 0, exact-cosine
-    * reranked, top 10. The candidate set is an equi-join on (band_idx,
-    * band_val) against the probe's `bands` rows (8 at the defaults) —
-    * O(collisions), not O(n). */
-  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+  /** ANN via LSH: candidates sharing ≥1 band with probe vec `probeId`,
+    * exact-cosine reranked, top `k` (registry runs probe 0 / k = 10). The
+    * candidate set is an equi-join on (band_idx, band_val) against the
+    * probe's `bands` rows (8 at the defaults) — O(collisions), not O(n). */
+  def annLsh(spark: SparkSession, dir: String,
+      probeId: Long = 0L, k: Int = 10): DataFrame = {
     val b = bands(spark, dir).persist() // probe side + candidate side share it
-    val probeBands = b.filter(col("vec_id") === 0L)
+    val probeBands = b.filter(col("vec_id") === probeId)
       .select(col("band_idx"), col("band_val"))
     val candidates = b.join(broadcast(probeBands), Seq("band_idx", "band_val"))
-      .filter(col("vec_id") =!= 0L)
+      .filter(col("vec_id") =!= probeId)
       .select(col("vec_id")).distinct()
     candidates
       .join(emb(spark, dir), Seq("vec_id"))
-      .crossJoin(broadcast(probe(spark, dir, 0L)))
+      .crossJoin(broadcast(probe(spark, dir, probeId)))
       .select(col("vec_id"), col("label"),
         round(cosine(col("e"), col("pe")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
-      .limit(10)
+      .limit(k)
   }
 
   /** Embedding near-dup pairs: LSH band-join candidates, exact-cosine
@@ -260,9 +263,11 @@ object VectorQueries {
   }
 
   /** IVF search: centroids = vectors 0..9 (deterministic seed), every vector
-    * assigned to its argmax-cosine centroid (inverted lists), probe vec 42
-    * scans the nprobe=3 nearest lists, exact top-10 rerank. */
-  def ivfSearch(spark: SparkSession, dir: String): DataFrame = {
+    * assigned to its argmax-cosine centroid (inverted lists), probe vec
+    * `probeId` scans the `nprobe` nearest lists, exact top-`k` rerank
+    * (registry runs probe 42 / nprobe 3 / k 10). */
+  def ivfSearch(spark: SparkSession, dir: String,
+      probeId: Long = 42L, k: Int = 10, nprobe: Int = 3): DataFrame = {
     val e = emb(spark, dir)
     val cents = e.filter(col("vec_id") < 10L)
       .select(col("vec_id").as("cent_id"), col("e").as("ce"))
@@ -279,21 +284,21 @@ object VectorQueries {
         struct(col("cdot"), (-col("cent_id")).as("tb"))).as("m"))
       .select(col("vec_id"), col("m.label").as("label"), col("m.e").as("e"),
         col("m.cent_id").as("cent_id"))
-    // nprobe=3 centroid lists nearest the probe.
+    // nprobe centroid lists nearest the probe.
     val probeLists = cents
-      .crossJoin(broadcast(probe(spark, dir, 42L)))
+      .crossJoin(broadcast(probe(spark, dir, probeId)))
       .select(col("cent_id"), dot(col("ce"), col("pe")).as("pdot"))
       .orderBy(col("pdot").desc, col("cent_id"))
-      .limit(3)
+      .limit(nprobe)
       .select(col("cent_id"))
     assigned
       .join(broadcast(probeLists), Seq("cent_id"))
-      .filter(col("vec_id") =!= 42L)
-      .crossJoin(broadcast(probe(spark, dir, 42L)))
+      .filter(col("vec_id") =!= probeId)
+      .crossJoin(broadcast(probe(spark, dir, probeId)))
       .select(col("vec_id"), col("cent_id"),
         round(cosine(col("e"), col("pe")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
-      .limit(10)
+      .limit(k)
   }
 
   /** Per-label mean vector, one row per (label, dim) — the Lloyd M-step /

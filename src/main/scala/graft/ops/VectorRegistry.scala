@@ -57,7 +57,7 @@ object VectorRegistry {
          |SELECT vec_id, label, round(${cos("e", "pe")}, 6) AS cos_sim
          |FROM emb, p WHERE vec_id <> 0
          |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin)(
-      VectorQueries.similarVectors),
+      (s, d) => VectorQueries.similarVectors(s, d, probeId = 0L, k = 20)),
 
     QueryDef("q_ann_lsh",
       s"""WITH $embCte,
@@ -70,7 +70,7 @@ object VectorRegistry {
          |SELECT emb.vec_id, emb.label, round(${cos("e", "pe")}, 6) AS cos_sim
          |FROM cand JOIN emb USING (vec_id), p
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)(
-      VectorQueries.annLsh),
+      (s, d) => VectorQueries.annLsh(s, d, probeId = 0L, k = 10)),
 
     QueryDef("q_dedup_embedding",
       s"""WITH $embCte,
@@ -115,7 +115,7 @@ object VectorRegistry {
          |FROM assigned a JOIN probelists USING (cent_id), p
          |WHERE a.vec_id <> 42
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)(
-      VectorQueries.ivfSearch),
+      (s, d) => VectorQueries.ivfSearch(s, d, probeId = 42L, k = 10, nprobe = 3)),
 
     QueryDef("q_vector_centroids",
       s"""WITH $embCte
