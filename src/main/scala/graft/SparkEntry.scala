@@ -7,7 +7,8 @@ object SparkEntry {
     ops.EventRegistry.all ++ ops.RelationalRegistry.all ++ ops.TextRegistry.all ++
       ops.DedupRegistry.all ++ ops.VectorRegistry.all ++ ops.StatsRegistry.all ++
       ops.MultimodalRegistry.all ++ ops.CurationRegistry.all ++
-      ops.PipelineRegistry.all ++ streaming.StreamRegistry.all
+      ops.PipelineRegistry.all ++ ops.ClusterRegistry.all ++
+      streaming.StreamRegistry.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The K1→K6 chain of the reference: validity filter + 1-minute tumbling

@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import VectorQueries.{cosine, dot, emb}
+
+/** Embedding-space clustering operators for corpus curation — the k-means
+  * family (Lloyd refinement) and cluster-scoped semantic dedup (the SemDeDup
+  * shape: Abbas et al., "SemDeDup: Data-efficient learning at web-scale
+  * through semantic deduplication", arXiv:2303.09540 — public paper). The
+  * reference (an IoT stream job) has none of these; they are north-star
+  * extensions for the LLM-data pipeline, designed Spark-first:
+  *
+  *   - **Assignment** is an argmax over a `broadcast` centroid table via a
+  *     map-side-combinable `max_by` partial aggregate — one narrow pass over
+  *     the corpus, one partial-agg shuffle row per vector, k·cost(dot) CPU
+  *     per vector. k is driver metadata (10²–10⁵ centroids), never shuffled.
+  *   - **The M-step** ([[kmeansRefine]]) is a (cluster, dim) partial agg with
+  *     DECIMAL(38,12)-exact componentwise sums — a parallel double sum is
+  *     partition-order-dependent, and k-means iteration amplifies any
+  *     nondeterminism into different assignments, so the means must be exact
+  *     to reproduce across cluster sizes (and to match the DuckDB oracle
+  *     bit-for-bit).
+  *   - **SemDeDup** ([[semDedup]]) does pairwise cosine ONLY within a
+  *     cluster: k scales with n (the paper uses ~10⁵ clusters for web scale)
+  *     so cluster sizes stay bounded and the within-cluster self-join is
+  *     O(n · avg_cluster_size), never O(n²). The cluster id is the shuffle
+  *     key; a degenerate cluster (skew) is visible as a slow task and fixed
+  *     by raising k — the same observable-skew posture as the LSH bucket cap.
+  *
+  * Determinism contract (shared with [[VectorRegistry]]'s oracle spelling):
+  * all dots are the same left-fold `graft_dot` kernel, ties in argmax break
+  * on the lowest centroid id, and every emitted double is rounded once. */
+object ClusterQueries {
+
+  /** Demo centroid count (centroids = vectors 0..k-1, deterministically
+    * seeded so the oracle can replay them). Production k tracks corpus size:
+    * n / k ≈ target cluster size (10³–10⁴ vectors). */
+  val KmeansK = 8
+
+  /** Demo SemDeDup cosine threshold. The testdata corpus is random unit
+    * vectors (max pairwise cos ≈ 0.5), so the demo threshold sits low to
+    * exercise the drop path; a production run uses 0.9+ on model
+    * embeddings where near-dups concentrate. Shared with the oracle. */
+  val SemDedupTau = 0.25
+
+  /** (vec_id, cluster, e): every vector argmax-cosine-assigned to its
+    * nearest of the `k` seed centroids (vectors 0..k-1). The `max_by`
+    * ordering struct (cos, -cent_id) reproduces the oracle's
+    * `ORDER BY cos DESC, cent_id` tie-break. */
+  private def assigned(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val e = emb(spark, dir)
+    val cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cluster"), col("e").as("ce"))
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("e"), col("cluster"),
+        cosine(col("e"), col("ce")).as("cs"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("e"), col("cluster")),
+        struct(col("cs"), (-col("cluster")).as("tb"))).as("m"))
+      .select(col("vec_id"), col("m.e").as("e"), col("m.cluster").as("cluster"))
+  }
+
+  /** One Lloyd refinement: assign to the k seed centroids, recompute each
+    * centroid as the exact componentwise mean of its members, re-assign.
+    * Output: per vector, the seed-round cluster, the refined-round cluster,
+    * and the cosine to its refined centroid — the convergence signal a
+    * pipeline monitors (movers per round → stop).
+    *
+    * Iterating to convergence is this plan in a loop (persist the
+    * assignment, loop on the mover count — same driver-iteration pattern as
+    * [[ConnectedComponents]]); one refinement keeps the DuckDB oracle a
+    * finite CTE chain while exercising both halves (E-step + M-step) of the
+    * iteration body. */
+  def kmeansRefine(spark: SparkSession, dir: String, k: Int = KmeansK): DataFrame = {
+    val a0 = assigned(spark, dir, k)
+    // M-step: exact per-(cluster, dim) means, reassembled into centroid
+    // vectors via a dim-ordered struct sort (deterministic; dim count is
+    // the embedding width, so collect_list stays tiny).
+    val cents1 = a0.select(col("cluster"), posexplode(col("e")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg((sum(col("col").cast("decimal(38,12)")).cast("double") / count(lit(1)))
+        .as("c"))
+      .groupBy(col("cluster").as("cluster1"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)")
+        .as("ce"))
+    a0.crossJoin(broadcast(cents1))
+      .select(col("vec_id"), col("cluster"), col("cluster1"),
+        cosine(col("e"), col("ce")).as("cs"))
+      .groupBy(col("vec_id"), col("cluster"))
+      .agg(max_by(struct(col("cluster1"), col("cs")),
+        struct(col("cs"), (-col("cluster1")).as("tb"))).as("m"))
+      .select(col("vec_id"), col("cluster").as("cluster0"),
+        col("m.cluster1").as("cluster1"), round(col("m.cs"), 6).as("cos_c1"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Cluster-scoped semantic dedup (SemDeDup): within each cluster, a vector
+    * is dropped iff some LOWER-id cluster-mate sits within cosine ≥ `tau`
+    * (the lowest id of each near-dup group survives — deterministic, no
+    * iteration). Output: every vector with its cluster and a 0/1 `keep`.
+    *
+    * The within-cluster self-join is the whole trick: pairwise cosine never
+    * crosses cluster boundaries, so with k sized to hold clusters at ~10⁴
+    * vectors the candidate volume is linear in n. Norms are computed once
+    * per vector (not per pair), same as [[VectorQueries.embeddingPairs]]. */
+  def semDedup(spark: SparkSession, dir: String,
+      k: Int = KmeansK, tau: Double = SemDedupTau): DataFrame = {
+    val a = assigned(spark, dir, k)
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+      .persist() // feeds both sides of the pair join + the output frame
+    val lo = a.select(col("cluster"), col("vec_id").as("vec_a"),
+      col("e").as("ea"), col("nrm").as("na"))
+    val hi = a.select(col("cluster"), col("vec_id").as("vec_b"),
+      col("e").as("eb"), col("nrm").as("nb"))
+    val dropped = lo.join(hi, Seq("cluster"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+        >= lit(tau))
+      .select(col("vec_b").as("vec_id")).distinct()
+      .withColumn("is_dup", lit(1L))
+    a.select(col("vec_id"), col("cluster"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        when(col("is_dup").isNull, 1L).otherwise(0L).as("keep"))
+      .orderBy(col("vec_id"))
+  }
+}

@@ -181,4 +181,35 @@ object EventQueries {
         Out.epochSec(col("last_click_ts")).as("click_ts"))
       .orderBy(col("purchase_id"))
   }
+
+  /** Staged conversion funnel view → click → purchase: per user, the first
+    * view, the first click STRICTLY AFTER that view, and the first purchase
+    * strictly after that click (nulls where the user never advances) — the
+    * classic product-analytics operator, and the event-sequence shape a
+    * behavioral-data pipeline labels sessions with.
+    *
+    * Shape at scale: each stage is a map-side-combinable `min` partial agg
+    * keyed by user_id after a pushed-down event_type filter, and every join
+    * is keyed by user_id too — one consistent shuffle key end to end, with
+    * per-stage cardinality shrinking monotonically (stage N+1 only joins
+    * users who reached stage N). No windows over the raw stream, no
+    * cross-stage sort. An n-stage funnel is this chain n-1 steps long —
+    * `stages` is the library knob (output column per stage, `t_<stage>`);
+    * the registry runs the default view → click → purchase. */
+  def funnel(spark: SparkSession, dir: String,
+      stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val e = Tables(spark, dir).events
+      .select(col("user_id"), col("event_type"), Out.epochSec(col("ts")).as("t"))
+    val head = e.filter(col("event_type") === stages.head)
+      .groupBy(col("user_id")).agg(min(col("t")).as(s"t_${stages.head}"))
+    stages.tail.foldLeft((head, s"t_${stages.head}")) {
+      case ((acc, prevCol), st) =>
+        val next = e.filter(col("event_type") === st)
+          .join(acc.select(col("user_id"), col(prevCol)), Seq("user_id"))
+          .filter(col("t") > col(prevCol))
+          .groupBy(col("user_id")).agg(min(col("t")).as(s"t_$st"))
+        (acc.join(next, Seq("user_id"), "left"), s"t_$st")
+    }._1.orderBy(col("user_id"))
+  }
 }

@@ -103,6 +103,23 @@ object EventRegistry {
          |  ${Out.sql.epochSec("ts")} AS purchase_ts,
          |  click_id, ${Out.sql.epochSec("click_ts")} AS click_ts
          |FROM m WHERE side = 1 ORDER BY purchase_id""".stripMargin)(
-      EventQueries.asofJoin)
+      EventQueries.asofJoin),
+
+    QueryDef("q_funnel",
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, ${Out.sql.epochSec("ts")} AS t FROM events),
+         |v AS (SELECT user_id, min(t) AS t_view FROM e
+         |      WHERE event_type = 'view' GROUP BY 1),
+         |c AS (SELECT e.user_id, min(t) AS t_click
+         |      FROM e JOIN v USING (user_id)
+         |      WHERE event_type = 'click' AND t > t_view GROUP BY 1),
+         |p AS (SELECT e.user_id, min(t) AS t_purchase
+         |      FROM e JOIN c USING (user_id)
+         |      WHERE event_type = 'purchase' AND t > t_click GROUP BY 1)
+         |SELECT v.user_id, t_view, t_click, t_purchase
+         |FROM v LEFT JOIN c ON v.user_id = c.user_id
+         |       LEFT JOIN p ON v.user_id = p.user_id
+         |ORDER BY v.user_id""".stripMargin)(
+      (s, d) => EventQueries.funnel(s, d, Seq("view", "click", "purchase")))
   )
 }

@@ -195,4 +195,32 @@ object StatsQueries {
 
   def existsIn(spark: SparkSession, dir: String): DataFrame =
     sqlOnViews(spark, dir, existsInSql)
+
+  /** Deterministic stratified sample: exactly `n` events per event_type,
+    * selected by MD5-hash order of the event id — a keyed reservoir that is
+    * reproducible across cluster sizes and re-runs (the same property as
+    * [[sampleHash]]'s rate sample, but with an exact per-stratum count,
+    * which a training-mix recipe needs when strata have wildly different
+    * sizes).
+    *
+    * Shape at scale: `row_number() ≤ n` over the stratum window triggers
+    * Spark's WindowGroupLimit pushdown — each map task pre-prunes to its
+    * local top-n per stratum BEFORE the shuffle, so the exchange carries
+    * O(n · tasks) rows per stratum instead of the whole stratum, and the
+    * final per-stratum rank touches O(n · tasks) rows — bounded work even
+    * when a handful of strata span the full corpus (the case that makes a
+    * naive per-group window one-task-per-group). PlanShapeSpec asserts the
+    * pushdown is present. */
+  def stratifiedSample(spark: SparkSession, dir: String, n: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("skey"), col("event_id"))
+    Tables(spark, dir).events
+      .select(col("event_id"), col("event_type"), col("value"),
+        md5(concat(lit("smp:"), col("event_id").cast("string"))).as("skey"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= n)
+      .select(col("event_type"), col("rn"), col("event_id"), col("value"))
+      .orderBy(col("event_type"), col("rn"))
+  }
 }

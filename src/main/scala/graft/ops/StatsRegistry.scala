@@ -79,6 +79,18 @@ object StatsRegistry {
 
     QueryDef("q_scalar_subquery", StatsQueries.scalarSubquerySql)(StatsQueries.scalarSubquery),
 
-    QueryDef("q_exists_in", StatsQueries.existsInSql)(StatsQueries.existsIn)
+    QueryDef("q_exists_in", StatsQueries.existsInSql)(StatsQueries.existsIn),
+
+    QueryDef("q_stratified_sample",
+      """WITH r AS (
+        |  SELECT event_type, event_id, value,
+        |    md5('smp:' || event_id::VARCHAR) AS skey,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY event_type
+        |      ORDER BY md5('smp:' || event_id::VARCHAR), event_id) AS BIGINT) AS rn
+        |  FROM events)
+        |SELECT event_type, rn, event_id, value FROM r
+        |WHERE rn <= 50 ORDER BY event_type, rn""".stripMargin)(
+      (s, d) => StatsQueries.stratifiedSample(s, d, n = 50))
   )
 }

@@ -53,14 +53,14 @@ object VectorQueries {
     * GraftExtensions), bit-identical to both the `aggregate(zip_with(...))`
     * composition it replaced and DuckDB's `list_sum(list_transform(...))`
     * oracle spelling (same left-fold order). */
-  private def dot(a: Column, b: Column): Column =
+  private[ops] def dot(a: Column, b: Column): Column =
     call_function("graft_dot", a, b)
 
-  private def cosine(a: Column, b: Column): Column =
+  private[ops] def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   /** Embeddings with the float vector cast to array<double> once. */
-  private def emb(spark: SparkSession, dir: String): DataFrame =
+  private[ops] def emb(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).embeddings
       .select(col("vec_id"), col("label").cast("long").as("label"),
         col("embedding").cast("array<double>").as("e"))

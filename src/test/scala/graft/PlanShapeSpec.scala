@@ -120,7 +120,9 @@ class PlanShapeSpec extends SparkSpec {
     // BroadcastNestedLoopJoin; everything else must stay equi-join shaped.
     val probeQueries = Set("q_similar_vectors", "q_ann_lsh", "q_ivf_search",
       "q_dedup_embedding", "q_lsh_bucket_stats",
-      "q_tfidf_keywords", "q_bm25_search")
+      "q_tfidf_keywords", "q_bm25_search",
+      // k-row broadcast centroid tables (k = driver metadata, never data)
+      "q_kmeans_refine", "q_semdedup")
     SparkEntry.all.filter(_.oracle.isDefined).foreach { q =>
       val p = plan(q.fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"${q.name} plans a cartesian:\n$p")
@@ -128,6 +130,15 @@ class PlanShapeSpec extends SparkSpec {
         assert(!p.contains("BroadcastNestedLoopJoin"),
           s"${q.name} degrades to a nested-loop join:\n$p")
     }
+  }
+
+  test("stratified sample gets the WindowGroupLimit pre-shuffle prune") {
+    val p = plan(StatsQueries.stratifiedSample(spark, sf))
+    // row_number() <= n must trigger Spark's group-limit pushdown: each map
+    // task pre-prunes to its local top-n per stratum BEFORE the exchange, so
+    // a handful of corpus-spanning strata never funnel whole partitions
+    // through the per-group window task
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
   }
 
   test("token packing's data-stream running sum is sharded, not one-task-per-language") {
