@@ -44,22 +44,44 @@ object ClusterQueries {
     * embeddings where near-dups concentrate. Shared with the oracle. */
   val SemDedupTau = 0.25
 
-  /** (vec_id, cluster, e): every vector argmax-cosine-assigned to its
-    * nearest of the `k` seed centroids (vectors 0..k-1). The `max_by`
-    * ordering struct (cos, -cent_id) reproduces the oracle's
-    * `ORDER BY cos DESC, cent_id` tie-break. */
-  private def assigned(spark: SparkSession, dir: String, k: Int): DataFrame = {
-    val e = emb(spark, dir)
-    val cents = e.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cluster"), col("e").as("ce"))
-    e.crossJoin(broadcast(cents))
+  /** E-step: every vector of `vectors` (vec_id, e) argmax-cosine-assigned
+    * to its nearest centroid in `cents` (cluster, ce) → (vec_id, e,
+    * cluster). The `max_by` ordering struct (cos, -cluster) reproduces the
+    * oracle's `ORDER BY cos DESC, cluster` tie-break. `cents` is always
+    * driver-scale metadata (10²–10⁵ rows), hence the explicit broadcast. */
+  private def assignTo(vectors: DataFrame, cents: DataFrame): DataFrame =
+    vectors.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("e"), col("cluster"),
         cosine(col("e"), col("ce")).as("cs"))
       .groupBy(col("vec_id"))
       .agg(max_by(struct(col("e"), col("cluster")),
         struct(col("cs"), (-col("cluster")).as("tb"))).as("m"))
       .select(col("vec_id"), col("m.e").as("e"), col("m.cluster").as("cluster"))
-  }
+
+  /** M-step: exact per-(cluster, dim) DECIMAL(38,12) means over an
+    * assignment frame (vec_id, e, cluster), reassembled into centroid
+    * vectors (cluster, ce) via a dim-ordered struct sort (deterministic;
+    * dim count is the embedding width, so collect_list stays tiny). A
+    * cluster that loses all members simply disappears — the standard Lloyd
+    * empty-cluster behavior. */
+  private def mStep(assign: DataFrame): DataFrame =
+    assign.select(col("cluster"), posexplode(col("e")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg((sum(col("col").cast("decimal(38,12)")).cast("double") / count(lit(1)))
+        .as("c"))
+      .groupBy(col("cluster"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)")
+        .as("ce"))
+
+  /** Seed centroids: vectors 0..k-1 (deterministic, oracle-replayable). */
+  private def seedCents(spark: SparkSession, dir: String, k: Int): DataFrame =
+    emb(spark, dir).filter(col("vec_id") < k)
+      .select(col("vec_id").as("cluster"), col("e").as("ce"))
+
+  /** (vec_id, cluster, e): assignment to the `k` seed centroids. */
+  private def assigned(spark: SparkSession, dir: String, k: Int): DataFrame =
+    assignTo(emb(spark, dir).select(col("vec_id"), col("e")),
+      seedCents(spark, dir, k))
 
   /** One Lloyd refinement: assign to the k seed centroids, recompute each
     * centroid as the exact componentwise mean of its members, re-assign.
@@ -74,16 +96,7 @@ object ClusterQueries {
     * iteration body. */
   def kmeansRefine(spark: SparkSession, dir: String, k: Int = KmeansK): DataFrame = {
     val a0 = assigned(spark, dir, k)
-    // M-step: exact per-(cluster, dim) means, reassembled into centroid
-    // vectors via a dim-ordered struct sort (deterministic; dim count is
-    // the embedding width, so collect_list stays tiny).
-    val cents1 = a0.select(col("cluster"), posexplode(col("e")))
-      .groupBy(col("cluster"), col("pos"))
-      .agg((sum(col("col").cast("decimal(38,12)")).cast("double") / count(lit(1)))
-        .as("c"))
-      .groupBy(col("cluster").as("cluster1"))
-      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)")
-        .as("ce"))
+    val cents1 = mStep(a0).select(col("cluster").as("cluster1"), col("ce"))
     a0.crossJoin(broadcast(cents1))
       .select(col("vec_id"), col("cluster"), col("cluster1"),
         cosine(col("e"), col("ce")).as("cs"))
@@ -93,6 +106,51 @@ object ClusterQueries {
       .select(col("vec_id"), col("cluster").as("cluster0"),
         col("m.cluster1").as("cluster1"), round(col("m.cs"), 6).as("cos_c1"))
       .orderBy(col("vec_id"))
+  }
+
+  /** Result of [[kmeans]]: final assignments (vec_id, cluster), final
+    * centroids (cluster, ce), Lloyd rounds run, and whether the fixpoint
+    * was reached within the round budget. */
+  final case class KmeansResult(assignments: DataFrame, centroids: DataFrame,
+    iters: Int, converged: Boolean)
+
+  /** Full Lloyd iteration to fixpoint (zero movers) — the production
+    * clustering behind [[semDedup]]'s cluster map, run with the same
+    * driver-iteration pattern as [[ConnectedComponents]]: the per-round
+    * plans are pure E-step ([[assignTo]]) / M-step ([[mStep]]) dataflows,
+    * the driver only counts movers (one scalar per round) and decides
+    * whether to loop, and `localCheckpoint` truncates lineage each round so
+    * round N's plan doesn't replay rounds 1..N-1.
+    *
+    * Per round: one narrow pass over the vectors against broadcast
+    * centroids (E), one (cluster, dim)-keyed partial agg (M), one mover
+    * count (vec_id-keyed join of two checkpointed assignment frames). At
+    * 100 TB with k ~ 10⁵: centroids stay driver metadata, the E-step stays
+    * shuffle-free except the per-vector argmax partial agg, and rounds are
+    * O(log)-ish in practice (k-means converges fast to near-stable
+    * assignments; `maxIters` bounds the tail). Deterministic end to end:
+    * exact decimal means + fixed tie-breaks ⇒ the same fixpoint on every
+    * run and every cluster size. */
+  def kmeans(spark: SparkSession, dir: String, k: Int = KmeansK,
+      maxIters: Int = 25): KmeansResult = {
+    val e = emb(spark, dir).select(col("vec_id"), col("e")).persist()
+    var assign = assignTo(e, seedCents(spark, dir, k)).localCheckpoint()
+    var cents: DataFrame = null
+    var iters = 1
+    var moved = -1L
+    while (moved != 0L && iters < maxIters) {
+      cents = mStep(assign)
+      val next = assignTo(e, cents).localCheckpoint()
+      moved = next.select(col("vec_id"), col("cluster").as("c1"))
+        .join(assign.select(col("vec_id"), col("cluster").as("c0")), Seq("vec_id"))
+        .filter(col("c0") =!= col("c1")).count()
+      assign = next
+      iters += 1
+    }
+    e.unpersist()
+    KmeansResult(assign.select(col("vec_id"), col("cluster")),
+      if (cents == null) seedCents(spark, dir, k) else cents,
+      iters, moved == 0L)
   }
 
   /** Cluster-scoped semantic dedup (SemDeDup): within each cluster, a vector

@@ -49,6 +49,23 @@ class ClusterQueriesSpec extends SparkSpec {
     assert(want.exists { case (_, c0, c1) => c0 != c1 }, "no movers at sf0.001")
   }
 
+  test("kmeans runs Lloyd to a true fixpoint with argmax-consistent assignments") {
+    val res = ClusterQueries.kmeans(spark, sf)
+    assert(res.converged, s"did not converge in ${res.iters} rounds")
+    assert(res.iters > 2, "converged suspiciously fast — loop not exercised")
+    val cents: Map[Long, Array[Double]] = res.centroids.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val got = res.assignments.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.size shouldBe vecs.size
+    // fixpoint means every vector already sits with its argmax centroid
+    got.foreach { case (id, c) => c shouldBe assign(cents)(vecs(id)) }
+    // determinism: a second run lands on the identical fixpoint
+    val again = ClusterQueries.kmeans(spark, sf)
+    again.iters shouldBe res.iters
+    again.assignments.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe got
+  }
+
   test("semDedup keeps exactly the lowest-id representative of each in-cluster near-dup set") {
     val tau = ClusterQueries.SemDedupTau
     def r6(d: Double) =
