@@ -212,6 +212,46 @@ object TextQueries {
       .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram")).limit(topK)
 
+  /** Minimum bigram occurrences for [[pmiCollocations]] — PMI of rare pairs
+    * is noise (the classic sparse-count pathology). Shared with the oracle. */
+  val PmiMinCount = 5
+
+  /** Pointwise mutual information of adjacent word pairs (top `topK` by
+    * PMI): ln( p(ab) / (p(a)·p(b)) ) with p(ab) over bigram occurrences and
+    * p(·) over unigram occurrences — the standard collocation score an
+    * LM-data pipeline uses to find multiword expressions worth preserving
+    * through tokenization.
+    *
+    * Shape at scale: unigram and bigram count tables are the same
+    * partial-agg shuffle as [[ngramCounts]]; the min-count filter prunes the
+    * bigram side BEFORE its two joins against the (Zipf-bounded) unigram
+    * table; the two corpus totals are broadcast single rows. The PMI
+    * arithmetic is spelled as an explicit parenthesized ratio-of-ratios so
+    * both engines evaluate the identical IEEE expression tree. */
+  def pmiCollocations(spark: SparkSession, dir: String,
+      minCount: Int = PmiMinCount, topK: Int = 50): DataFrame = {
+    val docs = Tables(spark, dir).documents.select(expr(wordsExpr).as("w"))
+    val uni = docs.select(explode(col("w")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n"))
+    val nu = uni.agg(sum(col("n")).as("nu"))
+    val nb = docs.agg(sum(greatest(size(col("w")) - 1, lit(0))).cast("long").as("nb"))
+    docs.select(explode(expr(shinglesExpr(2))).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+      .withColumn("a", expr("split(bigram, ' ')[0]"))
+      .withColumn("b", expr("split(bigram, ' ')[1]"))
+      .join(uni.select(col("t").as("a"), col("n").as("n_a")), Seq("a"))
+      .join(uni.select(col("t").as("b"), col("n").as("n_b")), Seq("b"))
+      .crossJoin(broadcast(nu))
+      .crossJoin(broadcast(nb))
+      .withColumn("pmi", round(log(
+        (col("n_ab").cast("double") / col("nb")) /
+          ((col("n_a").cast("double") / col("nu")) *
+            (col("n_b").cast("double") / col("nu")))), 6))
+      .select(col("bigram"), col("n_ab"), col("n_a"), col("n_b"), col("pmi"))
+      .orderBy(col("pmi").desc, col("bigram")).limit(topK)
+  }
+
   /** Document fingerprinting: whole-doc MD5 plus a 1-permutation MinHash over
     * 5-word shingles (the min MD5 of any shingle) — a content-defined
     * fingerprint stable under document reordering of *other* docs and cheap

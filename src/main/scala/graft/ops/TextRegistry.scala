@@ -137,6 +137,34 @@ object TextRegistry {
          |                               i -> array_to_string(w[i:i+1], ' '))) AS bigram
          |  FROM w)
          |SELECT bigram, count(*) AS n FROM b
-         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""".stripMargin)((s, d) => TextQueries.ngramCounts(s, d, n = 2, topK = 50))
+         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""".stripMargin)((s, d) => TextQueries.ngramCounts(s, d, n = 2, topK = 50)),
+
+    // PMI arithmetic parenthesized identically to the Spark expression tree:
+    // (n_ab/nb) / ((n_a/nu) * (n_b/nu)), every numerator cast to DOUBLE first.
+    // DuckDB list indexing is 1-based where Spark's split()[i] is 0-based.
+    QueryDef("q_pmi_collocations",
+      s"""WITH w AS (SELECT $words AS w FROM documents),
+         |uni AS (SELECT t, count(*) AS n
+         |        FROM (SELECT unnest(w) AS t FROM w) GROUP BY 1),
+         |nu AS (SELECT CAST(sum(n) AS BIGINT) AS nu FROM uni),
+         |nb AS (SELECT CAST(sum(greatest(len(w) - 1, 0)) AS BIGINT) AS nb FROM w),
+         |bi AS (SELECT bigram, count(*) AS n_ab
+         |       FROM (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+         |                    i -> array_to_string(w[i:i+1], ' '))) AS bigram
+         |             FROM w)
+         |       GROUP BY 1 HAVING count(*) >= ${TextQueries.PmiMinCount}),
+         |j AS (SELECT bigram, n_ab,
+         |        string_split(bigram, ' ')[1] AS a,
+         |        string_split(bigram, ' ')[2] AS b
+         |      FROM bi)
+         |SELECT bigram, n_ab, ua.n AS n_a, ub.n AS n_b,
+         |  round(ln((CAST(n_ab AS DOUBLE) / nb)
+         |           / ((CAST(ua.n AS DOUBLE) / nu)
+         |              * (CAST(ub.n AS DOUBLE) / nu))), 6) AS pmi
+         |FROM j JOIN uni ua ON j.a = ua.t JOIN uni ub ON j.b = ub.t
+         |CROSS JOIN nu CROSS JOIN nb
+         |ORDER BY pmi DESC, bigram LIMIT 50""".stripMargin)(
+      (s, d) => TextQueries.pmiCollocations(s, d,
+        minCount = TextQueries.PmiMinCount, topK = 50))
   )
 }

@@ -120,7 +120,7 @@ class PlanShapeSpec extends SparkSpec {
     // BroadcastNestedLoopJoin; everything else must stay equi-join shaped.
     val probeQueries = Set("q_similar_vectors", "q_ann_lsh", "q_ivf_search",
       "q_dedup_embedding", "q_lsh_bucket_stats",
-      "q_tfidf_keywords", "q_bm25_search",
+      "q_tfidf_keywords", "q_bm25_search", "q_pmi_collocations",
       // k-row broadcast centroid tables (k = driver metadata, never data)
       "q_kmeans_refine", "q_semdedup")
     SparkEntry.all.filter(_.oracle.isDefined).foreach { q =>

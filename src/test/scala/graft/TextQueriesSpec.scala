@@ -68,6 +68,26 @@ class TextQueriesSpec extends SparkSpec {
     got.zip(want).foreach { case ((_, _, g), (_, _, w)) => g shouldBe w +- 1e-6 }
   }
 
+  test("pmi collocations match a driver-side recomputation (non-default min count)") {
+    val uni = corpus.flatMap(_._2).groupBy(identity)
+      .map { case (t, o) => t -> o.size.toLong }
+    val nu = uni.values.sum.toDouble
+    val bigrams = corpus.flatMap { case (_, w) => w.sliding(2).filter(_.length == 2) }
+      .map(_.mkString(" "))
+    val nb = bigrams.size.toDouble
+    val want = bigrams.groupBy(identity)
+      .collect { case (bg, o) if o.size >= 2 =>
+        val Array(a, b) = bg.split(" ", 2)
+        val pmi = math.log((o.size / nb) / ((uni(a) / nu) * (uni(b) / nu)))
+        (bg, o.size.toLong,
+          BigDecimal(pmi).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toSeq.sortBy { case (bg, _, p) => (-p, bg) }.take(10)
+    val got = TextQueries.pmiCollocations(spark, sf, minCount = 2, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(4))).toSeq
+    got.map(t => (t._1, t._2)) shouldBe want.map(t => (t._1, t._2))
+    got.zip(want).foreach { case ((_, _, g), (_, _, w)) => g shouldBe w +- 1e-6 }
+  }
+
   test("bigram counts match a driver-side recomputation (top-50)") {
     val counts = corpus.flatMap { case (_, w) => w.sliding(2).filter(_.length == 2) }
       .map(_.mkString(" ")).groupBy(identity)
