@@ -151,4 +151,38 @@ class ClusterQueriesSpec extends SparkSpec {
     vp shouldBe Seq(
       (1L, 10L, Some(30L)), (2L, 10L, Some(30L)), (3L, 10L, Some(25L)))
   }
+
+  test("streaming funnel updates equal the batch funnel (live + batch execution)") {
+    import graft.streaming.StatefulOps
+    val stages = Seq("view", "click", "purchase")
+    val base = Tables(spark, sf).events
+      .select(col("user_id"), col("event_type"),
+        graft.ops.Out.epochSec(col("ts")).as("t"), col("event_id"))
+    // the batch funnel's per-user stage times, flattened to (user, stage) → t
+    val want: Map[(Long, Int), Long] = EventQueries.funnel(spark, sf).collect()
+      .flatMap { r =>
+        (0 until 3).flatMap(i =>
+          if (r.isNullAt(i + 1)) None
+          else Some((r.getLong(0), i) -> r.getLong(i + 1)))
+      }.toMap
+    // batch execution of the stateful fold
+    val batchRun = StatefulOps.funnelUpdates(base, stages).collect()
+      .map(u => (u.userId, u.stage) -> u.t).toMap
+    batchRun shouldBe want
+    // streaming execution: single-file replay (one micro-batch ⇒ the
+    // in-order contract holds trivially)
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel_stream").toString
+    base.coalesce(1).write.parquet(s"$dir/ev")
+    val q = StatefulOps.funnelUpdates(
+        spark.readStream.schema(base.schema).parquet(s"$dir/ev"), stages)
+      .writeStream.format("memory").queryName("funnel_updates")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("funnel_updates").collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(3)).toMap
+      streamed shouldBe want
+    } finally q.stop()
+  }
 }
