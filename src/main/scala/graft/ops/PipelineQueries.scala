@@ -106,6 +106,39 @@ object PipelineQueries {
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy(col("doc_id"))
 
+  /** Sampling budget (docs) the rebalanced mix is sized for. Shared with
+    * the oracle. */
+  val MixBudget = 1000
+
+  /** Temperature-rebalanced language weights — the data-driven half of the
+    * mixing recipe ([[domainMix]] applies a FIXED recipe; this derives one):
+    * w_l ∝ p_l^(1/τ) with τ = 2, i.e. sqrt-share upsampling of low-resource
+    * languages (the multilingual-LM standard). Output per language: doc
+    * count, normalized weight, and the per-doc sampling rate that hits a
+    * [[MixBudget]]-doc budget (capped at 1 — you can't sample more than you
+    * have without repetition).
+    *
+    * Determinism across engines: sqrt is IEEE-exact, and the normalizer
+    * Σ_l sqrt(n_l) is summed in DECIMAL(38,12) — a handful of rows, but a
+    * double sum's order is partition-dependent even at 4 rows, and this
+    * output seeds a training mix (the one place silent ±1ulp drift is
+    * unacceptable). Shape at scale: one partial-agg count by lang, then
+    * arithmetic over a languages-sized frame — driver-scale metadata. */
+  def mixRebalance(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables(spark, dir).documents
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val z = counts.agg(
+      sum(sqrt(col("n_docs").cast("double")).cast("decimal(38,12)"))
+        .cast("double").as("z"))
+    counts.crossJoin(broadcast(z))
+      .withColumn("weight", sqrt(col("n_docs").cast("double")) / col("z"))
+      .select(col("lang"), col("n_docs"),
+        round(col("weight"), 6).as("weight"),
+        round(least(lit(1.0), col("weight") * MixBudget / col("n_docs")), 6)
+          .as("sample_rate"))
+      .orderBy(col("lang"))
+  }
+
   /** Sequence/context length for packing, in whitespace tokens. Small so the
     * testdata yields many bins per language. */
   val PackBudget = 512

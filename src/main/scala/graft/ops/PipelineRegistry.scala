@@ -57,6 +57,21 @@ object PipelineRegistry {
          |WHERE ${hash48("doc_id::VARCHAR")} % 1000 < ($mixRateSql)
          |ORDER BY doc_id""".stripMargin)(PipelineQueries.domainMix),
 
+    // sqrt is IEEE-exact in both engines; the normalizer is a DECIMAL(38,12)
+    // sum of sqrt casts (order-independent), divided in double — the same
+    // decimal-sum discipline as Out.dsum. CROSS JOIN the 1-row normalizer.
+    QueryDef("q_mix_rebalance",
+      s"""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+         |z AS (SELECT CAST(sum(CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(38,12)))
+         |             AS DOUBLE) AS z FROM c)
+         |SELECT lang, n_docs,
+         |  round(sqrt(CAST(n_docs AS DOUBLE)) / z, 6) AS weight,
+         |  round(least(CAST(1.0 AS DOUBLE),
+         |              sqrt(CAST(n_docs AS DOUBLE)) / z * ${PipelineQueries.MixBudget}
+         |                / n_docs), 6) AS sample_rate
+         |FROM c CROSS JOIN z ORDER BY lang""".stripMargin)(
+      PipelineQueries.mixRebalance),
+
     QueryDef("q_token_packing",
       s"""WITH d AS (SELECT lang, doc_id,
          |             CAST(len($words) AS BIGINT) AS toks

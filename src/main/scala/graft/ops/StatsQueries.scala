@@ -196,6 +196,27 @@ object StatsQueries {
   def existsIn(spark: SparkSession, dir: String): DataFrame =
     sqlOnViews(spark, dir, existsInSql)
 
+  /** One-pass column profile of the events table — the ANALYZE-style
+    * statistics a catalog keeps per table: row count, exact distinct key
+    * cardinalities, null counts, min/max/avg per measure, event-time span.
+    * Everything is a partial-agg (the distincts expand to Spark's two-phase
+    * exact-distinct plan); one scan, no joins — the shape that profiles
+    * 100 TB in one pass. Exact distincts are for low-cardinality columns;
+    * high-cardinality profiling at scale swaps in `approx_count_distinct`
+    * (see `q_approx_distinct`). */
+  def profileEvents(spark: SparkSession, dir: String): DataFrame =
+    EventQueries.parsed(Tables(spark, dir))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("event_type")).as("n_types"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null_k"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        Out.davg(col("value")).as("avg_value"),
+        min(Out.epochSec(col("ts"))).as("min_ts"),
+        max(Out.epochSec(col("ts"))).as("max_ts"))
+
   /** Deterministic stratified sample: exactly `n` events per event_type,
     * selected by MD5-hash order of the event id — a keyed reservoir that is
     * reproducible across cluster sizes and re-runs (the same property as

@@ -81,6 +81,19 @@ object StatsRegistry {
 
     QueryDef("q_exists_in", StatsQueries.existsInSql)(StatsQueries.existsIn),
 
+    QueryDef("q_profile_events",
+      s"""SELECT count(*) AS n,
+         |  count(DISTINCT user_id) AS n_users,
+         |  count(DISTINCT event_type) AS n_types,
+         |  CAST(sum(CASE WHEN CAST(json_extract_string(props,'$$.k') AS BIGINT)
+         |                IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k,
+         |  min(value) AS min_value,
+         |  max(value) AS max_value,
+         |  ${graft.ops.Out.sql.davg("value")} AS avg_value,
+         |  min(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) AS min_ts,
+         |  max(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) AS max_ts
+         |FROM events""".stripMargin)(StatsQueries.profileEvents),
+
     QueryDef("q_stratified_sample",
       """WITH r AS (
         |  SELECT event_type, event_id, value,
