@@ -62,6 +62,43 @@ object MultimodalQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Chunk width (payload characters ≡ bytes on the ASCII testdata) for
+    * [[chunkCensus]]. Real media dedup uses content-defined boundaries
+    * (rolling-hash cut points) so an insertion doesn't shift every
+    * downstream chunk; fixed-width keeps the oracle exact while exercising
+    * the identical plan shape. Shared with the oracle. */
+  val ChunkChars = 64
+
+  /** Fixed-width payload chunking + corpus-level shared-chunk census: every
+    * payload is cut into [[ChunkChars]]-wide chunks, and chunks occurring in
+    * ≥ 2 places are reported with their payload count and occurrence count —
+    * the block-level dedup opportunity a media store acts on (and how
+    * partial overlap between payloads is detected without any pairwise
+    * comparison).
+    *
+    * Shape at scale: explode is linear in payload bytes; the census is one
+    * partial-agg shuffle keyed by chunk hash; the ≥2 filter lands on the
+    * aggregate (HAVING) so singleton chunks — the overwhelming majority —
+    * never survive the partial agg's map side in large numbers. Top-k via
+    * TakeOrderedAndProject. */
+  def chunkCensus(spark: SparkSession, dir: String, topK: Int = 50): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("text"),
+        // integer `div`, not `/` (Column./ is double division); empty
+        // payloads still get one (empty) chunk so they stay observable
+        expr(s"greatest((length(text) + ${ChunkChars - 1}) div $ChunkChars, 1)")
+          .cast("long").as("nc"))
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(cast(0 as bigint), nc - 1)")).as("ci"))
+      .select(col("doc_id"),
+        md5(expr(s"cast(substring(text, cast(ci * $ChunkChars + 1 as int), $ChunkChars) as binary)"))
+          .as("chunk_md5"))
+      .groupBy(col("chunk_md5"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_total"))
+      .filter(col("n_total") >= 2)
+      .orderBy(col("n_total").desc, col("chunk_md5"))
+      .limit(topK)
+
   /** Frame-sampling plan for "video" payloads: per payload, the frame count
     * (stub-derived) and the evenly-spaced sample positions a real pipeline
     * would hand to the decoder — array logic in codegen-friendly expressions. */

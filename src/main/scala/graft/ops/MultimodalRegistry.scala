@@ -29,6 +29,24 @@ object MultimodalRegistry {
          |      FROM b)
          |SELECT doc_id, n_frames, frame_step,
          |  CAST(len(range(0, n_frames, frame_step)) AS BIGINT) AS n_sampled
-         |FROM f ORDER BY doc_id""".stripMargin)(MultimodalQueries.frameSample)
+         |FROM f ORDER BY doc_id""".stripMargin)(MultimodalQueries.frameSample),
+
+    // md5 over the chunk string ≡ Spark's md5(cast(chunk AS BINARY)) — both
+    // hash the UTF-8 bytes; substr is 1-based in both engines.
+    QueryDef("q_chunk_census",
+      s"""WITH d AS (SELECT doc_id, text,
+         |        greatest((len(text) + ${MultimodalQueries.ChunkChars - 1})
+         |                   // ${MultimodalQueries.ChunkChars}, 1) AS nc
+         |      FROM documents),
+         |c AS (SELECT doc_id,
+         |        md5(substr(text, CAST(ci * ${MultimodalQueries.ChunkChars} + 1 AS INT),
+         |                   ${MultimodalQueries.ChunkChars})) AS chunk_md5
+         |      FROM (SELECT doc_id, text, unnest(range(0, nc)) AS ci FROM d)),
+         |g AS (SELECT chunk_md5, count(DISTINCT doc_id) AS n_docs,
+         |        count(*) AS n_total
+         |      FROM c GROUP BY 1 HAVING count(*) >= 2)
+         |SELECT chunk_md5, n_docs, n_total FROM g
+         |ORDER BY n_total DESC, chunk_md5 LIMIT 50""".stripMargin)(
+      (s, d) => MultimodalQueries.chunkCensus(s, d, topK = 50))
   )
 }
