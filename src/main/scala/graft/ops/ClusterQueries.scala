@@ -44,6 +44,21 @@ object ClusterQueries {
     * embeddings where near-dups concentrate. Shared with the oracle. */
   val SemDedupTau = 0.25
 
+  /** Hard ceiling on cluster size for [[semDedup]]'s within-cluster pair
+    * join — the one quadratic risk in this family. A cluster of m vectors
+    * contributes m²/2 pairs, so a runaway cluster (k undersized for the
+    * corpus, or a degenerate embedding space) silently turns the linear
+    * plan quadratic; above this cap the query ABORTS with instructions to
+    * raise k, instead of grinding — the same fail-loudly posture as the
+    * n-gram Jaccard exactness guard, chosen over cap-and-skip because a
+    * skipped cluster here would silently pass duplicates through a DEDUP
+    * step (the LSH bucket cap can skip because its monitor
+    * `q_lsh_bucket_stats` makes the recall loss observable; dedup
+    * correctness can't be a monitoring concern). [[clusterStats]]
+    * (`q_cluster_stats`) is the sizing monitor to watch BEFORE the cap
+    * trips. 10⁴ vectors ⇒ ≤ 5·10⁷ pairs per cluster — an easy task. */
+  val SemDedupClusterCap = 10000
+
   /** E-step: every vector of `vectors` (vec_id, e) argmax-cosine-assigned
     * to its nearest centroid in `cents` (cluster, ce) → (vec_id, e,
     * cluster). The `max_by` ordering struct (cos, -cluster) reproduces the
@@ -162,10 +177,25 @@ object ClusterQueries {
     * crosses cluster boundaries, so with k sized to hold clusters at ~10⁴
     * vectors the candidate volume is linear in n. Norms are computed once
     * per vector (not per pair), same as [[VectorQueries.embeddingPairs]]. */
-  def semDedup(spark: SparkSession, dir: String,
-      k: Int = KmeansK, tau: Double = SemDedupTau): DataFrame = {
-    val a = assigned(spark, dir, k)
+  def semDedup(spark: SparkSession, dir: String, k: Int = KmeansK,
+      tau: Double = SemDedupTau, cap: Int = SemDedupClusterCap): DataFrame = {
+    val raw = assigned(spark, dir, k)
       .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+    // Oversized-cluster guard: computed on the per-cluster frame (k rows,
+    // one evaluation per cluster) and joined back on the shuffle key the
+    // pair join needs anyway, so the guard rides for free.
+    val sizes = raw.groupBy(col("cluster")).agg(count(lit(1)).as("csz"))
+      .withColumn("csz",
+        when(col("csz") <= cap, col("csz"))
+          .otherwise(raise_error(concat(
+            lit(s"semDedup cluster cap ($cap) exceeded: cluster "),
+            col("cluster"), lit(" holds "), col("csz"),
+            lit(" vectors - raise k (see ClusterQueries.clusterStats)")))))
+    // the csz >= 1 filter is tautological for a count but NOT provable by
+    // Catalyst, so it pins the guarded column against projection pruning
+    // (a bare select(cluster) would optimize the raise_error away)
+    val a = raw.join(broadcast(sizes), Seq("cluster"))
+      .filter(col("csz") >= 1).drop("csz")
       .persist() // feeds both sides of the pair join + the output frame
     val lo = a.select(col("cluster"), col("vec_id").as("vec_a"),
       col("e").as("ea"), col("nrm").as("na"))
@@ -183,4 +213,19 @@ object ClusterQueries {
         when(col("is_dup").isNull, 1L).otherwise(0L).as("keep"))
       .orderBy(col("vec_id"))
   }
+
+  /** Per-cluster census for the seed assignment — size, the pair volume the
+    * cluster contributes to [[semDedup]] (m·(m−1)/2), and headroom to the
+    * [[SemDedupClusterCap]]. This is the sizing monitor a production
+    * pipeline alerts on BEFORE the cap guard aborts a run (growing max
+    * cluster size means k is falling behind corpus growth) — same role
+    * [[VectorQueries.lshBucketStats]] plays for the LSH geometry. */
+  def clusterStats(spark: SparkSession, dir: String, k: Int = KmeansK): DataFrame =
+    assigned(spark, dir, k)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .select(col("cluster"), col("n_vecs"),
+        (col("n_vecs") * (col("n_vecs") - 1) / 2).cast("long").as("n_pairs"),
+        (lit(SemDedupClusterCap.toLong) - col("n_vecs")).as("cap_headroom"))
+      .orderBy(col("cluster"))
 }

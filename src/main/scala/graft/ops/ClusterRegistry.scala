@@ -58,6 +58,18 @@ object ClusterRegistry {
          |FROM a0 LEFT JOIN d ON a0.vec_id = d.v
          |ORDER BY a0.vec_id""".stripMargin)(
       (s, d) => ClusterQueries.semDedup(s, d,
-        k = ClusterQueries.KmeansK, tau = ClusterQueries.SemDedupTau))
+        k = ClusterQueries.KmeansK, tau = ClusterQueries.SemDedupTau)),
+
+    // m(m-1) is even, so the double division by 2 is exact and the BIGINT
+    // cast truncates identically in both engines.
+    QueryDef("q_cluster_stats",
+      s"""WITH $embCte,
+         |$assignCtes,
+         |g AS (SELECT cluster, count(*) AS n_vecs FROM a0 GROUP BY 1)
+         |SELECT cluster, n_vecs,
+         |  CAST(n_vecs * (n_vecs - 1) / 2 AS BIGINT) AS n_pairs,
+         |  ${ClusterQueries.SemDedupClusterCap} - n_vecs AS cap_headroom
+         |FROM g ORDER BY cluster""".stripMargin)(
+      (s, d) => ClusterQueries.clusterStats(s, d, k = ClusterQueries.KmeansK))
   )
 }

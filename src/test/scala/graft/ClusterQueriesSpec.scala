@@ -87,6 +87,29 @@ class ClusterQueriesSpec extends SparkSpec {
     assert(dropped.nonEmpty, "no drops at sf0.001 — threshold too high to test")
   }
 
+  test("semDedup aborts loudly when a cluster exceeds the pair-join cap") {
+    // k=1 funnels every vector into one cluster; a cap below the corpus
+    // size must abort rather than run the quadratic pair join
+    val e = intercept[Exception] {
+      ClusterQueries.semDedup(spark, sf, k = 1, cap = 100).count()
+    }
+    e.getMessage should include("cluster cap")
+    // at the default cap the same degenerate clustering is merely slow-path
+    ClusterQueries.semDedup(spark, sf, k = 1).count() shouldBe vecs.size
+  }
+
+  test("clusterStats reports sizes, pair volumes, and cap headroom") {
+    val sizes = assign0.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val got = ClusterQueries.clusterStats(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    got.map(_._1).toSet shouldBe sizes.keySet
+    got.foreach { case (c, n, pairs, headroom) =>
+      n shouldBe sizes(c)
+      pairs shouldBe n * (n - 1) / 2
+      headroom shouldBe ClusterQueries.SemDedupClusterCap - n
+    }
+  }
+
   test("funnel stages match a driver-side event scan") {
     val events = Tables(spark, sf).events
       .select(col("user_id"), col("event_type"),
