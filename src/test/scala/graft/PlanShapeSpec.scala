@@ -124,7 +124,7 @@ class PlanShapeSpec extends SparkSpec {
       // 1-row broadcast normalizer (Σ sqrt shares)
       "q_mix_rebalance",
       // k-row broadcast centroid tables (k = driver metadata, never data)
-      "q_kmeans_refine", "q_semdedup")
+      "q_kmeans_refine", "q_semdedup", "q_cluster_stats")
     SparkEntry.all.filter(_.oracle.isDefined).foreach { q =>
       val p = plan(q.fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"${q.name} plans a cartesian:\n$p")
