@@ -303,6 +303,44 @@ object SensorPipeline {
     table
   }
 
+  /** Session-window aggregate per sensor: sessions close after `gap` of
+    * silence (Spark merges overlapping [t, t+gap) windows, so two events
+    * exactly `gap` apart start separate sessions — the strict-< the oracle
+    * mirrors with its LAG predicate). `session_window` is the one windowed
+    * agg whose GROUPS are data-dependent: state merges windows as events
+    * arrive, and append mode emits a session once the watermark passes its
+    * end — the same deterministic drained-run predicate as the tumbling
+    * sink (`s_end ≤ max(sec) − delay`). Runs identically in batch, where
+    * the watermark is a no-op and every session finalizes. */
+  def sessionAgg(parsed: DataFrame, gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    val wm = if (parsed.isStreaming) parsed.withWatermark("eventTime", watermark)
+      else parsed
+    wm.groupBy(session_window(col("eventTime"), gap).as("w"), col("id"))
+      .agg(
+        max(col("temperature")).as("max_temperature"),
+        min(col("temperature")).as("min_temperature"),
+        count(lit(1)).as("n"))
+      .select(col("id"), col("w.start").as("s_start"), col("w.end").as("s_end"),
+        col("max_temperature"), col("min_temperature"), col("n"))
+  }
+
+  /** Replay `inDir` through parse → validity filter → session-window agg in
+    * append mode; returns the session sink path. */
+  def replaySessions(spark: SparkSession, inDir: String, outBase: String): String = {
+    val raw = spark.readStream.schema(StructType(Seq(StructField("value", StringType))))
+      .text(inDir).toDF("value")
+    val filtered = parse(raw).filter(isValid(col("temperature"), col("humidity")))
+    val path = s"$outBase/sessions"
+    val q = sessionAgg(filtered).writeStream
+      .outputMode("append")
+      .format("parquet").option("path", path)
+      .option("checkpointLocation", s"$outBase/_cp_sessions")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    path
+  }
+
   def replay(spark: SparkSession, inDir: String, outBase: String): ReplayOut = {
     val raw = spark.readStream.schema(StructType(Seq(StructField("value", StringType))))
       .text(inDir).toDF("value")

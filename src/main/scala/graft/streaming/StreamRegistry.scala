@@ -69,6 +69,20 @@ object StreamRegistry {
       .orderBy(col("id"), col("w_start"))
   }
 
+  /** Session-window half of the K layer: the staged replay through
+    * [[SensorPipeline.replaySessions]] (append mode, 30-min gap), returning
+    * the finalized sessions — those whose end cleared the drained watermark. */
+  def streamSessions(spark: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_stream_sessions").toString
+    eventsAsSensorJson(spark, dir, s"$base/in")
+    val path = SensorPipeline.replaySessions(spark, s"$base/in", s"$base/out")
+    spark.read.parquet(path)
+      .select(col("id"), Out.epochSec(col("s_start")).as("s_start"),
+        Out.epochSec(col("s_end")).as("s_end"),
+        col("max_temperature"), col("min_temperature"), col("n"))
+      .orderBy(col("id"), col("s_start"))
+  }
+
   /** The DSv2 sensor generator (reference mqttgen, R7) driven through the
     * reference's parse→filter→aggregate chain in batch mode — proves the
     * native source end-to-end without file staging. Deterministic (seeded)
@@ -113,6 +127,26 @@ object StreamRegistry {
       s"""WITH $sensorCtes
          |$windowedAggSql
          |ORDER BY id, w_start""".stripMargin)(changelogTable),
+    // Session semantics: events exactly 1800 s apart do NOT merge (Spark
+    // merges on window OVERLAP), hence the strict < in the LAG predicate;
+    // session end = last event + gap; finalized ⇔ end cleared the drained
+    // watermark max(sec) − 600.
+    QueryDef("q_stream_sessions",
+      s"""WITH $sensorCtes,
+         |o AS (SELECT id, sec, temperature,
+         |        CASE WHEN sec - LAG(sec) OVER (PARTITION BY id ORDER BY sec)
+         |                  < 1800 THEN 0 ELSE 1 END AS new_s
+         |      FROM v),
+         |s AS (SELECT id, sec, temperature,
+         |        SUM(new_s) OVER (PARTITION BY id ORDER BY sec
+         |          ROWS UNBOUNDED PRECEDING) AS sid
+         |      FROM o)
+         |SELECT id, MIN(sec) AS s_start, MAX(sec) + 1800 AS s_end,
+         |  MAX(temperature) AS max_temperature,
+         |  MIN(temperature) AS min_temperature, COUNT(*) AS n
+         |FROM s GROUP BY id, sid
+         |HAVING MAX(sec) + 1800 <= (SELECT MAX(sec) - 600 FROM v)
+         |ORDER BY id, s_start""".stripMargin)(streamSessions),
     QueryDef.noOracle("q_sensor_gen")(sensorGenAgg)
   )
 }
