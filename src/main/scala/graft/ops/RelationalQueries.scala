@@ -315,4 +315,22 @@ object RelationalQueries {
       .groupBy(col("measure"))
       .agg(count(lit(1)).as("n"), min(col("value")).as("lo"), max(col("value")).as("hi"))
       .orderBy(col("measure"))
+
+  /** The salted skew join driven through the ORACLE gate, not just a spec:
+    * lineitem ⋈ orders salted 8 ways, then aggregated. Salting is pure
+    * partitioning — the result must be bit-identical to the plain join the
+    * oracle runs, and this query makes the driver prove it every round.
+    * (The plan itself is asserted shuffle-shaped in SkewJoinSpec; here the
+    * semantics are on trial.) Revenue sums in DECIMAL ([[Out.dsum]]) so the
+    * 8-way salt's different partition order cannot move a double sum. */
+  def skewJoinSalted(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val l = t.lineitem.select(col("l_orderkey").as("okey"),
+      col("l_linenumber"), col("l_extendedprice"))
+    val o = t.orders.select(col("o_orderkey").as("okey"), col("o_orderstatus"))
+    SkewJoin.saltedInnerJoin(l, o, Seq("okey"), col("l_linenumber"), n = 8)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), Out.dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
 }

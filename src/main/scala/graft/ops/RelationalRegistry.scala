@@ -199,6 +199,14 @@ object RelationalRegistry {
         |  SELECT l_orderkey, 'l_discount', l_discount FROM lineitem)
         |SELECT measure, count(*) AS n, min(value) AS lo, max(value) AS hi
         |FROM long GROUP BY measure ORDER BY measure""".stripMargin)(
-      RelationalQueries.unpivotMeasures)
+      RelationalQueries.unpivotMeasures),
+
+    // the oracle is the PLAIN join — salting must be invisible in the result
+    QueryDef("q_skew_join_salted",
+      s"""SELECT o_orderstatus, count(*) AS n,
+         |  ${graft.ops.Out.sql.dsum("l_extendedprice")} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin)(
+      RelationalQueries.skewJoinSalted)
   )
 }

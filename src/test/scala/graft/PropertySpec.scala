@@ -153,4 +153,62 @@ class PropertySpec extends SparkSpec {
       got shouldBe want
     }
   }
+
+  test("token packing conserves per-language doc and token totals") {
+    import graft.ops.{PipelineQueries, TextQueries}
+    import graft.tables.Tables
+    val packed = PipelineQueries.tokenPacking(spark, sf)
+      .groupBy(col("lang"))
+      .agg(sum(col("n_docs")).as("docs"), sum(col("n_tokens")).as("toks"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val truth = Tables(spark, sf).documents
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs"),
+        sum(expr(s"cast(size(${TextQueries.wordsExpr}) as long)")).as("toks"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    packed shouldBe truth // chunking may never drop or duplicate a doc/token
+  }
+
+  test("stratified sample is exactly n per stratum at a non-default n") {
+    import graft.ops.StatsQueries
+    val counts = StatsQueries.stratifiedSample(spark, sf, n = 7)
+      .groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    counts should not be empty
+    counts.foreach { case (_, c) => c shouldBe 7L }
+  }
+
+  test("rebalanced mix weights form a distribution and rates are feasible") {
+    import graft.ops.PipelineQueries
+    val rows = PipelineQueries.mixRebalance(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    rows.map(_._2).sum shouldBe 1.0 +- 1e-5
+    rows.foreach { case (n, w, rate) =>
+      w should be > 0.0
+      rate should (be > 0.0 and be <= 1.0)
+      // a rate of exactly 1 means the lang is fully taken, never oversampled
+      (rate * n) should be <= (n.toDouble + 1e-6)
+    }
+  }
+
+  test("funnel stage times are strictly increasing where present") {
+    import graft.ops.EventQueries
+    EventQueries.funnel(spark, sf).collect().foreach { r =>
+      val tv = r.getLong(1)
+      if (!r.isNullAt(2)) {
+        r.getLong(2) should be > tv
+        if (!r.isNullAt(3)) r.getLong(3) should be > r.getLong(2)
+      } else r.isNullAt(3) shouldBe true // no stage skipping
+    }
+  }
+
+  test("chunk census reports only genuinely shared chunks") {
+    import graft.ops.MultimodalQueries
+    MultimodalQueries.chunkCensus(spark, sf).collect().foreach { r =>
+      val (docs, total) = (r.getLong(1), r.getLong(2))
+      total should be >= 2L
+      docs should be >= 1L
+      total should be >= docs
+    }
+  }
 }
