@@ -25,6 +25,22 @@ class FormatsSpec extends SparkSpec {
     b shouldBe a // decimal-exact through the text round-trip
   }
 
+  test("orc round-trip preserves aggregates and pushes filters to the scan") {
+    val src = Tables(spark, sf).lineitem
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    src.write.mode("overwrite").orc(s"$dir/lineitem_orc")
+    val back = spark.read.orc(s"$dir/lineitem_orc")
+    back.count() shouldBe src.count()
+    val a = src.agg(sum(expr("cast(l_extendedprice as decimal(18,2))"))).collect()(0).getDecimal(0)
+    val b = back.agg(sum(expr("cast(l_extendedprice as decimal(18,2))"))).collect()(0).getDecimal(0)
+    b shouldBe a
+    // ORC scans take predicate pushdown just like parquet — the format swap
+    // must not silently cost full-table reads
+    val p = plan(back.filter(col("l_quantity") > 30).select("l_orderkey"))
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"),
+      s"ORC scan must receive the pushed filter:\n$p")
+  }
+
   test("json-lines round-trip preserves nested structure") {
     val src = Tables(spark, sf).events
       .select(col("event_id"), col("user_id"),
