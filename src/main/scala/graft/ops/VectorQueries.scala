@@ -271,6 +271,18 @@ object VectorQueries {
     val e = emb(spark, dir)
     val cents = e.filter(col("vec_id") < 10L)
       .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+    ivfSearchWith(spark, dir, cents, probeId, k, nprobe)
+  }
+
+  /** IVF serving path over a CALLER-SUPPLIED centroid table (cent_id, ce) —
+    * how the production index plugs trained centroids in: pass
+    * `ClusterQueries.kmeans(...).centroids` (renamed cluster → cent_id) and
+    * the identical assign → invert → nprobe → exact-rerank plan serves it.
+    * Invariant (spec-checked): with nprobe = |cents| every list is probed,
+    * so the result equals brute-force [[similarVectors]] exactly. */
+  def ivfSearchWith(spark: SparkSession, dir: String, cents: DataFrame,
+      probeId: Long, k: Int, nprobe: Int): DataFrame = {
+    val e = emb(spark, dir)
     // Assignment: argmax over the broadcast centroid table, as a map-side
     // combinable `max_by` aggregate — one partial-agg row per vector reaches
     // the shuffle, where a window argmax would shuffle and sort the whole

@@ -87,6 +87,21 @@ class ClusterQueriesSpec extends SparkSpec {
     assert(dropped.nonEmpty, "no drops at sf0.001 — threshold too high to test")
   }
 
+  test("IVF over kmeans-trained centroids is exact when every list is probed") {
+    import graft.ops.VectorQueries
+    val trained = ClusterQueries.kmeans(spark, sf).centroids
+      .select(col("cluster").as("cent_id"), col("ce"))
+    val nCents = trained.count().toInt
+    val got = VectorQueries.ivfSearchWith(spark, sf, trained,
+        probeId = 7L, k = 5, nprobe = nCents)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    // nprobe = |cents| probes every inverted list ⇒ candidate set = corpus
+    // ⇒ the serving path degrades gracefully to exact brute force
+    val brute = VectorQueries.similarVectors(spark, sf, probeId = 7L, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    got shouldBe brute
+  }
+
   test("semDedup aborts loudly when a cluster exceeds the pair-join cap") {
     // k=1 funnels every vector into one cluster; a cap below the corpus
     // size must abort rather than run the quadratic pair join
