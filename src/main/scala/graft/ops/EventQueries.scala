@@ -195,7 +195,14 @@ object EventQueries {
     * users who reached stage N). No windows over the raw stream, no
     * cross-stage sort. An n-stage funnel is this chain n-1 steps long —
     * `stages` is the library knob (output column per stage, `t_<stage>`);
-    * the registry runs the default view → click → purchase. */
+    * the registry runs the default view → click → purchase.
+    *
+    * Trade note: this spelling scans the (stage-filtered) event stream once
+    * per stage. When n_stages × scan cost dominates — long funnels over raw
+    * 100 TB events — the one-shuffle alternative is the same fold as
+    * [[graft.streaming.StatefulOps.funnelUpdates]] executed in BATCH mode
+    * (groupByKey(user) + sorted in-memory fold; gate-equivalent by spec),
+    * at the price of buffering each user's history in one task. */
   def funnel(spark: SparkSession, dir: String,
       stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")

@@ -61,6 +61,24 @@ class FormatsSpec extends SparkSpec {
     k2.getStruct(2).getString(0) shouldBe k.getStruct(2).getString(0)
   }
 
+  test("schema evolution: mergeSchema unifies old and new parquet layouts") {
+    val s = spark
+    import s.implicits._
+    // own temp root: the partition-style batch= dirs would otherwise join
+    // this suite's shared dir in OTHER tests' directory discovery
+    val evolve = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    // v1 writers emit (id, v); a later deploy adds a column
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+      .write.parquet(s"$evolve/batch=1")
+    Seq((3L, 30.0, "en")).toDF("id", "v", "lang")
+      .write.parquet(s"$evolve/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(evolve)
+    merged.columns.toSet shouldBe Set("id", "v", "lang", "batch")
+    merged.count() shouldBe 3
+    // rows from the pre-evolution files surface the new column as null
+    merged.filter(col("lang").isNull).count() shouldBe 2
+  }
+
   test("kafka writer seam reaches Spark's data-source resolver (R5 production path)") {
     import graft.streaming.SensorPipeline
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/kafka_in.json"),
