@@ -180,6 +180,44 @@ object RelationalQueries {
     segBuilding(t).except(segRich(t)).orderBy(col("c_custkey"))
   }
 
+  /** EXCEPT ALL — multiplicity-preserving difference (bag semantics): each
+    * row survives max(0, n_left − n_right) times. Over order priorities per
+    * customer so duplicates genuinely occur; the engine plans the same
+    * partial-agg-shaped rewrite DuckDB uses (count both sides, replicate
+    * the difference), never a row-at-a-time loop. */
+  def setExceptAll(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val l = t.orders.filter(col("o_totalprice") > 100000.0)
+      .select(col("o_custkey"), col("o_orderpriority"))
+    val r = t.orders.filter(col("o_totalprice") > 300000.0)
+      .select(col("o_custkey"), col("o_orderpriority"))
+    l.exceptAll(r)
+      .groupBy(col("o_custkey"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_custkey"), col("o_orderpriority"))
+  }
+
+  /** FULL OUTER join: the reconciliation shape — every customer and every
+    * order-bearing key survives, nulls mark the unmatched side. Key is
+    * COALESCEd from both sides (the standard full-outer key recovery).
+    * Aggregated so both null-sides are visible in a bounded output. */
+  def joinFull(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val bigSpenders = t.orders.filter(col("o_totalprice") > 400000.0)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_big"))
+    val building = t.customer.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_name"))
+    building.join(bigSpenders, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_name"),
+        coalesce(col("n_big"), lit(0L)).as("n_big"),
+        when(col("c_custkey").isNull, lit("order_only"))
+          .when(col("o_custkey").isNull, lit("customer_only"))
+          .otherwise(lit("both")).as("side"))
+      .orderBy(col("custkey"))
+  }
+
   /** String scalar-function coverage over part. */
   def scalarString(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).part.select(
@@ -315,6 +353,27 @@ object RelationalQueries {
       .groupBy(col("measure"))
       .agg(count(lit(1)).as("n"), min(col("value")).as("lo"), max(col("value")).as("hi"))
       .orderBy(col("measure"))
+
+  /** Value-based (RANGE) window frame — each order's trailing-30-day revenue
+    * for the same customer: the frame bound is an ORDER-VALUE distance, not
+    * a row count, which is the windowed shape rolling time-based features
+    * need (rows-frames break the moment events are unevenly spaced). Sum in
+    * DECIMAL so the frame's internal order can't move the double. Epoch
+    * seconds as the range key — identical integer arithmetic in both
+    * engines. */
+  def windowRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days30 = 30L * 86400L
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("order_ts"))
+      .rangeBetween(-days30, 0L)
+    Tables(spark, dir).orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        Out.epochSec(col("o_orderdate")).as("order_ts"), col("o_totalprice"))
+      .withColumn("trailing30d_revenue",
+        sum(col("o_totalprice").cast(Out.SumDecimal)).over(w).cast("double"))
+      .withColumn("trailing30d_orders", count(lit(1)).over(w))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
 
   /** The salted skew join driven through the ORACLE gate, not just a spec:
     * lineitem ⋈ orders salted 8 ways, then aggregated. Salting is pure

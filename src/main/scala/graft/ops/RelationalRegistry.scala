@@ -201,6 +201,40 @@ object RelationalRegistry {
         |FROM long GROUP BY measure ORDER BY measure""".stripMargin)(
       RelationalQueries.unpivotMeasures),
 
+    QueryDef("q_except_all",
+      """SELECT o_custkey, o_orderpriority, count(*) AS n FROM (
+        |  SELECT o_custkey, o_orderpriority FROM orders WHERE o_totalprice > 100000
+        |  EXCEPT ALL
+        |  SELECT o_custkey, o_orderpriority FROM orders WHERE o_totalprice > 300000)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)(
+      RelationalQueries.setExceptAll),
+
+    QueryDef("q_join_full",
+      """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_name,
+        |  coalesce(o.n_big, 0) AS n_big,
+        |  CASE WHEN c.c_custkey IS NULL THEN 'order_only'
+        |       WHEN o.o_custkey IS NULL THEN 'customer_only'
+        |       ELSE 'both' END AS side
+        |FROM (SELECT c_custkey, c_name FROM customer
+        |      WHERE c_mktsegment = 'BUILDING') c
+        |FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_big FROM orders
+        |                 WHERE o_totalprice > 400000 GROUP BY 1) o
+        |  ON c.c_custkey = o.o_custkey
+        |ORDER BY custkey""".stripMargin)(RelationalQueries.joinFull),
+
+    QueryDef("q_window_range_frame",
+      s"""SELECT o_custkey, o_orderkey, ${S.epochSec("o_orderdate")} AS order_ts,
+         |  o_totalprice,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) OVER w AS DOUBLE)
+         |    AS trailing30d_revenue,
+         |  COUNT(*) OVER w AS trailing30d_orders
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_custkey
+         |             ORDER BY ${S.epochSec("o_orderdate")}
+         |             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+         |ORDER BY o_custkey, o_orderkey""".stripMargin)(
+      RelationalQueries.windowRangeFrame),
+
     // the oracle is the PLAIN join — salting must be invisible in the result
     QueryDef("q_skew_join_salted",
       s"""SELECT o_orderstatus, count(*) AS n,
