@@ -196,6 +196,27 @@ object StatsQueries {
   def existsIn(spark: SparkSession, dir: String): DataFrame =
     sqlOnViews(spark, dir, existsInSql)
 
+  /** Argmax/argmin as user-facing aggregates: per event type, WHICH event
+    * carried the extreme value (and when) — `max_by`/`min_by`, the one-pass
+    * partial-agg spelling of "the row where X is maximal" that replaces the
+    * self-join or window-rank detour. Ties break on the lowest event_id via
+    * the ordering struct (value, -event_id), mirroring the oracle's
+    * `arg_max(..., (value, -event_id))` tuple ordering. */
+  def argExtremes(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("value")).as("max_value"),
+        max_by(struct(col("event_id"), Out.epochSec(col("ts")).as("t")),
+          struct(col("value"), (-col("event_id")).as("tb"))).as("mx"),
+        min(col("value")).as("min_value"),
+        min_by(struct(col("event_id"), Out.epochSec(col("ts")).as("t")),
+          struct(col("value"), col("event_id"))).as("mn"))
+      .select(col("event_type"),
+        col("max_value"), col("mx.event_id").as("max_event_id"), col("mx.t").as("max_ts"),
+        col("min_value"), col("mn.event_id").as("min_event_id"), col("mn.t").as("min_ts"))
+      .orderBy(col("event_type"))
+
   /** One-pass column profile of the events table — the ANALYZE-style
     * statistics a catalog keeps per table: row count, exact distinct key
     * cardinalities, null counts, min/max/avg per measure, event-time span.

@@ -81,6 +81,25 @@ object StatsRegistry {
 
     QueryDef("q_exists_in", StatsQueries.existsInSql)(StatsQueries.existsIn),
 
+    // arg-extreme tie-break parity: max_by over (value, -event_id) ≡
+    // ORDER BY value DESC, event_id; min_by over (value, event_id) ≡
+    // ORDER BY value ASC, event_id — both pick the LOWEST event_id on ties.
+    QueryDef("q_argmax",
+      """WITH r AS (
+        |  SELECT event_type, value, event_id,
+        |    CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY value DESC, event_id) AS rmax,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY value ASC, event_id) AS rmin
+        |  FROM events)
+        |SELECT a.event_type,
+        |  a.value AS max_value, a.event_id AS max_event_id, a.t AS max_ts,
+        |  b.value AS min_value, b.event_id AS min_event_id, b.t AS min_ts
+        |FROM (SELECT * FROM r WHERE rmax = 1) a
+        |JOIN (SELECT * FROM r WHERE rmin = 1) b USING (event_type)
+        |ORDER BY a.event_type""".stripMargin)(StatsQueries.argExtremes),
+
     QueryDef("q_profile_events",
       s"""SELECT count(*) AS n,
          |  count(DISTINCT user_id) AS n_users,
