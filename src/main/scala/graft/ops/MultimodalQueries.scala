@@ -77,9 +77,14 @@ object MultimodalQueries {
     * comparison).
     *
     * Shape at scale: explode is linear in payload bytes; the census is one
-    * partial-agg shuffle keyed by chunk hash; the ≥2 filter lands on the
-    * aggregate (HAVING) so singleton chunks — the overwhelming majority —
-    * never survive the partial agg's map side in large numbers. Top-k via
+    * partial-agg shuffle keyed by chunk hash. Honest cost note: the shuffle
+    * carries one partial row per DISTINCT chunk per task — singletons
+    * included — which is the inherent price of an exact census (identical
+    * to any exact distinct-count); the ≥2 filter prunes only after the
+    * final agg. A 100 TB deployment that only wants the shared tail runs
+    * the standard two-pass trim (cheap approximate pre-pass — e.g. a
+    * count-min or bloom of chunk hashes — to pre-filter candidates, then
+    * this exact plan over the survivors). Top-k via
     * TakeOrderedAndProject. */
   def chunkCensus(spark: SparkSession, dir: String, topK: Int = 50): DataFrame =
     Tables(spark, dir).documents
