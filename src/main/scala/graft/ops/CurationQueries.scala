@@ -30,13 +30,10 @@ object CurationQueries {
 
   import TextQueries.{shingled, stopwordsSqlList, wordsExpr}
 
-  /** Stages 1+2 — the shared pipeline prefix: quality-gated docs after exact
-    * dedup, carrying (doc_id, text, n_tokens, quality, stop_ratio). */
-  private def uniqQualified(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir).documents
-
-    // stage 1+4 inputs: per-doc quality + language features, one narrow pass
-    val scored = docs
+  /** Stage-0 frame: every doc with its quality + language features — the
+    * one narrow scoring pass stages 1 and 4 read from. */
+  private def scoredDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
       .withColumn("w", expr(wordsExpr))
       .withColumn("n_tokens", size(col("w")).cast("long"))
       .withColumn("uniq_ratio",
@@ -50,13 +47,20 @@ object CurationQueries {
           / col("n_tokens"), 4))
       .select(col("doc_id"), col("text"), col("n_tokens"), col("quality"), col("stop_ratio"))
 
-    // No persist here, deliberately: each downstream consumer prunes to a
-    // narrow column subset (exact dedup needs only (doc_id, md5(text)), the
-    // signature stage (doc_id, text)), so Catalyst's column pruning makes
-    // the re-scans cheaper than materializing the full scored width
-    // (measured: persisting was net-neutral to slower at sf0.1).
-    val qualified = scored.filter(col("quality") >= 0.5)
+  /** Stage-1 frame: quality gate over [[scoredDocs]]. */
+  private def qualifiedDocs(spark: SparkSession, dir: String): DataFrame =
+    scoredDocs(spark, dir).filter(col("quality") >= 0.5)
 
+  /** Stages 1+2 — the shared pipeline prefix: quality-gated docs after exact
+    * dedup, carrying (doc_id, text, n_tokens, quality, stop_ratio).
+    *
+    * No persist of the scored frame, deliberately: each downstream consumer
+    * prunes to a narrow column subset (exact dedup needs only (doc_id,
+    * md5(text)), the signature stage (doc_id, text)), so Catalyst's column
+    * pruning makes the re-scans cheaper than materializing the full scored
+    * width (measured: persisting was net-neutral to slower at sf0.1). */
+  private def uniqQualified(spark: SparkSession, dir: String): DataFrame = {
+    val qualified = qualifiedDocs(spark, dir)
     // stage 2: exact dedup — min doc_id per content hash
     val exactKeepers = qualified
       .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
@@ -153,6 +157,41 @@ object CurationQueries {
       .select(col("a"), col("b"))
     val edges = nearDupPairs(uniqueDocs).unionByName(embEdges).distinct()
     clusterAndLabel(ids, edges)
+  }
+
+  /** Per-stage audit of the [[curate]] pipeline — the funnel report every
+    * curation run logs: docs in, docs dropped, docs out at each of the four
+    * stages. THE operational artifact for a data pipeline (a sudden jump in
+    * one stage's drop rate is how upstream corruption gets caught), kept
+    * oracle-checked like everything else.
+    *
+    * Shape at scale: five independent counts, each a partial agg over its
+    * stage frame (the stage frames share scans via Catalyst's plan reuse
+    * where shapes align); the final lag/diff runs on a 5-row frame — driver
+    * metadata, where a single-partition window is exactly right. */
+  def curationReport(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val uniq = uniqQualified(spark, dir)
+    val afterNearDup = uniq.join(
+      nearDupPairs(uniq).select(col("b").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    def cnt(df: DataFrame, stage: Int, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_out"))
+        .select(lit(stage.toLong).as("stage"), lit(name).as("stage_name"),
+          col("n_out"))
+    val stages = cnt(scoredDocs(spark, dir), 0, "input")
+      .unionByName(cnt(qualifiedDocs(spark, dir), 1, "quality_gate"))
+      .unionByName(cnt(uniq, 2, "exact_dedup"))
+      .unionByName(cnt(afterNearDup, 3, "near_dup_prune"))
+      .unionByName(cnt(afterNearDup.filter(col("stop_ratio") >= 0.05), 4,
+        "language_gate"))
+    val w = Window.orderBy(col("stage"))
+    stages
+      .withColumn("n_in", coalesce(lag(col("n_out"), 1).over(w), col("n_out")))
+      .withColumn("n_dropped", col("n_in") - col("n_out"))
+      .select(col("stage"), col("stage_name"), col("n_in"), col("n_out"),
+        col("n_dropped"))
+      .orderBy(col("stage"))
   }
 
   /** Shared CC tail: label every quality-gated unique doc with its

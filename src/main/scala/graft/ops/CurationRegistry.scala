@@ -47,6 +47,30 @@ object CurationRegistry {
        |bndc AS (SELECT bnd.* FROM bnd JOIN okb USING (band_idx, band_key))""".stripMargin
 
   def all: Seq[QueryDef] = Seq(
+    QueryDef("q_curation_report",
+      s"""WITH $prefixCtes,
+         |drops AS (SELECT DISTINCT b.doc_id
+         |          FROM bndc a JOIN bndc b
+         |            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |           AND a.doc_id < b.doc_id
+         |          WHERE len(list_filter(generate_series(1, 16),
+         |                  i -> a.sig[i] = b.sig[i])) / 16.0 >= 0.5),
+         |nd AS (SELECT u.* FROM uniq u LEFT JOIN drops ON u.doc_id = drops.doc_id
+         |       WHERE drops.doc_id IS NULL),
+         |stages AS (
+         |  SELECT CAST(0 AS BIGINT) AS stage, 'input' AS stage_name,
+         |    (SELECT count(*) FROM scored2) AS n_out
+         |  UNION ALL SELECT 1, 'quality_gate', (SELECT count(*) FROM qualified)
+         |  UNION ALL SELECT 2, 'exact_dedup', (SELECT count(*) FROM uniq)
+         |  UNION ALL SELECT 3, 'near_dup_prune', (SELECT count(*) FROM nd)
+         |  UNION ALL SELECT 4, 'language_gate',
+         |    (SELECT count(*) FROM nd WHERE stop_ratio >= 0.05))
+         |SELECT stage, stage_name,
+         |  coalesce(lag(n_out) OVER (ORDER BY stage), n_out) AS n_in, n_out,
+         |  coalesce(lag(n_out) OVER (ORDER BY stage), n_out) - n_out AS n_dropped
+         |FROM stages ORDER BY stage""".stripMargin)(
+      CurationQueries.curationReport),
+
     QueryDef("q_curation_pipeline",
       s"""WITH $prefixCtes,
          |drops AS (SELECT DISTINCT b.doc_id
