@@ -172,6 +172,10 @@ object CurationQueries {
   def curationReport(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val uniq = uniqQualified(spark, dir)
+    // stage 3's survivors feed TWO counts (stage 3 and the stage-4 filter);
+    // no persist needed: an explicit persist A/B'd at parity at sf0.1 —
+    // AQE's exchange reuse already shares the minhash/banding subplan
+    // between the two counts.
     val afterNearDup = uniq.join(
       nearDupPairs(uniq).select(col("b").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
