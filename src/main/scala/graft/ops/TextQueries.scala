@@ -252,6 +252,38 @@ object TextQueries {
       .orderBy(col("pmi").desc, col("bigram")).limit(topK)
   }
 
+  /** Unigram-LM cross-entropy scoring — the self-contained core of the
+    * CCNet/KenLM-style perplexity quality filter: train unigram
+    * probabilities p(t) = count(t)/N on the corpus itself, score each doc
+    * by its mean negative log-likelihood (1/n)·Σ −ln p(tᵢ). Degenerate and
+    * boilerplate docs score LOW (their tokens are corpus-frequent), rare-
+    * garbage docs score HIGH — both tails are what a quality gate trims. A
+    * production pipeline swaps in an external LM's scores; the plan shape
+    * (score table join + per-doc mean) is identical.
+    *
+    * Shape at scale: one (token) partial-agg shuffle for the vocab
+    * (Zipf-bounded), one (doc, token)-keyed join of the exploded stream
+    * against it — AQE broadcasts the vocab when it fits — then a per-doc
+    * partial agg. The per-doc Σ −ln p is summed in DECIMAL(38,12): the ln
+    * values are IEEE-identical in both engines (one libm call on the same
+    * double ratio), and the decimal cast makes the SUM order-independent —
+    * the same exactness discipline as the centroid means. */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val tok = docs.select(col("doc_id"), explode(expr(wordsExpr)).as("t"))
+    val vocab = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum(col("c")).as("n_total"))
+    tok.join(vocab, Seq("t"))
+      .crossJoin(broadcast(total))
+      .withColumn("nll",
+        (-log(col("c").cast("double") / col("n_total"))).cast("decimal(38,12)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(col("nll")).cast("double") / count(lit(1))).as("avg_nll"))
+      .select(col("doc_id"), col("n_tokens"), round(col("avg_nll"), 6).as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprinting: whole-doc MD5 plus a 1-permutation MinHash over
     * 5-word shingles (the min MD5 of any shingle) — a content-defined
     * fingerprint stable under document reordering of *other* docs and cheap

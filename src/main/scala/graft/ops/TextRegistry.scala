@@ -139,6 +139,20 @@ object TextRegistry {
          |SELECT bigram, count(*) AS n FROM b
          |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""".stripMargin)((s, d) => TextQueries.ngramCounts(s, d, n = 2, topK = 50)),
 
+    // ln is one libm call on the identical double ratio in both engines
+    // (same agreement the BM25/TF-IDF oracles rely on); the per-doc sum is
+    // DECIMAL(38,12)-cast so partition order can't move it.
+    QueryDef("q_lm_score",
+      s"""WITH tok AS (SELECT doc_id, unnest($words) AS t FROM documents),
+         |vocab AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM vocab)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  round(CAST(sum(CAST(-ln(CAST(c AS DOUBLE) / n_total)
+         |                      AS DECIMAL(38,12))) AS DOUBLE)
+         |        / count(*), 6) AS avg_nll
+         |FROM tok JOIN vocab USING (t) CROSS JOIN tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)(TextQueries.lmScore),
+
     // PMI arithmetic parenthesized identically to the Spark expression tree:
     // (n_ab/nb) / ((n_a/nu) * (n_b/nu)), every numerator cast to DOUBLE first.
     // DuckDB list indexing is 1-based where Spark's split()[i] is 0-based.

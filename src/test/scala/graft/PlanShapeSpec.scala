@@ -120,7 +120,7 @@ class PlanShapeSpec extends SparkSpec {
     // BroadcastNestedLoopJoin; everything else must stay equi-join shaped.
     val probeQueries = Set("q_similar_vectors", "q_ann_lsh", "q_ivf_search",
       "q_dedup_embedding", "q_lsh_bucket_stats",
-      "q_tfidf_keywords", "q_bm25_search", "q_pmi_collocations",
+      "q_tfidf_keywords", "q_bm25_search", "q_pmi_collocations", "q_lm_score",
       // 1-row broadcast normalizer (Σ sqrt shares)
       "q_mix_rebalance",
       // k-row broadcast centroid tables (k = driver metadata, never data)

@@ -68,6 +68,22 @@ class TextQueriesSpec extends SparkSpec {
     got.zip(want).foreach { case ((_, _, g), (_, _, w)) => g shouldBe w +- 1e-6 }
   }
 
+  test("unigram LM scores match a driver-side cross-entropy recomputation") {
+    val counts = corpus.flatMap(_._2).groupBy(identity)
+      .map { case (t, o) => t -> o.size.toLong }
+    val n = counts.values.sum.toDouble
+    val got = TextQueries.lmScore(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    got.length shouldBe corpus.size
+    val byId = corpus.toMap
+    got.foreach { case (d, nt, avg) =>
+      val w = byId(d)
+      nt shouldBe w.length.toLong
+      val want = w.map(t => -math.log(counts(t) / n)).sum / w.length
+      avg shouldBe want +- 1e-6
+    }
+  }
+
   test("pmi collocations match a driver-side recomputation (non-default min count)") {
     val uni = corpus.flatMap(_._2).groupBy(identity)
       .map { case (t, o) => t -> o.size.toLong }
