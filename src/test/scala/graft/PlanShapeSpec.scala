@@ -134,6 +134,15 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("decontamination probes the training corpus with a broadcast hash join") {
+    val p = plan(PipelineQueries.decontaminate(spark, sf))
+    // the eval shingle set must come in broadcast — a shuffled join here
+    // would move the whole training corpus for a few MB of eval hashes
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast probe:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"training corpus must not shuffle for the contamination probe:\n$p")
+  }
+
   test("stratified sample gets the WindowGroupLimit pre-shuffle prune") {
     val p = plan(StatsQueries.stratifiedSample(spark, sf))
     // row_number() <= n must trigger Spark's group-limit pushdown: each map
