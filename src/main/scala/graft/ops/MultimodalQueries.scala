@@ -104,6 +104,24 @@ object MultimodalQueries {
       .orderBy(col("n_total").desc, col("chunk_md5"))
       .limit(topK)
 
+  /** Shared-chunk census over CONTENT-DEFINED chunks
+    * ([[graft.functions.CdcChunks]], `graft_cdc_chunks`): same census shape
+    * as [[chunkCensus]], but boundaries come from the gear rolling hash, so
+    * payloads differing by an insertion still share their tail chunks —
+    * the production media-dedup chunking. No SQL oracle (the rolling
+    * recurrence is sequential per payload — not reasonably expressible in
+    * DuckDB); CdcChunksSpec holds a driver-side reimplementation check plus
+    * the shift-invariance property, and the census arithmetic downstream of
+    * the kernel is the oracle-proven [[chunkCensus]] shape. */
+  def chunkCensusCdc(spark: SparkSession, dir: String, topK: Int = 50): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), explode(expr("graft_cdc_chunks(text)")).as("chunk_md5"))
+      .groupBy(col("chunk_md5"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_total"))
+      .filter(col("n_total") >= 2)
+      .orderBy(col("n_total").desc, col("chunk_md5"))
+      .limit(topK)
+
   /** Frame-sampling plan for "video" payloads: per payload, the frame count
     * (stub-derived) and the evenly-spaced sample positions a real pipeline
     * would hand to the decoder — array logic in codegen-friendly expressions. */

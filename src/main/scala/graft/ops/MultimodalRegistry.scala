@@ -47,6 +47,12 @@ object MultimodalRegistry {
          |      FROM c GROUP BY 1 HAVING count(*) >= 2)
          |SELECT chunk_md5, n_docs, n_total FROM g
          |ORDER BY n_total DESC, chunk_md5 LIMIT 50""".stripMargin)(
-      (s, d) => MultimodalQueries.chunkCensus(s, d, topK = 50))
+      (s, d) => MultimodalQueries.chunkCensus(s, d, topK = 50)),
+
+    // no oracle: the gear rolling hash is a sequential per-payload
+    // recurrence DuckDB can't reasonably replay; CdcChunksSpec holds the
+    // independent reimplementation + shift-invariance checks
+    graft.QueryDef.noOracle("q_chunk_census_cdc")(
+      (s, d) => MultimodalQueries.chunkCensusCdc(s, d, topK = 50))
   )
 }
