@@ -210,5 +210,29 @@ class PropertySpec extends SparkSpec {
       docs should be >= 1L
       total should be >= docs
     }
+    // topK is live, and the cut respects the (n_total desc, chunk) order
+    val top3 = MultimodalQueries.chunkCensus(spark, sf, topK = 3).collect()
+    top3.length should be <= 3
+    val all = MultimodalQueries.chunkCensus(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    top3.map(r => (r.getString(0), r.getLong(2))).toSeq shouldBe all.take(top3.length).toSeq
+  }
+
+  test("curation report is self-consistent and rerun-deterministic") {
+    import graft.ops.CurationQueries
+    val rows = CurationQueries.curationReport(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    rows.map(_._1).toSeq shouldBe (0L to 4L)
+    rows.foreach { case (_, _, nIn, nOut, nDropped) =>
+      nDropped shouldBe nIn - nOut
+      nOut should be <= nIn
+    }
+    // each stage's n_in chains from the previous stage's n_out
+    rows.sliding(2).foreach { case Array(prev, cur) => cur._3 shouldBe prev._4 }
+    // the final stage count equals the capstone pipeline's output
+    rows.last._4 shouldBe CurationQueries.curate(spark, sf).count()
+    CurationQueries.curationReport(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSeq shouldBe
+      rows.map(r => (r._1, r._4)).toSeq
   }
 }
