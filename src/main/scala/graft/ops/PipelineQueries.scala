@@ -219,4 +219,47 @@ object PipelineQueries {
           .as("dup_frac"),
         round(col("top_count").cast("double") / col("n_tokens"), 6).as("top_frac"))
       .orderBy(col("doc_id"))
+
+  /** Span width (tokens) for the cross-doc duplication census. 8 tokens is
+    * the same "essentially never coincidence" width as [[DecontamN]] — here
+    * applied WITHIN the corpus rather than against an eval set. */
+  val DupSpanN = 8
+
+  /** Cross-document duplicated-span census — the corpus-side signal behind
+    * exact-substring deduplication: for every doc, how many of its distinct
+    * [[DupSpanN]]-token spans also occur in at least one OTHER document, and
+    * what fraction of the doc that is. Docs with high `dup_frac` are
+    * near-copies or templated boilerplate; a training pipeline drops them or
+    * trims the shared spans. Complements [[PipelineQueries.decontaminate]]
+    * (corpus↔eval) and [[repetitionStats]] (within-doc): this is corpus↔corpus.
+    *
+    * Shape at scale: spans are hashed to 48-bit ints per doc (narrow,
+    * per-doc work); the duplicated-hash set is found by one partial-agg
+    * shuffle on the hash (`count > 1` — per-doc-distinct spans make that
+    * count a document frequency); per-doc span totals come from a partial
+    * agg on doc_id that never joins. Only the probe join (spans ⋈ duplicated
+    * hashes) moves data, and its build side is the duplicated sliver of the
+    * span space — AQE broadcasts it when small, falls back to a shuffle join
+    * when the corpus really is pervasively duplicated (the one case where
+    * that shuffle is irreducible work). A 48-bit collision can only ADD a
+    * false duplicate flag — conservative in the safe direction, and the
+    * oracle hashes identically so the gate stays exact. */
+  def dupSpanCensus(spark: SparkSession, dir: String): DataFrame = {
+    val spans = shingled(Tables(spark, dir).documents, DupSpanN)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), expr(hash48("s")).as("h"))
+    val dupHashes = spans.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") > 1)
+      .select(col("h"))
+    val nSpans = spans.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
+    val nDup = spans.join(dupHashes, Seq("h"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_spans"))
+    nSpans.join(nDup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        round(coalesce(col("n_dup_spans"), lit(0L)).cast("double") / col("n_spans"), 6)
+          .as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
 }

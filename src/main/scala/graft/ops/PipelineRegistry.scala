@@ -95,6 +95,22 @@ object PipelineRegistry {
          |SELECT doc_id, n_tokens, n_distinct, top_count,
          |  round(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS dup_frac,
          |  round(CAST(top_count AS DOUBLE) / n_tokens, 6) AS top_frac
-         |FROM agg ORDER BY doc_id""".stripMargin)(PipelineQueries.repetitionStats)
+         |FROM agg ORDER BY doc_id""".stripMargin)(PipelineQueries.repetitionStats),
+
+    QueryDef("q_dup_span_census",
+      s"""WITH sh AS (SELECT doc_id, ${shingleSet(PipelineQueries.DupSpanN)} AS sh
+         |            FROM documents),
+         |sp AS (SELECT doc_id, ${hash48("s")} AS h
+         |       FROM (SELECT doc_id, unnest(sh) AS s FROM sh)),
+         |dup AS (SELECT h FROM (SELECT h, count(*) AS df FROM sp GROUP BY 1)
+         |        WHERE df > 1),
+         |ns AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY 1),
+         |nd AS (SELECT doc_id, count(*) AS n_dup FROM sp JOIN dup USING (h)
+         |       GROUP BY 1)
+         |SELECT ns.doc_id, ns.n_spans,
+         |  COALESCE(nd.n_dup, 0) AS n_dup_spans,
+         |  round(CAST(COALESCE(nd.n_dup, 0) AS DOUBLE) / ns.n_spans, 6) AS dup_frac
+         |FROM ns LEFT JOIN nd USING (doc_id) ORDER BY doc_id""".stripMargin)(
+      PipelineQueries.dupSpanCensus)
   )
 }

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Time-series analytics over the event stream — per-entity anomaly
+  * detection and grid resampling with gap fill. These extend the reference's
+  * windowed MIN/MAX/AVG surface (SURVEY.md §2.2 K4–K6) with the two
+  * monitoring queries every sensor fleet runs next: "which readings are
+  * abnormal for THIS sensor?" and "give me a regular bar series even where
+  * the sensor was silent".
+  *
+  * Determinism follows [[Out]] and the [[StatsQueries]] moment rules: power
+  * sums in exact DECIMAL, derived moments as one explicit double formula
+  * (identical expression tree in the oracle), raw measures passed through
+  * untouched.
+  */
+object TimeseriesQueries {
+
+  /** Anomaly threshold in sample standard deviations. Shared with the
+    * oracle SQL (interpolated, not duplicated). */
+  val ZThreshold = 2.0
+
+  /** Per-user z-score anomaly detection: flag events whose value deviates
+    * more than [[ZThreshold]]·σ from that user's own mean (two-sided).
+    * Output: the flagged events with their z-score (rounded, 6dp).
+    *
+    * Shape at scale: classic two-pass — (1) per-user count/Σv/Σv² as a
+    * partial-aggregated shuffle on `user_id` (the stats table is one row per
+    * user, ~10⁻⁵ of the event volume), then (2) join the stats back to the
+    * event stream on the same key. AQE broadcasts the stats side when it is
+    * small; when the user population itself is huge the equi-join shuffles
+    * both sides on `user_id` — no plan rewrite needed. The alternative
+    * single-pass spelling (a window over `user_id`) materializes each user's
+    * whole history in one task — fine for many small users, pathological for
+    * one hot key, so the agg+join form is the default here.
+    *
+    * Determinism: Σv/Σv² are DECIMAL(18,4) sums (exact, order-independent;
+    * the testdata values are 2dp) cast to double once; mean/σ are then the
+    * SAME double expression tree the oracle evaluates, so the > threshold
+    * comparison lands identically in both engines. Users with n < 2 (sample
+    * σ undefined) are excluded by construction. */
+  def anomalyZscore(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"), col("value"))
+    val v = col("value").cast("decimal(18,4)")
+    val stats = ev
+      .select(col("user_id"), v.as("v"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("v")).cast("double").as("s"),
+        sum(col("v") * col("v")).cast("double").as("ss"))
+      .where(col("n") >= 2)
+      .select(
+        col("user_id"),
+        (col("s") / col("n")).as("mean"),
+        sqrt((col("n") * col("ss") - col("s") * col("s")) /
+          (col("n") * (col("n") - lit(1.0)))).as("std"))
+    ev.join(stats, Seq("user_id"))
+      .where(abs(col("value") - col("mean")) > lit(ZThreshold) * col("std"))
+      .select(
+        col("event_id"), col("user_id"), col("value"),
+        round((col("value") - col("mean")) / col("std"), 6).as("z"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Resample grid step, seconds (hourly bars). Shared with the oracle. */
+  val GridStepSec = 3600L
+
+  /** Per-user hourly resample with forward fill: one row per (user, hour)
+    * over each user's [first, last] active hour — observed hours carry their
+    * event count and exact-decimal average; silent hours appear as gaps
+    * (`n_obs = 0`, `is_gap = 1`) carrying the last observed bar value
+    * forward. This is the regularization step in front of any downstream
+    * model that assumes an evenly spaced series.
+    *
+    * Shape at scale: (1) bar aggregation is one partial-agg shuffle on
+    * (user, hour); (2) the grid is generated FROM THE BAR AGGREGATE
+    * (`sequence(min_hour, max_hour)` per user, then explode) — never from a
+    * driver-side loop, and its row count is bounded by users × span-hours,
+    * independent of event volume; (3) the left join back to bars is an
+    * equi-join on the same (user, hour) key; (4) the forward fill is a
+    * running `last(ignoreNulls)` window per user ordered by hour — bounded
+    * by span-hours per task, NOT by event count, so a hot sensor with 10⁹
+    * readings still fills at most its span of grid rows in one task. */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val step = GridStepSec
+    val bars = Tables(spark, dir).events
+      .select(col("user_id"), Out.epochSec(col("ts")).as("sec"), col("value"))
+      .select(col("user_id"), expr(s"sec div $step * $step").as("hour"), col("value"))
+      .groupBy(col("user_id"), col("hour"))
+      .agg(count(lit(1)).as("n_obs"), Out.davg(col("value")).as("bar_avg"))
+    val grid = bars
+      .groupBy(col("user_id"))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), lit(step))).as("hour"))
+    val fill = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+    grid.join(bars, Seq("user_id", "hour"), "left")
+      .select(
+        col("user_id"), col("hour"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        last(col("bar_avg"), ignoreNulls = true).over(fill).as("filled_avg"),
+        when(col("n_obs").isNull, lit(1L)).otherwise(lit(0L)).as("is_gap"))
+      .orderBy(col("user_id"), col("hour"))
+  }
+}

@@ -1,0 +1,47 @@
+package graft.ops
+
+import graft.QueryDef
+
+/** Oracle SQL (DuckDB dialect) for [[TimeseriesQueries]]. The moment
+  * formulas are written as the SAME double expression tree the Spark side
+  * evaluates (from exact decimal power sums), per the [[StatsQueries]]
+  * determinism rules; thresholds/steps interpolate the Scala constants. */
+object TimeseriesRegistry {
+
+  private val Z = TimeseriesQueries.ZThreshold
+  private val Step = TimeseriesQueries.GridStepSec
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q_anomaly_zscore",
+      s"""WITH st AS (
+         |  SELECT user_id, COUNT(*)::DOUBLE AS n,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS ss
+         |  FROM events GROUP BY 1),
+         |m AS (
+         |  SELECT user_id, s / n AS mean,
+         |    SQRT((n * ss - s * s) / (n * (n - 1.0))) AS std
+         |  FROM st WHERE n >= 2)
+         |SELECT e.event_id, e.user_id, e.value,
+         |  ROUND((e.value - m.mean) / m.std, 6) AS z
+         |FROM events e JOIN m USING (user_id)
+         |WHERE ABS(e.value - m.mean) > $Z * m.std
+         |ORDER BY event_id""".stripMargin)(TimeseriesQueries.anomalyZscore),
+
+    QueryDef("q_gap_fill",
+      s"""WITH b AS (
+         |  SELECT user_id,
+         |    (CAST(FLOOR(EPOCH(ts)) AS BIGINT) // $Step) * $Step AS hour,
+         |    COUNT(*) AS n_obs,
+         |    ${Out.sql.davg("value")} AS bar_avg
+         |  FROM events GROUP BY 1, 2),
+         |sp AS (SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM b GROUP BY 1),
+         |g AS (SELECT user_id, unnest(generate_series(h0, h1, $Step)) AS hour FROM sp)
+         |SELECT g.user_id, g.hour,
+         |  COALESCE(b.n_obs, 0) AS n_obs,
+         |  LAST_VALUE(b.bar_avg IGNORE NULLS)
+         |    OVER (PARTITION BY g.user_id ORDER BY g.hour) AS filled_avg,
+         |  CAST(CASE WHEN b.n_obs IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+         |FROM g LEFT JOIN b USING (user_id, hour)
+         |ORDER BY user_id, hour""".stripMargin)(TimeseriesQueries.gapFill))
+}

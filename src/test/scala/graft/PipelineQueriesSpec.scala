@@ -88,4 +88,23 @@ class PipelineQueriesSpec extends SparkSpec {
     p should include("BroadcastHashJoin")
     (p should not).include("SortMergeJoin")
   }
+
+  test("dup-span census = per-doc count of distinct spans shared with ANOTHER doc") {
+    val n = PipelineQueries.DupSpanN
+    val perDoc = corpus.map(d => d._1 -> shingles(d._4, n)).filter(_._2.nonEmpty)
+    val docFreq = perDoc.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    val want = perDoc.map { case (id, sh) =>
+      id -> ((sh.size.toLong, sh.count(docFreq(_) > 1).toLong))
+    }.toMap
+    val got = PipelineQueries.dupSpanCensus(spark, sf).collect()
+    got.map(_.getLong(0)).toSet shouldBe want.keySet
+    got.foreach { r =>
+      val (nSpans, nDup) = want(r.getLong(0))
+      r.getLong(1) shouldBe nSpans
+      r.getLong(2) shouldBe nDup
+      r.getDouble(3) shouldBe (nDup.toDouble / nSpans) +- 1e-6
+    }
+    // the corpus's injected near-dup docs must actually register
+    assert(got.map(_.getLong(2)).sum > 0, "no duplicated spans found — census is vacuous")
+  }
 }

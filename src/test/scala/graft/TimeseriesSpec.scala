@@ -1,0 +1,74 @@
+package graft
+
+import graft.ops.TimeseriesQueries
+import graft.tables.Tables
+
+/** Brute-force driver-side oracles and invariants for the time-series
+  * operators (sf0.001) — independent plain-Scala recomputation. */
+class TimeseriesSpec extends SparkSpec {
+
+  private lazy val events: Seq[(Long, Long, Long, Double)] =
+    Tables(spark, sf).events
+      .select("event_id", "user_id", "ts", "value")
+      .selectExpr("event_id", "user_id",
+        "cast(floor(cast(ts as double)) as bigint) as sec", "value")
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+
+  test("anomaly z-score = brute-force per-user two-sided 2-sigma flags") {
+    // Recompute with BigDecimal sums (mirrors the decimal-exact power sums)
+    // then the same double moment formulas.
+    val want = events.groupBy(_._2).flatMap { case (_, es) =>
+      val n = es.size.toDouble
+      if (n < 2) Seq.empty
+      else {
+        val vs = es.map(e => BigDecimal(e._4).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+        val s = vs.sum.toDouble
+        val ss = vs.map(v => v * v).sum.toDouble
+        val mean = s / n
+        val std = math.sqrt((n * ss - s * s) / (n * (n - 1.0)))
+        es.filter(e => math.abs(e._4 - mean) > TimeseriesQueries.ZThreshold * std)
+          .map(e => e._1 -> ((e._4 - mean) / std))
+      }
+    }
+    val got = TimeseriesQueries.anomalyZscore(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    got.keySet shouldBe want.keySet
+    got.foreach { case (id, z) => z shouldBe (want(id) +- 1e-6) }
+    // sanity: anomalies exist but are a small minority
+    assert(got.nonEmpty && got.size < events.size / 4)
+  }
+
+  test("gap fill: contiguous hourly grid, counts conserved, fill correct") {
+    val step = TimeseriesQueries.GridStepSec
+    val rows = TimeseriesQueries.gapFill(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getLong(4)))
+    val byUser = rows.groupBy(_._1)
+    val evByUser = events.groupBy(_._2)
+    byUser.keySet shouldBe evByUser.keySet
+    byUser.foreach { case (u, g) =>
+      val hours = g.map(_._2)
+      // grid is exactly [h0, h1] with step — no holes, no extras
+      hours.toSeq shouldBe (hours.min to hours.max by step).toSeq
+      // observed hours/counts match raw events; first grid row is observed
+      val obs = evByUser(u).groupBy(e => e._3 / step * step).view.mapValues(_.size.toLong).toMap
+      g.filter(_._3 > 0).map(r => r._2 -> r._3).toMap shouldBe obs
+      assert(g.minBy(_._2)._3 > 0 && g.maxBy(_._2)._3 > 0)
+      // forward fill: every row carries the bar average of the most recent
+      // observed hour (never null — the first grid hour is observed)
+      val sorted = g.sortBy(_._2)
+      var lastAvg = Double.NaN
+      sorted.foreach { case (_, h, n, avg, gap) =>
+        gap shouldBe (if (n == 0) 1L else 0L)
+        if (n > 0) {
+          val es = evByUser(u).filter(e => e._3 / step * step == h).map(_._4)
+          val exact = es.map(v => BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+            .sum.toDouble / es.size
+          avg.get shouldBe (exact +- 1e-9)
+          lastAvg = avg.get
+        } else avg.get shouldBe lastAvg
+      }
+    }
+  }
+}
