@@ -60,12 +60,18 @@ object GraphQueries {
     * edge list before the loop (`adj`), so each iteration is exactly one
     * equi-join (ranks ⋈ adj on the source id) plus one partial-aggregated
     * shuffle (contributions summed by destination) — the canonical Pregel
-    * step expressed declaratively. Spark reuses the exchange on `src`
-    * across iterations when the partitioning matches; at true 100 TB scale
-    * the production spelling adds a per-iteration `localCheckpoint` to
-    * truncate lineage exactly as [[ConnectedComponents.run]] does (3 fixed
-    * unrolled iterations don't need it — lineage depth is bounded). All
-    * sums are BIGINT (exact): no floating-point anywhere in the loop. */
+    * step expressed declaratively. The unrolled plan repeats the `adj`
+    * subtree per iteration textually, but its exchanges canonicalize
+    * identically, so runtime exchange reuse materializes the graph shuffle
+    * once; an explicit `persist()` of adj+deg was A/B'd at sf0.1 (3 runs
+    * each) and came out ~15% SLOWER (3.66 s → 4.26 s median) — the cache
+    * write costs more than it saves over ReusedExchange, so the lazy
+    * spelling stands. At true 100 TB scale, an iterate-to-convergence
+    * variant would persist the graph and `localCheckpoint` per round
+    * exactly as [[ConnectedComponents.run]] does (a dynamic loop cannot
+    * lean on single-query exchange reuse); 3 fixed unrolled iterations
+    * don't need it — lineage depth is bounded. All sums are BIGINT (exact):
+    * no floating-point anywhere in the loop. */
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val e = edges(t)
