@@ -72,13 +72,14 @@ object GraphQueries {
     * lean on single-query exchange reuse); 3 fixed unrolled iterations
     * don't need it — lineage depth is bounded. All sums are BIGINT (exact):
     * no floating-point anywhere in the loop. */
-  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+  def pagerank(spark: SparkSession, dir: String,
+      iters: Int = PrIters): DataFrame = {
     val t = Tables(spark, dir)
     val e = edges(t)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val adj = e.join(deg, Seq("src"))
     var ranks = deg.select(col("src").as("node"), lit(PrScale).as("pr"))
-    for (_ <- 1 to PrIters) {
+    for (_ <- 1 to iters) {
       ranks = adj.join(ranks, col("src") === col("node"))
         .select(col("dst"), expr("pr div deg").as("c"))
         .groupBy(col("dst"))

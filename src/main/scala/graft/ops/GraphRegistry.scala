@@ -32,5 +32,5 @@ object GraphRegistry {
        |FROM r$PrIters ORDER BY node""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
-    QueryDef("q_pagerank", pagerankSql)(GraphQueries.pagerank))
+    QueryDef("q_pagerank", pagerankSql)(GraphQueries.pagerank(_, _)))
 }

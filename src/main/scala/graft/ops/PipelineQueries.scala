@@ -244,14 +244,15 @@ object PipelineQueries {
     * that shuffle is irreducible work). A 48-bit collision can only ADD a
     * false duplicate flag — conservative in the safe direction, and the
     * oracle hashes identically so the gate stays exact. */
-  def dupSpanCensus(spark: SparkSession, dir: String): DataFrame = {
+  def dupSpanCensus(spark: SparkSession, dir: String,
+      n: Int = DupSpanN): DataFrame = {
     // The span-hash table feeds three consumers (df counts, per-doc totals,
     // probe join); the plan repeats the shingle+md5 subtree per consumer but
     // the exchanges canonicalize identically, so runtime exchange reuse
     // computes it once. An explicit persist() was A/B'd at sf0.1 (3 runs):
     // 0.71 s lazy vs 1.01 s persisted — cache-write overhead loses, same
     // verdict as GraphQueries.pagerank.
-    val spans = shingled(Tables(spark, dir).documents, DupSpanN)
+    val spans = shingled(Tables(spark, dir).documents, n)
       .select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"), expr(hash48("s")).as("h"))
     val dupHashes = spans.groupBy(col("h"))

@@ -111,6 +111,6 @@ object PipelineRegistry {
          |  COALESCE(nd.n_dup, 0) AS n_dup_spans,
          |  round(CAST(COALESCE(nd.n_dup, 0) AS DOUBLE) / ns.n_spans, 6) AS dup_frac
          |FROM ns LEFT JOIN nd USING (doc_id) ORDER BY doc_id""".stripMargin)(
-      PipelineQueries.dupSpanCensus)
+      PipelineQueries.dupSpanCensus(_, _))
   )
 }

@@ -42,7 +42,8 @@ object TimeseriesQueries {
     * SAME double expression tree the oracle evaluates, so the > threshold
     * comparison lands identically in both engines. Users with n < 2 (sample
     * σ undefined) are excluded by construction. */
-  def anomalyZscore(spark: SparkSession, dir: String): DataFrame = {
+  def anomalyZscore(spark: SparkSession, dir: String,
+      threshold: Double = ZThreshold): DataFrame = {
     val ev = Tables(spark, dir).events
       .select(col("event_id"), col("user_id"), col("value"))
     val v = col("value").cast("decimal(18,4)")
@@ -60,7 +61,7 @@ object TimeseriesQueries {
         sqrt((col("n") * col("ss") - col("s") * col("s")) /
           (col("n") * (col("n") - lit(1.0)))).as("std"))
     ev.join(stats, Seq("user_id"))
-      .where(abs(col("value") - col("mean")) > lit(ZThreshold) * col("std"))
+      .where(abs(col("value") - col("mean")) > lit(threshold) * col("std"))
       .select(
         col("event_id"), col("user_id"), col("value"),
         round((col("value") - col("mean")) / col("std"), 6).as("z"))
@@ -86,8 +87,9 @@ object TimeseriesQueries {
     * running `last(ignoreNulls)` window per user ordered by hour — bounded
     * by span-hours per task, NOT by event count, so a hot sensor with 10⁹
     * readings still fills at most its span of grid rows in one task. */
-  def gapFill(spark: SparkSession, dir: String): DataFrame = {
-    val step = GridStepSec
+  def gapFill(spark: SparkSession, dir: String,
+      stepSec: Long = GridStepSec): DataFrame = {
+    val step = stepSec
     val bars = Tables(spark, dir).events
       .select(col("user_id"), Out.epochSec(col("ts")).as("sec"), col("value"))
       .select(col("user_id"), expr(s"sec div $step * $step").as("hour"), col("value"))

@@ -26,7 +26,7 @@ object TimeseriesRegistry {
          |  ROUND((e.value - m.mean) / m.std, 6) AS z
          |FROM events e JOIN m USING (user_id)
          |WHERE ABS(e.value - m.mean) > $Z * m.std
-         |ORDER BY event_id""".stripMargin)(TimeseriesQueries.anomalyZscore),
+         |ORDER BY event_id""".stripMargin)(TimeseriesQueries.anomalyZscore(_, _)),
 
     QueryDef("q_gap_fill",
       s"""WITH b AS (
@@ -43,5 +43,5 @@ object TimeseriesRegistry {
          |    OVER (PARTITION BY g.user_id ORDER BY g.hour) AS filled_avg,
          |  CAST(CASE WHEN b.n_obs IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
          |FROM g LEFT JOIN b USING (user_id, hour)
-         |ORDER BY user_id, hour""".stripMargin)(TimeseriesQueries.gapFill))
+         |ORDER BY user_id, hour""".stripMargin)(TimeseriesQueries.gapFill(_, _)))
 }

@@ -9,7 +9,7 @@ import graft.tables.Tables
   * approximately. */
 class GraphQueriesSpec extends SparkSpec {
 
-  test("fixed-point pagerank = exact driver-side integer recompute") {
+  private def recompute(iters: Int): (Map[Long, Long], Map[Long, Long]) = {
     val t = Tables(spark, sf)
     val custOfOrder = t.orders.select("o_orderkey", "o_custkey").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -19,7 +19,7 @@ class GraphQueriesSpec extends SparkSpec {
     val edges = pairs ++ pairs.map { case (u, v) => (v, u) }
     val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
     var pr: Map[Long, Long] = deg.map { case (n, _) => n -> GraphQueries.PrScale }
-    for (_ <- 1 to GraphQueries.PrIters) {
+    for (_ <- 1 to iters) {
       val in = edges.groupBy(_._2).map { case (dst, es) =>
         dst -> es.map { case (src, _) => pr(src) / deg(src) }.sum
       }
@@ -28,6 +28,11 @@ class GraphQueriesSpec extends SparkSpec {
           GraphQueries.PrDampNum * m / GraphQueries.PrDampDen)
       }
     }
+    (pr, deg)
+  }
+
+  test("fixed-point pagerank = exact driver-side integer recompute") {
+    val (pr, deg) = recompute(GraphQueries.PrIters)
     val got = GraphQueries.pagerank(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     got.map(g => g._1 -> g._3).toMap shouldBe pr // bit-exact, no tolerance
@@ -37,5 +42,12 @@ class GraphQueriesSpec extends SparkSpec {
     }
     // every graph node is ranked (undirected edges → no dangling nodes)
     got.map(_._1).toSet shouldBe deg.keySet
+  }
+
+  test("pagerank honors the iters argument (1 round, still bit-exact)") {
+    val (pr, _) = recompute(1)
+    GraphQueries.pagerank(spark, sf, iters = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap shouldBe pr
+    assert(pr.values.toSet.size > 1, "one round must already differentiate ranks")
   }
 }

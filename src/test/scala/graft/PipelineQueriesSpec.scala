@@ -107,4 +107,15 @@ class PipelineQueriesSpec extends SparkSpec {
     // the corpus's injected near-dup docs must actually register
     assert(got.map(_.getLong(2)).sum > 0, "no duplicated spans found — census is vacuous")
   }
+
+  test("dup-span census honors the span width argument (n = 16)") {
+    val perDoc = corpus.map(d => d._1 -> shingles(d._4, 16)).filter(_._2.nonEmpty)
+    val docFreq = perDoc.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    val want = perDoc.map { case (id, sh) =>
+      id -> ((sh.size.toLong, sh.count(docFreq(_) > 1).toLong))
+    }.toMap
+    val got = PipelineQueries.dupSpanCensus(spark, sf, n = 16).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    got shouldBe want
+  }
 }

@@ -39,6 +39,33 @@ class TimeseriesSpec extends SparkSpec {
     assert(got.nonEmpty && got.size < events.size / 4)
   }
 
+  test("anomaly threshold argument is live: 3-sigma flags are a strict subset") {
+    val at2 = TimeseriesQueries.anomalyZscore(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val at3 = TimeseriesQueries.anomalyZscore(spark, sf, threshold = 3.0).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(at3.size < at2.size)
+    at3.keySet.subsetOf(at2.keySet) shouldBe true
+    at3.foreach { case (id, z) =>
+      math.abs(z) should be > 3.0 - 1e-6
+      at2(id) shouldBe z // same stats, same z — only the gate moved
+    }
+  }
+
+  test("gap fill honors stepSec: daily bars cover the same span more coarsely") {
+    val day = 86400L
+    val daily = TimeseriesQueries.gapFill(spark, sf, stepSec = day).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    daily.foreach { case (_, bar, _) => bar % day shouldBe 0L }
+    // per user: counts conserved and grid strictly coarser than hourly
+    val hourlyRows = TimeseriesQueries.gapFill(spark, sf).count()
+    assert(daily.length < hourlyRows)
+    val byUser = daily.groupBy(_._1)
+    events.groupBy(_._2).foreach { case (u, es) =>
+      byUser(u).map(_._3).sum shouldBe es.size.toLong
+    }
+  }
+
   test("gap fill: contiguous hourly grid, counts conserved, fill correct") {
     val step = TimeseriesQueries.GridStepSec
     val rows = TimeseriesQueries.gapFill(spark, sf).collect()
