@@ -93,4 +93,77 @@ object GraphQueries {
         col("pr"))
       .orderBy(col("node"))
   }
+
+  /** Minimum distinct shared orders for a supplier pair to count as a
+    * co-order edge (shared with the oracle SQL via interpolation). The
+    * threshold is what keeps the projected graph sparse: an unthresholded
+    * co-occurrence projection of a transaction log is near-complete (every
+    * pair of popular suppliers eventually shares SOME order), and near-
+    * complete graphs make every triangle algorithm quadratic. */
+  val TriMinShared = 25
+
+  /** Supplier co-order graph: an undirected edge (s1 < s2) for every
+    * supplier pair appearing together in ≥ `minShared` distinct orders.
+    *
+    * Shape at scale: the per-order pair enumeration is a self-join of the
+    * DISTINCT (order, supplier) table on the order key — fan-out bounded by
+    * lines-per-order² (a per-ORDER property, independent of corpus size),
+    * then one partial-aggregated shuffle on the pair key applies the
+    * threshold. No all-pairs path: suppliers never join against suppliers,
+    * only within an order. */
+  private[ops] def coOrderEdges(t: Tables, minShared: Int): DataFrame = {
+    val lo = t.lineitem.select(col("l_orderkey").as("o"), col("l_suppkey").as("s"))
+      .distinct()
+    lo.as("a").join(lo.as("b"), col("a.o") === col("b.o") && col("a.s") < col("b.s"))
+      .select(col("a.s").as("s1"), col("b.s").as("s2"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("s1"), col("s2"))
+  }
+
+  /** Per-node degree over the thresholded co-order graph. */
+  private def degrees(edges: DataFrame): DataFrame =
+    edges.select(col("s1").as("src")).unionByName(edges.select(col("s2").as("src")))
+      .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+
+  /** Exact triangle count over the co-order graph via **degree-ordered
+    * orientation** — the standard scale trick (Chiba–Nishizeki / the
+    * "compact-forward" order): direct every undirected edge from its
+    * lower-(degree, id) endpoint to its higher one, so each triangle is
+    * counted exactly once at its unique two-out-edge apex, and — the scale
+    * point — every node's OUT-degree is bounded by O(√m) on any graph
+    * (arboricity bound), so the wedge join `D ⋈ D` is bounded by
+    * Σ outdeg² ≤ m·√m instead of Σ deg² , which a hub node would otherwise
+    * blow up quadratically. Three equi-joins, no products:
+    * wedge = D(a→b) ⋈ D(b→c), close it with D(a→c). Output: one row,
+    * the triangle count. */
+  def triangleCount(spark: SparkSession, dir: String,
+      minShared: Int = TriMinShared): DataFrame = {
+    val edges = coOrderEdges(Tables(spark, dir), minShared)
+    val deg = degrees(edges)
+    val oriented = edges
+      .join(deg.select(col("src").as("s1"), col("deg").as("d1")), "s1")
+      .join(deg.select(col("src").as("s2"), col("deg").as("d2")), "s2")
+      // s1 < s2 by construction, so (deg, id) order resolves ties toward s1
+      .select(
+        when(col("d1") <= col("d2"), col("s1")).otherwise(col("s2")).as("u"),
+        when(col("d1") <= col("d2"), col("s2")).otherwise(col("s1")).as("v"))
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.v") === col("e2.u"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+    wedges.join(oriented.as("e3"),
+        col("a") === col("e3.u") && col("c") === col("e3.v"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Degree distribution of the co-order graph: how many suppliers have k
+    * co-order partners. Two partial-aggregated shuffles (node, then degree
+    * value); the output is at most max-degree rows — driver-safe at any
+    * scale. */
+  def degreeDist(spark: SparkSession, dir: String,
+      minShared: Int = TriMinShared): DataFrame =
+    degrees(coOrderEdges(Tables(spark, dir), minShared))
+      .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("deg"))
 }

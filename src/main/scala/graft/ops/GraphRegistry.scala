@@ -31,6 +31,32 @@ object GraphRegistry {
        |  CASE WHEN node % 2 = 0 THEN 'cust' ELSE 'supp' END AS kind, pr
        |FROM r$PrIters ORDER BY node""".stripMargin
 
+  /** Shared CTE chain: thresholded co-order graph + degrees + degree-ordered
+    * orientation (mirrors GraphQueries.coOrderEdges / degrees / oriented).
+    * s1 < s2 by construction, so `<=` on degrees reproduces the (deg, id)
+    * tie-break. */
+  private val graphCtes =
+    s"""lo AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+       |e AS (SELECT a.s AS s1, b.s AS s2 FROM lo a JOIN lo b ON a.o = b.o AND a.s < b.s
+       |      GROUP BY 1, 2 HAVING count(*) >= ${GraphQueries.TriMinShared}),
+       |deg AS (SELECT src, count(*) AS deg FROM
+       |        (SELECT s1 AS src FROM e UNION ALL SELECT s2 FROM e) GROUP BY 1)""".stripMargin
+
+  private val triangleSql =
+    s"""WITH $graphCtes,
+       |d AS (SELECT CASE WHEN d1.deg <= d2.deg THEN e.s1 ELSE e.s2 END AS u,
+       |             CASE WHEN d1.deg <= d2.deg THEN e.s2 ELSE e.s1 END AS v
+       |      FROM e JOIN deg d1 ON d1.src = e.s1 JOIN deg d2 ON d2.src = e.s2)
+       |SELECT count(*) AS n_triangles
+       |FROM d e1 JOIN d e2 ON e1.v = e2.u
+       |WHERE EXISTS (SELECT 1 FROM d e3 WHERE e3.u = e1.u AND e3.v = e2.v)""".stripMargin
+
+  private val degreeDistSql =
+    s"""WITH $graphCtes
+       |SELECT deg, count(*) AS n_nodes FROM deg GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
-    QueryDef("q_pagerank", pagerankSql)(GraphQueries.pagerank(_, _)))
+    QueryDef("q_pagerank", pagerankSql)(GraphQueries.pagerank(_, _)),
+    QueryDef("q_triangle_count", triangleSql)(GraphQueries.triangleCount(_, _)),
+    QueryDef("q_degree_dist", degreeDistSql)(GraphQueries.degreeDist(_, _)))
 }

@@ -392,4 +392,64 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"), Out.dsum(col("l_extendedprice")).as("revenue"))
       .orderBy(col("o_orderstatus"))
   }
+
+  /** TPC-H Q3-shape shipping-priority query: top-`k` unshipped orders by
+    * discounted revenue for one market segment — the canonical 3-table
+    * join + aggregate + top-k pipeline (the only TPC-H classic the corpus
+    * was still missing next to Q1).
+    *
+    * Shape at scale: all three filters land on their parquet scans BEFORE
+    * any join (segment on customer, both date bounds pushed); customer is
+    * the small side (one segment ≈ 1/5 of customers, each row just the
+    * key) so AQE broadcasts it into the orders scan; the orders⋈lineitem
+    * FK join shuffles on the order key once and the same key feeds the
+    * groupBy — Catalyst reuses the partitioning, so the whole query is ONE
+    * wide shuffle plus a TakeOrderedAndProject (per-partition heap of k,
+    * never a global sort). Revenue in DECIMAL ([[tpch1Pricing]] rationale). */
+  def tpch3TopK(spark: SparkSession, dir: String,
+      segment: String = "BUILDING", cutoff: String = "1998-06-01",
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val t = Tables(spark, dir)
+    val cut = lit(cutoff).cast("timestamp")
+    val c = t.customer.filter(col("c_mktsegment") === segment).select("c_custkey")
+    val o = t.orders.filter(col("o_orderdate") < cut)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val l = t.lineitem.filter(col("l_shipdate") > cut)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val priceDec = col("l_extendedprice").cast(DecimalType(12, 2))
+    val discF = (lit(1.0) - col("l_discount")).cast(DecimalType(4, 2))
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(priceDec * discF).cast("double").as("revenue"))
+      .select(col("l_orderkey"), Out.epochSec(col("o_orderdate")).as("order_ts"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(k)
+  }
+
+  /** Conditional aggregation — SQL's `FILTER (WHERE ...)` clause, spelled
+    * `agg(when(cond, x))` in Spark: several differently-filtered measures
+    * in ONE pass over the fact table, instead of one scan per condition.
+    * All map-side partial aggregation; sums in DECIMAL (order-independent).
+    * The `otherwise` is omitted deliberately: `when` without it yields NULL
+    * for non-matching rows and both COUNT and SUM skip NULLs — exactly
+    * FILTER semantics (a group with no matches sums to NULL, as in SQL). */
+  def aggFilter(spark: SparkSession, dir: String): DataFrame = {
+    val qDec = col("l_quantity").cast(Out.SumDecimal)
+    val pDec = col("l_extendedprice").cast(Out.SumDecimal)
+    val disc = col("l_discount") > 0.05
+    val bulk = col("l_quantity") >= 25.0
+    Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_all"),
+        count(when(disc, lit(1))).as("n_disc"),
+        sum(when(disc, qDec)).cast("double").as("qty_disc"),
+        count(when(bulk, lit(1))).as("n_bulk"),
+        sum(when(bulk, pDec)).cast("double").as("price_bulk"))
+      .orderBy(col("l_returnflag"))
+  }
 }

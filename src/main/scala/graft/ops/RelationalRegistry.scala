@@ -241,6 +241,33 @@ object RelationalRegistry {
          |  ${graft.ops.Out.sql.dsum("l_extendedprice")} AS revenue
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY 1 ORDER BY 1""".stripMargin)(
-      RelationalQueries.skewJoinSalted)
+      RelationalQueries.skewJoinSalted),
+
+    QueryDef("q_tpch3_topk",
+      s"""SELECT l_orderkey, ${S.epochSec("o_orderdate")} AS order_ts,
+         |  o_orderpriority,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+         |    * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-06-01'
+         |  AND l_shipdate > TIMESTAMP '1998-06-01'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)(
+      (s, d) => RelationalQueries.tpch3TopK(s, d)),
+
+    QueryDef("q_agg_filter",
+      s"""SELECT l_returnflag,
+         |  count(*) AS n_all,
+         |  count(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4)))
+         |    FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS qty_disc,
+         |  count(*) FILTER (WHERE l_quantity >= 25.0) AS n_bulk,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4)))
+         |    FILTER (WHERE l_quantity >= 25.0) AS DOUBLE) AS price_bulk
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)(
+      RelationalQueries.aggFilter)
   )
 }

@@ -299,4 +299,29 @@ object TextQueries {
           expr(s"array_min(transform(${shinglesExpr(5)}, s -> md5(s)))"),
           col("doc_md5")).as("min_shingle_md5"))
       .orderBy(col("doc_id"))
+
+  /** Per-source vocabulary census — the tokenizer-training prep query:
+    * token instances, distinct types, hapax count (types occurring exactly
+    * once in that source) and type-token ratio. Hapax mass is what decides
+    * a BPE vocabulary cutoff; TTR drift per source is a cheap corpus-mix
+    * drift monitor.
+    *
+    * Shape at scale: explode → (source, token) partial-agg shuffle (the
+    * map-side combine collapses each task's repeats, so the shuffle carries
+    * per-task type counts, not token instances) → per-source rollup (second
+    * tiny shuffle, one row per source). Same two-shuffle skeleton as
+    * [[repetition stats|graft.ops.PipelineQueries]]; no driver paths. */
+  def vocabStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("source"), explode(expr(wordsExpr)).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"))
+      .orderBy(col("source"))
 }

@@ -179,6 +179,18 @@ object TextRegistry {
          |CROSS JOIN nu CROSS JOIN nb
          |ORDER BY pmi DESC, bigram LIMIT 50""".stripMargin)(
       (s, d) => TextQueries.pmiCollocations(s, d,
-        minCount = TextQueries.PmiMinCount, topK = 50))
+        minCount = TextQueries.PmiMinCount, topK = 50)),
+
+    QueryDef("q_vocab_stats",
+      """WITH tt AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT source, tok, count(*) AS n FROM tt GROUP BY 1, 2)
+        |SELECT source,
+        |  CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |  COUNT(*) AS n_types,
+        |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |  ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS BIGINT), 6) AS ttr
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)(
+      TextQueries.vocabStats)
   )
 }

@@ -109,4 +109,42 @@ object TimeseriesQueries {
         when(col("n_obs").isNull, lit(1L)).otherwise(lit(0L)).as("is_gap"))
       .orderBy(col("user_id"), col("hour"))
   }
+
+  /** Integer EWMA weights, newest → oldest (8,4,2,1 ≈ α = ½ truncated at
+    * 4 taps). Shared with the oracle via interpolation. Integer weights +
+    * DECIMAL values keep the weighted sum EXACT — a true infinite-history
+    * EWMA is a sequential recurrence (non-associative in floating point,
+    * not reproducible across partitionings); truncating the kernel turns it
+    * into a fixed linear combination of 4 lags, which is both
+    * order-independent and windowable. */
+  val EwmaWeights: Seq[Int] = Seq(8, 4, 2, 1)
+
+  /** Trailing exponentially-weighted moving average per user: each event's
+    * value smoothed over its own and the 3 previous readings (skipping each
+    * user's first 3 events, where the kernel has no full history).
+    *
+    * Shape at scale: one window per `user_id` ordered by (ts, event_id) —
+    * per-key sequential is inherent to any lagged feature, and parallelism
+    * is the USER population (fleet-sized), not the event count; each task
+    * streams its users' rows once, holding only 4 lag slots. The weighted
+    * sum is exact decimal; the single division and rounding happen once at
+    * output ([[Out]] rules). */
+  def ewmaTrailing(spark: SparkSession, dir: String,
+      weights: Seq[Int] = EwmaWeights): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_ > 0), "positive weights")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val lags = weights.indices.map(i =>
+      if (i == 0) col("v") else lag(col("v"), i).over(w))
+    val wsum = weights.zip(lags).map { case (wt, lv) => lv * lit(wt) }.reduce(_ + _)
+    Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("value").cast("decimal(18,4)").as("v"))
+      .withColumn("wsum", wsum) // NULL until the kernel has all its lags
+      .filter(col("wsum").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        Out.epochSec(col("ts")).as("ts_sec"),
+        col("v").cast("double").as("value"),
+        round(col("wsum").cast("double") / weights.sum.toDouble, 6).as("ewma"))
+      .orderBy(col("user_id"), col("ts_sec"), col("event_id"))
+  }
 }

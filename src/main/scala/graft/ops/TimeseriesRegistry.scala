@@ -11,6 +11,14 @@ object TimeseriesRegistry {
   private val Z = TimeseriesQueries.ZThreshold
   private val Step = TimeseriesQueries.GridStepSec
 
+  /** Weighted-lag terms generated from [[TimeseriesQueries.EwmaWeights]] —
+    * the kernel cannot drift from the Spark loop. */
+  private val ewmaTerms = TimeseriesQueries.EwmaWeights.zipWithIndex.map {
+    case (wt, 0) => s"$wt * v"
+    case (wt, i) => s"$wt * lag(v, $i) OVER w"
+  }.mkString(" + ")
+  private val ewmaDiv = TimeseriesQueries.EwmaWeights.sum.toDouble
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_anomaly_zscore",
       s"""WITH st AS (
@@ -43,5 +51,20 @@ object TimeseriesRegistry {
          |    OVER (PARTITION BY g.user_id ORDER BY g.hour) AS filled_avg,
          |  CAST(CASE WHEN b.n_obs IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
          |FROM g LEFT JOIN b USING (user_id, hour)
-         |ORDER BY user_id, hour""".stripMargin)(TimeseriesQueries.gapFill(_, _)))
+         |ORDER BY user_id, hour""".stripMargin)(TimeseriesQueries.gapFill(_, _)),
+
+    QueryDef("q_ewma_trailing",
+      s"""WITH src AS (
+         |  SELECT event_id, user_id, ts, CAST(value AS DECIMAL(18,4)) AS v
+         |  FROM events),
+         |l AS (
+         |  SELECT event_id, user_id, ts, v, $ewmaTerms AS wsum
+         |  FROM src WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |SELECT event_id, user_id,
+         |  CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec,
+         |  CAST(v AS DOUBLE) AS value,
+         |  ROUND(CAST(wsum AS DOUBLE) / $ewmaDiv, 6) AS ewma
+         |FROM l WHERE wsum IS NOT NULL
+         |ORDER BY user_id, ts_sec, event_id""".stripMargin)(
+      TimeseriesQueries.ewmaTrailing(_, _)))
 }

@@ -82,6 +82,36 @@ object VectorQueries {
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
 
+  /** Batch exact ANN: cosine top-`k` for a whole PROBE SET in one corpus
+    * pass (vec_id < `nProbes` here; production passes any small probe
+    * table). This is the serving shape for "embed a query batch, retrieve
+    * per-query neighbors": the probe set is driver-bounded metadata, so it
+    * ships broadcast and the corpus is scanned ONCE for all probes —
+    * vs [[similarVectors]] × nProbes, which is nProbes full scans.
+    *
+    * The per-probe top-k is `row_number() ≤ k` over the probe partition,
+    * which Spark plans as WindowGroupLimit (asserted in PlanShapeSpec):
+    * every map task pre-prunes to its local k per probe BEFORE the
+    * shuffle, so the exchange carries ≤ tasks×probes×k rows — never the
+    * corpus×probes score stream. Ranking is on the ROUNDED similarity
+    * (ties broken by vec_id), same contract as the oracle. */
+  def annBatch(spark: SparkSession, dir: String,
+      nProbes: Int = 8, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probes = emb(spark, dir).filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("e").as("pe"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    emb(spark, dir)
+      .crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(cosine(col("e"), col("pe")), 6).as("cos_sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .orderBy(col("probe_id"), col("rn"))
+  }
+
   /** Random-hyperplane LSH geometry — the scale dial the round-2 review
     * flagged as missing. Candidate recall for a pair at angle θ under
     * `bands` bands of `bits` bits each is

@@ -59,6 +59,20 @@ object VectorRegistry {
          |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin)(
       (s, d) => VectorQueries.similarVectors(s, d, probeId = 0L, k = 20)),
 
+    QueryDef("q_ann_batch",
+      s"""WITH $embCte,
+         |probes AS (SELECT vec_id AS probe_id, e AS pe FROM emb WHERE vec_id < 8),
+         |scored AS (SELECT probe_id, emb.vec_id,
+         |    round(${cos("e", "pe")}, 6) AS cos_sim
+         |  FROM emb CROSS JOIN probes WHERE emb.vec_id <> probe_id),
+         |ranked AS (SELECT probe_id, vec_id, cos_sim,
+         |    row_number() OVER (PARTITION BY probe_id
+         |                       ORDER BY cos_sim DESC, vec_id) AS rn
+         |  FROM scored)
+         |SELECT probe_id, vec_id, cos_sim, rn FROM ranked
+         |WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin)(
+      (s, d) => VectorQueries.annBatch(s, d)),
+
     QueryDef("q_ann_lsh",
       s"""WITH $embCte,
          |$sigBandCtes,

@@ -50,4 +50,30 @@ class GraphQueriesSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(2)).toMap shouldBe pr
     assert(pr.values.toSet.size > 1, "one round must already differentiate ranks")
   }
+
+  test("triangle count + degree distribution = brute force over the co-order graph") {
+    val t = Tables(spark, sf)
+    val lo = t.lineitem.select("l_orderkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    // thresholded undirected edges as ordered (lo, hi) pairs
+    val edges = lo.groupBy(_._1).values.flatMap { ls =>
+      val ss = ls.map(_._2).distinct.sorted
+      for (i <- ss.indices; j <- i + 1 until ss.length) yield (ss(i), ss(j))
+    }.groupBy(identity) // NB: not Map#collect-to-tuple — that would rebuild a Map and collapse by s1
+      .filter(_._2.size >= GraphQueries.TriMinShared).keySet
+    assert(edges.nonEmpty, "threshold must leave a graph to count on")
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    // unordered enumeration a < b < c — blind to the orientation trick
+    var tri = 0L
+    for { (a, b) <- edges; c <- nodes if c > b
+          if edges((b, c)) && edges((a, c)) } tri += 1
+    GraphQueries.triangleCount(spark, sf).collect()(0).getLong(0) shouldBe tri
+    val deg = nodes.map(n => n -> edges.count(e => e._1 == n || e._2 == n))
+    val wantDist = deg.groupBy(_._2).map { case (d, g) => d.toLong -> g.size.toLong }
+    val gotDist = GraphQueries.degreeDist(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    gotDist shouldBe wantDist
+    // handshake identity on the distribution itself
+    gotDist.map { case (d, n) => d * n }.sum shouldBe 2L * edges.size
+  }
 }

@@ -89,6 +89,26 @@ class PlanShapeSpec extends SparkSpec {
       s"expected a single selected partition:\n$p")
   }
 
+  test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
+    val base = sys.props("java.io.tmpdir") + "/graft_dpp_events"
+    Tables(spark, sf).events
+      .write.mode("overwrite").partitionBy("event_type").parquet(base)
+    val s = spark
+    import s.implicits._
+    // the dim must be a SCANNED relation: a filtered in-memory Seq would be
+    // constant-folded into a LocalRelation, and DPP only fires when the
+    // filtering side still carries a selective predicate over a scan
+    val dimPath = sys.props("java.io.tmpdir") + "/graft_dpp_dim"
+    Seq(("purchase", 1L), ("error", 2L), ("click", 2L))
+      .toDF("event_type", "dim_weight").write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("dim_weight") === 1L)
+    // the fact side has NO static filter on event_type — only the runtime
+    // subquery from the broadcast dim side can prune its partitions
+    val p = plan(spark.read.parquet(base).join(dim, "event_type"))
+    assert(p.contains("dynamicpruningexpression"),
+      s"expected a runtime partition-pruning subquery on the fact scan:\n$p")
+  }
+
   test("bucketed tables join without a shuffle (co-located join)") {
     val wh = sys.props("java.io.tmpdir") + "/graft_bucketed"
     spark.sql("DROP TABLE IF EXISTS b_orders")
@@ -120,6 +140,8 @@ class PlanShapeSpec extends SparkSpec {
     // BroadcastNestedLoopJoin; everything else must stay equi-join shaped.
     val probeQueries = Set("q_similar_vectors", "q_ann_lsh", "q_ivf_search",
       "q_dedup_embedding", "q_lsh_bucket_stats",
+      // k-row broadcast probe set (batch ANN: probes are driver metadata)
+      "q_ann_batch",
       "q_tfidf_keywords", "q_bm25_search", "q_pmi_collocations", "q_lm_score",
       // 1-row broadcast normalizer (Σ sqrt shares)
       "q_mix_rebalance",
@@ -164,6 +186,25 @@ class PlanShapeSpec extends SparkSpec {
     // the per-lang offset window is fine ONLY over the subtotal aggregate —
     // and the offsets side must come in broadcast, not shuffled
     assert(p.contains("BroadcastHashJoin"), s"offsets must broadcast-join back:\n$p")
+  }
+
+  test("batch ANN pre-prunes per-probe top-k before the shuffle (WindowGroupLimit)") {
+    val p = plan(VectorQueries.annBatch(spark, sf))
+    // rn <= k over the probe partition must trigger the group-limit pushdown:
+    // the exchange then carries ≤ tasks×probes×k rows, not corpus×probes
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
+  }
+
+  test("tpch3 top-k is a TakeOrderedAndProject over one aggregated join tree") {
+    val p = plan(RelationalQueries.tpch3TopK(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+    // all three scan-level filters must be pushed into the parquet scans
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"segment filter must reach the customer scan:\n$p")
+    assert(p.contains("LessThan(o_orderdate,1998-06-01"),
+      s"order-date bound must reach the orders scan:\n$p")
+    assert(p.contains("GreaterThan(l_shipdate,1998-06-01"),
+      s"ship-date bound must reach the lineitem scan:\n$p")
   }
 
   test("hash sample predicate is evaluated in the scan stage, not post-shuffle") {

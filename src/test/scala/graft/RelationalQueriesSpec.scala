@@ -93,6 +93,40 @@ class RelationalQueriesSpec extends SparkSpec {
     plan(df) should include("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate")
   }
 
+  test("agg filter: conditional counts match direct filtered recomputes") {
+    val t = Tables(spark, sf)
+    val got = rows(RelationalQueries.aggFilter(spark, sf))
+      .map(r => r(0).asInstanceOf[String] -> r).toMap
+    val nAll = t.lineitem.groupBy(col("l_returnflag")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nDisc = t.lineitem.filter(col("l_discount") > 0.05)
+      .groupBy(col("l_returnflag")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.keySet shouldBe nAll.keySet
+    nAll.foreach { case (f, n) => got(f)(1) shouldBe n }
+    nDisc.foreach { case (f, n) => got(f)(2) shouldBe n }
+    got.values.foreach { r =>
+      assert(r(2).asInstanceOf[Long] <= r(1).asInstanceOf[Long])
+      assert(r(4).asInstanceOf[Long] <= r(1).asInstanceOf[Long])
+    }
+  }
+
+  test("tpch3: descending top-k, all winners from the filtered segment") {
+    val got = RelationalQueries.tpch3TopK(spark, sf).collect()
+    assert(got.nonEmpty && got.length <= 10)
+    val revs = got.map(_.getDouble(3))
+    revs.toSeq shouldBe revs.sortBy(-_).toSeq
+    val t = Tables(spark, sf)
+    val keys = got.map(_.getLong(0)).toSeq
+    val seg = t.orders.join(t.customer, col("o_custkey") === col("c_custkey"))
+      .filter(col("o_orderkey").isin(keys: _*))
+      .select("c_mktsegment").distinct().collect().map(_.getString(0)).toSet
+    seg shouldBe Set("BUILDING")
+    // k argument is live
+    RelationalQueries.tpch3TopK(spark, sf, k = 3).count() shouldBe
+      math.min(3, got.length).toLong
+  }
+
   test("approx distinct is within 5% of exact") {
     val t = Tables(spark, sf)
     val exact = t.events.groupBy(col("event_type"))

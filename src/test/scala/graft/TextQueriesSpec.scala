@@ -104,6 +104,29 @@ class TextQueriesSpec extends SparkSpec {
     got.zip(want).foreach { case ((_, _, g), (_, _, w)) => g shouldBe w +- 1e-6 }
   }
 
+  test("vocab census matches a driver-side recount per source") {
+    val bySource = Tables(spark, sf).documents.select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1))).groupBy(_._1)
+    val want = bySource.map { case (src, ds) =>
+      val counts = ds.flatMap(_._2.split(" ", -1)).groupBy(identity)
+        .map { case (_, o) => o.length.toLong }
+      val nTok = counts.sum
+      src -> (nTok, counts.size.toLong, counts.count(_ == 1L).toLong,
+        counts.size.toDouble / nTok)
+    }
+    val got = TextQueries.vocabStats(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    got.keySet shouldBe want.keySet
+    want.foreach { case (src, (nTok, nTyp, nHap, ttr)) =>
+      val (gTok, gTyp, gHap, gTtr) = got(src)
+      (gTok, gTyp, gHap) shouldBe ((nTok, nTyp, nHap))
+      gTtr shouldBe ttr +- 1e-6
+      assert(gHap <= gTyp && gTyp <= gTok)
+    }
+  }
+
   test("bigram counts match a driver-side recomputation (top-50)") {
     val counts = corpus.flatMap { case (_, w) => w.sliding(2).filter(_.length == 2) }
       .map(_.mkString(" ")).groupBy(identity)

@@ -98,4 +98,32 @@ class TimeseriesSpec extends SparkSpec {
       }
     }
   }
+
+  test("trailing EWMA = brute-force per-user weighted-lag kernel") {
+    val evs = Tables(spark, sf).events
+      .selectExpr("event_id", "user_id", "unix_micros(ts) as us", "value")
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val w = TimeseriesQueries.EwmaWeights
+    val want = evs.groupBy(_._2).flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._3, e._1))
+      sorted.indices.drop(w.size - 1).map { i =>
+        val vals = w.indices.map(j =>
+          BigDecimal(sorted(i - j)._4).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+        val wsum = w.zip(vals).map { case (wt, v) => v * wt }.sum
+        sorted(i)._1 -> wsum.toDouble / w.sum
+      }
+    }
+    val got = TimeseriesQueries.ewmaTrailing(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    got.keySet shouldBe want.keySet
+    got.foreach { case (id, v) => v shouldBe (want(id) +- 1e-6) }
+    assert(got.nonEmpty, "corpus must have users with a full kernel history")
+    // a flat-weight kernel is a plain 4-tap moving average — argument is live
+    val flat = TimeseriesQueries.ewmaTrailing(spark, sf, weights = Seq(1, 1, 1, 1))
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    flat.keySet shouldBe want.keySet
+    assert(flat.exists { case (id, v) => math.abs(v - got(id)) > 1e-9 },
+      "different weights must move at least one smoothed value")
+  }
 }

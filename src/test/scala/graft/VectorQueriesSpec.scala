@@ -123,6 +123,20 @@ class VectorQueriesSpec extends SparkSpec {
     VectorQueries.dedupEmbedding(spark, tmp).count() shouldBe 0L
   }
 
+  test("batch ANN: one corpus pass reproduces the per-probe brute-force top-k") {
+    val single = VectorQueries.similarVectors(spark, sf, probeId = 0L, k = 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val batch = VectorQueries.annBatch(spark, sf, nProbes = 1, k = 5).collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    batch shouldBe single
+    // default probe set: exactly k ranked rows per probe, ranks dense 1..k
+    val all = VectorQueries.annBatch(spark, sf).collect()
+    all.map(_.getLong(0)).distinct.sorted.toSeq shouldBe (0L until 8L)
+    all.groupBy(_.getLong(0)).values.foreach { g =>
+      g.map(_.getLong(3)).sorted.toSeq shouldBe (1L to 5L)
+    }
+  }
+
   test("per-label centroids match driver-side means on dims 0-7") {
     val labels = Tables(spark, sf).embeddings
       .select(col("vec_id"), col("label").cast("long"))
