@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CdcChunks, DotProduct, MinHash16, Shingles, SimHash48}
+import graft.functions.{CdcChunks, DotProduct, MinHash16, Shingles, SimHash48, ZOrder2}
 
 /** Engine extension point, installed via `spark.sql.extensions`
   * ([[GraftSession.tune]] wires it into every entry point): registers the
@@ -34,7 +34,8 @@ object GraftExtensions {
     fn("graft_simhash", classOf[SimHash48], 1)(c => SimHash48(c.head)),
     fn("graft_minhash", classOf[MinHash16], 1)(c => MinHash16(c.head)),
     fn("graft_shingles", classOf[Shingles], 2)(c => Shingles(c.head, c(1))),
-    fn("graft_cdc_chunks", classOf[CdcChunks], 1)(c => CdcChunks(c.head)))
+    fn("graft_cdc_chunks", classOf[CdcChunks], 1)(c => CdcChunks(c.head)),
+    fn("graft_zorder", classOf[ZOrder2], 2)(c => ZOrder2(c.head, c(1))))
 
   /** `builder.getOrCreate()` silently IGNORES `spark.sql.extensions` when a
     * SparkSession already exists in the JVM (an embedding host may have built

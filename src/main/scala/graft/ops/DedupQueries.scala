@@ -312,4 +312,43 @@ object DedupQueries {
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Entity resolution by edit distance over the part-name dictionary:
+    * name pairs within `maxDist` Levenshtein edits, blocked on the noun
+    * token, with carrier counts (how many part rows hold each name).
+    *
+    * Shape at scale — the two tricks every record-linkage pipeline uses:
+    *
+    *   1. **Dictionary collapse first.** Pairwise matching runs on DISTINCT
+    *      names (one hash-groupBy that also picks up the carrier counts),
+    *      never on rows: a 100 TB catalog has billions of rows but a name
+    *      dictionary bounded by real-world string entropy (~millions), so
+    *      the quadratic stage shrinks by the duplication factor squared.
+    *   2. **Blocking.** Candidates must share the noun token, so the join
+    *      is a plain equi-join on the block key — never a cross join. Block
+    *      sizes are dictionary-side (distinct names per noun), not
+    *      row-side, so a hot name cannot create a hot block.
+    *
+    * The distance itself uses Spark's 3-arg `levenshtein` (band-limited
+    * O(len·maxDist) DP that bails to -1 past the threshold, vs O(len²)
+    * full). Self-pairs and mirrored pairs are removed by `name_a < name_b`
+    * BEFORE the distance evaluates, halving the DP work. */
+  def fuzzyNameMatch(spark: SparkSession, dir: String,
+      maxDist: Int = 2): DataFrame = {
+    val t = Tables(spark, dir)
+    val names = t.part.groupBy(col("p_name"))
+      .agg(count(lit(1)).as("n_parts"))
+      .withColumn("block", split(col("p_name"), " ").getItem(1))
+    val a = names.select(col("block"), col("p_name").as("name_a"),
+      col("n_parts").as("n_parts_a"))
+    val b = names.select(col("block").as("block_b"),
+      col("p_name").as("name_b"), col("n_parts").as("n_parts_b"))
+    a.join(b, col("block") === col("block_b") && col("name_a") < col("name_b"))
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b"), maxDist).cast("long"))
+      .filter(col("dist") >= 0)
+      .select(col("name_a"), col("name_b"), col("dist"),
+        col("n_parts_a"), col("n_parts_b"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
 }

@@ -103,6 +103,20 @@ object DedupRegistry {
          |          AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, hamming FROM cand
          |WHERE hamming <= 6 ORDER BY doc_a, doc_b""".stripMargin)(
-      DedupQueries.simhashPairs)
+      DedupQueries.simhashPairs),
+
+    QueryDef("q_fuzzy_names",
+      """WITH names AS (
+        |  SELECT p_name, count(*) AS n_parts,
+        |    split_part(p_name, ' ', 2) AS block
+        |  FROM part GROUP BY 1)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+        |  a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+        |FROM names a JOIN names b
+        |  ON a.block = b.block AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin)(
+      (s, d) => DedupQueries.fuzzyNameMatch(s, d))
   )
 }

@@ -452,4 +452,79 @@ object RelationalQueries {
         sum(when(bulk, pDec)).cast("double").as("price_bulk"))
       .orderBy(col("l_returnflag"))
   }
+
+  /** TPC-H Q5-shape local-supplier volume: revenue per nation for orders in
+    * one region and one year where the customer and the line's supplier sit
+    * in the SAME nation — the canonical snowflake join (6 tables, the widest
+    * join tree in the corpus).
+    *
+    * Shape at scale: region⋈nation collapses to a handful of rows and is
+    * folded into supplier via an explicit `broadcast` (dims never shuffle a
+    * fact); the filtered supplier side — key + nation only — broadcasts
+    * into lineitem, so the ONLY wide shuffle is orders⋈lineitem on the
+    * order key. The `c_nationkey = s_nationkey` correlation rides the
+    * customer join as a second equi-predicate rather than a post-join
+    * filter, so Catalyst keys the shuffle on `o_custkey` alone and applies
+    * the nation match during the probe. Revenue in DECIMAL
+    * ([[tpch1Pricing]] rationale: order-independent across partitionings). */
+  def tpch5Volume(spark: SparkSession, dir: String,
+      regionName: String = "ASIA", yearStart: String = "1996-01-01",
+      yearEnd: String = "1997-01-01"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val t = Tables(spark, dir)
+    val natInRegion = t.nation
+      .join(broadcast(t.region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val sup = t.supplier
+      .join(broadcast(natInRegion), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val o = t.orders
+      .filter(col("o_orderdate") >= lit(yearStart).cast("timestamp") &&
+        col("o_orderdate") < lit(yearEnd).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = t.lineitem.select(col("l_orderkey"), col("l_suppkey"),
+      col("l_extendedprice"), col("l_discount"))
+    val priceDec = col("l_extendedprice").cast(DecimalType(12, 2))
+    val discF = (lit(1.0) - col("l_discount")).cast(DecimalType(4, 2))
+    o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(t.customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(priceDec * discF).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q18-shape large-volume customers: orders whose total line
+    * quantity exceeds `minQty`, joined back to order + customer detail,
+    * top-`k` by order value.
+    *
+    * Shape at scale: the lineitem aggregate is map-side partial (quantity
+    * sums combine per partition before the one shuffle on the order key),
+    * and the HAVING filter collapses it to a near-empty key set — AQE sees
+    * the tiny post-agg side and broadcasts it into both detail joins, so
+    * neither orders nor customer re-shuffles for a handful of matches.
+    * This semi-join-reduction shape (aggregate → filter → broadcast the
+    * survivors) is how a 100 TB "needles" query avoids moving the
+    * haystack. Quantity summed in DECIMAL (exact, order-independent);
+    * top-k is TakeOrderedAndProject, never a global sort. */
+  def tpch18BigOrders(spark: SparkSession, dir: String,
+      minQty: Double = 300.0, k: Int = 100): DataFrame = {
+    val t = Tables(spark, dir)
+    val bigOrders = t.lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast(Out.SumDecimal)).as("qtyDec"))
+      .filter(col("qtyDec") > minQty)
+      .select(col("l_orderkey"), col("qtyDec").cast("double").as("total_qty"))
+    bigOrders
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        Out.epochSec(col("o_orderdate")).as("order_ts"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(k)
+  }
 }

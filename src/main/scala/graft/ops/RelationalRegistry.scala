@@ -268,6 +268,37 @@ object RelationalRegistry {
          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4)))
          |    FILTER (WHERE l_quantity >= 25.0) AS DOUBLE) AS price_bulk
          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)(
-      RelationalQueries.aggFilter)
+      RelationalQueries.aggFilter),
+
+    QueryDef("q_tpch5_volume",
+      s"""SELECT n_name,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+         |    * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin)(
+      (s, d) => RelationalQueries.tpch5Volume(s, d)),
+
+    QueryDef("q_tpch18_bigorders",
+      s"""WITH big AS (
+         |  SELECT l_orderkey,
+         |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS total_qty
+         |  FROM lineitem GROUP BY 1
+         |  HAVING SUM(CAST(l_quantity AS DECIMAL(38,4))) > 300.0)
+         |SELECT c_name, c_custkey, o_orderkey,
+         |  ${S.epochSec("o_orderdate")} AS order_ts, o_totalprice, total_qty
+         |FROM big
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)(
+      (s, d) => RelationalQueries.tpch18BigOrders(s, d))
   )
 }

@@ -265,4 +265,44 @@ object StatsQueries {
       .select(col("event_type"), col("rn"), col("event_id"), col("value"))
       .orderBy(col("event_type"), col("rn"))
   }
+
+  /** Z-order layout census: quantize lineitem onto a (price, ship-day) grid,
+    * interleave the cells into Morton z-values with the native
+    * [[graft.functions.ZOrder2 graft_zorder]] kernel, and report each
+    * z-bucket's row count and bounding box.
+    *
+    * This is the DECISION QUERY for multi-dimensional data layout. Writing
+    * 100 TB clustered by z-value (`repartitionByRange(zval) +
+    * sortWithinPartitions(zval)`) gives every file/row-group a tight
+    * min/max box in BOTH dimensions, so parquet's column statistics prune
+    * scans for filters on either column — single-key sorting only ever
+    * prunes one. The census output IS the skip-effectiveness evidence: each
+    * bucket's (x_lo..x_hi, y_lo..y_hi) box is what a scan predicate would
+    * be checked against, and narrow boxes ⇒ most buckets skipped. The
+    * whole query is one codegen'd projection plus one partial-agg shuffle
+    * keyed by bucket — no sort, no join; cheap enough to run as a layout
+    * advisor over a full corpus. */
+  def zorderLayout(spark: SparkSession, dir: String,
+      bucketShift: Int = 20): DataFrame = {
+    // Both dimensions are normalized onto the FULL 16-bit cell range — the
+    // calibration step every z-order layout needs: if one dimension only
+    // occupies low bits (raw day indexes span ~2500 values ≈ 11 bits), its
+    // varying bits all sit below the other's and a z-range split degenerates
+    // to a single-key sort. Constants are the corpus's fixed calibration
+    // (price ∈ [0, 110000), ship day ∈ [9131, 11651) days-since-epoch); a
+    // production advisor derives them from table stats once per layout run.
+    val priceCell = floor(col("l_extendedprice") * 65535.0 / 110000.0).cast("long")
+    // epoch seconds are < 2^53, so the double division is exact; ship dates
+    // are midnights, so trunc ≡ DuckDB's floor-division `// 86400`
+    val day = (Out.epochSec(col("l_shipdate")) / 86400).cast("long")
+    val dayCell = least(greatest((day - 9131) * 26, lit(0L)), lit(65535L))
+    Tables(spark, dir).lineitem
+      .select(priceCell.as("cx"), dayCell.as("cy"))
+      .withColumn("zval", call_function("graft_zorder", col("cx"), col("cy")))
+      .groupBy(shiftright(col("zval"), bucketShift).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("cx")).as("x_lo"), max(col("cx")).as("x_hi"),
+        min(col("cy")).as("y_lo"), max(col("cy")).as("y_hi"))
+      .orderBy(col("bucket"))
+  }
 }

@@ -123,6 +123,24 @@ object StatsRegistry {
         |  FROM events)
         |SELECT event_type, rn, event_id, value FROM r
         |WHERE rn <= 50 ORDER BY event_type, rn""".stripMargin)(
-      (s, d) => StatsQueries.stratifiedSample(s, d, n = 50))
+      (s, d) => StatsQueries.stratifiedSample(s, d, n = 50)),
+
+    QueryDef("q_zorder_layout", {
+      // Morton interleave spelled as plain arithmetic (DuckDB has no
+      // bit-interleave builtin): bit b of cx lands at 2b, of cy at 2b+1.
+      val xTerms = (0 until 16).map(b => s"(((cx >> $b) & 1) << ${2 * b})")
+      val yTerms = (0 until 16).map(b => s"(((cy >> $b) & 1) << ${2 * b + 1})")
+      s"""WITH cells AS (
+         |  SELECT CAST(FLOOR(l_extendedprice * 65535.0 / 110000.0) AS BIGINT) AS cx,
+         |    LEAST(GREATEST(((CAST(FLOOR(EPOCH(l_shipdate)) AS BIGINT) // 86400)
+         |      - 9131) * 26, 0), 65535) AS cy
+         |  FROM lineitem),
+         |z AS (SELECT cx, cy,
+         |  ${(xTerms ++ yTerms).mkString(" + ")} AS zval FROM cells)
+         |SELECT (zval >> 20) AS bucket, count(*) AS n,
+         |  min(cx) AS x_lo, max(cx) AS x_hi,
+         |  min(cy) AS y_lo, max(cy) AS y_hi
+         |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
+    })((s, d) => StatsQueries.zorderLayout(s, d))
   )
 }

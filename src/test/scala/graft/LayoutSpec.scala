@@ -42,4 +42,54 @@ class LayoutSpec extends SparkSpec {
     assert(perFile.map(_.getLong(3)).max < back.count(),
       "clustering produced a single non-empty slice")
   }
+
+  test("graft_zorder ≡ per-bit Morton reference, interpreted and codegen'd") {
+    import graft.functions.ZOrder2
+    def ref(x: Long, y: Long): Long = {
+      var z = 0L
+      for (b <- 0 until 32) {
+        z |= ((x >> b) & 1L) << (2 * b)
+        z |= ((y >> b) & 1L) << (2 * b + 1)
+      }
+      z
+    }
+    val rnd = new scala.util.Random(7)
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (0xffffffffL, 0L),
+      (0L, 0xffffffffL), (0xffffffffL, 0xffffffffL), (-1L, -1L)) ++
+      Seq.fill(200)((rnd.nextLong(), rnd.nextLong()))
+    cases.foreach { case (x, y) =>
+      ZOrder2.compute(x, y) shouldBe ref(x & 0xffffffffL, y & 0xffffffffL)
+    }
+    // the SQL/codegen path must agree with the static kernel
+    val viaSql = spark.createDataFrame(cases).toDF("x", "y")
+      .selectExpr("x", "y", "graft_zorder(x, y) AS z").collect()
+    viaSql.foreach(r =>
+      r.getLong(2) shouldBe ZOrder2.compute(r.getLong(0), r.getLong(1)))
+  }
+
+  test("z-value clustering tightens BOTH dimension extents vs single-key") {
+    import org.apache.spark.sql.functions.call_function
+    val n = 8
+    val day = (ops.Out.epochSec(col("l_shipdate")) / 86400).cast("long")
+    val cells = Tables(spark, sf).lineitem.select(
+      floor(col("l_extendedprice") * 65535.0 / 110000.0).cast("long").as("cx"),
+      least(greatest((day - 9131) * 26, lit(0L)), lit(65535L)).as("cy"))
+      .withColumn("zval", call_function("graft_zorder", col("cx"), col("cy")))
+    def meanExtent(key: String): (Double, Double) = {
+      val path = sys.props("java.io.tmpdir") + s"/graft_zorder_$key"
+      Layout.writeClustered(cells, path, key, n)
+      val boxes = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg((max(col("cx")) - min(col("cx"))).as("xe"),
+          (max(col("cy")) - min(col("cy"))).as("ye"))
+        .collect().map(r => (r.getLong(1).toDouble, r.getLong(2).toDouble))
+      (boxes.map(_._1).sum / boxes.length, boxes.map(_._2).sum / boxes.length)
+    }
+    val (xCx, yCx) = meanExtent("cx") // single-key layout: cy extent ~ full
+    val (xZ, yZ) = meanExtent("zval")
+    // z-layout must shrink the OTHER dimension's mean box edge materially
+    // while keeping its own dimension's extent bounded (not exploding it)
+    yZ should be < yCx * 0.8
+    xZ should be < xCx * 8.0
+  }
 }

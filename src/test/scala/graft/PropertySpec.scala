@@ -235,4 +235,30 @@ class PropertySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(3))).toSeq shouldBe
       rows.map(r => (r._1, r._4)).toSeq
   }
+
+  test("fuzzy name match ≡ driver-side blocked Levenshtein at non-default dist") {
+    import graft.ops.DedupQueries
+    import graft.tables.Tables
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = Tables(spark, sf).part.collect()
+      .map(_.getAs[String]("p_name"))
+      .groupBy(identity).map { case (n, g) => (n, g.length.toLong) }.toSeq
+    val expected = (for {
+      (na, ca) <- names; (nb, cb) <- names
+      if na < nb && na.split(" ")(1) == nb.split(" ")(1)
+      d = lev(na, nb) if d <= 1
+    } yield (na, nb, d.toLong, ca, cb)).sortBy(p => (p._1, p._2))
+    val got = DedupQueries.fuzzyNameMatch(spark, sf, maxDist = 1).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    got shouldBe expected
+  }
 }

@@ -127,6 +127,58 @@ class RelationalQueriesSpec extends SparkSpec {
       math.min(3, got.length).toLong
   }
 
+  test("tpch5: revenue per nation ≡ driver-side recompute at a non-default region") {
+    val t = Tables(spark, sf)
+    val got = RelationalQueries
+      .tpch5Volume(spark, sf, regionName = "EUROPE",
+        yearStart = "1997-01-01", yearEnd = "1998-01-01")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toSeq
+    // brute force: collect the whole snowflake and fold on the driver
+    val rk = t.region.collect().filter(_.getString(1) == "EUROPE")
+      .map(_.getInt(0)).toSet
+    val nat = t.nation.collect().filter(r => rk(r.getInt(2)))
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val supNat = t.supplier.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val custNat = t.customer.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val ordCust = t.orders.collect()
+      .filter { r =>
+        val d = r.getAs[java.time.LocalDateTime](4)
+        val lo = java.time.LocalDateTime.parse("1997-01-01T00:00:00")
+        val hi = java.time.LocalDateTime.parse("1998-01-01T00:00:00")
+        !d.isBefore(lo) && d.isBefore(hi)
+      }.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rev = scala.collection.mutable.Map.empty[String, BigDecimal]
+    t.lineitem.collect().foreach { r =>
+      for {
+        custkey <- ordCust.get(r.getLong(0))
+        snat <- supNat.get(r.getLong(2)) if nat.contains(snat)
+        cnat <- custNat.get(custkey) if cnat == snat
+      } {
+        val term = BigDecimal(r.getDouble(5)).setScale(2, BigDecimal.RoundingMode.HALF_UP) *
+          BigDecimal(1.0 - r.getDouble(6)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        rev(nat(snat)) = rev.getOrElse(nat(snat), BigDecimal(0)) + term
+      }
+    }
+    val expected = rev.toSeq.map { case (n, v) => (n, v.toDouble) }
+      .sortBy { case (n, v) => (-v, n) }
+    got shouldBe expected
+  }
+
+  test("tpch18: threshold argument is live and every winner clears it") {
+    val got = RelationalQueries.tpch18BigOrders(spark, sf, minQty = 150.0, k = 5)
+      .collect()
+    got.length should be <= 5
+    got.foreach(_.getDouble(5) should be > 150.0)
+    val t = Tables(spark, sf)
+    val truth = t.lineitem.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("q")).filter(col("q") > 150.0)
+      .collect().map(_.getLong(0)).toSet
+    got.map(_.getLong(2)).foreach(k => truth should contain(k))
+    // default threshold returns a subset of the lower-threshold key set
+    RelationalQueries.tpch18BigOrders(spark, sf, minQty = 300.0).collect()
+      .map(_.getLong(2)).foreach(k => truth should contain(k))
+  }
+
   test("approx distinct is within 5% of exact") {
     val t = Tables(spark, sf)
     val exact = t.events.groupBy(col("event_type"))
