@@ -367,4 +367,49 @@ object SensorPipeline {
     qAgg.awaitTermination()
     out
   }
+
+  /** Stream-stream interval-join replay: the staged feed split into two
+    * halves by message-id parity (standing in for two independent sensor
+    * feeds), correlated with [[StatefulOps.correlateFeeds]] (same-sensor
+    * readings within ±1 h — wide enough that the sparse per-user event
+    * cadence yields a meaningful match set), drained to parquet. Both join
+    * inputs read the SAME file source — Spark plans a streaming self-join,
+    * each side with its own watermark and state store; inner matches emit
+    * eagerly, so the drained output is the complete join (the DuckDB
+    * oracle is the plain interval self-join). */
+  def replayCorrelate(spark: SparkSession, inDir: String, outBase: String): String = {
+    val raw = spark.readStream.schema(StructType(Seq(StructField("value", StringType))))
+      .text(inDir).toDF("value")
+    val parsed = parse(raw)
+    val even = parsed.filter(col("messageId").cast("long") % 2 === 0)
+    val odd = parsed.filter(col("messageId").cast("long") % 2 === 1)
+    val path = s"$outBase/joined"
+    val q = StatefulOps.correlateFeeds(even, odd, rangeSec = 3600).writeStream
+      .outputMode("append")
+      .format("parquet").option("path", path)
+      .option("checkpointLocation", s"$outBase/_cp_join")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    path
+  }
+
+  /** Watermarked-dedup replay: the staged feed (deliberately containing
+    * duplicate deliveries) deduplicated by message id with
+    * [[StatefulOps.dedupByMessage]] — `dropDuplicatesWithinWatermark`, the
+    * bounded-state exactly-once-per-message guard an at-least-once transport
+    * (MQTT QoS 1, Kafka producer retries) needs — drained to parquet. The
+    * oracle is the duplicate-free batch projection: every message exactly
+    * once, regardless of delivery count. */
+  def replayDedup(spark: SparkSession, inDir: String, outBase: String): String = {
+    val raw = spark.readStream.schema(StructType(Seq(StructField("value", StringType))))
+      .text(inDir).toDF("value")
+    val path = s"$outBase/deduped"
+    val q = StatefulOps.dedupByMessage(parse(raw)).writeStream
+      .outputMode("append")
+      .format("parquet").option("path", path)
+      .option("checkpointLocation", s"$outBase/_cp_dedup")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    path
+  }
 }

@@ -109,16 +109,16 @@ object StatefulOps {
     * the same expression works in batch, which the spec exploits for
     * equivalence. Column prefixes keep the two sides' schemas disjoint. */
   def correlateFeeds(left: DataFrame, right: DataFrame,
-      watermark: String = "2 minutes"): DataFrame = {
+      watermark: String = "2 minutes", rangeSec: Int = 60): DataFrame = {
     def side(df: DataFrame, p: String): DataFrame = {
       val wm = if (df.isStreaming) df.withWatermark("eventTime", watermark) else df
       wm.select(col("id").as(s"${p}_id"), col("messageId").as(s"${p}_mid"),
         col("eventTime").as(s"${p}_time"), col("temperature").as(s"${p}_temp"))
     }
     side(left, "l").join(side(right, "r"),
-      expr("""l_id = r_id AND
-              r_time BETWEEN l_time - INTERVAL 60 SECONDS
-                         AND l_time + INTERVAL 60 SECONDS"""))
+      expr(s"""l_id = r_id AND
+              r_time BETWEEN l_time - INTERVAL $rangeSec SECONDS
+                         AND l_time + INTERVAL $rangeSec SECONDS"""))
       .select(col("l_id").as("id"), col("l_mid"), col("r_mid"),
         col("l_temp"), col("r_temp"),
         (unix_micros(col("r_time")) - unix_micros(col("l_time"))).as("dt_us"))

@@ -37,6 +37,25 @@ object StreamRegistry {
       .write.mode("overwrite").text(outDir)
   }
 
+  /** The sensor-JSON staging with every message written `copies` times —
+    * the at-least-once transport simulation [[streamDedup]] replays. */
+  def eventsAsSensorJsonDuplicated(spark: SparkSession, dir: String,
+      outDir: String, copies: Int): Unit = {
+    import org.apache.spark.sql.types._
+    val kSchema = StructType(Seq(StructField("k", LongType)))
+    val one = Tables(spark, dir).events
+      .select(to_json(struct(
+        col("user_id").cast("string").as("id"),
+        col("event_id").cast("string").as("messageId"),
+        col("ts").cast("long").cast("string").as("timestamp"),
+        struct(
+          col("value").cast("long").as("temperature"),
+          coalesce(from_json(col("props"), kSchema).getField("k"), lit(0L)).as("humidity")
+        ).as("metrics"))).as("value"))
+    Iterator.fill(copies)(one).reduce(_ union _)
+      .write.mode("overwrite").text(outDir)
+  }
+
   /** Full pipeline on the `events` table: serialize → replay through the
     * three-sink streaming job → return the windowed-agg sink contents
     * (oracle-shaped: epoch-seconds window start, BIGINT/DOUBLE columns). */
@@ -81,6 +100,37 @@ object StreamRegistry {
         Out.epochSec(col("s_end")).as("s_end"),
         col("max_temperature"), col("min_temperature"), col("n"))
       .orderBy(col("id"), col("s_start"))
+  }
+
+  /** Stream-stream interval join on the staged replay: the feed split by
+    * message-id parity into two halves, correlated within ±1 h per sensor
+    * ([[SensorPipeline.replayCorrelate]]). Output keys cast to BIGINT for
+    * oracle parity. */
+  def streamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_stream_join").toString
+    eventsAsSensorJson(spark, dir, s"$base/in")
+    val path = SensorPipeline.replayCorrelate(spark, s"$base/in", s"$base/out")
+    spark.read.parquet(path)
+      .select(col("id").cast("long").as("id"),
+        col("l_mid").cast("long").as("l_mid"),
+        col("r_mid").cast("long").as("r_mid"),
+        col("l_temp"), col("r_temp"), col("dt_us"))
+      .orderBy(col("l_mid"), col("r_mid"))
+  }
+
+  /** Watermarked streaming dedup on a deliberately duplicated staging (every
+    * message delivered twice): the drained output must be the duplicate-free
+    * event set — byte-identical to a batch projection of ONE copy. */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_stream_dedup").toString
+    eventsAsSensorJsonDuplicated(spark, dir, s"$base/in", copies = 2)
+    val path = SensorPipeline.replayDedup(spark, s"$base/in", s"$base/out")
+    spark.read.parquet(path)
+      .select(col("messageId").cast("long").as("mid"),
+        col("id").cast("long").as("id"),
+        Out.epochSec(col("eventTime")).as("sec"),
+        col("temperature"), col("humidity"))
+      .orderBy(col("mid"))
   }
 
   /** The DSv2 sensor generator (reference mqttgen, R7) driven through the
@@ -147,6 +197,30 @@ object StreamRegistry {
          |FROM s GROUP BY id, sid
          |HAVING MAX(sec) + 1800 <= (SELECT MAX(sec) - 600 FROM v)
          |ORDER BY id, s_start""".stripMargin)(streamSessions),
+    // Inner interval join emits eagerly, so the drained stream-stream join
+    // equals the batch interval self-join. dt_us is exact integer seconds
+    // × 10⁶ (event times are whole epoch seconds).
+    QueryDef("q_stream_join",
+      """WITH p AS (SELECT CAST(user_id AS BIGINT) AS id, event_id AS mid,
+        |        CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec,
+        |        COALESCE(CAST(TRUNC(value) AS BIGINT), 0) AS temperature
+        |      FROM events),
+        |l AS (SELECT * FROM p WHERE mid % 2 = 0),
+        |r AS (SELECT * FROM p WHERE mid % 2 = 1)
+        |SELECT l.id AS id, l.mid AS l_mid, r.mid AS r_mid,
+        |  l.temperature AS l_temp, r.temperature AS r_temp,
+        |  (r.sec - l.sec) * 1000000 AS dt_us
+        |FROM l JOIN r ON l.id = r.id
+        |  AND r.sec BETWEEN l.sec - 3600 AND l.sec + 3600
+        |ORDER BY l_mid, r_mid""".stripMargin)(streamJoin),
+    // The oracle is ONE copy of the feed: dedup must erase the transport's
+    // duplicate delivery entirely.
+    QueryDef("q_stream_dedup",
+      """SELECT event_id AS mid, CAST(user_id AS BIGINT) AS id,
+        |  CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec,
+        |  COALESCE(CAST(TRUNC(value) AS BIGINT), 0) AS temperature,
+        |  COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS humidity
+        |FROM events ORDER BY mid""".stripMargin)(streamDedup),
     QueryDef.noOracle("q_sensor_gen")(sensorGenAgg)
   )
 }
