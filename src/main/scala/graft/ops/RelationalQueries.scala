@@ -453,6 +453,43 @@ object RelationalQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** SCD-type-2 history build via gaps-and-islands: collapse each customer's
+    * order-status sequence into contiguous runs ("islands") with
+    * `[valid_from, valid_to)` effective ranges — the standard construction
+    * of a slowly-changing dimension from an event log, and the one classic
+    * windowing pattern the corpus still lacked (session_window is its
+    * event-time cousin; this is the ordinal version).
+    *
+    * Three stages, all on the SAME partition key: change-flag via `lag`,
+    * island id via running sum, per-island aggregate, then `lead` for the
+    * exclusive upper bound. Catalyst plans ONE shuffle on `o_custkey` and
+    * reuses the sort for every window — the plan a 100 TB dimension build
+    * needs (each customer's history is a few rows; no per-key task
+    * explosion because keys are many and small, the opposite regime of
+    * [[graft.ops.PipelineQueries.tokenPacking]]'s 4-language case).
+    * Ordering ties broken by `o_orderkey` in both engines. */
+  def scd2Islands(spark: SparkSession, dir: String): DataFrame = {
+    val byKey = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("sec"), col("o_orderkey"))
+    val islands = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("island"))
+    Tables(spark, dir).orders
+      .select(col("o_custkey"), col("o_orderstatus"),
+        Out.epochSec(col("o_orderdate")).as("sec"), col("o_orderkey"))
+      .withColumn("chg",
+        when(lag(col("o_orderstatus"), 1).over(byKey) === col("o_orderstatus"), 0L)
+          .otherwise(1L))
+      .withColumn("island",
+        sum(col("chg")).over(byKey.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy(col("o_custkey"), col("island"), col("o_orderstatus"))
+      .agg(min(col("sec")).as("valid_from"), count(lit(1)).as("n_orders"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(islands))
+      .select(col("o_custkey"), col("island"), col("o_orderstatus"),
+        col("valid_from"), col("valid_to"), col("n_orders"))
+      .orderBy(col("o_custkey"), col("island"))
+  }
+
   /** TPC-H Q5-shape local-supplier volume: revenue per nation for orders in
     * one region and one year where the customer and the line's supplier sit
     * in the SAME nation — the canonical snowflake join (6 tables, the widest

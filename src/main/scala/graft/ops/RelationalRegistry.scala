@@ -299,6 +299,30 @@ object RelationalRegistry {
          |JOIN orders ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey
          |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)(
-      (s, d) => RelationalQueries.tpch18BigOrders(s, d))
+      (s, d) => RelationalQueries.tpch18BigOrders(s, d)),
+
+    QueryDef("q_scd2_islands",
+      s"""WITH o AS (
+         |  SELECT o_custkey, o_orderstatus,
+         |    ${S.epochSec("o_orderdate")} AS sec, o_orderkey,
+         |    CASE WHEN LAG(o_orderstatus) OVER w = o_orderstatus THEN 0 ELSE 1
+         |      END AS chg
+         |  FROM orders
+         |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+         |i AS (
+         |  SELECT o_custkey, o_orderstatus, sec,
+         |    CAST(SUM(chg) OVER (PARTITION BY o_custkey ORDER BY sec, o_orderkey
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+         |  FROM o),
+         |g AS (
+         |  SELECT o_custkey, island, o_orderstatus,
+         |    MIN(sec) AS valid_from, COUNT(*) AS n_orders
+         |  FROM i GROUP BY 1, 2, 3)
+         |SELECT o_custkey, island, o_orderstatus, valid_from,
+         |  LEAD(valid_from) OVER (PARTITION BY o_custkey ORDER BY island)
+         |    AS valid_to,
+         |  n_orders
+         |FROM g ORDER BY o_custkey, island""".stripMargin)(
+      RelationalQueries.scd2Islands)
   )
 }

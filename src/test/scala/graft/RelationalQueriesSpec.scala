@@ -179,6 +179,32 @@ class RelationalQueriesSpec extends SparkSpec {
       .map(_.getLong(2)).foreach(k => truth should contain(k))
   }
 
+  test("scd2 islands: ranges chain, statuses alternate, one hash shuffle") {
+    val got = RelationalQueries.scd2Islands(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getLong(5)))
+    got.map(_._6).sum shouldBe Tables(spark, sf).orders.count()
+    got.groupBy(_._1).values.foreach { hist =>
+      val h = hist.sortBy(_._2)
+      h.head._2 shouldBe 1L // islands number consecutively from 1
+      h.map(_._2).toSeq shouldBe (1L to h.length)
+      h.last._5 shouldBe None // open-ended current island
+      h.sliding(2).foreach {
+        case Array(prev, cur) =>
+          prev._5 shouldBe Some(cur._4) // valid_to chains to next valid_from
+          prev._3 should not be cur._3 // adjacent islands differ in status
+        case _ =>
+      }
+    }
+    // the whole build shuffles ONCE on the customer key (the output sort's
+    // range exchange is presentation, not computation)
+    val p = plan(RelationalQueries.scd2Islands(spark, sf))
+    val hashExchanges = "hashpartitioning\\(o_custkey".r.findAllIn(p).length
+    assert(p.split("Exchange hashpartitioning").length - 1 <= 1,
+      s"expected a single hash exchange, plan:\n$p")
+    hashExchanges should be >= 1
+  }
+
   test("approx distinct is within 5% of exact") {
     val t = Tables(spark, sf)
     val exact = t.events.groupBy(col("event_type"))
