@@ -266,6 +266,41 @@ object StatsQueries {
       .orderBy(col("event_type"), col("rn"))
   }
 
+  /** Data-quality constraint suite: one row per declared check with its
+    * violation count — the dbt-test / Deequ-style gate a production pipeline
+    * runs before publishing a snapshot (uniqueness, referential integrity,
+    * value ranges, derived-column drift).
+    *
+    * Shape at scale: every per-table check is a single-pass conditional
+    * aggregate (`count(when(cond, 1))` — map-side partials, no shuffle of
+    * matching rows; the PK check's exact count-distinct is the standard
+    * two-phase partial agg). The one join-shaped check (FK orphans) is a
+    * left-anti equi-join AQE can plan as broadcast when the key side is
+    * small. The five branches are independent subtrees of ONE union job —
+    * Spark schedules them concurrently; nothing funnels through the driver
+    * except the five result rows. */
+  def dqChecks(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    def metric(name: String, oneRow: DataFrame): DataFrame =
+      oneRow.select(lit(name).as("check_name"),
+        col("n_bad").cast("long").as("n_bad"))
+    Seq(
+      metric("orders_pk_dup", t.orders.agg(
+        (count(col("o_orderkey")) - countDistinct(col("o_orderkey"))).as("n_bad"))),
+      metric("lineitem_fk_orphan", t.lineitem
+        .join(t.orders.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_bad"))),
+      metric("customer_negative_acctbal", t.customer.agg(
+        count(when(col("c_acctbal") < 0, 1)).as("n_bad"))),
+      metric("documents_nchars_drift", t.documents.agg(
+        count(when(col("n_chars") =!= length(col("text")), 1)).as("n_bad"))),
+      metric("events_value_out_of_range", t.events.agg(
+        count(when(col("value") < 0 || col("value").isNull, 1)).as("n_bad"))))
+      .reduce(_ unionByName _)
+      .orderBy(col("check_name"))
+  }
+
   /** Z-order layout census: quantize lineitem onto a (price, ship-day) grid,
     * interleave the cells into Morton z-values with the native
     * [[graft.functions.ZOrder2 graft_zorder]] kernel, and report each

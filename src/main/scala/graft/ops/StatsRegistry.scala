@@ -125,6 +125,25 @@ object StatsRegistry {
         |WHERE rn <= 50 ORDER BY event_type, rn""".stripMargin)(
       (s, d) => StatsQueries.stratifiedSample(s, d, n = 50)),
 
+    QueryDef("q_dq_checks",
+      """SELECT * FROM (
+        |  SELECT 'orders_pk_dup' AS check_name,
+        |    CAST((SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+        |      AS BIGINT) AS n_bad
+        |  UNION ALL SELECT 'lineitem_fk_orphan',
+        |    CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |      AS BIGINT)
+        |  UNION ALL SELECT 'customer_negative_acctbal',
+        |    CAST((SELECT count(*) FROM customer WHERE c_acctbal < 0) AS BIGINT)
+        |  UNION ALL SELECT 'documents_nchars_drift',
+        |    CAST((SELECT count(*) FROM documents WHERE n_chars != length(text))
+        |      AS BIGINT)
+        |  UNION ALL SELECT 'events_value_out_of_range',
+        |    CAST((SELECT count(*) FROM events WHERE value < 0 OR value IS NULL)
+        |      AS BIGINT)
+        |) ORDER BY check_name""".stripMargin)(StatsQueries.dqChecks),
+
     QueryDef("q_zorder_layout", {
       // Morton interleave spelled as plain arithmetic (DuckDB has no
       // bit-interleave builtin): bit b of cx lands at 2b, of cy at 2b+1.
