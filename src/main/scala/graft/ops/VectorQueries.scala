@@ -356,4 +356,62 @@ object VectorQueries {
         round((sum(col("col").cast("decimal(38,12)")).cast("double") / count(lit(1))), 6)
           .as("mean_c"))
       .orderBy(col("label"), col("dim"))
+
+  /** Product quantization (PQ) encoding: split each 64-dim embedding into
+    * `SubSpaces` 16-dim chunks, assign every chunk its nearest codeword
+    * (L2) from that subspace's codebook, and emit the per-vector code tuple
+    * plus the total quantization error — the compression step of a
+    * PQ/IVF-PQ vector index (each vector stored as 4 bytes of codes instead
+    * of 256 bytes of floats, distances served from lookup tables).
+    *
+    * Codebook here = the chunks of the first `CodebookSize` corpus vectors
+    * (same fixed-seed convention as [[ivfSearch]]'s demo centroids; a
+    * production index trains per-subspace k-means and plugs it in — the
+    * encoding plan is identical). Shape at scale: the codebook is
+    * metadata-sized (m × k chunks) and ships BROADCAST; encoding is one
+    * corpus pass — explode to (vec, subspace) chunks, broadcast-join the
+    * matching subspace's codewords, `min_by` partial agg for the argmin
+    * (never a window over the exploded stream), then one pivot agg back to
+    * a row per vector. Two narrow shuffles keyed by vec_id, both
+    * map-side-combinable. L2² via the three-dot identity |a|² − 2a·b + |b|²
+    * with [[dot]]'s sequential fold, so assignments and errors are
+    * bit-identical to the oracle's. */
+  def pqEncode(spark: SparkSession, dir: String): DataFrame = {
+    val m = PqCodec.SubSpaces
+    val dims = PqCodec.SubDim
+    val chunked = emb(spark, dir).select(col("vec_id"), posexplode(
+      array((0 until m).map(s =>
+        slice(col("e"), s * dims + 1, dims)): _*)).as(Seq("s", "chunk")))
+    val codebook = emb(spark, dir)
+      .filter(col("vec_id") < PqCodec.CodebookSize).select(posexplode(
+        array((0 until m).map(s =>
+          struct(lit(s).as("cs"), col("vec_id").as("code"),
+            slice(col("e"), s * dims + 1, dims).as("cw"))): _*)))
+      .select(col("col.cs").as("cs"), col("col.code"), col("col.cw"))
+    val d2 = dot(col("chunk"), col("chunk")) -
+      lit(2.0) * dot(col("chunk"), col("cw")) + dot(col("cw"), col("cw"))
+    val assigned = chunked
+      .join(broadcast(codebook), col("s") === col("cs"))
+      .select(col("vec_id"), col("s"), col("code"), d2.as("d2"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min_by(struct(col("code"), col("d2")),
+        struct(col("d2"), col("code"))).as("m"))
+      .select(col("vec_id"), col("s"), col("m.code").as("code"),
+        col("m.d2").as("d2"))
+    val pivots = (0 until m).map(s =>
+      max(when(col("s") === s, col("code"))).as(s"code_$s")) ++
+      (0 until m).map(s =>
+        max(when(col("s") === s, col("d2"))).as(s"e_$s"))
+    assigned.groupBy(col("vec_id"))
+      .agg(pivots.head, pivots.tail: _*)
+      .select(col("vec_id") +: (0 until m).map(s => col(s"code_$s")) :+
+        round((0 until m).map(s => col(s"e_$s")).reduce(_ + _), 6).as("q_err"): _*)
+      .orderBy(col("vec_id"))
+  }
+
+  object PqCodec {
+    val SubSpaces = 4
+    val SubDim = 16
+    val CodebookSize = 8
+  }
 }

@@ -137,6 +137,34 @@ object VectorRegistry {
          |  round(CAST(sum(CAST(e[CAST(d.d AS INT) + 1] AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS mean_c
          |FROM emb CROSS JOIN (SELECT unnest(range(0, 8)) AS d) d
          |GROUP BY label, d.d ORDER BY label, dim""".stripMargin)(
-      VectorQueries.vectorCentroids)
+      VectorQueries.vectorCentroids),
+
+    QueryDef("q_pq_encode", {
+      import VectorQueries.PqCodec.{SubSpaces, SubDim, CodebookSize}
+      // chunk s of a vector = 1-based list slice [s*SubDim+1 .. (s+1)*SubDim];
+      // L2² via the same three-dot identity as the Spark side
+      def d2(a: String, b: String) =
+        s"(${dot(a, a)} - 2.0 * ${dot(a, b)} + ${dot(b, b)})"
+      val codeCols = (0 until SubSpaces)
+        .map(s => s"MAX(CASE WHEN s = $s THEN code END) AS code_$s")
+        .mkString(", ")
+      val errSum = (0 until SubSpaces)
+        .map(s => s"MAX(CASE WHEN s = $s THEN d2 END)").mkString(" + ")
+      s"""WITH $embCte,
+         |sub AS (SELECT unnest(range(0, $SubSpaces)) AS s),
+         |chunks AS (SELECT vec_id, s,
+         |    e[CAST(s * $SubDim + 1 AS INT):CAST((s + 1) * $SubDim AS INT)] AS chunk
+         |  FROM emb CROSS JOIN sub),
+         |codebook AS (SELECT s AS cs, vec_id AS code,
+         |    e[CAST(s * $SubDim + 1 AS INT):CAST((s + 1) * $SubDim AS INT)] AS cw
+         |  FROM emb CROSS JOIN sub WHERE vec_id < $CodebookSize),
+         |scored AS (SELECT vec_id, s, code, ${d2("chunk", "cw")} AS d2,
+         |    row_number() OVER (PARTITION BY vec_id, s
+         |                       ORDER BY ${d2("chunk", "cw")}, code) AS rn
+         |  FROM chunks JOIN codebook ON s = cs),
+         |best AS (SELECT vec_id, s, code, d2 FROM scored WHERE rn = 1)
+         |SELECT vec_id, $codeCols, round($errSum, 6) AS q_err
+         |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    })(VectorQueries.pqEncode)
   )
 }

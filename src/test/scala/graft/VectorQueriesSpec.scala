@@ -137,6 +137,40 @@ class VectorQueriesSpec extends SparkSpec {
     }
   }
 
+  test("pq encoding ≡ driver-side nearest-codeword assignment") {
+    import VectorQueries.PqCodec.{SubSpaces, SubDim, CodebookSize}
+    val got = rows(VectorQueries.pqEncode(spark, sf)).map(r =>
+      r(0).asInstanceOf[Long] ->
+        ((1 to SubSpaces).map(i => r(i).asInstanceOf[Long]),
+          r(SubSpaces + 1).asInstanceOf[Double]))
+    got.size shouldBe vecs.size
+    def chunk(v: Array[Double], s: Int): Array[Double] =
+      v.slice(s * SubDim, (s + 1) * SubDim)
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      // same three-dot identity + sequential fold as the query
+      def dot(x: Array[Double], y: Array[Double]) =
+        x.indices.foldLeft(0.0)((acc, i) => acc + x(i) * y(i))
+      dot(a, a) - 2.0 * dot(a, b) + dot(b, b)
+    }
+    got.foreach { case (id, (codes, qErr)) =>
+      val v = vecs(id)
+      var errSum = 0.0
+      (0 until SubSpaces).foreach { s =>
+        val dists = (0L until CodebookSize).map(c =>
+          c -> l2(chunk(v, s), chunk(vecs(c), s)))
+        val best = dists.minBy { case (c, d) => (d, c) }
+        codes(s) shouldBe best._1
+        errSum += best._2
+      }
+      qErr shouldBe (errSum +- 1e-6)
+      // a codebook vector reconstructs itself exactly
+      if (id < CodebookSize) {
+        codes shouldBe Seq.fill(SubSpaces)(id)
+        qErr shouldBe 0.0
+      }
+    }
+  }
+
   test("per-label centroids match driver-side means on dims 0-7") {
     val labels = Tables(spark, sf).embeddings
       .select(col("vec_id"), col("label").cast("long"))
