@@ -266,6 +266,41 @@ object StatsQueries {
       .orderBy(col("event_type"), col("rn"))
   }
 
+  /** Robust outlier census via Median Absolute Deviation: per event type,
+    * the exact median, the MAD, and how many readings sit more than
+    * 3 × 1.4826 × MAD from the median (1.4826 scales MAD to σ under
+    * normality). The robust companion to the 2σ z-score flags
+    * ([[graft.ops.TimeseriesQueries]]): mean/σ move with the outliers they
+    * are meant to catch; median/MAD have a 50% breakdown point, so a burst
+    * of garbage readings cannot hide itself.
+    *
+    * Shape at scale: two passes — (1) grouped exact medians (sort-based agg,
+    * partition-local per key), (2) re-scan with the metadata-sized stats
+    * broadcast back to flag deviations; both joins are broadcasts, the only
+    * shuffles are the two grouped aggs. The final comparison uses the
+    * UNROUNDED median/MAD (bit-identical interpolation in both engines —
+    * the q_percentiles contract), so the outlier count is deterministic;
+    * rounding is display-only. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events.select(col("event_type"), col("value"))
+    val med = e.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val withDev = e.join(broadcast(med), Seq("event_type"))
+      .withColumn("adev", abs(col("value") - col("med")))
+    val stats = withDev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), first(col("med")).as("med"),
+        expr("percentile(adev, 0.5)").as("mad"))
+    withDev.select(col("event_type"), col("value"))
+      .join(broadcast(stats), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(first(col("n")).as("n"),
+        round(first(col("med")), 4).as("med"),
+        round(first(col("mad")), 4).as("mad"),
+        count(when(abs(col("value") - col("med")) >
+          lit(3.0) * lit(1.4826) * col("mad"), 1)).as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
   /** Data-quality constraint suite: one row per declared check with its
     * violation count — the dbt-test / Deequ-style gate a production pipeline
     * runs before publishing a snapshot (uniqueness, referential integrity,

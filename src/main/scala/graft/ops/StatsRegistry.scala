@@ -125,6 +125,25 @@ object StatsRegistry {
         |WHERE rn <= 50 ORDER BY event_type, rn""".stripMargin)(
       (s, d) => StatsQueries.stratifiedSample(s, d, n = 50)),
 
+    QueryDef("q_mad_outliers",
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |dev AS (
+        |  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+        |  FROM events e JOIN med m USING (event_type)),
+        |stats AS (
+        |  SELECT event_type, count(*) AS n, any_value(med) AS med,
+        |    quantile_cont(adev, 0.5) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT d.event_type, any_value(s.n) AS n,
+        |  round(any_value(s.med), 4) AS med, round(any_value(s.mad), 4) AS mad,
+        |  count(*) FILTER (WHERE abs(d.value - s.med) > 3.0 * 1.4826 * s.mad)
+        |    AS n_outliers
+        |FROM dev d JOIN stats s USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin)(
+      StatsQueries.madOutliers),
+
     QueryDef("q_dq_checks",
       """SELECT * FROM (
         |  SELECT 'orders_pk_dup' AS check_name,

@@ -87,6 +87,33 @@ class StatsQueriesSpec extends SparkSpec {
     binned shouldBe naive
   }
 
+  test("mad outliers ≡ driver-side median/MAD recompute") {
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val h = (s.length - 1) / 2.0
+      val (lo, hi) = (s(h.floor.toInt), s(h.ceil.toInt))
+      lo + (h - h.floor) * (hi - lo) // linear interpolation, both engines' rule
+    }
+    val byType = Tables(spark, sf).events
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq.groupBy(_._1)
+    val got = StatsQueries.madOutliers(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    got.keySet shouldBe byType.keySet
+    byType.foreach { case (tpe, rowsT) =>
+      val vals = rowsT.map(_._2)
+      val med = medianOf(vals)
+      val mad = medianOf(vals.map(v => math.abs(v - med)))
+      val nOut = vals.count(v => math.abs(v - med) > 3.0 * 1.4826 * mad)
+      val (n, gMed, gMad, gOut) = got(tpe)
+      n shouldBe vals.size
+      gMed shouldBe (med +- 1e-4)
+      gMad shouldBe (mad +- 1e-4)
+      gOut shouldBe nOut
+    }
+  }
+
   test("scalar subquery counts match a join-side aggregate") {
     val sub = StatsQueries.scalarSubquery(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getAs[Long]("n_orders")).toMap
