@@ -166,4 +166,57 @@ object GraphQueries {
     degrees(coOrderEdges(Tables(spark, dir), minShared))
       .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("deg"))
+
+  /** k-core of an undirected edge set: iteratively peel every node whose
+    * degree is below `k` until no node is removed, and return the surviving
+    * nodes with their within-core degree — the standard graph-mining
+    * density filter (community seeds, spam-farm detection, influence
+    * cores).
+    *
+    * `edges` must be symmetrized: both (u,v) and (v,u) present, no
+    * self-loops (the [[kCore]] wrapper does this for the co-order graph).
+    *
+    * Shape at scale: each round is ONE partial-agg degree count plus two
+    * semi-joins against the (node-sized, AQE-broadcastable) survivor set —
+    * never a window, never a collect. The peel is monotone, so the edge
+    * count is a sufficient convergence probe: any peeled node had ≥ 1 edge,
+    * hence unchanged edge count ⇔ fixpoint — one cheap `count()` per round
+    * replaces a set comparison. `localCheckpoint` per round truncates the
+    * lineage exactly as [[ConnectedComponents.minLabel]] does; rounds are
+    * data-bounded (≤ peel depth, not node count — real graphs converge in
+    * tens of rounds), and like CC a non-convergence within `maxRounds`
+    * throws rather than returning a half-peeled subgraph. */
+  def kCoreOf(edges: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
+    var e = edges.localCheckpoint()
+    var m = e.count()
+    var converged = m == 0L
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src"))
+      val next = e.join(keep, Seq("src"), "left_semi")
+        .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
+        .localCheckpoint()
+      val m2 = next.count()
+      converged = m2 == m
+      e = next; m = m2; rounds += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"$k-core peel did not converge within $maxRounds rounds — " +
+          "raise maxRounds for this graph's peel depth")
+    e.groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
+      .select(col("src").as("node"), col("core_deg"))
+      .orderBy(col("node"))
+  }
+
+  /** [[kCoreOf]] over the symmetrized co-order supplier graph. */
+  def kCore(spark: SparkSession, dir: String, k: Int = 20,
+      minShared: Int = TriMinShared): DataFrame = {
+    val base = coOrderEdges(Tables(spark, dir), minShared)
+    kCoreOf(
+      base.select(col("s1").as("src"), col("s2").as("dst"))
+        .unionByName(base.select(col("s2").as("src"), col("s1").as("dst"))),
+      k)
+  }
 }

@@ -76,4 +76,41 @@ class GraphQueriesSpec extends SparkSpec {
     // handshake identity on the distribution itself
     gotDist.map { case (d, n) => d * n }.sum shouldBe 2L * edges.size
   }
+
+  test("k-core peels a synthetic graph to its known core, and ≡ brute force") {
+    // 4-clique {0,1,2,3} + a pendant path 3-4-5: the 3-core is exactly the
+    // clique (peeling 5 drops 4's degree to 1, which peels 4 too)
+    val und = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (3L, 4L), (4L, 5L))
+    val sym = und ++ und.map(_.swap)
+    val df = spark.createDataFrame(sym).toDF("src", "dst")
+    val core = GraphQueries.kCoreOf(df, k = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    core shouldBe Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L)
+    // k above the max degree empties the graph (and still converges)
+    GraphQueries.kCoreOf(df, k = 10).count() shouldBe 0L
+    // wrapper over the co-order graph ≡ driver-side iterative peel
+    val lo = Tables(spark, sf).lineitem.select("l_orderkey", "l_suppkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val edges = lo.groupBy(_._1).values.flatMap { ls =>
+      val ss = ls.map(_._2).distinct.sorted
+      for (i <- ss.indices; j <- i + 1 until ss.length) yield (ss(i), ss(j))
+    }.groupBy(identity)
+      .filter(_._2.size >= GraphQueries.TriMinShared).keySet
+    val k = 5
+    var adj = edges.toSeq.flatMap(e => Seq(e, e.swap))
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    var changed = true
+    while (changed) {
+      val keep = adj.filter(_._2.size >= k).keySet
+      val next = adj.collect { case (n, ns) if keep(n) =>
+        n -> ns.intersect(keep)
+      }.filter(_._2.nonEmpty)
+      changed = next != adj
+      adj = next
+    }
+    val want = adj.map { case (n, ns) => n -> ns.size.toLong }
+    GraphQueries.kCore(spark, sf, k = k).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe want
+  }
 }
