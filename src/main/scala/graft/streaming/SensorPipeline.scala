@@ -393,6 +393,26 @@ object SensorPipeline {
     path
   }
 
+  /** Record-high replay: the staged feed through
+    * [[StatefulOps.recordHighs]] (per-sensor `flatMapGroupsWithState`
+    * keeping one long of state — the all-time max), drained to parquet.
+    * The oracle is the batch spelling of the same fold: a running-max
+    * window over (sec, messageId, temperature) order — valid because the
+    * drain processes the whole feed with the per-key fold sorting each
+    * group by exactly that key. */
+  def replayRecordHighs(spark: SparkSession, inDir: String, outBase: String): String = {
+    val raw = spark.readStream.schema(StructType(Seq(StructField("value", StringType))))
+      .text(inDir).toDF("value")
+    val path = s"$outBase/highs"
+    val q = StatefulOps.recordHighs(parse(raw)).toDF().writeStream
+      .outputMode("append")
+      .format("parquet").option("path", path)
+      .option("checkpointLocation", s"$outBase/_cp_highs")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    path
+  }
+
   /** Watermarked-dedup replay: the staged feed (deliberately containing
     * duplicate deliveries) deduplicated by message id with
     * [[StatefulOps.dedupByMessage]] — `dropDuplicatesWithinWatermark`, the

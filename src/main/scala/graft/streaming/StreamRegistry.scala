@@ -133,6 +133,21 @@ object StreamRegistry {
       .orderBy(col("mid"))
   }
 
+  /** The record-high detector ([[StatefulOps.recordHighs]],
+    * `flatMapGroupsWithState`) on the staged replay: every reading that
+    * exceeded its sensor's all-time max, with the max it beat. */
+  def streamRecordHighs(spark: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_stream_highs").toString
+    eventsAsSensorJson(spark, dir, s"$base/in")
+    val path = SensorPipeline.replayRecordHighs(spark, s"$base/in", s"$base/out")
+    spark.read.parquet(path)
+      .select(col("id").cast("long").as("id"),
+        col("messageId").cast("long").as("mid"),
+        Out.epochSec(col("eventTime")).as("sec"),
+        col("temperature"), col("prev_max"))
+      .orderBy(col("id"), col("sec"), col("mid"))
+  }
+
   /** The DSv2 sensor generator (reference mqttgen, R7) driven through the
     * reference's parse→filter→aggregate chain in batch mode — proves the
     * native source end-to-end without file staging. Deterministic (seeded)
@@ -221,6 +236,25 @@ object StreamRegistry {
         |  COALESCE(CAST(TRUNC(value) AS BIGINT), 0) AS temperature,
         |  COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS humidity
         |FROM events ORDER BY mid""".stripMargin)(streamDedup),
+    // Running-max spelling of the stateful fold; the fold sorts each key by
+    // (sec, messageId-as-string, temperature), hence the VARCHAR mid in the
+    // window order. A sensor's FIRST emitted high carries its own value as
+    // prev_max (the fold's documented convention).
+    QueryDef("q_stream_record_high",
+      """WITH p AS (SELECT CAST(user_id AS VARCHAR) AS id,
+        |        CAST(event_id AS VARCHAR) AS mid,
+        |        CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec,
+        |        COALESCE(CAST(TRUNC(value) AS BIGINT), 0) AS temperature
+        |      FROM events),
+        |r AS (SELECT id, mid, sec, temperature,
+        |        MAX(temperature) OVER (PARTITION BY id
+        |          ORDER BY sec, mid, temperature
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+        |      FROM p)
+        |SELECT CAST(id AS BIGINT) AS id, CAST(mid AS BIGINT) AS mid, sec,
+        |  temperature, COALESCE(prevmax, temperature) AS prev_max
+        |FROM r WHERE prevmax IS NULL OR temperature > prevmax
+        |ORDER BY id, sec, mid""".stripMargin)(streamRecordHighs),
     QueryDef.noOracle("q_sensor_gen")(sensorGenAgg)
   )
 }
