@@ -453,6 +453,37 @@ object RelationalQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Ratio-to-report: each nation's share of its REGION's revenue — the
+    * percent-of-total window every BI layer ships (`revenue / sum(revenue)
+    * OVER (PARTITION BY region)`), here over the customer⋈orders rollup
+    * with the dims broadcast.
+    *
+    * Shape at scale: the fact aggregates FIRST (one shuffle on the
+    * customer key → nation rollup is metadata-sized), then the share
+    * window runs over ≤ |nations| rows — the window never sees fact rows.
+    * Aggregate-then-window is the difference between a metadata window and
+    * a corpus re-sort; the share division happens once per output row on
+    * exact decimal sums. */
+  def ratioToReport(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val dims = t.nation
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+    val perNation = t.orders
+      .join(t.customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(dims), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(col("o_totalprice").cast(Out.SumDecimal)).as("revDec"))
+    val w = Window.partitionBy(col("r_name"))
+    perNation
+      .select(col("r_name"), col("n_name"),
+        col("revDec").cast("double").as("revenue"),
+        round((col("revDec") / sum(col("revDec")).over(w)).cast("double"), 6)
+          .as("region_share"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
   /** SCD-type-2 history build via gaps-and-islands: collapse each customer's
     * order-status sequence into contiguous runs ("islands") with
     * `[valid_from, valid_to)` effective ranges — the standard construction

@@ -323,6 +323,21 @@ object RelationalRegistry {
          |    AS valid_to,
          |  n_orders
          |FROM g ORDER BY o_custkey, island""".stripMargin)(
-      RelationalQueries.scd2Islands)
+      RelationalQueries.scd2Islands),
+
+    QueryDef("q_ratio_to_report",
+      """WITH per_nation AS (
+        |  SELECT r_name, n_name,
+        |    SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS revdec
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2)
+        |SELECT r_name, n_name, CAST(revdec AS DOUBLE) AS revenue,
+        |  round(CAST(revdec / SUM(revdec) OVER (PARTITION BY r_name)
+        |    AS DOUBLE), 6) AS region_share
+        |FROM per_nation ORDER BY r_name, n_name""".stripMargin)(
+      RelationalQueries.ratioToReport)
   )
 }

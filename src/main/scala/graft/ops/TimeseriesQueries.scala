@@ -147,4 +147,21 @@ object TimeseriesQueries {
         round(col("wsum").cast("double") / weights.sum.toDouble, 6).as("ewma"))
       .orderBy(col("user_id"), col("ts_sec"), col("event_id"))
   }
+
+  /** Seasonal profile: per (event type, UTC hour-of-day), event count and
+    * exact-decimal mean value — the diurnal fingerprint every monitoring /
+    * anomaly stack baselines against (the z-score flags in [[anomalyZscore]]
+    * assume a stationary mean; this is the query that checks that
+    * assumption).
+    *
+    * Shape at scale: one narrow projection (hour extraction is codegen'd)
+    * into one partial-agg shuffle on (type, hour) — ≤ types × 24 output
+    * rows regardless of corpus size. */
+  def seasonalProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .select(col("event_type"), hour(col("ts")).cast("long").as("hour_utc"),
+        col("value"))
+      .groupBy(col("event_type"), col("hour_utc"))
+      .agg(count(lit(1)).as("n"), round(Out.davg(col("value")), 6).as("avg_value"))
+      .orderBy(col("event_type"), col("hour_utc"))
 }

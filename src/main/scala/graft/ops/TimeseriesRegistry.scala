@@ -66,5 +66,14 @@ object TimeseriesRegistry {
          |  ROUND(CAST(wsum AS DOUBLE) / $ewmaDiv, 6) AS ewma
          |FROM l WHERE wsum IS NOT NULL
          |ORDER BY user_id, ts_sec, event_id""".stripMargin)(
-      TimeseriesQueries.ewmaTrailing(_, _)))
+      TimeseriesQueries.ewmaTrailing(_, _)),
+
+    QueryDef("q_seasonal_profile",
+      s"""SELECT event_type,
+         |  CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS hour_utc,
+         |  count(*) AS n,
+         |  round(${graft.ops.Out.sql.davg("value")}, 6) AS avg_value
+         |FROM events GROUP BY 1, 2
+         |ORDER BY event_type, hour_utc""".stripMargin)(
+      TimeseriesQueries.seasonalProfile))
 }

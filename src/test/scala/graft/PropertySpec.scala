@@ -236,6 +236,33 @@ class PropertySpec extends SparkSpec {
       rows.map(r => (r._1, r._4)).toSeq
   }
 
+  test("ratio-to-report shares sum to 1 per region; revenue reconciles") {
+    import graft.ops.RelationalQueries
+    import graft.tables.Tables
+    val got = RelationalQueries.ratioToReport(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    got.groupBy(_._1).values.foreach { region =>
+      region.map(_._4).sum shouldBe 1.0 +- 1e-4
+      val total = region.map(_._3).sum
+      region.foreach { case (_, _, rev, share) =>
+        share shouldBe (rev / total) +- 1e-4
+      }
+    }
+    val totalRevenue = got.map(_._3).sum
+    val want = Tables(spark, sf).orders
+      .agg(sum(col("o_totalprice"))).collect()(0).getDouble(0)
+    totalRevenue shouldBe (want +- 1e-2) // every order lands in one nation
+  }
+
+  test("seasonal profile covers every event exactly once") {
+    import graft.ops.TimeseriesQueries
+    import graft.tables.Tables
+    val got = TimeseriesQueries.seasonalProfile(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    got.map(_._3).sum shouldBe Tables(spark, sf).events.count()
+    got.foreach(_._2 should (be >= 0L and be <= 23L))
+  }
+
   test("fuzzy name match ≡ driver-side blocked Levenshtein at non-default dist") {
     import graft.ops.DedupQueries
     import graft.tables.Tables
