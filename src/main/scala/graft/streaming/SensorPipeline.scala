@@ -196,90 +196,24 @@ object SensorPipeline {
     * loudly (resizing requires a rebuild); pre-marker tables adopt the
     * current setting and get the marker written on their next batch. */
   val ChangelogBucketsConf = "spark.graft.changelog.buckets"
-  private val BucketsMarker = "_graft_buckets"
-  private def changelogBuckets(spark: SparkSession): Int =
-    spark.conf.getOption(ChangelogBucketsConf).map(_.trim.toInt)
-      .getOrElse(ChangelogBuckets)
 
-  /** Resolve the bucket count for `tablePath`: persisted marker if the table
-    * exists (cross-checked against an explicit conf), else the conf/default.
-    * Driver-side metadata reads only — a few bytes, once per micro-batch. */
-  private def resolveBuckets(
-      spark: SparkSession,
-      fs: org.apache.hadoop.fs.FileSystem,
-      marker: org.apache.hadoop.fs.Path,
-      hasTable: Boolean): Int = {
-    val conf = spark.conf.getOption(ChangelogBucketsConf).map(_.trim.toInt)
-    if (hasTable && fs.exists(marker)) {
-      val in = fs.open(marker)
-      val persisted =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
-        finally in.close()
-      conf.filter(_ != persisted).foreach { c =>
-        throw new IllegalStateException(
-          s"changelog table at $marker was created with $persisted buckets but " +
-            s"$ChangelogBucketsConf=$c; resizing an existing table requires a " +
-            "rebuild (the bucket column is baked into the on-disk layout)")
-      }
-      persisted
-    } else conf.getOrElse(ChangelogBuckets)
-  }
-
-  def upsertBatch(tablePath: String)(batch: DataFrame, batchId: Long): Unit = {
-    val spark = batch.sparkSession
-    val tableP = new org.apache.hadoop.fs.Path(tablePath)
-    val fs = tableP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val markerP = new org.apache.hadoop.fs.Path(tableP, BucketsMarker)
-    val tableExists = fs.exists(tableP)
-    val nBuckets = resolveBuckets(spark, fs, markerP, tableExists)
-    // Cache the micro-batch output FIRST: inside foreachBatch every action
-    // re-executes the batch plan, and for a stateful query that plan is the
-    // whole shuffle + state-store pass — uncached, the emptiness probe, the
-    // affected-bucket scan, and the merge would each pay it (measured 2× the
-    // batch cost at sf0.1 before caching).
-    val keyed = batch.select(
+  /** One micro-batch of update-mode output into the keyed table: project to
+    * the table schema and delegate to the engine's generic batch MERGE
+    * ([[graft.tables.Merge.mergeInto]] — this sink was the original home of
+    * that logic; it is now the shared upsert path for any keyed parquet
+    * table). An unset conf defers to the table's persisted marker (or
+    * [[graft.tables.Merge.DefaultBuckets]] on creation); a set conf that
+    * disagrees with an existing layout fails loudly inside mergeInto. */
+  def upsertBatch(tablePath: String)(batch: DataFrame, batchId: Long): Unit =
+    graft.tables.Merge.mergeInto(
+      tablePath,
+      batch.select(
         col("id"), col("w_start").cast("long").as("w_sec"),
         col("max_temperature"), col("min_temperature"),
-        col("avg_temperature"), col("n"))
-      .withColumn("bucket", pmod(hash(col("id"), col("w_sec")), lit(nBuckets)))
-      .persist()
-    try {
-      // count(), not isEmpty(): the emptiness probe is a limit-1 partial
-      // execution that caches only the partitions it touches — the next
-      // action would re-run the stateful batch plan for the rest. One count
-      // fully populates the cache in a single pass.
-      if (keyed.count() == 0L) return
-      val merged = if (tableExists) {
-        // Affected-bucket set is ≤ ChangelogBuckets values — a bounded driver
-        // decision, not a data collect.
-        val affected = keyed.select(col("bucket")).distinct()
-          .collect().map(_.getInt(0)).toSeq
-        spark.read.parquet(tablePath)
-          .filter(col("bucket").isin(affected: _*))
-          .join(keyed.select(col("id"), col("w_sec")), Seq("id", "w_sec"), "left_anti")
-          .unionByName(keyed)
-      } else keyed
-      // Materialize (MEMORY_AND_DISK) before the overwrite: the merged plan
-      // reads the same files the write truncates. Repartition on the bucket
-      // key first so each bucket directory gets ONE file per rewrite instead
-      // of one per task (32 buckets × 32 tasks ≈ 1k tiny files per batch —
-      // measured ~2 s of commit overhead at sf0.1, and a small-file explosion
-      // a long-lived table can't afford).
-      val snap = merged.repartition(nBuckets, col("bucket")).persist()
-      snap.count()
-      snap.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("bucket")
-        .parquet(tablePath)
-      snap.unpersist()
-      // Pin the layout on first write (and adopt pre-marker tables): the
-      // marker, not the session conf, is the source of truth from now on.
-      if (!fs.exists(markerP)) {
-        val out = fs.create(markerP, true)
-        try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
-      }
-    } finally keyed.unpersist()
-  }
+        col("avg_temperature"), col("n")),
+      keyCols = Seq("id", "w_sec"),
+      requestedBuckets = batch.sparkSession.conf
+        .getOption(ChangelogBucketsConf).map(_.trim.toInt))
 
   /** Replay `inDir` through parse → validity filter → windowed agg in UPDATE
     * mode, upserting each batch's changed windows into the keyed table at

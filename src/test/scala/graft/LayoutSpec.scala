@@ -67,6 +67,41 @@ class LayoutSpec extends SparkSpec {
       r.getLong(2) shouldBe ZOrder2.compute(r.getLong(0), r.getLong(1)))
   }
 
+  test("generic mergeInto: insert, update, idempotence, layout pinning") {
+    import graft.tables.Merge
+    import org.apache.spark.sql.functions.lit
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_merge_generic").toString + "/t"
+    def df(rows: (Long, String, Double)*) =
+      spark.createDataFrame(rows).toDF("k", "name", "score")
+    // creation with an explicit bucket count
+    Merge.mergeInto(table, df((1L, "a", 1.0), (2L, "b", 2.0)), Seq("k"),
+      requestedBuckets = Some(4))
+    def state() = spark.read.parquet(table).select("k", "name", "score")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    state() shouldBe Set((1L, "a", 1.0), (2L, "b", 2.0))
+    // update one key + insert another, with the request now ABSENT: the
+    // persisted 4-bucket marker must govern
+    Merge.mergeInto(table, df((2L, "b2", 9.0), (3L, "c", 3.0)), Seq("k"))
+    state() shouldBe Set((1L, "a", 1.0), (2L, "b2", 9.0), (3L, "c", 3.0))
+    // replaying the same merge leaves the table unchanged (exactly-once)
+    Merge.mergeInto(table, df((2L, "b2", 9.0), (3L, "c", 3.0)), Seq("k"))
+    state() shouldBe Set((1L, "a", 1.0), (2L, "b2", 9.0), (3L, "c", 3.0))
+    spark.read.parquet(table).select("bucket").distinct().collect()
+      .map(_.getInt(0)).foreach(b => assert(b >= 0 && b < 4))
+    // a disagreeing bucket request fails loudly
+    val e = intercept[IllegalStateException] {
+      Merge.mergeInto(table, df((4L, "d", 4.0)), Seq("k"),
+        requestedBuckets = Some(8))
+    }
+    e.getMessage should include("requires a rebuild")
+    // reserved column name is rejected
+    intercept[IllegalArgumentException] {
+      Merge.mergeInto(table, df((5L, "e", 5.0)).withColumn("bucket", lit(0)),
+        Seq("k"))
+    }
+  }
+
   test("z-value clustering tightens BOTH dimension extents vs single-key") {
     import org.apache.spark.sql.functions.call_function
     val n = 8
