@@ -31,4 +31,32 @@ object Layout {
     df.repartitionByRange(nFiles, col(key))
       .sortWithinPartitions(col(key))
       .write.mode("overwrite").parquet(path)
+
+  /** Compact a parquet directory into ~`targetFileBytes` output files,
+    * preserving content — the maintenance pass every incrementally-written
+    * table needs (micro-batch sinks and per-task writers accrete small
+    * files; each file costs a task + a footer read + an object-store
+    * request, so a 100 TB table of 1 MB files is unqueryable long before
+    * it is unreadable).
+    *
+    * File count is sized from the directory's ACTUAL bytes (driver-side
+    * metadata listing, no data read); pass `sortKey` to restore clustering
+    * while compacting ([[writeClustered]] semantics) — compaction is the
+    * natural moment to re-sort. Writes to `outPath` (immutable output, the
+    * caller swaps paths or table pointers atomically; in-place rename is a
+    * table-format job, not a bare-parquet one). Returns the file count. */
+  def compact(df: DataFrame, inPath: String, outPath: String,
+      targetFileBytes: Long = 128L << 20,
+      sortKey: Option[String] = None): Int = {
+    val spark = df.sparkSession
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    sortKey match {
+      case Some(k) => writeClustered(df, outPath, k, nFiles)
+      case None => df.repartition(nFiles).write.mode("overwrite").parquet(outPath)
+    }
+    nFiles
+  }
 }

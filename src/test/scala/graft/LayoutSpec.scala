@@ -67,6 +67,39 @@ class LayoutSpec extends SparkSpec {
       r.getLong(2) shouldBe ZOrder2.compute(r.getLong(0), r.getLong(1)))
   }
 
+  test("compact shrinks a fragmented table without changing its content") {
+    import graft.tables.Layout
+    val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val frag = s"$base/frag"
+    // fragment: one file per order-key slice
+    Tables(spark, sf).orders.repartition(64).write.mode("overwrite").parquet(frag)
+    def files(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files(frag) >= 32, "fixture must start fragmented")
+    val df = spark.read.parquet(frag)
+    val out = s"$base/compacted"
+    val n = Layout.compact(df, frag, out, targetFileBytes = 1L << 30)
+    n shouldBe 1 // tiny table well under the target → single file
+    files(out) shouldBe 1
+    val before = Tables(spark, sf).orders.select("o_orderkey")
+      .collect().map(_.getLong(0)).sorted
+    val after = spark.read.parquet(out).select("o_orderkey")
+      .collect().map(_.getLong(0)).sorted
+    after shouldBe before
+    // sortKey variant restores clustering while compacting
+    val outSorted = s"$base/compacted_sorted"
+    Layout.compact(df, frag, outSorted, targetFileBytes = 1L << 18,
+      sortKey = Some("o_orderkey"))
+    val boxes = spark.read.parquet(outSorted)
+      .groupBy(input_file_name())
+      .agg(min(col("o_orderkey")).as("lo"), max(col("o_orderkey")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    boxes.sliding(2).foreach {
+      case Array((_, hiPrev), (loNext, _)) => assert(hiPrev <= loNext)
+      case _ =>
+    }
+  }
+
   test("generic mergeInto: insert, update, idempotence, layout pinning") {
     import graft.tables.Merge
     import org.apache.spark.sql.functions.lit
