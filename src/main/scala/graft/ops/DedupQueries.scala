@@ -216,7 +216,10 @@ object DedupQueries {
     * lexicographically as its numeric value, so minima stay strings) —
     * bit-identical to the HOF composition it replaced (PropertySpec) and to
     * the DuckDB oracle spelling. */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  /** Banded MinHash candidate pairs with their lane-agreement estimate —
+    * the generator stage, shared by [[minhashLsh]] (which reports it) and
+    * [[dedupVerified]] (which re-checks it exactly). */
+  private def minhashCandidates(spark: SparkSession, dir: String): DataFrame = {
     val sig = docShingles(spark, dir)
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), expr("graft_minhash(sh)").as("sig"))
@@ -241,6 +244,38 @@ object DedupQueries {
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
         col("p.est_jaccard").as("est_jaccard"))
       .distinct()
+  }
+
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashCandidates(spark, dir).orderBy(col("doc_a"), col("doc_b"))
+
+  /** The PRODUCTION dedup composition at 100 TB (BASELINE.md's stated
+    * intent): MinHash-LSH as the candidate GENERATOR, exact Jaccard as the
+    * VERIFY stage on candidates only — never pairwise over the corpus.
+    * Banding bounds the candidate count; each candidate costs one O(|sh|)
+    * set intersection, so total verify work is candidates × doc length —
+    * linear-ish, where the all-pairs generator ([[dedupNgramJaccard]],
+    * kept as the exactness yardstick) is the documented O(df²) trade.
+    *
+    * Shape: the candidate pairs join BACK to the shingle-set table twice
+    * (equi-joins on doc id; the pair side is the small one and AQE
+    * broadcasts it at sane dup densities), then a codegen'd
+    * `array_intersect` computes |A∩B| and inclusion–exclusion the union.
+    * Output: verified pairs with TRUE Jaccard ≥ `minJaccard` — LSH's false
+    * positives filtered, its estimate replaced by the exact value. */
+  def dedupVerified(spark: SparkSession, dir: String,
+      minJaccard: Double = 0.8): DataFrame = {
+    val sh = docShingles(spark, dir).filter(size(col("sh")) > 0)
+    minhashCandidates(spark, dir).select(col("doc_a"), col("doc_b"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
+        (size(col("sh_a")) + size(col("sh_b"))).cast("long").as("sz"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") /
+          (col("sz") - col("inter")).cast("double"), 4).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -15,6 +15,35 @@ object DedupRegistry {
 
   private val hash48 = "('0x' || substr(md5(t), 1, 12))::BIGINT"
 
+  /** Banded-MinHash candidate CTEs (DuckDB spelling of
+    * DedupQueries.minhashCandidates): 16 minhash lanes = non-overlapping
+    * 32-bit windows of two sha256 digests per shingle; `d` carries the
+    * shingle sets, `cand` the capped banded pairs with both signatures.
+    * Shared by q_minhash_lsh and q_dedup_verified. */
+  private val minhashCandCtes =
+    s"""d AS (SELECT doc_id, $shingleSet AS sh FROM documents),
+       |hx AS (SELECT doc_id,
+       |         list_transform(sh, x -> sha256('0:' || x) || sha256('1:' || x)) AS hx
+       |       FROM d WHERE len(sh) > 0),
+       |s AS (SELECT doc_id,
+       |        list_transform(generate_series(0, 15),
+       |          p -> list_min(list_transform(hx,
+       |                 h -> h[p*8+1 : p*8+8]))) AS sig
+       |      FROM hx),
+       |bnd AS (SELECT doc_id, sig, b.b AS band_idx,
+       |          array_to_string(sig[b.b*4+1 : b.b*4+4], '|') AS band_key
+       |        FROM s CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) b),
+       |okb AS (SELECT band_idx, band_key FROM bnd
+       |        GROUP BY 1, 2 HAVING count(*) <= ${DedupQueries.SimhashBucketCap}),
+       |bndc AS (SELECT bnd.* FROM bnd JOIN okb USING (band_idx, band_key)),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         any_value(a.sig) AS sig_a, any_value(b.sig) AS sig_b
+       |  FROM bndc a JOIN bndc b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("q_dedup_doc_exact",
       """SELECT md5(text) AS content_md5, min(doc_id) AS keeper_id,
@@ -39,34 +68,28 @@ object DedupRegistry {
          |ORDER BY doc_a, doc_b""".stripMargin)(DedupQueries.dedupNgramJaccard),
 
     QueryDef("q_minhash_lsh",
-      // 16 minhash lanes = non-overlapping 32-bit windows of two sha256
-      // digests per shingle — DuckDB spelling of DedupQueries.minhashSig.
-      s"""WITH d AS (SELECT doc_id, $shingleSet AS sh FROM documents),
-         |hx AS (SELECT doc_id,
-         |         list_transform(sh, x -> sha256('0:' || x) || sha256('1:' || x)) AS hx
-         |       FROM d WHERE len(sh) > 0),
-         |s AS (SELECT doc_id,
-         |        list_transform(generate_series(0, 15),
-         |          p -> list_min(list_transform(hx,
-         |                 h -> h[p*8+1 : p*8+8]))) AS sig
-         |      FROM hx),
-         |bnd AS (SELECT doc_id, sig, b.b AS band_idx,
-         |          array_to_string(sig[b.b*4+1 : b.b*4+4], '|') AS band_key
-         |        FROM s CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) b),
-         |okb AS (SELECT band_idx, band_key FROM bnd
-         |        GROUP BY 1, 2 HAVING count(*) <= ${DedupQueries.SimhashBucketCap}),
-         |bndc AS (SELECT bnd.* FROM bnd JOIN okb USING (band_idx, band_key)),
-         |cand AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |         any_value(a.sig) AS sig_a, any_value(b.sig) AS sig_b
-         |  FROM bndc a JOIN bndc b
-         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-         |   AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
+      s"""WITH $minhashCandCtes
          |SELECT doc_a, doc_b,
          |  round(len(list_filter(generate_series(1, 16), i -> sig_a[i] = sig_b[i])) / 16.0, 4)
          |    AS est_jaccard
          |FROM cand ORDER BY doc_a, doc_b""".stripMargin)(DedupQueries.minhashLsh),
+
+    // The generator's candidates re-checked EXACTLY: true shingle-set
+    // Jaccard via intersection + inclusion–exclusion, thresholded at 0.8.
+    QueryDef("q_dedup_verified",
+      s"""WITH $minhashCandCtes,
+         |j AS (SELECT c.doc_a, c.doc_b,
+         |        len(list_intersect(da.sh, db.sh)) AS inter,
+         |        len(da.sh) + len(db.sh) AS sz
+         |      FROM cand c
+         |      JOIN d da ON da.doc_id = c.doc_a
+         |      JOIN d db ON db.doc_id = c.doc_b)
+         |SELECT doc_a, doc_b,
+         |  round(CAST(inter AS DOUBLE) / (sz - inter), 4) AS jaccard
+         |FROM j
+         |WHERE round(CAST(inter AS DOUBLE) / (sz - inter), 4) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin)(
+      (s, d) => DedupQueries.dedupVerified(s, d)),
 
     QueryDef("q_simhash",
       s"""WITH h AS (SELECT doc_id,

@@ -263,6 +263,29 @@ class PropertySpec extends SparkSpec {
     got.foreach(_._2 should (be >= 0L and be <= 23L))
   }
 
+  test("verified dedup pairs carry TRUE shingle Jaccard ≥ the threshold") {
+    import graft.ops.DedupQueries
+    import graft.tables.Tables
+    // mirror TextQueries.wordsExpr (`split(text, ' ')`, no normalization)
+    def shingles(text: String): Set[String] = {
+      val w = text.split(" ", -1)
+      (if (w.length < 3) Seq.empty
+       else w.sliding(3).map(_.mkString(" ")).toSeq).toSet
+    }
+    val docs = Tables(spark, sf).documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> shingles(r.getString(1))).toMap
+    val got = DedupQueries.dedupVerified(spark, sf, minJaccard = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    got should not be empty
+    got.foreach { case (a, b, j) =>
+      j should be >= 0.5
+      val (sa, sb) = (docs(a), docs(b))
+      val inter = sa.intersect(sb).size.toDouble
+      val truth = inter / (sa.size + sb.size - inter)
+      j shouldBe (math.rint(truth * 1e4) / 1e4 +- 1e-9) // exact, only rounded
+    }
+  }
+
   test("fuzzy name match ≡ driver-side blocked Levenshtein at non-default dist") {
     import graft.ops.DedupQueries
     import graft.tables.Tables
