@@ -327,6 +327,25 @@ object SensorPipeline {
     path
   }
 
+  /** Stream-static enrichment replay: the staged feed left-joined per
+    * micro-batch against a broadcast dimension table
+    * ([[StatefulOps.enrich]] — the catalog-lookup shape: no state, no
+    * shuffle of the stream), drained to parquet. The oracle is the plain
+    * batch join. */
+  def replayEnrich(spark: SparkSession, inDir: String, outBase: String,
+      sites: org.apache.spark.sql.DataFrame): String = {
+    val raw = spark.readStream.schema(StructType(Seq(StructField("value", StringType))))
+      .text(inDir).toDF("value")
+    val path = s"$outBase/enriched"
+    val q = StatefulOps.enrich(parse(raw), sites).writeStream
+      .outputMode("append")
+      .format("parquet").option("path", path)
+      .option("checkpointLocation", s"$outBase/_cp_enrich")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    path
+  }
+
   /** Record-high replay: the staged feed through
     * [[StatefulOps.recordHighs]] (per-sensor `flatMapGroupsWithState`
     * keeping one long of state — the all-time max), drained to parquet.

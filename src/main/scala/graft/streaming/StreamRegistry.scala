@@ -133,6 +133,27 @@ object StreamRegistry {
       .orderBy(col("mid"))
   }
 
+  /** Stream-static enrichment on the staged replay: the sensor→site catalog
+    * (a deterministic derivation of the sensor id here; a real fleet holds
+    * it in a catalog table) broadcast-joined into the stream per
+    * micro-batch. Sensors 0–4 have no catalog row — the left join must
+    * carry them with a NULL site. */
+  def streamEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_stream_enrich").toString
+    eventsAsSensorJson(spark, dir, s"$base/in")
+    val sites = Tables(spark, dir).events
+      .select(col("user_id")).distinct()
+      .filter(col("user_id") >= 5) // a gap the left join must preserve
+      .select(col("user_id").cast("string").as("id"),
+        concat(lit("site_"), pmod(col("user_id"), lit(10))).as("site"))
+    val path = SensorPipeline.replayEnrich(spark, s"$base/in", s"$base/out", sites)
+    spark.read.parquet(path)
+      .select(col("messageId").cast("long").as("mid"),
+        col("id").cast("long").as("id"), col("site"),
+        col("temperature"))
+      .orderBy(col("mid"))
+  }
+
   /** The record-high detector ([[StatefulOps.recordHighs]],
     * `flatMapGroupsWithState`) on the staged replay: every reading that
     * exceeded its sensor's all-time max, with the max it beat. */
@@ -240,6 +261,13 @@ object StreamRegistry {
     // (sec, messageId-as-string, temperature), hence the VARCHAR mid in the
     // window order. A sensor's FIRST emitted high carries its own value as
     // prev_max (the fold's documented convention).
+    QueryDef("q_stream_enrich",
+      """SELECT event_id AS mid, CAST(user_id AS BIGINT) AS id,
+        |  CASE WHEN user_id >= 5
+        |       THEN 'site_' || CAST(user_id % 10 AS VARCHAR) END AS site,
+        |  COALESCE(CAST(TRUNC(value) AS BIGINT), 0) AS temperature
+        |FROM events ORDER BY mid""".stripMargin)(streamEnrich),
+
     QueryDef("q_stream_record_high",
       """WITH p AS (SELECT CAST(user_id AS VARCHAR) AS id,
         |        CAST(event_id AS VARCHAR) AS mid,
