@@ -169,6 +169,39 @@ object StreamRegistry {
       .orderBy(col("id"), col("sec"), col("mid"))
   }
 
+  /** The live funnel tracker ([[StatefulOps.funnelUpdates]]) on a staged
+    * replay of the EVENTS table (its native shape — not the sensor feed):
+    * one update row the moment each user first completes a stage. Ordered
+    * single-drain replay ⇒ the update stream is exactly the batch funnel's
+    * non-null stage times, which is the oracle (the documented cross-batch
+    * out-of-order trade does not arise in a drained replay). */
+  def streamFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Files.createTempDirectory("graft_stream_funnel").toString
+    Tables(spark, dir).events
+      .select(to_json(struct(col("user_id"), col("event_type"),
+        Out.epochSec(col("ts")).as("t"), col("event_id"))).as("value"))
+      .write.mode("overwrite").text(s"$base/in")
+    val raw = spark.readStream
+      .schema("value STRING").text(s"$base/in").toDF("value")
+    val parsed = raw.select(from_json(col("value"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "user_id BIGINT, event_type STRING, t BIGINT, event_id BIGINT")).as("e"))
+      .select(col("e.user_id"), col("e.event_type"), col("e.t"), col("e.event_id"))
+    val path = s"$base/out/updates"
+    val q = StatefulOps.funnelUpdates(parsed, Seq("view", "click", "purchase"))
+      .toDF().writeStream
+      .outputMode("append")
+      .format("parquet").option("path", path)
+      .option("checkpointLocation", s"$base/out/_cp_funnel")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(path)
+      .select(col("userId").as("user_id"), col("stage").cast("long").as("stage"),
+        col("stageType").as("stage_type"), col("t"))
+      .orderBy(col("user_id"), col("stage"))
+  }
+
   /** The DSv2 sensor generator (reference mqttgen, R7) driven through the
     * reference's parse→filter→aggregate chain in batch mode — proves the
     * native source end-to-end without file staging. Deterministic (seeded)
@@ -261,6 +294,27 @@ object StreamRegistry {
     // (sec, messageId-as-string, temperature), hence the VARCHAR mid in the
     // window order. A sensor's FIRST emitted high carries its own value as
     // prev_max (the fold's documented convention).
+    // The batch funnel's stage times, unpivoted to one row per completed
+    // stage — exactly the update stream a drained in-order replay emits.
+    QueryDef("q_stream_funnel",
+      s"""WITH e AS (
+         |  SELECT user_id, event_type,
+         |    CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t FROM events),
+         |v AS (SELECT user_id, min(t) AS t_view FROM e
+         |      WHERE event_type = 'view' GROUP BY 1),
+         |c AS (SELECT e.user_id, min(t) AS t_click
+         |      FROM e JOIN v USING (user_id)
+         |      WHERE event_type = 'click' AND t > t_view GROUP BY 1),
+         |p AS (SELECT e.user_id, min(t) AS t_purchase
+         |      FROM e JOIN c USING (user_id)
+         |      WHERE event_type = 'purchase' AND t > t_click GROUP BY 1)
+         |SELECT user_id, stage, stage_type, t FROM (
+         |  SELECT user_id, CAST(0 AS BIGINT) AS stage, 'view' AS stage_type,
+         |         t_view AS t FROM v
+         |  UNION ALL SELECT user_id, 1, 'click', t_click FROM c
+         |  UNION ALL SELECT user_id, 2, 'purchase', t_purchase FROM p)
+         |ORDER BY user_id, stage""".stripMargin)(streamFunnel),
+
     QueryDef("q_stream_enrich",
       """SELECT event_id AS mid, CAST(user_id AS BIGINT) AS id,
         |  CASE WHEN user_id >= 5
