@@ -177,6 +177,21 @@ object StatsQueries {
       |  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
       |ORDER BY c_custkey""".stripMargin
 
+  /** Per-nation top-2 customers by balance via a correlated LATERAL
+    * subquery — the SQL front end's "top-k per outer row" shape (every
+    * other per-group top-k in the corpus is a window; LATERAL is how a SQL
+    * user writes it when the inner query is itself parameterized by the
+    * outer row). Spark decorrelates this with a `DomainJoin`-based rewrite
+    * into the same rank-limit plan a window would produce — declarative in,
+    * scale-safe out. */
+  private val lateralTopkSql =
+    """SELECT n.n_name, t.c_custkey, t.c_acctbal
+      |FROM nation n,
+      |LATERAL (SELECT c_custkey, c_acctbal FROM customer
+      |         WHERE c_nationkey = n.n_nationkey
+      |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+      |ORDER BY n.n_name, t.c_custkey""".stripMargin
+
   private def sqlOnViews(spark: SparkSession, dir: String, sql: String): DataFrame = {
     // A child session (shared context/conf/extensions, ISOLATED temp-view
     // catalog) so registering `customer`/`orders` cannot clobber same-named
@@ -187,8 +202,12 @@ object StatsQueries {
     val t = Tables(scoped, dir)
     t.customer.createOrReplaceTempView("customer")
     t.orders.createOrReplaceTempView("orders")
+    t.nation.createOrReplaceTempView("nation")
     scoped.sql(sql)
   }
+
+  def lateralTopk(spark: SparkSession, dir: String): DataFrame =
+    sqlOnViews(spark, dir, lateralTopkSql)
 
   def scalarSubquery(spark: SparkSession, dir: String): DataFrame =
     sqlOnViews(spark, dir, scalarSubquerySql)

@@ -125,6 +125,15 @@ object StatsRegistry {
         |WHERE rn <= 50 ORDER BY event_type, rn""".stripMargin)(
       (s, d) => StatsQueries.stratifiedSample(s, d, n = 50)),
 
+    QueryDef("q_lateral_topk",
+      """SELECT n.n_name, t.c_custkey, t.c_acctbal
+        |FROM nation n,
+        |LATERAL (SELECT c_custkey, c_acctbal FROM customer
+        |         WHERE c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n.n_name, t.c_custkey""".stripMargin)(
+      StatsQueries.lateralTopk),
+
     QueryDef("q_mad_outliers",
       """WITH med AS (
         |  SELECT event_type, quantile_cont(value, 0.5) AS med
