@@ -62,4 +62,44 @@ object MultimodalStub {
         rows.map { case (id, payload) => codec.decode(id, payload) }
       }
   }
+
+  /** Extracted feature vector (what a real vision/audio encoder emits). */
+  final case class MediaFeatures(doc_id: Long, features: Seq[Double])
+
+  /** STUB feature extractor — the `mapInPandas`-model-inference analog.
+    * A real implementation loads an encoder once per partition and runs
+    * batched forward passes; this one derives each dimension
+    * deterministically from the content digest (feature j =
+    * `hash48(md5 ++ ":" ++ j) % 1e5 / 1e5`), so the SURROUNDING plumbing —
+    * one model per partition, rows streamed through it, typed vector
+    * output — is exercised under the driver's DuckDB hash gate, which no
+    * real network could be. */
+  final class FakeEncoder(dims: Int) {
+    private var model: java.security.MessageDigest = _
+    def open(): Unit = { model = java.security.MessageDigest.getInstance("MD5") }
+    def encode(docId: Long, contentMd5: String): MediaFeatures = {
+      require(model != null, "encoder used before open()")
+      val fs = (0 until dims).map { j =>
+        model.reset()
+        val d = model.digest(s"$contentMd5:$j".getBytes("UTF-8"))
+        val hex = d.take(6).map(b => f"$b%02x").mkString // first 12 hex chars
+        (java.lang.Long.parseLong(hex, 16) % 100000L) / 100000.0
+      }
+      MediaFeatures(docId, fs)
+    }
+  }
+
+  /** (id, content-md5) rows → feature vectors, one encoder per partition. */
+  def extractFeatures(df: DataFrame, idCol: String, md5Col: String,
+      dims: Int = 8): Dataset[MediaFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(md5Col).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val enc = new FakeEncoder(dims) // once per PARTITION, not per row
+        enc.open()
+        rows.map { case (id, m) => enc.encode(id, m) }
+      }
+  }
 }

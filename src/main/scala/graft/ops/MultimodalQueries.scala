@@ -137,4 +137,55 @@ object MultimodalQueries {
         expr("size(sequence(cast(0 as bigint), n_frames - 1, frame_step))").cast("long"))
       .select(col("doc_id"), col("n_frames"), col("frame_step"), col("n_sampled"))
       .orderBy(col("doc_id"))
+
+  /** Resize plan for "image" payloads: the aspect-preserving fit of each
+    * stub-decoded (width, height) into a `target`² training square — the
+    * geometry a real resize kernel receives. Integer arithmetic end to end
+    * (floor-division scaling, the convention both engines share), so the
+    * plan is oracle-checkable; the pixel work itself is the stubbed codec
+    * stage. Upscaling is clamped (scale ≤ 1): training pipelines letterbox
+    * small images rather than invent pixels. */
+  def mediaResize(spark: SparkSession, dir: String,
+      target: Int = 224): DataFrame = {
+    val d = fakeDecodeExpr("h")
+    Tables(spark, dir).documents
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("content_md5"))
+      .withColumn("h", expr(hFromMd5))
+      .select(col("doc_id"),
+        expr(d("width")).cast("long").as("width"),
+        expr(d("height")).cast("long").as("height"))
+      .withColumn("long_side", greatest(col("width"), col("height")))
+      .select(col("doc_id"), col("width"), col("height"),
+        when(col("long_side") <= target, col("width"))
+          .otherwise(greatest(lit(1L),
+            expr(s"(width * $target) div long_side"))).as("out_w"),
+        when(col("long_side") <= target, col("height"))
+          .otherwise(greatest(lit(1L),
+            expr(s"(height * $target) div long_side"))).as("out_h"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Feature extraction through the batched per-partition encoder stub
+    * ([[graft.functions.MultimodalStub.extractFeatures]] — the
+    * `mapInPandas` model-inference seam): one encoder per partition, rows
+    * streamed through it, typed vectors out, then ordinary relational ops
+    * over the result. The ONLY imperative stage in the oracle-gated
+    * inventory — the fake encoder is digest-deterministic, so the driver's
+    * DuckDB gate verifies the partitioning/batching plumbing end to end.
+    * Norm computed in fixed dimension order (both engines fold j = 0..7
+    * identically). */
+  def mediaFeatures(spark: SparkSession, dir: String,
+      dims: Int = 8): DataFrame = {
+    val base = Tables(spark, dir).documents
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("content_md5"))
+    val feats = graft.functions.MultimodalStub
+      .extractFeatures(base, "doc_id", "content_md5", dims).toDF()
+    feats.select(
+        col("doc_id") +:
+          (0 until dims).map(j => col("features")(j).as(s"f$j")) :+
+          round((0 until dims).map(j =>
+            col("features")(j) * col("features")(j)).reduce(_ + _), 6)
+            .as("norm2"): _*)
+      .orderBy(col("doc_id"))
+  }
 }

@@ -53,6 +53,37 @@ object MultimodalRegistry {
     // recurrence DuckDB can't reasonably replay; CdcChunksSpec holds the
     // independent reimplementation + shift-invariance checks
     graft.QueryDef.noOracle("q_chunk_census_cdc")(
-      (s, d) => MultimodalQueries.chunkCensusCdc(s, d, topK = 50))
+      (s, d) => MultimodalQueries.chunkCensusCdc(s, d, topK = 50)),
+
+    QueryDef("q_media_resize",
+      s"""WITH b AS (SELECT doc_id, md5(text) AS content_md5 FROM documents),
+         |g AS (SELECT doc_id,
+         |        64 + $h % 1857 AS width,
+         |        64 + ($h // 1857) % 1017 AS height
+         |      FROM b),
+         |s AS (SELECT *, greatest(width, height) AS long_side FROM g)
+         |SELECT doc_id, width, height,
+         |  CASE WHEN long_side <= 224 THEN width
+         |       ELSE greatest(1, (width * 224) // long_side) END AS out_w,
+         |  CASE WHEN long_side <= 224 THEN height
+         |       ELSE greatest(1, (height * 224) // long_side) END AS out_h
+         |FROM s ORDER BY doc_id""".stripMargin)(
+      (s, d) => MultimodalQueries.mediaResize(s, d)),
+
+    // DuckDB spelling of the FakeEncoder: feature j =
+    // hash48(md5 || ':' || j) % 1e5 / 1e5 — digest-deterministic, so the
+    // imperative mapPartitions stage hash-matches a declarative oracle.
+    QueryDef("q_media_features", {
+      val fCols = (0 until 8).map(j => s"fs[${j + 1}] AS f$j").mkString(", ")
+      val norm = (0 until 8).map(j => s"fs[${j + 1}] * fs[${j + 1}]")
+        .mkString(" + ")
+      s"""WITH b AS (SELECT doc_id, md5(text) AS cm FROM documents),
+         |f AS (SELECT doc_id, list_transform(range(0, 8), j ->
+         |        ((('0x' || substr(md5(cm || ':' || j), 1, 12))::BIGINT % 100000)
+         |         ) / 100000.0) AS fs
+         |      FROM b)
+         |SELECT doc_id, $fCols, round($norm, 6) AS norm2
+         |FROM f ORDER BY doc_id""".stripMargin
+    })((s, d) => MultimodalQueries.mediaFeatures(s, d))
   )
 }

@@ -45,4 +45,40 @@ class MultimodalSpec extends SparkSpec {
       assert(m.width >= 64 && m.height >= 64 && m.channels >= 1 && m.channels <= 4)
     }
   }
+
+  test("feature encoder: parallelism-invariant, dims argument live, range [0,1)") {
+    val base = Tables(spark, sf).documents
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("cm"))
+    val one = MultimodalStub.extractFeatures(base.coalesce(1), "doc_id", "cm")
+      .collect().sortBy(_.doc_id).toSeq
+    val many = MultimodalStub.extractFeatures(base.repartition(7), "doc_id", "cm")
+      .collect().sortBy(_.doc_id).toSeq
+    many shouldBe one
+    one.foreach { f =>
+      f.features should have size 8
+      f.features.foreach(v => assert(v >= 0.0 && v < 1.0))
+    }
+    MultimodalStub.extractFeatures(base, "doc_id", "cm", dims = 3)
+      .collect().foreach(_.features should have size 3)
+  }
+
+  test("resize plan: fits the square, preserves aspect, never upscales") {
+    MultimodalQueries.mediaResize(spark, sf).collect().foreach { r =>
+      val (w, h, ow, oh) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      ow should be <= math.max(w, 224L)
+      oh should be <= math.max(h, 224L)
+      math.max(ow, oh) should be <= 224L
+      if (math.max(w, h) <= 224) { ow shouldBe w; oh shouldBe h } // no upscale
+      else { // long side hits the target; aspect kept within integer rounding
+        math.max(ow, oh) shouldBe 224L
+        val aspectIn = w.toDouble / h
+        val aspectOut = ow.toDouble / oh
+        // floor-division rounds the SHORT side by < 1 pixel, so the aspect
+        // distortion is bounded by (s+1)/s at output short side s
+        val s = math.min(ow, oh).toDouble
+        (math.max(aspectIn, aspectOut) / math.min(aspectIn, aspectOut)) should
+          be <= (s + 1.0) / s
+      }
+    }
+  }
 }
