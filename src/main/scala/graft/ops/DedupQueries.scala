@@ -208,19 +208,13 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** MinHash LSH near-dup pairs: 4 bands × 4 lanes; pairs sharing any band,
-    * with the signature-agreement Jaccard estimate. Signatures come from the
-    * native one-pass [[graft.functions.MinHash16]] kernel (lane p = min over
-    * the shingle set of the p-th 8-hex-char window of
-    * `sha256('0:'+x) ++ sha256('1:'+x)`; fixed-width lowercase hex orders
-    * lexicographically as its numeric value, so minima stay strings) —
-    * bit-identical to the HOF composition it replaced (PropertySpec) and to
-    * the DuckDB oracle spelling. */
   /** Banded MinHash candidate pairs with their lane-agreement estimate —
     * the generator stage, shared by [[minhashLsh]] (which reports it) and
-    * [[dedupVerified]] (which re-checks it exactly). */
-  private def minhashCandidates(spark: SparkSession, dir: String): DataFrame = {
-    val sig = docShingles(spark, dir)
+    * [[dedupVerified]] (which re-checks it exactly). Takes the `(doc_id,
+    * sh)` shingle frame so a caller that needs the shingles for its OWN
+    * stage (the verify join) shingles the corpus once, not twice. */
+  private def minhashCandidates(shingles: DataFrame): DataFrame = {
+    val sig = shingles
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), expr("graft_minhash(sh)").as("sig"))
     val bands = sig.select(col("doc_id"), col("sig"),
@@ -246,8 +240,17 @@ object DedupQueries {
       .distinct()
   }
 
+  /** MinHash LSH near-dup pairs: 4 bands × 4 lanes; pairs sharing any band,
+    * with the signature-agreement Jaccard estimate. Signatures come from the
+    * native one-pass [[graft.functions.MinHash16]] kernel (lane p = min over
+    * the shingle set of the p-th 8-hex-char window of
+    * `sha256('0:'+x) ++ sha256('1:'+x)`; fixed-width lowercase hex orders
+    * lexicographically as its numeric value, so minima stay strings) —
+    * bit-identical to the HOF composition it replaced (PropertySpec) and to
+    * the DuckDB oracle spelling. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
-    minhashCandidates(spark, dir).orderBy(col("doc_a"), col("doc_b"))
+    minhashCandidates(docShingles(spark, dir))
+      .orderBy(col("doc_a"), col("doc_b"))
 
   /** The PRODUCTION dedup composition at 100 TB (BASELINE.md's stated
     * intent): MinHash-LSH as the candidate GENERATOR, exact Jaccard as the
@@ -269,8 +272,12 @@ object DedupQueries {
     * where the all-pairs n-gram generator took ~90 s (BASELINE.md). */
   def dedupVerified(spark: SparkSession, dir: String,
       minJaccard: Double = 0.8): DataFrame = {
+    // ONE shingle frame feeds both the generator and the verify joins —
+    // the shingling scan is the expensive part and must not repeat (its
+    // fanout repartition is an exchange, so runtime exchange reuse also
+    // dedupes the physical work across the three consumers)
     val sh = docShingles(spark, dir).filter(size(col("sh")) > 0)
-    minhashCandidates(spark, dir).select(col("doc_a"), col("doc_b"))
+    minhashCandidates(sh).select(col("doc_a"), col("doc_b"))
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
@@ -377,7 +384,12 @@ object DedupQueries {
     val t = Tables(spark, dir)
     val names = t.part.groupBy(col("p_name"))
       .agg(count(lit(1)).as("n_parts"))
-      .withColumn("block", split(col("p_name"), " ").getItem(1))
+      // coalesce to '': a single-token name has no second token and Spark's
+      // getItem yields NULL (NULL ≠ NULL would silently drop it from
+      // matching), where the oracle's split_part yields '' and blocks
+      // single-token names together — mirror that
+      .withColumn("block",
+        coalesce(split(col("p_name"), " ").getItem(1), lit("")))
     val a = names.select(col("block"), col("p_name").as("name_a"),
       col("n_parts").as("n_parts_a"))
     val b = names.select(col("block").as("block_b"),

@@ -293,13 +293,16 @@ object StatsQueries {
     * are meant to catch; median/MAD have a 50% breakdown point, so a burst
     * of garbage readings cannot hide itself.
     *
-    * Shape at scale: two passes — (1) grouped exact medians (sort-based agg,
-    * partition-local per key), (2) re-scan with the metadata-sized stats
-    * broadcast back to flag deviations; both joins are broadcasts, the only
-    * shuffles are the two grouped aggs. The final comparison uses the
-    * UNROUNDED median/MAD (bit-identical interpolation in both engines —
-    * the q_percentiles contract), so the outlier count is deterministic;
-    * rounding is display-only. */
+    * Shape at scale: three NARROW passes over the measure column — (1)
+    * grouped exact medians (sort-based agg, partition-local per key), (2)
+    * deviation medians with the per-group medians broadcast back, (3) the
+    * flag count with the metadata-sized stats broadcast back. Sequential
+    * passes are inherent (MAD needs the median; the cutoff needs the MAD)
+    * and each is a projection + broadcast join + partial agg — at 100 TB
+    * three narrow scans beat persisting a corpus-sized intermediate. The
+    * final comparison uses the UNROUNDED median/MAD (bit-identical
+    * interpolation in both engines — the q_percentiles contract), so the
+    * outlier count is deterministic; rounding is display-only. */
   def madOutliers(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).events.select(col("event_type"), col("value"))
     val med = e.groupBy(col("event_type"))
@@ -339,8 +342,11 @@ object StatsQueries {
       oneRow.select(lit(name).as("check_name"),
         col("n_bad").cast("long").as("n_bad"))
     Seq(
+      // count(*) − count(DISTINCT k), NOT count(k): a NULL key must count as
+      // a violation (count(k) skips NULLs, which would let a PK column full
+      // of NULLs pass — and diverge from the oracle's count(*))
       metric("orders_pk_dup", t.orders.agg(
-        (count(col("o_orderkey")) - countDistinct(col("o_orderkey"))).as("n_bad"))),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("n_bad"))),
       metric("lineitem_fk_orphan", t.lineitem
         .join(t.orders.select(col("o_orderkey")),
           col("l_orderkey") === col("o_orderkey"), "left_anti")
@@ -380,7 +386,13 @@ object StatsQueries {
     // to a single-key sort. Constants are the corpus's fixed calibration
     // (price ∈ [0, 110000), ship day ∈ [9131, 11651) days-since-epoch); a
     // production advisor derives them from table stats once per layout run.
-    val priceCell = floor(col("l_extendedprice") * 65535.0 / 110000.0).cast("long")
+    // both cells clamped to the 16-bit range the oracle's interleave covers
+    // (an out-of-calibration price would otherwise set cx bit 16, which the
+    // kernel spreads to zval bit 32 but the 16-term oracle drops — silent
+    // divergence instead of a saturated edge cell)
+    val priceCell = least(greatest(
+      floor(col("l_extendedprice") * 65535.0 / 110000.0).cast("long"),
+      lit(0L)), lit(65535L))
     // epoch seconds are < 2^53, so the double division is exact; ship dates
     // are midnights, so trunc ≡ DuckDB's floor-division `// 86400`
     val day = (Out.epochSec(col("l_shipdate")) / 86400).cast("long")

@@ -178,7 +178,9 @@ object StatsRegistry {
       val xTerms = (0 until 16).map(b => s"(((cx >> $b) & 1) << ${2 * b})")
       val yTerms = (0 until 16).map(b => s"(((cy >> $b) & 1) << ${2 * b + 1})")
       s"""WITH cells AS (
-         |  SELECT CAST(FLOOR(l_extendedprice * 65535.0 / 110000.0) AS BIGINT) AS cx,
+         |  SELECT LEAST(GREATEST(
+         |      CAST(FLOOR(l_extendedprice * 65535.0 / 110000.0) AS BIGINT),
+         |      0), 65535) AS cx,
          |    LEAST(GREATEST(((CAST(FLOOR(EPOCH(l_shipdate)) AS BIGINT) // 86400)
          |      - 9131) * 26, 0), 65535) AS cy
          |  FROM lineitem),

@@ -181,7 +181,10 @@ object SensorPipeline {
     * copy-on-write amplification is the known price of upserts on immutable
     * files, which is why a long-lived production table would sit in an ACID
     * format with compaction rather than bare parquet. */
-  val ChangelogBuckets = 32
+  // An alias, not a second constant: the merge logic lives in tables.Merge
+  // and ITS default applies whenever the conf is unset — a diverging value
+  // here would be silently ignored (review finding).
+  val ChangelogBuckets: Int = graft.tables.Merge.DefaultBuckets
 
   /** Production sizing knob for the changelog table: bucket count should
     * track key cardinality (buckets ≈ keys / 50 k keeps a bucket's rewrite

@@ -22,23 +22,13 @@ object StreamRegistry {
     * (FIXTURES.md mapping: user_id→id, event_id→messageId, ts→timestamp
     * epoch-seconds string, value→temperature, props.k→humidity). Written with
     * a distributed Spark write — no driver-side loop. */
-  def eventsAsSensorJson(spark: SparkSession, dir: String, outDir: String): Unit = {
-    import org.apache.spark.sql.types._
-    val kSchema = StructType(Seq(StructField("k", LongType)))
-    Tables(spark, dir).events
-      .select(to_json(struct(
-        col("user_id").cast("string").as("id"),
-        col("event_id").cast("string").as("messageId"),
-        col("ts").cast("long").cast("string").as("timestamp"),
-        struct(
-          col("value").cast("long").as("temperature"),
-          coalesce(from_json(col("props"), kSchema).getField("k"), lit(0L)).as("humidity")
-        ).as("metrics"))).as("value"))
-      .write.mode("overwrite").text(outDir)
-  }
+  def eventsAsSensorJson(spark: SparkSession, dir: String, outDir: String): Unit =
+    eventsAsSensorJsonDuplicated(spark, dir, outDir, copies = 1)
 
-  /** The sensor-JSON staging with every message written `copies` times —
-    * the at-least-once transport simulation [[streamDedup]] replays. */
+  /** The sensor-JSON staging, every message written `copies` times —
+    * copies = 1 is the normal feed; > 1 simulates an at-least-once
+    * transport for [[streamDedup]]. One projection, shared by both (the
+    * dedup oracle depends on the two stagings being byte-identical). */
   def eventsAsSensorJsonDuplicated(spark: SparkSession, dir: String,
       outDir: String, copies: Int): Unit = {
     import org.apache.spark.sql.types._

@@ -45,10 +45,13 @@ object Layout {
     * natural moment to re-sort. Writes to `outPath` (immutable output, the
     * caller swaps paths or table pointers atomically; in-place rename is a
     * table-format job, not a bare-parquet one). Returns the file count. */
-  def compact(df: DataFrame, inPath: String, outPath: String,
-      targetFileBytes: Long = 128L << 20,
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+      outPath: String, targetFileBytes: Long = 128L << 20,
       sortKey: Option[String] = None): Int = {
-    val spark = df.sparkSession
+    // Read inPath ourselves: sizing from one path while writing a
+    // caller-supplied frame of different data would silently mis-size the
+    // output files (review finding) — the df is derivable, not a parameter.
+    val df = spark.read.parquet(inPath)
     val p = new org.apache.hadoop.fs.Path(inPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(p).getLength

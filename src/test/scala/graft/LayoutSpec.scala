@@ -76,9 +76,8 @@ class LayoutSpec extends SparkSpec {
     def files(p: String) = new java.io.File(p).listFiles()
       .count(f => f.getName.endsWith(".parquet"))
     assert(files(frag) >= 32, "fixture must start fragmented")
-    val df = spark.read.parquet(frag)
     val out = s"$base/compacted"
-    val n = Layout.compact(df, frag, out, targetFileBytes = 1L << 30)
+    val n = Layout.compact(spark, frag, out, targetFileBytes = 1L << 30)
     n shouldBe 1 // tiny table well under the target → single file
     files(out) shouldBe 1
     val before = Tables(spark, sf).orders.select("o_orderkey")
@@ -88,7 +87,7 @@ class LayoutSpec extends SparkSpec {
     after shouldBe before
     // sortKey variant restores clustering while compacting
     val outSorted = s"$base/compacted_sorted"
-    Layout.compact(df, frag, outSorted, targetFileBytes = 1L << 18,
+    Layout.compact(spark, frag, outSorted, targetFileBytes = 1L << 18,
       sortKey = Some("o_orderkey"))
     val boxes = spark.read.parquet(outSorted)
       .groupBy(input_file_name())
