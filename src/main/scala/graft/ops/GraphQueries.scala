@@ -219,4 +219,52 @@ object GraphQueries {
         .unionByName(base.select(col("s2").as("src"), col("s1").as("dst"))),
       k)
   }
+
+  /** Synchronized label propagation over an undirected edge set: every node
+    * starts labeled with its own id; each round it adopts the most frequent
+    * label among its NEIGHBORS (ties → smallest label). Communities =
+    * groups of nodes sharing a final label — the density-sensitive
+    * companion to [[ConnectedComponents]] (CC answers "reachable?"; LPA
+    * answers "densely knit?", splitting a connected graph at its sparse
+    * cuts).
+    *
+    * `edges` must be symmetrized, no self-loops (the [[labelPropagation]]
+    * wrapper handles the co-order graph). The round budget is FIXED, not
+    * convergence-detected: synchronized LPA can oscillate between two
+    * labelings on bipartite-ish structures, so a fixpoint test may never
+    * fire — the standard spelling is a fixed budget with deterministic
+    * ties, which also makes the result reproducible by construction.
+    *
+    * Shape at scale: each round is one equi-join (edge list ⋈ labels on the
+    * neighbor id) and two partial-agg shuffles ((node, label) counts, then
+    * the per-node argmax via `max_by` — never a window over the adjacency
+    * stream); `localCheckpoint` truncates lineage per round exactly as
+    * [[ConnectedComponents.minLabel]] and [[kCoreOf]] do. */
+  def labelPropagationOf(edges: DataFrame, rounds: Int = 5): DataFrame = {
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      labels = edges
+        .join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("src"))
+        .agg(max_by(col("label"), struct(col("n"), (-col("label")).as("tb")))
+          .as("label"))
+        .select(col("src").as("node"), col("label"))
+        .localCheckpoint()
+    }
+    labels.orderBy(col("node"))
+  }
+
+  /** [[labelPropagationOf]] over the symmetrized co-order supplier graph. */
+  def labelPropagation(spark: SparkSession, dir: String, rounds: Int = 5,
+      minShared: Int = TriMinShared): DataFrame = {
+    val base = coOrderEdges(Tables(spark, dir), minShared)
+    labelPropagationOf(
+      base.select(col("s1").as("src"), col("s2").as("dst"))
+        .unionByName(base.select(col("s2").as("src"), col("s1").as("dst"))),
+      rounds)
+  }
 }

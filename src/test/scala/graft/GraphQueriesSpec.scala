@@ -113,4 +113,41 @@ class GraphQueriesSpec extends SparkSpec {
     GraphQueries.kCore(spark, sf, k = k).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe want
   }
+
+  test("label propagation ≡ driver-side synchronized rounds; cliques unify") {
+    // brute-force mirror of the sync rule: mode of neighbor labels, min tie
+    def lpa(und: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+      val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+        .map { case (n, es) => n -> es.map(_._2).distinct }
+      var labels = adj.keys.map(n => n -> n).toMap
+      (1 to rounds).foreach { _ =>
+        labels = adj.map { case (n, ns) =>
+          val freq = ns.map(labels).groupBy(identity)
+            .map { case (l, g) => (l, g.size) }
+          n -> freq.toSeq.minBy { case (l, c) => (-c, l) }._1
+        }
+      }
+      labels
+    }
+    // two disjoint 4-cliques: each must unify on its min node id
+    val cliques = (for (s <- Seq(0L, 10L); i <- 0 to 3; j <- i + 1 to 3)
+      yield (s + i, s + j))
+    val sym = cliques ++ cliques.map(_.swap)
+    val got = GraphQueries.labelPropagationOf(
+      spark.createDataFrame(sym).toDF("src", "dst"), rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe lpa(cliques, 4)
+    got.filterKeys(_ < 10L).values.toSet shouldBe Set(0L)
+    got.filterKeys(_ >= 10L).values.toSet shouldBe Set(10L)
+    // and the co-order wrapper matches the driver mirror at a non-default budget
+    val lo = Tables(spark, sf).lineitem.select("l_orderkey", "l_suppkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val edges = lo.groupBy(_._1).values.flatMap { ls =>
+      val ss = ls.map(_._2).distinct.sorted
+      for (i <- ss.indices; j <- i + 1 until ss.length) yield (ss(i), ss(j))
+    }.groupBy(identity)
+      .filter(_._2.size >= GraphQueries.TriMinShared).keys.toSeq
+    GraphQueries.labelPropagation(spark, sf, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe lpa(edges, 3)
+  }
 }
