@@ -28,6 +28,11 @@ import graft.tables.Tables
   * partition order. */
 object CurationQueries {
 
+  /** Stage thresholds, shared with the oracle SQL via interpolation. */
+  val QualityMin = 0.5
+  val SigAgreeMin = 0.5
+  val StopRatioMin = 0.05
+
   import TextQueries.{shingled, stopwordsSqlList, wordsExpr}
 
   /** Stage-0 frame: every doc with its quality + language features — the
@@ -49,7 +54,7 @@ object CurationQueries {
 
   /** Stage-1 frame: quality gate over [[scoredDocs]]. */
   private def qualifiedDocs(spark: SparkSession, dir: String): DataFrame =
-    scoredDocs(spark, dir).filter(col("quality") >= 0.5)
+    scoredDocs(spark, dir).filter(col("quality") >= QualityMin)
 
   /** Stages 1+2 — the shared pipeline prefix: quality-gated docs after exact
     * dedup, carrying (doc_id, text, n_tokens, quality, stop_ratio).
@@ -88,7 +93,7 @@ object CurationQueries {
           |            b -> named_struct('doc_a', a.doc_id, 'doc_b', b.doc_id,
           |                              'est', size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), v -> v)) / cast(16 as double)))))""".stripMargin))
         .as("p"))
-      .filter(col("p.est") >= 0.5)
+      .filter(col("p.est") >= SigAgreeMin)
       .select(col("p.doc_a").as("a"), col("p.doc_b").as("b")).distinct()
   }
 
@@ -100,7 +105,7 @@ object CurationQueries {
 
     // stage 4: language gate on the near-dup survivors
     uniqueDocs.join(dropIds, Seq("doc_id"), "left_anti")
-      .filter(col("stop_ratio") >= 0.05)
+      .filter(col("stop_ratio") >= StopRatioMin)
       .select(col("doc_id"), col("n_tokens"), col("quality"))
       .orderBy(col("doc_id"))
   }
@@ -187,7 +192,7 @@ object CurationQueries {
       .unionByName(cnt(qualifiedDocs(spark, dir), 1, "quality_gate"))
       .unionByName(cnt(uniq, 2, "exact_dedup"))
       .unionByName(cnt(afterNearDup, 3, "near_dup_prune"))
-      .unionByName(cnt(afterNearDup.filter(col("stop_ratio") >= 0.05), 4,
+      .unionByName(cnt(afterNearDup.filter(col("stop_ratio") >= StopRatioMin), 4,
         "language_gate"))
     val w = Window.orderBy(col("stage"))
     stages

@@ -28,7 +28,7 @@ object CurationRegistry {
        |  FROM documents),
        |scored2 AS (SELECT *, round(len_score * 0.4 + uniq_ratio * 0.6, 4) AS quality
        |            FROM scored),
-       |qualified AS (SELECT * FROM scored2 WHERE quality >= 0.5),
+       |qualified AS (SELECT * FROM scored2 WHERE quality >= ${CurationQueries.QualityMin}),
        |keep AS (SELECT min(doc_id) AS doc_id FROM qualified GROUP BY md5(text)),
        |uniq AS (SELECT q.* FROM qualified q JOIN keep USING (doc_id)),
        |d AS (SELECT doc_id, $shingleSet AS sh FROM uniq),
@@ -54,7 +54,7 @@ object CurationRegistry {
          |            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
          |           AND a.doc_id < b.doc_id
          |          WHERE len(list_filter(generate_series(1, 16),
-         |                  i -> a.sig[i] = b.sig[i])) / 16.0 >= 0.5),
+         |                  i -> a.sig[i] = b.sig[i])) / 16.0 >= ${CurationQueries.SigAgreeMin}),
          |nd AS (SELECT u.* FROM uniq u LEFT JOIN drops ON u.doc_id = drops.doc_id
          |       WHERE drops.doc_id IS NULL),
          |stages AS (
@@ -64,7 +64,7 @@ object CurationRegistry {
          |  UNION ALL SELECT 2, 'exact_dedup', (SELECT count(*) FROM uniq)
          |  UNION ALL SELECT 3, 'near_dup_prune', (SELECT count(*) FROM nd)
          |  UNION ALL SELECT 4, 'language_gate',
-         |    (SELECT count(*) FROM nd WHERE stop_ratio >= 0.05))
+         |    (SELECT count(*) FROM nd WHERE stop_ratio >= ${CurationQueries.StopRatioMin}))
          |SELECT stage, stage_name,
          |  coalesce(lag(n_out) OVER (ORDER BY stage), n_out) AS n_in, n_out,
          |  coalesce(lag(n_out) OVER (ORDER BY stage), n_out) - n_out AS n_dropped
@@ -78,10 +78,10 @@ object CurationRegistry {
          |            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
          |           AND a.doc_id < b.doc_id
          |          WHERE len(list_filter(generate_series(1, 16),
-         |                  i -> a.sig[i] = b.sig[i])) / 16.0 >= 0.5)
+         |                  i -> a.sig[i] = b.sig[i])) / 16.0 >= ${CurationQueries.SigAgreeMin})
          |SELECT u.doc_id, u.n_tokens, u.quality
          |FROM uniq u LEFT JOIN drops ON u.doc_id = drops.doc_id
-         |WHERE drops.doc_id IS NULL AND u.stop_ratio >= 0.05
+         |WHERE drops.doc_id IS NULL AND u.stop_ratio >= ${CurationQueries.StopRatioMin}
          |ORDER BY u.doc_id""".stripMargin)(CurationQueries.curate),
     QueryDef("q_curation_cc",
       s"""WITH RECURSIVE $prefixCtes,
@@ -90,7 +90,7 @@ object CurationRegistry {
          |            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
          |           AND a.doc_id < b.doc_id
          |          WHERE len(list_filter(generate_series(1, 16),
-         |                  i -> a.sig[i] = b.sig[i])) / 16.0 >= 0.5),
+         |                  i -> a.sig[i] = b.sig[i])) / 16.0 >= ${CurationQueries.SigAgreeMin}),
          |bi AS (SELECT ea, eb FROM edges UNION SELECT eb, ea FROM edges),
          |reach AS (SELECT doc_id AS id, doc_id AS r FROM uniq
          |          UNION
@@ -124,7 +124,7 @@ object CurationRegistry {
          |             ON a.band_idx = b.band_idx AND a.band_key = b.band_key
          |            AND a.doc_id < b.doc_id
          |           WHERE len(list_filter(generate_series(1, 16),
-         |                   i -> a.sig[i] = b.sig[i])) / 16.0 >= 0.5),
+         |                   i -> a.sig[i] = b.sig[i])) / 16.0 >= ${CurationQueries.SigAgreeMin}),
          |edges AS (SELECT ea, eb FROM tedges UNION SELECT ea, eb FROM vedges),
          |bi AS (SELECT ea, eb FROM edges UNION SELECT eb, ea FROM edges),
          |reach AS (SELECT doc_id AS id, doc_id AS r FROM uniq

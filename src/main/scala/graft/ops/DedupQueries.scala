@@ -270,8 +270,13 @@ object DedupQueries {
     * Measured on the dup-heavy stress shape (DedupStressProbe, 50 k docs =
     * 10 near-copies each): full generate+verify 7.1 s / 242 k candidates,
     * where the all-pairs n-gram generator took ~90 s (BASELINE.md). */
+  /** Verify threshold, shared with the oracle SQL via interpolation. */
+  val VerifiedMinJaccard = 0.8
+  /** Edit-distance threshold for [[fuzzyNameMatch]] (shared with oracle). */
+  val FuzzyMaxDist = 2
+
   def dedupVerified(spark: SparkSession, dir: String,
-      minJaccard: Double = 0.8): DataFrame = {
+      minJaccard: Double = VerifiedMinJaccard): DataFrame = {
     // ONE shingle frame feeds both the generator and the verify joins —
     // the shingling scan is the expensive part and must not repeat (its
     // fanout repartition is an exchange, so runtime exchange reuse also
@@ -380,7 +385,7 @@ object DedupQueries {
     * full). Self-pairs and mirrored pairs are removed by `name_a < name_b`
     * BEFORE the distance evaluates, halving the DP work. */
   def fuzzyNameMatch(spark: SparkSession, dir: String,
-      maxDist: Int = 2): DataFrame = {
+      maxDist: Int = FuzzyMaxDist): DataFrame = {
     val t = Tables(spark, dir)
     val names = t.part.groupBy(col("p_name"))
       .agg(count(lit(1)).as("n_parts"))

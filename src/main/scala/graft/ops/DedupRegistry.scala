@@ -87,7 +87,7 @@ object DedupRegistry {
          |SELECT doc_a, doc_b,
          |  round(CAST(inter AS DOUBLE) / (sz - inter), 4) AS jaccard
          |FROM j
-         |WHERE round(CAST(inter AS DOUBLE) / (sz - inter), 4) >= 0.8
+         |WHERE round(CAST(inter AS DOUBLE) / (sz - inter), 4) >= ${DedupQueries.VerifiedMinJaccard}
          |ORDER BY doc_a, doc_b""".stripMargin)(
       (s, d) => DedupQueries.dedupVerified(s, d)),
 
@@ -129,7 +129,7 @@ object DedupRegistry {
       DedupQueries.simhashPairs),
 
     QueryDef("q_fuzzy_names",
-      """WITH names AS (
+      s"""WITH names AS (
         |  SELECT p_name, count(*) AS n_parts,
         |    split_part(p_name, ' ', 2) AS block
         |  FROM part GROUP BY 1)
@@ -138,7 +138,7 @@ object DedupRegistry {
         |  a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
         |FROM names a JOIN names b
         |  ON a.block = b.block AND a.p_name < b.p_name
-        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |WHERE levenshtein(a.p_name, b.p_name) <= ${DedupQueries.FuzzyMaxDist}
         |ORDER BY name_a, name_b""".stripMargin)(
       (s, d) => DedupQueries.fuzzyNameMatch(s, d))
   )

@@ -8,7 +8,7 @@ import graft.QueryDef
   * only BIGINT / DOUBLE / VARCHAR columns (see graft.ops.Out). */
 object EventRegistry {
 
-  private val K = "CAST(json_extract_string(props,'$.k') AS BIGINT)"
+  private val K = "TRY_CAST(json_extract_string(props,'$.k') AS BIGINT)"
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_filter_valid",

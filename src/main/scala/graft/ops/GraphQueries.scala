@@ -90,7 +90,16 @@ object GraphQueries {
     ranks.select(
         col("node"),
         when(col("node") % 2 === 0, lit("cust")).otherwise(lit("supp")).as("kind"),
-        col("pr"))
+        // Overflow guard: the BIGINT fixed-point envelope (scaladoc above)
+        // holds to ~10⁵-node hubs; past it, Spark's non-ANSI sum WRAPS
+        // silently where the DuckDB oracle's HUGEINT errors loudly. A
+        // wrapped mass is negative long before the final damping, so a
+        // negative rank is the cheap, codegen'd tripwire — fail loudly
+        // (the ConnectedComponents convention) instead of emitting garbage.
+        when(col("pr") < 0, expr(
+          "raise_error('pagerank fixed-point overflow: a hub exceeded the " +
+            "BIGINT mass envelope — lower PrScale or shard the hub')"))
+          .otherwise(col("pr")).as("pr"))
       .orderBy(col("node"))
   }
 

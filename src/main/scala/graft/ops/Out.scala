@@ -17,7 +17,16 @@ import org.apache.spark.sql.types.DecimalType
   *     cast the result to DOUBLE;
   *   - AVG over doubles → exact decimal SUM divided by COUNT, in double;
   *   - integer keys → BIGINT everywhere (int32 vs int64 physical types would
-  *     otherwise depend on the engine).
+  *     otherwise depend on the engine);
+  *   - ORDER BY keys must be NON-NULLABLE (source-non-null columns, or
+  *     derived with an explicit coalesce): Spark's ASC default is NULLS
+  *     FIRST while DuckDB's is NULLS LAST, so a nullable sort key reorders
+  *     rows between the engines the moment realistic data carries a NULL —
+  *     invisible on the NULL-free gate corpus, fatal on real data;
+  *   - case mapping (UPPER/LOWER) agrees only on ASCII: Spark uses the
+  *     JVM's full, locale-sensitive mapping where DuckDB uses utf8proc's
+  *     1:1 codepoint mapping — non-ASCII text must be normalized upstream
+  *     before a case-folded column may appear in an oracle-compared output.
   *
   * These are not test-only hacks: order-independent aggregation is exactly
   * what a 1000-executor run needs for reproducible results.

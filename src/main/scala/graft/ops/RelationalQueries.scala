@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
@@ -20,6 +20,20 @@ import graft.tables.Tables
   *   - analytic windows shuffle once on the partition key; frames are bounded.
   */
 object RelationalQueries {
+
+  /** Constants shared with the oracle SQL via interpolation — duplicating a
+    * literal on both sides is the keep-in-sync hazard this registry
+    * convention exists to remove (a changed default desyncs the gate with
+    * an opaque hash mismatch instead of failing at build time). */
+  val RangeFrameSec: Long = 30L * 86400L // trailing window span
+  val Tpch3Segment = "BUILDING"
+  val Tpch3Cutoff = "1998-06-01"
+  val Tpch3K = 10
+  val Tpch5Region = "ASIA"
+  val Tpch5YearStart = "1996-01-01"
+  val Tpch5YearEnd = "1997-01-01"
+  val Tpch18MinQty = 300.0
+  val Tpch18K = 100
 
   /** Inner equi-join fact⋈dim (orders⋈customer). */
   def joinInner(spark: SparkSession, dir: String): DataFrame = {
@@ -117,25 +131,35 @@ object RelationalQueries {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Subtotal labels via GROUPING(), not a bare COALESCE: a real NULL key
+    * on realistic data would otherwise collide with the subtotal marker —
+    * two rows labeled ('ALL', x) with different measures, which breaks the
+    * total order the hash gate needs AND is semantically ambiguous. The
+    * grouping bit separates them: subtotal → 'ALL', genuine NULL →
+    * '<NULL>'. Same CASE in the oracle SQL. */
+  private def gLabel(key: Column): Column =
+    when(grouping(key) === 1, lit("ALL"))
+      .otherwise(coalesce(key, lit("<NULL>")))
+
   private def grouped(df: org.apache.spark.sql.RelationalGroupedDataset): DataFrame = df
     .agg(count(lit(1)).as("n"),
       Out.dsum(col("l_quantity")).as("sum_qty"),
-      Out.dsum(col("l_extendedprice")).as("sum_price"))
+      Out.dsum(col("l_extendedprice")).as("sum_price"),
+      gLabel(col("l_returnflag")).as("g_flag"),
+      gLabel(col("l_linestatus")).as("g_status"))
 
-  /** ROLLUP over (returnflag, linestatus); null grouping markers folded to
-    * 'ALL' so the output stays string-typed and oracle-comparable. */
+  /** ROLLUP over (returnflag, linestatus); subtotal markers labeled via
+    * [[gLabel]] so the output stays string-typed and oracle-comparable. */
   def rollupAgg(spark: SparkSession, dir: String): DataFrame =
     grouped(Tables(spark, dir).lineitem.rollup(col("l_returnflag"), col("l_linestatus")))
-      .select(coalesce(col("l_returnflag"), lit("ALL")).as("g_flag"),
-        coalesce(col("l_linestatus"), lit("ALL")).as("g_status"),
+      .select(col("g_flag"), col("g_status"),
         col("n"), col("sum_qty"), col("sum_price"))
       .orderBy(col("g_flag"), col("g_status"))
 
   /** CUBE over the same keys. */
   def cubeAgg(spark: SparkSession, dir: String): DataFrame =
     grouped(Tables(spark, dir).lineitem.cube(col("l_returnflag"), col("l_linestatus")))
-      .select(coalesce(col("l_returnflag"), lit("ALL")).as("g_flag"),
-        coalesce(col("l_linestatus"), lit("ALL")).as("g_status"),
+      .select(col("g_flag"), col("g_status"),
         col("n"), col("sum_qty"), col("sum_price"))
       .orderBy(col("g_flag"), col("g_status"))
 
@@ -148,8 +172,10 @@ object RelationalQueries {
     val scoped = spark.newSession()
     Tables(scoped, dir).lineitem.createOrReplaceTempView("graft_lineitem")
     scoped.sql(
-      """SELECT COALESCE(l_returnflag, 'ALL') AS g_flag,
-        |       COALESCE(l_linestatus, 'ALL') AS g_status,
+      """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL'
+        |            ELSE COALESCE(l_returnflag, '<NULL>') END AS g_flag,
+        |       CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL'
+        |            ELSE COALESCE(l_linestatus, '<NULL>') END AS g_status,
         |       COUNT(1) AS n,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
         |FROM graft_lineitem
@@ -363,9 +389,8 @@ object RelationalQueries {
     * engines. */
   def windowRangeFrame(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val days30 = 30L * 86400L
     val w = Window.partitionBy(col("o_custkey")).orderBy(col("order_ts"))
-      .rangeBetween(-days30, 0L)
+      .rangeBetween(-RangeFrameSec, 0L)
     Tables(spark, dir).orders
       .select(col("o_custkey"), col("o_orderkey"),
         Out.epochSec(col("o_orderdate")).as("order_ts"), col("o_totalprice"))
@@ -407,8 +432,8 @@ object RelationalQueries {
     * wide shuffle plus a TakeOrderedAndProject (per-partition heap of k,
     * never a global sort). Revenue in DECIMAL ([[tpch1Pricing]] rationale). */
   def tpch3TopK(spark: SparkSession, dir: String,
-      segment: String = "BUILDING", cutoff: String = "1998-06-01",
-      k: Int = 10): DataFrame = {
+      segment: String = Tpch3Segment, cutoff: String = Tpch3Cutoff,
+      k: Int = Tpch3K): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val t = Tables(spark, dir)
     val cut = lit(cutoff).cast("timestamp")
@@ -536,8 +561,8 @@ object RelationalQueries {
     * the nation match during the probe. Revenue in DECIMAL
     * ([[tpch1Pricing]] rationale: order-independent across partitionings). */
   def tpch5Volume(spark: SparkSession, dir: String,
-      regionName: String = "ASIA", yearStart: String = "1996-01-01",
-      yearEnd: String = "1997-01-01"): DataFrame = {
+      regionName: String = Tpch5Region, yearStart: String = Tpch5YearStart,
+      yearEnd: String = Tpch5YearEnd): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val t = Tables(spark, dir)
     val natInRegion = t.nation
@@ -579,7 +604,7 @@ object RelationalQueries {
     * haystack. Quantity summed in DECIMAL (exact, order-independent);
     * top-k is TakeOrderedAndProject, never a global sort. */
   def tpch18BigOrders(spark: SparkSession, dir: String,
-      minQty: Double = 300.0, k: Int = 100): DataFrame = {
+      minQty: Double = Tpch18MinQty, k: Int = Tpch18K): DataFrame = {
     val t = Tables(spark, dir)
     val bigOrders = t.lineitem
       .groupBy(col("l_orderkey"))

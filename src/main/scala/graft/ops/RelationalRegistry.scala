@@ -71,25 +71,33 @@ object RelationalRegistry {
          |ORDER BY o_custkey, o_orderkey""".stripMargin)(
       RelationalQueries.windowLagFrame),
 
+    // GROUPING() separates subtotal markers from genuine NULL keys (a bare
+    // COALESCE would collide them — ambiguous report + broken total order)
     QueryDef("q_rollup",
-      s"""SELECT COALESCE(l_returnflag, 'ALL') AS g_flag,
-         |  COALESCE(l_linestatus, 'ALL') AS g_status,
+      s"""SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL'
+         |            ELSE COALESCE(l_returnflag, '<NULL>') END AS g_flag,
+         |  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL'
+         |       ELSE COALESCE(l_linestatus, '<NULL>') END AS g_status,
          |  COUNT(*) AS n, ${S.dsum("l_quantity")} AS sum_qty,
          |  ${S.dsum("l_extendedprice")} AS sum_price
          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
          |ORDER BY g_flag, g_status""".stripMargin)(RelationalQueries.rollupAgg),
 
     QueryDef("q_cube",
-      s"""SELECT COALESCE(l_returnflag, 'ALL') AS g_flag,
-         |  COALESCE(l_linestatus, 'ALL') AS g_status,
+      s"""SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL'
+         |            ELSE COALESCE(l_returnflag, '<NULL>') END AS g_flag,
+         |  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL'
+         |       ELSE COALESCE(l_linestatus, '<NULL>') END AS g_status,
          |  COUNT(*) AS n, ${S.dsum("l_quantity")} AS sum_qty,
          |  ${S.dsum("l_extendedprice")} AS sum_price
          |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
          |ORDER BY g_flag, g_status""".stripMargin)(RelationalQueries.cubeAgg),
 
     QueryDef("q_grouping_sets",
-      s"""SELECT COALESCE(l_returnflag, 'ALL') AS g_flag,
-         |  COALESCE(l_linestatus, 'ALL') AS g_status,
+      s"""SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL'
+         |            ELSE COALESCE(l_returnflag, '<NULL>') END AS g_flag,
+         |  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL'
+         |       ELSE COALESCE(l_linestatus, '<NULL>') END AS g_status,
          |  COUNT(1) AS n, ${S.dsum("l_quantity")} AS sum_qty
          |FROM lineitem
          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
@@ -231,7 +239,7 @@ object RelationalRegistry {
          |FROM orders
          |WINDOW w AS (PARTITION BY o_custkey
          |             ORDER BY ${S.epochSec("o_orderdate")}
-         |             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+         |             RANGE BETWEEN ${RelationalQueries.RangeFrameSec} PRECEDING AND CURRENT ROW)
          |ORDER BY o_custkey, o_orderkey""".stripMargin)(
       RelationalQueries.windowRangeFrame),
 
@@ -251,11 +259,11 @@ object RelationalRegistry {
          |FROM customer
          |JOIN orders ON c_custkey = o_custkey
          |JOIN lineitem ON o_orderkey = l_orderkey
-         |WHERE c_mktsegment = 'BUILDING'
-         |  AND o_orderdate < TIMESTAMP '1998-06-01'
-         |  AND l_shipdate > TIMESTAMP '1998-06-01'
+         |WHERE c_mktsegment = '${RelationalQueries.Tpch3Segment}'
+         |  AND o_orderdate < TIMESTAMP '${RelationalQueries.Tpch3Cutoff}'
+         |  AND l_shipdate > TIMESTAMP '${RelationalQueries.Tpch3Cutoff}'
          |GROUP BY l_orderkey, o_orderdate, o_orderpriority
-         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)(
+         |ORDER BY revenue DESC, l_orderkey LIMIT ${RelationalQueries.Tpch3K}""".stripMargin)(
       (s, d) => RelationalQueries.tpch3TopK(s, d)),
 
     QueryDef("q_agg_filter",
@@ -280,9 +288,9 @@ object RelationalRegistry {
          |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
          |JOIN nation ON s_nationkey = n_nationkey
          |JOIN region ON n_regionkey = r_regionkey
-         |WHERE r_name = 'ASIA'
-         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
-         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |WHERE r_name = '${RelationalQueries.Tpch5Region}'
+         |  AND o_orderdate >= TIMESTAMP '${RelationalQueries.Tpch5YearStart}'
+         |  AND o_orderdate < TIMESTAMP '${RelationalQueries.Tpch5YearEnd}'
          |GROUP BY n_name
          |ORDER BY revenue DESC, n_name""".stripMargin)(
       (s, d) => RelationalQueries.tpch5Volume(s, d)),
@@ -292,13 +300,13 @@ object RelationalRegistry {
          |  SELECT l_orderkey,
          |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS total_qty
          |  FROM lineitem GROUP BY 1
-         |  HAVING SUM(CAST(l_quantity AS DECIMAL(38,4))) > 300.0)
+         |  HAVING SUM(CAST(l_quantity AS DECIMAL(38,4))) > ${RelationalQueries.Tpch18MinQty})
          |SELECT c_name, c_custkey, o_orderkey,
          |  ${S.epochSec("o_orderdate")} AS order_ts, o_totalprice, total_qty
          |FROM big
          |JOIN orders ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey
-         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)(
+         |ORDER BY o_totalprice DESC, o_orderkey LIMIT ${RelationalQueries.Tpch18K}""".stripMargin)(
       (s, d) => RelationalQueries.tpch18BigOrders(s, d)),
 
     QueryDef("q_scd2_islands",

@@ -74,11 +74,21 @@ object StatsQueries {
       .select(
         col("l_returnflag"),
         col("n").cast("long").as("n"),
-        round((col("n") * col("sqp") - col("sq") * col("sp")) /
-          (sqrt(col("n") * col("sqq") - col("sq") * col("sq")) *
-            sqrt(col("n") * col("spp") - col("sp") * col("sp"))), 6).as("corr_qp"),
-        round(sqrt((col("n") * col("sqq") - col("sq") * col("sq")) /
-          (col("n") * (col("n") - 1))), 6).as("stddev_q"))
+        // Degenerate groups guarded EXPLICITLY (single row, zero variance):
+        // without the CASE, Spark's non-ANSI 0/0 yields NULL while DuckDB
+        // yields NaN/Inf — an engine divergence a one-row category on
+        // realistic data would expose. NULL is the defined answer: the
+        // statistic does not exist for these groups.
+        when(col("n") > 1 &&
+            (col("n") * col("sqq") - col("sq") * col("sq")) > 0 &&
+            (col("n") * col("spp") - col("sp") * col("sp")) > 0,
+          round((col("n") * col("sqp") - col("sq") * col("sp")) /
+            (sqrt(col("n") * col("sqq") - col("sq") * col("sq")) *
+              sqrt(col("n") * col("spp") - col("sp") * col("sp"))), 6))
+          .as("corr_qp"),
+        when(col("n") > 1,
+          round(sqrt((col("n") * col("sqq") - col("sq") * col("sq")) /
+            (col("n") * (col("n") - 1))), 6)).as("stddev_q"))
       .orderBy(col("l_returnflag"))
   }
 

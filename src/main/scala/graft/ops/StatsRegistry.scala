@@ -40,9 +40,13 @@ object StatsRegistry {
     QueryDef("q_corr_stats",
       s"""WITH $momentsCte
          |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-         |  round((n * sqp - sq * sp) /
-         |        (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)), 6) AS corr_qp,
-         |  round(sqrt((n * sqq - sq * sq) / (n * (n - 1))), 6) AS stddev_q
+         |  CASE WHEN n > 1 AND (n * sqq - sq * sq) > 0 AND (n * spp - sp * sp) > 0
+         |    THEN round((n * sqp - sq * sp) /
+         |         (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)), 6)
+         |  END AS corr_qp,
+         |  CASE WHEN n > 1
+         |    THEN round(sqrt((n * sqq - sq * sq) / (n * (n - 1))), 6)
+         |  END AS stddev_q
          |FROM s ORDER BY l_returnflag""".stripMargin)(StatsQueries.corrStats),
 
     QueryDef("q_pivot",
@@ -104,7 +108,7 @@ object StatsRegistry {
       s"""SELECT count(*) AS n,
          |  count(DISTINCT user_id) AS n_users,
          |  count(DISTINCT event_type) AS n_types,
-         |  CAST(sum(CASE WHEN CAST(json_extract_string(props,'$$.k') AS BIGINT)
+         |  CAST(sum(CASE WHEN TRY_CAST(json_extract_string(props,'$$.k') AS BIGINT)
          |                IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k,
          |  min(value) AS min_value,
          |  max(value) AS max_value,

@@ -58,7 +58,11 @@ object TimeseriesQueries {
       .select(
         col("user_id"),
         (col("s") / col("n")).as("mean"),
-        sqrt((col("n") * col("ss") - col("s") * col("s")) /
+        // greatest(…, 0): a constant-valued user's variance numerator is
+        // mathematically 0 but can land a few ulps NEGATIVE after the
+        // decimal→double casts — sqrt of that is NaN (Spark) or an error
+        // (DuckDB); clamp on BOTH sides so degenerate users get std = 0
+        sqrt(greatest(col("n") * col("ss") - col("s") * col("s"), lit(0.0)) /
           (col("n") * (col("n") - lit(1.0)))).as("std"))
     ev.join(stats, Seq("user_id"))
       .where(abs(col("value") - col("mean")) > lit(threshold) * col("std"))

@@ -28,7 +28,7 @@ object TimeseriesRegistry {
          |  FROM events GROUP BY 1),
          |m AS (
          |  SELECT user_id, s / n AS mean,
-         |    SQRT((n * ss - s * s) / (n * (n - 1.0))) AS std
+         |    SQRT(GREATEST(n * ss - s * s, 0.0) / (n * (n - 1.0))) AS std
          |  FROM st WHERE n >= 2)
          |SELECT e.event_id, e.user_id, e.value,
          |  ROUND((e.value - m.mean) / m.std, 6) AS z

@@ -82,6 +82,14 @@ object VectorQueries {
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
 
+  /** Constants shared with the oracle SQL via interpolation. */
+  val AnnBatchProbes = 8
+  val AnnBatchK = 5
+  /** Near-dup edge threshold for the demo corpus (random unit vectors). */
+  val EmbeddingMinCos = 0.25
+  /** Dims reported by vectorCentroids (shared with the oracle SQL). */
+  val CentroidDims = 8
+
   /** Batch exact ANN: cosine top-`k` for a whole PROBE SET in one corpus
     * pass (vec_id < `nProbes` here; production passes any small probe
     * table). This is the serving shape for "embed a query batch, retrieve
@@ -96,7 +104,7 @@ object VectorQueries {
     * corpus×probes score stream. Ranking is on the ROUNDED similarity
     * (ties broken by vec_id), same contract as the oracle. */
   def annBatch(spark: SparkSession, dir: String,
-      nProbes: Int = 8, k: Int = 5): DataFrame = {
+      nProbes: Int = AnnBatchProbes, k: Int = AnnBatchK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val probes = emb(spark, dir).filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("e").as("pe"))
@@ -267,7 +275,7 @@ object VectorQueries {
     * sort, so composing pipelines (multimodal curation CC) don't inherit a
     * range shuffle they immediately discard. */
   private[ops] def embeddingPairs(spark: SparkSession, dir: String,
-      minCos: Double = 0.25): DataFrame = {
+      minCos: Double = EmbeddingMinCos): DataFrame = {
     // Band table feeds both sides of the candidate self-join — persist it so
     // the 16 projections per vector run once, not once per side (signature
     // materialization, same as the text-dedup family).
@@ -350,7 +358,7 @@ object VectorQueries {
   def vectorCentroids(spark: SparkSession, dir: String): DataFrame =
     emb(spark, dir)
       .select(col("label"), posexplode(col("e")))
-      .filter(col("pos") < 8) // keep dims 0-7: filter BEFORE the shuffle
+      .filter(col("pos") < CentroidDims) // low dims only: filter BEFORE the shuffle
       .groupBy(col("label"), col("pos").cast("long").as("dim"))
       .agg(count(lit(1)).as("n"),
         round((sum(col("col").cast("decimal(38,12)")).cast("double") / count(lit(1))), 6)

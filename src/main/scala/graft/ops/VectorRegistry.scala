@@ -61,7 +61,7 @@ object VectorRegistry {
 
     QueryDef("q_ann_batch",
       s"""WITH $embCte,
-         |probes AS (SELECT vec_id AS probe_id, e AS pe FROM emb WHERE vec_id < 8),
+         |probes AS (SELECT vec_id AS probe_id, e AS pe FROM emb WHERE vec_id < ${VectorQueries.AnnBatchProbes}),
          |scored AS (SELECT probe_id, emb.vec_id,
          |    round(${cos("e", "pe")}, 6) AS cos_sim
          |  FROM emb CROSS JOIN probes WHERE emb.vec_id <> probe_id),
@@ -70,8 +70,9 @@ object VectorRegistry {
          |                       ORDER BY cos_sim DESC, vec_id) AS rn
          |  FROM scored)
          |SELECT probe_id, vec_id, cos_sim, rn FROM ranked
-         |WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin)(
-      (s, d) => VectorQueries.annBatch(s, d)),
+         |WHERE rn <= ${VectorQueries.AnnBatchK} ORDER BY probe_id, rn""".stripMargin)(
+      (s, d) => VectorQueries.annBatch(s, d,
+        nProbes = VectorQueries.AnnBatchProbes, k = VectorQueries.AnnBatchK)),
 
     QueryDef("q_ann_lsh",
       s"""WITH $embCte,
@@ -97,7 +98,7 @@ object VectorRegistry {
          |FROM pairs
          |JOIN emb ea ON ea.vec_id = vec_a
          |JOIN emb eb ON eb.vec_id = vec_b
-         |WHERE round(${cos("ea.e", "eb.e")}, 6) >= 0.25
+         |WHERE round(${cos("ea.e", "eb.e")}, 6) >= ${VectorQueries.EmbeddingMinCos}
          |ORDER BY vec_a, vec_b""".stripMargin)(
       VectorQueries.dedupEmbedding),
 
@@ -135,7 +136,7 @@ object VectorRegistry {
       s"""WITH $embCte
          |SELECT label, d.d AS dim, count(*) AS n,
          |  round(CAST(sum(CAST(e[CAST(d.d AS INT) + 1] AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS mean_c
-         |FROM emb CROSS JOIN (SELECT unnest(range(0, 8)) AS d) d
+         |FROM emb CROSS JOIN (SELECT unnest(range(0, ${VectorQueries.CentroidDims})) AS d) d
          |GROUP BY label, d.d ORDER BY label, dim""".stripMargin)(
       VectorQueries.vectorCentroids),
 

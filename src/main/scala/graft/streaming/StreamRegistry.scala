@@ -214,7 +214,7 @@ object StreamRegistry {
     """e AS (SELECT CAST(user_id AS VARCHAR) AS id,
       |        CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec,
       |        COALESCE(CAST(TRUNC(value) AS BIGINT), 0) AS temperature,
-      |        COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS humidity
+      |        COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS humidity
       |      FROM events),
       |v AS (SELECT * FROM e WHERE NOT (temperature = 0 AND humidity = 0)
       |                        AND (temperature < 50 OR humidity < 100))""".stripMargin
@@ -278,7 +278,7 @@ object StreamRegistry {
       """SELECT event_id AS mid, CAST(user_id AS BIGINT) AS id,
         |  CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec,
         |  COALESCE(CAST(TRUNC(value) AS BIGINT), 0) AS temperature,
-        |  COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS humidity
+        |  COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS humidity
         |FROM events ORDER BY mid""".stripMargin)(streamDedup),
     // Running-max spelling of the stateful fold; the fold sorts each key by
     // (sec, messageId-as-string, temperature), hence the VARCHAR mid in the
