@@ -60,11 +60,17 @@ object StatefulOps {
 
   /** Streaming (or batch) record-high detector over parsed sensor events
     * (columns id, messageId, eventTime, temperature — the
-    * [[SensorPipeline.parse]] shape). */
+    * [[SensorPipeline.parse]] shape). Rows with a NULL event time are
+    * DROPPED, not crashed on: `parse` is deliberately tolerant of malformed
+    * JSON (the zero-sentinel contract) and leaves eventTime NULL for a
+    * missing/unparseable timestamp — the same rows Spark's own event-time
+    * operators (windows, watermarks) silently exclude. Without the filter,
+    * one bad line would NPE the fold's sort and kill the whole query. */
   def recordHighs(parsed: DataFrame): Dataset[RecordHigh] = {
     val spark = parsed.sparkSession
     import spark.implicits._
     parsed.select(col("id"), col("messageId"), col("eventTime"), col("temperature"))
+      .filter(col("id").isNotNull && col("eventTime").isNotNull)
       .as[Reading]
       .groupByKey(_.id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
@@ -83,12 +89,24 @@ object StatefulOps {
     * viable at 100 TB (unbounded dedup state is not).
     *
     * In batch mode the same call degenerates to a plain `dropDuplicates` —
-    * one shuffle on the id — preserving batch-stream parity. */
-  def dedupByMessage(parsed: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    * one shuffle on the keys — preserving batch-stream parity.
+    *
+    * `keys` defaults to message identity alone, which is the right contract
+    * for duplicate DELIVERIES (retransmits carry identical payloads, so any
+    * survivor is the same row). It is NOT collision-safe for id REUSE
+    * across producers (the reference generator's cross-thread counters can
+    * assign one messageId to two DIFFERENT readings — mqttgen.py:32); a
+    * deployment with colliding producers passes a composite key, e.g.
+    * `Seq("messageId", "id")` or message-id + payload hash. Rows with a
+    * NULL event time are dropped (the watermark cannot bound their state). */
+  def dedupByMessage(parsed: DataFrame, watermark: String = "10 minutes",
+      keys: Seq[String] = Seq("messageId")): DataFrame =
     if (parsed.isStreaming)
-      parsed.withWatermark("eventTime", watermark)
-        .dropDuplicatesWithinWatermark("messageId")
-    else parsed.dropDuplicates("messageId")
+      parsed.filter(col("eventTime").isNotNull)
+        .withWatermark("eventTime", watermark)
+        .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+    else parsed.filter(col("eventTime").isNotNull)
+      .dropDuplicates(keys)
 
   /** Stream-static join: enrich the event stream with a dimension table (the
     * sensor → site mapping a fleet would hold in a catalog). The static side
@@ -111,7 +129,10 @@ object StatefulOps {
   def correlateFeeds(left: DataFrame, right: DataFrame,
       watermark: String = "2 minutes", rangeSec: Int = 60): DataFrame = {
     def side(df: DataFrame, p: String): DataFrame = {
-      val wm = if (df.isStreaming) df.withWatermark("eventTime", watermark) else df
+      // NULL event times cannot participate in a time-range join and would
+      // pin watermark state — drop them explicitly on both sides
+      val nn = df.filter(col("eventTime").isNotNull)
+      val wm = if (nn.isStreaming) nn.withWatermark("eventTime", watermark) else nn
       wm.select(col("id").as(s"${p}_id"), col("messageId").as(s"${p}_mid"),
         col("eventTime").as(s"${p}_time"), col("temperature").as(s"${p}_temp"))
     }
@@ -154,7 +175,13 @@ object StatefulOps {
     import spark.implicits._
     val stageArr = stages.toIndexedSeq
     events.select(col("user_id").as("userId"), col("event_type").as("eventType"),
-        col("t"), col("event_id").as("eventId")).as[FunnelEvent]
+        col("t"), col("event_id").as("eventId"))
+      // FunnelEvent's fields are primitive Longs: a NULL in any of them
+      // would kill the query at deserialization — drop incomplete rows
+      // (exactly the rows the batch funnel's min()/joins ignore)
+      .filter(col("userId").isNotNull && col("eventType").isNotNull &&
+        col("t").isNotNull && col("eventId").isNotNull)
+      .as[FunnelEvent]
       .groupByKey(_.userId)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (uid: Long, rows: Iterator[FunnelEvent], state: GroupState[Seq[Long]]) => {

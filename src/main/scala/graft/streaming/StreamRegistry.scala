@@ -15,7 +15,19 @@ import graft.tables.Tables
   * watermark of a drained `AvailableNow` run is `max(eventTime) − delay`
   * over the filtered stream, so "finalized window" is the deterministic
   * predicate `w_end ≤ max_sec − 600`. `q_changelog_table` (update mode)
-  * needs no such filter: its final upserted state is the full aggregate. */
+  * needs no such filter: its final upserted state is the full aggregate.
+  *
+  * Drained-replay preconditions the oracles depend on (and the staging
+  * guarantees): the file source is UNTHROTTLED (`maxFilesPerTrigger`
+  * unset), so `AvailableNow` drains everything in one micro-batch — the
+  * stateful folds (record highs, funnel) then see each key's FULL history
+  * in one sorted group and equal their batch/oracle spelling exactly. A
+  * throttled or out-of-order multi-batch feed weakens those two to
+  * best-effort per batch (the documented streaming trade, called out on
+  * each fold); the windowed/changelog/session/dedup/join replays stay
+  * oracle-exact under any batch split. Rows with NULL event time are
+  * dropped on both sides (Spark's event-time machinery excludes them; the
+  * oracles filter `ts IS NOT NULL`). */
 object StreamRegistry {
 
   /** The `events` table re-serialized as reference-shaped sensor JSON lines
@@ -215,7 +227,7 @@ object StreamRegistry {
       |        CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec,
       |        COALESCE(CAST(TRUNC(value) AS BIGINT), 0) AS temperature,
       |        COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS humidity
-      |      FROM events),
+      |      FROM events WHERE ts IS NOT NULL),
       |v AS (SELECT * FROM e WHERE NOT (temperature = 0 AND humidity = 0)
       |                        AND (temperature < 50 OR humidity < 100))""".stripMargin
 
@@ -263,7 +275,7 @@ object StreamRegistry {
       """WITH p AS (SELECT CAST(user_id AS BIGINT) AS id, event_id AS mid,
         |        CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec,
         |        COALESCE(CAST(TRUNC(value) AS BIGINT), 0) AS temperature
-        |      FROM events),
+        |      FROM events WHERE ts IS NOT NULL),
         |l AS (SELECT * FROM p WHERE mid % 2 = 0),
         |r AS (SELECT * FROM p WHERE mid % 2 = 1)
         |SELECT l.id AS id, l.mid AS l_mid, r.mid AS r_mid,
@@ -279,7 +291,7 @@ object StreamRegistry {
         |  CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec,
         |  COALESCE(CAST(TRUNC(value) AS BIGINT), 0) AS temperature,
         |  COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS humidity
-        |FROM events ORDER BY mid""".stripMargin)(streamDedup),
+        |FROM events WHERE ts IS NOT NULL ORDER BY mid""".stripMargin)(streamDedup),
     // Running-max spelling of the stateful fold; the fold sorts each key by
     // (sec, messageId-as-string, temperature), hence the VARCHAR mid in the
     // window order. A sensor's FIRST emitted high carries its own value as
@@ -289,7 +301,9 @@ object StreamRegistry {
     QueryDef("q_stream_funnel",
       s"""WITH e AS (
          |  SELECT user_id, event_type,
-         |    CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t FROM events),
+         |    CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t FROM events
+         |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+         |    AND ts IS NOT NULL AND event_id IS NOT NULL),
          |v AS (SELECT user_id, min(t) AS t_view FROM e
          |      WHERE event_type = 'view' GROUP BY 1),
          |c AS (SELECT e.user_id, min(t) AS t_click
@@ -317,7 +331,7 @@ object StreamRegistry {
         |        CAST(event_id AS VARCHAR) AS mid,
         |        CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec,
         |        COALESCE(CAST(TRUNC(value) AS BIGINT), 0) AS temperature
-        |      FROM events),
+        |      FROM events WHERE ts IS NOT NULL),
         |r AS (SELECT id, mid, sec, temperature,
         |        MAX(temperature) OVER (PARTITION BY id
         |          ORDER BY sec, mid, temperature

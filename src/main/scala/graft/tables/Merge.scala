@@ -35,14 +35,14 @@ object Merge {
   val DefaultBuckets = 32
   private val BucketsMarker = "_graft_buckets"
 
-  /** Persisted marker if the table exists (cross-checked against an explicit
+  /** Persisted marker if present (cross-checked against an explicit
     * request), else the request/default. Driver-side metadata, a few bytes. */
   private def resolveBuckets(
       fs: org.apache.hadoop.fs.FileSystem,
       marker: org.apache.hadoop.fs.Path,
-      hasTable: Boolean,
+      markerExists: Boolean,
       requested: Option[Int]): Int = {
-    if (hasTable && fs.exists(marker)) {
+    if (markerExists) {
       val in = fs.open(marker)
       val persisted =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
@@ -57,9 +57,27 @@ object Merge {
     } else requested.getOrElse(DefaultBuckets)
   }
 
+  /** True iff the table holds COMMITTED data: at least one bucket partition
+    * directory. A bare `fs.exists(dir)` is wrong twice over — a crashed
+    * first write leaves a `_temporary`-only directory (whose "existing
+    * table" read would fail forever on retry), and the marker file itself
+    * creates the directory. */
+  private def hasData(fs: org.apache.hadoop.fs.FileSystem,
+      tableP: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(tableP) && fs.listStatus(tableP)
+      .exists(st => st.isDirectory && st.getPath.getName.startsWith("bucket="))
+
   /** Upsert `updates` into the keyed parquet table at `tablePath` (created
     * on first call). Every non-key column of `updates` replaces the stored
-    * row's value — full-row upsert, the update-mode-changelog contract. */
+    * row's value — full-row upsert, the update-mode-changelog contract.
+    *
+    * Concurrency contract: ONE writer per table. Merges are idempotent
+    * under sequential RETRY (the streaming sink's fault model), but two
+    * CONCURRENT merges read-modify-write the same bucket directories and
+    * the last commit wins — lost updates, no error. Serializing writers is
+    * the caller's job (a streaming query does it by construction; ad-hoc
+    * batch writers need external coordination — cross-writer locking is an
+    * ACID table format's department, not bare parquet's). */
   def mergeInto(tablePath: String, updates: DataFrame, keyCols: Seq[String],
       requestedBuckets: Option[Int] = None): Unit = {
     require(keyCols.nonEmpty, "mergeInto needs at least one key column")
@@ -71,8 +89,17 @@ object Merge {
     val tableP = new org.apache.hadoop.fs.Path(tablePath)
     val fs = tableP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val markerP = new org.apache.hadoop.fs.Path(tableP, BucketsMarker)
-    val tableExists = fs.exists(tableP)
-    val nBuckets = resolveBuckets(fs, markerP, tableExists, requestedBuckets)
+    val tableExists = hasData(fs, tableP)
+    val nBuckets = resolveBuckets(fs, markerP, fs.exists(markerP), requestedBuckets)
+    // Pin the layout BEFORE the first data write: a crash between the two
+    // must leave a marker without data (harmless — the next run reads the
+    // pinned count and takes the create path), never data without a marker
+    // (fatal — a later run could adopt a DIFFERENT count and the left-anti
+    // merge would silently keep stale old-scheme copies of updated keys).
+    if (!fs.exists(markerP)) {
+      val out = fs.create(markerP, true)
+      try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
+    }
     // Cache the updates FIRST: under foreachBatch every action re-executes
     // the batch plan (for a stateful query, the whole shuffle + state-store
     // pass) — uncached, the emptiness probe, the affected-bucket scan, and
@@ -106,12 +133,6 @@ object Merge {
         .partitionBy("bucket")
         .parquet(tablePath)
       snap.unpersist()
-      // Pin the layout on first write (and adopt pre-marker tables): the
-      // marker, not the caller's request, is the source of truth from now on.
-      if (!fs.exists(markerP)) {
-        val out = fs.create(markerP, true)
-        try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
-      }
     } finally keyed.unpersist()
   }
 }

@@ -134,6 +134,31 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("mergeInto recovers from a crash between marker write and first data") {
+    import graft.tables.Merge
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_merge_crash").toString + "/t"
+    // simulate the crash window: the layout marker was pinned (written
+    // FIRST, by design) but the driver died before any data committed
+    new java.io.File(table).mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$table/_graft_buckets"), "4".getBytes("UTF-8"))
+    // the recovery run carries NO bucket request — it must adopt the
+    // pinned 4-bucket layout, not silently fall back to the default 32
+    Merge.mergeInto(table,
+      spark.createDataFrame(Seq((1L, "a"))).toDF("k", "v"), Seq("k"))
+    val buckets = spark.read.parquet(table).select("bucket").distinct()
+      .collect().map(_.getInt(0))
+    buckets.foreach(b => assert(b >= 0 && b < 4))
+    // and a conflicting later request still fails loudly against the marker
+    val e = intercept[IllegalStateException] {
+      Merge.mergeInto(table,
+        spark.createDataFrame(Seq((2L, "b"))).toDF("k", "v"), Seq("k"),
+        requestedBuckets = Some(32))
+    }
+    e.getMessage should include("requires a rebuild")
+  }
+
   test("z-value clustering tightens BOTH dimension extents vs single-key") {
     import org.apache.spark.sql.functions.call_function
     val n = 8
