@@ -132,6 +132,39 @@ object SensorPipeline {
   /** Output directories of a [[replay]] run. */
   final case class ReplayOut(raw: String, filtered: String, agg: String)
 
+  /** State-store partition count for the stateful replays (watermarked aggs,
+    * session windows, dedup, stream-stream join, flatMapGroupsWithState).
+    * Unset → [[DefaultStatePartitions]]. */
+  val StatePartitionsConf = "spark.graft.replay.statePartitions"
+
+  /** Stateful-op partitioning is a STATE-SIZING knob, not a compute-
+    * parallelism knob: `spark.sql.shuffle.partitions` at first-batch time is
+    * baked into the checkpoint as the state-store count, and every store
+    * pays file create + delta write + fsync PER MICRO-BATCH even when empty
+    * (a stream-stream join keeps 4 stores per partition — measured on this
+    * box: the join replay's empty finalization batch alone cost 3.6 s at 32
+    * partitions vs 0.8 s at 8, and the whole drain 10 s vs 5 s; numbers in
+    * BASELINE.md). Size it to key cardinality × per-batch volume: the replay
+    * feeds carry ~1.5 k keys, where 8 partitions keep every core busy long
+    * before state-commit overhead dominates. A production deployment at real
+    * scale sets the conf explicitly (state partitions are fixed at query
+    * birth — repartitioning state needs offline state rewrite, so size for
+    * peak). */
+  val DefaultStatePartitions = 8
+
+  /** Run `body` (which starts and drains a stateful streaming query) with
+    * the session's shuffle-partition count temporarily set to the replay
+    * state sizing. The previous value is always restored; batch queries in
+    * the same session are unaffected because Spark reads the conf at query
+    * START only. */
+  def withStatePartitions[T](spark: SparkSession)(body: => T): T = {
+    val n = spark.conf.getOption(StatePartitionsConf)
+      .map(_.trim.toInt).getOrElse(DefaultStatePartitions)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Replays JSON-line files through the full pipeline with three sinks:
     *
     *   1. `raw`    — R3/K7: every event, flattened, PRE-filter (invalid rows
@@ -225,20 +258,21 @@ object SensorPipeline {
     * mode re-emits a window every time it changes; the last write per key
     * wins), which is exactly what the DuckDB oracle for
     * `q_changelog_table` checks. */
-  def replayChangelog(spark: SparkSession, inDir: String, outBase: String): String = {
-    val raw = spark.readStream.schema(StructType(Seq(StructField("value", StringType))))
-      .text(inDir).toDF("value")
-    val filtered = parse(raw).filter(isValid(col("temperature"), col("humidity")))
-    val table = s"$outBase/table"
-    val q = windowedAgg(filtered)
-      .writeStream
-      .outputMode("update")
-      .foreachBatch(upsertBatch(table) _)
-      .option("checkpointLocation", s"$outBase/_cp_changelog")
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    table
-  }
+  def replayChangelog(spark: SparkSession, inDir: String, outBase: String): String =
+    withStatePartitions(spark) {
+      val raw = spark.readStream.schema(StructType(Seq(StructField("value", StringType))))
+        .text(inDir).toDF("value")
+      val filtered = parse(raw).filter(isValid(col("temperature"), col("humidity")))
+      val table = s"$outBase/table"
+      val q = windowedAgg(filtered)
+        .writeStream
+        .outputMode("update")
+        .foreachBatch(upsertBatch(table) _)
+        .option("checkpointLocation", s"$outBase/_cp_changelog")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      table
+    }
 
   /** Session-window aggregate per sensor: sessions close after `gap` of
     * silence (Spark merges overlapping [t, t+gap) windows, so two events
@@ -264,46 +298,50 @@ object SensorPipeline {
 
   /** Replay `inDir` through parse → validity filter → session-window agg in
     * append mode; returns the session sink path. */
-  def replaySessions(spark: SparkSession, inDir: String, outBase: String): String = {
-    val raw = spark.readStream.schema(StructType(Seq(StructField("value", StringType))))
-      .text(inDir).toDF("value")
-    val filtered = parse(raw).filter(isValid(col("temperature"), col("humidity")))
-    val path = s"$outBase/sessions"
-    val q = sessionAgg(filtered).writeStream
-      .outputMode("append")
-      .format("parquet").option("path", path)
-      .option("checkpointLocation", s"$outBase/_cp_sessions")
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    path
-  }
+  def replaySessions(spark: SparkSession, inDir: String, outBase: String): String =
+    withStatePartitions(spark) {
+      val raw = spark.readStream.schema(StructType(Seq(StructField("value", StringType))))
+        .text(inDir).toDF("value")
+      val filtered = parse(raw).filter(isValid(col("temperature"), col("humidity")))
+      val path = s"$outBase/sessions"
+      val q = sessionAgg(filtered).writeStream
+        .outputMode("append")
+        .format("parquet").option("path", path)
+        .option("checkpointLocation", s"$outBase/_cp_sessions")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      path
+    }
 
-  def replay(spark: SparkSession, inDir: String, outBase: String): ReplayOut = {
-    val raw = spark.readStream.schema(StructType(Seq(StructField("value", StringType))))
-      .text(inDir).toDF("value")
-    val parsed = parse(raw)
-    val out = ReplayOut(s"$outBase/raw", s"$outBase/filtered", s"$outBase/agg")
+  def replay(spark: SparkSession, inDir: String, outBase: String): ReplayOut =
+    withStatePartitions(spark) {
+      val raw = spark.readStream.schema(StructType(Seq(StructField("value", StringType))))
+        .text(inDir).toDF("value")
+      val parsed = parse(raw)
+      val out = ReplayOut(s"$outBase/raw", s"$outBase/filtered", s"$outBase/agg")
 
-    def sink(df: DataFrame, path: String, cp: String) = df.writeStream
-      .outputMode("append")
-      .format("parquet").option("path", path)
-      .option("checkpointLocation", s"$outBase/_cp_$cp")
-      .trigger(Trigger.AvailableNow()).start()
+      def sink(df: DataFrame, path: String, cp: String) = df.writeStream
+        .outputMode("append")
+        .format("parquet").option("path", path)
+        .option("checkpointLocation", s"$outBase/_cp_$cp")
+        .trigger(Trigger.AvailableNow()).start()
 
-    val qRaw = sink(flatten(parsed), out.raw, "raw")
-    val filtered = parsed.filter(isValid(col("temperature"), col("humidity")))
-    val qFiltered = sink(kafkaShape(filtered), out.filtered, "filtered")
-    // The aggregate consumes the POST-filter stream: the reference's KSQL
-    // layer reads the Kafka topic, which carries only validity survivors
-    // (chain in the header; review caught the agg briefly reading pre-filter
-    // data, which let invalid zero readings poison window minima).
-    val qAgg = sink(windowedAgg(filtered), out.agg, "agg")
+      // Raw and filtered are stateless pass-through sinks (no shuffle, no
+      // state stores) — the state-partition sizing only shapes the agg.
+      val qRaw = sink(flatten(parsed), out.raw, "raw")
+      val filtered = parsed.filter(isValid(col("temperature"), col("humidity")))
+      val qFiltered = sink(kafkaShape(filtered), out.filtered, "filtered")
+      // The aggregate consumes the POST-filter stream: the reference's KSQL
+      // layer reads the Kafka topic, which carries only validity survivors
+      // (chain in the header; review caught the agg briefly reading pre-filter
+      // data, which let invalid zero readings poison window minima).
+      val qAgg = sink(windowedAgg(filtered), out.agg, "agg")
 
-    qRaw.awaitTermination()
-    qFiltered.awaitTermination()
-    qAgg.awaitTermination()
-    out
-  }
+      qRaw.awaitTermination()
+      qFiltered.awaitTermination()
+      qAgg.awaitTermination()
+      out
+    }
 
   /** Stream-stream interval-join replay: the staged feed split into two
     * halves by message-id parity (standing in for two independent sensor
@@ -314,21 +352,22 @@ object SensorPipeline {
     * each side with its own watermark and state store; inner matches emit
     * eagerly, so the drained output is the complete join (the DuckDB
     * oracle is the plain interval self-join). */
-  def replayCorrelate(spark: SparkSession, inDir: String, outBase: String): String = {
-    val raw = spark.readStream.schema(StructType(Seq(StructField("value", StringType))))
-      .text(inDir).toDF("value")
-    val parsed = parse(raw)
-    val even = parsed.filter(col("messageId").cast("long") % 2 === 0)
-    val odd = parsed.filter(col("messageId").cast("long") % 2 === 1)
-    val path = s"$outBase/joined"
-    val q = StatefulOps.correlateFeeds(even, odd, rangeSec = 3600).writeStream
-      .outputMode("append")
-      .format("parquet").option("path", path)
-      .option("checkpointLocation", s"$outBase/_cp_join")
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    path
-  }
+  def replayCorrelate(spark: SparkSession, inDir: String, outBase: String): String =
+    withStatePartitions(spark) {
+      val raw = spark.readStream.schema(StructType(Seq(StructField("value", StringType))))
+        .text(inDir).toDF("value")
+      val parsed = parse(raw)
+      val even = parsed.filter(col("messageId").cast("long") % 2 === 0)
+      val odd = parsed.filter(col("messageId").cast("long") % 2 === 1)
+      val path = s"$outBase/joined"
+      val q = StatefulOps.correlateFeeds(even, odd, rangeSec = 3600).writeStream
+        .outputMode("append")
+        .format("parquet").option("path", path)
+        .option("checkpointLocation", s"$outBase/_cp_join")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      path
+    }
 
   /** Stream-static enrichment replay: the staged feed left-joined per
     * micro-batch against a broadcast dimension table
@@ -356,18 +395,19 @@ object SensorPipeline {
     * window over (sec, messageId, temperature) order — valid because the
     * drain processes the whole feed with the per-key fold sorting each
     * group by exactly that key. */
-  def replayRecordHighs(spark: SparkSession, inDir: String, outBase: String): String = {
-    val raw = spark.readStream.schema(StructType(Seq(StructField("value", StringType))))
-      .text(inDir).toDF("value")
-    val path = s"$outBase/highs"
-    val q = StatefulOps.recordHighs(parse(raw)).toDF().writeStream
-      .outputMode("append")
-      .format("parquet").option("path", path)
-      .option("checkpointLocation", s"$outBase/_cp_highs")
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    path
-  }
+  def replayRecordHighs(spark: SparkSession, inDir: String, outBase: String): String =
+    withStatePartitions(spark) {
+      val raw = spark.readStream.schema(StructType(Seq(StructField("value", StringType))))
+        .text(inDir).toDF("value")
+      val path = s"$outBase/highs"
+      val q = StatefulOps.recordHighs(parse(raw)).toDF().writeStream
+        .outputMode("append")
+        .format("parquet").option("path", path)
+        .option("checkpointLocation", s"$outBase/_cp_highs")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      path
+    }
 
   /** Watermarked-dedup replay: the staged feed (deliberately containing
     * duplicate deliveries) deduplicated by message id with
@@ -376,16 +416,17 @@ object SensorPipeline {
     * (MQTT QoS 1, Kafka producer retries) needs — drained to parquet. The
     * oracle is the duplicate-free batch projection: every message exactly
     * once, regardless of delivery count. */
-  def replayDedup(spark: SparkSession, inDir: String, outBase: String): String = {
-    val raw = spark.readStream.schema(StructType(Seq(StructField("value", StringType))))
-      .text(inDir).toDF("value")
-    val path = s"$outBase/deduped"
-    val q = StatefulOps.dedupByMessage(parse(raw)).writeStream
-      .outputMode("append")
-      .format("parquet").option("path", path)
-      .option("checkpointLocation", s"$outBase/_cp_dedup")
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    path
-  }
+  def replayDedup(spark: SparkSession, inDir: String, outBase: String): String =
+    withStatePartitions(spark) {
+      val raw = spark.readStream.schema(StructType(Seq(StructField("value", StringType))))
+        .text(inDir).toDF("value")
+      val path = s"$outBase/deduped"
+      val q = StatefulOps.dedupByMessage(parse(raw)).writeStream
+        .outputMode("append")
+        .format("parquet").option("path", path)
+        .option("checkpointLocation", s"$outBase/_cp_dedup")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      path
+    }
 }

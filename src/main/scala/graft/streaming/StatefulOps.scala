@@ -91,16 +91,19 @@ object StatefulOps {
     * In batch mode the same call degenerates to a plain `dropDuplicates` —
     * one shuffle on the keys — preserving batch-stream parity.
     *
-    * `keys` defaults to message identity alone, which is the right contract
-    * for duplicate DELIVERIES (retransmits carry identical payloads, so any
-    * survivor is the same row). It is NOT collision-safe for id REUSE
-    * across producers (the reference generator's cross-thread counters can
-    * assign one messageId to two DIFFERENT readings — mqttgen.py:32); a
-    * deployment with colliding producers passes a composite key, e.g.
-    * `Seq("messageId", "id")` or message-id + payload hash. Rows with a
-    * NULL event time are dropped (the watermark cannot bound their state). */
+    * `keys` defaults to the composite (messageId, sensor id): message
+    * identity alone is enough for duplicate DELIVERIES (retransmits carry
+    * identical payloads, so any survivor is the same row) but NOT
+    * collision-safe for id REUSE across producers — the reference generator's
+    * cross-thread counters can assign one messageId to two DIFFERENT readings
+    * (mqttgen.py:32), and a single-column key would silently collapse those
+    * distinct readings. The composite default keeps both contracts: duplicate
+    * deliveries still dedup (all key fields identical), colliding producers
+    * survive. A deployment wanting payload-level identity passes message-id +
+    * payload hash. Rows with a NULL event time are dropped (the watermark
+    * cannot bound their state). */
   def dedupByMessage(parsed: DataFrame, watermark: String = "10 minutes",
-      keys: Seq[String] = Seq("messageId")): DataFrame =
+      keys: Seq[String] = Seq("messageId", "id")): DataFrame =
     if (parsed.isStreaming)
       parsed.filter(col("eventTime").isNotNull)
         .withWatermark("eventTime", watermark)
@@ -125,14 +128,23 @@ object StatefulOps {
     * find partners — together the state store holds only ~2 watermark-delays
     * of data per side. Inner-join matches emit eagerly (no watermark wait);
     * the same expression works in batch, which the spec exploits for
-    * equivalence. Column prefixes keep the two sides' schemas disjoint. */
+    * equivalence. Column prefixes keep the two sides' schemas disjoint.
+    *
+    * The effective watermark delay is `max(delaySec, rangeSec)`: a delay
+    * shorter than the join range would let Spark evict a row's potential
+    * partners before the range says they can no longer match, silently
+    * dropping matches whenever the feed arrives across multiple micro-batches
+    * (a single-batch drained replay masks this — review finding). Callers pay
+    * for that correctness in state (~2 range-widths per side), which is the
+    * honest price of a ±range interval join. */
   def correlateFeeds(left: DataFrame, right: DataFrame,
-      watermark: String = "2 minutes", rangeSec: Int = 60): DataFrame = {
+      delaySec: Int = 120, rangeSec: Int = 60): DataFrame = {
+    val wmSec = math.max(delaySec, rangeSec)
     def side(df: DataFrame, p: String): DataFrame = {
       // NULL event times cannot participate in a time-range join and would
       // pin watermark state — drop them explicitly on both sides
       val nn = df.filter(col("eventTime").isNotNull)
-      val wm = if (nn.isStreaming) nn.withWatermark("eventTime", watermark) else nn
+      val wm = if (nn.isStreaming) nn.withWatermark("eventTime", s"$wmSec seconds") else nn
       wm.select(col("id").as(s"${p}_id"), col("messageId").as(s"${p}_mid"),
         col("eventTime").as(s"${p}_time"), col("temperature").as(s"${p}_temp"))
     }

@@ -58,6 +58,28 @@ object StreamRegistry {
       .write.mode("overwrite").text(outDir)
   }
 
+  /** Process-wide cache of staged replay feeds, keyed by (canonical sf-dir,
+    * copies). The staged INPUT is immutable and identical for every replay
+    * key over the same tables, so re-serializing it per key (9 streaming
+    * keys × ~1 s at sf0.1) was pure waste — measured ~10 s of a full bench.
+    * Only the input is shared: each replay still gets its own checkpoint +
+    * sink dirs (those are the stateful, per-invocation parts). Concurrent
+    * SESSIONS in separate JVMs still get disjoint temp dirs; within one JVM
+    * the map is a TrieMap so two racing builders at worst both write their
+    * own dir and one wins the publish — the input dirs are read-only after
+    * creation either way. */
+  private val stagedFeeds = scala.collection.concurrent.TrieMap.empty[(String, Int), String]
+
+  /** The staged sensor-JSON feed for `dir`, built on first use in this
+    * process and reused by every later replay key. */
+  def stagedSensorJson(spark: SparkSession, dir: String, copies: Int = 1): String =
+    stagedFeeds.getOrElseUpdate(
+      (new java.io.File(dir).getCanonicalPath, copies), {
+        val out = Files.createTempDirectory(s"graft_feed_x$copies").toString + "/in"
+        eventsAsSensorJsonDuplicated(spark, dir, out, copies)
+        out
+      })
+
   /** Full pipeline on the `events` table: serialize → replay through the
     * three-sink streaming job → return the windowed-agg sink contents
     * (oracle-shaped: epoch-seconds window start, BIGINT/DOUBLE columns). */
@@ -66,8 +88,8 @@ object StreamRegistry {
     // concurrent sessions (e.g. a Bench overlapping a Verify) delete each
     // other's checkpoints mid-run. Hourly sweeps are the OS's job.
     val base = Files.createTempDirectory("graft_stream_pipeline").toString
-    eventsAsSensorJson(spark, dir, s"$base/in")
-    val out = SensorPipeline.replay(spark, s"$base/in", s"$base/out")
+    val in = stagedSensorJson(spark, dir)
+    val out = SensorPipeline.replay(spark, in, s"$base/out")
     spark.read.parquet(out.agg)
       .select(col("id"), Out.epochSec(col("w_start")).as("w_start"),
         col("max_temperature"), col("min_temperature"),
@@ -81,8 +103,8 @@ object StreamRegistry {
     * must equal the batch aggregate over the whole input. */
   def changelogTable(spark: SparkSession, dir: String): DataFrame = {
     val base = Files.createTempDirectory("graft_changelog").toString
-    eventsAsSensorJson(spark, dir, s"$base/in")
-    val table = SensorPipeline.replayChangelog(spark, s"$base/in", s"$base/out")
+    val in = stagedSensorJson(spark, dir)
+    val table = SensorPipeline.replayChangelog(spark, in, s"$base/out")
     spark.read.parquet(table)
       .select(col("id"), col("w_sec").cast("long").as("w_start"),
         col("max_temperature"), col("min_temperature"),
@@ -95,8 +117,8 @@ object StreamRegistry {
     * the finalized sessions — those whose end cleared the drained watermark. */
   def streamSessions(spark: SparkSession, dir: String): DataFrame = {
     val base = Files.createTempDirectory("graft_stream_sessions").toString
-    eventsAsSensorJson(spark, dir, s"$base/in")
-    val path = SensorPipeline.replaySessions(spark, s"$base/in", s"$base/out")
+    val in = stagedSensorJson(spark, dir)
+    val path = SensorPipeline.replaySessions(spark, in, s"$base/out")
     spark.read.parquet(path)
       .select(col("id"), Out.epochSec(col("s_start")).as("s_start"),
         Out.epochSec(col("s_end")).as("s_end"),
@@ -110,8 +132,8 @@ object StreamRegistry {
     * oracle parity. */
   def streamJoin(spark: SparkSession, dir: String): DataFrame = {
     val base = Files.createTempDirectory("graft_stream_join").toString
-    eventsAsSensorJson(spark, dir, s"$base/in")
-    val path = SensorPipeline.replayCorrelate(spark, s"$base/in", s"$base/out")
+    val in = stagedSensorJson(spark, dir)
+    val path = SensorPipeline.replayCorrelate(spark, in, s"$base/out")
     spark.read.parquet(path)
       .select(col("id").cast("long").as("id"),
         col("l_mid").cast("long").as("l_mid"),
@@ -125,8 +147,8 @@ object StreamRegistry {
     * event set — byte-identical to a batch projection of ONE copy. */
   def streamDedup(spark: SparkSession, dir: String): DataFrame = {
     val base = Files.createTempDirectory("graft_stream_dedup").toString
-    eventsAsSensorJsonDuplicated(spark, dir, s"$base/in", copies = 2)
-    val path = SensorPipeline.replayDedup(spark, s"$base/in", s"$base/out")
+    val in = stagedSensorJson(spark, dir, copies = 2)
+    val path = SensorPipeline.replayDedup(spark, in, s"$base/out")
     spark.read.parquet(path)
       .select(col("messageId").cast("long").as("mid"),
         col("id").cast("long").as("id"),
@@ -142,13 +164,13 @@ object StreamRegistry {
     * carry them with a NULL site. */
   def streamEnrich(spark: SparkSession, dir: String): DataFrame = {
     val base = Files.createTempDirectory("graft_stream_enrich").toString
-    eventsAsSensorJson(spark, dir, s"$base/in")
+    val in = stagedSensorJson(spark, dir)
     val sites = Tables(spark, dir).events
       .select(col("user_id")).distinct()
       .filter(col("user_id") >= 5) // a gap the left join must preserve
       .select(col("user_id").cast("string").as("id"),
         concat(lit("site_"), pmod(col("user_id"), lit(10))).as("site"))
-    val path = SensorPipeline.replayEnrich(spark, s"$base/in", s"$base/out", sites)
+    val path = SensorPipeline.replayEnrich(spark, in, s"$base/out", sites)
     spark.read.parquet(path)
       .select(col("messageId").cast("long").as("mid"),
         col("id").cast("long").as("id"), col("site"),
@@ -161,8 +183,8 @@ object StreamRegistry {
     * exceeded its sensor's all-time max, with the max it beat. */
   def streamRecordHighs(spark: SparkSession, dir: String): DataFrame = {
     val base = Files.createTempDirectory("graft_stream_highs").toString
-    eventsAsSensorJson(spark, dir, s"$base/in")
-    val path = SensorPipeline.replayRecordHighs(spark, s"$base/in", s"$base/out")
+    val in = stagedSensorJson(spark, dir)
+    val path = SensorPipeline.replayRecordHighs(spark, in, s"$base/out")
     spark.read.parquet(path)
       .select(col("id").cast("long").as("id"),
         col("messageId").cast("long").as("mid"),
@@ -191,13 +213,15 @@ object StreamRegistry {
           "user_id BIGINT, event_type STRING, t BIGINT, event_id BIGINT")).as("e"))
       .select(col("e.user_id"), col("e.event_type"), col("e.t"), col("e.event_id"))
     val path = s"$base/out/updates"
-    val q = StatefulOps.funnelUpdates(parsed, Seq("view", "click", "purchase"))
-      .toDF().writeStream
-      .outputMode("append")
-      .format("parquet").option("path", path)
-      .option("checkpointLocation", s"$base/out/_cp_funnel")
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    SensorPipeline.withStatePartitions(spark) {
+      val q = StatefulOps.funnelUpdates(parsed, Seq("view", "click", "purchase"))
+        .toDF().writeStream
+        .outputMode("append")
+        .format("parquet").option("path", path)
+        .option("checkpointLocation", s"$base/out/_cp_funnel")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     spark.read.parquet(path)
       .select(col("userId").as("user_id"), col("stage").cast("long").as("stage"),
         col("stageType").as("stage_type"), col("t"))
@@ -331,7 +355,7 @@ object StreamRegistry {
         |        CAST(event_id AS VARCHAR) AS mid,
         |        CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec,
         |        COALESCE(CAST(TRUNC(value) AS BIGINT), 0) AS temperature
-        |      FROM events WHERE ts IS NOT NULL),
+        |      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
         |r AS (SELECT id, mid, sec, temperature,
         |        MAX(temperature) OVER (PARTITION BY id
         |          ORDER BY sec, mid, temperature
