@@ -229,6 +229,25 @@ object GraphQueries {
       k)
   }
 
+  /** Core threshold and peel-round budget for the oracle-gated trade-graph
+    * k-core. The budget is shared BY CONSTRUCTION with the oracle SQL's
+    * unrolled peel (GraphRegistry generates one CTE per round from this
+    * constant): the peel is monotone, so once converged every further
+    * unrolled round is a no-op — the oracle is exact whenever the true peel
+    * depth ≤ the budget, and the Spark side passes the same budget as
+    * `maxRounds` so a deeper graph FAILS LOUDLY on both engines instead of
+    * hash-mismatching. Measured depth on the trade graph is 1 at sf0.001,
+    * sf0.01 and sf0.1 (one layer of thin customers peels; supplier degrees
+    * sit far above k) — 6 is a 6× margin. */
+  val KCoreK = 8
+  val KCoreRounds = 6
+
+  /** [[kCoreOf]] over the symmetrized customer–supplier trade graph (the
+    * PageRank graph): the "dense trade core" — customers with ≥ k supplier
+    * relationships that survive peeling, and the suppliers they sustain. */
+  def kCoreTrade(spark: SparkSession, dir: String, k: Int = KCoreK): DataFrame =
+    kCoreOf(edges(Tables(spark, dir)), k, maxRounds = KCoreRounds)
+
   /** Synchronized label propagation over an undirected edge set: every node
     * starts labeled with its own id; each round it adopts the most frequent
     * label among its NEIGHBORS (ties → smallest label). Communities =
@@ -247,8 +266,14 @@ object GraphQueries {
     * Shape at scale: each round is one equi-join (edge list ⋈ labels on the
     * neighbor id) and two partial-agg shuffles ((node, label) counts, then
     * the per-node argmax via `max_by` — never a window over the adjacency
-    * stream); `localCheckpoint` truncates lineage per round exactly as
-    * [[ConnectedComponents.minLabel]] and [[kCoreOf]] do. */
+    * stream). The FIXED round budget also settles the lineage question the
+    * same way [[pagerank]]'s unrolled loop does: the whole propagation is one
+    * declarative plan whose repeated edge-list subtree canonicalizes into a
+    * reused exchange, and a per-round `localCheckpoint` was A/B'd at sf0.1 as
+    * ~1.8× SLOWER (5.4 s → 3.0 s median after removal) — materialization per
+    * round costs more than it saves at bounded depth. A convergence-driven
+    * variant (dynamic rounds) would checkpoint per round exactly as
+    * [[ConnectedComponents.minLabel]] and [[kCoreOf]] must. */
   def labelPropagationOf(edges: DataFrame, rounds: Int = 5): DataFrame = {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
@@ -262,7 +287,6 @@ object GraphQueries {
         .agg(max_by(col("label"), struct(col("n"), (-col("label")).as("tb")))
           .as("label"))
         .select(col("src").as("node"), col("label"))
-        .localCheckpoint()
     }
     labels.orderBy(col("node"))
   }
@@ -276,4 +300,34 @@ object GraphQueries {
         .unionByName(base.select(col("s2").as("src"), col("s1").as("dst"))),
       rounds)
   }
+
+  /** Round budget for the oracle-gated LPA (unrolled in the oracle SQL —
+    * generated from this constant, same keep-in-sync-by-construction
+    * contract as [[PrIters]]). */
+  val LpaRounds = 5
+
+  /** Same-nation trade graph: the customer–supplier trade edges restricted
+    * to pairs in the SAME nation — a graph with real community structure
+    * (one dense cluster per nation, bridged only through shared suppliers),
+    * unlike the full bipartite trade graph, which LPA would collapse to a
+    * handful of labels. Node ids use the PageRank parity encoding. */
+  private[ops] def nationTradeEdges(t: Tables): DataFrame = {
+    val pairs = t.orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(t.customer.select(col("c_custkey"), col("c_nationkey")),
+        col("c_custkey") === col("o_custkey"))
+      .join(t.supplier.select(col("s_suppkey"), col("s_nationkey")),
+        col("s_suppkey") === col("l_suppkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    pairs.unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** [[labelPropagationOf]] over the same-nation trade graph: communities ≈
+    * national trade clusters. */
+  def labelPropagationTrade(spark: SparkSession, dir: String,
+      rounds: Int = LpaRounds): DataFrame =
+    labelPropagationOf(nationTradeEdges(Tables(spark, dir)), rounds)
 }

@@ -55,8 +55,63 @@ object GraphRegistry {
     s"""WITH $graphCtes
        |SELECT deg, count(*) AS n_nodes FROM deg GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Symmetrized trade-graph CTE (the PageRank graph, reused by the k-core
+    * peel). */
+  private val tradeCtes =
+    """pairs AS (
+      |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |se AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs)""".stripMargin
+
+  /** One peel round: keep only edges whose BOTH endpoints still have degree
+    * ≥ k in the previous round's edge set. Monotone, so rounds past the true
+    * peel depth are no-ops — see [[GraphQueries.KCoreRounds]] for the
+    * keep-in-sync-by-construction contract with the Spark loop's maxRounds.
+    * MATERIALIZED is load-bearing: each round references its predecessor
+    * three times (degree count + two IN probes), and DuckDB's default CTE
+    * inlining would re-expand the whole chain 3^rounds times — the unhinted
+    * spelling measured minutes at sf0.1 vs ~1 s materialized. */
+  private def peelRound(i: Int): String =
+    s"""k$i AS MATERIALIZED (SELECT src FROM p${i - 1} GROUP BY src
+       |       HAVING count(*) >= ${GraphQueries.KCoreK}),
+       |p$i AS MATERIALIZED (
+       |  SELECT src, dst FROM p${i - 1}
+       |  WHERE src IN (SELECT src FROM k$i) AND dst IN (SELECT src FROM k$i))""".stripMargin
+
+  private val kcoreSql =
+    s"""WITH $tradeCtes,
+       |p0 AS MATERIALIZED (SELECT src, dst FROM se),
+       |${(1 to GraphQueries.KCoreRounds).map(peelRound).mkString(",\n")}
+       |SELECT src AS node, count(*) AS core_deg
+       |FROM p${GraphQueries.KCoreRounds} GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** One synchronized LPA round: count neighbor labels, then take the most
+    * frequent with ties to the smallest label — the window-max + MIN spelling
+    * of the Spark side's `max_by(label, struct(n, -label))`. */
+  private def lpaRound(i: Int): String =
+    s"""c$i AS (SELECT e.src, l.label, count(*) AS n
+       |       FROM sn e JOIN l${i - 1} l ON l.node = e.dst GROUP BY 1, 2),
+       |l$i AS MATERIALIZED (SELECT src AS node, min(label) AS label FROM (
+       |         SELECT src, label, n, max(n) OVER (PARTITION BY src) AS mx
+       |         FROM c$i)
+       |       WHERE n = mx GROUP BY src)""".stripMargin
+
+  private val labelPropSql =
+    s"""WITH np AS (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  JOIN customer ON c_custkey = o_custkey
+       |  JOIN supplier ON s_suppkey = l_suppkey
+       |  WHERE c_nationkey = s_nationkey),
+       |sn AS MATERIALIZED (SELECT src, dst FROM np UNION ALL SELECT dst, src FROM np),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM sn),
+       |${(1 to GraphQueries.LpaRounds).map(lpaRound).mkString(",\n")}
+       |SELECT node, label FROM l${GraphQueries.LpaRounds} ORDER BY node""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_pagerank", pagerankSql)(GraphQueries.pagerank(_, _)),
     QueryDef("q_triangle_count", triangleSql)(GraphQueries.triangleCount(_, _)),
-    QueryDef("q_degree_dist", degreeDistSql)(GraphQueries.degreeDist(_, _)))
+    QueryDef("q_degree_dist", degreeDistSql)(GraphQueries.degreeDist(_, _)),
+    QueryDef("q_kcore", kcoreSql)(GraphQueries.kCoreTrade(_, _)),
+    QueryDef("q_label_prop", labelPropSql)(GraphQueries.labelPropagationTrade(_, _)))
 }
