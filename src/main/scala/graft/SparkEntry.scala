@@ -9,7 +9,8 @@ object SparkEntry {
       ops.MultimodalRegistry.all ++ ops.CurationRegistry.all ++
       ops.PipelineRegistry.all ++ ops.ClusterRegistry.all ++
       ops.TimeseriesRegistry.all ++ ops.GraphRegistry.all ++
-      ops.FormatQueries.all ++ streaming.StreamRegistry.all
+      ops.FormatQueries.all ++ tables.TableRegistry.all ++
+      streaming.StreamRegistry.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The K1→K6 chain of the reference: validity filter + 1-minute tumbling

@@ -123,11 +123,16 @@ object Merge {
           .unionByName(keyed)
       } else keyed
       // Materialize before the overwrite (the merged plan reads the same
-      // files the write truncates); repartition on the bucket key so each
-      // bucket directory gets ONE file per rewrite instead of one per task
-      // (small-file explosion + ~2 s commit overhead measured at sf0.1).
-      val snap = merged.repartition(nBuckets, col("bucket")).persist()
-      snap.count()
+      // files the write truncates). localCheckpoint, NOT persist+count: a
+      // persist's cache is evictable, and on a multi-executor cluster an
+      // executor lost after the dynamic-partition commit starts replacing
+      // bucket directories would silently RECOMPUTE evicted partitions from
+      // partially-rewritten input; localCheckpoint truncates lineage, so a
+      // lost replica fails the job loudly (retry the idempotent merge)
+      // instead of committing corrupt data. Repartition on the bucket key so
+      // each bucket directory gets ONE file per rewrite instead of one per
+      // task (small-file explosion + ~2 s commit overhead measured at sf0.1).
+      val snap = merged.repartition(nBuckets, col("bucket")).localCheckpoint()
       snap.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket")
