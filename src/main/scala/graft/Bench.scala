@@ -66,7 +66,19 @@ object Bench {
     val errField =
       if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}"""
+    println(line)
+    // The driver tail-captures stdout at ~2000 chars, which front-truncates
+    // the per-query map on a 120+-key run; the file copy keeps the full
+    // record reachable (target/ is checked-in-adjacent but untracked).
+    try {
+      val outP = java.nio.file.Paths.get("target/bench_full.json")
+      java.nio.file.Files.createDirectories(outP.getParent)
+      java.nio.file.Files.writeString(outP, line + "\n")
+      System.err.println(s"[bench] full record: ${outP.toAbsolutePath}")
+    } catch { case t: Throwable =>
+      System.err.println(s"[bench] could not write target/bench_full.json: ${t.getMessage}")
+    }
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)
   }

@@ -72,36 +72,68 @@ object GraphQueries {
     * lean on single-query exchange reuse); 3 fixed unrolled iterations
     * don't need it — lineage depth is bounded. All sums are BIGINT (exact):
     * no floating-point anywhere in the loop. */
-  def pagerank(spark: SparkSession, dir: String,
-      iters: Int = PrIters): DataFrame = {
-    val t = Tables(spark, dir)
-    val e = edges(t)
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val adj = e.join(deg, Seq("src"))
-    var ranks = deg.select(col("src").as("node"), lit(PrScale).as("pr"))
+  /** The fixed-point iteration over an arbitrary symmetrized edge set.
+    *
+    * `decimalSums` is the promised escalation path past the BIGINT mass
+    * envelope (~9×10⁶ × PrScale of incoming mass per node — a ~10⁷-degree
+    * hub wraps a long): the SAME plan with every rank/sum in DECIMAL(38,0).
+    * Still exact, still order-independent, ~25 more decimal digits of
+    * headroom; the price is decimal arithmetic instead of codegen'd long
+    * ops. Exact floor division is spelled `(x − pmod(x, d)) / d` because
+    * Spark's `div` returns LONG for ANY input width — the one operator that
+    * would silently reintroduce the 64-bit ceiling — while the
+    * subtract-mod quotient is integral, so the decimal division is exact at
+    * any result scale. Overflow PAST decimal(38,0) nulls the sum (non-ANSI
+    * mode), so the tripwire adds an isNull check: fail loudly, never emit
+    * garbage — same contract as the BIGINT path's negative-wrap check. */
+  def pagerankOf(edges: DataFrame, iters: Int = PrIters,
+      decimalSums: Boolean = false): DataFrame = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val adj = edges.join(deg, Seq("src"))
+    val dec = "decimal(38,0)"
+    def floorDiv(x: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column) =
+      ((x - pmod(x, d)) / d).cast(dec)
+    var ranks = deg.select(col("src").as("node"),
+      (if (decimalSums) lit(PrScale).cast(dec) else lit(PrScale)).as("pr"))
     for (_ <- 1 to iters) {
+      val contrib =
+        if (decimalSums) floorDiv(col("pr"), col("deg"))
+        else expr("pr div deg")
+      val damped =
+        if (decimalSums)
+          (lit(PrTeleport).cast(dec) +
+            floorDiv(col("m") * lit(PrDampNum), lit(PrDampDen))).cast(dec)
+        else lit(PrTeleport) + expr(s"($PrDampNum * m) div $PrDampDen")
       ranks = adj.join(ranks, col("src") === col("node"))
-        .select(col("dst"), expr("pr div deg").as("c"))
+        .select(col("dst"), contrib.as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("m"))
-        .select(col("dst").as("node"),
-          (lit(PrTeleport) + expr(s"($PrDampNum * m) div $PrDampDen")).as("pr"))
+        .select(col("dst").as("node"), damped.as("pr"))
     }
     ranks.select(
         col("node"),
         when(col("node") % 2 === 0, lit("cust")).otherwise(lit("supp")).as("kind"),
         // Overflow guard: the BIGINT fixed-point envelope (scaladoc above)
-        // holds to ~10⁵-node hubs; past it, Spark's non-ANSI sum WRAPS
-        // silently where the DuckDB oracle's HUGEINT errors loudly. A
-        // wrapped mass is negative long before the final damping, so a
-        // negative rank is the cheap, codegen'd tripwire — fail loudly
-        // (the ConnectedComponents convention) instead of emitting garbage.
-        when(col("pr") < 0, expr(
+        // holds until a node's incoming mass nears 2⁶³; past it, Spark's
+        // non-ANSI sum WRAPS silently where the DuckDB oracle's HUGEINT
+        // errors loudly. A wrapped mass is negative long before the final
+        // damping, so a negative rank is the cheap, codegen'd tripwire —
+        // fail loudly (the ConnectedComponents convention) instead of
+        // emitting garbage. The decimal path's overflow symptom is NULL
+        // (decimal sum overflow), caught by the same guard.
+        when(col("pr") < 0 || col("pr").isNull, expr(
           "raise_error('pagerank fixed-point overflow: a hub exceeded the " +
-            "BIGINT mass envelope — lower PrScale or shard the hub')"))
+            "mass envelope — use decimalSums (BIGINT path), lower PrScale, " +
+            "or shard the hub')"))
           .otherwise(col("pr")).as("pr"))
       .orderBy(col("node"))
   }
+
+  /** [[PrIters]] rounds of fixed-point PageRank over the trade graph (the
+    * oracle-gated spelling — BIGINT sums). */
+  def pagerank(spark: SparkSession, dir: String,
+      iters: Int = PrIters): DataFrame =
+    pagerankOf(edges(Tables(spark, dir)), iters)
 
   /** Minimum distinct shared orders for a supplier pair to count as a
     * co-order edge (shared with the oracle SQL via interpolation). The

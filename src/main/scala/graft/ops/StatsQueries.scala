@@ -86,8 +86,14 @@ object StatsQueries {
             (sqrt(col("n") * col("sqq") - col("sq") * col("sq")) *
               sqrt(col("n") * col("spp") - col("sp") * col("sp"))), 6))
           .as("corr_qp"),
+        // greatest(..., 0): a zero-variance group's numerator can land a
+        // few ulps NEGATIVE after the decimal→double casts — sqrt(negative)
+        // is NaN in Spark but an error in DuckDB, the same divergence class
+        // clamped in TimeseriesQueries.anomalyZscore. Clamped in the oracle
+        // too (GREATEST), so both engines report exactly 0.
         when(col("n") > 1,
-          round(sqrt((col("n") * col("sqq") - col("sq") * col("sq")) /
+          round(sqrt(greatest(
+            col("n") * col("sqq") - col("sq") * col("sq"), lit(0.0)) /
             (col("n") * (col("n") - 1))), 6)).as("stddev_q"))
       .orderBy(col("l_returnflag"))
   }

@@ -45,7 +45,7 @@ object StatsRegistry {
          |         (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)), 6)
          |  END AS corr_qp,
          |  CASE WHEN n > 1
-         |    THEN round(sqrt((n * sqq - sq * sq) / (n * (n - 1))), 6)
+         |    THEN round(sqrt(GREATEST(n * sqq - sq * sq, 0.0) / (n * (n - 1))), 6)
          |  END AS stddev_q
          |FROM s ORDER BY l_returnflag""".stripMargin)(StatsQueries.corrStats),
 

@@ -154,7 +154,12 @@ object StreamRegistry {
         col("id").cast("long").as("id"),
         Out.epochSec(col("eventTime")).as("sec"),
         col("temperature"), col("humidity"))
-      .orderBy(col("mid"))
+      // mid/id are nullable on hostile data; explicit NULLS LAST + full
+      // tie-breaker chain keeps both engines' row order identical (the
+      // Out.scala ORDER-BY contract — Spark defaults NULLS FIRST, DuckDB
+      // NULLS LAST)
+      .orderBy(col("mid").asc_nulls_last, col("id").asc_nulls_last,
+        col("sec").asc_nulls_last, col("temperature"), col("humidity"))
   }
 
   /** Stream-static enrichment on the staged replay: the sensor→site catalog
@@ -175,7 +180,9 @@ object StreamRegistry {
       .select(col("messageId").cast("long").as("mid"),
         col("id").cast("long").as("id"), col("site"),
         col("temperature"))
-      .orderBy(col("mid"))
+      // same NULLS LAST parity as streamDedup (mid/id/site nullable)
+      .orderBy(col("mid").asc_nulls_last, col("id").asc_nulls_last,
+        col("site").asc_nulls_last, col("temperature"))
   }
 
   /** The record-high detector ([[StatefulOps.recordHighs]],
@@ -315,7 +322,9 @@ object StreamRegistry {
         |  CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec,
         |  COALESCE(CAST(TRUNC(value) AS BIGINT), 0) AS temperature,
         |  COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS humidity
-        |FROM events WHERE ts IS NOT NULL ORDER BY mid""".stripMargin)(streamDedup),
+        |FROM events WHERE ts IS NOT NULL
+        |ORDER BY mid NULLS LAST, id NULLS LAST, sec NULLS LAST,
+        |  temperature, humidity""".stripMargin)(streamDedup),
     // Running-max spelling of the stateful fold; the fold sorts each key by
     // (sec, messageId-as-string, temperature), hence the VARCHAR mid in the
     // window order. A sensor's FIRST emitted high carries its own value as
@@ -348,7 +357,9 @@ object StreamRegistry {
         |  CASE WHEN user_id >= 5
         |       THEN 'site_' || CAST(user_id % 10 AS VARCHAR) END AS site,
         |  COALESCE(CAST(TRUNC(value) AS BIGINT), 0) AS temperature
-        |FROM events ORDER BY mid""".stripMargin)(streamEnrich),
+        |FROM events
+        |ORDER BY mid NULLS LAST, id NULLS LAST, site NULLS LAST,
+        |  temperature""".stripMargin)(streamEnrich),
 
     QueryDef("q_stream_record_high",
       """WITH p AS (SELECT CAST(user_id AS VARCHAR) AS id,

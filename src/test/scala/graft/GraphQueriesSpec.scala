@@ -150,4 +150,43 @@ class GraphQueriesSpec extends SparkSpec {
     GraphQueries.labelPropagation(spark, sf, rounds = 3).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe lpa(edges, 3)
   }
+
+  test("pagerank BIGINT tripwire fires on an over-envelope hub; decimal path stays exact") {
+    import org.apache.spark.sql.functions._
+    // 10^7 unit-rank leaves aim 10^19 of fixed-point mass at one hub in the
+    // first round - past Long.MaxValue, so the BIGINT sum wraps negative and
+    // the tripwire must fire instead of emitting garbage.
+    val n = 10000000L
+    val leaves = spark.range(n).select((col("id") * 2 + 2).as("leaf"))
+    val star = leaves.select(col("leaf").as("src"), lit(1L).as("dst"))
+      .unionByName(leaves.select(lit(1L).as("src"), col("leaf").as("dst")))
+    def causes(t: Throwable): Iterator[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+    val boom = intercept[Exception] {
+      GraphQueries.pagerankOf(star, iters = 1).collect()
+    }
+    // Under Spark 4's default ANSI mode the long sum itself throws
+    // ARITHMETIC_OVERFLOW before the negative-wrap tripwire can see a row;
+    // with ANSI off the wrap reaches the tripwire. Either way: LOUD, never
+    // silent garbage - which is the contract under test.
+    assert(causes(boom).exists(c => Option(c.getMessage).exists(m =>
+      m.contains("fixed-point overflow") || m.contains("ARITHMETIC_OVERFLOW"))),
+      s"expected a loud overflow failure, got: $boom")
+
+    // The decimal escalation path on the SAME graph: bit-exact against a
+    // BigInt recompute of the same constants (truncating division).
+    val P = BigInt(GraphQueries.PrScale)
+    val tele = BigInt(GraphQueries.PrTeleport)
+    val dn = BigInt(GraphQueries.PrDampNum); val dd = BigInt(GraphQueries.PrDampDen)
+    val hubExpected = tele + dn * (BigInt(n) * P) / dd
+    val leafExpected = tele + dn * (P / BigInt(n)) / dd
+    val got = GraphQueries.pagerankOf(star, iters = 1, decimalSums = true)
+      .filter(col("node").isin(1L, 2L)).collect()
+      .map(r => r.getLong(0) -> BigInt(r.getDecimal(2).toBigInteger)).toMap
+    got(1L) shouldBe hubExpected
+    got(2L) shouldBe leafExpected
+    assert(BigInt(n) * P > BigInt(Long.MaxValue),
+      "the hub's undamped incoming mass must genuinely exceed the BIGINT " +
+        "envelope for this test to bite")
+  }
 }
