@@ -269,4 +269,36 @@ object PipelineQueries {
           .as("dup_frac"))
       .orderBy(col("doc_id"))
   }
+
+  /** Percent cut points of the entity-hash split: < train ⇒ train,
+    * < valid ⇒ valid, else test (80/10/10). Shared with the oracle. */
+  val SplitTrainPct = 80
+  val SplitValidPct = 90
+
+  /** Entity-level (group-wise) train/valid/test split — the leakage-safe way
+    * to split an event log for model evaluation: hash the ENTITY (user), not
+    * the row, so every row of a user lands in exactly one split and a model
+    * can never see its test users during training (a row-wise split leaks
+    * per-user history across the boundary — memorizing the user beats
+    * learning the signal). The assignment is the same MD5-mod draw as
+    * [[domainMix]]: a pure function of the key, so any rerun, engine, or
+    * cluster size reproduces the identical split. Output: per split, row
+    * count, DISTINCT user count (the disjointness evidence: the three
+    * n_users sum to the corpus total by construction) and the value mean.
+    *
+    * Shape at scale: codegen'd hash filter + one partial-agg shuffle to 3
+    * rows; the per-split user counts are the only distinct-agg cost. */
+  def leakageSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .filter(col("user_id").isNotNull)
+      .withColumn("b", expr(s"${hash48("cast(user_id as string)")} % 100"))
+      .withColumn("split",
+        when(col("b") < SplitTrainPct, lit("train"))
+          .when(col("b") < SplitValidPct, lit("valid"))
+          .otherwise(lit("test")))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(Out.davg(col("value")), 6).as("avg_value"))
+      .orderBy(col("split"))
 }

@@ -111,6 +111,20 @@ object PipelineRegistry {
          |  COALESCE(nd.n_dup, 0) AS n_dup_spans,
          |  round(CAST(COALESCE(nd.n_dup, 0) AS DOUBLE) / ns.n_spans, 6) AS dup_frac
          |FROM ns LEFT JOIN nd USING (doc_id) ORDER BY doc_id""".stripMargin)(
-      PipelineQueries.dupSpanCensus(_, _))
+      PipelineQueries.dupSpanCensus(_, _)),
+
+    QueryDef("q_leakage_split",
+      s"""WITH e AS (
+         |  SELECT user_id, value,
+         |    ${hash48("user_id::VARCHAR")} % 100 AS b
+         |  FROM events WHERE user_id IS NOT NULL)
+         |SELECT CASE WHEN b < ${PipelineQueries.SplitTrainPct} THEN 'train'
+         |            WHEN b < ${PipelineQueries.SplitValidPct} THEN 'valid'
+         |            ELSE 'test' END AS split,
+         |  count(*) AS n_rows,
+         |  count(DISTINCT user_id) AS n_users,
+         |  round(${graft.ops.Out.sql.davg("value")}, 6) AS avg_value
+         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin)(
+      PipelineQueries.leakageSplit)
   )
 }

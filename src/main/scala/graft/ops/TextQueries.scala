@@ -324,4 +324,39 @@ object TextQueries {
       .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
         round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"))
       .orderBy(col("source"))
+
+  /** Context-window geometry for [[chunkWindows]], shared with the oracle. */
+  val WinTokens = 64
+  val WinStride = 32
+
+  /** Sliding-window token chunking — the context-length segmentation pass a
+    * pretraining pipeline runs before packing: each document becomes
+    * [[WinTokens]]-token windows starting every [[WinStride]] tokens
+    * (stride < size ⇒ overlapping windows, the standard way to avoid
+    * truncating cross-boundary context). Output per window: token count
+    * (short final windows keep their true length) and the first/last token
+    * as cheap hash-free content anchors.
+    *
+    * Shape at scale: tokenize ONCE into a materialized array column (the
+    * HOF-lambda re-evaluation trap — file header), then one `explode` of a
+    * `sequence` of window starts: purely narrow, no shuffle at all (the
+    * ORDER BY is only for the oracle compare). Window count per doc is
+    * ⌈tokens/stride⌉ — output scales with corpus token count, not doc
+    * count². */
+  def chunkWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), split(col("text"), " ").as("raw"))
+      .select(col("doc_id"), expr("filter(raw, x -> x <> '')").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(expr(s"sequence(0, n - 1, $WinStride)")).as("s"))
+      .select(
+        col("doc_id"),
+        expr(s"cast(s div $WinStride as bigint)").as("win_id"),
+        least(lit(WinTokens), col("n") - col("s")).cast("long").as("n_tok"),
+        element_at(col("toks"), col("s") + 1).as("first_tok"),
+        element_at(col("toks"),
+          col("s") + least(lit(WinTokens), col("n") - col("s"))).as("last_tok"))
+      .orderBy(col("doc_id"), col("win_id"))
 }

@@ -191,6 +191,24 @@ object TextRegistry {
         |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
         |  ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS BIGINT), 6) AS ttr
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)(
-      TextQueries.vocabStats)
+      TextQueries.vocabStats),
+
+    // generate_series/sequence agree on inclusive stop + step semantics;
+    // list indexing is 1-based in both engines.
+    QueryDef("q_chunk_windows",
+      s"""WITH d AS (SELECT doc_id,
+        |        list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |      FROM documents),
+        |t AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+        |w AS (SELECT doc_id, toks, n,
+        |        unnest(generate_series(0, n - 1, ${TextQueries.WinStride})) AS s
+        |      FROM t)
+        |SELECT doc_id,
+        |  s // ${TextQueries.WinStride} AS win_id,
+        |  LEAST(${TextQueries.WinTokens}, n - s) AS n_tok,
+        |  toks[s + 1] AS first_tok,
+        |  toks[s + LEAST(${TextQueries.WinTokens}, n - s)] AS last_tok
+        |FROM w ORDER BY doc_id, win_id""".stripMargin)(
+      TextQueries.chunkWindows)
   )
 }

@@ -168,4 +168,43 @@ object TimeseriesQueries {
       .groupBy(col("event_type"), col("hour_utc"))
       .agg(count(lit(1)).as("n"), round(Out.davg(col("value")), 6).as("avg_value"))
       .orderBy(col("event_type"), col("hour_utc"))
+
+  /** Rolling-feature lookback (events), shared with the oracle SQL. */
+  val FeatureLookback = 5
+
+  /** Leakage-safe rolling ML features per entity — the feature-engineering
+    * pass a training pipeline runs over an event log before fitting a model
+    * on "predict the next reading": previous value (lag 1), delta vs it, and
+    * rolling mean/max over the [[FeatureLookback]] PRECEDING events. The
+    * frame ends at 1 PRECEDING, never the current row: including the row
+    * being predicted is the classic target-leakage bug, and encoding the
+    * exclusion in the frame makes it structural rather than reviewed-for.
+    *
+    * Shape at scale: one shuffle on the entity key; each user's history
+    * streams through a bounded [[FeatureLookback]]-row frame (constant
+    * memory — no full-partition materialization like an UNBOUNDED frame).
+    * Determinism: rolling mean is an exact decimal sum over the frame
+    * divided by the frame's non-null count (a 5-double sum's ORDER is
+    * engine-internal; the decimal cast makes it exact); rows with no
+    * preceding events yield NULL features (count-guarded — ANSI divide).
+    * Total order (user, sec, event id) keeps the frames and row order
+    * bit-stable across engines. */
+  def mlFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    val fr = w.rowsBetween(-FeatureLookback, -1)
+    Tables(spark, dir).events
+      .filter(col("user_id").isNotNull && col("event_id").isNotNull &&
+        col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        Out.epochSec(col("ts")).as("sec"), col("value"))
+      .withColumn("lag1", lag(col("value"), 1).over(w))
+      .withColumn("delta", round(col("value") - col("lag1"), 6))
+      .withColumn("cnt5", count(col("value")).over(fr))
+      .withColumn("roll_avg5", when(col("cnt5") > 0,
+        round(sum(col("value").cast(Out.SumDecimal)).over(fr).cast("double") /
+          col("cnt5"), 6)))
+      .withColumn("roll_max5", max(col("value")).over(fr))
+      .drop("cnt5")
+      .orderBy(col("user_id"), col("sec"), col("event_id"))
+  }
 }

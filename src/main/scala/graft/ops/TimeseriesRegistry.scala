@@ -75,5 +75,30 @@ object TimeseriesRegistry {
          |  round(${graft.ops.Out.sql.davg("value")}, 6) AS avg_value
          |FROM events GROUP BY 1, 2
          |ORDER BY event_type, hour_utc""".stripMargin)(
-      TimeseriesQueries.seasonalProfile))
+      TimeseriesQueries.seasonalProfile),
+
+    // Rolling frame = ROWS BETWEEN lookback PRECEDING AND 1 PRECEDING —
+    // the 1-PRECEDING end is the leakage guard under test; the decimal-sum
+    // spelling keeps the 5-double mean order-independent (Out discipline).
+    QueryDef("q_ml_features",
+      s"""WITH e AS (
+         |  SELECT user_id, event_id,
+         |    ${graft.ops.Out.sql.epochSec("ts")} AS sec, value
+         |  FROM events
+         |  WHERE user_id IS NOT NULL AND event_id IS NOT NULL AND ts IS NOT NULL)
+         |SELECT user_id, event_id, sec, value,
+         |  lag(value) OVER w AS lag1,
+         |  round(value - lag(value) OVER w, 6) AS delta,
+         |  CASE WHEN count(value) OVER fr > 0 THEN
+         |    round(CAST(SUM(CAST(value AS DECIMAL(38,4))) OVER fr AS DOUBLE)
+         |          / count(value) OVER fr, 6)
+         |  END AS roll_avg5,
+         |  max(value) OVER fr AS roll_max5
+         |FROM e
+         |WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id),
+         |  fr AS (PARTITION BY user_id ORDER BY sec, event_id
+         |         ROWS BETWEEN ${TimeseriesQueries.FeatureLookback} PRECEDING
+         |                  AND 1 PRECEDING)
+         |ORDER BY user_id, sec, event_id""".stripMargin)(
+      TimeseriesQueries.mlFeatures))
 }
