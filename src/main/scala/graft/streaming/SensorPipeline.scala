@@ -352,7 +352,8 @@ object SensorPipeline {
     * each side with its own watermark and state store; inner matches emit
     * eagerly, so the drained output is the complete join (the DuckDB
     * oracle is the plain interval self-join). */
-  def replayCorrelate(spark: SparkSession, inDir: String, outBase: String): String =
+  def replayCorrelate(spark: SparkSession, inDir: String, outBase: String,
+      joinType: String = "inner"): String =
     withStatePartitions(spark) {
       val raw = spark.readStream.schema(StructType(Seq(StructField("value", StringType))))
         .text(inDir).toDF("value")
@@ -360,7 +361,8 @@ object SensorPipeline {
       val even = parsed.filter(col("messageId").cast("long") % 2 === 0)
       val odd = parsed.filter(col("messageId").cast("long") % 2 === 1)
       val path = s"$outBase/joined"
-      val q = StatefulOps.correlateFeeds(even, odd, rangeSec = 3600).writeStream
+      val q = StatefulOps.correlateFeeds(even, odd, rangeSec = 3600,
+        joinType = joinType).writeStream
         .outputMode("append")
         .format("parquet").option("path", path)
         .option("checkpointLocation", s"$outBase/_cp_join")

@@ -137,8 +137,16 @@ object StatefulOps {
     * (a single-batch drained replay masks this — review finding). Callers pay
     * for that correctness in state (~2 range-widths per side), which is the
     * honest price of a ±range interval join. */
+  /** `joinType` supports "inner" (matches emit eagerly) and "left_outer":
+    * the production "detect the missing partner" variant — an unmatched left
+    * row emits with NULL right columns once the watermark proves no partner
+    * can still arrive (its ±range window has closed). Outer rows therefore
+    * emit on watermark ADVANCE, not on arrival — in a drained replay that is
+    * the final no-data batch; on a live stream it is one watermark delay
+    * behind the data, the inherent latency price of proving absence. */
   def correlateFeeds(left: DataFrame, right: DataFrame,
-      delaySec: Int = 120, rangeSec: Int = 60): DataFrame = {
+      delaySec: Int = 120, rangeSec: Int = 60,
+      joinType: String = "inner"): DataFrame = {
     val wmSec = math.max(delaySec, rangeSec)
     def side(df: DataFrame, p: String): DataFrame = {
       // NULL event times cannot participate in a time-range join and would
@@ -151,7 +159,8 @@ object StatefulOps {
     side(left, "l").join(side(right, "r"),
       expr(s"""l_id = r_id AND
               r_time BETWEEN l_time - INTERVAL $rangeSec SECONDS
-                         AND l_time + INTERVAL $rangeSec SECONDS"""))
+                         AND l_time + INTERVAL $rangeSec SECONDS"""),
+      joinType)
       .select(col("l_id").as("id"), col("l_mid"), col("r_mid"),
         col("l_temp"), col("r_temp"),
         (unix_micros(col("r_time")) - unix_micros(col("l_time"))).as("dt_us"))

@@ -142,6 +142,28 @@ object StreamRegistry {
       .orderBy(col("l_mid"), col("r_mid"))
   }
 
+  /** LEFT OUTER variant of [[streamJoin]]: the "detect the missing partner"
+    * shape — every left reading, its correlated partners if any, and a
+    * NULL-partner row once the watermark PROVES no partner can arrive. The
+    * oracle's unmatched-row predicate mirrors Spark's state eviction: with
+    * delay = range = 3600 s, the final drained watermark is max(sec) − 3600,
+    * and an unmatched left row emits iff its window end l.sec + 3600 has
+    * closed under it. Left rows near the stream's end stay unproven and do
+    * NOT emit — the honest streaming answer, encoded in the oracle rather
+    * than papered over. */
+  def streamJoinOuter(spark: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_stream_join_outer").toString
+    val in = stagedSensorJson(spark, dir)
+    val path = SensorPipeline.replayCorrelate(spark, in, s"$base/out",
+      joinType = "left_outer")
+    spark.read.parquet(path)
+      .select(col("id").cast("long").as("id"),
+        col("l_mid").cast("long").as("l_mid"),
+        col("r_mid").cast("long").as("r_mid"),
+        col("l_temp"), col("r_temp"), col("dt_us"))
+      .orderBy(col("l_mid").asc_nulls_last, col("r_mid").asc_nulls_last)
+  }
+
   /** Watermarked streaming dedup on a deliberately duplicated staging (every
     * message delivered twice): the drained output must be the duplicate-free
     * event set — byte-identical to a batch projection of ONE copy. */
@@ -315,6 +337,35 @@ object StreamRegistry {
         |FROM l JOIN r ON l.id = r.id
         |  AND r.sec BETWEEN l.sec - 3600 AND l.sec + 3600
         |ORDER BY l_mid, r_mid""".stripMargin)(streamJoin),
+    // Outer rows: matched set ∪ unmatched-left whose ±range window closed
+    // under the final drained GLOBAL watermark — each side's watermark node
+    // computes max(its own events) − delay and the query's watermark is
+    // their MIN (empirically pinned: the even/odd split leaves the left
+    // side's max 614 s behind the right's at sf0.01, and Spark's emission
+    // boundary tracked min(maxL, maxR), not the overall max).
+    QueryDef("q_stream_join_outer",
+      """WITH p AS (SELECT CAST(user_id AS BIGINT) AS id, event_id AS mid,
+        |        CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec,
+        |        COALESCE(CAST(TRUNC(value) AS BIGINT), 0) AS temperature
+        |      FROM events WHERE ts IS NOT NULL),
+        |l AS (SELECT * FROM p WHERE mid % 2 = 0),
+        |r AS (SELECT * FROM p WHERE mid % 2 = 1),
+        |m AS (SELECT LEAST((SELECT max(sec) FROM l),
+        |                   (SELECT max(sec) FROM r)) - 3600 AS wm)
+        |SELECT * FROM (
+        |  SELECT l.id AS id, l.mid AS l_mid, r.mid AS r_mid,
+        |    l.temperature AS l_temp, r.temperature AS r_temp,
+        |    (r.sec - l.sec) * 1000000 AS dt_us
+        |  FROM l JOIN r ON l.id = r.id
+        |    AND r.sec BETWEEN l.sec - 3600 AND l.sec + 3600
+        |  UNION ALL
+        |  SELECT l.id, l.mid, CAST(NULL AS BIGINT),
+        |    l.temperature, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+        |  FROM l, m
+        |  WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.id = l.id
+        |          AND r.sec BETWEEN l.sec - 3600 AND l.sec + 3600)
+        |    AND l.sec + 3600 < wm)
+        |ORDER BY l_mid NULLS LAST, r_mid NULLS LAST""".stripMargin)(streamJoinOuter),
     // The oracle is ONE copy of the feed: dedup must erase the transport's
     // duplicate delivery entirely.
     QueryDef("q_stream_dedup",

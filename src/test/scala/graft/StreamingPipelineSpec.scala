@@ -152,4 +152,38 @@ class StreamingPipelineSpec extends SparkSpec {
       .collect().toSet
     streamed shouldBe batch
   }
+
+  test("left-outer interval join: outer rows emit iff the window closes strictly under the min-side watermark") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.StatefulOps
+    // Hand-built feed, one sensor, delay = range = 60 s:
+    //   maxL = 5060 (mid 6), maxR = 5000 (mid 1) -> global watermark
+    //   min(5060, 5000) - 60 = 4940.
+    //   mid 0 @1000: unmatched, window end 1060 <  4940 -> MUST emit null row
+    //   mid 2 @4880: unmatched, window end 4940 == 4940 -> boundary: strict <
+    //                means NO emission (pins the oracle's < predicate)
+    //   mid 4 @4900: unmatched, window end 4960 >  4940 -> unproven, no emit
+    //   mid 6 @5060: matches mid 1 @5000 (+-60) -> inner row
+    val b = Files.createTempDirectory("graft_outer_boundary").toString
+    def ev(mid: Long, sec: Long) =
+      s"""{"id":"1","messageId":"$mid","timestamp":"$sec","metrics":{"temperature":20,"humidity":50}}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(b, "feed.txt"),
+      Seq(ev(0, 1000), ev(2, 4880), ev(4, 4900), ev(6, 5060), ev(1, 5000))
+        .mkString("", "\n", "\n"))
+    val raw = spark.readStream.schema("value STRING").text(b).toDF("value")
+    val parsed = SensorPipeline.parse(raw)
+    val even = parsed.filter(col("messageId").cast("long") % 2 === 0)
+    val odd = parsed.filter(col("messageId").cast("long") % 2 === 1)
+    val outP = s"$b/joined"
+    val q = StatefulOps.correlateFeeds(even, odd, delaySec = 60, rangeSec = 60,
+        joinType = "left_outer").writeStream
+      .outputMode("append").format("parquet").option("path", outP)
+      .option("checkpointLocation", s"$b/_cp")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.read.parquet(outP)
+      .select(col("l_mid"), col("r_mid")).collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    rows shouldBe Set(("6", Some("1")), ("0", None))
+  }
 }
