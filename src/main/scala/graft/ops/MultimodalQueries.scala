@@ -188,4 +188,52 @@ object MultimodalQueries {
             .as("norm2"): _*)
       .orderBy(col("doc_id"))
   }
+
+  /** Pair thresholds for [[blobChunkDedup]] (shared with the oracle SQL;
+    * the chunk width is the census's [[ChunkChars]]). */
+  val ChunkPairMinShared = 2
+  val ChunkDfCap = 100
+
+  /** Chunk-overlap near-dup pairs — the modality-agnostic dedup: fixed-size
+    * payload chunks hashed, documents paired by SHARED chunk hashes (the
+    * backup/CAS-store dedup model, and how near-identical media files are
+    * found without decoding them — a re-encoded tail leaves the leading
+    * chunks identical). Output: pairs with ≥ [[ChunkPairMinShared]] shared
+    * chunks and their chunk-set Jaccard.
+    *
+    * Chunk boundaries are CHARACTER offsets with the chunk's UTF-8 bytes
+    * hashed ([[blobMeta]]'s header_hex convention): byte-offset chunking of
+    * a true binary payload is the same expression over `payload` instead of
+    * `text`, but cannot be DuckDB-gated (no blob substring) and WOULD split
+    * multi-byte sequences on text. Scale shape: chunk df capped at
+    * [[ChunkDfCap]] (boilerplate chunks — headers, padding — would
+    * otherwise quadratically pair everything, the same degenerate-bucket
+    * economics as the LSH caps), pair generation is a self-join ON the
+    * chunk hash, and the Jaccard denominator uses TRUE uncapped set sizes. */
+  def blobChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+    val sets = d
+      .select(col("doc_id"), col("text"),
+        explode(expr(s"sequence(1, n, $ChunkChars)")).as("off"))
+      .select(col("doc_id"),
+        md5(expr(s"cast(substring(text, off, $ChunkChars) as binary)")).as("ch"))
+      .distinct()
+    val sizes = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("nc"))
+    val ok = sets.groupBy(col("ch")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= ChunkDfCap).select(col("ch"))
+    val capped = sets.join(ok, Seq("ch"))
+    capped.as("a").join(capped.as("b"),
+        col("a.ch") === col("b.ch") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= ChunkPairMinShared)
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nc").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nc").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("na") + col("nb") - col("n_shared")), 6).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

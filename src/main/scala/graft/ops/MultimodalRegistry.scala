@@ -84,6 +84,29 @@ object MultimodalRegistry {
          |      FROM b)
          |SELECT doc_id, $fCols, round($norm, 6) AS norm2
          |FROM f ORDER BY doc_id""".stripMargin
-    })((s, d) => MultimodalQueries.mediaFeatures(s, d))
+    })((s, d) => MultimodalQueries.mediaFeatures(s, d)),
+
+    QueryDef("q_blob_chunk_dedup",
+      s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+         |           WHERE length(text) > 0),
+         |ch AS (SELECT DISTINCT doc_id,
+         |         md5(substring(text, off, ${MultimodalQueries.ChunkChars})) AS ch
+         |       FROM (SELECT doc_id, text,
+         |               unnest(generate_series(1, n, ${MultimodalQueries.ChunkChars})) AS off
+         |             FROM d)),
+         |sz AS (SELECT doc_id, count(*) AS nc FROM ch GROUP BY 1),
+         |ok AS (SELECT ch FROM (SELECT ch, count(*) AS df FROM ch GROUP BY 1)
+         |       WHERE df <= ${MultimodalQueries.ChunkDfCap}),
+         |cc AS (SELECT ch.* FROM ch JOIN ok USING (ch)),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         |      FROM cc a JOIN cc b ON a.ch = b.ch AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2
+         |      HAVING count(*) >= ${MultimodalQueries.ChunkPairMinShared})
+         |SELECT doc_a, doc_b, n_shared,
+         |  round(CAST(n_shared AS DOUBLE) / (sa.nc + sb.nc - n_shared), 6) AS jaccard
+         |FROM p JOIN sz sa ON sa.doc_id = doc_a
+         |       JOIN sz sb ON sb.doc_id = doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin)(
+      (s, d) => MultimodalQueries.blobChunkDedup(s, d))
   )
 }

@@ -120,6 +120,38 @@ object VectorQueries {
       .orderBy(col("probe_id"), col("rn"))
   }
 
+  /** Hard negatives returned per probe (shared with the oracle SQL). */
+  val HardNegK = 3
+
+  /** Hard-negative mining — the contrastive-training prep query: for each
+    * probe, the most-similar corpus vectors with a DIFFERENT label. "Near
+    * but wrong" examples are what give a triplet/InfoNCE loss its gradient
+    * signal (random negatives are trivially separable); this is the batch
+    * that builds them. Identical plan shape to [[annBatch]] — broadcast
+    * probe set, ONE corpus pass, WindowGroupLimit pre-shuffle prune — with
+    * the label-mismatch predicate applied before scoring, so same-label
+    * vectors never enter the ranking. At 100 TB the exact scan swaps for
+    * the [[EmbeddingLsh]] candidate generator exactly as ANN does; the
+    * ranking contract stays. */
+  def hardNegatives(spark: SparkSession, dir: String,
+      nProbes: Int = AnnBatchProbes, k: Int = HardNegK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probes = emb(spark, dir).filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("label").as("probe_label"),
+        col("e").as("pe"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    emb(spark, dir)
+      .crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id") &&
+        col("label") =!= col("probe_label"))
+      .select(col("probe_id"), col("vec_id"), col("label"),
+        round(cosine(col("e"), col("pe")), 6).as("cos_sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .orderBy(col("probe_id"), col("rn"))
+  }
+
   /** Random-hyperplane LSH geometry — the scale dial the round-2 review
     * flagged as missing. Candidate recall for a pair at angle θ under
     * `bands` bands of `bits` bits each is

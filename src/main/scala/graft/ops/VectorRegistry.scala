@@ -74,6 +74,22 @@ object VectorRegistry {
       (s, d) => VectorQueries.annBatch(s, d,
         nProbes = VectorQueries.AnnBatchProbes, k = VectorQueries.AnnBatchK)),
 
+    QueryDef("q_hard_negatives",
+      s"""WITH $embCte,
+         |probes AS (SELECT vec_id AS probe_id, label AS probe_label, e AS pe
+         |           FROM emb WHERE vec_id < ${VectorQueries.AnnBatchProbes}),
+         |scored AS (SELECT probe_id, emb.vec_id, emb.label,
+         |    round(${cos("e", "pe")}, 6) AS cos_sim
+         |  FROM emb CROSS JOIN probes
+         |  WHERE emb.vec_id <> probe_id AND emb.label <> probe_label),
+         |ranked AS (SELECT probe_id, vec_id, label, cos_sim,
+         |    row_number() OVER (PARTITION BY probe_id
+         |                       ORDER BY cos_sim DESC, vec_id) AS rn
+         |  FROM scored)
+         |SELECT probe_id, vec_id, label, cos_sim, rn FROM ranked
+         |WHERE rn <= ${VectorQueries.HardNegK} ORDER BY probe_id, rn""".stripMargin)(
+      (s, d) => VectorQueries.hardNegatives(s, d)),
+
     QueryDef("q_ann_lsh",
       s"""WITH $embCte,
          |$sigBandCtes,
