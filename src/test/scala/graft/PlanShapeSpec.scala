@@ -140,8 +140,9 @@ class PlanShapeSpec extends SparkSpec {
     // BroadcastNestedLoopJoin; everything else must stay equi-join shaped.
     val probeQueries = Set("q_similar_vectors", "q_ann_lsh", "q_ivf_search",
       "q_dedup_embedding", "q_lsh_bucket_stats",
-      // k-row broadcast probe set (batch ANN: probes are driver metadata)
-      "q_ann_batch",
+      // k-row broadcast probe set (batch ANN + hard-negative mining:
+      // probes are driver metadata)
+      "q_ann_batch", "q_hard_negatives",
       "q_tfidf_keywords", "q_bm25_search", "q_pmi_collocations", "q_lm_score",
       // 1-row broadcast normalizer (Σ sqrt shares)
       "q_mix_rebalance",
@@ -193,6 +194,11 @@ class PlanShapeSpec extends SparkSpec {
     // rn <= k over the probe partition must trigger the group-limit pushdown:
     // the exchange then carries ≤ tasks×probes×k rows, not corpus×probes
     assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
+    // hard-negative mining shares the contract (same shape + label filter)
+    val hn = plan(VectorQueries.hardNegatives(spark, sf))
+    assert(hn.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$hn")
+    assert(hn.contains("BroadcastNestedLoopJoin") || hn.contains("BroadcastExchange"),
+      s"probe set must broadcast:\n$hn")
   }
 
   test("tpch3 top-k is a TakeOrderedAndProject over one aggregated join tree") {
