@@ -620,4 +620,50 @@ object RelationalQueries {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(k)
   }
+
+  /** Snapshot cutoffs for [[snapshotDiff]] (shared with the oracle SQL). */
+  val SnapOldCutoff = "1997-01-01"
+  val SnapNewCutoff = "1998-01-01"
+
+  /** Snapshot reconciliation (CDC-style table diff): per-customer order
+    * count + exact revenue at two snapshot cutoffs, full-outer joined, rows
+    * whose status changed — the "what moved between yesterday's table and
+    * today's" audit every warehouse runs after a load. Statuses: `added`
+    * (key only in the new snapshot), `removed` (only in the old — cannot
+    * occur on this append-only source, but the arm is real: a snapshot pair
+    * from a mutable table exercises it), `changed` (both present, any
+    * aggregate differs). `same` rows are filtered — the diff is the
+    * exception report, so its size tracks the CHANGE volume, not the table.
+    *
+    * Shape at scale: each snapshot is one partial-agg shuffle on the key;
+    * the full-outer diff join reuses that same key partitioning (no third
+    * exchange). The aggregates use the decimal-exact sum discipline, so
+    * "changed" can compare doubles for exact equality — both engines
+    * compute the identical value or the row genuinely changed. */
+  /** The diff proper over two keyed snapshot aggregates — columns
+    * (cust, {old|new}_n, {old|new}_total). Split out so a spec can feed
+    * synthetic snapshots and exercise the `removed` arm the append-only
+    * orders source never produces. */
+  def diffSnapshots(oldSnap: DataFrame, newSnap: DataFrame): DataFrame =
+    oldSnap.join(newSnap, Seq("cust"), "full_outer")
+      .withColumn("status",
+        when(col("old_n").isNull, lit("added"))
+          .when(col("new_n").isNull, lit("removed"))
+          .when(col("old_n") =!= col("new_n") ||
+            col("old_total") =!= col("new_total"), lit("changed"))
+          .otherwise(lit("same")))
+      .filter(col("status") =!= "same")
+      .select(col("cust"), col("status"), col("old_n"), col("new_n"),
+        col("old_total"), col("new_total"))
+      .orderBy(col("cust"))
+
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    def snap(cutoff: String, pre: String) = t.orders
+      .filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+      .groupBy(col("o_custkey").as("cust"))
+      .agg(count(lit(1)).as(s"${pre}_n"),
+        Out.dsum(col("o_totalprice")).as(s"${pre}_total"))
+    diffSnapshots(snap(SnapOldCutoff, "old"), snap(SnapNewCutoff, "new"))
+  }
 }

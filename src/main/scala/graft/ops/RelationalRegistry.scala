@@ -346,6 +346,29 @@ object RelationalRegistry {
         |  round(CAST(revdec / SUM(revdec) OVER (PARTITION BY r_name)
         |    AS DOUBLE), 6) AS region_share
         |FROM per_nation ORDER BY r_name, n_name""".stripMargin)(
-      RelationalQueries.ratioToReport)
+      RelationalQueries.ratioToReport),
+
+    QueryDef("q_snapshot_diff",
+      s"""WITH o AS (SELECT o_custkey AS cust, count(*) AS old_n,
+         |        ${graft.ops.Out.sql.dsum("o_totalprice")} AS old_total
+         |      FROM orders
+         |      WHERE o_orderdate < TIMESTAMP '${RelationalQueries.SnapOldCutoff}'
+         |      GROUP BY 1),
+         |n AS (SELECT o_custkey AS cust, count(*) AS new_n,
+         |        ${graft.ops.Out.sql.dsum("o_totalprice")} AS new_total
+         |      FROM orders
+         |      WHERE o_orderdate < TIMESTAMP '${RelationalQueries.SnapNewCutoff}'
+         |      GROUP BY 1),
+         |d AS (SELECT COALESCE(o.cust, n.cust) AS cust,
+         |        old_n, new_n, old_total, new_total,
+         |        CASE WHEN old_n IS NULL THEN 'added'
+         |             WHEN new_n IS NULL THEN 'removed'
+         |             WHEN old_n <> new_n OR old_total <> new_total
+         |               THEN 'changed'
+         |             ELSE 'same' END AS status
+         |      FROM o FULL JOIN n ON o.cust = n.cust)
+         |SELECT cust, status, old_n, new_n, old_total, new_total
+         |FROM d WHERE status <> 'same' ORDER BY cust""".stripMargin)(
+      RelationalQueries.snapshotDiff)
   )
 }

@@ -230,4 +230,17 @@ class RelationalQueriesSpec extends SparkSpec {
       approx.toDouble shouldBe (exact(tpe).toDouble +- exact(tpe) * 0.05)
     }
   }
+
+  test("snapshot diff covers all four arms, including removed (synthetic)") {
+    val oldSnap = spark.createDataFrame(
+      Seq((1L, 2L, 100.0), (2L, 1L, 50.0), (3L, 3L, 75.0)))
+      .toDF("cust", "old_n", "old_total")
+    val newSnap = spark.createDataFrame(
+      Seq((1L, 2L, 100.0), (2L, 2L, 90.0), (4L, 1L, 10.0)))
+      .toDF("cust", "new_n", "new_total")
+    val got = RelationalQueries.diffSnapshots(oldSnap, newSnap)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got shouldBe Map(2L -> "changed", 3L -> "removed", 4L -> "added")
+    // cust 1 is 'same' and must be absent from the exception report
+  }
 }
