@@ -659,8 +659,13 @@ object RelationalQueries {
 
   def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
+    // NULL keys excluded on both sides: a NULL-keyed group never matches in
+    // the full-outer join, so it would surface as a NULL added + NULL
+    // removed pair whose sort position differs between engines (the
+    // Out.scala nullable-ORDER-BY contract)
     def snap(cutoff: String, pre: String) = t.orders
-      .filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+      .filter(col("o_custkey").isNotNull &&
+        col("o_orderdate") < lit(cutoff).cast("timestamp"))
       .groupBy(col("o_custkey").as("cust"))
       .agg(count(lit(1)).as(s"${pre}_n"),
         Out.dsum(col("o_totalprice")).as(s"${pre}_total"))

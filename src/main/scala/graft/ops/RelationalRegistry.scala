@@ -352,12 +352,14 @@ object RelationalRegistry {
       s"""WITH o AS (SELECT o_custkey AS cust, count(*) AS old_n,
          |        ${graft.ops.Out.sql.dsum("o_totalprice")} AS old_total
          |      FROM orders
-         |      WHERE o_orderdate < TIMESTAMP '${RelationalQueries.SnapOldCutoff}'
+         |      WHERE o_custkey IS NOT NULL
+         |        AND o_orderdate < TIMESTAMP '${RelationalQueries.SnapOldCutoff}'
          |      GROUP BY 1),
          |n AS (SELECT o_custkey AS cust, count(*) AS new_n,
          |        ${graft.ops.Out.sql.dsum("o_totalprice")} AS new_total
          |      FROM orders
-         |      WHERE o_orderdate < TIMESTAMP '${RelationalQueries.SnapNewCutoff}'
+         |      WHERE o_custkey IS NOT NULL
+         |        AND o_orderdate < TIMESTAMP '${RelationalQueries.SnapNewCutoff}'
          |      GROUP BY 1),
          |d AS (SELECT COALESCE(o.cust, n.cust) AS cust,
          |        old_n, new_n, old_total, new_total,
