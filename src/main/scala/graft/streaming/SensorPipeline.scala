@@ -343,6 +343,41 @@ object SensorPipeline {
       out
     }
 
+  /** Complete-mode replay: the per-sensor all-time aggregate re-emitted IN
+    * FULL every micro-batch, truncate-and-reloaded into a small dashboard
+    * table — the third Structured Streaming output mode, next to append
+    * ([[replay]]'s finalized windows) and update ([[replayChangelog]]'s
+    * keyed upsert). Complete mode is only viable when the RESULT is small
+    * (state holds the whole aggregate; the sink rewrites it wholesale), which
+    * is exactly the leaderboard/dashboard case: the top-k projection keeps
+    * the written table k rows no matter the corpus. The overwrite is
+    * idempotent per batch (same batch ⇒ same table), so a retried batch
+    * converges — and after an `AvailableNow` drain the table IS the batch
+    * answer, which is what the oracle checks. */
+  def replayTopkComplete(spark: SparkSession, inDir: String, outBase: String,
+      k: Int = 10): String =
+    withStatePartitions(spark) {
+      val raw = spark.readStream.schema(StructType(Seq(StructField("value", StringType))))
+        .text(inDir).toDF("value")
+      val filtered = parse(raw).filter(isValid(col("temperature"), col("humidity")))
+      val path = s"$outBase/topk"
+      val agg = filtered.groupBy(col("id"))
+        .agg(max(col("temperature")).as("max_temperature"),
+          count(lit(1)).as("n"))
+      val q = agg.writeStream
+        .outputMode("complete")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.orderBy(col("max_temperature").desc, col("id"))
+            .limit(k)
+            .coalesce(1)
+            .write.mode("overwrite").parquet(path)
+        }
+        .option("checkpointLocation", s"$outBase/_cp_topk")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      path
+    }
+
   /** Stream-stream interval-join replay: the staged feed split into two
     * halves by message-id parity (standing in for two independent sensor
     * feeds), correlated with [[StatefulOps.correlateFeeds]] (same-sensor

@@ -164,6 +164,20 @@ object StreamRegistry {
       .orderBy(col("l_mid").asc_nulls_last, col("r_mid").asc_nulls_last)
   }
 
+  /** Complete-mode leaderboard: top-10 sensors by all-time max temperature,
+    * truncate-and-reloaded per micro-batch
+    * ([[SensorPipeline.replayTopkComplete]]). After the drain the dashboard
+    * table equals the batch top-k, which is the oracle. */
+  def streamTopk(spark: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_stream_topk").toString
+    val in = stagedSensorJson(spark, dir)
+    val path = SensorPipeline.replayTopkComplete(spark, in, s"$base/out")
+    spark.read.parquet(path)
+      .select(col("id").cast("long").as("id"),
+        col("max_temperature"), col("n"))
+      .orderBy(col("max_temperature").desc, col("id"))
+  }
+
   /** Watermarked streaming dedup on a deliberately duplicated staging (every
     * message delivered twice): the drained output must be the duplicate-free
     * event set — byte-identical to a batch projection of ONE copy. */
@@ -301,6 +315,14 @@ object StreamRegistry {
       s"""WITH $sensorCtes
          |$windowedAggSql
          |ORDER BY id, w_start""".stripMargin)(changelogTable),
+    // Complete-mode drain: the truncate-and-reload table equals the batch
+    // top-k over the whole validity-filtered feed.
+    QueryDef("q_stream_topk",
+      s"""WITH $sensorCtes
+         |SELECT CAST(id AS BIGINT) AS id, MAX(temperature) AS max_temperature,
+         |  COUNT(*) AS n
+         |FROM v GROUP BY 1
+         |ORDER BY max_temperature DESC, id LIMIT 10""".stripMargin)(streamTopk),
     // Session semantics: events exactly 1800 s apart do NOT merge (Spark
     // merges on window OVERLAP), hence the strict < in the LAG predicate;
     // session end = last event + gap; finalized ⇔ end cleared the drained
