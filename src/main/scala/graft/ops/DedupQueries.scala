@@ -407,4 +407,62 @@ object DedupQueries {
         col("n_parts_a"), col("n_parts_b"))
       .orderBy(col("name_a"), col("name_b"))
   }
+
+  /** Modulus of the deterministic delta/corpus split for
+    * [[dedupIncremental]] (doc_id % mod == 0 ⇒ incoming). Shared with the
+    * oracle SQL. */
+  val DeltaMod = 5
+
+  /** Incremental (delta-vs-corpus) dedup — the INGESTION-time shape: flag
+    * each incoming document that near-duplicates the EXISTING corpus,
+    * without ever pairing the corpus against itself. A production pipeline
+    * runs this on every arriving batch: the corpus's banded signature table
+    * is a persisted index that only gets probed, so per-batch work is
+    * O(delta × bucket occupancy), not O(corpus²) and not even O(corpus) —
+    * the asymmetry is the entire point, and it is what the symmetric
+    * [[minhashCandidates]] path (new corpus, first build) cannot give you.
+    *
+    * Pipeline: shared MinHash banding (same [[graft.functions.MinHash16]]
+    * lanes, bands and bucket cap as the symmetric path — the persisted index
+    * serves both), delta bands equi-joined against corpus bands, candidates
+    * verified with exact shingle-set Jaccard ≥ `minJaccard`, and each flagged
+    * incoming doc labeled with its best corpus match (highest Jaccard, ties
+    * to the smallest id — `row_number` = 1, which plans the WindowGroupLimit
+    * pre-shuffle prune). */
+  def dedupIncremental(spark: SparkSession, dir: String,
+      minJaccard: Double = VerifiedMinJaccard): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = docShingles(spark, dir).filter(size(col("sh")) > 0)
+    val bands = sh
+      .select(col("doc_id"), expr("graft_minhash(sh)").as("sig"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, 3), b -> concat_ws('|', slice(sig, b * 4 + 1, 4)))")))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key")
+    val capped = bands.join(
+      bands.groupBy(col("band_idx"), col("band_key"))
+        .agg(count(lit(1)).as("k")).filter(col("k") <= SimhashBucketCap)
+        .select(col("band_idx"), col("band_key")),
+      Seq("band_idx", "band_key"))
+    val delta = capped.filter(col("doc_id") % DeltaMod === 0)
+      .select(col("band_idx"), col("band_key"), col("doc_id").as("doc_new"))
+    val corpus = capped.filter(col("doc_id") % DeltaMod =!= 0)
+      .select(col("band_idx"), col("band_key"), col("doc_id").as("doc_old"))
+    val cand = delta.join(corpus, Seq("band_idx", "band_key"))
+      .select(col("doc_new"), col("doc_old")).distinct()
+    val verified = cand
+      .join(sh.select(col("doc_id").as("doc_new"), col("sh").as("sh_n")), Seq("doc_new"))
+      .join(sh.select(col("doc_id").as("doc_old"), col("sh").as("sh_o")), Seq("doc_old"))
+      .select(col("doc_new"), col("doc_old"),
+        size(array_intersect(col("sh_n"), col("sh_o"))).cast("long").as("inter"),
+        (size(col("sh_n")) + size(col("sh_o"))).cast("long").as("sz"))
+      .select(col("doc_new"), col("doc_old"),
+        round(col("inter").cast("double") /
+          (col("sz") - col("inter")).cast("double"), 4).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+    val w = Window.partitionBy(col("doc_new"))
+      .orderBy(col("jaccard").desc, col("doc_old"))
+    verified.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_new"), col("doc_old").as("dup_of"), col("jaccard"))
+      .orderBy(col("doc_new"))
+  }
 }

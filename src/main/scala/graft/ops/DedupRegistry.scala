@@ -140,6 +140,36 @@ object DedupRegistry {
         |  ON a.block = b.block AND a.p_name < b.p_name
         |WHERE levenshtein(a.p_name, b.p_name) <= ${DedupQueries.FuzzyMaxDist}
         |ORDER BY name_a, name_b""".stripMargin)(
-      (s, d) => DedupQueries.fuzzyNameMatch(s, d))
+      (s, d) => DedupQueries.fuzzyNameMatch(s, d)),
+
+    // Asymmetric delta-vs-corpus banding: the shared bndc signature index
+    // probed from the delta side only, verified exactly, best corpus match
+    // per flagged incoming doc (highest Jaccard, ties to smallest id).
+    QueryDef("q_dedup_incremental",
+      s"""WITH $minhashCandCtes,
+         |nc AS (SELECT n.doc_id AS doc_new, o.doc_id AS doc_old
+         |       FROM bndc n JOIN bndc o
+         |         ON n.band_idx = o.band_idx AND n.band_key = o.band_key
+         |       WHERE n.doc_id % ${DedupQueries.DeltaMod} = 0
+         |         AND o.doc_id % ${DedupQueries.DeltaMod} <> 0
+         |       GROUP BY 1, 2),
+         |jv AS (SELECT c.doc_new, c.doc_old,
+         |         len(list_intersect(dn.sh, dd.sh)) AS inter,
+         |         len(dn.sh) + len(dd.sh) AS sz
+         |       FROM nc c
+         |       JOIN d dn ON dn.doc_id = c.doc_new
+         |       JOIN d dd ON dd.doc_id = c.doc_old),
+         |vr AS (SELECT doc_new, doc_old,
+         |         round(CAST(inter AS DOUBLE) / (sz - inter), 4) AS jaccard
+         |       FROM jv
+         |       WHERE round(CAST(inter AS DOUBLE) / (sz - inter), 4)
+         |             >= ${DedupQueries.VerifiedMinJaccard}),
+         |rk AS (SELECT doc_new, doc_old, jaccard,
+         |         row_number() OVER (PARTITION BY doc_new
+         |                            ORDER BY jaccard DESC, doc_old) AS rn
+         |       FROM vr)
+         |SELECT doc_new, doc_old AS dup_of, jaccard FROM rk
+         |WHERE rn = 1 ORDER BY doc_new""".stripMargin)(
+      (s, d) => DedupQueries.dedupIncremental(s, d))
   )
 }
