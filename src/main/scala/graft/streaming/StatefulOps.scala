@@ -136,7 +136,16 @@ object StatefulOps {
     * dropping matches whenever the feed arrives across multiple micro-batches
     * (a single-batch drained replay masks this — review finding). Callers pay
     * for that correctness in state (~2 range-widths per side), which is the
-    * honest price of a ±range interval join. */
+    * honest price of a ±range interval join.
+    *
+    * Multi-batch completeness contract (spec: the throttled-drain test):
+    * with the derived delay, a LOG-ORDERED feed — event-time-ordered batch
+    * arrival, the Kafka-partition/file-log shape — produces the complete
+    * join at any batch granularity. Under arrival DISORDER the usual Spark
+    * lateness rule applies: rows more than the watermark delay behind the
+    * max seen time are dropped, so a transport with bounded disorder sizes
+    * `delaySec` to that bound (the delay is then disorder tolerance AND
+    * eviction horizon — the max() keeps both covered). */
   /** `joinType` supports "inner" (matches emit eagerly) and "left_outer":
     * the production "detect the missing partner" variant — an unmatched left
     * row emits with NULL right columns once the watermark proves no partner
