@@ -9,6 +9,7 @@ object SparkEntry {
       ops.MultimodalRegistry.all ++ ops.CurationRegistry.all ++
       ops.PipelineRegistry.all ++ ops.ClusterRegistry.all ++
       ops.TimeseriesRegistry.all ++ ops.GraphRegistry.all ++
+      ops.BehaviorRegistry.all ++
       ops.FormatQueries.all ++ tables.TableRegistry.all ++
       streaming.StreamRegistry.all
 

@@ -1,0 +1,197 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** User-behavior analytics over the event stream and order history — the
+  * product-analytics layer (cohort retention, event-sequence transition
+  * models, concurrency sweeps, RFM segmentation) that sits on top of the
+  * reference's windowed-aggregate surface (SURVEY.md §2.2 K4–K6). Every
+  * query here is a one-or-two-shuffle plan on the grouping keys it names;
+  * none materializes per-user history in a single task except where the
+  * relation is explicitly metadata-scale (one row per customer).
+  *
+  * Determinism follows [[Out]]: epoch-second BIGINT time buckets, exact
+  * decimal money sums, unique-key ORDER BY, double formulas written as the
+  * same expression tree the oracle evaluates.
+  */
+object BehaviorQueries {
+
+  /** Seconds per cohort bucket (ISO-agnostic 7-day buckets anchored at the
+    * epoch). Shared with the oracle SQL. */
+  val WeekSec = 604800L
+
+  /** Classic cohort-retention matrix: users are assigned to the 7-day
+    * bucket of their first event; each cell counts the distinct users of
+    * cohort `cohort_week` still active `week_offset` weeks later.
+    *
+    * Shape at scale: (1) per-user first-week — a partial-aggregated shuffle
+    * on `user_id` producing a one-row-per-user table; (2) equi-join back to
+    * the events on the same key (AQE broadcasts the cohort side when small,
+    * shuffles on `user_id` otherwise — the join key equals the aggregation
+    * key so the exchange is reused); (3) the matrix itself is a
+    * cohort×offset grid — thousands of cells regardless of corpus size, so
+    * the final `countDistinct` shuffle carries (cell, user) pairs already
+    * combined map-side. No window functions, no per-user task-local state. */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .where(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"),
+        (Out.epochSec(col("ts")) / WeekSec).cast("long").as("wk"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cwk"))
+    ev.join(first, Seq("user_id"))
+      .groupBy(col("cwk"), (col("wk") - col("cwk")).as("week_offset"))
+      .agg(count_distinct(col("user_id")).as("active_users"))
+      .select((col("cwk") * WeekSec).as("cohort_week"),
+        col("week_offset"), col("active_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /** First-order Markov transition matrix over per-user event sequences:
+    * P(next event type | current event type), from consecutive pairs in
+    * each user's (ts, event_id)-ordered history.
+    *
+    * Shape at scale: ONE window shuffle on `user_id` (each user's sequence
+    * sorts within its partition — per-user history, not the corpus, is the
+    * task-local unit), then a partial-aggregated shuffle on the (from, to)
+    * pair — k² cells for k event types, metadata-scale. The probability
+    * normalization is a window over that k²-row table, not over the events.
+    *
+    * Determinism: the sequence order key is (ts, event_id) — event_id is
+    * unique, so LEAD is well-defined under ties; counts are exact and the
+    * probability is one double division rounded at 6dp on both engines. */
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val seq = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = Tables(spark, dir).events
+      .where(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(seq).as("to_type"))
+      .where(col("to_type").isNotNull)
+    val cells = pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    cells
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("from_type")))
+            .cast("double"), 6).as("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** Synthetic interval duration for the concurrency sweep, seconds. Each
+    * event is treated as a 5-minute activity interval [ts, ts+300). */
+  val ConcurrencyDurSec = 300L
+
+  /** Seconds per sweep partition (calendar day). Shared with the oracle. */
+  val DaySec = 86400L
+
+  /** Peak concurrency per (event_type, day): the maximum number of
+    * simultaneously-open activity intervals, where each event opens a
+    * [ts, ts + 300 s) interval, plus the earliest instant the peak is
+    * reached.
+    *
+    * The naive sweep (sort ALL endpoints, running ±1 sum) is a single
+    * global window — unusable at scale. Because interval duration is
+    * BOUNDED (300 s ≪ 1 day), each interval overlaps at most one day
+    * boundary, so it can be split into per-day segments: a crossing
+    * interval contributes its tail to the next day's sweep as a segment
+    * starting AT the boundary. Every (event_type, day) sweep is then
+    * independent — the window partitions by (event_type, day) and each
+    * partition holds one day of one type's endpoints, embarrassingly
+    * parallel and size-bounded. This boundary-split trick is the standard
+    * way to distribute interval sweeps over any bounded-duration workload.
+    *
+    * Endpoint convention: intervals are half-open, so at equal timestamps
+    * closes apply before opens. Netting +1/−1 per distinct instant
+    * (groupBy before the running sum) realizes exactly that convention:
+    * the close-first intermediate value is always ≤ the netted value, so
+    * the netted running maximum equals the close-before-open maximum. */
+  def concurrencyPeak(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .where(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), Out.epochSec(col("ts")).as("s"))
+      .withColumn("e", col("s") + ConcurrencyDurSec)
+      .withColumn("b", (col("s") / DaySec).cast("long") * DaySec + DaySec)
+    // split each [s,e) at its day boundary b: head segment always exists,
+    // tail segment only when the interval crosses into the next day
+    val segs = ev.select(col("event_type"),
+      explode(filter(array(
+        struct(col("s").as("t0"), least(col("e"), col("b")).as("t1")),
+        struct(col("b").as("t0"), col("e").as("t1"))),
+        s => s("t1") > s("t0"))).as("seg"))
+      .select(col("event_type"),
+        col("seg.t0").as("t0"), col("seg.t1").as("t1"))
+    val deltas = segs
+      .select(col("event_type"),
+        explode(array(
+          struct(col("t0").as("t"), lit(1L).as("d")),
+          struct(col("t1").as("t"), lit(-1L).as("d")))).as("p"))
+      .select(col("event_type"), col("p.t").as("t"), col("p.d").as("d"),
+        (col("p.t") / DaySec).cast("long").as("day"))
+      .groupBy(col("event_type"), col("day"), col("t"))
+      .agg(sum(col("d")).as("net"))
+    val sweep = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = deltas
+      .select(col("event_type"), col("day"), col("t"),
+        sum(col("net")).over(sweep).as("open"))
+      .withColumn("peak", max(col("open")).over(
+        Window.partitionBy(col("event_type"), col("day"))))
+    run.where(col("open") === col("peak"))
+      .groupBy(col("event_type"), (col("day") * DaySec).as("day"))
+      .agg(max(col("peak")).as("peak"), min(col("t")).as("peak_t"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Number of RFM quantile bands per dimension. Shared with the oracle. */
+  val RfmBands = 5
+
+  /** RFM customer segmentation over the order history: each customer's
+    * Recency (days from their last order to the corpus's last order),
+    * Frequency (order count) and Monetary (exact-decimal revenue sum) are
+    * banded into quintiles; output is one row per occupied `r-f-m` segment
+    * with its population and average metrics — the classic CRM cut.
+    *
+    * Shape at scale: the per-customer relation is ONE ROW PER CUSTOMER —
+    * metadata-scale next to the order corpus (10⁷ rows vs 10¹¹). The three
+    * global NTILE windows rank that relation, not the orders; this is the
+    * same deliberate single-partition trade [[RelationalQueries.ntilePercent]]
+    * documents, applied to a table 4 orders of magnitude smaller than the
+    * fact table. The corpus max date is a one-row aggregate broadcast into
+    * the scan (scalar subquery), not a driver collect.
+    *
+    * Determinism: NTILE order keys carry `c` (custkey, unique) as the tie
+    * break; Monetary stays DECIMAL until the segment average so neither
+    * engine's partial-sum order can move a double. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir).orders
+      .where(col("o_custkey").isNotNull && col("o_orderdate").isNotNull)
+      .select(col("o_custkey").as("c"), Out.epochSec(col("o_orderdate")).as("d"),
+        col("o_totalprice").cast(Out.SumDecimal).as("v"))
+    val refDate = orders.agg(max(col("d")).as("ref"))
+    val cust = orders.groupBy(col("c"))
+      .agg(max(col("d")).as("last_d"), count(lit(1)).as("freq"),
+        sum(col("v")).as("mon"))
+      .crossJoin(broadcast(refDate))
+      .select(col("c"),
+        ((col("ref") - col("last_d")) / DaySec).cast("long").as("rec_days"),
+        col("freq"), col("mon"))
+    def band(key: String) = ntile(RfmBands)
+      .over(Window.orderBy(col(key), col("c"))).cast("long")
+    val banded = cust.select(col("c"), col("rec_days"), col("freq"), col("mon"),
+      band("rec_days").as("r_q"), band("freq").as("f_q"), band("mon").as("m_q"))
+    banded
+      .groupBy(concat_ws("-", col("r_q"), col("f_q"), col("m_q")).as("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("rec_days")).cast("double") / count(lit(1)), 6)
+          .as("avg_rec_days"),
+        round(sum(col("freq")).cast("double") / count(lit(1)), 6).as("avg_freq"),
+        round(sum(col("mon")).cast("double") / count(lit(1)), 4).as("avg_monetary"))
+      .orderBy(col("segment"))
+  }
+}

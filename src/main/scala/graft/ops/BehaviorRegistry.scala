@@ -1,0 +1,101 @@
+package graft.ops
+
+import graft.QueryDef
+
+/** Oracle SQL (DuckDB dialect) for [[BehaviorQueries]]. Time constants
+  * interpolate the Scala values so the bucket arithmetic cannot drift;
+  * running-sum/NTILE intermediates are CAST to BIGINT wherever DuckDB
+  * would widen to HUGEINT (the driver's hash compare is type-sensitive). */
+object BehaviorRegistry {
+
+  private val Wk = BehaviorQueries.WeekSec
+  private val Day = BehaviorQueries.DaySec
+  private val Dur = BehaviorQueries.ConcurrencyDurSec
+  private val Bands = BehaviorQueries.RfmBands
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q_retention_cohorts",
+      s"""WITH ev AS (
+         |  SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) // $Wk AS wk
+         |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         |first AS (SELECT user_id, MIN(wk) AS cwk FROM ev GROUP BY 1)
+         |SELECT CAST(f.cwk * $Wk AS BIGINT) AS cohort_week,
+         |  CAST(e.wk - f.cwk AS BIGINT) AS week_offset,
+         |  COUNT(DISTINCT e.user_id) AS active_users
+         |FROM ev e JOIN first f USING (user_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)(
+      BehaviorQueries.retentionCohorts),
+
+    QueryDef("q_markov_transitions",
+      """WITH pairs AS (
+        |  SELECT event_type AS from_type,
+        |    LEAD(event_type, 1) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |cells AS (
+        |  SELECT from_type, to_type, COUNT(*) AS n FROM pairs
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  ROUND(CAST(n AS DOUBLE) /
+        |    CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+        |FROM cells ORDER BY from_type, to_type""".stripMargin)(
+      BehaviorQueries.markovTransitions),
+
+    QueryDef("q_concurrency_peak",
+      s"""WITH iv AS (
+         |  SELECT event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS s,
+         |    CAST(FLOOR(EPOCH(ts)) AS BIGINT) + $Dur AS e,
+         |    (CAST(FLOOR(EPOCH(ts)) AS BIGINT) // $Day) * $Day + $Day AS b
+         |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+         |segs AS (
+         |  SELECT event_type, s AS t0, LEAST(e, b) AS t1 FROM iv
+         |  UNION ALL
+         |  SELECT event_type, b, e FROM iv WHERE e > b),
+         |pts AS (
+         |  SELECT event_type, t0 AS t, 1 AS d FROM segs
+         |  UNION ALL
+         |  SELECT event_type, t1, -1 FROM segs),
+         |net AS (
+         |  SELECT event_type, t // $Day AS day, t, CAST(SUM(d) AS BIGINT) AS net
+         |  FROM pts GROUP BY 1, 2, 3),
+         |run AS (
+         |  SELECT event_type, day, t,
+         |    CAST(SUM(net) OVER (PARTITION BY event_type, day ORDER BY t
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS open
+         |  FROM net),
+         |pk AS (
+         |  SELECT event_type, day, t, open,
+         |    MAX(open) OVER (PARTITION BY event_type, day) AS peak
+         |  FROM run)
+         |SELECT event_type, CAST(day * $Day AS BIGINT) AS day,
+         |  CAST(MAX(peak) AS BIGINT) AS peak, MIN(t) AS peak_t
+         |FROM pk WHERE open = peak
+         |GROUP BY event_type, pk.day ORDER BY event_type, day""".stripMargin)(
+      BehaviorQueries.concurrencyPeak),
+
+    QueryDef("q_rfm_segments",
+      s"""WITH o AS (
+         |  SELECT o_custkey AS c, CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT) AS d,
+         |    CAST(o_totalprice AS DECIMAL(38,4)) AS v
+         |  FROM orders WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+         |ref AS (SELECT MAX(d) AS ref FROM o),
+         |cust AS (
+         |  SELECT c, (ref.ref - MAX(d)) // $Day AS rec_days,
+         |    COUNT(*) AS freq, SUM(v) AS mon
+         |  FROM o, ref GROUP BY c, ref.ref),
+         |banded AS (
+         |  SELECT c, rec_days, freq, mon,
+         |    CAST(NTILE($Bands) OVER (ORDER BY rec_days, c) AS BIGINT) AS r_q,
+         |    CAST(NTILE($Bands) OVER (ORDER BY freq, c) AS BIGINT) AS f_q,
+         |    CAST(NTILE($Bands) OVER (ORDER BY mon, c) AS BIGINT) AS m_q
+         |  FROM cust)
+         |SELECT CONCAT_WS('-', r_q, f_q, m_q) AS segment,
+         |  COUNT(*) AS n_customers,
+         |  ROUND(CAST(SUM(rec_days) AS DOUBLE) / COUNT(*), 6) AS avg_rec_days,
+         |  ROUND(CAST(SUM(freq) AS DOUBLE) / COUNT(*), 6) AS avg_freq,
+         |  ROUND(CAST(SUM(mon) AS DOUBLE) / COUNT(*), 4) AS avg_monetary
+         |FROM banded GROUP BY 1 ORDER BY 1""".stripMargin)(
+      BehaviorQueries.rfmSegments))
+}
