@@ -671,4 +671,42 @@ object RelationalQueries {
         Out.dsum(col("o_totalprice")).as(s"${pre}_total"))
     diffSnapshots(snap(SnapOldCutoff, "old"), snap(SnapNewCutoff, "new"))
   }
+
+  /** Basket-size guard for the co-purchase self-join: the pair fan-out per
+    * order is C(parts, 2), so one degenerate mega-basket (a crawler
+    * session, a bulk import) turns the join quadratic. Orders above the
+    * cap abort loudly — the resolution (drop or sample huge baskets) is a
+    * data-owner decision, not one the engine should take silently. */
+  val CoPurchaseMaxBasket = 1000L
+
+  /** Top co-purchased part pairs: distinct parts sharing an order, paired
+    * (p1 < p2), counted, top-20 by support — market-basket affinity, the
+    * self-join shape behind "frequently bought together".
+    *
+    * Shape at scale: the self-join is on `l_orderkey` — both sides shuffle
+    * on the SAME key (one exchange, reused), and the fan-out per order is
+    * bounded by the basket size (TPC-H baskets ≤ 7 lines → ≤ 21 pairs), so
+    * output is linear in orders, not quadratic in lineitems. The
+    * [[CoPurchaseMaxBasket]] tripwire enforces that boundedness instead of
+    * assuming it. Top-20 compiles to TakeOrderedAndProject over the
+    * partial-aggregated pair counts — no global sort. */
+  def coPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+      .where(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val guarded = li
+      .withColumn("basket", count(lit(1)).over(Window.partitionBy(col("ok"))))
+      .withColumn("pk",
+        when(col("basket") > CoPurchaseMaxBasket, raise_error(concat(
+          lit(s"coPurchase: basket exceeds $CoPurchaseMaxBasket parts for order "),
+          col("ok")))).otherwise(col("pk")))
+      .select(col("ok"), col("pk"))
+    guarded.as("a").join(guarded.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("p1"), col("p2"))
+      .limit(20)
+  }
 }

@@ -371,6 +371,18 @@ object RelationalRegistry {
          |      FROM o FULL JOIN n ON o.cust = n.cust)
          |SELECT cust, status, old_n, new_n, old_total, new_total
          |FROM d WHERE status <> 'same' ORDER BY cust""".stripMargin)(
-      RelationalQueries.snapshotDiff)
+      RelationalQueries.snapshotDiff),
+
+    // The Spark side's mega-basket tripwire never fires on sane data, so
+    // the oracle is the plain guarded-free spelling; (n DESC, p1, p2) is a
+    // total order, making the LIMIT deterministic in both engines.
+    QueryDef("q_copurchase",
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL)
+        |SELECT a.pk AS p1, b.pk AS p2, COUNT(*) AS n
+        |FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |GROUP BY 1, 2 ORDER BY n DESC, p1, p2 LIMIT 20""".stripMargin)(
+      RelationalQueries.coPurchase)
   )
 }

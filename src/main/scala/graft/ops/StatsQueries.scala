@@ -422,4 +422,44 @@ object StatsQueries {
         min(col("cy")).as("y_lo"), max(col("cy")).as("y_hi"))
       .orderBy(col("bucket"))
   }
+
+  /** Join-key skew audit — the monitor behind the salting decision
+    * ([[SkewJoin]]): for each candidate join key, the distinct-key count,
+    * total rows, heaviest key's share, and the skew ratio max/mean. A
+    * 100 TB deployment runs this BEFORE picking join strategies; a ratio
+    * near 1 means hash partitioning balances, a large one means the top
+    * key needs salting or an AQE skew split.
+    *
+    * Shape at scale: per key column, one partial-aggregated shuffle on the
+    * key (counts), then metadata-scale aggregates — the per-column stats
+    * row and the max-count filter both run over the distinct-key relation,
+    * never the facts, and the final join is on the 3-row `key_col` side.
+    * The heaviest key is `min(key) WHERE n = max_n` (two tiny aggregates),
+    * not a window — no global sort anywhere.
+    *
+    * Determinism: counts are exact; `skew_ratio` is one double formula
+    * rounded at 6dp; ties on the max count resolve to the smallest key. */
+  def keySkewAudit(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val keyed = t.lineitem.select(lit("l_partkey").as("key_col"),
+        col("l_partkey").as("key"))
+      .unionAll(t.lineitem.select(lit("l_suppkey"), col("l_suppkey")))
+      .unionAll(t.orders.select(lit("o_custkey"), col("o_custkey")))
+      .where(col("key").isNotNull)
+    val counts = keyed.groupBy(col("key_col"), col("key"))
+      .agg(count(lit(1)).as("n"))
+    val stats = counts.groupBy(col("key_col"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("total"),
+        max(col("n")).as("max_n"))
+    val top = counts.join(stats, Seq("key_col"))
+      .where(col("n") === col("max_n"))
+      .groupBy(col("key_col")).agg(min(col("key")).as("top_key"))
+    stats.join(top, Seq("key_col"))
+      .select(col("key_col"), col("n_keys"), col("total"), col("max_n"),
+        col("top_key"),
+        round(col("max_n").cast("double") /
+          (col("total").cast("double") / col("n_keys").cast("double")), 6)
+          .as("skew_ratio"))
+      .orderBy(col("key_col"))
+  }
 }

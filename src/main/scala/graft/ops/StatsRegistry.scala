@@ -194,6 +194,33 @@ object StatsRegistry {
          |  min(cx) AS x_lo, max(cx) AS x_hi,
          |  min(cy) AS y_lo, max(cy) AS y_hi
          |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
-    })((s, d) => StatsQueries.zorderLayout(s, d))
+    })((s, d) => StatsQueries.zorderLayout(s, d)),
+
+    // SUM over the per-key counts widens to HUGEINT in DuckDB — CAST back
+    // to BIGINT (type-sensitive hash compare); max-count ties resolve to
+    // MIN(key) on both sides.
+    QueryDef("q_key_skew_audit",
+      """WITH keyed AS (
+        |  SELECT 'l_partkey' AS key_col, l_partkey AS key FROM lineitem
+        |    WHERE l_partkey IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'l_suppkey', l_suppkey FROM lineitem WHERE l_suppkey IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'o_custkey', o_custkey FROM orders WHERE o_custkey IS NOT NULL),
+        |counts AS (SELECT key_col, key, COUNT(*) AS n FROM keyed GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT key_col, COUNT(*) AS n_keys, CAST(SUM(n) AS BIGINT) AS total,
+        |    MAX(n) AS max_n
+        |  FROM counts GROUP BY 1),
+        |top AS (
+        |  SELECT c.key_col, MIN(c.key) AS top_key
+        |  FROM counts c JOIN stats s ON c.key_col = s.key_col AND c.n = s.max_n
+        |  GROUP BY 1)
+        |SELECT s.key_col, n_keys, total, max_n, top_key,
+        |  ROUND(CAST(max_n AS DOUBLE) /
+        |    (CAST(total AS DOUBLE) / CAST(n_keys AS DOUBLE)), 6) AS skew_ratio
+        |FROM stats s JOIN top t ON s.key_col = t.key_col
+        |ORDER BY s.key_col""".stripMargin)(
+      (s, d) => StatsQueries.keySkewAudit(s, d))
   )
 }

@@ -207,4 +207,53 @@ object TimeseriesQueries {
       .drop("cnt5")
       .orderBy(col("user_id"), col("sec"), col("event_id"))
   }
+
+  /** Bar width for OHLC downsampling, seconds (daily bars). Shared with
+    * the oracle SQL. */
+  val OhlcBarSec = 86400L
+
+  /** Sequence-order encoding multiplier for open/close argmin: the order
+    * key is `sec * 1e8 + event_id`, unique as long as ids stay below 1e8.
+    * A corpus with wider ids must widen this (the tripwire below fails
+    * loudly rather than silently mis-ordering ties). */
+  val OhlcIdCap = 100000000L
+
+  /** OHLC downsampling — per (user, day) candle bars: open/close are the
+    * first/last reading in sequence order, high/low the extremes, plus the
+    * event count and exact-decimal average. The canonical time-series
+    * compaction (tick data → bars) and the batch analogue of the K4–K6
+    * tumbling windows.
+    *
+    * Shape at scale: ONE partial-aggregated shuffle on (user, day) —
+    * open/close use `min_by`/`max_by` over an encoded (sec, event_id)
+    * BIGINT sequence key, which partial-aggregates map-side like any
+    * min/max (each task keeps one candidate per group), so no window, no
+    * sort, no per-group history. That is the property that lets a 100 TB
+    * tick corpus compact in a single pass.
+    *
+    * Determinism: the sequence key is unique (tripwired via [[OhlcIdCap]]),
+    * so first/last are well-defined under timestamp ties in both engines;
+    * the average follows the [[Out]] decimal rule. */
+  def ohlcResample(spark: SparkSession, dir: String): DataFrame = {
+    val ord = col("sec") * OhlcIdCap + col("event_id")
+    Tables(spark, dir).events
+      .where(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("event_id").isNotNull)
+      .select(col("user_id"), col("event_id"), col("value"),
+        Out.epochSec(col("ts")).as("sec"))
+      .withColumn("event_id",
+        when(col("event_id") >= OhlcIdCap || col("event_id") < 0, raise_error(
+          concat(lit(s"ohlcResample: event_id outside [0, $OhlcIdCap) — " +
+            "widen OhlcIdCap: "), col("event_id"))))
+          .otherwise(col("event_id")))
+      .groupBy(col("user_id"),
+        ((col("sec") / OhlcBarSec).cast("long") * OhlcBarSec).as("day"))
+      .agg(count(lit(1)).as("n"),
+        min_by(col("value"), ord).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), ord).as("close"),
+        round(Out.davg(col("value")), 6).as("bar_avg"))
+      .orderBy(col("user_id"), col("day"))
+  }
 }

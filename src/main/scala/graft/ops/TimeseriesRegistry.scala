@@ -100,5 +100,27 @@ object TimeseriesRegistry {
          |         ROWS BETWEEN ${TimeseriesQueries.FeatureLookback} PRECEDING
          |                  AND 1 PRECEDING)
          |ORDER BY user_id, sec, event_id""".stripMargin)(
-      TimeseriesQueries.mlFeatures))
+      TimeseriesQueries.mlFeatures),
+
+    // open/close = arg_min/arg_max over the encoded (sec, event_id) BIGINT
+    // sequence key — unique (Spark side tripwires ids ≥ cap), so candle
+    // endpoints are deterministic under timestamp ties in both engines.
+    QueryDef("q_ohlc_resample",
+      s"""WITH e AS (
+         |  SELECT user_id, value,
+         |    ${graft.ops.Out.sql.epochSec("ts")} AS sec,
+         |    ${graft.ops.Out.sql.epochSec("ts")} * ${TimeseriesQueries.OhlcIdCap}
+         |      + event_id AS ord
+         |  FROM events
+         |  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_id IS NOT NULL)
+         |SELECT user_id,
+         |  (sec // ${TimeseriesQueries.OhlcBarSec}) * ${TimeseriesQueries.OhlcBarSec} AS day,
+         |  COUNT(*) AS n,
+         |  ARG_MIN(value, ord) AS open,
+         |  MAX(value) AS high,
+         |  MIN(value) AS low,
+         |  ARG_MAX(value, ord) AS close,
+         |  ROUND(${graft.ops.Out.sql.davg("value")}, 6) AS bar_avg
+         |FROM e GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin)(
+      TimeseriesQueries.ohlcResample))
 }
