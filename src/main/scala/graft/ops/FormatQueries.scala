@@ -42,10 +42,45 @@ object FormatQueries {
       .orderBy(col("n_name"))
   }
 
+  /** Stage orders as ORC, read back with an explicit schema, and roll up
+    * high-value order counts per status — byte-identical to the same
+    * rollup over the original parquet (the oracle). Unlike the CSV/JSON
+    * leg, ORC is a columnar format whose scan DOES prune columns and push
+    * the `o_totalprice` predicate (min/max stripe stats), so this is the
+    * "switch the lake's file format" check: the plan above the scan is
+    * unchanged and the scan keeps its pushdown contract. */
+  def formatOrc(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val base = Files.createTempDirectory("graft_orc").toString
+    t.orders.write.mode("overwrite").orc(s"$base/orders_orc")
+    val orders = spark.read
+      .schema("o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
+        // parquet timestamps without a UTC flag surface as TIMESTAMP_NTZ and
+        // stay NTZ through the ORC writer — the explicit read schema must
+        // say so, or the ORC reader refuses the NTZ→LTZ cast.
+        "o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, o_orderpriority STRING")
+      .orc(s"$base/orders_orc")
+    orders
+      .filter(col("o_totalprice") > 100000.0)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        Out.dsum(col("o_totalprice")).as("sum_price"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val all: Seq[graft.QueryDef] = Seq(
     graft.QueryDef("q_format_roundtrip",
       s"""SELECT n_name, count(*) AS n_cust,
          |  ${Out.sql.dsum("c_acctbal")} AS sum_bal
          |FROM customer JOIN nation ON c_nationkey = n_nationkey
-         |GROUP BY 1 ORDER BY n_name""".stripMargin)(formatRoundtrip))
+         |GROUP BY 1 ORDER BY n_name""".stripMargin)(formatRoundtrip),
+
+    graft.QueryDef("q_format_orc",
+      s"""SELECT o_orderstatus, count(*) AS n_orders,
+         |  ${Out.sql.dsum("o_totalprice")} AS sum_price,
+         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         |FROM orders WHERE o_totalprice > 100000.0
+         |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)(formatOrc))
 }

@@ -301,4 +301,97 @@ object PipelineQueries {
         countDistinct(col("user_id")).as("n_users"),
         round(Out.davg(col("value")), 6).as("avg_value"))
       .orderBy(col("split"))
+
+  /** Shingle width for the cross-source overlap matrix — the dedup family's
+    * 3-word shingles, not decontamination's 8 (the question here is "how
+    * much do two crawls share" — broad phrase reuse — not verbatim
+    * contamination). */
+  val OverlapN = 3
+
+  /** Cross-source duplication matrix: for every source pair, how many
+    * distinct [[OverlapN]]-gram shingles they share, and the Jaccard of
+    * their shingle sets. The curation question this answers at 100 TB:
+    * which crawl snapshots / dump variants are re-serving each other's
+    * content, so the mix designer can collapse them BEFORE paying for
+    * pairwise document dedup across the whole corpus.
+    *
+    * Shape at scale: the corpus collapses to DISTINCT (source, shingle-hash)
+    * — one shuffle, and the dominant cost. The self-join is keyed by
+    * shingle hash, and each hash's join group is bounded by the number of
+    * SOURCES containing it (≤ nSources rows — sources, not documents, so no
+    * df cap is needed: a stop-shingle in every source contributes exactly
+    * C(nSources,2) pairs, metadata-scale). Per-source set sizes join back
+    * broadcast. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables(spark, dir).documents
+      .select(col("source"), expr(wordsExpr).as("w"))
+      .select(col("source"),
+        explode(expr(s"graft_shingles(w, $OverlapN)")).as("s"))
+      .select(col("source"), expr(hash48("s")).as("h"))
+      .distinct()
+      .persist()
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val pairs = sh.select(col("source").as("src_a"), col("h"))
+      .join(sh.select(col("source").as("src_b"), col("h")), Seq("h"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("na"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("nb"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("shared"),
+        round(col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared")), 6).as("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** PSI histogram geometry: 10 fixed 60-char bins over doc length (the
+    * fixture tops out at ~550 chars; the last bin is open-ended), Laplace
+    * α = 0.5 so empty cells contribute a finite term. Fixed bins are the
+    * scale-honest choice: corpus-quantile bins would need an extra full
+    * pass and make per-source numbers incomparable across snapshots. */
+  val PsiBins = 10
+  val PsiBinWidth = 60L
+
+  /** Distribution drift per source: Population Stability Index of each
+    * source's doc-length histogram against the whole corpus,
+    * PSI = Σ_bins (p − q)·ln(p/q) with Laplace-smoothed shares. The
+    * pipeline's drift alarm — a crawl snapshot whose length profile walks
+    * away from the corpus (boilerplate explosion, truncation bug, spam
+    * flood) shows up as PSI ≫ 0 long before eyeballing documents would
+    * catch it. (>0.25 is the classic "major shift" threshold.)
+    *
+    * Shape at scale: ONE partial-agg shuffle to the (source × 10-bin) grid;
+    * everything after is metadata (dense grid via a broadcast bin list, the
+    * corpus margin re-aggregated from the same counts). The per-term
+    * DECIMAL(38,12) cast makes the 10-term sum partition-order-independent
+    * — same trick as the LM-score NLL sum. */
+  def driftPsi(spark: SparkSession, dir: String): DataFrame = {
+    val binned = Tables(spark, dir).documents
+      .select(col("source"),
+        least(expr(s"n_chars div $PsiBinWidth"), lit(PsiBins - 1L)).as("bin"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+      .persist()
+    val tot = binned.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val corp = binned.groupBy(col("bin")).agg(sum(col("c")).as("cc"))
+    val nt = binned.agg(sum(col("c")).as("nt"))
+    val grid = tot.select(col("source"), col("n"))
+      .crossJoin(broadcast(
+        spark.range(PsiBins).select(col("id").as("bin"))))
+    val j = grid
+      .join(binned, Seq("source", "bin"), "left")
+      .join(broadcast(corp), Seq("bin"), "left")
+      .crossJoin(broadcast(nt))
+      .select(col("source"), col("n"),
+        coalesce(col("c"), lit(0L)).as("c"),
+        coalesce(col("cc"), lit(0L)).as("cc"), col("nt"))
+    val p = (col("c") + lit(0.5)) / (col("n") + lit(5.0))
+    val q = (col("cc") + lit(0.5)) / (col("nt") + lit(5.0))
+    j.groupBy(col("source"), col("n"))
+      .agg(round(sum(((p - q) * log(p / q)).cast("decimal(38,12)"))
+        .cast("double"), 6).as("psi"))
+      .select(col("source"), col("n").as("n_docs"), col("psi"))
+      .orderBy(col("source"))
+  }
 }

@@ -125,6 +125,49 @@ object PipelineRegistry {
          |  count(DISTINCT user_id) AS n_users,
          |  round(${graft.ops.Out.sql.davg("value")}, 6) AS avg_value
          |FROM e GROUP BY 1 ORDER BY 1""".stripMargin)(
-      PipelineQueries.leakageSplit)
+      PipelineQueries.leakageSplit),
+
+    QueryDef("q_source_overlap",
+      s"""WITH sh AS (SELECT DISTINCT source, ${hash48("s")} AS h
+         |  FROM (SELECT source, unnest(${shingleSet(PipelineQueries.OverlapN)}) AS s
+         |        FROM documents)),
+         |sz AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+         |pair AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared
+         |         FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+         |         GROUP BY 1, 2)
+         |SELECT src_a, src_b, shared,
+         |  round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) AS jaccard
+         |FROM pair
+         |JOIN sz sa ON sa.source = pair.src_a
+         |JOIN sz sb ON sb.source = pair.src_b
+         |ORDER BY src_a, src_b""".stripMargin)(
+      PipelineQueries.sourceOverlap),
+
+    // Identical term expression tree as the Spark side: shares formed as
+    // (count + 0.5) / (total + 5.0) in double, term = (p - q) * ln(p / q),
+    // each term cast DECIMAL(38,12) before the sum (order independence).
+    QueryDef("q_drift_psi",
+      s"""WITH c AS (SELECT source,
+         |    LEAST(n_chars // ${PipelineQueries.PsiBinWidth},
+         |          ${PipelineQueries.PsiBins - 1}) AS bin, count(*) AS c
+         |  FROM documents GROUP BY 1, 2),
+         |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+         |corp AS (SELECT bin, CAST(sum(c) AS BIGINT) AS cc FROM c GROUP BY 1),
+         |ntot AS (SELECT CAST(sum(c) AS BIGINT) AS nt FROM c),
+         |grid AS (SELECT t.source, t.n, g.bin
+         |         FROM tot t CROSS JOIN
+         |           (SELECT unnest(generate_series(0, ${PipelineQueries.PsiBins - 1})) AS bin) g),
+         |j AS (SELECT grid.source, grid.n,
+         |        COALESCE(c.c, 0) AS c, COALESCE(corp.cc, 0) AS cc, ntot.nt
+         |      FROM grid LEFT JOIN c ON c.source = grid.source AND c.bin = grid.bin
+         |      LEFT JOIN corp ON corp.bin = grid.bin
+         |      CROSS JOIN ntot)
+         |SELECT source, n AS n_docs,
+         |  round(CAST(sum(CAST(
+         |    (((c + 0.5) / (n + 5.0)) - ((cc + 0.5) / (nt + 5.0))) *
+         |    ln(((c + 0.5) / (n + 5.0)) / ((cc + 0.5) / (nt + 5.0)))
+         |    AS DECIMAL(38,12))) AS DOUBLE), 6) AS psi
+         |FROM j GROUP BY source, n ORDER BY source""".stripMargin)(
+      PipelineQueries.driftPsi)
   )
 }

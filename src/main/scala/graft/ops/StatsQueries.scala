@@ -462,4 +462,57 @@ object StatsQueries {
           .as("skew_ratio"))
       .orderBy(col("key_col"))
   }
+
+  /** Epoch-seconds origin for the OLS time axis (2024-01-01T00:00:00Z, just
+    * before the events fixture starts). Centering x near zero keeps the
+    * moment sums small — x² ≤ ~7e12 per row instead of ~3e18 — so the
+    * decimal partial sums stay far from the (38,8) ceiling even at 100 TB
+    * row counts, and the double-precision cancellation in n·Sxx − Sx² keeps
+    * ~10 more significant digits. The constant is part of the query
+    * contract (shared with the oracle), NOT a data-derived min — a
+    * data-derived origin would need an extra full pass and would make the
+    * slope non-reproducible under late-arriving data. */
+  val OlsEpochBase = 1704067200L
+
+  /** Per-event-type OLS trend of `value` over time: slope (units/second),
+    * intercept (at the fixed origin), and R², from one pass of decimal-exact
+    * moment sums — the scalable, deterministic spelling of
+    * `regr_slope`/`regr_intercept`/`regr_r2`. Same shape as [[corrStats]]:
+    * one partial-aggregated shuffle on a low-cardinality key, division in
+    * double at the very end, degenerate groups (n ≤ 1, zero variance)
+    * answered with NULL on both engines. */
+  def trendOls(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_type"),
+        (Out.epochSec(col("ts")) - OlsEpochBase).cast("decimal(18,4)").as("x"),
+        col("value").cast("decimal(18,4)").as("y"))
+    e.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("y") * col("y")).cast("double").as("syy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"))
+      .select(
+        col("event_type"),
+        col("n").cast("long").as("n"),
+        when(col("n") > 1 && (col("n") * col("sxx") - col("sx") * col("sx")) > 0,
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 6)).as("slope"),
+        when(col("n") > 1 && (col("n") * col("sxx") - col("sx") * col("sx")) > 0,
+          round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+            col("n"), 6)).as("intercept"),
+        // R² = cov² / (varx · vary); both denominators guarded > 0 (a
+        // constant-y group has no explainable variance — NULL, not 0/0).
+        when(col("n") > 1 && (col("n") * col("sxx") - col("sx") * col("sx")) > 0 &&
+            (col("n") * col("syy") - col("sy") * col("sy")) > 0,
+          round(((col("n") * col("sxy") - col("sx") * col("sy")) *
+              (col("n") * col("sxy") - col("sx") * col("sy"))) /
+            ((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))), 6)).as("r2"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -221,6 +221,38 @@ object StatsRegistry {
         |    (CAST(total AS DOUBLE) / CAST(n_keys AS DOUBLE)), 6) AS skew_ratio
         |FROM stats s JOIN top t ON s.key_col = t.key_col
         |ORDER BY s.key_col""".stripMargin)(
-      (s, d) => StatsQueries.keySkewAudit(s, d))
+      (s, d) => StatsQueries.keySkewAudit(s, d)),
+
+    // Moment sums decimal-exact, division in double at the end, expression
+    // trees parenthesized identically to the Spark side (slope recomputed
+    // unrounded inside intercept). Degenerate groups answer NULL on both
+    // engines (n ≤ 1 or zero x-variance; R² additionally needs y-variance).
+    QueryDef("q_trend_ols",
+      s"""WITH src AS (SELECT event_type,
+         |  CAST(CAST(FLOOR(EPOCH(ts)) AS BIGINT) - ${StatsQueries.OlsEpochBase}
+         |       AS DECIMAL(19,4)) AS x,
+         |  CAST(value AS DECIMAL(19,4)) AS y
+         |FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+         |m AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+         |  CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         |  CAST(sum(x * x) AS DOUBLE) AS sxx,
+         |  CAST(sum(y * y) AS DOUBLE) AS syy,
+         |  CAST(sum(x * y) AS DOUBLE) AS sxy
+         |FROM src GROUP BY 1)
+         |SELECT event_type, CAST(n AS BIGINT) AS n,
+         |  CASE WHEN n > 1 AND (n * sxx - sx * sx) > 0
+         |    THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+         |  END AS slope,
+         |  CASE WHEN n > 1 AND (n * sxx - sx * sx) > 0
+         |    THEN round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+         |               / n, 6)
+         |  END AS intercept,
+         |  CASE WHEN n > 1 AND (n * sxx - sx * sx) > 0
+         |       AND (n * syy - sy * sy) > 0
+         |    THEN round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+         |         ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+         |  END AS r2
+         |FROM m ORDER BY event_type""".stripMargin)(
+      (s, d) => StatsQueries.trendOls(s, d))
   )
 }

@@ -359,4 +359,44 @@ object TextQueries {
         element_at(col("toks"),
           col("s") + least(lit(WinTokens), col("n") - col("s"))).as("last_tok"))
       .orderBy(col("doc_id"), col("win_id"))
+
+  /** PII patterns for [[piiScrub]] — deliberately simple character-class
+    * regexes that mean the same thing in Java's regex engine and RE2
+    * (DuckDB): no backrefs, no lookaround, no word boundaries, `-` last in
+    * every class. A production scrubber would carry a larger battery
+    * (SSNs, IPs, credit cards) — each added pattern is one more codegen'd
+    * `regexp_replace` in the same narrow projection. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "555-[0-9]{4}"
+
+  /** PII redaction over the corpus. The fixture text carries no PII, so the
+    * query first plants a deterministic email + phone per document (derived
+    * from `doc_id` — both engines construct the identical string), then
+    * scrubs: emails → `<EMAIL>`, phones → `<PHONE>`. Output per doc: match
+    * counts, scrubbed length, and a 48-bit hash of the scrubbed text — the
+    * hash is the actual gate that redaction produced BYTE-IDENTICAL output
+    * in both engines, not just equal counts.
+    *
+    * Shape at scale: a pure narrow projection — regex match + replace is
+    * codegen'd per row, no shuffle at all (the ORDER BY is the gate's
+    * determinism requirement, not part of the operator). This is the
+    * pattern every PII pass at 100 TB wants: scan → replace → write, zero
+    * exchanges. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com or call 555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+    Tables(spark, dir).documents
+      .select(col("doc_id"), planted.as("aug"))
+      .select(col("doc_id"),
+        regexp_count(col("aug"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("aug"), lit(PhoneRe)).cast("long").as("n_phones"),
+        regexp_replace(regexp_replace(col("aug"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>").as("scrubbed"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"),
+        length(col("scrubbed")).cast("long").as("scrubbed_len"),
+        expr(hash48("scrubbed")).as("scrubbed_h48"))
+      .orderBy(col("doc_id"))
+  }
 }

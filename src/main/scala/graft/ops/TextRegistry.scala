@@ -209,6 +209,28 @@ object TextRegistry {
         |  toks[s + 1] AS first_tok,
         |  toks[s + LEAST(${TextQueries.WinTokens}, n - s)] AS last_tok
         |FROM w ORDER BY doc_id, win_id""".stripMargin)(
-      TextQueries.chunkWindows)
+      TextQueries.chunkWindows),
+
+    // Same planted-PII construction, same two-stage replace; the scrubbed
+    // text is compared via its 48-bit hash, so redaction must be
+    // byte-identical across the engines, not merely count-equal.
+    QueryDef("q_pii_scrub",
+      s"""WITH aug AS (SELECT doc_id,
+         |    text || ' contact user' || doc_id::VARCHAR ||
+         |    '@example.com or call 555-' ||
+         |    lpad((doc_id % 10000)::VARCHAR, 4, '0') AS aug
+         |  FROM documents),
+         |s AS (SELECT doc_id,
+         |    CAST(len(regexp_extract_all(aug, '${TextQueries.EmailRe}')) AS BIGINT) AS n_emails,
+         |    CAST(len(regexp_extract_all(aug, '${TextQueries.PhoneRe}')) AS BIGINT) AS n_phones,
+         |    regexp_replace(regexp_replace(aug,
+         |      '${TextQueries.EmailRe}', '<EMAIL>', 'g'),
+         |      '${TextQueries.PhoneRe}', '<PHONE>', 'g') AS scrubbed
+         |  FROM aug)
+         |SELECT doc_id, n_emails, n_phones,
+         |  CAST(length(scrubbed) AS BIGINT) AS scrubbed_len,
+         |  ('0x' || substr(md5(scrubbed), 1, 12))::BIGINT AS scrubbed_h48
+         |FROM s ORDER BY doc_id""".stripMargin)(
+      TextQueries.piiScrub)
   )
 }

@@ -118,4 +118,48 @@ class PipelineQueriesSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     got shouldBe want
   }
+
+  test("source overlap = pairwise shingle-set intersection with exact jaccard") {
+    val n = PipelineQueries.OverlapN
+    val bySource: Map[String, Set[String]] = corpus.groupBy(_._3)
+      .map { case (s, docs) => s -> docs.flatMap(d => shingles(d._4, n)).toSet }
+    val want = (for {
+      a <- bySource.keys; b <- bySource.keys if a < b
+      shared = (bySource(a) & bySource(b)).size.toLong if shared > 0
+    } yield (a, b) -> ((shared,
+      BigDecimal(shared.toDouble /
+          (bySource(a).size + bySource(b).size - shared))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))).toMap
+    val got = PipelineQueries.sourceOverlap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    got shouldBe want
+  }
+
+  test("drift PSI matches a driver-side recomputation and is non-negative") {
+    val lens = Tables(spark, sf).documents.select("source", "n_chars")
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+    val bins = PipelineQueries.PsiBins
+    def bin(c: Long) = math.min(c / PipelineQueries.PsiBinWidth, bins - 1L)
+    val corpusBins = lens.groupBy(l => bin(l._2)).view.mapValues(_.size.toLong).toMap
+    val nt = lens.size.toDouble
+    val want = lens.groupBy(_._1).map { case (src, ls) =>
+      val cbs = ls.groupBy(l => bin(l._2)).view.mapValues(_.size.toLong).toMap
+      val nsrc = ls.size.toDouble
+      val psi = (0L until bins.toLong).map { b =>
+        val p = (cbs.getOrElse(b, 0L) + 0.5) / (nsrc + 5.0)
+        val q = (corpusBins.getOrElse(b, 0L) + 0.5) / (nt + 5.0)
+        (p - q) * math.log(p / q)
+      }.sum
+      src -> ((ls.size.toLong, psi))
+    }
+    val got = PipelineQueries.driftPsi(spark, sf).collect()
+    got.map(_.getString(0)).toSet shouldBe want.keySet
+    got.foreach { r =>
+      val (nDocs, psi) = want(r.getString(0))
+      r.getLong(1) shouldBe nDocs
+      r.getDouble(2) shouldBe psi +- 1e-6
+      r.getDouble(2) should be >= 0.0
+    }
+  }
 }

@@ -123,4 +123,39 @@ class StatsQueriesSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getAs[Long]("n")).toMap
     sub shouldBe joined
   }
+
+  test("trend OLS matches a driver-side exact-sum regression per event type") {
+    val base = StatsQueries.OlsEpochBase
+    val pts = Tables(spark, sf).events
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_type"), floor(col("ts").cast("double")).cast("long"),
+        col("value"))
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1) - base, r.getDouble(2)))
+    val want = pts.groupBy(_._1).map { case (et, ps) =>
+      // exact sums via BigDecimal on the scale-4 quantized inputs, then the
+      // identical double formula tree as the query
+      def bd(d: Double) = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      val xs = ps.map(p => bd(p._2.toDouble)); val ys = ps.map(p => bd(p._3))
+      val n = ps.size.toDouble
+      val sx = xs.sum.toDouble; val sy = ys.sum.toDouble
+      val sxx = xs.map(x => x * x).sum.toDouble
+      val syy = ys.map(y => y * y).sum.toDouble
+      val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum.toDouble
+      val varx = n * sxx - sx * sx
+      val slope = (n * sxy - sx * sy) / varx
+      et -> (ps.size.toLong, slope, (sy - slope * sx) / n,
+        ((n * sxy - sx * sy) * (n * sxy - sx * sy)) / (varx * (n * syy - sy * sy)))
+    }
+    val got = StatsQueries.trendOls(spark, sf).collect()
+    got.map(_.getString(0)).toSet shouldBe want.keySet
+    got.foreach { r =>
+      val (n, slope, intercept, r2) = want(r.getString(0))
+      r.getLong(1) shouldBe n
+      r.getDouble(2) shouldBe slope +- 1e-6
+      r.getDouble(3) shouldBe intercept +- 1e-6
+      r.getDouble(4) shouldBe r2 +- 1e-6
+      r.getDouble(4) should (be >= 0.0 and be <= 1.0)
+    }
+  }
 }

@@ -136,4 +136,22 @@ class TextQueriesSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toSeq
     got shouldBe want
   }
+
+  test("PII scrub redacts exactly the planted email+phone, byte-identically") {
+    import java.security.MessageDigest
+    def h48(s: String): Long = java.lang.Long.parseLong(
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12), 16)
+    val texts = corpus.map { case (id, w) => id -> w.mkString(" ") }.toMap
+    val got = TextQueries.piiScrub(spark, sf).collect()
+    got.length shouldBe corpus.size
+    got.foreach { r =>
+      val text = texts(r.getLong(0))
+      r.getLong(1) shouldBe 1L // one planted email, none in the fixture text
+      r.getLong(2) shouldBe 1L // one planted phone
+      val expected = text + " contact <EMAIL> or call <PHONE>"
+      r.getLong(3) shouldBe expected.length.toLong
+      r.getLong(4) shouldBe h48(expected)
+    }
+  }
 }
