@@ -362,4 +362,99 @@ object GraphQueries {
   def labelPropagationTrade(spark: SparkSession, dir: String,
       rounds: Int = LpaRounds): DataFrame =
     labelPropagationOf(nationTradeEdges(Tables(spark, dir)), rounds)
+
+  /** Fixed-point scale for the resource-allocation link-prediction score:
+    * RA(u,v) = Σ_{c ∈ CN(u,v)} 1/deg(c) (Zhou/Lü/Zhang's RA index), summed
+    * as `RaScale div deg` integer contributions — the same exact,
+    * partition-order-independent discipline as [[PrScale]] PageRank. A
+    * double spelling (`SUM(1.0/deg)` or Adamic–Adar's `1/ln deg`) would
+    * hash-diverge between engines on both summation order and libm ulps. */
+  val RaScale = 1000000000000L
+
+  /** Candidate pairs emitted by [[linkPredict]] (top-k by RA score). */
+  val LinkPredTopK = 100
+
+  /** Link prediction over the co-order supplier graph: for every
+    * NON-adjacent supplier pair sharing ≥ 1 common neighbor, the
+    * common-neighbor count and fixed-point resource-allocation score;
+    * top-[[LinkPredTopK]] by score. The "which suppliers should be trading
+    * but aren't" recommender primitive.
+    *
+    * Shape at scale: wedges are enumerated through their CENTER node (one
+    * self-equi-join of the symmetrized edge list on the center id), so the
+    * pair generator is Σ deg(c)² — bounded here because [[coOrderEdges]]'
+    * `minShared` threshold keeps the projection sparse (same arboricity
+    * argument as [[triangleCount]]; an unthresholded hub would need the
+    * degree-cap treatment [[ConnectedComponents]] documents). One
+    * partial-agg shuffle scores the pairs, a broadcast-sized anti-join
+    * removes existing edges, and the top-k is TakeOrderedAndProject — a
+    * per-partition heap, never a global sort.
+    *
+    * The thresholded edge set is `localCheckpoint`ed before fan-out: it is
+    * referenced three times (sym ×2, anti-join ×1) with DIFFERENT required
+    * columns, and Catalyst's column pruning pushes per-consumer projections
+    * into the aggregate subtree, so the three references canonicalize
+    * differently and exchange reuse never fires — without materialization
+    * the expensive order-fanout pair aggregation runs three times (measured
+    * 11.6 s → 2.4 s at sf0.1). The edge set itself is sparse by
+    * construction (minShared thresholding), so the checkpoint is
+    * metadata-scale at any corpus size. */
+  def linkPredict(spark: SparkSession, dir: String,
+      minShared: Int = TriMinShared, k: Int = LinkPredTopK): DataFrame = {
+    val e = coOrderEdges(Tables(spark, dir), minShared).localCheckpoint()
+    val sym = e.select(col("s1").as("src"), col("s2").as("dst"))
+      .unionByName(e.select(col("s2").as("src"), col("s1").as("dst")))
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val wedges = sym.as("a").join(sym.as("b"),
+        col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+      .select(col("a.src").as("c"), col("a.dst").as("u"), col("b.dst").as("v"))
+    wedges.join(deg.select(col("src").as("c"), col("deg")), Seq("c"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("cn"), sum(expr(s"$RaScale div deg")).as("ra_fp"))
+      .join(e, col("u") === col("s1") && col("v") === col("s2"), "left_anti")
+      .orderBy(col("ra_fp").desc, col("u"), col("v"))
+      .limit(k)
+  }
+
+  /** Unrolled BFS round budget (the oracle's CTE chain is generated from
+    * this constant — keep-in-sync-by-construction, as [[PrIters]]). */
+  val BfsRounds = 3
+
+  /** Seed nation for [[bfsFrontier]]: distances are measured from the
+    * suppliers of this nation. */
+  val BfsSeedNation = 0
+
+  /** [[BfsRounds]]-hop BFS over the trade graph from nation-
+    * [[BfsSeedNation]] suppliers: every node within `rounds` hops with its
+    * exact hop distance — the bounded-radius reachability primitive
+    * (blast-radius, fraud-ring neighborhood, supply-chain exposure).
+    *
+    * Shape at scale: each round is ONE equi-join (edge list ⋈ current
+    * distance set on the source id) plus one partial-agg MIN shuffle —
+    * the same Pregel step as [[pagerankOf]], and like it the fixed unrolled
+    * budget runs as one declarative plan with the edge-list exchange
+    * reused across rounds. The distance set only grows monotonically
+    * (min keeps the first-reached hop), so rounds past the true
+    * eccentricity are no-ops. A dynamic iterate-to-fixpoint variant would
+    * localCheckpoint per round as [[ConnectedComponents.run]] does. */
+  def bfsFrontier(spark: SparkSession, dir: String,
+      rounds: Int = BfsRounds): DataFrame = {
+    val t = Tables(spark, dir)
+    val e = edges(t)
+    val seeds = t.supplier.filter(col("s_nationkey") === BfsSeedNation)
+      .select((col("s_suppkey") * 2 + 1).as("src")).distinct()
+      .join(e.select(col("src")).distinct(), Seq("src"), "left_semi")
+      .select(col("src").as("node"), lit(0L).as("dist"))
+    var dist = seeds
+    for (_ <- 1 to rounds) {
+      val next = e.join(dist.select(col("node").as("src"), col("dist")), Seq("src"))
+        .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+      dist = dist.unionByName(next)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+    }
+    dist.select(col("node"),
+        when(col("node") % 2 === 0, lit("cust")).otherwise(lit("supp")).as("kind"),
+        col("dist"))
+      .orderBy(col("node"))
+  }
 }

@@ -108,10 +108,53 @@ object GraphRegistry {
        |${(1 to GraphQueries.LpaRounds).map(lpaRound).mkString(",\n")}
        |SELECT node, label FROM l${GraphQueries.LpaRounds} ORDER BY node""".stripMargin
 
+  /** Link prediction: wedge enumeration through the center node, RA score
+    * as exact fixed-point integer sum (`//` is DuckDB's truncating division,
+    * matching Spark's `div` on positive BIGINTs; the HUGEINT sum casts back
+    * exactly — RaScale · maxdeg wedges fits far inside BIGINT). */
+  private val linkPredictSql =
+    s"""WITH $graphCtes,
+       |sym AS MATERIALIZED (
+       |  SELECT s1 AS src, s2 AS dst FROM e UNION ALL SELECT s2, s1 FROM e),
+       |w AS (SELECT a.src AS c, a.dst AS u, b.dst AS v
+       |      FROM sym a JOIN sym b ON a.src = b.src AND a.dst < b.dst),
+       |sc AS (SELECT u, v, COUNT(*) AS cn,
+       |         CAST(SUM(${GraphQueries.RaScale} // d.deg) AS BIGINT) AS ra_fp
+       |       FROM w JOIN deg d ON d.src = w.c GROUP BY 1, 2)
+       |SELECT u, v, cn, ra_fp FROM sc
+       |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.s1 = sc.u AND e.s2 = sc.v)
+       |ORDER BY ra_fp DESC, u, v LIMIT ${GraphQueries.LinkPredTopK}""".stripMargin
+
+  /** One BFS relaxation round: keep every known distance, add every
+    * neighbor at +1, take the MIN per node. MATERIALIZED for the same
+    * 3^rounds-inlining reason as the k-core peel. */
+  private def bfsRound(i: Int): String =
+    s"""d$i AS MATERIALIZED (
+       |  SELECT node, MIN(dist) AS dist FROM (
+       |    SELECT node, dist FROM d${i - 1}
+       |    UNION ALL
+       |    SELECT e.dst AS node, p.dist + 1 AS dist
+       |    FROM se e JOIN d${i - 1} p ON e.src = p.node)
+       |  GROUP BY node)""".stripMargin
+
+  private val bfsSql =
+    s"""WITH $tradeCtes,
+       |d0 AS MATERIALIZED (
+       |  SELECT DISTINCT s_suppkey * 2 + 1 AS node, CAST(0 AS BIGINT) AS dist
+       |  FROM supplier
+       |  WHERE s_nationkey = ${GraphQueries.BfsSeedNation}
+       |    AND s_suppkey * 2 + 1 IN (SELECT src FROM se)),
+       |${(1 to GraphQueries.BfsRounds).map(bfsRound).mkString(",\n")}
+       |SELECT node,
+       |  CASE WHEN node % 2 = 0 THEN 'cust' ELSE 'supp' END AS kind, dist
+       |FROM d${GraphQueries.BfsRounds} ORDER BY node""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_pagerank", pagerankSql)(GraphQueries.pagerank(_, _)),
     QueryDef("q_triangle_count", triangleSql)(GraphQueries.triangleCount(_, _)),
     QueryDef("q_degree_dist", degreeDistSql)(GraphQueries.degreeDist(_, _)),
     QueryDef("q_kcore", kcoreSql)(GraphQueries.kCoreTrade(_, _)),
-    QueryDef("q_label_prop", labelPropSql)(GraphQueries.labelPropagationTrade(_, _)))
+    QueryDef("q_label_prop", labelPropSql)(GraphQueries.labelPropagationTrade(_, _)),
+    QueryDef("q_link_predict", linkPredictSql)(GraphQueries.linkPredict(_, _)),
+    QueryDef("q_bfs_frontier", bfsSql)(GraphQueries.bfsFrontier(_, _)))
 }
