@@ -621,6 +621,78 @@ object RelationalQueries {
       .limit(k)
   }
 
+  /** Quarter window + lateness threshold for [[tpch4Priority]] (shared with
+    * the oracle SQL by interpolation). */
+  val Tpch4Start = "1996-01-01"
+  val Tpch4End = "1996-04-01"
+  val Tpch4LateDays = 60
+
+  /** TPC-H Q4-shape order-priority check: how many orders per priority
+    * class placed in one quarter had at least one line shipped more than
+    * [[Tpch4LateDays]] days after the order date (the schema's analog of
+    * Q4's commit-vs-receipt lateness — this lineitem has no commit/receipt
+    * dates). The canonical EXISTS-correlated-subquery report.
+    *
+    * Shape at scale: the quarter filter lands on the orders parquet scan
+    * (partition-prunable on a date-partitioned lake), EXISTS becomes a
+    * LEFT SEMI join on the order key — one shuffle, short-circuiting on
+    * the first matching line, never materializing the multiplicity — and
+    * the per-priority count is a 5-row partial agg. The lateness predicate
+    * rides the semi join as a residual condition on the already-matched
+    * key, so no extra pass over lineitem. */
+  def tpch4Priority(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val o = t.orders
+      .filter(col("o_orderdate") >= lit(Tpch4Start).cast("timestamp")
+        && col("o_orderdate") < lit(Tpch4End).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val l = t.lineitem.select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l, col("o_orderkey") === col("l_orderkey")
+          && col("l_shipdate") >
+            col("o_orderdate") + expr(s"INTERVAL $Tpch4LateDays DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Top-k size for [[tpch10Returns]]. */
+  val Tpch10K = 20
+
+  /** TPC-H Q10-shape returned-item report: the customers who returned the
+    * most revenue in one quarter, with their nation — the classic "who
+    * should customer service call" 4-table join.
+    *
+    * Shape at scale: both selective filters (quarter on orders, return
+    * flag on lineitem) push to their scans before any join; the
+    * orders⋈lineitem FK join shuffles once on the order key, the customer
+    * join re-shuffles the handful of surviving rows on the customer key
+    * (AQE sees the post-filter sizes), and nation is a broadcast. Revenue
+    * in DECIMAL ([[tpch1Pricing]] rationale); ties broken by customer key
+    * so the top-k heap is deterministic. */
+  def tpch10Returns(spark: SparkSession, dir: String,
+      k: Int = Tpch10K): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val t = Tables(spark, dir)
+    val o = t.orders
+      .filter(col("o_orderdate") >= lit(Tpch4Start).cast("timestamp")
+        && col("o_orderdate") < lit(Tpch4End).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = t.lineitem.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val priceDec = col("l_extendedprice").cast(DecimalType(12, 2))
+    val discF = (lit(1.0) - col("l_discount")).cast(DecimalType(4, 2))
+    o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(t.customer.select(col("c_custkey"), col("c_name"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(priceDec * discF).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(k)
+  }
+
   /** Snapshot cutoffs for [[snapshotDiff]] (shared with the oracle SQL). */
   val SnapOldCutoff = "1997-01-01"
   val SnapNewCutoff = "1998-01-01"

@@ -309,6 +309,32 @@ object RelationalRegistry {
          |ORDER BY o_totalprice DESC, o_orderkey LIMIT ${RelationalQueries.Tpch18K}""".stripMargin)(
       (s, d) => RelationalQueries.tpch18BigOrders(s, d)),
 
+    QueryDef("q_tpch4_priority",
+      s"""SELECT o_orderpriority, count(*) AS order_count FROM orders
+         |WHERE o_orderdate >= TIMESTAMP '${RelationalQueries.Tpch4Start}'
+         |  AND o_orderdate < TIMESTAMP '${RelationalQueries.Tpch4End}'
+         |  AND EXISTS (SELECT 1 FROM lineitem
+         |    WHERE l_orderkey = o_orderkey
+         |      AND l_shipdate > o_orderdate
+         |        + INTERVAL ${RelationalQueries.Tpch4LateDays} DAY)
+         |GROUP BY 1 ORDER BY 1""".stripMargin)(
+      RelationalQueries.tpch4Priority),
+
+    QueryDef("q_tpch10_returns",
+      s"""SELECT c_custkey, c_name, n_name,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+         |    * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE o_orderdate >= TIMESTAMP '${RelationalQueries.Tpch4Start}'
+         |  AND o_orderdate < TIMESTAMP '${RelationalQueries.Tpch4End}'
+         |  AND l_returnflag = 'R'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue DESC, c_custkey LIMIT ${RelationalQueries.Tpch10K}""".stripMargin)(
+      (s, d) => RelationalQueries.tpch10Returns(s, d)),
+
     QueryDef("q_scd2_islands",
       s"""WITH o AS (
          |  SELECT o_custkey, o_orderstatus,
