@@ -399,4 +399,45 @@ object TextQueries {
         expr(hash48("scrubbed")).as("scrubbed_h48"))
       .orderBy(col("doc_id"))
   }
+
+  /** Postings kept per term by [[invertedIndex]] (top docs by tf). */
+  val IdxPostings = 10
+
+  /** Inverted-index build: one row per vocabulary term with document
+    * frequency, collection frequency, and the top-[[IdxPostings]] posting
+    * list (doc ids ordered by term frequency, ties to the lower id) — the
+    * search-engine index-construction pass, and the batch half of what
+    * [[bm25Search]] consumes conceptually.
+    *
+    * Shape at scale: tokenize → explode → ONE partial-agg shuffle on
+    * (term, doc) builds the tf table; df/cf are a second partial agg on the
+    * term key (same partitioning — no extra exchange), and the posting cap
+    * is a rank window PARTITIONED BY TERM — Spark plans it as
+    * WindowGroupLimit, pruning to k rows per term BEFORE the window sort
+    * materializes, so a stop-word's billion-row posting stream never
+    * sorts. The capped postings aggregate via collect_list of
+    * (-tf, doc_id) structs + sort_array — deterministic regardless of
+    * partition arrival order (collect_list alone is not). Output is
+    * vocabulary-sized, not corpus-sized. */
+  def invertedIndex(spark: SparkSession, dir: String,
+      k: Int = IdxPostings): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables(spark, dir).documents
+      .select(col("doc_id"), explode(expr(wordsExpr)).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val stats = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+    val postings = tf
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("term"))
+          .orderBy(col("tf").desc, col("doc_id"))))
+      .filter(col("rk") <= k)
+      .groupBy(col("term"))
+      .agg(sort_array(collect_list(struct((-col("tf")).as("ntf"),
+        col("doc_id")))).as("p"))
+      .select(col("term"), expr("transform(p, x -> x.doc_id)").as("postings"))
+    stats.join(postings, Seq("term")).orderBy(col("term"))
+  }
 }

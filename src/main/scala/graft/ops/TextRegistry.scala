@@ -231,6 +231,29 @@ object TextRegistry {
          |  CAST(length(scrubbed) AS BIGINT) AS scrubbed_len,
          |  ('0x' || substr(md5(scrubbed), 1, 12))::BIGINT AS scrubbed_h48
          |FROM s ORDER BY doc_id""".stripMargin)(
-      TextQueries.piiScrub)
+      TextQueries.piiScrub),
+
+    // The rank-window + list() spelling mirrors the Spark side's
+    // WindowGroupLimit + sorted-struct aggregation; list(... ORDER BY) makes
+    // the posting order explicit rather than arrival-dependent.
+    QueryDef("q_inverted_index",
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |  FROM documents),
+         |tf AS (SELECT term, doc_id, count(*) AS tf FROM tok
+         |       WHERE term <> '' GROUP BY 1, 2),
+         |stats AS (SELECT term, count(*) AS df,
+         |            CAST(SUM(tf) AS BIGINT) AS cf
+         |          FROM tf GROUP BY 1),
+         |rk AS (SELECT term, doc_id, tf,
+         |         row_number() OVER (PARTITION BY term
+         |                            ORDER BY tf DESC, doc_id) AS rk
+         |       FROM tf),
+         |post AS (SELECT term,
+         |           list(doc_id ORDER BY tf DESC, doc_id) AS postings
+         |         FROM rk WHERE rk <= ${TextQueries.IdxPostings} GROUP BY 1)
+         |SELECT s.term, s.df, s.cf, p.postings
+         |FROM stats s JOIN post p USING (term) ORDER BY s.term""".stripMargin)(
+      (s, d) => TextQueries.invertedIndex(s, d))
   )
 }

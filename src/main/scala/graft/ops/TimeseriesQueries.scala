@@ -256,4 +256,102 @@ object TimeseriesQueries {
         round(Out.davg(col("value")), 6).as("bar_avg"))
       .orderBy(col("user_id"), col("day"))
   }
+
+  /** Day bucket for the change-detection queries, seconds. */
+  val CpDaySec = 86400L
+
+  /** CUSUM change-point detection per event type: the cumulative sum of
+    * daily deviations from the type's overall mean rate, with the maximum-
+    * |CUSUM| day flagged — the classic Page-style "did this metric's level
+    * shift, and when" monitor (a mean shift makes the CUSUM ramp; its peak
+    * marks the most likely change point).
+    *
+    * Exactness: the deviation is NEVER materialized per day (daily_mean −
+    * global_mean would stack fp error); instead CUSUM_d = cumS_d − cumN_d ·
+    * (S/N) where cumS/S are exact decimal value sums and cumN/N exact
+    * counts — one double expression evaluated identically by both engines
+    * at each day.
+    *
+    * Shape at scale: one partial-agg shuffle to the (type, day) grain —
+    * everything after runs on the DAY-count-sized series (windows
+    * partitioned per type, never over raw events), so the window state is
+    * calendar-bounded regardless of event volume. */
+  def cusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val wT = Window.partitionBy(col("event_type"))
+    val wC = wT.orderBy(col("day_ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir).events
+      .where(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), Out.epochSec(col("ts")).as("sec"),
+        col("value"))
+      .groupBy(col("event_type"),
+        ((col("sec") / CpDaySec).cast("long") * CpDaySec).as("day_ts"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).as("s"))
+      .withColumn("cusum", round(
+        sum(col("s")).over(wC).cast("double") -
+          sum(col("n")).over(wC).cast("double") *
+            (sum(col("s")).over(wT).cast("double") /
+              sum(col("n")).over(wT).cast("double")), 6))
+      .withColumn("mx", max(abs(col("cusum"))).over(wT))
+      .select(col("event_type"), col("day_ts"), col("n"), col("cusum"),
+        (abs(col("cusum")) === col("mx")).cast("long").as("is_cp"))
+      .orderBy(col("event_type"), col("day_ts"))
+  }
+
+  /** Longest lag computed by [[autocorrDaily]]. */
+  val AcfMaxLag = 3
+
+  /** Lag-1..[[AcfMaxLag]] autocorrelation of each type's daily-mean series:
+    * the Pearson correlation between the series and its k-day-lagged self —
+    * the "is this metric trending/periodic or white noise" diagnostic that
+    * decides whether a forecast model is worth fitting.
+    *
+    * Determinism: daily means are rounded to 6dp and cast to
+    * DECIMAL(18,6) — a 6dp-rounded double is within 1 ulp of its decimal
+    * value, so the cast is exact and identical in both engines — and all
+    * five Pearson moments are then exact decimal sums; the final r is one
+    * double formula with the variance numerators clamped at 0 (the
+    * [[anomalyZscore]] ulp lesson). Zero-variance series are excluded by
+    * the > 0 guards, mirrored in the oracle.
+    *
+    * Shape at scale: the (type, day) aggregate does the data-sized work;
+    * the lag windows and moment aggregation run on the calendar-bounded
+    * series. All [[AcfMaxLag]] lags share ONE window sort (three `lag`
+    * calls over the same spec), then explode into (lag, x, y) pairs. */
+  def autocorrDaily(spark: SparkSession, dir: String,
+      maxLag: Int = AcfMaxLag): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day_ts"))
+    val daily = Tables(spark, dir).events
+      .where(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), Out.epochSec(col("ts")).as("sec"),
+        col("value"))
+      .groupBy(col("event_type"),
+        ((col("sec") / CpDaySec).cast("long") * CpDaySec).as("day_ts"))
+      .agg(round(Out.davg(col("value")), 6).cast("decimal(18,6)").as("x"))
+    val lagged = (1 to maxLag).foldLeft(daily) { (df, k) =>
+      df.withColumn(s"x$k", lag(col("x"), k).over(w))
+    }
+    val pairs = lagged.select(col("event_type"), col("x"),
+        explode(array((1 to maxLag).map(k =>
+          struct(lit(k.toLong).as("k"), col(s"x$k").as("y"))): _*)).as("p"))
+      .select(col("event_type"), col("p.k").as("lag_d"), col("x"), col("p.y"))
+      .where(col("y").isNotNull)
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    val agg = pairs.groupBy(col("event_type"), col("lag_d"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+    agg
+      .withColumn("vx", d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx")))
+      .withColumn("vy", d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy")))
+      .where(col("vx") > 0 && col("vy") > 0)
+      .select(col("event_type"), col("lag_d"), col("n").as("n_pairs"),
+        round((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+          (sqrt(greatest(col("vx"), lit(0.0))) *
+            sqrt(greatest(col("vy"), lit(0.0)))), 6).as("acf"))
+      .orderBy(col("event_type"), col("lag_d"))
+  }
 }

@@ -122,5 +122,76 @@ object TimeseriesRegistry {
          |  ARG_MAX(value, ord) AS close,
          |  ROUND(${graft.ops.Out.sql.davg("value")}, 6) AS bar_avg
          |FROM e GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin)(
-      TimeseriesQueries.ohlcResample))
+      TimeseriesQueries.ohlcResample),
+
+    // CUSUM_d = cumS_d − cumN_d·(S/N) from exact decimal sums — the same
+    // double expression tree as the Spark side, never a per-day float
+    // deviation accumulation.
+    QueryDef("q_cusum_changepoint",
+      s"""WITH d AS (
+         |  SELECT event_type,
+         |    (${graft.ops.Out.sql.epochSec("ts")} // ${TimeseriesQueries.CpDaySec})
+         |      * ${TimeseriesQueries.CpDaySec} AS day_ts,
+         |    count(*) AS n, SUM(CAST(value AS DECIMAL(18,4))) AS s
+         |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+         |  GROUP BY 1, 2),
+         |c AS (
+         |  SELECT event_type, day_ts, n,
+         |    ROUND(CAST(SUM(s) OVER wc AS DOUBLE)
+         |      - CAST(SUM(n) OVER wc AS DOUBLE)
+         |        * (CAST(SUM(s) OVER wt AS DOUBLE)
+         |           / CAST(SUM(n) OVER wt AS DOUBLE)), 6) AS cusum
+         |  FROM d
+         |  WINDOW wc AS (PARTITION BY event_type ORDER BY day_ts
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |    wt AS (PARTITION BY event_type))
+         |SELECT event_type, day_ts, n, cusum,
+         |  CAST(abs(cusum) = max(abs(cusum)) OVER (PARTITION BY event_type)
+         |    AS BIGINT) AS is_cp
+         |FROM c ORDER BY event_type, day_ts""".stripMargin)(
+      TimeseriesQueries.cusumChangepoint),
+
+    // Daily means rounded to 6dp then cast DECIMAL(18,6) (exact — a
+    // 6dp-rounded double is within 1 ulp of its decimal value), so all five
+    // Pearson moments are exact sums; r is one shared double formula with
+    // 0-clamped variance numerators.
+    QueryDef("q_autocorr_daily",
+      s"""WITH m AS (
+         |  SELECT event_type,
+         |    (${graft.ops.Out.sql.epochSec("ts")} // ${TimeseriesQueries.CpDaySec})
+         |      * ${TimeseriesQueries.CpDaySec} AS day_ts,
+         |    CAST(ROUND(${graft.ops.Out.sql.davg("value")}, 6)
+         |      AS DECIMAL(18,6)) AS x
+         |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+         |  GROUP BY 1, 2),
+         |l AS (
+         |  SELECT event_type, day_ts, x,
+         |    ${(1 to TimeseriesQueries.AcfMaxLag)
+               .map(k => s"lag(x, $k) OVER w AS x$k").mkString(", ")}
+         |  FROM m WINDOW w AS (PARTITION BY event_type ORDER BY day_ts)),
+         |p AS (
+         |  ${(1 to TimeseriesQueries.AcfMaxLag)
+              .map(k => s"SELECT event_type, $k AS lag_d, x, x$k AS y " +
+                s"FROM l WHERE x$k IS NOT NULL")
+              .mkString("\n         |  UNION ALL\n         |  ")}),
+         |a AS (
+         |  SELECT event_type, lag_d, count(*) AS n,
+         |    SUM(x) AS sx, SUM(y) AS sy, SUM(x*x) AS sxx,
+         |    SUM(y*y) AS syy, SUM(x*y) AS sxy
+         |  FROM p GROUP BY 1, 2),
+         |v AS (
+         |  SELECT event_type, lag_d, n,
+         |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+         |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+         |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cxy
+         |  FROM a)
+         |SELECT event_type, CAST(lag_d AS BIGINT) AS lag_d, n AS n_pairs,
+         |  ROUND(cxy / (SQRT(GREATEST(vx, 0.0)) * SQRT(GREATEST(vy, 0.0))), 6)
+         |    AS acf
+         |FROM v WHERE vx > 0 AND vy > 0
+         |ORDER BY event_type, lag_d""".stripMargin)(
+      (s, d) => TimeseriesQueries.autocorrDaily(s, d)))
 }
