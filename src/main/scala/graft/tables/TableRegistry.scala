@@ -43,7 +43,65 @@ object TableRegistry {
       .orderBy(col("uid"))
   }
 
+  /** Number of delta batches in the incremental-view exercise. */
+  val MvBatches = 3
+
+  /** Incremental materialized-view maintenance: a per-customer order
+    * summary (count + exact revenue) kept up to date across [[MvBatches]]
+    * delta loads WITHOUT ever recomputing the full aggregate — each batch
+    * partial-aggregates ONLY its delta, joins the handful of affected keys
+    * against the current view to add the increments, and merges the summed
+    * rows back via [[Merge.mergeInto]] (untouched keys survive through the
+    * merge's left-anti, never rewritten beyond their bucket's
+    * copy-on-write). The oracle recomputes the same summary from scratch
+    * over all orders — green means increment-and-merge ≡ full recompute.
+    *
+    * This is the view-maintenance shape a 100 TB warehouse needs: per-load
+    * cost scales with the DELTA (partial agg + affected-key join + affected-
+    * bucket rewrite), not the accumulated table. Count and revenue deltas
+    * commute (count sums; revenue is an exact decimal sum), so batch
+    * boundaries can fall anywhere. */
+  def mvIncrementalDemo(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Out
+    val table = Files.createTempDirectory("graft_mv_inc").toString + "/mv"
+    val o = Tables(spark, dir).orders
+      .select(col("o_custkey").as("cust"), col("o_orderkey"),
+        col("o_totalprice"))
+      .filter(col("cust").isNotNull && col("o_orderkey").isNotNull)
+    for (b <- 0 until MvBatches) {
+      val delta = o.filter(pmod(col("o_orderkey"), lit(MvBatches)) === b)
+        .groupBy(col("cust"))
+        .agg(count(lit(1)).as("dn"),
+          sum(col("o_totalprice").cast(Out.SumDecimal)).as("ds"))
+      val updates =
+        if (b == 0)
+          delta.select(col("cust"), col("dn").as("n_orders"),
+            col("ds").as("rev_dec"))
+        else
+          delta.join(
+              spark.read.parquet(table)
+                .select(col("cust"), col("n_orders"), col("rev_dec")),
+              Seq("cust"), "left")
+            .select(col("cust"),
+              (col("dn") + coalesce(col("n_orders"), lit(0L))).as("n_orders"),
+              (col("ds") + coalesce(col("rev_dec"),
+                lit(0).cast(Out.SumDecimal))).as("rev_dec"))
+      Merge.mergeInto(table, updates, keyCols = Seq("cust"))
+    }
+    spark.read.parquet(table)
+      .select(col("cust"), col("n_orders"),
+        col("rev_dec").cast("double").as("revenue"))
+      .orderBy(col("cust"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_mv_incremental",
+      s"""SELECT o_custkey AS cust, count(*) AS n_orders,
+         |  ${graft.ops.Out.sql.dsum("o_totalprice")} AS revenue
+         |FROM orders
+         |WHERE o_custkey IS NOT NULL AND o_orderkey IS NOT NULL
+         |GROUP BY 1 ORDER BY 1""".stripMargin)(mvIncrementalDemo),
+
     QueryDef("q_merge_into",
       s"""WITH e AS (
          |  SELECT user_id AS uid, event_id, event_id % $MergeBatches AS b
