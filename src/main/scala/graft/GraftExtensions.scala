@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import graft.functions.{CdcChunks, DotProduct, MinHash16, Shingles, SimHash48, ZOrder2}
 
 /** Engine extension point, installed via `spark.sql.extensions`
@@ -35,7 +36,17 @@ object GraftExtensions {
     fn("graft_minhash", classOf[MinHash16], 1)(c => MinHash16(c.head)),
     fn("graft_shingles", classOf[Shingles], 2)(c => Shingles(c.head, c(1))),
     fn("graft_cdc_chunks", classOf[CdcChunks], 1)(c => CdcChunks(c.head)),
-    fn("graft_zorder", classOf[ZOrder2], 2)(c => ZOrder2(c.head, c(1))))
+    fn("graft_zorder", classOf[ZOrder2], 2)(c => ZOrder2(c.head, c(1))),
+    // Spark's own runtime-filter bloom pair (codegen'd, XXH64-keyed),
+    // surfaced as engine functions so a query can build the filter over a
+    // dim side and probe it at a fact scan EXPLICITLY — the semi-join
+    // reduction the optimizer's InjectRuntimeFilter applies opportunistically,
+    // made deterministic and composable. Args: (xxhash64 value, est items);
+    // (serialized filter, xxhash64 value).
+    fn("graft_bloom_agg", classOf[BloomFilterAggregate], 2)(c =>
+      new BloomFilterAggregate(c.head, c(1))),
+    fn("graft_bloom_contains", classOf[BloomFilterMightContain], 2)(c =>
+      new BloomFilterMightContain(c.head, c(1))))
 
   /** `builder.getOrCreate()` silently IGNORES `spark.sql.extensions` when a
     * SparkSession already exists in the JVM (an embedding host may have built

@@ -335,6 +335,18 @@ object RelationalRegistry {
          |ORDER BY revenue DESC, c_custkey LIMIT ${RelationalQueries.Tpch10K}""".stripMargin)(
       (s, d) => RelationalQueries.tpch10Returns(s, d)),
 
+    // the oracle is the PLAIN semi join — the bloom prefilter must be
+    // invisible in the result (no false negatives; positives removed by the
+    // exact join)
+    QueryDef("q_bloom_semijoin",
+      s"""SELECT o_orderstatus, count(*) AS n,
+         |  ${S.dsum("o_totalprice")} AS revenue
+         |FROM orders
+         |WHERE o_custkey IN (SELECT c_custkey FROM customer
+         |                    WHERE c_mktsegment = '${RelationalQueries.BloomSegment}')
+         |GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => RelationalQueries.bloomSemiJoin(s, d)),
+
     QueryDef("q_scd2_islands",
       s"""WITH o AS (
          |  SELECT o_custkey, o_orderstatus,
