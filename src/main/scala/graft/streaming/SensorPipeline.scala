@@ -274,6 +274,60 @@ object SensorPipeline {
       table
     }
 
+  /** Sliding-window geometry for [[slidingAgg]], seconds (10-minute windows
+    * every 5 — each event lands in [[SlideWinSec]]/[[SlideStepSec]] = 2
+    * overlapping windows). Shared with the oracle SQL by interpolation. */
+  val SlideWinSec = 600L
+  val SlideStepSec = 300L
+
+  /** Sliding-window aggregate per sensor — the hopping-window variant of
+    * [[windowedAgg]]: each event contributes to win/step overlapping
+    * windows, the standard smoothing layer of a monitoring dashboard
+    * (tumbling answers "this minute"; sliding answers "the last 10 minutes,
+    * refreshed every 5").
+    *
+    * Shape at scale: Spark expands each row into its win/step window
+    * assignments BEFORE the shuffle (a generated `explode`, factor 2 here),
+    * then partial-aggregates per (window, id) exactly like the tumbling
+    * plan — state per key is one window row, closed and evicted when the
+    * watermark passes its end. Same append-mode finalization contract as
+    * the tumbling sink: a drained run emits exactly the windows whose end
+    * cleared max(event time) − delay. */
+  def slidingAgg(parsed: DataFrame, watermark: String = "10 minutes"): DataFrame = {
+    val wm = if (parsed.isStreaming) parsed.withWatermark("eventTime", watermark)
+      else parsed
+    wm.groupBy(
+        window(col("eventTime"), s"$SlideWinSec seconds",
+          s"$SlideStepSec seconds").as("w"),
+        col("id"))
+      .agg(
+        max(col("temperature")).as("max_temperature"),
+        min(col("temperature")).as("min_temperature"),
+        (sum(col("temperature")).cast("double") / count(lit(1)))
+          .as("avg_temperature"),
+        count(lit(1)).as("n"))
+      .select(col("id"), col("w.start").as("w_start"),
+        col("max_temperature"), col("min_temperature"),
+        col("avg_temperature"), col("n"))
+  }
+
+  /** Replay `inDir` through parse → validity filter → sliding-window agg in
+    * append mode; returns the sink path. */
+  def replaySliding(spark: SparkSession, inDir: String, outBase: String): String =
+    withStatePartitions(spark) {
+      val raw = spark.readStream.schema(StructType(Seq(StructField("value", StringType))))
+        .text(inDir).toDF("value")
+      val filtered = parse(raw).filter(isValid(col("temperature"), col("humidity")))
+      val path = s"$outBase/sliding"
+      val q = slidingAgg(filtered).writeStream
+        .outputMode("append")
+        .format("parquet").option("path", path)
+        .option("checkpointLocation", s"$outBase/_cp_sliding")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      path
+    }
+
   /** Session-window aggregate per sensor: sessions close after `gap` of
     * silence (Spark merges overlapping [t, t+gap) windows, so two events
     * exactly `gap` apart start separate sessions — the strict-< the oracle

@@ -126,6 +126,20 @@ object StreamRegistry {
       .orderBy(col("id"), col("s_start"))
   }
 
+  /** Sliding-window half of the K layer: the staged replay through
+    * [[SensorPipeline.replaySliding]] (append mode, 10-min windows hopping
+    * every 5), returning the finalized windows. */
+  def streamSliding(spark: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_stream_sliding").toString
+    val in = stagedSensorJson(spark, dir)
+    val path = SensorPipeline.replaySliding(spark, in, s"$base/out")
+    spark.read.parquet(path)
+      .select(col("id"), Out.epochSec(col("w_start")).as("w_start"),
+        col("max_temperature"), col("min_temperature"),
+        col("avg_temperature"), col("n"))
+      .orderBy(col("id"), col("w_start"))
+  }
+
   /** Stream-stream interval join on the staged replay: the feed split by
     * message-id parity into two halves, correlated within ±1 h per sensor
     * ([[SensorPipeline.replayCorrelate]]). Output keys cast to BIGINT for
@@ -315,6 +329,28 @@ object StreamRegistry {
       s"""WITH $sensorCtes
          |$windowedAggSql
          |ORDER BY id, w_start""".stripMargin)(changelogTable),
+    // Each event expands to win/step sliding windows (generate_series of
+    // step-aligned starts covering it); finalized ⇔ window end cleared the
+    // drained watermark, exactly the tumbling sink's predicate.
+    QueryDef("q_stream_sliding",
+      s"""WITH $sensorCtes,
+         |w AS (SELECT id, temperature,
+         |        unnest(generate_series(
+         |          ((sec - ${SensorPipeline.SlideWinSec})
+         |             // ${SensorPipeline.SlideStepSec} + 1)
+         |            * ${SensorPipeline.SlideStepSec},
+         |          (sec // ${SensorPipeline.SlideStepSec})
+         |            * ${SensorPipeline.SlideStepSec},
+         |          ${SensorPipeline.SlideStepSec})) AS w_start
+         |      FROM v)
+         |SELECT id, w_start, MAX(temperature) AS max_temperature,
+         |  MIN(temperature) AS min_temperature,
+         |  CAST(SUM(temperature) AS DOUBLE) / COUNT(*) AS avg_temperature,
+         |  COUNT(*) AS n
+         |FROM w GROUP BY 1, 2
+         |HAVING w_start + ${SensorPipeline.SlideWinSec}
+         |         <= (SELECT MAX(sec) - 600 FROM v)
+         |ORDER BY id, w_start""".stripMargin)(streamSliding),
     // Complete-mode drain: the truncate-and-reload table equals the batch
     // top-k over the whole validity-filtered feed.
     QueryDef("q_stream_topk",
