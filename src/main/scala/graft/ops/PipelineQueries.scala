@@ -394,4 +394,41 @@ object PipelineQueries {
       .select(col("source"), col("n").as("n_docs"), col("psi"))
       .orderBy(col("source"))
   }
+
+  /** 2⁴⁸ as a double (exact — a power of two), the hash-threshold scale
+    * for [[importanceSample]]. */
+  val SampleHashSpace = 281474976710656.0
+
+  /** Deterministic importance sampling — [[mixRebalance]]'s per-language
+    * target rates APPLIED at the document level: a doc survives iff its
+    * 48-bit content-independent hash falls under its language's rate
+    * threshold. This is the step that turns a mixing PLAN into an actual
+    * training subset, and the hash-threshold spelling is what makes it
+    * production-grade: the decision is a pure function of (lang, doc_id),
+    * so re-runs, retries, and incremental loads all sample the SAME
+    * subset — no RNG state, no seed coordination across executors.
+    *
+    * Shape at scale: the rate table is language-sized metadata
+    * (broadcast); the keep decision is a codegen'd scan-stage predicate —
+    * zero data shuffle; only the per-language audit counts aggregate.
+    * Determinism: the threshold compare is double < double with both
+    * sides exact (48-bit hash < 2⁵³; rate · 2⁴⁸ computed identically in
+    * both engines from the 6dp-rounded rate). */
+  def importanceSample(spark: SparkSession, dir: String): DataFrame = {
+    val rates = mixRebalance(spark, dir).select(col("lang"), col("sample_rate"))
+    Tables(spark, dir).documents
+      .join(broadcast(rates), Seq("lang"))
+      .withColumn("keep",
+        expr(TextQueries.hash48("concat(lang, ':', cast(doc_id as string))"))
+          .cast("double") < col("sample_rate") * lit(SampleHashSpace))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        max(col("sample_rate")).as("target_rate"))
+      .select(col("lang"), col("n_docs"), col("n_kept"),
+        round(col("n_kept").cast("double") / col("n_docs"), 6)
+          .as("realized_rate"),
+        col("target_rate"))
+      .orderBy(col("lang"))
+  }
 }

@@ -168,6 +168,31 @@ object PipelineRegistry {
          |    ln(((c + 0.5) / (n + 5.0)) / ((cc + 0.5) / (nt + 5.0)))
          |    AS DECIMAL(38,12))) AS DOUBLE), 6) AS psi
          |FROM j GROUP BY source, n ORDER BY source""".stripMargin)(
-      PipelineQueries.driftPsi)
+      PipelineQueries.driftPsi),
+
+    // Same rate CTE as q_mix_rebalance; the per-doc keep decision is the
+    // 48-bit md5 hash under rate·2^48 — both sides exact doubles, so the
+    // comparison is engine-portable.
+    QueryDef("q_importance_sample",
+      s"""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+         |z AS (SELECT CAST(sum(CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(38,12)))
+         |             AS DOUBLE) AS z FROM c),
+         |r AS (SELECT lang,
+         |        round(least(CAST(1.0 AS DOUBLE),
+         |          sqrt(CAST(n_docs AS DOUBLE)) / z * ${PipelineQueries.MixBudget}
+         |            / n_docs), 6) AS sample_rate
+         |      FROM c CROSS JOIN z),
+         |k AS (SELECT d.lang, r.sample_rate,
+         |        CASE WHEN CAST(('0x' || substr(md5(d.lang || ':' ||
+         |                 d.doc_id::VARCHAR), 1, 12))::BIGINT AS DOUBLE)
+         |               < r.sample_rate * ${PipelineQueries.SampleHashSpace}
+         |             THEN 1 ELSE 0 END AS keep
+         |      FROM documents d JOIN r ON d.lang = r.lang)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(keep) AS BIGINT) AS n_kept,
+         |  round(CAST(sum(keep) AS DOUBLE) / count(*), 6) AS realized_rate,
+         |  max(sample_rate) AS target_rate
+         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin)(
+      PipelineQueries.importanceSample)
   )
 }

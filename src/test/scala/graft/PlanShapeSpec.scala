@@ -140,12 +140,15 @@ class PlanShapeSpec extends SparkSpec {
     // BroadcastNestedLoopJoin; everything else must stay equi-join shaped.
     val probeQueries = Set("q_similar_vectors", "q_ann_lsh", "q_ivf_search",
       "q_dedup_embedding", "q_lsh_bucket_stats",
-      // k-row broadcast probe set (batch ANN + hard-negative mining:
-      // probes are driver metadata)
-      "q_ann_batch", "q_hard_negatives",
+      // k-row broadcast probe set (batch ANN + hard-negative mining +
+      // the recall monitor's exact arm: probes are driver metadata)
+      "q_ann_batch", "q_hard_negatives", "q_ann_recall",
       "q_tfidf_keywords", "q_bm25_search", "q_pmi_collocations", "q_lm_score",
-      // 1-row broadcast normalizer (Σ sqrt shares)
-      "q_mix_rebalance",
+      // 1-row broadcast normalizer (Σ sqrt shares) + the queries that
+      // reuse it (importance sampling), 1-row broadcast corpus totals /
+      // reference date / bin grid (drift PSI, RFM)
+      "q_mix_rebalance", "q_importance_sample", "q_drift_psi",
+      "q_rfm_segments",
       // k-row broadcast centroid tables (k = driver metadata, never data)
       "q_kmeans_refine", "q_semdedup", "q_cluster_stats")
     SparkEntry.all.filter(_.oracle.isDefined).foreach { q =>
