@@ -4,7 +4,8 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 object SparkEntry {
   /** Every engine query, assembled from the per-module registries. */
   def all: Seq[QueryDef] =
-    ops.EventRegistry.all ++ ops.RelationalRegistry.all ++ ops.TextRegistry.all ++
+    ops.EventRegistry.all ++ ops.RelationalRegistry.all ++ ops.TpchRegistry.all ++
+      ops.TextRegistry.all ++
       ops.DedupRegistry.all ++ ops.VectorRegistry.all ++ ops.StatsRegistry.all ++
       ops.MultimodalRegistry.all ++ ops.CurationRegistry.all ++
       ops.PipelineRegistry.all ++ ops.ClusterRegistry.all ++

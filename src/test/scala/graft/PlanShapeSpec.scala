@@ -146,9 +146,10 @@ class PlanShapeSpec extends SparkSpec {
       "q_tfidf_keywords", "q_bm25_search", "q_pmi_collocations", "q_lm_score",
       // 1-row broadcast normalizer (Σ sqrt shares) + the queries that
       // reuse it (importance sampling), 1-row broadcast corpus totals /
-      // reference date / bin grid (drift PSI, RFM)
+      // reference date / bin grid (drift PSI, RFM), 1-row broadcast
+      // global-average threshold (TPC-H Q22's scalar subquery)
       "q_mix_rebalance", "q_importance_sample", "q_drift_psi",
-      "q_rfm_segments",
+      "q_rfm_segments", "q_tpch22_idle",
       // k-row broadcast centroid tables (k = driver metadata, never data)
       "q_kmeans_refine", "q_semdedup", "q_cluster_stats")
     SparkEntry.all.filter(_.oracle.isDefined).foreach { q =>
