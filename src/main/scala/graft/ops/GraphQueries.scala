@@ -457,4 +457,69 @@ object GraphQueries {
         col("dist"))
       .orderBy(col("node"))
   }
+
+  /** Fixed HITS iteration count (unrolled in the oracle, same
+    * keep-in-sync-by-construction contract as [[PrIters]]). */
+  val HitsIters = 2
+
+  /** HITS fixed-point scale. 10⁶ (not PageRank's 10¹²) because each
+    * round multiplies a degree-weighted sum by the scale before the
+    * normalizing division: post-normalization scores are ≤ 10⁶, a sum
+    * over an in-degree-D hub is ≤ D·10⁶, and the re-scale multiply peaks
+    * at D·10¹² — BIGINT-safe to D ≈ 9×10⁶. Past that hub envelope the
+    * [[pagerankOf]] `decimalSums` escalation applies identically. */
+  val HitsScale = 1000000L
+
+  /** Directed customer→supplier order edges (the bipartite half of
+    * [[edges]]: no symmetrization — HITS needs the direction). */
+  private def orderPairs(t: Tables): DataFrame =
+    t.orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct()
+
+  /** [[HitsIters]] rounds of fixed-point HITS (hubs & authorities) over
+    * the directed trade graph — customers are natural hubs (they point),
+    * suppliers natural authorities (they are pointed at). Kleinberg's
+    * mutual reinforcement: auth(s) = Σ hub(c) over in-edges, hub(c) =
+    * Σ auth(s) over out-edges, normalized each half-step.
+    *
+    * The float formulation L2-normalizes — not reproducible across
+    * partitionings (same reason [[pagerankOf]] is integer). Here each
+    * half-step max-normalizes in fixed point: x ← x·scale ∕∕ max(x), an
+    * integer expression whose max is an exact scalar — bit-identical at
+    * any parallelism, and ranking-equivalent to the L2 convention (both
+    * are scalar rescalings; the fixed point differs only in the constant).
+    *
+    * Shape at scale: each half-step is one equi-join (scores ⋈ the edge
+    * list) + one partial-agg shuffle keyed by the receiving side, then a
+    * 1-row broadcast for the max — the Pregel step again; the edge list's
+    * exchange canonicalizes identically across the unrolled rounds, so
+    * runtime exchange reuse materializes the pair shuffle once
+    * ([[pagerankOf]]'s measured A/B applies). */
+  def hitsOf(pairs: DataFrame, iters: Int = HitsIters): DataFrame = {
+    var hub = pairs.select(col("cust")).distinct()
+      .select(col("cust"), lit(HitsScale).as("h"))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val aRaw = pairs.join(hub, Seq("cust"))
+        .groupBy(col("supp")).agg(sum(col("h")).as("a"))
+      auth = aRaw.crossJoin(broadcast(aRaw.agg(max(col("a")).as("am"))))
+        .select(col("supp"), expr(s"a * $HitsScale div am").as("a"))
+      val hRaw = pairs.join(auth, Seq("supp"))
+        .groupBy(col("cust")).agg(sum(col("a")).as("h"))
+      hub = hRaw.crossJoin(broadcast(hRaw.agg(max(col("h")).as("hm"))))
+        .select(col("cust"), expr(s"h * $HitsScale div hm").as("h"))
+    }
+    hub.select(lit("cust").as("kind"), col("cust").as("node"),
+        col("h").as("score"))
+      .unionByName(auth.select(lit("supp").as("kind"),
+        col("supp").as("node"), col("a").as("score")))
+      .orderBy(col("kind"), col("node"))
+  }
+
+  /** [[hitsOf]] over the order trade graph (the registry entry). */
+  def hitsTrade(spark: SparkSession, dir: String): DataFrame =
+    hitsOf(orderPairs(Tables(spark, dir)))
 }

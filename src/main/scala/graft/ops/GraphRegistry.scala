@@ -149,8 +149,41 @@ object GraphRegistry {
        |  CASE WHEN node % 2 = 0 THEN 'cust' ELSE 'supp' END AS kind, dist
        |FROM d${GraphQueries.BfsRounds} ORDER BY node""".stripMargin
 
+  /** One HITS round: raw sum then ∕∕-max normalization, each half-step.
+    * DuckDB sums BIGINT into HUGEINT — the multiply and division run in
+    * HUGEINT (exact) and cast back, mirroring the Spark envelope note on
+    * [[GraphQueries.HitsScale]]. */
+  private def hitsIter(i: Int): String = {
+    val s = GraphQueries.HitsScale
+    s"""a${i}r AS (SELECT supp, sum(h) AS a
+       |  FROM pairs JOIN h${i - 1} USING (cust) GROUP BY 1),
+       |a$i AS (SELECT supp,
+       |  CAST(a * $s // (SELECT max(a) FROM a${i}r) AS BIGINT) AS a
+       |  FROM a${i}r),
+       |h${i}r AS (SELECT cust, sum(a) AS h
+       |  FROM pairs JOIN a$i USING (supp) GROUP BY 1),
+       |h$i AS (SELECT cust,
+       |  CAST(h * $s // (SELECT max(h) FROM h${i}r) AS BIGINT) AS h
+       |  FROM h${i}r)""".stripMargin
+  }
+
+  private val hitsSql = {
+    val n = GraphQueries.HitsIters
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |h0 AS (SELECT DISTINCT cust,
+       |  CAST(${GraphQueries.HitsScale} AS BIGINT) AS h FROM pairs),
+       |${(1 to n).map(hitsIter).mkString(",\n")}
+       |SELECT 'cust' AS kind, cust AS node, h AS score FROM h$n
+       |UNION ALL
+       |SELECT 'supp' AS kind, supp AS node, a AS score FROM a$n
+       |ORDER BY kind, node""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_pagerank", pagerankSql)(GraphQueries.pagerank(_, _)),
+    QueryDef("q_hits", hitsSql)(GraphQueries.hitsTrade(_, _)),
     QueryDef("q_triangle_count", triangleSql)(GraphQueries.triangleCount(_, _)),
     QueryDef("q_degree_dist", degreeDistSql)(GraphQueries.degreeDist(_, _)),
     QueryDef("q_kcore", kcoreSql)(GraphQueries.kCoreTrade(_, _)),

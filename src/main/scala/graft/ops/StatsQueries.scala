@@ -515,4 +515,129 @@ object StatsQueries {
               (col("n") * col("syy") - col("sy") * col("sy"))), 6)).as("r2"))
       .orderBy(col("event_type"))
   }
+
+  /** Benford first-digit expectations log10(1 + 1/d), rounded to 6 dp in
+    * Scala so BOTH engines receive the identical literal (no cross-engine
+    * log10 in the compared output). */
+  val BenfordExpected: Seq[(Int, Double)] =
+    (1 to 9).map(d => d -> BigDecimal(math.log10(1.0 + 1.0 / d))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+
+  /** Benford's-law digit census over order totals — the classic
+    * fabricated-data / pipeline-corruption screen: the observed
+    * first-significant-digit distribution against log10(1 + 1/d).
+    *
+    * Determinism: the first digit is extracted in INTEGER space — cents =
+    * round(price·100) (2-dp money doubles land exactly; never within 1e-7
+    * of a .5 boundary), then the first character of the integer's string
+    * form, which is locale-free and identical in both engines — never
+    * log10-of-double (a value at a power of 10 could floor either way).
+    *
+    * Shape at scale: one narrow projection → 9-group partial agg; the
+    * share window runs over the 9-row aggregate (metadata), never the
+    * fact. */
+  def benfordDigits(spark: SparkSession, dir: String): DataFrame = {
+    val digits = Tables(spark, dir).orders
+      .filter(col("o_totalprice") > 0)
+      .select(substring(round(col("o_totalprice") * 100, 0).cast("long")
+        .cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+    val expected = BenfordExpected.foldLeft(lit(null).cast("double")) {
+      case (acc, (d, e)) => when(col("digit") === d, lit(e)).otherwise(acc)
+    }
+    import org.apache.spark.sql.expressions.Window
+    digits
+      .withColumn("obs_pct",
+        round(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(lit(1))), 6))
+      .withColumn("exp_pct", expected)
+      .orderBy(col("digit"))
+  }
+
+  /** The categorical columns profiled by [[columnEntropy]]:
+    * (output label, table, column). */
+  val EntropyColumns: Seq[(String, String, String)] = Seq(
+    ("documents.lang", "documents", "lang"),
+    ("documents.source", "documents", "source"),
+    ("events.event_type", "events", "event_type"),
+    ("orders.o_orderpriority", "orders", "o_orderpriority"))
+
+  /** Shannon entropy census of the categorical columns — the
+    * class-balance / skew screen a training-data pipeline runs before
+    * sampling decisions (a near-zero-entropy "language" column means the
+    * corpus is monolingual no matter how many labels exist).
+    *
+    * Determinism: each −Σ p·ln p rides the [[PipelineQueries.driftPsi]]
+    * contract — per-term doubles cast to DECIMAL(38,12) so the SUM is
+    * order-independent, one double division by ln 2 at the end, round 6.
+    *
+    * Shape at scale: one partial-agg shuffle per column to its value
+    * census (cardinality-sized); the entropy fold runs over that metadata.
+    * The four columns are independent subtrees of one union job. */
+  def columnEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    def one(label: String, df: DataFrame, c: String): DataFrame = {
+      val counts = df.filter(col(c).isNotNull)
+        .groupBy(col(c).as("v"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy(lit(1))))
+      val p = col("c").cast("double") / col("n").cast("double")
+      counts.agg(
+        max(col("n")).as("n_rows"),
+        count(lit(1)).as("n_distinct"),
+        round((-sum((p * log(p)).cast("decimal(38,12)")).cast("double")) /
+          log(lit(2.0)), 6).as("entropy_bits"))
+        .select(lit(label).as("col_name"), col("n_rows"),
+          col("n_distinct"), col("entropy_bits"))
+    }
+    EntropyColumns.map { case (label, table, c) =>
+      val df = table match {
+        case "documents" => t.documents
+        case "events" => t.events
+        case "orders" => t.orders
+      }
+      one(label, df, c)
+    }.reduce(_ unionByName _).orderBy(col("col_name"))
+  }
+
+  /** Winsorization tail quantiles for [[winsorizedStats]]. */
+  val WinsorLo = 0.05
+  val WinsorHi = 0.95
+
+  /** Winsorized summary per event type: p05/p95 clamp bounds, raw vs
+    * winsorized mean, and the clamped-row count — the outlier-robust
+    * normalization step before z-scoring or feature scaling (MAD's
+    * cousin: clamp, don't drop).
+    *
+    * Determinism: clamping compares against the UNROUNDED interpolated
+    * quantiles (`percentile` ≡ `quantile_cont`, identical interpolation
+    * formula; a value can only tie the quantile when the quantile IS that
+    * data point, where least/greatest is the identity either way); both
+    * means ride the exact-decimal [[Out.davg]] contract.
+    *
+    * Shape at scale: pass 1 is a grouped sort-agg to per-type quantiles
+    * (metadata-sized); the bounds broadcast back onto the same scan for
+    * the clamp + re-agg — the fact shuffles once per pass, never sorts
+    * globally. */
+  def winsorizedStats(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+    val bounds = ev.groupBy(col("event_type"))
+      .agg(expr(s"percentile(value, $WinsorLo)").as("p05"),
+        expr(s"percentile(value, $WinsorHi)").as("p95"))
+    val clamped = least(greatest(col("value"), col("p05")), col("p95"))
+    ev.join(broadcast(bounds), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(max(col("p05")), 4).as("p05"),
+        round(max(col("p95")), 4).as("p95"),
+        round(Out.davg(col("value")), 6).as("raw_mean"),
+        round(Out.davg(clamped), 6).as("wins_mean"),
+        sum(when(col("value") < col("p05") ||
+          col("value") > col("p95"), 1L).otherwise(0L)).as("n_clamped"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -253,6 +253,66 @@ object StatsRegistry {
          |         ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
          |  END AS r2
          |FROM m ORDER BY event_type""".stripMargin)(
-      (s, d) => StatsQueries.trendOls(s, d))
+      (s, d) => StatsQueries.trendOls(s, d)),
+
+    // First digit extracted in INTEGER space (cents → string head) — no
+    // log10-of-double near a power of 10; expectations are Scala-computed
+    // literals shared by both engines. CAST around the CASE: a bare
+    // decimal literal would type the column DECIMAL in DuckDB vs Spark's
+    // DOUBLE.
+    QueryDef("q_benford", {
+      val cases = StatsQueries.BenfordExpected
+        .map { case (d, e) => s"WHEN $d THEN $e" }.mkString(" ")
+      s"""WITH g AS (
+         |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0)
+         |      AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         |    count(*) AS n
+         |  FROM orders WHERE o_totalprice > 0 GROUP BY 1)
+         |SELECT digit, n,
+         |  round(CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE), 6)
+         |    AS obs_pct,
+         |  CAST(CASE digit $cases END AS DOUBLE) AS exp_pct
+         |FROM g ORDER BY digit""".stripMargin
+    })(StatsQueries.benfordDigits),
+
+    // −Σ p·ln p through the driftPsi decimal-sum contract; one ln 2
+    // division at the end. sum(c) OVER () is HUGEINT in DuckDB — cast
+    // before every compared use.
+    QueryDef("q_entropy", {
+      def one(label: String, table: String, c: String) =
+        s"""SELECT '$label' AS col_name,
+           |  CAST(max(n) AS BIGINT) AS n_rows, count(*) AS n_distinct,
+           |  round(CAST(-sum(CAST((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+           |      * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+           |      AS DECIMAL(38,12))) AS DOUBLE) / ln(2.0), 6)
+           |    AS entropy_bits
+           |FROM (SELECT c, sum(c) OVER () AS n FROM
+           |  (SELECT count(*) AS c FROM $table
+           |   WHERE $c IS NOT NULL GROUP BY $c))""".stripMargin
+      StatsQueries.EntropyColumns
+        .map { case (label, table, c) => one(label, table, c) }
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    })(StatsQueries.columnEntropy),
+
+    // Clamp bounds compared UNROUNDED (quantile-interpolation parity: a
+    // tie is only possible when the quantile IS a data point, where the
+    // clamp is the identity); means ride the exact-decimal davg contract.
+    QueryDef("q_winsorize",
+      s"""WITH ev AS (SELECT event_type, value FROM events
+         |  WHERE value IS NOT NULL),
+         |b AS (SELECT event_type,
+         |        quantile_cont(value, ${StatsQueries.WinsorLo}) AS p05,
+         |        quantile_cont(value, ${StatsQueries.WinsorHi}) AS p95
+         |      FROM ev GROUP BY 1)
+         |SELECT event_type, count(*) AS n,
+         |  round(max(p05), 4) AS p05, round(max(p95), 4) AS p95,
+         |  round(${Out.sql.davg("value")}, 6) AS raw_mean,
+         |  round(${Out.sql.davg("LEAST(GREATEST(value, p05), p95)")}, 6)
+         |    AS wins_mean,
+         |  CAST(sum(CASE WHEN value < p05 OR value > p95
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
+         |FROM ev JOIN b USING (event_type)
+         |GROUP BY 1 ORDER BY event_type""".stripMargin)(
+      StatsQueries.winsorizedStats)
   )
 }

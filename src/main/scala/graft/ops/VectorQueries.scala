@@ -509,4 +509,47 @@ object VectorQueries {
     val SubDim = 16
     val CodebookSize = 8
   }
+
+  /** Quantization range for [[quantizeInt8]] (signed-byte code space). */
+  val QuantLevels = 255
+
+  /** Scalar int8 quantization audit: per-dimension min/max over the corpus
+    * define a linear 8-bit grid; every component is encoded to its nearest
+    * level and the per-label reconstruction error is reported — the
+    * memory-4x-compression screen run before switching an ANN index to
+    * int8 storage (acceptable MSE ⇒ quantize; outlier dims show up as
+    * max_abs_err).
+    *
+    * Determinism: the per-dim ranges are exact min/max of the SAME double
+    * set in both engines; encode (`round((v−mn)·255/(mx−mn))`) and decode
+    * (`mn + q·(mx−mn)/255`) are written with identical association on both
+    * sides, so every reconstructed value is bit-identical; the squared
+    * errors aggregate through the decimal-sum contract.
+    *
+    * Shape at scale: the range table is dims-sized metadata (one
+    * partial-agg shuffle over the exploded corpus, 64 rows out) and
+    * broadcasts back onto a second narrow pass — no vector ever shuffles;
+    * both passes are map-side-combinable aggregates. */
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+    val comps = emb(spark, dir)
+      .select(col("vec_id"), col("label"), posexplode(col("e")))
+      .select(col("vec_id"), col("label"), col("pos"), col("col").as("v"))
+    val ranges = comps.groupBy(col("pos"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val q = when(col("mx") > col("mn"),
+      round((col("v") - col("mn")) * lit(QuantLevels.toDouble) /
+        (col("mx") - col("mn")), 0)).otherwise(lit(0.0))
+    val deq = col("mn") +
+      col("q") * (col("mx") - col("mn")) / lit(QuantLevels.toDouble)
+    val err = col("v") - col("deq")
+    comps.join(broadcast(ranges), Seq("pos"))
+      .withColumn("q", q)
+      .withColumn("deq", deq)
+      .groupBy(col("label"))
+      .agg(countDistinct(col("vec_id")).as("n_vecs"),
+        round(sum((err * err).cast("decimal(38,12)")).cast("double") /
+          count(lit(1)), 9).as("mse"),
+        round(max(abs(err)), 6).as("max_abs_err"))
+      .orderBy(col("label"))
+  }
 }

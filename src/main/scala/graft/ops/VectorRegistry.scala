@@ -220,6 +220,32 @@ object VectorRegistry {
          |best AS (SELECT vec_id, s, code, d2 FROM scored WHERE rn = 1)
          |SELECT vec_id, $codeCols, round($errSum, 6) AS q_err
          |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin
-    })(VectorQueries.pqEncode)
+    })(VectorQueries.pqEncode),
+
+    // Encode/decode written with IDENTICAL association on both sides —
+    // ((v−mn)·255)/(mx−mn) and mn + (q·(mx−mn))/255 — so reconstruction
+    // is bit-identical; squared errors ride the decimal-sum contract.
+    QueryDef("q_quantize_int8", {
+      val lv = VectorQueries.QuantLevels
+      s"""WITH $embCte,
+         |x AS (SELECT vec_id, label, d.d AS pos,
+         |        e[CAST(d.d AS INT) + 1] AS v
+         |      FROM emb CROSS JOIN
+         |        (SELECT unnest(range(0, 64)) AS d) d),
+         |s AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM x GROUP BY 1),
+         |r AS (SELECT label, vec_id, v, mn, mx,
+         |        CASE WHEN mx > mn
+         |          THEN round((v - mn) * ${lv}.0 / (mx - mn), 0)
+         |          ELSE 0.0 END AS q
+         |      FROM x JOIN s USING (pos)),
+         |d AS (SELECT label, vec_id,
+         |        v - (mn + q * (mx - mn) / ${lv}.0) AS err
+         |      FROM r)
+         |SELECT label, count(DISTINCT vec_id) AS n_vecs,
+         |  round(CAST(sum(CAST(err * err AS DECIMAL(38,12))) AS DOUBLE)
+         |    / count(*), 9) AS mse,
+         |  round(max(abs(err)), 6) AS max_abs_err
+         |FROM d GROUP BY label ORDER BY label""".stripMargin
+    })(VectorQueries.quantizeInt8)
   )
 }

@@ -189,4 +189,38 @@ class GraphQueriesSpec extends SparkSpec {
       "the hub's undamped incoming mass must genuinely exceed the BIGINT " +
         "envelope for this test to bite")
   }
+
+  test("fixed-point HITS = exact driver-side integer recompute") {
+    val s = spark
+    import s.implicits._
+    // Bipartite: hub c1 points at 3 suppliers, c2 at one of them, c3 at a
+    // private supplier — c1 must out-rank c2/c3, the shared supplier s1
+    // must out-rank the private s3, and every round's top score is exactly
+    // HitsScale (max-normalization fixed point).
+    val pairs = Seq((1L, 1L), (1L, 2L), (1L, 4L), (2L, 1L), (3L, 3L))
+      .toDF("cust", "supp")
+    val S = GraphQueries.HitsScale
+    var hub = pairs.select("cust").distinct().collect()
+      .map(_.getLong(0) -> S).toMap
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    var auth: Map[Long, Long] = Map.empty
+    for (_ <- 1 to GraphQueries.HitsIters) {
+      val aRaw = edges.groupBy(_._2).map { case (s, es) =>
+        s -> es.map { case (c, _) => hub(c) }.sum }
+      val am = aRaw.values.max
+      auth = aRaw.map { case (s, a) => s -> a * S / am }
+      val hRaw = edges.groupBy(_._1).map { case (c, es) =>
+        c -> es.map { case (_, s) => auth(s) }.sum }
+      val hm = hRaw.values.max
+      hub = hRaw.map { case (c, h) => c -> h * S / hm }
+    }
+    val got = GraphQueries.hitsOf(pairs).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    got.filter(_._1._1 == "cust").map { case ((_, n), s) => n -> s } shouldBe hub
+    got.filter(_._1._1 == "supp").map { case ((_, n), s) => n -> s } shouldBe auth
+    got(("cust", 1L)) shouldBe S               // the 3-authority hub wins
+    assert(got(("cust", 2L)) < S && got(("cust", 3L)) < S)
+    got(("supp", 1L)) shouldBe S               // the shared authority wins
+    assert(got(("supp", 3L)) < got(("supp", 1L)))
+  }
 }

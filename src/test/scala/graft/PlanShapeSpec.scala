@@ -150,6 +150,8 @@ class PlanShapeSpec extends SparkSpec {
       // global-average threshold (TPC-H Q22's scalar subquery)
       "q_mix_rebalance", "q_importance_sample", "q_drift_psi",
       "q_rfm_segments", "q_tpch22_idle",
+      // 1-row broadcast max per HITS half-step normalization
+      "q_hits",
       // k-row broadcast centroid tables (k = driver metadata, never data)
       "q_kmeans_refine", "q_semdedup", "q_cluster_stats")
     SparkEntry.all.filter(_.oracle.isDefined).foreach { q =>
