@@ -440,4 +440,58 @@ object TextQueries {
       .select(col("term"), expr("transform(p, x -> x.doc_id)").as("postings"))
     stats.join(postings, Seq("term")).orderBy(col("term"))
   }
+
+  /** Vocabulary head size for [[zipfFit]] (the fit runs over the top-V
+    * types per source; the deep tail is hapax noise, not the power law). */
+  val ZipfTopV = 100
+
+  /** Zipf power-law fit per source: OLS of ln(freq) on ln(rank) over the
+    * top-[[ZipfTopV]] vocabulary types — natural text slopes ≈ −1, so a
+    * source whose slope collapses toward 0 (flat head: template spam) or
+    * dives steep (near-single-token degenerate output) fails the
+    * naturalness screen. Companion to [[vocabStats]]' type/token ratios.
+    *
+    * Determinism: ranks are a total order (count DESC, token); ln inputs
+    * are identical integers in both engines, per-term products cast to
+    * DECIMAL(38,12) before the sum ([[graft.ops.PipelineQueries.driftPsi]]
+    * contract), and the slope/R² formulas are the
+    * [[graft.ops.StatsQueries.trendOls]] double expressions.
+    *
+    * Shape at scale: explode → (source, token) partial-agg shuffle (type
+    * counts, not instances); the rank window runs over the per-source
+    * VOCABULARY (already aggregate), and everything past the top-V filter
+    * is ≤ sources × V rows of metadata. */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables(spark, dir).documents
+      .select(col("source"), explode(expr(wordsExpr)).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+    val ranked = counts
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("n").desc, col("tok"))))
+      .filter(col("r") <= ZipfTopV)
+      .select(col("source"),
+        log(col("r").cast("double")).as("x"),
+        log(col("n").cast("double")).as("y"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,12)")
+    ranked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(dec(col("x"))).cast("double").as("sx"),
+        sum(dec(col("y"))).cast("double").as("sy"),
+        sum(dec(col("x") * col("x"))).cast("double").as("sxx"),
+        sum(dec(col("y") * col("y"))).cast("double").as("syy"),
+        sum(dec(col("x") * col("y"))).cast("double").as("sxy"))
+      .select(col("source"), col("n_terms"),
+        round((col("n_terms") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_terms") * col("sxx") - col("sx") * col("sx")), 6)
+          .as("zipf_slope"),
+        round(((col("n_terms") * col("sxy") - col("sx") * col("sy")) *
+            (col("n_terms") * col("sxy") - col("sx") * col("sy"))) /
+          ((col("n_terms") * col("sxx") - col("sx") * col("sx")) *
+            (col("n_terms") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("r2"))
+      .orderBy(col("source"))
+  }
 }

@@ -254,6 +254,34 @@ object TextRegistry {
          |         FROM rk WHERE rk <= ${TextQueries.IdxPostings} GROUP BY 1)
          |SELECT s.term, s.df, s.cf, p.postings
          |FROM stats s JOIN post p USING (term) ORDER BY s.term""".stripMargin)(
-      (s, d) => TextQueries.invertedIndex(s, d))
+      (s, d) => TextQueries.invertedIndex(s, d)),
+
+    // Ranks are a (count DESC, token) total order; ln moments ride the
+    // decimal-sum contract; slope/R² are the trendOls double formulas.
+    QueryDef("q_zipf_fit",
+      s"""WITH tt AS (
+         |  SELECT source, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |c AS (SELECT source, tok, count(*) AS n FROM tt GROUP BY 1, 2),
+         |rk AS (SELECT source, n, row_number() OVER (
+         |         PARTITION BY source ORDER BY n DESC, tok) AS r
+         |       FROM c),
+         |t AS (SELECT source,
+         |        ln(CAST(r AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y
+         |      FROM rk WHERE r <= ${TextQueries.ZipfTopV}),
+         |m AS (SELECT source, count(*) AS n_terms,
+         |        CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         |        CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         |        CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         |        CAST(sum(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+         |        CAST(sum(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+         |      FROM t GROUP BY 1)
+         |SELECT source, n_terms,
+         |  round((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 6)
+         |    AS zipf_slope,
+         |  round(((n_terms * sxy - sx * sy) * (n_terms * sxy - sx * sy)) /
+         |    ((n_terms * sxx - sx * sx) * (n_terms * syy - sy * sy)), 6)
+         |    AS r2
+         |FROM m ORDER BY source""".stripMargin)(TextQueries.zipfFit)
   )
 }

@@ -354,4 +354,45 @@ object TimeseriesQueries {
             sqrt(greatest(col("vy"), lit(0.0)))), 6).as("acf"))
       .orderBy(col("event_type"), col("lag_d"))
   }
+
+  /** Theil–Sen robust trend per event type: the MEDIAN of all pairwise
+    * slopes between daily means — the 29.3%-breakdown-point alternative to
+    * [[graft.ops.StatsQueries.trendOls]] (one wild day barely moves it,
+    * where OLS chases it). The estimator is O(days²) BY DEFINITION, which
+    * is exactly why it runs on the daily AGGREGATE: the corpus collapses
+    * to ≤ |types|·horizon rows first (one partial-agg shuffle), and the
+    * pair join explodes metadata, never events. A year-scale horizon is
+    * ~66 k pairs per type; a longer lookback caps the window before
+    * pairing (the documented knob), not the pair join.
+    *
+    * Determinism: daily means ride [[Out.davg]] rounded to 6 dp and
+    * carried as DECIMAL(18,6) (exact pair differences); each slope is one
+    * double division of exact inputs; the median is the same
+    * interpolation `percentile` ≡ `quantile_cont` parity the quantile
+    * queries pin. */
+  def theilSen(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).events
+      .where(col("ts").isNotNull && col("event_type").isNotNull &&
+        col("value").isNotNull)
+      .select(col("event_type"),
+        (Out.epochSec(col("ts")) / CpDaySec).cast("long").as("day"),
+        col("value"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(round(Out.davg(col("value")), 6).cast("decimal(18,6)").as("y"))
+    val a = daily.select(col("event_type"), col("day").as("d1"), col("y").as("y1"))
+    val b = daily.select(col("event_type"), col("day").as("d2"), col("y").as("y2"))
+    val slopes = a.join(b, Seq("event_type"))
+      .where(col("d1") < col("d2"))
+      .select(col("event_type"),
+        ((col("y2") - col("y1")).cast("double") /
+          (col("d2") - col("d1")).cast("double")).as("slope"))
+    val nd = daily.groupBy(col("event_type")).agg(count(lit(1)).as("n_days"))
+    slopes.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(expr("percentile(slope, 0.5)"), 9).as("theilsen_slope"))
+      .join(broadcast(nd), Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("n_pairs"),
+        col("theilsen_slope"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -193,5 +193,31 @@ object TimeseriesRegistry {
          |    AS acf
          |FROM v WHERE vx > 0 AND vy > 0
          |ORDER BY event_type, lag_d""".stripMargin)(
-      (s, d) => TimeseriesQueries.autocorrDaily(s, d)))
+      (s, d) => TimeseriesQueries.autocorrDaily(s, d)),
+    // Daily means rounded+carried as DECIMAL(18,6) ⇒ exact pair
+    // differences; slope = one double division; median via the
+    // percentile ≡ quantile_cont parity.
+    QueryDef("q_theilsen",
+      s"""WITH daily AS (
+         |  SELECT event_type,
+         |    ${graft.ops.Out.sql.epochSec("ts")} // ${TimeseriesQueries.CpDaySec}
+         |      AS day,
+         |    CAST(round(${graft.ops.Out.sql.davg("value")}, 6)
+         |      AS DECIMAL(18,6)) AS y
+         |  FROM events
+         |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+         |    AND value IS NOT NULL
+         |  GROUP BY 1, 2),
+         |s AS (SELECT a.event_type,
+         |        CAST(b.y - a.y AS DOUBLE) / CAST(b.day - a.day AS DOUBLE)
+         |          AS slope
+         |      FROM daily a JOIN daily b
+         |        ON a.event_type = b.event_type AND a.day < b.day),
+         |nd AS (SELECT event_type, count(*) AS n_days FROM daily GROUP BY 1)
+         |SELECT event_type, n_days, count(*) AS n_pairs,
+         |  round(quantile_cont(slope, 0.5), 9) AS theilsen_slope
+         |FROM s JOIN nd USING (event_type)
+         |GROUP BY event_type, n_days
+         |ORDER BY event_type""".stripMargin)(
+      TimeseriesQueries.theilSen))
 }
