@@ -33,6 +33,266 @@ object TpchQueries {
   val RevSql =
     "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))"
 
+  // ── Q2: minimum-cost supplier ──────────────────────────────────────────
+  val Q2Region = "EUROPE"
+  val Q2SizeLo = 11
+  val Q2SizeHi = 20
+  val Q2Type = "STANDARD"
+  val Q2K = 100
+
+  /** TPC-H Q2-shape sourcing: for each qualifying part, the in-region
+    * supplier(s) offering the minimum unit cost — the correlated-MIN
+    * scalar subquery. With no partsupp table the part↔supplier cost
+    * relation is the one the fact data witnesses: per (part, supplier)
+    * the minimum observed unit price `l_extendedprice / l_quantity`
+    * (IEEE division of the same doubles — bit-identical in both engines,
+    * and MIN is order-independent, so the equality join back cannot split).
+    *
+    * Shape at scale: part (size+type pushed to scan) and the region's
+    * supplier slice both broadcast into the lineitem scan, so only
+    * qualifying lines shuffle once on the (part, supplier) pair; the
+    * per-part MIN is a re-agg of that dim-sized result; the equality join
+    * back is metadata-vs-metadata. Top-k is TakeOrderedAndProject. */
+  def minCostSupplier(spark: SparkSession, dir: String,
+      k: Int = Q2K): DataFrame = {
+    val t = Tables(spark, dir)
+    val p = t.part
+      .filter(col("p_size").between(Q2SizeLo, Q2SizeHi) &&
+        col("p_type") === Q2Type)
+      .select(col("p_partkey"), col("p_name"))
+    val regionNations = t.nation
+      .join(broadcast(t.region.filter(col("r_name") === Q2Region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val sup = t.supplier
+      .join(broadcast(regionNations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val perPair = t.lineitem
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup.select(col("s_suppkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+    val perPart = perPair.groupBy(col("l_partkey"))
+      .agg(min(col("unit_cost")).as("min_cost"))
+    perPair
+      .join(perPart.withColumnRenamed("l_partkey", "mp_partkey"),
+        col("l_partkey") === col("mp_partkey") &&
+          col("unit_cost") === col("min_cost"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("unit_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(k)
+  }
+
+  // ── Q6: forecast revenue change ────────────────────────────────────────
+  val Q6Start = "1996-01-01"
+  val Q6End = "1997-01-01"
+  val Q6DiscLo = 0.05
+  val Q6DiscHi = 0.07
+  val Q6MaxQty = 24
+
+  /** TPC-H Q6-shape revenue forecast: the discount revenue a year of
+    * small-lot, mid-discount lines would free up — the pure scan-aggregate
+    * with every predicate pushdown-eligible. The sum rides
+    * DECIMAL(12,2)·DECIMAL(4,2) (both casts exact for 2-decimal data), so
+    * the answer is order-independent at any parallelism.
+    *
+    * Shape at scale: zero joins, zero wide shuffles — one scan with
+    * shipdate/discount/quantity in PushedFilters and a 3-column
+    * ReadSchema, one partial+final agg. The query exists to prove the
+    * engine doesn't pay more than the scan. */
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .filter(col("l_shipdate") >= lit(Q6Start).cast("timestamp") &&
+        col("l_shipdate") < lit(Q6End).cast("timestamp") &&
+        col("l_discount").between(Q6DiscLo, Q6DiscHi) &&
+        col("l_quantity") < Q6MaxQty)
+      .agg(sum(priceDec * col("l_discount").cast(DecimalType(4, 2)))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  // ── Q8: national market share ──────────────────────────────────────────
+  val Q8Nation = "NATION_3"
+  val Q8Region = "EUROPE"
+  val Q8Type = "ECONOMY"
+  val Q8Start = "1995-01-01"
+  val Q8End = "1997-01-01"
+
+  /** TPC-H Q8-shape market share: within one region's market for one part
+    * type, the yearly revenue share supplied by one nation — the
+    * conditional-share-of-total whose numerator and denominator must come
+    * from the same joined pass (re-scanning for the numerator would double
+    * the dominant cost).
+    *
+    * Shape at scale: part type prunes the fact path first (broadcast);
+    * customers pre-filter to the region through a broadcast nation slice,
+    * so the orders⋈customer join discards non-market orders before the
+    * fact join; the supplier side only tags nationality (broadcast dim) —
+    * the disjunction-free CASE keeps one decimal sum pair per year. */
+  def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val regionNations = t.nation
+      .join(broadcast(t.region.filter(col("r_name") === Q8Region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val cust = t.customer
+      .join(broadcast(regionNations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val supNation = t.supplier
+      .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val o = t.orders
+      .filter(col("o_orderdate") >= lit(Q8Start).cast("timestamp") &&
+        col("o_orderdate") < lit(Q8End).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+    t.lineitem
+      .join(broadcast(t.part.filter(col("p_type") === Q8Type)
+          .select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === Q8Nation, priceDec * discF)
+          .otherwise(lit(0).cast(DecimalType(12, 2)))).as("nation_rev"),
+        sum(priceDec * discF).as("total_rev"))
+      .select(col("o_year"),
+        round(col("nation_rev").cast("double") /
+          col("total_rev").cast("double"), 6).as("mkt_share"),
+        col("total_rev").cast("double").as("total_rev"))
+      .orderBy(col("o_year"))
+  }
+
+  // ── Q9: product-line profit by nation and year ─────────────────────────
+  val Q9NamePattern = "gear"
+  /** Stand-in unit-cost factor: the corpus has no ps_supplycost, so cost
+    * = [[Q9CostNum]]/[[Q9CostDen]] of retail price — kept as an exact
+    * decimal ratio (never a double round-trip through 0.6). */
+  val Q9CostNum = 6
+  val Q9CostDen = 10
+
+  /** TPC-H Q9-shape product profit: per (supplier nation, order year), the
+    * profit on parts matching a name pattern — the 5-way star join whose
+    * amount expression mixes both fact measures and a dim attribute.
+    * Profit = disc price − 0.6·retail·qty, computed entirely in DECIMAL
+    * (0.6 as DECIMAL(2,1), quantity as DECIMAL(4,0) — every product exact,
+    * so the grouped sums are bit-identical across engines/partitionings).
+    *
+    * Shape at scale: the name pattern prunes part before broadcast; orders
+    * contributes only (orderkey → year); the single fact shuffle is the
+    * orders join on l_orderkey; nation tagging is a broadcast chain
+    * through supplier. Exactly Q7's skeleton with a measure that pulls a
+    * dim column into the aggregate. */
+  def productProfit(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val p = t.part.filter(col("p_name").contains(Q9NamePattern))
+      .select(col("p_partkey"),
+        col("p_retailprice").cast(DecimalType(12, 2)).as("p_retail"))
+    val supNation = t.supplier
+      .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    val costFactor = (lit(Q9CostNum).cast(DecimalType(2, 0)) /
+      lit(Q9CostDen).cast(DecimalType(2, 0))).cast(DecimalType(2, 1))
+    t.lineitem
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+      .join(t.orders.select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), col("o_year"))
+      .agg(sum(priceDec * discF -
+          col("p_retail") * col("l_quantity").cast(DecimalType(4, 0)) *
+            costFactor)
+        .cast("double").as("sum_profit"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  // ── Q11: important stock value ─────────────────────────────────────────
+  val Q11Nation = "NATION_7"
+  val Q11Fraction = 0.001
+
+  /** TPC-H Q11-shape important stock: parts whose witnessed inventory
+    * value from one nation's suppliers exceeds a fraction of that nation's
+    * total — HAVING against a scalar subquery over the SAME aggregate.
+    * Value = Σ qty·retail per part (exact decimal products); the fraction
+    * threshold compares doubles derived from exact decimals, so both
+    * engines agree bit-for-bit.
+    *
+    * Shape at scale: the nation's supplier slice broadcasts into the
+    * lineitem scan; ONE fact shuffle on l_partkey builds the per-part
+    * values; the grand total is a re-agg of that dim-sized result,
+    * broadcast back as a 1-row threshold — the fact is never scanned or
+    * shuffled twice. */
+  def importantStock(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val natSupp = t.supplier
+      .join(broadcast(t.nation.filter(col("n_name") === Q11Nation)
+          .select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val perPart = t.lineitem
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.part.select(col("p_partkey"),
+          col("p_retailprice").cast(DecimalType(12, 2)).as("p_retail"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity").cast(DecimalType(4, 0)) * col("p_retail"))
+        .as("part_value"))
+    val threshold = perPart
+      .agg((sum(col("part_value")).cast("double") * Q11Fraction)
+        .as("cutoff"))
+    perPart.join(broadcast(threshold),
+        col("part_value").cast("double") > col("cutoff"))
+      .select(col("l_partkey"),
+        col("part_value").cast("double").as("part_value"))
+      .orderBy(col("part_value").desc, col("l_partkey"))
+  }
+
+  // ── Q12: late shipments by priority class ──────────────────────────────
+  val Q12Start = "1997-01-01"
+  val Q12End = "1998-01-01"
+  val Q12LateDays = 90
+  val Q12HighPriorities: Seq[String] = Seq("1-URGENT", "2-HIGH")
+
+  /** TPC-H Q12-shape shipping-delay audit: among one year's late lines
+    * (shipped > [[Q12LateDays]] past order date — the corpus has no
+    * commit/receipt dates), how many came from high- vs low-priority
+    * orders, per return class (the corpus's stand-in for ship mode) — the
+    * CASE-partitioned count pair over a fact⋈fact join.
+    *
+    * Shape at scale: the ship-year filter prunes the lineitem scan; the
+    * single shuffle is the orders equi-join on the order key; the lateness
+    * predicate is a post-join residual on already-joined columns, and the
+    * output is one row per return class. */
+  def lateByPriority(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val high = col("o_orderpriority").isin(Q12HighPriorities: _*)
+    t.lineitem
+      .filter(col("l_shipdate") >= lit(Q12Start).cast("timestamp") &&
+        col("l_shipdate") < lit(Q12End).cast("timestamp"))
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+      .join(t.orders.select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >
+        col("o_orderdate") + expr(s"INTERVAL $Q12LateDays DAYS"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
   // ── Q7: bilateral trade volume ─────────────────────────────────────────
   val Q7NationA = "NATION_1"
   val Q7NationB = "NATION_2"

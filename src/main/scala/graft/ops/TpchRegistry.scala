@@ -10,6 +10,124 @@ object TpchRegistry {
 
   def all: Seq[QueryDef] = Seq(
 
+    // The witnessed-cost relation (min unit price per pair) replaces
+    // partsupp; the per-part MIN equality join is the correlated-subquery
+    // rewrite both engines must agree on bit-for-bit (IEEE division +
+    // order-independent MIN).
+    QueryDef("q_tpch2_mincost",
+      s"""WITH sup AS (
+         |  SELECT s_suppkey, s_name, s_acctbal, n_name
+         |  FROM supplier
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  WHERE r_name = '$Q2Region'),
+         |p AS (SELECT p_partkey, p_name FROM part
+         |      WHERE p_size BETWEEN $Q2SizeLo AND $Q2SizeHi
+         |        AND p_type = '$Q2Type'),
+         |per_pair AS (
+         |  SELECT l_partkey, l_suppkey,
+         |    min(l_extendedprice / l_quantity) AS unit_cost
+         |  FROM lineitem
+         |  JOIN p ON l_partkey = p_partkey
+         |  WHERE l_suppkey IN (SELECT s_suppkey FROM sup)
+         |  GROUP BY 1, 2),
+         |per_part AS (SELECT l_partkey, min(unit_cost) AS min_cost
+         |             FROM per_pair GROUP BY 1)
+         |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
+         |FROM per_pair
+         |JOIN per_part USING (l_partkey)
+         |JOIN sup ON l_suppkey = s_suppkey
+         |JOIN p ON l_partkey = p_partkey
+         |WHERE unit_cost = min_cost
+         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+         |LIMIT $Q2K""".stripMargin)((s, d) => minCostSupplier(s, d)),
+
+    QueryDef("q_tpch6_forecast",
+      s"""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+         |    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+         |  count(*) AS n_lines
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '$Q6Start'
+         |  AND l_shipdate < TIMESTAMP '$Q6End'
+         |  AND l_discount BETWEEN $Q6DiscLo AND $Q6DiscHi
+         |  AND l_quantity < $Q6MaxQty""".stripMargin)(forecastRevenue),
+
+    QueryDef("q_tpch8_mktshare",
+      s"""WITH market AS (
+         |  SELECT year(o_orderdate) AS o_year, n_name AS supp_nation,
+         |    $RevSql AS rev
+         |  FROM lineitem
+         |  JOIN part ON l_partkey = p_partkey
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  WHERE p_type = '$Q8Type'
+         |    AND o_orderdate >= TIMESTAMP '$Q8Start'
+         |    AND o_orderdate < TIMESTAMP '$Q8End'
+         |    AND o_custkey IN (
+         |      SELECT c_custkey FROM customer
+         |      JOIN nation ON c_nationkey = n_nationkey
+         |      JOIN region ON n_regionkey = r_regionkey
+         |      WHERE r_name = '$Q8Region'))
+         |SELECT o_year,
+         |  round(CAST(SUM(CASE WHEN supp_nation = '$Q8Nation' THEN rev
+         |      ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+         |    / CAST(SUM(rev) AS DOUBLE), 6) AS mkt_share,
+         |  CAST(SUM(rev) AS DOUBLE) AS total_rev
+         |FROM market GROUP BY 1 ORDER BY o_year""".stripMargin)(marketShare),
+
+    // Profit stays decimal end-to-end: 0.6 enters as DECIMAL(2,1), never
+    // a double literal, so every per-line product is exact.
+    QueryDef("q_tpch9_profit",
+      s"""SELECT n_name AS nation, year(o_orderdate) AS o_year,
+         |  CAST(SUM($RevSql
+         |      - CAST(p_retailprice AS DECIMAL(12,2))
+         |        * CAST(l_quantity AS DECIMAL(4,0))
+         |        * CAST(${Q9CostNum / Q9CostDen.toDouble} AS DECIMAL(2,1)))
+         |    AS DOUBLE) AS sum_profit,
+         |  count(*) AS n_lines
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |WHERE p_name LIKE '%$Q9NamePattern%'
+         |GROUP BY 1, 2
+         |ORDER BY nation, o_year DESC""".stripMargin)(productProfit),
+
+    QueryDef("q_tpch11_stock",
+      s"""WITH per_part AS (
+         |  SELECT l_partkey,
+         |    SUM(CAST(l_quantity AS DECIMAL(4,0))
+         |      * CAST(p_retailprice AS DECIMAL(12,2))) AS part_value
+         |  FROM lineitem
+         |  JOIN part ON l_partkey = p_partkey
+         |  WHERE l_suppkey IN (
+         |    SELECT s_suppkey FROM supplier
+         |    JOIN nation ON s_nationkey = n_nationkey
+         |    WHERE n_name = '$Q11Nation')
+         |  GROUP BY 1)
+         |SELECT l_partkey, CAST(part_value AS DOUBLE) AS part_value
+         |FROM per_part
+         |WHERE CAST(part_value AS DOUBLE) >
+         |  (SELECT CAST(SUM(part_value) AS DOUBLE) * $Q11Fraction
+         |   FROM per_part)
+         |ORDER BY part_value DESC, l_partkey""".stripMargin)(importantStock),
+
+    QueryDef("q_tpch12_latelines",
+      s"""SELECT l_returnflag,
+         |  CAST(SUM(CASE WHEN o_orderpriority IN
+         |    (${Q12HighPriorities.map("'" + _ + "'").mkString(", ")})
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         |  CAST(SUM(CASE WHEN o_orderpriority IN
+         |    (${Q12HighPriorities.map("'" + _ + "'").mkString(", ")})
+         |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE l_shipdate >= TIMESTAMP '$Q12Start'
+         |  AND l_shipdate < TIMESTAMP '$Q12End'
+         |  AND l_shipdate > o_orderdate + INTERVAL $Q12LateDays DAY
+         |GROUP BY 1 ORDER BY l_returnflag""".stripMargin)(lateByPriority),
+
     // The disjunctive nation pair collapses to "both sides in {A,B} and
     // different" — spelled identically here so the oracle exercises the
     // same predicate algebra the Spark plan uses.
