@@ -55,8 +55,13 @@ object Bench {
       }
       // Signature-table persists (dedup/vector queries) are per-plan and
       // never unpersisted by the builders; drop them between queries so the
-      // 60+-query run doesn't accumulate cached partitions.
+      // 60+-query run doesn't accumulate cached partitions. localCheckpoint
+      // RDDs (the iterative graph/CC queries) register as persistent RDDs
+      // outside the SQL cache — drop those too, or a 180-key sweep carries
+      // every round's checkpoint blocks forward and evicts live state.
       spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
     val qs = results.map { case (k, v, e) =>

@@ -38,6 +38,15 @@ object GraftSession {
     // rejects; read nanos as long session-wide (harmless for non-nanos files)
     // instead of mutating the conf at plan-build time (round-1 ADVICE).
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Shuffle files, broadcast blocks, and localCheckpoint RDDs are cleaned
+    // by ContextCleaner only when the driver GCs their references; the
+    // default periodic-GC interval (30 min) never fires inside a multi-
+    // minute 180-query sweep, so a long single-JVM run accumulates dead
+    // blocks until the block manager evicts live state from the heavy
+    // iterative queries. 30 s keeps cleanup flowing at negligible cost on
+    // any deployment (a real cluster's driver GCs naturally; this only
+    // schedules what would happen anyway).
+    .config("spark.cleaner.periodicGC.interval", "30s")
     // our state-free batch queries re-read tiny dims often in tests; keep the
     // broadcast threshold at the default 10 MB (cluster-safe), AQE raises it
     // dynamically when runtime stats allow.

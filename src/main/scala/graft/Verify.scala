@@ -34,8 +34,11 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // builder-persisted signature tables are per-plan; drop them so the
-      // 60-query run doesn't accumulate cached partitions (same as Bench)
+      // 60-query run doesn't accumulate cached partitions (same as Bench,
+      // incl. the localCheckpoint blocks of the iterative queries)
       spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -431,4 +431,39 @@ object PipelineQueries {
         col("target_rate"))
       .orderBy(col("lang"))
   }
+
+  /** Sample size drawn by [[weightedSample]]. */
+  val WeightedSampleK = 50
+
+  /** Deterministic weighted sampling without replacement — sequential
+    * Poisson (Ohlsson) πps: each document gets priority u/w where u is a
+    * hash-derived uniform and w its weight (length here; a quality score in
+    * a production mix), and the sample is the [[WeightedSampleK]] smallest
+    * priorities. Inclusion probability is approximately proportional to w,
+    * the standard order-sampling trade (Efraimidis–Spirakis' u^(1/w) is
+    * the exact-πps spelling; u/w avoids its ln/exp libm dependency — the
+    * priorities here are one exact-integer-derived double division, so
+    * the ORDER is bit-reproducible across engines and partitionings).
+    *
+    * This is the "pick a weighted subsample of the corpus" primitive
+    * (quality-weighted pretraining subsets, eval panels): deterministic ⇒
+    * re-runs and backfills select the SAME documents, and new arrivals
+    * perturb nothing (each doc's priority depends only on its own id).
+    *
+    * Shape at scale: one narrow codegen'd projection (hash, divide) and a
+    * global top-k — TakeOrderedAndProject's per-partition heaps, never a
+    * global sort. Zero shuffles beyond the k-row collection. */
+  def weightedSample(spark: SparkSession, dir: String,
+      k: Int = WeightedSampleK): DataFrame = {
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("w"))
+      .withColumn("u",
+        (expr(TextQueries.hash48("cast(doc_id as string)")).cast("double")
+          + 0.5) / lit(SampleHashSpace))
+      .withColumn("priority", col("u") / col("w"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("lang"), col("w"),
+        round(col("priority") * 1000.0, 9).as("priority_ppk"))
+  }
 }

@@ -193,6 +193,21 @@ object PipelineRegistry {
          |  round(CAST(sum(keep) AS DOUBLE) / count(*), 6) AS realized_rate,
          |  max(sample_rate) AS target_rate
          |FROM k GROUP BY 1 ORDER BY 1""".stripMargin)(
-      PipelineQueries.importanceSample)
+      PipelineQueries.importanceSample),
+
+    // Both engines order by the UNROUNDED priority (one exact-integer
+    // double division — bit-identical), then doc_id; only the output
+    // column is rounded.
+    QueryDef("q_weighted_sample",
+      s"""SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS w,
+         |  round((CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT
+         |      AS DOUBLE) + 0.5) / ${PipelineQueries.SampleHashSpace}
+         |    / n_chars * 1000.0, 9) AS priority_ppk
+         |FROM documents
+         |ORDER BY (CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT
+         |      AS DOUBLE) + 0.5) / ${PipelineQueries.SampleHashSpace}
+         |    / n_chars, doc_id
+         |LIMIT ${PipelineQueries.WeightedSampleK}""".stripMargin)(
+      (s, d) => PipelineQueries.weightedSample(s, d))
   )
 }

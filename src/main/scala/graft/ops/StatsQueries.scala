@@ -640,4 +640,65 @@ object StatsQueries {
           col("value") > col("p95"), 1L).otherwise(0L)).as("n_clamped"))
       .orderBy(col("event_type"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov drift statistic per source: the exact
+    * supremum gap D = sup |F_src − F_rest| between each source's document
+    * length ECDF and the rest of the corpus, plus the length at which the
+    * gap is attained — the distribution-shape counterpart of
+    * [[graft.ops.PipelineQueries.driftPsi]]'s binned PSI (KS is
+    * bin-free: it catches shape drift PSI's 10-bin grid can smooth away).
+    *
+    * The supremum must be evaluated at EVERY distinct value, not just the
+    * source's own observations — between a source's jumps its ECDF is flat
+    * while the rest's keeps rising, so the max gap can land on a value the
+    * source never takes. Hence the sources × value-domain grid.
+    *
+    * Shape at scale: one partial-agg shuffle to the (source, length) grain
+    * does all data-sized work; the value-domain census is a bounded
+    * second aggregate (document lengths are a bounded integer domain —
+    * the same calendar-grain argument as
+    * [[graft.ops.TimeseriesQueries.cusumChangepoint]]); the grid is
+    * sources × |domain| metadata, its cumulative windows partition per
+    * source, and the final stats are one more metadata agg.
+    *
+    * Determinism: every ECDF value is an exact-integer ratio evaluated as
+    * the same double division in both engines, so the max and its
+    * argmin-value equality join cannot diverge; output D rounds at 6 dp. */
+  def ksDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir).documents
+      .select(col("source"), col("n_chars").cast("long").as("v"))
+    val perSV = docs.groupBy(col("source"), col("v"))
+      .agg(count(lit(1)).as("n"))
+    val perSrc = perSV.groupBy(col("source")).agg(sum(col("n")).as("n_src"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    // cumulative census over the bounded value domain (single ordered
+    // window over |domain| rows — metadata, not data)
+    val perV = perSV.groupBy(col("v")).agg(sum(col("n")).as("nv"))
+      .withColumn("cum_tot",
+        sum(col("nv")).over(Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val grid = perSrc.crossJoin(broadcast(perV.select(col("v"), col("cum_tot"))))
+      .join(perSV, Seq("source", "v"), "left")
+      .na.fill(0L, Seq("n"))
+      .withColumn("cum_src",
+        sum(col("n")).over(Window.partitionBy(col("source")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(total))
+      .withColumn("gap",
+        abs(col("cum_src").cast("double") / col("n_src") -
+          (col("cum_tot") - col("cum_src")).cast("double") /
+            (col("n_total") - col("n_src"))))
+    val stats = grid.groupBy(col("source"))
+      .agg(max(col("gap")).as("ks_raw"), max(col("n_src")).as("n_src"),
+        max(col("n_total") - col("n_src")).as("n_rest"))
+    val at = grid.join(stats.select(col("source"), col("ks_raw")),
+        Seq("source"))
+      .filter(col("gap") === col("ks_raw"))
+      .groupBy(col("source")).agg(min(col("v")).as("d_at"))
+    stats.join(at, Seq("source"))
+      .select(col("source"), col("n_src"), col("n_rest"),
+        round(col("ks_raw"), 6).as("ks_d"), col("d_at"))
+      .orderBy(col("source"))
+  }
 }

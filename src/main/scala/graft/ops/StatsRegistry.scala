@@ -313,6 +313,41 @@ object StatsRegistry {
          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
          |FROM ev JOIN b USING (event_type)
          |GROUP BY 1 ORDER BY event_type""".stripMargin)(
-      StatsQueries.winsorizedStats)
+      StatsQueries.winsorizedStats),
+
+    // The gap is evaluated over the sources × value-domain grid (the
+    // supremum can land between a source's own jumps); every ECDF term is
+    // an exact-integer double ratio, so the max-equality join is sound.
+    QueryDef("q_ks_drift",
+      """WITH d AS (SELECT source, CAST(n_chars AS BIGINT) AS v
+        |           FROM documents),
+        |sv AS (SELECT source, v, count(*) AS n FROM d GROUP BY 1, 2),
+        |src AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_src
+        |        FROM sv GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM d),
+        |pv AS (SELECT v, sum(sum(n)) OVER (ORDER BY v
+        |         ROWS UNBOUNDED PRECEDING) AS cum_tot
+        |       FROM sv GROUP BY v),
+        |grid AS (
+        |  SELECT s.source, p.v, s.n_src, p.cum_tot,
+        |    sum(COALESCE(sv.n, 0)) OVER (PARTITION BY s.source ORDER BY p.v
+        |      ROWS UNBOUNDED PRECEDING) AS cum_src
+        |  FROM src s CROSS JOIN pv p
+        |  LEFT JOIN sv ON sv.source = s.source AND sv.v = p.v),
+        |g AS (SELECT source, v, n_src, n_total,
+        |        abs(CAST(cum_src AS DOUBLE) / n_src -
+        |            CAST(cum_tot - cum_src AS DOUBLE) / (n_total - n_src))
+        |          AS gap
+        |      FROM grid CROSS JOIN tot),
+        |stats AS (SELECT source, max(gap) AS ks_raw,
+        |            CAST(max(n_src) AS BIGINT) AS n_src,
+        |            CAST(max(n_total - n_src) AS BIGINT) AS n_rest
+        |          FROM g GROUP BY 1),
+        |at AS (SELECT g.source, min(v) AS d_at
+        |       FROM g JOIN stats USING (source)
+        |       WHERE gap = ks_raw GROUP BY 1)
+        |SELECT source, n_src, n_rest, round(ks_raw, 6) AS ks_d, d_at
+        |FROM stats JOIN at USING (source)
+        |ORDER BY source""".stripMargin)(StatsQueries.ksDrift)
   )
 }

@@ -494,4 +494,46 @@ object TextQueries {
           .as("r2"))
       .orderBy(col("source"))
   }
+
+  /** Default phrase for [[phraseSearch]]: two DISTINCT tokens, so
+    * token-level occurrences can never overlap (a self-adjacent phrase like
+    * "value value" has overlapping matches that substring counters and the
+    * positional join would count differently — distinctness removes the
+    * ambiguity class entirely). */
+  val PhraseTerms: Seq[String] = Seq("table", "value")
+
+  /** Exact phrase search through a POSITIONAL index: every document
+    * containing the terms of [[PhraseTerms]] consecutively, with the match
+    * count and first match position — the query an inverted index with
+    * position lists answers without ever re-reading source text.
+    *
+    * Shape at scale: tokenize → posexplode → filter to the PHRASE'S TERMS
+    * ONLY before anything wide happens (the position stream that shuffles
+    * is |postings of the two terms|, not the corpus token stream); the
+    * adjacency test is ONE equi-join on (doc, pos+1) — both sides already
+    * partition-pruned to single terms, so this is exactly the
+    * posting-list-intersection a search engine runs, spelled as a join.
+    * Output aggregates to matching docs only.
+    *
+    * At a real 100 TB deployment the per-term position lists come from the
+    * persisted [[invertedIndex]] artifact instead of a re-tokenize; the
+    * probe side of the join is unchanged — that artifact swap is the only
+    * difference, which is why the plan shape here is the one that matters. */
+  def phraseSearch(spark: SparkSession, dir: String,
+      phrase: Seq[String] = PhraseTerms): DataFrame = {
+    require(phrase.length == 2 && phrase(0) != phrase(1),
+      "phraseSearch expects a 2-term phrase of distinct tokens")
+    val pos = Tables(spark, dir).documents
+      .select(col("doc_id"), posexplode(expr(wordsExpr)).as(Seq("pos", "tok")))
+      .filter(col("tok").isin(phrase: _*))
+    val first = pos.filter(col("tok") === phrase(0))
+      .select(col("doc_id"), col("pos"))
+    val second = pos.filter(col("tok") === phrase(1))
+      .select(col("doc_id"), (col("pos") - 1).as("pos"))
+    first.join(second, Seq("doc_id", "pos"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("pos")).cast("long").as("first_pos"))
+      .orderBy(col("doc_id"))
+  }
 }

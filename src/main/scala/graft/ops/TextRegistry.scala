@@ -282,6 +282,24 @@ object TextRegistry {
          |  round(((n_terms * sxy - sx * sy) * (n_terms * sxy - sx * sy)) /
          |    ((n_terms * sxx - sx * sx) * (n_terms * syy - sy * sy)), 6)
          |    AS r2
-         |FROM m ORDER BY source""".stripMargin)(TextQueries.zipfFit)
+         |FROM m ORDER BY source""".stripMargin)(TextQueries.zipfFit),
+
+    // The oracle enumerates bigrams with their 0-based start position (the
+    // ngram-oracle spelling plus struct_pack); the phrase's two terms are
+    // distinct by contract, so matches can't overlap and both engines
+    // count identically.
+    QueryDef("q_phrase_search", {
+      val phrase = TextQueries.PhraseTerms.mkString(" ")
+      s"""WITH w AS (SELECT doc_id, $words AS w FROM documents),
+         |b AS (SELECT doc_id,
+         |        unnest(list_transform(generate_series(1, len(w) - 1),
+         |          i -> struct_pack(pos := i - 1,
+         |                 bg := array_to_string(w[i:i+1], ' ')))) AS s
+         |      FROM w)
+         |SELECT doc_id, count(*) AS n_matches,
+         |  CAST(min(s.pos) AS BIGINT) AS first_pos
+         |FROM b WHERE s.bg = '$phrase'
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin
+    })((s, d) => TextQueries.phraseSearch(s, d))
   )
 }

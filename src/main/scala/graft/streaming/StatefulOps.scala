@@ -170,7 +170,11 @@ object StatefulOps {
               r_time BETWEEN l_time - INTERVAL $rangeSec SECONDS
                          AND l_time + INTERVAL $rangeSec SECONDS"""),
       joinType)
-      .select(col("l_id").as("id"), col("l_mid"), col("r_mid"),
+      // coalesce: on matches l_id = r_id (join key), so this is l_id for
+      // inner/left rows; it keeps the id populated on a FULL join's
+      // right-unmatched rows, where the l side is all-NULL
+      .select(coalesce(col("l_id"), col("r_id")).as("id"),
+        col("l_mid"), col("r_mid"),
         col("l_temp"), col("r_temp"),
         (unix_micros(col("r_time")) - unix_micros(col("l_time"))).as("dt_us"))
   }

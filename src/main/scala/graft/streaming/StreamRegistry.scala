@@ -178,6 +178,25 @@ object StreamRegistry {
       .orderBy(col("l_mid").asc_nulls_last, col("r_mid").asc_nulls_last)
   }
 
+  /** FULL OUTER variant of [[streamJoin]]: both directions of the
+    * "missing partner" detection in one pass — matched pairs, plus an
+    * unmatched row for EITHER side once the global watermark proves its
+    * ±range window closed empty. Same emission predicate as
+    * [[streamJoinOuter]] applied symmetrically (the watermark is the MIN
+    * of the two sides' max − delay, shared by both state stores). */
+  def streamJoinFull(spark: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_stream_join_full").toString
+    val in = stagedSensorJson(spark, dir)
+    val path = SensorPipeline.replayCorrelate(spark, in, s"$base/out",
+      joinType = "full_outer")
+    spark.read.parquet(path)
+      .select(col("id").cast("long").as("id"),
+        col("l_mid").cast("long").as("l_mid"),
+        col("r_mid").cast("long").as("r_mid"),
+        col("l_temp"), col("r_temp"), col("dt_us"))
+      .orderBy(col("l_mid").asc_nulls_last, col("r_mid").asc_nulls_last)
+  }
+
   /** Complete-mode leaderboard: top-10 sensors by all-time max temperature,
     * truncate-and-reloaded per micro-batch
     * ([[SensorPipeline.replayTopkComplete]]). After the drain the dashboard
@@ -424,6 +443,39 @@ object StreamRegistry {
         |          AND r.sec BETWEEN l.sec - 3600 AND l.sec + 3600)
         |    AND l.sec + 3600 < wm)
         |ORDER BY l_mid NULLS LAST, r_mid NULLS LAST""".stripMargin)(streamJoinOuter),
+    // Symmetric closure of the outer oracle: unmatched rows from EITHER
+    // side, each under the same shared-watermark window-close predicate.
+    QueryDef("q_stream_join_full",
+      """WITH p AS (SELECT CAST(user_id AS BIGINT) AS id, event_id AS mid,
+        |        CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec,
+        |        COALESCE(CAST(TRUNC(value) AS BIGINT), 0) AS temperature
+        |      FROM events WHERE ts IS NOT NULL),
+        |l AS (SELECT * FROM p WHERE mid % 2 = 0),
+        |r AS (SELECT * FROM p WHERE mid % 2 = 1),
+        |m AS (SELECT LEAST((SELECT max(sec) FROM l),
+        |                   (SELECT max(sec) FROM r)) - 3600 AS wm)
+        |SELECT * FROM (
+        |  SELECT l.id AS id, l.mid AS l_mid, r.mid AS r_mid,
+        |    l.temperature AS l_temp, r.temperature AS r_temp,
+        |    (r.sec - l.sec) * 1000000 AS dt_us
+        |  FROM l JOIN r ON l.id = r.id
+        |    AND r.sec BETWEEN l.sec - 3600 AND l.sec + 3600
+        |  UNION ALL
+        |  SELECT l.id, l.mid, CAST(NULL AS BIGINT),
+        |    l.temperature, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+        |  FROM l, m
+        |  WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.id = l.id
+        |          AND r.sec BETWEEN l.sec - 3600 AND l.sec + 3600)
+        |    AND l.sec + 3600 < wm
+        |  UNION ALL
+        |  SELECT r.id, CAST(NULL AS BIGINT), r.mid,
+        |    CAST(NULL AS BIGINT), r.temperature, CAST(NULL AS BIGINT)
+        |  FROM r, m
+        |  WHERE NOT EXISTS (SELECT 1 FROM l WHERE l.id = r.id
+        |          AND l.sec BETWEEN r.sec - 3600 AND r.sec + 3600)
+        |    AND r.sec + 3600 < wm)
+        |ORDER BY l_mid NULLS LAST, r_mid NULLS LAST""".stripMargin)(
+      streamJoinFull),
     // The oracle is ONE copy of the feed: dedup must erase the transport's
     // duplicate delivery entirely.
     QueryDef("q_stream_dedup",

@@ -150,6 +150,12 @@ class PlanShapeSpec extends SparkSpec {
       // global-average threshold (TPC-H Q22's scalar subquery)
       "q_mix_rebalance", "q_importance_sample", "q_drift_psi",
       "q_rfm_segments", "q_tpch22_idle",
+      // 1-row broadcast value-fraction threshold (TPC-H Q11's scalar
+      // subquery over the same per-part aggregate)
+      "q_tpch11_stock",
+      // sources × bounded-value-domain ECDF grid (both sides metadata
+      // aggregates) + 1-row broadcast corpus total
+      "q_ks_drift",
       // 1-row broadcast max per HITS half-step normalization
       "q_hits",
       // k-row broadcast centroid tables (k = driver metadata, never data)
