@@ -194,4 +194,56 @@ object BehaviorQueries {
         round(sum(col("mon")).cast("double") / count(lit(1)), 4).as("avg_monetary"))
       .orderBy(col("segment"))
   }
+
+  /** Attribution lookback window (seconds) for [[attributionLastTouch]]. */
+  val AttribWindowSec = 604800L
+
+  /** Last-touch marketing attribution: each purchase is credited to the
+    * SAME user's most recent click within [[AttribWindowSec]] (else
+    * organic), rolled up per purchase day — the conversion-credit query
+    * every growth dashboard runs, and the per-conversion as-of join shape.
+    *
+    * Shape at scale: both event slices are pushed-filter scans; the only
+    * shuffle is the user-key equi-join, and the per-purchase last click is
+    * a `max` partial agg on the purchase's unique event id — never a
+    * window over the event stream. Per-user click×purchase pair volume is
+    * bounded by per-user activity density; a corpus with pathological
+    * single-user densities routes through the binned-range spelling
+    * ([[StatsQueries.rangeJoinBinned]]'s ±bin trick) — same plan shape,
+    * bin key added to the join.
+    *
+    * Determinism: times are epoch-second BIGINTs; the attributed flag and
+    * lag are integer arithmetic; the mean lag rides the decimal [[Out]]
+    * contract. */
+  def attributionLastTouch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .where(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("event_id").isNotNull)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        Out.epochSec(col("ts")).as("t"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"), col("t").as("tp"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("t").as("tc"))
+    // the window predicate lives ON the join (a WHERE would drop purchases
+    // whose user clicked only OUTSIDE the window instead of counting them
+    // organic — same placement rule as Q13's zero-bucket)
+    val attributed = purchases.as("p")
+      .join(clicks.as("c"),
+        col("p.user_id") === col("c.user_id") &&
+          col("c.tc") <= col("p.tp") &&
+          col("c.tc") > col("p.tp") - AttribWindowSec,
+        "left")
+      .groupBy(col("pid"), col("tp"))
+      .agg(max(col("tc")).as("last_click"))
+    attributed
+      .groupBy((col("tp") - pmod(col("tp"), lit(86400L))).as("day_sec"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when(col("last_click").isNotNull, 1L).otherwise(0L))
+          .as("n_attributed"),
+        sum(when(col("last_click").isNull, 1L).otherwise(0L)).as("n_organic"),
+        round(Out.davg(when(col("last_click").isNotNull,
+          col("tp") - col("last_click"))), 6).as("avg_lag_sec"))
+      .orderBy(col("day_sec"))
+  }
 }

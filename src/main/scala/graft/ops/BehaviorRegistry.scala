@@ -97,5 +97,32 @@ object BehaviorRegistry {
          |  ROUND(CAST(SUM(freq) AS DOUBLE) / COUNT(*), 6) AS avg_freq,
          |  ROUND(CAST(SUM(mon) AS DOUBLE) / COUNT(*), 4) AS avg_monetary
          |FROM banded GROUP BY 1 ORDER BY 1""".stripMargin)(
-      BehaviorQueries.rfmSegments))
+      BehaviorQueries.rfmSegments),
+
+    // The lookback predicate lives ON the left join (a WHERE would drop
+    // purchases whose user clicked only outside the window instead of
+    // counting them organic — Q13's join-predicate-placement rule).
+    QueryDef("q_attribution",
+      s"""WITH ev AS (SELECT event_id, user_id, event_type,
+         |    CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t
+         |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+         |    AND event_id IS NOT NULL),
+         |p AS (SELECT event_id AS pid, user_id, t AS tp FROM ev
+         |      WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id, t AS tc FROM ev WHERE event_type = 'click'),
+         |a AS (SELECT pid, tp, max(tc) AS last_click
+         |      FROM p LEFT JOIN c ON p.user_id = c.user_id
+         |        AND c.tc <= p.tp
+         |        AND c.tc > p.tp - ${BehaviorQueries.AttribWindowSec}
+         |      GROUP BY 1, 2)
+         |SELECT tp - (tp % 86400) AS day_sec,
+         |  count(*) AS n_purchases,
+         |  CAST(sum(CASE WHEN last_click IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_attributed,
+         |  CAST(sum(CASE WHEN last_click IS NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_organic,
+         |  round(${Out.sql.davg("CASE WHEN last_click IS NOT NULL THEN tp - last_click END")}, 6)
+         |    AS avg_lag_sec
+         |FROM a GROUP BY 1 ORDER BY day_sec""".stripMargin)(
+      BehaviorQueries.attributionLastTouch))
 }

@@ -701,4 +701,40 @@ object StatsQueries {
         round(col("ks_raw"), 6).as("ks_d"), col("d_at"))
       .orderBy(col("source"))
   }
+
+  /** Equi-depth histogram: per event type, four quartile-bounded bins with
+    * their actual counts and value ranges — the companion to the
+    * fixed-width `q_histogram` (equi-depth adapts bin edges to the data,
+    * which is what an optimizer's column statistics and a skew audit
+    * actually want; fixed-width bins collapse under heavy tails).
+    *
+    * Shape at scale: one grouped sort-agg computes the three interior
+    * quartile edges per type (metadata-sized — same machinery as
+    * `q_percentiles`); edges broadcast back onto the scan and the bin
+    * assignment is a codegen'd CASE, so the binning pass is one
+    * partial-agg shuffle to the (type, bin) grain.
+    *
+    * Determinism: edges are the interpolated quantiles both engines
+    * compute identically on identical doubles (the `q_winsorize` parity);
+    * bin assignment compares UNROUNDED edges; only displayed edges round. */
+  def histogramEquidepth(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+    val edges = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.25)").as("q1"),
+        expr("percentile(value, 0.50)").as("q2"),
+        expr("percentile(value, 0.75)").as("q3"))
+    ev.join(broadcast(edges), Seq("event_type"))
+      .select(col("event_type"), col("value"),
+        when(col("value") <= col("q1"), 0L)
+          .when(col("value") <= col("q2"), 1L)
+          .when(col("value") <= col("q3"), 2L)
+          .otherwise(3L).as("bin"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("value")), 4).as("lo"),
+        round(max(col("value")), 4).as("hi"))
+      .orderBy(col("event_type"), col("bin"))
+  }
 }

@@ -348,6 +348,25 @@ object StatsRegistry {
         |       WHERE gap = ks_raw GROUP BY 1)
         |SELECT source, n_src, n_rest, round(ks_raw, 6) AS ks_d, d_at
         |FROM stats JOIN at USING (source)
-        |ORDER BY source""".stripMargin)(StatsQueries.ksDrift)
+        |ORDER BY source""".stripMargin)(StatsQueries.ksDrift),
+
+    // Bin assignment compares UNROUNDED interpolated quartiles (the
+    // q_winsorize quantile-parity argument); only displayed edges round.
+    QueryDef("q_histogram_equidepth",
+      """WITH ev AS (SELECT event_type, value FROM events
+        |  WHERE value IS NOT NULL),
+        |e AS (SELECT event_type,
+        |        quantile_cont(value, 0.25) AS q1,
+        |        quantile_cont(value, 0.50) AS q2,
+        |        quantile_cont(value, 0.75) AS q3
+        |      FROM ev GROUP BY 1)
+        |SELECT event_type,
+        |  CAST(CASE WHEN value <= q1 THEN 0 WHEN value <= q2 THEN 1
+        |       WHEN value <= q3 THEN 2 ELSE 3 END AS BIGINT) AS bin,
+        |  count(*) AS n,
+        |  round(min(value), 4) AS lo, round(max(value), 4) AS hi
+        |FROM ev JOIN e USING (event_type)
+        |GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin)(
+      StatsQueries.histogramEquidepth)
   )
 }

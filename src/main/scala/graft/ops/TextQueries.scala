@@ -536,4 +536,42 @@ object TextQueries {
         min(col("pos")).cast("long").as("first_pos"))
       .orderBy(col("doc_id"))
   }
+
+  /** Vocabulary size for [[oovRate]] (top types by corpus frequency; the
+    * deterministic stand-in for a fixed tokenizer vocabulary file). */
+  val OovVocab = 40
+
+  /** Out-of-vocabulary rate per source: the fraction of each source's
+    * tokens not covered by the top-[[OovVocab]] corpus vocabulary — the
+    * tokenizer-coverage screen a pretraining mix runs before committing to
+    * a vocab (a source with a high OOV rate fragments into subword soup
+    * and eats the token budget). In production the vocab side is the
+    * tokenizer's published list; self-deriving the head here keeps the
+    * query closed over the corpus with identical semantics.
+    *
+    * Shape at scale: the vocab is a count-agg → top-k (TakeOrdered on
+    * (count DESC, token) — a total order) that BROADCASTS; the token
+    * stream then left-joins it map-side, so the only wide shuffle is the
+    * (source) rollup of already-combined partials. Nothing quadratic,
+    * nothing driver-side but the k-row vocab.
+    *
+    * Determinism: counts are exact; the rate is one double division
+    * rounded at 6 dp; the vocab cut is the total (count, token) order. */
+  def oovRate(spark: SparkSession, dir: String,
+      vocabSize: Int = OovVocab): DataFrame = {
+    val toks = Tables(spark, dir).documents
+      .select(col("source"), explode(expr(wordsExpr)).as("tok"))
+      .filter(col("tok") =!= "")
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"), lit(1L).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 6)
+          .as("oov_rate"))
+      .orderBy(col("source"))
+  }
 }

@@ -300,6 +300,23 @@ object TextRegistry {
          |  CAST(min(s.pos) AS BIGINT) AS first_pos
          |FROM b WHERE s.bg = '$phrase'
          |GROUP BY 1 ORDER BY doc_id""".stripMargin
-    })((s, d) => TextQueries.phraseSearch(s, d))
+    })((s, d) => TextQueries.phraseSearch(s, d)),
+
+    // The vocab cut is the total (count DESC, token) order — LIMIT is
+    // deterministic on ties in both engines.
+    QueryDef("q_oov_rate",
+      s"""WITH tok AS (SELECT source, unnest($words) AS tok FROM documents),
+         |t AS (SELECT source, tok FROM tok WHERE tok <> ''),
+         |v AS (SELECT tok, 1 AS in_vocab FROM
+         |        (SELECT tok, count(*) AS n FROM t GROUP BY 1
+         |         ORDER BY n DESC, tok LIMIT ${TextQueries.OovVocab})),
+         |j AS (SELECT source, in_vocab FROM t LEFT JOIN v USING (tok))
+         |SELECT source, count(*) AS n_tokens,
+         |  CAST(sum(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_oov,
+         |  round(CAST(sum(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / count(*), 6) AS oov_rate
+         |FROM j GROUP BY 1 ORDER BY source""".stripMargin)(
+      (s, d) => TextQueries.oovRate(s, d))
   )
 }

@@ -124,4 +124,29 @@ class EventQueriesSpec extends SparkSpec {
       starts.distinct.size shouldBe starts.size
     }
   }
+
+  test("attribution: every purchase lands exactly once; organic arm = " +
+      "users with no in-window click") {
+    val ev = Tables(spark, sf).events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("event_id").isNotNull)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        graft.ops.Out.epochSec(col("ts")).as("t")).collect()
+    val purchases = ev.filter(_.getString(2) == "purchase")
+    val clicks = ev.filter(_.getString(2) == "click")
+      .map(r => (r.getLong(1), r.getLong(3)))
+    val w = graft.ops.BehaviorQueries.AttribWindowSec
+    val wantAttributed = purchases.count { p =>
+      val (uid, tp) = (p.getLong(1), p.getLong(3))
+      clicks.exists { case (cu, tc) => cu == uid && tc <= tp && tc > tp - w }
+    }
+    val got = graft.ops.BehaviorQueries.attributionLastTouch(spark, sf)
+      .collect()
+    got.map(_.getAs[Long]("n_purchases")).sum shouldBe purchases.length.toLong
+    got.map(_.getAs[Long]("n_attributed")).sum shouldBe wantAttributed.toLong
+    got.foreach { r =>
+      r.getAs[Long]("n_attributed") + r.getAs[Long]("n_organic") shouldBe
+        r.getAs[Long]("n_purchases")
+    }
+  }
 }

@@ -4,6 +4,7 @@ import java.security.MessageDigest
 
 import graft.ops.PipelineQueries
 import graft.tables.Tables
+import org.apache.spark.sql.functions.col
 
 /** Brute-force driver-side oracles for the training-mix assembly operators
   * (sf0.001) — independent plain-Scala recomputation, catching semantic
@@ -161,5 +162,29 @@ class PipelineQueriesSpec extends SparkSpec {
       r.getDouble(2) shouldBe psi +- 1e-6
       r.getDouble(2) should be >= 0.0
     }
+  }
+
+  test("weighted sample ≡ driver-side sequential-Poisson recompute; " +
+      "deterministic across runs") {
+    import java.security.MessageDigest
+    def u(docId: Long): Double = {
+      val md = MessageDigest.getInstance("MD5")
+        .digest(docId.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      (java.lang.Long.parseLong(md, 16).toDouble + 0.5) /
+        PipelineQueries.SampleHashSpace
+    }
+    val want = Tables(spark, sf).documents
+      .select(col("doc_id"), col("n_chars").cast("long")).collect()
+      .map(r => (r.getLong(0), u(r.getLong(0)) / r.getLong(1)))
+      .sortBy { case (id, p) => (p, id) }
+      .take(PipelineQueries.WeightedSampleK)
+      .map(_._1)
+    val got = PipelineQueries.weightedSample(spark, sf).collect()
+      .map(_.getLong(0))
+    got.toSeq shouldBe want.toSeq
+    // re-run selects the identical sample (hash-derived, no RNG state)
+    PipelineQueries.weightedSample(spark, sf).collect()
+      .map(_.getLong(0)).toSeq shouldBe got.toSeq
   }
 }

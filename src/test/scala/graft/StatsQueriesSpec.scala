@@ -158,4 +158,60 @@ class StatsQueriesSpec extends SparkSpec {
       r.getDouble(4) should (be >= 0.0 and be <= 1.0)
     }
   }
+
+  test("KS drift matches a driver-side ECDF supremum per source") {
+    val docs = Tables(spark, sf).documents
+      .select(col("source"), col("n_chars").cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val all = docs.map(_._2).sorted
+    val domain = all.distinct
+    val bySrc = docs.groupBy(_._1)
+    val got = StatsQueries.ksDrift(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_src"), r.getAs[Long]("n_rest"),
+          r.getAs[Double]("ks_d"), r.getAs[Long]("d_at"))).toMap
+    got.keySet shouldBe bySrc.keySet
+    bySrc.foreach { case (src, rs) =>
+      val mine = rs.map(_._2).sorted
+      val rest = docs.filter(_._1 != src).map(_._2).sorted
+      val gaps = domain.map { v =>
+        v -> math.abs(
+          mine.count(_ <= v).toDouble / mine.length -
+            rest.count(_ <= v).toDouble / rest.length)
+      }
+      val d = gaps.map(_._2).max
+      val at = gaps.filter(_._2 == d).map(_._1).min
+      val (nSrc, nRest, ksD, dAt) = got(src)
+      nSrc shouldBe mine.length.toLong
+      nRest shouldBe rest.length.toLong
+      ksD shouldBe d +- 1e-6
+      dAt shouldBe at
+    }
+  }
+
+  test("equi-depth histogram bins partition each type with ~quartile depths") {
+    val byType = Tables(spark, sf).events
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = StatsQueries.histogramEquidepth(spark, sf).collect()
+      .groupBy(_.getString(0))
+    got.keySet shouldBe byType.keySet
+    got.foreach { case (et, bins) =>
+      bins.map(_.getAs[Long]("n")).sum shouldBe byType(et)
+      bins.map(_.getAs[Long]("bin")).sorted shouldBe (0L until bins.length)
+      // equi-depth: each bin within ±1 of n/4 would be exact only for
+      // distinct values; allow interpolation slack of 25% of the depth
+      val depth = byType(et).toDouble / 4
+      bins.foreach(b =>
+        b.getAs[Long]("n").toDouble shouldBe depth +- (depth * 0.5 + 2))
+      // bins tile the range in order: lo/hi are non-decreasing across bins
+      val ordered = bins.sortBy(_.getAs[Long]("bin"))
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          a.getAs[Double]("hi") should be <= b.getAs[Double]("lo") + 1e-9
+        case _ =>
+      }
+    }
+  }
 }

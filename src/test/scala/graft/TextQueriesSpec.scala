@@ -2,6 +2,7 @@ package graft
 
 import graft.ops.TextQueries
 import graft.tables.Tables
+import org.apache.spark.sql.functions.col
 
 /** Brute-force driver-side oracles for the text-retrieval operators
   * (sf0.001) — independent recomputation in plain Scala, no SQL on either
@@ -153,5 +154,37 @@ class TextQueriesSpec extends SparkSpec {
       r.getLong(3) shouldBe expected.length.toLong
       r.getLong(4) shouldBe h48(expected)
     }
+  }
+
+  test("phrase search ≡ driver-side adjacent-token scan") {
+    val phrase = TextQueries.PhraseTerms
+    val want = Tables(spark, sf).documents
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val toks = r.getString(1).split(' ')
+        val hits = toks.indices.dropRight(1)
+          .filter(i => toks(i) == phrase(0) && toks(i + 1) == phrase(1))
+        r.getLong(0) -> hits
+      }
+      .filter(_._2.nonEmpty).toMap
+    val got = TextQueries.phraseSearch(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    got.keySet shouldBe want.keySet
+    want.foreach { case (doc, hits) =>
+      got(doc) shouldBe ((hits.length.toLong, hits.head.toLong))
+    }
+  }
+
+  test("OOV rate: vocab head covers itself; rates bounded and consistent") {
+    val got = TextQueries.oovRate(spark, sf).collect()
+    got.foreach { r =>
+      val (n, oov, rate) =
+        (r.getLong(1), r.getLong(2), r.getAs[Double]("oov_rate"))
+      oov should be <= n
+      rate shouldBe (oov.toDouble / n) +- 1e-6
+    }
+    // a vocab as large as the whole vocabulary ⇒ zero OOV everywhere
+    val full = TextQueries.oovRate(spark, sf, vocabSize = 1000000).collect()
+    full.foreach(_.getLong(2) shouldBe 0L)
   }
 }
