@@ -47,6 +47,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_"), s"expected partial aggregation before the shuffle:\n$p")
   }
 
+  test("TPC-H Q6: every predicate reaches the scan; 3-column ReadSchema; no join") {
+    val p = plan(TpchQueries.forecastRevenue(spark, sf))
+    // Spark truncates the PushedFilters metadata string (maxMetadataStringLength),
+    // so assert the leading pushed entries plus the full predicate in the Filter node.
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"shipdate predicate must reach the parquet scan:\n$p")
+    assert(p.contains("l_quantity") && p.contains("< 24.0"),
+      s"quantity range predicate must appear in the scan-stage filter:\n$p")
+    assert(p.contains("ReadSchema: struct<l_shipdate:timestamp,l_quantity:double," +
+      "l_extendedprice:double,l_discount:double>") ||
+      p.contains("l_extendedprice") && !p.contains("l_orderkey"),
+      s"scan must prune to the predicate+measure columns:\n$p")
+    assert(!p.contains("Join"), s"Q6 must plan zero joins:\n$p")
+  }
+
+  test("weighted πps sample is TakeOrderedAndProject over a narrow projection") {
+    val p = plan(PipelineQueries.weightedSample(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"global sample must not global-sort:\n$p")
+  }
+
+  test("OOV rate probes the vocab with a broadcast join (token stream never re-shuffles)") {
+    val p = plan(TextQueries.oovRate(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"vocab must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"token⋈vocab must not SMJ:\n$p")
+  }
+
+  test("phrase search adjacency is an equi-join on (doc, pos)") {
+    val p = plan(TextQueries.phraseSearch(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"posting intersection must stay an equi-join:\n$p")
+  }
+
   test("graft_dot native expression: bit-identical to the HOF fold, and codegen'd") {
     val df = Tables(spark, sf).embeddings.limit(50)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
