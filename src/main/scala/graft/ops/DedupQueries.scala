@@ -465,4 +465,55 @@ object DedupQueries {
       .select(col("doc_new"), col("doc_old").as("dup_of"), col("jaccard"))
       .orderBy(col("doc_new"))
   }
+
+  /** Passage width (words) for [[passageDedup]]. */
+  val PassageW = 20
+
+  /** Cross-document passage-level dedup census — the hashed-passage
+    * approximation of suffix-array substring dedup (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better"): whole-doc
+    * dedup misses documents that share long spans without being near-copies
+    * (boilerplate, quotations, licence blocks), and those shared spans are
+    * what LMs memorize. Each doc is cut into consecutive non-overlapping
+    * [[PassageW]]-word passages (tail remainder dropped — a partial passage
+    * has no fixed-width identity); a passage is *duplicated* when its text
+    * occurs in at least one OTHER document. Output per doc: passage count,
+    * duplicated-passage count, and the duplicated fraction — the signal a
+    * pipeline thresholds to route docs to span-level cleaning.
+    *
+    * Shape at scale: tokenize once ([[fanout]] ahead of the hashing stage),
+    * explode to (doc, passage-hash) — linear in corpus tokens — then ONE
+    * hash-keyed shuffle computing each passage-hash's distinct-doc spread
+    * (partial agg map-side), a semi-join of the exploded rows against the
+    * cross-doc hashes (a sliver — AQE broadcasts it), and a final per-doc
+    * partial agg. No pairwise enumeration at any point, so unlike the
+    * pair-generating near-dup family this census stays linear even on a
+    * 100 % duplicated corpus. 48-bit passage hashes keep the shuffle narrow;
+    * a collision can only overcount duplication (conservative direction)
+    * and the oracle hashes identically so the gate is exact. */
+  def passageDedup(spark: SparkSession, dir: String, w: Int = PassageW): DataFrame = {
+    val toks = fanout(Tables(spark, dir).documents, "doc_id")
+      .select(col("doc_id"), expr(wordsExpr).as("ws"))
+    // Guard: Spark's sequence(1, 0) is the DESCENDING [1, 0], not empty —
+    // without the filter a doc shorter than one passage fabricates two.
+    val passages = toks
+      .filter(size(col("ws")) >= w)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(ws) div $w), i -> " +
+          s"array_join(slice(ws, (i - 1) * $w + 1, $w), ' '))")).as("p"))
+      .select(col("doc_id"), expr(hash48("p")).as("h"))
+    val crossDoc = passages.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("h"))
+    passages
+      .join(crossDoc.withColumn("dup", lit(1L)), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_passages"),
+        sum(coalesce(col("dup"), lit(0L))).as("n_dup_passages"))
+      .withColumn("dup_frac",
+        round(col("n_dup_passages").cast("double") /
+          col("n_passages").cast("double"), 6))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -170,6 +170,30 @@ object DedupRegistry {
          |       FROM vr)
          |SELECT doc_new, doc_old AS dup_of, jaccard FROM rk
          |WHERE rn = 1 ORDER BY doc_new""".stripMargin)(
-      (s, d) => DedupQueries.dedupIncremental(s, d))
+      (s, d) => DedupQueries.dedupIncremental(s, d)),
+
+    // Non-overlapping W-word passage census (hashed-passage approximation of
+    // substring dedup): same slicing, same 48-bit MD5 prefix hash, same
+    // cross-doc (distinct docs >= 2) duplication predicate as the Spark side.
+    QueryDef("q_passage_dedup",
+      s"""WITH ws AS (SELECT doc_id, $words AS ws FROM documents),
+         |p AS (SELECT doc_id,
+         |        unnest(list_transform(
+         |          generate_series(1, len(ws) // ${DedupQueries.PassageW}),
+         |          i -> array_to_string(
+         |            ws[(i-1)*${DedupQueries.PassageW}+1 : (i-1)*${DedupQueries.PassageW}+${DedupQueries.PassageW}],
+         |            ' '))) AS t
+         |      FROM ws),
+         |ph AS (SELECT doc_id, $hash48 AS h FROM p),
+         |xd AS (SELECT h FROM ph GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+         |SELECT ph.doc_id,
+         |  count(*) AS n_passages,
+         |  CAST(sum(CASE WHEN xd.h IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_dup_passages,
+         |  round(sum(CASE WHEN xd.h IS NULL THEN 0 ELSE 1 END)::DOUBLE
+         |        / count(*), 6) AS dup_frac
+         |FROM ph LEFT JOIN xd ON ph.h = xd.h
+         |GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => DedupQueries.passageDedup(s, d))
   )
 }

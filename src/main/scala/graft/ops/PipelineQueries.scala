@@ -466,4 +466,83 @@ object PipelineQueries {
       .select(col("doc_id"), col("lang"), col("w"),
         round(col("priority") * 1000.0, 9).as("priority_ppk"))
   }
+
+  /** Target epochs per source, in permille (2500 = 2.5 epochs). Sources
+    * absent from the table train for [[EpochDefaultPermille]] epochs.
+    * Complementary to [[MixPermille]]: the domain mix SUBSAMPLES (≤ 1
+    * epoch); the epoch plan UPSAMPLES scarce high-value sources (> 1). */
+  val EpochPermille: Seq[(String, Int)] =
+    Seq("src1" -> 2500, "src2" -> 1200, "src3" -> 800, "src4" -> 0)
+  val EpochDefaultPermille = 1000
+
+  private def epochRateSql(srcCol: String): String =
+    EpochPermille.map { case (s, p) => s"WHEN $srcCol = '$s' THEN $p" }
+      .mkString("CASE ", " ", s" ELSE $EpochDefaultPermille END")
+
+  /** Multi-epoch expansion plan: how many times each training doc appears
+    * in the final mix. `repeats = ⌊epochs⌋ + 1{hash-draw < frac(epochs)}` —
+    * the integer part is deterministic replication, the fractional epoch is
+    * a reproducible per-doc Bernoulli draw from the same MD5 hash family as
+    * [[domainMix]] (a pure function of `doc_id`, so any cluster size or
+    * re-run plans the SAME mix — and a source can be zeroed outright, e.g.
+    * known-bad provenance). Eval-source docs are excluded: the benchmark
+    * split never enters the training mix, mirroring [[decontaminate]].
+    *
+    * Shape at scale: zero shuffle — the rate table folds into a codegen'd
+    * CASE and every column is a narrow per-row expression; the ORDER BY is
+    * oracle-compare only. The downstream consumer materializes repeats
+    * lazily (`explode(sequence(1, repeats))` at write time), so the plan
+    * itself never amplifies data. */
+  def epochPlan(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .filter(col("source") =!= EvalSource)
+      .select(col("doc_id"), col("source"),
+        size(expr(wordsExpr)).cast("long").as("n_tokens"),
+        expr(epochRateSql("source")).as("rate"))
+      .withColumn("repeats",
+        expr("rate div 1000").cast("long") +
+          when(expr(hash48("concat(cast(doc_id as string), ':ep')")) % 1000
+            < col("rate") % 1000, 1L).otherwise(0L))
+      .withColumn("planned_tokens", col("repeats") * col("n_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("repeats"), col("planned_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Per-source Jensen–Shannon divergence (nats) between the source's token
+    * distribution and the whole-corpus distribution — the vocabulary-drift
+    * complement to [[driftPsi]] (which sees only length bins): a source
+    * whose documents are the right length but the wrong *words* is invisible
+    * to PSI and loud here. JS rather than KL because it is finite when a
+    * source lacks corpus tokens (the 0·ln0 = 0 convention), symmetric, and
+    * bounded by ln 2 — comparable across sources.
+    *
+    * Shape at scale: token counts are one explode + two partial-agg
+    * shuffles (per-source×token, then the marginals); the source×vocab grid
+    * is `sources ⨯ broadcast(vocab)` — vocab is tokenizer-bounded (~10⁵),
+    * so the grid is metadata-scale no matter the corpus size. Per-token JS
+    * contributions are truncated to DECIMAL(38,12) before the final sum,
+    * so partition order cannot move the rounded result ([[TextQueries]]
+    * NLL-sum idiom). */
+  def jsDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables(spark, dir).documents
+      .select(col("source"), explode(expr(wordsExpr)).as("t"))
+    val byst = tok.groupBy(col("source"), col("t"))
+      .agg(count(lit(1)).as("c")).persist()
+    val stot = byst.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val vocab = byst.groupBy(col("t")).agg(sum(col("c")).as("cc"))
+    val ntot = byst.agg(sum(col("c")).as("nt"))
+    val grid = stot.crossJoin(broadcast(vocab)).crossJoin(broadcast(ntot))
+      .join(byst, Seq("source", "t"), "left")
+      .select(col("source"), col("n"),
+        (coalesce(col("c"), lit(0L)).cast("double") / col("n").cast("double")).as("p"),
+        (col("cc").cast("double") / col("nt").cast("double")).as("q"))
+    val termP = when(col("p") > 0.0,
+      col("p") * log(lit(2.0) * col("p") / (col("p") + col("q")))).otherwise(lit(0.0))
+    val termQ = col("q") * log(lit(2.0) * col("q") / (col("p") + col("q")))
+    grid.groupBy(col("source"), col("n"))
+      .agg(round(sum((lit(0.5) * (termP + termQ)).cast("decimal(38,12)"))
+        .cast("double"), 6).as("js_nats"))
+      .select(col("source"), col("n").as("n_tokens"), col("js_nats"))
+      .orderBy(col("source"))
+  }
 }

@@ -208,6 +208,48 @@ object PipelineRegistry {
          |      AS DOUBLE) + 0.5) / ${PipelineQueries.SampleHashSpace}
          |    / n_chars, doc_id
          |LIMIT ${PipelineQueries.WeightedSampleK}""".stripMargin)(
-      (s, d) => PipelineQueries.weightedSample(s, d))
+      (s, d) => PipelineQueries.weightedSample(s, d)),
+
+    // Multi-epoch expansion: integer epochs by // 1000, fractional epoch by
+    // the same MD5 permille draw (doc_id || ':ep'), eval source excluded.
+    QueryDef("q_epoch_plan", {
+      val rate = PipelineQueries.EpochPermille
+        .map { case (s, p) => s"WHEN source = '$s' THEN $p" }
+        .mkString("CASE ", " ", s" ELSE ${PipelineQueries.EpochDefaultPermille} END")
+      s"""WITH r AS (SELECT doc_id, source,
+         |    len($words) AS n_tokens, ($rate) AS rate
+         |  FROM documents WHERE source <> '${PipelineQueries.EvalSource}')
+         |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(rate // 1000
+         |    + CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':ep'), 1, 12))::BIGINT
+         |             % 1000 < rate % 1000 THEN 1 ELSE 0 END AS BIGINT) AS repeats,
+         |  CAST((rate // 1000
+         |    + CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':ep'), 1, 12))::BIGINT
+         |             % 1000 < rate % 1000 THEN 1 ELSE 0 END) * n_tokens AS BIGINT)
+         |    AS planned_tokens
+         |FROM r ORDER BY doc_id""".stripMargin
+    })(PipelineQueries.epochPlan),
+
+    // Per-source token-distribution JS divergence vs the corpus: the
+    // source × vocab grid, 0·ln0 = 0 on the source side, per-term
+    // DECIMAL(38,12) truncation before the sum (order-independent).
+    QueryDef("q_js_divergence",
+      s"""WITH tok AS (SELECT source, unnest($words) AS t FROM documents),
+         |byst AS (SELECT source, t, count(*) AS c FROM tok GROUP BY 1, 2),
+         |stot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM byst GROUP BY 1),
+         |vocab AS (SELECT t, CAST(sum(c) AS BIGINT) AS cc FROM byst GROUP BY 1),
+         |ntot AS (SELECT CAST(sum(c) AS BIGINT) AS nt FROM byst),
+         |grid AS (SELECT s.source, s.n,
+         |    COALESCE(b.c, 0)::DOUBLE / s.n AS p,
+         |    v.cc::DOUBLE / ntot.nt AS q
+         |  FROM stot s CROSS JOIN vocab v CROSS JOIN ntot
+         |  LEFT JOIN byst b ON b.source = s.source AND b.t = v.t)
+         |SELECT source, n AS n_tokens,
+         |  round(CAST(sum(CAST(0.5 * (
+         |    CASE WHEN p > 0 THEN p * ln(2.0 * p / (p + q)) ELSE 0.0 END
+         |    + q * ln(2.0 * q / (p + q))) AS DECIMAL(38,12))) AS DOUBLE), 6)
+         |    AS js_nats
+         |FROM grid GROUP BY source, n ORDER BY source""".stripMargin)(
+      PipelineQueries.jsDivergence)
   )
 }

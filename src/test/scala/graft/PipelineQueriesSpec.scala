@@ -187,4 +187,68 @@ class PipelineQueriesSpec extends SparkSpec {
     PipelineQueries.weightedSample(spark, sf).collect()
       .map(_.getLong(0)).toSeq shouldBe got.toSeq
   }
+
+  test("passage dedup = cross-doc census of non-overlapping 20-word windows") {
+    import graft.ops.DedupQueries
+    val w = DedupQueries.PassageW
+    val perDoc = corpus.map { case (id, _, _, ws) =>
+      id -> ws.grouped(w).filter(_.length == w).map(_.mkString(" ")).toVector
+    }.filter(_._2.nonEmpty)
+    val docsOf = perDoc.flatMap { case (id, ps) => ps.map(_ -> id) }
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).distinct.size }
+    val want = perDoc.map { case (id, ps) =>
+      val dup = ps.count(p => docsOf(p) >= 2)
+      (id, ps.size.toLong, dup.toLong)
+    }.sortBy(_._1)
+    val got = DedupQueries.passageDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.toSeq shouldBe want
+    // short docs (< one passage) are absent, never fabricated
+    // (Spark's sequence(1, 0) is descending, not empty — regression guard)
+    val shortIds = corpus.filter(_._4.length < w).map(_._1).toSet
+    got.map(_._1).toSet.intersect(shortIds) shouldBe Set.empty
+  }
+
+  test("epoch plan: repeats = floor(epochs) + hash-permille Bernoulli; eval excluded") {
+    val rates = PipelineQueries.EpochPermille.toMap
+    val want = corpus.filter(_._3 != PipelineQueries.EvalSource)
+      .map { case (id, _, src, ws) =>
+        val r = rates.getOrElse(src, PipelineQueries.EpochDefaultPermille)
+        val rep = r / 1000 + (if (md5mod1000(id.toString + ":ep") < r % 1000) 1 else 0)
+        (id, src, ws.length.toLong, rep.toLong, rep.toLong * ws.length)
+      }.sortBy(_._1)
+    val got = PipelineQueries.epochPlan(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    got.toSeq shouldBe want
+    // a zeroed source plans zero repeats for every doc
+    got.filter(_._2 == "src4").foreach(_._4 shouldBe 0L)
+  }
+
+  test("JS divergence matches driver-side recompute; bounded by ln 2") {
+    val bySrc = corpus.groupBy(_._3).map { case (s, ds) =>
+      s -> ds.flatMap(_._4).groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    }
+    val vocabCounts = bySrc.values.flatten
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sum }
+    val nt = vocabCounts.values.sum.toDouble
+    val want = bySrc.map { case (s, cs) =>
+      val n = cs.values.sum.toDouble
+      val js = vocabCounts.toSeq.map { case (t, cc) =>
+        val p = cs.getOrElse(t, 0L) / n
+        val q = cc / nt
+        0.5 * ((if (p > 0) p * math.log(2 * p / (p + q)) else 0.0) +
+          q * math.log(2 * q / (p + q)))
+      }.sum
+      s -> ((n.toLong, js))
+    }
+    val got = PipelineQueries.jsDivergence(spark, sf).collect()
+    got.map(_.getString(0)).toSet shouldBe want.keySet
+    got.foreach { r =>
+      val (nTok, js) = want(r.getString(0))
+      r.getLong(1) shouldBe nTok
+      r.getDouble(2) shouldBe js +- 1e-6
+      r.getDouble(2) should be >= 0.0
+      r.getDouble(2) should be <= math.log(2.0) + 1e-9
+    }
+  }
 }
