@@ -737,4 +737,41 @@ object StatsQueries {
         round(max(col("value")), 4).as("hi"))
       .orderBy(col("event_type"), col("bin"))
   }
+
+  /** Pearson chi-square test of independence between `lang` and `source`
+    * over `documents` — the categorical complement to [[corrStats]]: is the
+    * language mix the same in every source, or does provenance predict
+    * language? (In a training pipeline a big χ² flags that per-source
+    * sampling rates will SHIFT the language mix, so [[PipelineQueries]]'
+    * domain-mix and epoch-plan rates can't be tuned independently.)
+    *
+    * Exactness: observed counts and marginals are integers; each cell's
+    * expected count is one double division (row·col/N, bit-identical
+    * across engines); the (O−E)²/E terms are truncated to DECIMAL(38,12)
+    * before the sum so partition order cannot move the rounded statistic.
+    * Shape at scale: one count shuffle keyed by (lang, source) — cell
+    * cardinality is |langs|·|sources|, metadata-scale — then marginals and
+    * the grid are broadcast-joined; the corpus is scanned once. Zero cells
+    * are real terms (E > 0 always; O = 0 contributes E), hence the full
+    * marginal cross-grid rather than only the observed cells. */
+  def chisqIndependence(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables(spark, dir).documents
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("o")).persist()
+    val rows = cells.groupBy(col("lang")).agg(sum(col("o")).as("rl"))
+    val cols = cells.groupBy(col("source")).agg(sum(col("o")).as("cs"))
+    val tot = cells.agg(sum(col("o")).as("n"))
+    val grid = rows.crossJoin(broadcast(cols)).crossJoin(broadcast(tot))
+      .join(cells, Seq("lang", "source"), "left")
+      .select(col("n"),
+        coalesce(col("o"), lit(0L)).cast("double").as("o"),
+        (col("rl").cast("double") * col("cs").cast("double") /
+          col("n").cast("double")).as("e"))
+    val term = (col("o") - col("e")) * (col("o") - col("e")) / col("e")
+    grid.groupBy(col("n"))
+      .agg(count(lit(1)).as("n_cells"),
+        round(sum(term.cast("decimal(38,12)")).cast("double"), 6).as("chi2"))
+      .select(col("n").as("n_docs"), col("n_cells"), col("chi2"))
+      .orderBy(col("n_docs"))
+  }
 }

@@ -367,6 +367,25 @@ object StatsRegistry {
         |  round(min(value), 4) AS lo, round(max(value), 4) AS hi
         |FROM ev JOIN e USING (event_type)
         |GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin)(
-      StatsQueries.histogramEquidepth)
+      StatsQueries.histogramEquidepth),
+
+    // lang × source chi-square over the full marginal cross-grid (zero
+    // cells contribute E); per-term DECIMAL(38,12) truncation, one row.
+    QueryDef("q_chisq_independence",
+      """WITH cells AS (SELECT lang, source, count(*) AS o
+        |               FROM documents GROUP BY 1, 2),
+        |r AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rl FROM cells GROUP BY 1),
+        |c AS (SELECT source, CAST(sum(o) AS BIGINT) AS cs FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        |g AS (SELECT t.n,
+        |        COALESCE(cells.o, 0)::DOUBLE AS o,
+        |        r.rl::DOUBLE * c.cs::DOUBLE / t.n::DOUBLE AS e
+        |      FROM r CROSS JOIN c CROSS JOIN t
+        |      LEFT JOIN cells ON cells.lang = r.lang AND cells.source = c.source)
+        |SELECT n AS n_docs, count(*) AS n_cells,
+        |  round(CAST(sum(CAST((o - e) * (o - e) / e AS DECIMAL(38,12)))
+        |    AS DOUBLE), 6) AS chi2
+        |FROM g GROUP BY n ORDER BY n_docs""".stripMargin)(
+      StatsQueries.chisqIndependence)
   )
 }

@@ -552,4 +552,32 @@ object VectorQueries {
         round(max(abs(err)), 6).as("max_abs_err"))
       .orderBy(col("label"))
   }
+
+  /** Radius threshold for [[rangeSearch]] (random-unit-vector demo corpus:
+    * cos ≥ 0.2 is a genuinely-close tail, a few matches per probe). */
+  val RangeSearchCos = 0.2
+
+  /** Range (radius) similarity search: ALL corpus vectors within a cosine
+    * radius of each probe — the retrieval shape top-k cannot express
+    * ("everything at least this similar", e.g. near-duplicate candidate
+    * pull or recall-oriented RAG retrieval where the neighbor COUNT is the
+    * signal). Same serving skeleton as [[annBatch]] — probe set broadcast,
+    * corpus scanned once for all probes — but the per-probe result is
+    * filter-bounded, not rank-bounded, so there is NO window/top-k operator
+    * at all: the radius predicate is a codegen'd filter evaluated in the
+    * scan stage, the cheapest possible post-score shape (an unselective
+    * radius is a data-size problem, not a plan problem). The filter tests
+    * the ROUNDED similarity, same contract as the oracle. */
+  def rangeSearch(spark: SparkSession, dir: String,
+      nProbes: Int = AnnBatchProbes, minCos: Double = RangeSearchCos): DataFrame = {
+    val probes = emb(spark, dir).filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("e").as("pe"))
+    emb(spark, dir)
+      .crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(cosine(col("e"), col("pe")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
+      .orderBy(col("probe_id"), col("vec_id"))
+  }
 }

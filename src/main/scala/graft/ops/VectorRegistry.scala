@@ -246,6 +246,20 @@ object VectorRegistry {
          |    / count(*), 9) AS mse,
          |  round(max(abs(err)), 6) AS max_abs_err
          |FROM d GROUP BY label ORDER BY label""".stripMargin
-    })(VectorQueries.quantizeInt8)
+    })(VectorQueries.quantizeInt8),
+
+    // Radius search: filter on the ROUNDED cosine (same contract as the
+    // Spark side), result bounded by the radius, not a rank.
+    QueryDef("q_range_search",
+      s"""WITH $embCte,
+         |probes AS (SELECT vec_id AS probe_id, e AS pe FROM emb
+         |           WHERE vec_id < ${VectorQueries.AnnBatchProbes})
+         |SELECT probe_id, emb.vec_id,
+         |  round(${cos("e", "pe")}, 6) AS cos_sim
+         |FROM emb CROSS JOIN probes
+         |WHERE emb.vec_id <> probe_id
+         |  AND round(${cos("e", "pe")}, 6) >= ${VectorQueries.RangeSearchCos}
+         |ORDER BY probe_id, vec_id""".stripMargin)(
+      (s, d) => VectorQueries.rangeSearch(s, d))
   )
 }

@@ -214,4 +214,26 @@ class StatsQueriesSpec extends SparkSpec {
       }
     }
   }
+
+  test("chi-square independence matches a driver-side contingency recompute") {
+    val obs = Tables(spark, sf).documents
+      .groupBy(col("lang"), col("source")).count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val langs = obs.keySet.map(_._1).toSeq.sorted
+    val srcs = obs.keySet.map(_._2).toSeq.sorted
+    val rl = langs.map(l => l -> obs.collect { case ((`l`, _), c) => c }.sum).toMap
+    val cs = srcs.map(s => s -> obs.collect { case ((_, `s`), c) => c }.sum).toMap
+    val n = obs.values.sum.toDouble
+    val chi2 = (for { l <- langs; s <- srcs } yield {
+      val e = rl(l) * cs(s) / n
+      val o = obs.getOrElse((l, s), 0L).toDouble
+      (o - e) * (o - e) / e
+    }).sum
+    val r = StatsQueries.chisqIndependence(spark, sf).collect()
+    r.length shouldBe 1
+    r(0).getLong(0) shouldBe n.toLong
+    r(0).getLong(1) shouldBe langs.size.toLong * srcs.size
+    r(0).getDouble(2) shouldBe chi2 +- 1e-5
+    r(0).getDouble(2) should be >= 0.0
+  }
 }

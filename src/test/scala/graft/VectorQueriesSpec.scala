@@ -214,4 +214,25 @@ class VectorQueriesSpec extends SparkSpec {
       }
     }
   }
+
+  test("range search = brute-force radius filter; no rank bound, no window op") {
+    val minCos = VectorQueries.RangeSearchCos
+    val probes = vecs.keys.filter(_ < VectorQueries.AnnBatchProbes)
+    val want = (for {
+      p <- probes
+      (v, e) <- vecs if v != p
+      sim = BigDecimal(cosine(vecs(p), e))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if sim >= minCos
+    } yield (p, v, sim)).toSeq.sortBy(t => (t._1, t._2))
+    val got = VectorQueries.rangeSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    got.map(t => (t._1, t._2)) shouldBe want.map(t => (t._1, t._2))
+    got.zip(want).foreach { case (g, w) => g._3 shouldBe w._3 +- 1e-9 }
+    // radius shape: a filter, never a top-k/window operator
+    val plan = VectorQueries.rangeSearch(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("TakeOrdered"),
+      s"radius search must not plan a rank bound:\n$plan")
+  }
 }
