@@ -500,6 +500,24 @@ object SensorPipeline {
       path
     }
 
+  /** Hysteresis-alarm replay: the staged feed through
+    * [[StatefulOps.hysteresisAlarms]] (two-threshold latch, one boolean of
+    * state per sensor), drained to parquet exactly like the record-high
+    * replay — the alert stream a monitoring sink would consume. */
+  def replayAlarms(spark: SparkSession, inDir: String, outBase: String): String =
+    withStatePartitions(spark) {
+      val raw = spark.readStream.schema(StructType(Seq(StructField("value", StringType))))
+        .text(inDir).toDF("value")
+      val path = s"$outBase/alarms"
+      val q = StatefulOps.hysteresisAlarms(parse(raw)).toDF().writeStream
+        .outputMode("append")
+        .format("parquet").option("path", path)
+        .option("checkpointLocation", s"$outBase/_cp_alarms")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      path
+    }
+
   /** Watermarked-dedup replay: the staged feed (deliberately containing
     * duplicate deliveries) deduplicated by message id with
     * [[StatefulOps.dedupByMessage]] — `dropDuplicatesWithinWatermark`, the

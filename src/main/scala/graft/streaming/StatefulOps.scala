@@ -102,6 +102,61 @@ object StatefulOps {
     * survive. A deployment wanting payload-level identity passes message-id +
     * payload hash. Rows with a NULL event time are dropped (the watermark
     * cannot bound their state). */
+  /** Two-threshold (Schmitt-trigger) alarm band for [[hysteresisAlarms]]:
+    * raise at ≥ [[AlarmHigh]], clear at ≤ [[AlarmLow]]. The gap between the
+    * two is the hysteresis — a single threshold would flap an alert on
+    * every noise crossing; the band means a sensor must genuinely recover
+    * before it can alert again. Shared with the oracle SQL. */
+  val AlarmHigh = 100L
+  val AlarmLow = 30L
+
+  final case class AlarmEvent(id: String, messageId: String, eventTime: Timestamp,
+      temperature: Long, event: String)
+
+  /** Fold one key's (sorted) readings through the two-threshold latch.
+    * State is one Boolean (alarmed); a reading inside the band changes
+    * nothing. Same buffering envelope and collision-safe sort key as
+    * [[foldKey]]. */
+  def alarmFold(rows: Iterator[Reading], alarmed0: Boolean,
+      high: Long, low: Long): (Seq[AlarmEvent], Boolean) = {
+    var alarmed = alarmed0
+    val out = Seq.newBuilder[AlarmEvent]
+    rows.toSeq.sortBy(r => (r.eventTime.getTime, r.messageId, r.temperature)).foreach { r =>
+      if (!alarmed && r.temperature >= high) {
+        alarmed = true
+        out += AlarmEvent(r.id, r.messageId, r.eventTime, r.temperature, "ALERT")
+      } else if (alarmed && r.temperature <= low) {
+        alarmed = false
+        out += AlarmEvent(r.id, r.messageId, r.eventTime, r.temperature, "CLEAR")
+      }
+    }
+    (out.result(), alarmed)
+  }
+
+  /** Streaming (or batch) hysteresis alarm over parsed sensor events — the
+    * alert-with-recovery monitor every IoT deployment runs in front of a
+    * paging system: one ALERT when a sensor enters the hot band, one CLEAR
+    * when it genuinely recovers, silence while it oscillates in between.
+    * Windowed aggregation cannot express this (the latch state spans an
+    * unbounded, data-dependent span of readings); per-key state is ONE
+    * boolean, so a million sensors cost a megabyte of state store. Same
+    * NULL-tolerance contract as [[recordHighs]]. */
+  def hysteresisAlarms(parsed: DataFrame,
+      high: Long = AlarmHigh, low: Long = AlarmLow): Dataset[AlarmEvent] = {
+    val spark = parsed.sparkSession
+    import spark.implicits._
+    parsed.select(col("id"), col("messageId"), col("eventTime"), col("temperature"))
+      .filter(col("id").isNotNull && col("eventTime").isNotNull)
+      .as[Reading]
+      .groupByKey(_.id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[Reading], state: GroupState[Boolean]) => {
+          val (out, alarmed) = alarmFold(rows, state.getOption.getOrElse(false), high, low)
+          state.update(alarmed)
+          out.iterator
+        })
+  }
+
   def dedupByMessage(parsed: DataFrame, watermark: String = "10 minutes",
       keys: Seq[String] = Seq("messageId", "id")): DataFrame =
     if (parsed.isStreaming)

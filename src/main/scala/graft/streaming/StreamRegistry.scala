@@ -269,6 +269,23 @@ object StreamRegistry {
       .orderBy(col("id"), col("sec"), col("mid"))
   }
 
+  /** Hysteresis-alarm replay ([[SensorPipeline.replayAlarms]]) on the
+    * staged sensor feed, oracle-shaped like the record-high key. The
+    * ordered single-drain replay makes the latch sequence exactly the
+    * batch gaps-and-islands recurrence the oracle replays with one lag
+    * over the decisive (out-of-band) readings. */
+  def streamAlarms(spark: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_stream_alarms").toString
+    val in = stagedSensorJson(spark, dir)
+    val path = SensorPipeline.replayAlarms(spark, in, s"$base/out")
+    spark.read.parquet(path)
+      .select(col("id").cast("long").as("id"),
+        col("messageId").cast("long").as("mid"),
+        Out.epochSec(col("eventTime")).as("sec"),
+        col("temperature"), col("event"))
+      .orderBy(col("id"), col("sec"), col("mid"))
+  }
+
   /** The live funnel tracker ([[StatefulOps.funnelUpdates]]) on a staged
     * replay of the EVENTS table (its native shape — not the sensor feed):
     * one update row the moment each user first completes a stage. Ordered
@@ -537,6 +554,31 @@ object StreamRegistry {
         |  temperature, COALESCE(prevmax, temperature) AS prev_max
         |FROM r WHERE prevmax IS NULL OR temperature > prevmax
         |ORDER BY id, sec, mid""".stripMargin)(streamRecordHighs),
+
+    // Two-threshold latch as gaps-and-islands: only decisive (out-of-band)
+    // readings matter; an emission is a direction CHANGE in that subsequence
+    // (first decisive reading emits only if hot — initial state is cleared).
+    // Same parse/NULL filters and collision-safe ordering as record-high.
+    QueryDef("q_stream_alarms",
+      s"""WITH p AS (SELECT CAST(user_id AS VARCHAR) AS id,
+         |        CAST(event_id AS VARCHAR) AS mid,
+         |        CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec,
+         |        COALESCE(CAST(TRUNC(value) AS BIGINT), 0) AS temperature
+         |      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         |d AS (SELECT id, mid, sec, temperature,
+         |        CASE WHEN temperature >= ${StatefulOps.AlarmHigh} THEN 1 ELSE 0 END AS dir
+         |      FROM p WHERE temperature >= ${StatefulOps.AlarmHigh}
+         |         OR temperature <= ${StatefulOps.AlarmLow}),
+         |r AS (SELECT id, mid, sec, temperature, dir,
+         |        lag(dir) OVER (PARTITION BY id
+         |          ORDER BY sec, mid, temperature) AS pdir
+         |      FROM d)
+         |SELECT CAST(id AS BIGINT) AS id, CAST(mid AS BIGINT) AS mid, sec,
+         |  temperature,
+         |  CASE WHEN dir = 1 THEN 'ALERT' ELSE 'CLEAR' END AS event
+         |FROM r
+         |WHERE (dir = 1 AND (pdir IS NULL OR pdir = 0)) OR (dir = 0 AND pdir = 1)
+         |ORDER BY id, sec, mid""".stripMargin)(streamAlarms),
     QueryDef.noOracle("q_sensor_gen")(sensorGenAgg)
   )
 }

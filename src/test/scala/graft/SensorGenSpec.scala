@@ -184,4 +184,41 @@ class SensorGenSpec extends SparkSpec {
       streamed.foreach(r => assert(r.temperature >= r.prev_max))
     } finally q.stop()
   }
+
+  test("hysteresis alarm: streaming latch equals batch fold; strict alternation") {
+    import org.apache.spark.sql.Encoders
+    val parsed = SensorPipeline.parse(
+      spark.readStream.format("sensor-gen")
+        .option("messages", 400).option("threads", 2).option("rowsPerBatch", 80).load())
+    // Non-default thresholds inside the generator's temperature range so
+    // both transitions fire and the default constants aren't load-bearing.
+    val (hi, lo) = (40L, 15L)
+    val q = StatefulOps.hysteresisAlarms(parsed, hi, lo)
+      .writeStream.format("memory").queryName("alarms")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("alarms").as[StatefulOps.AlarmEvent](
+        Encoders.product[StatefulOps.AlarmEvent])
+        .collect().sortBy(r => (r.id, r.messageId)).toSeq
+      val batch = SensorPipeline.parse(gen(400, 2))
+        .select(col("id"), col("messageId"), col("eventTime"), col("temperature"))
+        .as[StatefulOps.Reading](Encoders.product[StatefulOps.Reading])
+        .collect().groupBy(_.id).toSeq
+        .flatMap { case (_, rs) => StatefulOps.alarmFold(rs.iterator, alarmed0 = false, hi, lo)._1 }
+        .sortBy(r => (r.id, r.messageId))
+      assert(batch.exists(_.event == "ALERT") && batch.exists(_.event == "CLEAR"),
+        "fixture must exercise both transitions")
+      streamed shouldBe batch
+      // per key: starts with ALERT, then strictly alternates (the latch)
+      streamed.groupBy(_.id).values.foreach { es =>
+        val seq = es.sortBy(e => (e.eventTime.getTime, e.messageId, e.temperature)).map(_.event)
+        seq.head shouldBe "ALERT"
+        seq.sliding(2).foreach {
+          case Seq(a, b) => a should not be b
+          case _ =>
+        }
+      }
+    } finally q.stop()
+  }
 }
