@@ -38,6 +38,12 @@ object GraftSession {
     // rejects; read nanos as long session-wide (harmless for non-nanos files)
     // instead of mutating the conf at plan-build time (round-1 ADVICE).
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Testdata timestamps ship isAdjustedToUTC=false (would infer as
+    // TIMESTAMP_NTZ); with UTC pinned above, reading them as TimestampType at
+    // the SCAN keeps the whole engine on one timestamp type AND keeps ts
+    // predicates pushable into parquet (a plan-level NTZ→TZ cast would block
+    // pushdown). Tables.withNanoTs still normalizes NTZ for untuned sessions.
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     // Shuffle files, broadcast blocks, and localCheckpoint RDDs are cleaned
     // by ContextCleaner only when the driver GCs their references; the
     // default periodic-GC interval (30 min) never fires inside a multi-

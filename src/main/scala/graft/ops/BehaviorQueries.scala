@@ -246,4 +246,68 @@ object BehaviorQueries {
           col("tp") - col("last_click"))), 6).as("avg_lag_sec"))
       .orderBy(col("day_sec"))
   }
+
+  /** Per-(user, day) interval-union coverage: total seconds covered by the
+    * union of the user's [ts, ts+300 s) activity intervals, with the busy
+    * fraction of the day. The dual of [[concurrencyPeak]] — that query asks
+    * "how many intervals are open at the worst instant", this one asks "how
+    * much of the day is covered at all" (the utilization metric billing and
+    * capacity models want). Overlapping intervals must count once, so a
+    * plain SUM of durations is wrong; the sweep subtracts overlap exactly.
+    *
+    * Shape at scale: identical to the concurrency sweep — bounded-duration
+    * intervals split at day boundaries, so every (user, day) sweep is an
+    * independent, size-bounded window partition; one explode + one partial
+    * agg + one window shuffle, all keyed (user, day). The per-day event
+    * count rides the same keys, so AQE reuses the exchange for its join.
+    *
+    * Determinism: all-integer endpoint arithmetic; coverage sums integers;
+    * only the final busy fraction is a double (one division, 6 dp). */
+  def intervalCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .where(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), Out.epochSec(col("ts")).as("s"))
+      .withColumn("e", col("s") + ConcurrencyDurSec)
+      .withColumn("b", (col("s") / DaySec).cast("long") * DaySec + DaySec)
+    // day-boundary split as in concurrencyPeak; each segment carries ITS day
+    // (a head segment may close exactly at the boundary instant, which still
+    // belongs to the head day's sweep)
+    val segs = ev.select(col("user_id"),
+        explode(filter(array(
+          struct(col("s").as("t0"), least(col("e"), col("b")).as("t1")),
+          struct(col("b").as("t0"), col("e").as("t1"))),
+          s => s("t1") > s("t0"))).as("seg"))
+      .select(col("user_id"),
+        (col("seg.t0") / DaySec).cast("long").as("day"),
+        col("seg.t0").as("t0"), col("seg.t1").as("t1"))
+    val pts = segs
+      .select(col("user_id"), col("day"),
+        explode(array(
+          struct(col("t0").as("t"), lit(1L).as("d")),
+          struct(col("t1").as("t"), lit(-1L).as("d")))).as("p"))
+      .groupBy(col("user_id"), col("day"), col("p.t").as("t"))
+      .agg(sum(col("p.d")).as("net"))
+    val sweep = Window.partitionBy(col("user_id"), col("day")).orderBy(col("t"))
+    // covered = Σ gap-to-next-point while at least one interval is open; the
+    // final point of each partition always has open = 0 (every segment closes
+    // within its day), so the NULL lead never passes the filter
+    val covered = pts
+      .select(col("user_id"), col("day"),
+        sum(col("net")).over(sweep.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).as("open"),
+        (lead(col("t"), 1).over(sweep) - col("t")).as("gap"))
+      .where(col("open") > 0 && col("gap").isNotNull)
+      .groupBy(col("user_id"), col("day"))
+      .agg(sum(col("gap")).as("covered_sec"))
+    val starts = ev
+      .groupBy(col("user_id"), (col("s") / DaySec).cast("long").as("day"))
+      .agg(count(lit(1)).as("n_starts"))
+    // LEFT join: a day can be covered ONLY by an interval's tail crossing
+    // midnight — it has coverage but zero starts, and must still report
+    covered.join(starts, Seq("user_id", "day"), "left")
+      .select(col("user_id"), (col("day") * DaySec).as("day"),
+        coalesce(col("n_starts"), lit(0L)).as("n_starts"), col("covered_sec"),
+        round(col("covered_sec").cast("double") / DaySec, 6).as("busy_frac"))
+      .orderBy(col("user_id"), col("day"))
+  }
 }

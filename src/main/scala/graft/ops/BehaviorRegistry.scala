@@ -124,5 +124,50 @@ object BehaviorRegistry {
          |  round(${Out.sql.davg("CASE WHEN last_click IS NOT NULL THEN tp - last_click END")}, 6)
          |    AS avg_lag_sec
          |FROM a GROUP BY 1 ORDER BY day_sec""".stripMargin)(
-      BehaviorQueries.attributionLastTouch))
+      BehaviorQueries.attributionLastTouch),
+
+    // Interval-union coverage: the same day-boundary split + netted sweep as
+    // the Spark side, all in BIGINT seconds — the lone double is the final
+    // busy-fraction division.
+    QueryDef("q_interval_coverage",
+      s"""WITH ev AS (
+         |  SELECT user_id, ${Out.sql.epochSec("ts")} AS s,
+         |    ${Out.sql.epochSec("ts")} + ${BehaviorQueries.ConcurrencyDurSec} AS e,
+         |    (${Out.sql.epochSec("ts")} // ${BehaviorQueries.DaySec})
+         |      * ${BehaviorQueries.DaySec} + ${BehaviorQueries.DaySec} AS b
+         |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         |segs AS (
+         |  SELECT user_id, s AS t0, LEAST(e, b) AS t1 FROM ev
+         |  UNION ALL
+         |  SELECT user_id, b, e FROM ev WHERE e > b),
+         |pts AS (
+         |  SELECT user_id, t0 // ${BehaviorQueries.DaySec} AS day,
+         |    t0 AS t, CAST(1 AS BIGINT) AS d FROM segs
+         |  UNION ALL
+         |  SELECT user_id, t0 // ${BehaviorQueries.DaySec} AS day,
+         |    t1 AS t, CAST(-1 AS BIGINT) AS d FROM segs),
+         |net AS (
+         |  SELECT user_id, day, t, SUM(d) AS net FROM pts GROUP BY 1, 2, 3),
+         |sw AS (
+         |  SELECT user_id, day,
+         |    SUM(net) OVER (PARTITION BY user_id, day ORDER BY t
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open,
+         |    LEAD(t) OVER (PARTITION BY user_id, day ORDER BY t) - t AS gap
+         |  FROM net),
+         |cov AS (
+         |  SELECT user_id, day, CAST(SUM(gap) AS BIGINT) AS covered_sec
+         |  FROM sw
+         |  WHERE open > 0 AND gap IS NOT NULL GROUP BY 1, 2),
+         |st AS (
+         |  SELECT user_id, s // ${BehaviorQueries.DaySec} AS day,
+         |    COUNT(*) AS n_starts
+         |  FROM ev GROUP BY 1, 2)
+         |SELECT user_id, day * ${BehaviorQueries.DaySec} AS day,
+         |  COALESCE(n_starts, 0) AS n_starts,
+         |  covered_sec,
+         |  ROUND(CAST(covered_sec AS DOUBLE) / ${BehaviorQueries.DaySec}, 6)
+         |    AS busy_frac
+         |FROM cov LEFT JOIN st USING (user_id, day)
+         |ORDER BY user_id, day""".stripMargin)(
+      BehaviorQueries.intervalCoverage))
 }

@@ -52,14 +52,13 @@ object FormatQueries {
   def formatOrc(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val base = Files.createTempDirectory("graft_orc").toString
-    t.orders.write.mode("overwrite").orc(s"$base/orders_orc")
-    val orders = spark.read
-      .schema("o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
-        // parquet timestamps without a UTC flag surface as TIMESTAMP_NTZ and
-        // stay NTZ through the ORC writer — the explicit read schema must
-        // say so, or the ORC reader refuses the NTZ→LTZ cast.
-        "o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, o_orderpriority STRING")
-      .orc(s"$base/orders_orc")
+    val src = t.orders
+    src.write.mode("overwrite").orc(s"$base/orders_orc")
+    // The timestamp flavor (LTZ vs NTZ) depends on how the parquet source was
+    // read (spark.sql.parquet.inferTimestampNTZ); ORC stores each as a
+    // distinct type and refuses to cast between them on read — so the read
+    // schema is DERIVED from what was just written, never hard-coded.
+    val orders = spark.read.schema(src.schema).orc(s"$base/orders_orc")
     orders
       .filter(col("o_totalprice") > 100000.0)
       .groupBy(col("o_orderstatus"))

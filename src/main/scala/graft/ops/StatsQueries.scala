@@ -774,4 +774,57 @@ object StatsQueries {
       .select(col("n").as("n_docs"), col("n_cells"), col("chi2"))
       .orderBy(col("n_docs"))
   }
+
+  /** Zone-map skip audit: ship-week buckets × a conjunctive predicate.
+    * Days-since-epoch window of the audited date predicate (ship days span
+    * [9131, 11651) in the corpus) and the price band, shared with the oracle. */
+  val SkipDayLo = 9800L
+  val SkipDayHi = 9860L
+  val SkipPriceLo = 20000.0
+  val SkipPriceHi = 70000.0
+
+  /** Data-skipping audit for a ship-week layout: per weekly bucket, the
+    * min/max zone maps a lakehouse format (parquet row groups, Delta/Iceberg
+    * file stats) would store for `l_shipdate` and `l_extendedprice`, and the
+    * bucket's fate under the conjunctive predicate
+    * `shipdate ∈ [SkipDayLo, SkipDayHi) AND price ∈ [SkipPriceLo,
+    * SkipPriceHi)`: `pruned` (either dimension's zone is disjoint — the scan
+    * never opens the bucket), `full` (both zones entirely inside — the
+    * predicate is decided by metadata alone), or `partial` (must scan and
+    * filter). `n_match` counts the rows that actually satisfy the predicate,
+    * so `n_rows − n_match` over partial buckets is the false-positive scan
+    * volume — the number the layout advisor minimizes (cf. [[zorderLayout]],
+    * which produces the layout this query audits).
+    *
+    * Shape at scale: this is metadata computation — ONE narrow scan, one
+    * partial-aggregated shuffle on the bucket key, output rows = number of
+    * buckets. Exactly how a real skipping audit runs over file-level stats,
+    * except the stats here are derived in-query because the testdata is a
+    * single file. All comparisons are integer-day or exact stored-double;
+    * min/max pick stored values, so the output hashes identically. */
+  def dataskipAudit(spark: SparkSession, dir: String): DataFrame = {
+    val day = (Out.epochSec(col("l_shipdate")) / 86400).cast("long")
+    val pred = col("day").between(SkipDayLo, SkipDayHi - 1) &&
+      col("l_extendedprice") >= SkipPriceLo && col("l_extendedprice") < SkipPriceHi
+    val zones = Tables(spark, dir).lineitem
+      .select(day.as("day"), col("l_extendedprice"))
+      .groupBy((col("day") / 7).cast("long").as("wk"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("day")).as("day_lo"), max(col("day")).as("day_hi"),
+        min(col("l_extendedprice")).as("price_lo"),
+        max(col("l_extendedprice")).as("price_hi"),
+        sum(when(pred, 1L).otherwise(0L)).as("n_match"))
+    zones
+      .withColumn("cls",
+        when(col("day_hi") < SkipDayLo || col("day_lo") >= SkipDayHi ||
+          col("price_hi") < SkipPriceLo || col("price_lo") >= SkipPriceHi,
+          lit("pruned"))
+          .when(col("day_lo") >= SkipDayLo && col("day_hi") < SkipDayHi &&
+            col("price_lo") >= SkipPriceLo && col("price_hi") < SkipPriceHi,
+            lit("full"))
+          .otherwise(lit("partial")))
+      .select(col("wk"), col("n_rows"), col("day_lo"), col("day_hi"),
+        col("price_lo"), col("price_hi"), col("cls"), col("n_match"))
+      .orderBy(col("wk"))
+  }
 }

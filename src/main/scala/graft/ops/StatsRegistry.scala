@@ -386,6 +386,34 @@ object StatsRegistry {
         |  round(CAST(sum(CAST((o - e) * (o - e) / e AS DECIMAL(38,12)))
         |    AS DOUBLE), 6) AS chi2
         |FROM g GROUP BY n ORDER BY n_docs""".stripMargin)(
-      StatsQueries.chisqIndependence)
+      StatsQueries.chisqIndependence),
+
+    // Zone-map skip audit: integer-day + stored-double min/max zones per
+    // ship-week, three-way fate under the conjunctive predicate. Constants
+    // interpolate from StatsQueries so the two engines can't drift.
+    QueryDef("q_dataskip_audit", {
+      val dLo = StatsQueries.SkipDayLo; val dHi = StatsQueries.SkipDayHi
+      val pLo = StatsQueries.SkipPriceLo; val pHi = StatsQueries.SkipPriceHi
+      s"""WITH rows_ AS (
+         |  SELECT (${Out.sql.epochSec("l_shipdate")} // 86400) AS day,
+         |    l_extendedprice AS price
+         |  FROM lineitem),
+         |z AS (
+         |  SELECT day // 7 AS wk, count(*) AS n_rows,
+         |    min(day) AS day_lo, max(day) AS day_hi,
+         |    min(price) AS price_lo, max(price) AS price_hi,
+         |    CAST(sum(CASE WHEN day >= $dLo AND day < $dHi
+         |      AND price >= $pLo AND price < $pHi THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_match
+         |  FROM rows_ GROUP BY 1)
+         |SELECT wk, n_rows, day_lo, day_hi, price_lo, price_hi,
+         |  CASE WHEN day_hi < $dLo OR day_lo >= $dHi
+         |         OR price_hi < $pLo OR price_lo >= $pHi THEN 'pruned'
+         |       WHEN day_lo >= $dLo AND day_hi < $dHi
+         |         AND price_lo >= $pLo AND price_hi < $pHi THEN 'full'
+         |       ELSE 'partial' END AS cls,
+         |  n_match
+         |FROM z ORDER BY wk""".stripMargin
+    })(StatsQueries.dataskipAudit)
   )
 }

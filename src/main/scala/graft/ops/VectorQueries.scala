@@ -387,6 +387,46 @@ object VectorQueries {
       .select(col("vec_a"), col("vec_b"), col("cos_sim"))
   }
 
+  /** Neighbors kept per node in the mutual-kNN graph (shared with the
+    * oracle SQL). */
+  val MutualK = 5
+
+  /** Mutual-kNN graph over the embedding corpus: edge (a, b) survives iff b
+    * is in a's top-k AND a is in b's top-k among the LSH candidate pairs.
+    * The mutuality filter is the standard noise cut for similarity graphs
+    * (one-directional "nearest" edges from outliers to cluster cores
+    * vanish, cores keep each other) — this is the graph SemDeDup-style
+    * semantic clustering and kNN-based label propagation consume.
+    *
+    * Shape at scale: candidates come from the banded-LSH generator (bucket
+    * cap bounds the pair volume; `q_lsh_bucket_stats` is the health
+    * monitor), never an all-pairs scan. The per-node top-k is row_number ≤ k
+    * over the directed pair stream — WindowGroupLimit prunes to k per node
+    * per map task BEFORE the shuffle — and mutuality is a self-equi-join of
+    * that k·n-row frame on the reversed key, partition-aligned with the
+    * window it feeds from. Ranking is on the ROUNDED cosine with dst as the
+    * tiebreak (a total order), so both engines pick identical neighbor
+    * sets. */
+  def mutualKnn(spark: SparkSession, dir: String, k: Int = MutualK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // threshold −1: keep every scored LSH candidate pair — the graph keeps
+    // rank structure, not an absolute similarity cut
+    val und = embeddingPairs(spark, dir, minCos = -1.0)
+    val directed = und.select(col("vec_a").as("src"), col("vec_b").as("dst"), col("cos_sim"))
+      .union(und.select(col("vec_b").as("src"), col("vec_a").as("dst"), col("cos_sim")))
+    val w = Window.partitionBy(col("src")).orderBy(col("cos_sim").desc, col("dst"))
+    val knn = directed
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+    knn.as("f")
+      .join(knn.select(col("src").as("dst"), col("dst").as("src"),
+        col("rn").as("rn_rev")).as("r"), Seq("src", "dst"))
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("vec_a"), col("dst").as("vec_b"),
+        col("cos_sim"), col("rn").as("rank_a"), col("rn_rev").as("rank_b"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** IVF search: centroids = vectors 0..9 (deterministic seed), every vector
     * assigned to its argmax-cosine centroid (inverted lists), probe vec
     * `probeId` scans the `nprobe` nearest lists, exact top-`k` rerank

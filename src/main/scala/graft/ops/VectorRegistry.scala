@@ -260,6 +260,38 @@ object VectorRegistry {
          |WHERE emb.vec_id <> probe_id
          |  AND round(${cos("e", "pe")}, 6) >= ${VectorQueries.RangeSearchCos}
          |ORDER BY probe_id, vec_id""".stripMargin)(
-      (s, d) => VectorQueries.rangeSearch(s, d))
+      (s, d) => VectorQueries.rangeSearch(s, d)),
+
+    // Mutual-kNN graph: LSH candidate pairs → per-node top-k (rounded-cos
+    // DESC, dst tiebreak — a total order) → mutuality self-join. Same CTE
+    // stack as q_dedup_embedding; k interpolates from MutualK.
+    QueryDef("q_mutual_knn",
+      s"""WITH $embCte,
+         |$sigBandCtes,
+         |pairs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |          FROM bands a JOIN bands b
+         |            ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |           AND a.vec_id < b.vec_id),
+         |scored AS (SELECT vec_a, vec_b,
+         |    round(${cos("ea.e", "eb.e")}, 6) AS cos_sim
+         |  FROM pairs
+         |  JOIN emb ea ON ea.vec_id = vec_a
+         |  JOIN emb eb ON eb.vec_id = vec_b),
+         |directed AS (
+         |  SELECT vec_a AS src, vec_b AS dst, cos_sim FROM scored
+         |  UNION ALL
+         |  SELECT vec_b AS src, vec_a AS dst, cos_sim FROM scored),
+         |knn AS (SELECT src, dst, cos_sim, rn FROM (
+         |    SELECT src, dst, cos_sim,
+         |      CAST(row_number() OVER (PARTITION BY src
+         |        ORDER BY cos_sim DESC, dst) AS BIGINT) AS rn
+         |    FROM directed)
+         |  WHERE rn <= ${VectorQueries.MutualK})
+         |SELECT f.src AS vec_a, f.dst AS vec_b, f.cos_sim,
+         |  f.rn AS rank_a, r.rn AS rank_b
+         |FROM knn f JOIN knn r ON f.src = r.dst AND f.dst = r.src
+         |WHERE f.src < f.dst
+         |ORDER BY vec_a, vec_b""".stripMargin)(
+      (s, d) => VectorQueries.mutualKnn(s, d))
   )
 }

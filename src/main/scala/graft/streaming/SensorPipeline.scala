@@ -518,6 +518,23 @@ object SensorPipeline {
       path
     }
 
+  /** Window-rate replay: the staged feed through [[StatefulOps.windowRates]]
+    * (tumbling counts + cross-window delta, one long of state per sensor),
+    * drained to parquet like the other history-fold replays. */
+  def replayRates(spark: SparkSession, inDir: String, outBase: String): String =
+    withStatePartitions(spark) {
+      val raw = spark.readStream.schema(StructType(Seq(StructField("value", StringType))))
+        .text(inDir).toDF("value")
+      val path = s"$outBase/rates"
+      val q = StatefulOps.windowRates(parse(raw)).toDF().writeStream
+        .outputMode("append")
+        .format("parquet").option("path", path)
+        .option("checkpointLocation", s"$outBase/_cp_rates")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      path
+    }
+
   /** Watermarked-dedup replay: the staged feed (deliberately containing
     * duplicate deliveries) deduplicated by message id with
     * [[StatefulOps.dedupByMessage]] — `dropDuplicatesWithinWatermark`, the

@@ -157,6 +157,57 @@ object StatefulOps {
         })
   }
 
+  /** Tumbling-window width for [[windowRates]], seconds (shared with the
+    * oracle SQL). */
+  val RateWindowSec = 600L
+
+  final case class WindowRate(id: String, wStart: Long, n: Long, delta: Long)
+
+  /** Fold one key's readings into tumbling per-window counts, each carrying
+    * the delta vs the key's PREVIOUS emitted window (state = that window's
+    * count). Counting needs no intra-window order; windows emit in
+    * ascending order so the delta chain is deterministic. */
+  def rateFold(id: String, rows: Iterator[Reading], prevN0: Option[Long],
+      windowSec: Long): (Seq[WindowRate], Option[Long]) = {
+    var prevN = prevN0
+    val out = Seq.newBuilder[WindowRate]
+    rows.toSeq
+      .groupBy(r => math.floorDiv(r.eventTime.getTime, 1000L * windowSec) * windowSec)
+      .toSeq.sortBy(_._1)
+      .foreach { case (w, rs) =>
+        val n = rs.size.toLong
+        out += WindowRate(id, w, n, n - prevN.getOrElse(0L))
+        prevN = Some(n)
+      }
+    (out.result(), prevN)
+  }
+
+  /** Streaming (or batch) per-sensor window-rate monitor: tumbling
+    * [[RateWindowSec]] message counts with the count CHANGE vs the sensor's
+    * previous window — the "did this feed just go quiet / burst" signal a
+    * transport-health dashboard keys on. A windowed agg gives the counts
+    * but not the cross-window delta: that difference chain spans window
+    * boundaries, which is per-key STATE (one long — the previous count).
+    * Same NULL-tolerance contract as [[recordHighs]]; same single-drain
+    * caveat (a window split across micro-batches emits per batch with
+    * partial counts — the documented best-effort trade of every
+    * history-fold in this file). */
+  def windowRates(parsed: DataFrame,
+      windowSec: Long = RateWindowSec): Dataset[WindowRate] = {
+    val spark = parsed.sparkSession
+    import spark.implicits._
+    parsed.select(col("id"), col("messageId"), col("eventTime"), col("temperature"))
+      .filter(col("id").isNotNull && col("eventTime").isNotNull)
+      .as[Reading]
+      .groupByKey(_.id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (id: String, rows: Iterator[Reading], state: GroupState[Long]) => {
+          val (out, pn) = rateFold(id, rows, state.getOption, windowSec)
+          pn.foreach(state.update)
+          out.iterator
+        })
+  }
+
   def dedupByMessage(parsed: DataFrame, watermark: String = "10 minutes",
       keys: Seq[String] = Seq("messageId", "id")): DataFrame =
     if (parsed.isStreaming)

@@ -286,6 +286,19 @@ object StreamRegistry {
       .orderBy(col("id"), col("sec"), col("mid"))
   }
 
+  /** Window-rate replay ([[SensorPipeline.replayRates]]) on the staged
+    * sensor feed: tumbling per-sensor message counts with the cross-window
+    * delta, oracle-shaped like the other history-fold keys. */
+  def streamRates(spark: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_stream_rates").toString
+    val in = stagedSensorJson(spark, dir)
+    val path = SensorPipeline.replayRates(spark, in, s"$base/out")
+    spark.read.parquet(path)
+      .select(col("id").cast("long").as("id"), col("wStart").as("w_start"),
+        col("n"), col("delta"))
+      .orderBy(col("id"), col("w_start"))
+  }
+
   /** The live funnel tracker ([[StatefulOps.funnelUpdates]]) on a staged
     * replay of the EVENTS table (its native shape — not the sensor feed):
     * one update row the moment each user first completes a stage. Ordered
@@ -579,6 +592,23 @@ object StreamRegistry {
          |FROM r
          |WHERE (dir = 1 AND (pdir IS NULL OR pdir = 0)) OR (dir = 0 AND pdir = 1)
          |ORDER BY id, sec, mid""".stripMargin)(streamAlarms),
+    // Tumbling counts per sensor + cross-window delta: the window counts
+    // are a plain GROUP BY; the delta chain is lag over the per-key window
+    // sequence (state in the streaming fold, a window function here). Same
+    // parse/NULL filters as the other history folds.
+    QueryDef("q_stream_rate_delta",
+      s"""WITH p AS (SELECT CAST(user_id AS VARCHAR) AS id,
+         |        CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec
+         |      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         |w AS (SELECT id,
+         |        (sec // ${StatefulOps.RateWindowSec})
+         |          * ${StatefulOps.RateWindowSec} AS w_start,
+         |        count(*) AS n
+         |      FROM p GROUP BY 1, 2)
+         |SELECT CAST(id AS BIGINT) AS id, w_start, n,
+         |  n - COALESCE(lag(n) OVER (PARTITION BY id ORDER BY w_start), 0)
+         |    AS delta
+         |FROM w ORDER BY id, w_start""".stripMargin)(streamRates),
     QueryDef.noOracle("q_sensor_gen")(sensorGenAgg)
   )
 }

@@ -13,18 +13,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class Tables(spark: SparkSession, dir: String) {
   def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects; `spark.sql.legacy.parquet.nanosAsLong=true` (set once in
-    * [[graft.GraftSession.tune]]) reads it as a long, truncated here to
-    * microsecond timestamps (the same truncation DuckDB applies). Requiring
-    * the session conf — instead of setting it as a side effect per call —
-    * keeps plan building pure (round-1 ADVICE). */
+  /** `events.ts` has shipped as either parquet TIMESTAMP(MICROS) (current
+    * testdata) or TIMESTAMP(NANOS) (earlier drops). Spark's vectorized reader
+    * rejects nanos unless `spark.sql.legacy.parquet.nanosAsLong=true` (set
+    * once in [[graft.GraftSession.tune]]) reads it as a long; that long is
+    * truncated here to microsecond timestamps (the same truncation DuckDB
+    * applies). Micros-native files pass through untouched, so the loader is
+    * schema-driven rather than generation-pinned. */
   private def withNanoTs(name: String, tsCol: String): DataFrame = {
-    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "events requires spark.sql.legacy.parquet.nanosAsLong=true — build the " +
-        "session via GraftSession (local/tune)")
     import org.apache.spark.sql.functions._
-    table(name).withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
+    val df = table(name)
+    df.schema(tsCol).dataType match {
+      case TimestampType => df
+      case TimestampNTZType =>
+        // Parquet isAdjustedToUTC=false reads as NTZ; the session timezone is
+        // pinned UTC (GraftSession), so this cast re-tags the same instant with
+        // the TimestampType the whole engine (unix_micros, casts, windows,
+        // watermarks) was built against.
+        df.withColumn(tsCol, col(tsCol).cast(TimestampType))
+      case LongType =>
+        // nanosAsLong read of a TIMESTAMP(NANOS) file: truncate to micros.
+        df.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
+      case other =>
+        throw new IllegalStateException(
+          s"$name.$tsCol: unexpected type $other — expected timestamp or " +
+            "long (TIMESTAMP(NANOS) via spark.sql.legacy.parquet.nanosAsLong)")
+    }
   }
 
   def region: DataFrame = table("region")

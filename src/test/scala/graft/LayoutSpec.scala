@@ -29,8 +29,16 @@ class LayoutSpec extends SparkSpec {
     // sorted by their minimum, the intervals must not interleave: every
     // file's range starts at or after the previous file's range ends —
     // exactly what lets a range predicate skip whole files via footer stats
+    // timestamp columns surface as java.sql.Timestamp (TimestampType) or
+    // LocalDateTime (NTZ) depending on how the parquet was read — compare
+    // as instants either way
+    def inst(v: Any): java.time.Instant = v match {
+      case t: java.sql.Timestamp => t.toInstant
+      case d: java.time.LocalDateTime => d.toInstant(java.time.ZoneOffset.UTC)
+      case other => fail(s"unexpected timestamp value $other")
+    }
     val iv = perFile
-      .map(r => (r.getAs[java.time.LocalDateTime](1), r.getAs[java.time.LocalDateTime](2)))
+      .map(r => (inst(r.get(1)), inst(r.get(2))))
       .sortBy(_._1)(Ordering.fromLessThan(_.isBefore(_)))
     iv.sliding(2).foreach {
       case Array((_, hiPrev), (loNext, _)) =>

@@ -174,9 +174,12 @@ class PlanShapeSpec extends SparkSpec {
     // BroadcastNestedLoopJoin; everything else must stay equi-join shaped.
     val probeQueries = Set("q_similar_vectors", "q_ann_lsh", "q_ivf_search",
       "q_dedup_embedding", "q_lsh_bucket_stats",
+      // 64-row broadcast hyperplane table (LSH banding metadata)
+      "q_mutual_knn",
       // k-row broadcast probe set (batch ANN + hard-negative mining +
-      // the recall monitor's exact arm: probes are driver metadata)
-      "q_ann_batch", "q_hard_negatives", "q_ann_recall",
+      // radius search + the recall monitor's exact arm: probes are driver
+      // metadata)
+      "q_ann_batch", "q_hard_negatives", "q_ann_recall", "q_range_search",
       "q_tfidf_keywords", "q_bm25_search", "q_pmi_collocations", "q_lm_score",
       // 1-row broadcast normalizer (Σ sqrt shares) + the queries that
       // reuse it (importance sampling), 1-row broadcast corpus totals /
@@ -190,6 +193,11 @@ class PlanShapeSpec extends SparkSpec {
       // sources × bounded-value-domain ECDF grid (both sides metadata
       // aggregates) + 1-row broadcast corpus total
       "q_ks_drift",
+      // lang × source marginal cross-grid (both sides metadata aggregates)
+      // + 1-row broadcast corpus total
+      "q_chisq_independence",
+      // sources × bounded bin grid (metadata) + broadcast corpus mixture
+      "q_js_divergence",
       // 1-row broadcast max per HITS half-step normalization
       "q_hits",
       // k-row broadcast centroid tables (k = driver metadata, never data)

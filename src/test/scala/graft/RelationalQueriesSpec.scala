@@ -142,9 +142,15 @@ class RelationalQueriesSpec extends SparkSpec {
     val custNat = t.customer.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
     val ordCust = t.orders.collect()
       .filter { r =>
-        val d = r.getAs[java.time.LocalDateTime](4)
-        val lo = java.time.LocalDateTime.parse("1997-01-01T00:00:00")
-        val hi = java.time.LocalDateTime.parse("1998-01-01T00:00:00")
+        // Timestamp (TimestampType) or LocalDateTime (NTZ) depending on the
+        // parquet read path — compare as UTC instants either way
+        val d = r.get(4) match {
+          case t: java.sql.Timestamp => t.toInstant
+          case l: java.time.LocalDateTime => l.toInstant(java.time.ZoneOffset.UTC)
+          case other => fail(s"unexpected timestamp value $other")
+        }
+        val lo = java.time.Instant.parse("1997-01-01T00:00:00Z")
+        val hi = java.time.Instant.parse("1998-01-01T00:00:00Z")
         !d.isBefore(lo) && d.isBefore(hi)
       }.map(r => r.getLong(0) -> r.getLong(1)).toMap
     val rev = scala.collection.mutable.Map.empty[String, BigDecimal]

@@ -185,6 +185,52 @@ class SensorGenSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("window-rate operator: drained streaming fold equals batch counts + lag chain") {
+    import org.apache.spark.sql.Encoders
+    val wSec = 60L
+    val parsed = SensorPipeline.parse(
+      spark.readStream.format("sensor-gen")
+        .option("messages", 400).option("threads", 2)
+        // single drained batch: a window split across micro-batches emits
+        // partial counts (the documented history-fold trade) — the
+        // equivalence contract is for the drained replay
+        .option("rowsPerBatch", 800).load())
+    val q = StatefulOps.windowRates(parsed, windowSec = wSec)
+      .writeStream.format("memory").queryName("rates")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("rates").as[StatefulOps.WindowRate](
+        Encoders.product[StatefulOps.WindowRate])
+        .collect().sortBy(r => (r.id, r.wStart)).toSeq
+      val batch = SensorPipeline.parse(gen(400, 2))
+        .select(col("id"), col("eventTime"))
+        .where(col("id").isNotNull && col("eventTime").isNotNull)
+        .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime))
+        .groupBy(_._1).toSeq.flatMap { case (id, rs) =>
+          val byW = rs.groupBy(t => Math.floorDiv(t._2, 1000L * wSec) * wSec)
+            .toSeq.sortBy(_._1)
+          var prev = 0L
+          byW.map { case (w, g) =>
+            val n = g.size.toLong
+            val d = n - prev; prev = n
+            StatefulOps.WindowRate(id, w, n, d)
+          }
+        }.sortBy(r => (r.id, r.wStart))
+      assert(batch.nonEmpty, "fixture must produce windows")
+      streamed shouldBe batch
+      // per key the counts reconstruct from the delta chain
+      streamed.groupBy(_.id).values.foreach { ws =>
+        val sorted = ws.sortBy(_.wStart)
+        sorted.head.delta shouldBe sorted.head.n
+        sorted.sliding(2).foreach {
+          case Seq(a, b) => b.delta shouldBe b.n - a.n
+          case _ =>
+        }
+      }
+    } finally q.stop()
+  }
+
   test("hysteresis alarm: streaming latch equals batch fold; strict alternation") {
     import org.apache.spark.sql.Encoders
     val parsed = SensorPipeline.parse(

@@ -236,4 +236,34 @@ class StatsQueriesSpec extends SparkSpec {
     r(0).getDouble(2) shouldBe chi2 +- 1e-5
     r(0).getDouble(2) should be >= 0.0
   }
+
+  test("dataskip audit: class semantics hold and matches sum to the direct count") {
+    import graft.ops.StatsQueries._
+    val rows = StatsQueries.dataskipAudit(spark, sf).collect()
+    rows.length should be > 0
+    // the audit partitions the table: bucket rows sum to the table count
+    rows.map(_.getAs[Long]("n_rows")).sum shouldBe
+      Tables(spark, sf).lineitem.count()
+    rows.foreach { r =>
+      val (nRows, nMatch) = (r.getAs[Long]("n_rows"), r.getAs[Long]("n_match"))
+      r.getAs[String]("cls") match {
+        case "pruned" => nMatch shouldBe 0L // skipping is CORRECT, never lossy
+        case "full" => nMatch shouldBe nRows // metadata decides the predicate
+        case "partial" => // must scan; no constraint beyond bounds
+          nMatch should be <= nRows
+        case other => fail(s"unknown class $other")
+      }
+      // zones bracket the bucket (weekly layout: days within the bucket week)
+      r.getAs[Long]("day_lo") / 7 shouldBe r.getAs[Long]("wk")
+      r.getAs[Long]("day_hi") / 7 shouldBe r.getAs[Long]("wk")
+    }
+    // total matches = direct predicate evaluation on the base table
+    val direct = Tables(spark, sf).lineitem
+      .where((floor(col("l_shipdate").cast("double") / 86400).cast("long")
+          .between(SkipDayLo, SkipDayHi - 1)) &&
+        col("l_extendedprice") >= SkipPriceLo &&
+        col("l_extendedprice") < SkipPriceHi)
+      .count()
+    rows.map(_.getAs[Long]("n_match")).sum shouldBe direct
+  }
 }

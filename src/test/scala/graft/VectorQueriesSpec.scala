@@ -235,4 +235,25 @@ class VectorQueriesSpec extends SparkSpec {
     assert(!plan.contains("Window") && !plan.contains("TakeOrdered"),
       s"radius search must not plan a rank bound:\n$plan")
   }
+
+  test("mutual-kNN graph: degrees bounded by k, ranks valid, cosines exact") {
+    val k = VectorQueries.MutualK
+    val edges = VectorQueries.mutualKnn(spark, sf).collect()
+    edges.length should be > 0
+    val deg = scala.collection.mutable.Map.empty[Long, Int].withDefaultValue(0)
+    edges.foreach { r =>
+      val (a, b) = (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))
+      assert(a < b, "edges must be canonical (vec_a < vec_b)")
+      deg(a) += 1; deg(b) += 1
+      // rank fields are positions in each endpoint's top-k
+      r.getAs[Long]("rank_a") should (be >= 1L and be <= k.toLong)
+      r.getAs[Long]("rank_b") should (be >= 1L and be <= k.toLong)
+      // reported similarity is the exact rounded cosine of the two vectors
+      val c = BigDecimal(cosine(vecs(a), vecs(b)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      r.getAs[Double]("cos_sim") shouldBe c +- 1e-9
+    }
+    // mutuality bounds the degree: a node keeps at most k partners
+    deg.values.foreach(_ should be <= k)
+  }
 }
