@@ -203,6 +203,38 @@ object CurationQueries {
       .orderBy(col("stage"))
   }
 
+  /** Quality-aware canonical selection per duplicate cluster: for every
+    * near-dup component (the [[curateCC]] clustering), keep the HIGHEST
+    * quality member (doc_id ascending as the tiebreak) instead of the
+    * lowest id — "representative by merit", which is what a training-data
+    * pipeline actually wants from a dup cluster (the cleanest copy, not the
+    * one that happened to be crawled first). One row per component:
+    * representative id + quality, cluster size, and the drop count.
+    *
+    * Shape at scale: the component labels come from the same large/small-
+    * star CC; the selection is row_number ≤ 1 over (comp) — WindowGroupLimit
+    * prunes to one row per comp per map task before the shuffle — and the
+    * size is a partial-agg on the identical key, so AQE reuses the
+    * exchange. Output rows = number of components. */
+  def canonicalDocs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val uniqueDocs = uniqQualified(spark, dir)
+    val comp = ConnectedComponents.minLabel(nearDupPairs(uniqueDocs))
+      .withColumnRenamed("id", "doc_id")
+    val labeled = uniqueDocs.select(col("doc_id"), col("quality"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("comp", coalesce(col("comp"), col("doc_id")))
+    val sizes = labeled.groupBy(col("comp")).agg(count(lit(1)).as("csize"))
+    val w = Window.partitionBy(col("comp"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    labeled.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(sizes, Seq("comp"))
+      .select(col("comp"), col("csize"), col("doc_id").as("canonical_id"),
+        col("quality").as("canonical_quality"),
+        (col("csize") - 1).as("n_dropped"))
+      .orderBy(col("comp"))
+  }
+
   /** Shared CC tail: label every quality-gated unique doc with its
     * component representative (minimum doc_id; singletons map to
     * themselves) and cluster size. */

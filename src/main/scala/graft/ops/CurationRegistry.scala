@@ -134,6 +134,35 @@ object CurationRegistry {
          |sz AS (SELECT comp, count(*) AS csize FROM comp GROUP BY comp)
          |SELECT c.doc_id, c.comp, sz.csize
          |FROM comp c JOIN sz USING (comp)
-         |ORDER BY c.doc_id""".stripMargin)(CurationQueries.curateMultimodal)
+         |ORDER BY c.doc_id""".stripMargin)(CurationQueries.curateMultimodal),
+
+    // Canonical-by-merit selection: the q_curation_cc component fixpoint,
+    // then one row per component = its highest-quality member (doc_id
+    // tiebreak). quality is the shared 4dp-rounded score, so the ranking is
+    // a total order both engines agree on.
+    QueryDef("q_canonical_docs",
+      s"""WITH RECURSIVE $prefixCtes,
+         |edges AS (SELECT DISTINCT a.doc_id AS ea, b.doc_id AS eb
+         |          FROM bndc a JOIN bndc b
+         |            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |           AND a.doc_id < b.doc_id
+         |          WHERE len(list_filter(generate_series(1, 16),
+         |                  i -> a.sig[i] = b.sig[i])) / 16.0 >= ${CurationQueries.SigAgreeMin}),
+         |bi AS (SELECT ea, eb FROM edges UNION SELECT eb, ea FROM edges),
+         |reach AS (SELECT doc_id AS id, doc_id AS r FROM uniq
+         |          UNION
+         |          SELECT reach.id, bi.eb FROM reach JOIN bi ON bi.ea = reach.r),
+         |comp AS (SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id),
+         |lab AS (SELECT u.doc_id, u.quality, c.comp
+         |        FROM uniq u JOIN comp c USING (doc_id)),
+         |sz AS (SELECT comp, count(*) AS csize FROM lab GROUP BY comp),
+         |rk AS (SELECT lab.*,
+         |         row_number() OVER (PARTITION BY comp
+         |           ORDER BY quality DESC, doc_id) AS rn
+         |       FROM lab)
+         |SELECT rk.comp, sz.csize, rk.doc_id AS canonical_id,
+         |  rk.quality AS canonical_quality, sz.csize - 1 AS n_dropped
+         |FROM rk JOIN sz USING (comp) WHERE rn = 1
+         |ORDER BY comp""".stripMargin)(CurationQueries.canonicalDocs)
   )
 }

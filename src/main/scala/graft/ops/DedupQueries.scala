@@ -516,4 +516,84 @@ object DedupQueries {
           col("n_passages").cast("double"), 6))
       .orderBy(col("doc_id"))
   }
+
+  /** Containment threshold and minimum shingle count for
+    * [[containmentDedup]] (shared with the oracle SQL). */
+  val ContainmentMin = 0.9
+  val ContainmentMinShingles = 5
+
+  /** Near-SUBSET detection: ordered pairs (doc_a, doc_b) where at least
+    * [[ContainmentMin]] of doc_a's shingles also occur in doc_b —
+    * containment C(A→B) = |A∩B| / |A|. This is the duplication class
+    * symmetric Jaccard structurally misses: a paragraph quoted inside a
+    * 100× larger page has Jaccard ≈ 0.01 but containment 1.0, and it is
+    * exactly how boilerplate, quotations, and syndicated excerpts hide from
+    * whole-doc near-dup passes (the pairwise complement of the
+    * [[passageDedup]] census). Sizes use the FULL shingle sets,
+    * intersections the df-capped sets — the same convention as
+    * [[dedupNgramJaccard]], so stop-shingles can't manufacture containment.
+    *
+    * Exact one-sided prefix filter: a qualifying pair needs
+    * o ≥ ⌈[[ContainmentMin]]·na⌉ − 1 shared capped shingles (the −1 is the
+    * integer slack absorbing the round(·,4) threshold for any
+    * na < 2·10⁴ — under the family's [[JaccardExactnessMaxShingles]]
+    * tripwire). Sort A's capped set A' by the global (df, shingle) rarity
+    * order and index only its first |A'| − (⌈0.9·na⌉ − 1) + 1 elements: if
+    * no prefix element were in B, the shared count could be at most
+    * ⌈0.9·na⌉ − 2 — contradiction. The CONTAINER side indexes its full
+    * capped postings (a huge B can contain a tiny A while o/nb ≈ 0, so no
+    * symmetric prune exists for it — this asymmetry is inherent to
+    * containment, and why the candidate join is prefix × full-postings
+    * rather than prefix × prefix). Both posting streams are df-capped, so
+    * every join bucket is bounded; docs whose capped set is already smaller
+    * than the required overlap generate no candidates at all. */
+  def containmentDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docShingles(spark, dir).persist()
+    val postings = docs
+      .withColumn("raw_nsh", size(col("sh")))
+      .withColumn("nsh",
+        when(col("raw_nsh") < JaccardExactnessMaxShingles, col("raw_nsh"))
+          .otherwise(raise_error(concat(
+            lit(s"containmentDedup exactness requires < $JaccardExactnessMaxShingles " +
+              "shingles/doc (prefix-prune slack bound); got "),
+            col("raw_nsh"), lit(" for doc_id "), col("doc_id")))))
+      .filter(col("nsh") >= ContainmentMinShingles)
+      .select(col("doc_id"), col("nsh"), explode(col("sh")).as("s"))
+    val dfreq = postings.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+    // capped per-doc sets in global (df, shingle) rarity order, as in the
+    // Jaccard path
+    val sets = postings.join(dfreq, Seq("s"), "left")
+      .withColumn("df", coalesce(col("df"), lit(1L)))
+      .filter(col("df") <= JaccardDfCap)
+      .groupBy(col("doc_id"), col("nsh"))
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("rs"))
+      .select(col("doc_id"), col("nsh"), expr("transform(rs, x -> x.s)").as("rsh"))
+      // required overlap (with the 1-unit rounding slack) and the one-sided
+      // prefix length it induces
+      .withColumn("req", (ceil(col("nsh") * ContainmentMin) - 1).cast("int"))
+      .withColumn("plen", (size(col("rsh")) - col("req") + 1).cast("int"))
+      .persist()
+    val pref = sets.filter(col("plen") >= 1)
+      .select(col("doc_id").as("doc_a"), explode(expr("slice(rsh, 1, plen)")).as("s"))
+    val full = sets
+      .select(col("doc_id").as("doc_b"), explode(col("rsh")).as("s"))
+    val cands = pref.join(full, Seq("s"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("nsh").as("na"),
+        col("rsh").as("ra")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("nsh").as("nb"),
+        col("rsh").as("rb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        col("na").cast("long").as("na"), col("nb").cast("long").as("nb"),
+        size(array_intersect(col("ra"), col("rb"))).cast("long").as("n_common"))
+      .withColumn("containment",
+        round(col("n_common").cast("double") / col("na"), 4))
+      .filter(col("containment") >= ContainmentMin)
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+        col("n_common"), col("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

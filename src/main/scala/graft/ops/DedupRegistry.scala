@@ -194,6 +194,31 @@ object DedupRegistry {
          |        / count(*), 6) AS dup_frac
          |FROM ph LEFT JOIN xd ON ph.h = xd.h
          |GROUP BY 1 ORDER BY 1""".stripMargin)(
-      (s, d) => DedupQueries.passageDedup(s, d))
+      (s, d) => DedupQueries.passageDedup(s, d)),
+
+    // Exhaustive containment: sizes from the FULL shingle sets (nsh before
+    // the rarity filter), overlaps from the df-capped postings — the same
+    // convention as q_dedup_ngram_jaccard, one-sided denominator. The
+    // min-shingle filter applies BEFORE df so both engines count document
+    // frequency over the same corpus.
+    QueryDef("q_containment_dedup", {
+      val cm = DedupQueries.ContainmentMin
+      s"""WITH d AS (SELECT doc_id, $shingleSet AS sh FROM documents),
+         |p0 AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS s FROM d
+         |       WHERE len(sh) >= ${DedupQueries.ContainmentMinShingles}),
+         |rare AS (SELECT s FROM p0 GROUP BY s
+         |         HAVING count(*) <= ${DedupQueries.JaccardDfCap}),
+         |p AS (SELECT p0.* FROM p0 JOIN rare USING (s)),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.nsh AS na,
+         |         b.nsh AS nb, count(*) AS n_common
+         |  FROM p a JOIN p b ON a.s = b.s AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT doc_a, doc_b, na, nb, n_common,
+         |  round(CAST(n_common AS DOUBLE) / na, 4) AS containment
+         |FROM pairs
+         |WHERE round(CAST(n_common AS DOUBLE) / na, 4) >= $cm
+         |ORDER BY doc_a, doc_b""".stripMargin
+    })(DedupQueries.containmentDedup)
   )
 }

@@ -286,6 +286,61 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("containment dedup ≡ exhaustive driver-side inverted-index sweep") {
+    import graft.ops.DedupQueries
+    import graft.tables.Tables
+    def shingles(text: String): Set[String] = {
+      val w = text.split(" ", -1)
+      (if (w.length < 3) Seq.empty
+       else w.sliding(3).map(_.mkString(" ")).toSeq).toSet
+    }
+    val minSh = DedupQueries.ContainmentMinShingles
+    val full = Tables(spark, sf).documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> shingles(r.getString(1))).toMap
+      .filter(_._2.size >= minSh)
+    // df over the min-shingle corpus, then df-capped sets (query convention)
+    val df = full.values.flatten.groupBy(identity).map { case (s, xs) => s -> xs.size }
+    val capped = full.map { case (id, sh) =>
+      id -> sh.filter(s => df(s) <= DedupQueries.JaccardDfCap)
+    }
+    // exhaustive qualifying pairs via an inverted index (no prefix filter —
+    // independent of the query's pruning, so completeness is actually tested)
+    val byShingle = capped.toSeq.flatMap { case (id, sh) => sh.map(_ -> id) }
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2) }
+    val candidates = byShingle.values.flatMap(ids =>
+      for (a <- ids; b <- ids if a != b) yield (a, b)).toSet
+    val expected = candidates.flatMap { case (a, b) =>
+      val o = capped(a).intersect(capped(b)).size
+      val c = math.rint(o.toDouble / full(a).size * 1e4) / 1e4
+      if (c >= DedupQueries.ContainmentMin)
+        Some((a, b, full(a).size.toLong, full(b).size.toLong, o.toLong, c))
+      else None
+    }
+    val got = DedupQueries.containmentDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSet
+    got shouldBe expected
+    expected should not be empty // fixture must exercise the operator
+  }
+
+  test("canonical docs: one row per curateCC component, max-quality member wins") {
+    import graft.ops.CurationQueries
+    val comps = CurationQueries.curateCC(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) // doc_id, comp, csize
+    val canon = CurationQueries.canonicalDocs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4)))
+    // exactly the component set, with matching sizes
+    canon.map(_._1).toSet shouldBe comps.map(_._2).toSet
+    val sizeByComp = comps.groupBy(_._2).map { case (c, xs) => c -> xs.length.toLong }
+    canon.foreach { case (comp, csize, id, _, nDropped) =>
+      csize shouldBe sizeByComp(comp)
+      nDropped shouldBe csize - 1
+      // the canonical member belongs to its own component
+      comps.find(_._1 == id).map(_._2) shouldBe Some(comp)
+    }
+  }
+
   test("fuzzy name match ≡ driver-side blocked Levenshtein at non-default dist") {
     import graft.ops.DedupQueries
     import graft.tables.Tables
