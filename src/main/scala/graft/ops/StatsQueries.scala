@@ -775,6 +775,57 @@ object StatsQueries {
       .orderBy(col("n_docs"))
   }
 
+  /** Resample count for [[bootstrapCi]] (shared with the oracle SQL). */
+  val BootstrapB = 16
+
+  /** Deterministic multiplier-bootstrap confidence interval for the mean of
+    * `events.value` per event type: each of [[BootstrapB]] resamples
+    * reweights every row by a hash-derived multiplier w ∈ {0, 1, 2}
+    * (mean 1 — the integer stand-in for the Poisson(1) weights of the
+    * classic online bootstrap, cf. Owen & Eckles, "Bootstrapping data
+    * arrays"), computes its weighted mean, and the CI is the exact
+    * [2.5, 97.5] percentile band of the B resample means around the plain
+    * point estimate. Hash-derived weights make the resampling REPRODUCIBLE
+    * across engines, partitionings, and reruns — the property that lets an
+    * oracle (or a rerun on a 1000-executor cluster) land on bit-identical
+    * intervals, which no RNG-based bootstrap has.
+    *
+    * Shape at scale: the B-fold explode is map-side (each row contributes
+    * its B weighted terms to a partial agg); the shuffle carries only
+    * groups × B cells, and the percentile runs over B values per group —
+    * metadata. Weighted sums are decimal-exact; each mean is one double
+    * division; percentile ≡ quantile_cont parity as in [[percentiles]]. */
+  def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.TextQueries.hash48
+    val cells = Tables(spark, dir).events
+      .where(col("event_type").isNotNull && col("value").isNotNull &&
+        col("event_id").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        col("value").cast(Out.SumDecimal).as("v"),
+        explode(expr(s"sequence(0, ${BootstrapB - 1})")).as("b"))
+      .withColumn("w",
+        expr(hash48(s"concat(b, ':', event_id)")) % 3)
+      .groupBy(col("event_type"), col("b"))
+      .agg(sum(col("w").cast(Out.SumDecimal) * col("v")).as("ws"),
+        sum(col("w")).as("wn"))
+      .filter(col("wn") > 0)
+      .select(col("event_type"), col("b"),
+        (col("ws").cast("double") / col("wn").cast("double")).as("mb"))
+    val point = Tables(spark, dir).events
+      .where(col("event_type").isNotNull && col("value").isNotNull &&
+        col("event_id").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(Out.davg(col("value")), 6).as("mean"))
+    cells.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_resamples"),
+        round(expr("percentile(mb, 0.025)"), 6).as("ci_lo"),
+        round(expr("percentile(mb, 0.975)"), 6).as("ci_hi"))
+      .join(point, Seq("event_type"))
+      .select(col("event_type"), col("n"), col("mean"),
+        col("n_resamples"), col("ci_lo"), col("ci_hi"))
+      .orderBy(col("event_type"))
+  }
+
   /** Zone-map skip audit: ship-week buckets × a conjunctive predicate.
     * Days-since-epoch window of the audited date predicate (ship days span
     * [9131, 11651) in the corpus) and the price band, shared with the oracle. */

@@ -388,6 +388,46 @@ object StatsRegistry {
         |FROM g GROUP BY n ORDER BY n_docs""".stripMargin)(
       StatsQueries.chisqIndependence),
 
+    // Deterministic multiplier bootstrap: hash-derived w ∈ {0,1,2} per
+    // (resample, row), decimal-exact weighted sums, one double division per
+    // resample mean, percentile ≡ quantile_cont over the B means.
+    QueryDef("q_bootstrap_ci", {
+      val b = StatsQueries.BootstrapB
+      s"""WITH e AS (
+         |  SELECT event_type, event_id, CAST(value AS DECIMAL(38,4)) AS v
+         |  FROM events
+         |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+         |    AND event_id IS NOT NULL),
+         |x AS (
+         |  SELECT event_type, event_id, v,
+         |    unnest(generate_series(0, ${b - 1})) AS b
+         |  FROM e),
+         |wx AS (
+         |  SELECT event_type, b, v,
+         |    ('0x' || substr(md5(b::VARCHAR || ':' || event_id::VARCHAR), 1, 12))::BIGINT % 3 AS w
+         |  FROM x),
+         |mb AS (
+         |  SELECT event_type, b,
+         |    CAST(SUM(CAST(w AS DECIMAL(38,4)) * v) AS DOUBLE)
+         |      / CAST(SUM(w) AS DOUBLE) AS mb
+         |  FROM wx GROUP BY 1, 2 HAVING SUM(w) > 0),
+         |ci AS (
+         |  SELECT event_type, count(*) AS n_resamples,
+         |    round(quantile_cont(mb, 0.025), 6) AS ci_lo,
+         |    round(quantile_cont(mb, 0.975), 6) AS ci_hi
+         |  FROM mb GROUP BY 1),
+         |pt AS (
+         |  SELECT event_type, count(*) AS n,
+         |    round(${Out.sql.davg("value")}, 6) AS mean
+         |  FROM events
+         |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+         |    AND event_id IS NOT NULL
+         |  GROUP BY 1)
+         |SELECT event_type, n, mean, n_resamples, ci_lo, ci_hi
+         |FROM ci JOIN pt USING (event_type)
+         |ORDER BY event_type""".stripMargin
+    })(StatsQueries.bootstrapCi),
+
     // Zone-map skip audit: integer-day + stored-double min/max zones per
     // ship-week, three-way fate under the conjunctive predicate. Constants
     // interpolate from StatsQueries so the two engines can't drift.

@@ -94,7 +94,61 @@ object TableRegistry {
       .orderBy(col("cust"))
   }
 
+  /** Per-row byte estimate and target output size for the compaction
+    * planner (shared with the oracle via interpolation). The 1 MiB target
+    * is testdata-scaled; production uses 128–1024 MiB with the same plan. */
+  val CompactRowBytes = 64L
+  val CompactTargetBytes = 1L << 20
+
+  /** Small-file compaction PLANNER: given per-file stats (simulated here as
+    * one "file" per lineitem ship-day — count × [[CompactRowBytes]]), assign
+    * day-ordered files to merge bins of ≈ [[CompactTargetBytes]] and report
+    * each bin's file count, byte total, and day range — the plan a
+    * [[Layout.compact]]-style executor consumes. Binning is by EXCLUSIVE
+    * prefix sum (`bin = ⌊cum_before / target⌋`): every file lands in the bin
+    * where its bytes start, which equals sequential greedy packing whenever
+    * files are small against the target (the compaction regime by
+    * definition) and — unlike the sequential recurrence — needs only a
+    * prefix sum, so the same two-pass distributed prefix-sum machinery as
+    * token packing applies if file stats ever outgrow one task. File stats
+    * are METADATA (one row per file): the single-partition window here is
+    * the honest shape, same as a real table service planning from its
+    * manifest. */
+  def compactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.Out
+    val files = Tables(spark, dir).lineitem
+      .groupBy((Out.epochSec(col("l_shipdate")) / 86400).cast("long").as("day"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("bytes", col("n_rows") * CompactRowBytes)
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files
+      .withColumn("cum0", coalesce(sum(col("bytes")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("cum0") / CompactTargetBytes))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bin_bytes"),
+        min(col("day")).as("day_lo"), max(col("day")).as("day_hi"))
+      .orderBy(col("bin"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_compaction_plan",
+      s"""WITH f AS (
+         |  SELECT (${graft.ops.Out.sql.epochSec("l_shipdate")} // 86400) AS day,
+         |    count(*) * $CompactRowBytes AS bytes
+         |  FROM lineitem GROUP BY 1),
+         |c AS (
+         |  SELECT day, bytes,
+         |    COALESCE(CAST(SUM(bytes) OVER (ORDER BY day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+         |      0) AS cum0
+         |  FROM f)
+         |SELECT cum0 // $CompactTargetBytes AS bin, count(*) AS n_files,
+         |  CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+         |  min(day) AS day_lo, max(day) AS day_hi
+         |FROM c GROUP BY 1 ORDER BY bin""".stripMargin)(compactionPlan),
+
     QueryDef("q_mv_incremental",
       s"""SELECT o_custkey AS cust, count(*) AS n_orders,
          |  ${graft.ops.Out.sql.dsum("o_totalprice")} AS revenue

@@ -237,6 +237,47 @@ class StatsQueriesSpec extends SparkSpec {
     r(0).getDouble(2) should be >= 0.0
   }
 
+  test("bootstrap CI: deterministic, ordered bounds, full resample count") {
+    val a = StatsQueries.bootstrapCi(spark, sf).collect()
+    a.length should be > 0
+    a.foreach { r =>
+      r.getAs[Long]("n_resamples") shouldBe StatsQueries.BootstrapB.toLong
+      r.getAs[Double]("ci_lo") should be <= r.getAs[Double]("ci_hi")
+    }
+    // hash-derived weights ⇒ bit-identical on rerun (the property RNG
+    // bootstraps lack)
+    val b = StatsQueries.bootstrapCi(spark, sf).collect()
+    a.map(_.toSeq).toSeq shouldBe b.map(_.toSeq).toSeq
+  }
+
+  test("compaction plan: bins partition the files, stay day-ordered, near target") {
+    import graft.tables.{TableRegistry, Tables}
+    val plan = TableRegistry.compactionPlan(spark, sf).collect()
+    plan.length should be > 0
+    val totalDays = Tables(spark, sf).lineitem
+      .select((floor(col("l_shipdate").cast("double") / 86400)).cast("long"))
+      .distinct().count()
+    plan.map(_.getAs[Long]("n_files")).sum shouldBe totalDays
+    // consecutive bins cover disjoint, increasing day ranges
+    plan.sortBy(_.getAs[Long]("bin")).sliding(2).foreach {
+      case Array(p, n) =>
+        assert(p.getAs[Long]("day_hi") < n.getAs[Long]("day_lo"))
+      case _ =>
+    }
+    // every bin but the last reaches the target up to one file's slack
+    // (prefix binning: a bin closes only once cumulative bytes cross its
+    // boundary, so it can fall short of the target by at most the largest
+    // single file)
+    val maxFile = Tables(spark, sf).lineitem
+      .groupBy((floor(col("l_shipdate").cast("double") / 86400)).cast("long"))
+      .count().agg(max(col("count"))).collect()(0).getLong(0) *
+      TableRegistry.CompactRowBytes
+    plan.sortBy(_.getAs[Long]("bin")).dropRight(1).foreach { r =>
+      (r.getAs[Long]("bin_bytes") + maxFile) should be >=
+        TableRegistry.CompactTargetBytes
+    }
+  }
+
   test("dataskip audit: class semantics hold and matches sum to the direct count") {
     import graft.ops.StatsQueries._
     val rows = StatsQueries.dataskipAudit(spark, sf).collect()
