@@ -829,4 +829,49 @@ object RelationalQueries {
       .orderBy(col("n").desc, col("p1"), col("p2"))
       .limit(20)
   }
+
+  /** Price-bucket width (cents) for the skyline's two-pass prefix max.
+    * Shared with the oracle SQL. */
+  val SkylineBucketCents = 100000L
+
+  /** 2-D skyline (Pareto frontier) of orders under (minimize totalprice,
+    * maximize orderdate): an order survives iff NO other order is strictly
+    * cheaper AND strictly later — the "cheapest for its recency" frontier,
+    * the classic multi-criteria shortlist query.
+    *
+    * Distributed shape — the textbook sort-based skyline needs a GLOBAL
+    * running max over the price order, which would put every distinct price
+    * in one window task. Instead the same two-pass prefix trick as
+    * [[graft.ops.PipelineQueries.tokenPacking]]: (1) per price-BUCKET max
+    * date — a partial-agg shuffle; (2) the running max across the ordered
+    * buckets is a METADATA-scale window (≤ price-domain/width rows)
+    * broadcast back; (3) within each bucket, a RANGE-frame window over
+    * integer cents supplies the strictly-cheaper-in-bucket max. dominated ⟺
+    * max(prior-bucket max, in-bucket strictly-cheaper max) > date. Every
+    * data-sized stage is keyed by bucket; nothing data-sized crosses a
+    * single task.
+    *
+    * Determinism: prices compared as exact integer CENTS (the corpus's 2dp
+    * doubles scaled by 100 — same trunc in both engines), dates as epoch
+    * seconds; strict inequalities only, so ties never depend on order. */
+  def skylineOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+      .select(col("o_orderkey"), col("o_totalprice"),
+        Out.epochSec(col("o_orderdate")).as("d"),
+        (col("o_totalprice") * 100).cast("long").as("cents"))
+      .withColumn("bucket", (col("cents") / SkylineBucketCents).cast("long"))
+    val bucketMax = o.groupBy(col("bucket")).agg(max(col("d")).as("bmax"))
+      .withColumn("bprev",
+        max(col("bmax")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+    val inBucket = Window.partitionBy(col("bucket")).orderBy(col("cents"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    o.join(broadcast(bucketMax.select(col("bucket"), col("bprev"))), Seq("bucket"))
+      .withColumn("cheaperMax",
+        greatest(coalesce(max(col("d")).over(inBucket), lit(Long.MinValue)),
+          coalesce(col("bprev"), lit(Long.MinValue))))
+      .filter(col("cheaperMax") <= col("d"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("d").as("d_sec"))
+      .orderBy(col("o_orderkey"))
+  }
 }

@@ -421,6 +421,34 @@ object RelationalRegistry {
         |SELECT a.pk AS p1, b.pk AS p2, COUNT(*) AS n
         |FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
         |GROUP BY 1, 2 ORDER BY n DESC, p1, p2 LIMIT 20""".stripMargin)(
-      RelationalQueries.coPurchase)
+      RelationalQueries.coPurchase),
+
+    // 2-D skyline via the two-pass prefix max: exact integer cents (TRUNC,
+    // matching Spark's double→long cast), strict dominance only, sentinel
+    // floors never escape the GREATEST. Bucket width interpolates from the
+    // Scala constant.
+    QueryDef("q_skyline", {
+      val w = RelationalQueries.SkylineBucketCents
+      s"""WITH o AS (
+         |  SELECT o_orderkey, o_totalprice,
+         |    ${S.epochSec("o_orderdate")} AS d,
+         |    CAST(TRUNC(o_totalprice * 100) AS BIGINT) AS cents
+         |  FROM orders),
+         |ob AS (SELECT *, cents // $w AS bucket FROM o),
+         |bm AS (SELECT bucket, max(d) AS bmax FROM ob GROUP BY 1),
+         |bp AS (SELECT bucket,
+         |         max(bmax) OVER (ORDER BY bucket
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS bprev
+         |       FROM bm),
+         |s AS (SELECT ob.o_orderkey, ob.o_totalprice, ob.d, bp.bprev,
+         |        max(ob.d) OVER (PARTITION BY ob.bucket ORDER BY ob.cents
+         |          RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cmax
+         |      FROM ob JOIN bp USING (bucket))
+         |SELECT o_orderkey, o_totalprice, d AS d_sec
+         |FROM s
+         |WHERE GREATEST(COALESCE(cmax, -9223372036854775807),
+         |               COALESCE(bprev, -9223372036854775807)) <= d
+         |ORDER BY o_orderkey""".stripMargin
+    })(RelationalQueries.skylineOrders)
   )
 }

@@ -395,4 +395,32 @@ object TimeseriesQueries {
         col("theilsen_slope"))
       .orderBy(col("event_type"))
   }
+
+  /** Per-user inter-arrival (gap) profile: exact p50/p90/max of the
+    * second-granularity gaps between consecutive events — the burstiness
+    * fingerprint that separates steady telemetry from bursty interactive
+    * traffic, and the data-driven way to pick a session gap threshold
+    * (q_session_window hard-codes one; this measures what it should be).
+    *
+    * Shape at scale: ONE window shuffle on `user_id` (each user's history
+    * sorts within its partition), gaps via lag, then a grouped sort-agg for
+    * the exact percentiles — partition-local per key, the [[percentiles]]
+    * regime. Integer gaps; percentile ≡ quantile_cont parity (interpolated
+    * values are .0/.5 exactly representable doubles). */
+  def interarrivalStats(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec"), col("event_id"))
+    Tables(spark, dir).events
+      .where(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("event_id").isNotNull)
+      .select(col("user_id"), Out.epochSec(col("ts")).as("sec"), col("event_id"))
+      .withColumn("gap", col("sec") - lag(col("sec"), 1).over(byUser))
+      .where(col("gap").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(expr("percentile(gap, 0.5)"), 4).as("gap_p50"),
+        round(expr("percentile(gap, 0.9)"), 4).as("gap_p90"),
+        max(col("gap")).as("gap_max"))
+      .orderBy(col("user_id"))
+  }
 }

@@ -219,5 +219,26 @@ object TimeseriesRegistry {
          |FROM s JOIN nd USING (event_type)
          |GROUP BY event_type, n_days
          |ORDER BY event_type""".stripMargin)(
-      TimeseriesQueries.theilSen))
+      TimeseriesQueries.theilSen),
+
+    // Gap ordering under timestamp ties is pinned by event_id in both
+    // engines; quantile_cont ≡ percentile on integer gaps.
+    QueryDef("q_interarrival_stats",
+      s"""WITH e AS (
+         |  SELECT user_id, ${graft.ops.Out.sql.epochSec("ts")} AS sec, event_id
+         |  FROM events
+         |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+         |    AND event_id IS NOT NULL),
+         |g AS (
+         |  SELECT user_id,
+         |    sec - lag(sec) OVER (PARTITION BY user_id
+         |      ORDER BY sec, event_id) AS gap
+         |  FROM e)
+         |SELECT user_id, count(*) AS n_gaps,
+         |  round(quantile_cont(gap, 0.5), 4) AS gap_p50,
+         |  round(quantile_cont(gap, 0.9), 4) AS gap_p90,
+         |  max(gap) AS gap_max
+         |FROM g WHERE gap IS NOT NULL
+         |GROUP BY 1 ORDER BY user_id""".stripMargin)(
+      TimeseriesQueries.interarrivalStats))
 }

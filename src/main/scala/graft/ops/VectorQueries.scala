@@ -492,6 +492,48 @@ object VectorQueries {
           .as("mean_c"))
       .orderBy(col("label"), col("dim"))
 
+  /** Outliers reported per label by [[oodEmbeddings]] (shared with the
+    * oracle SQL). */
+  val OodK = 5
+
+  /** Out-of-distribution screening: each embedding's L2 distance to its own
+    * label's centroid, reporting the [[OodK]] farthest vectors per label —
+    * the curation pass that flags mislabeled or off-manifold examples
+    * before they enter a training mix (the per-class complement of
+    * [[ClusterQueries.semDedup]], which flags the TOO-CLOSE ones).
+    *
+    * Shape at scale: centroids are one (label, dim) partial-agg shuffle
+    * over the exploded dim stream (order-independent DECIMAL(38,12) sums,
+    * the [[vectorCentroids]] discipline, here over all dims); the distance
+    * pass re-explodes once, joins the metadata-scale centroid table, and
+    * partial-aggs the 64 squared terms back to a row per vector — two
+    * narrow shuffles, both map-side combinable. The per-label top-k is
+    * row_number ≤ k on (rounded dist DESC, vec_id) — a total order, and
+    * WindowGroupLimit prunes map-side. Centroid means are 6dp-rounded
+    * doubles, each squared term is the same double expression tree in both
+    * engines, and the term sum is decimal-exact — so distances hash-match
+    * bit-for-bit. */
+  def oodEmbeddings(spark: SparkSession, dir: String, k: Int = OodK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ex = emb(spark, dir)
+      .select(col("vec_id"), col("label"), posexplode(col("e")))
+      .select(col("vec_id"), col("label"), col("pos").as("dim"), col("col").as("x"))
+    val cent = ex.groupBy(col("label"), col("dim"))
+      .agg(round(sum(col("x").cast("decimal(38,12)")).cast("double") /
+        count(lit(1)), 6).as("mean_c"))
+    val term = (col("x") - col("mean_c")) * (col("x") - col("mean_c"))
+    val dist = ex.join(broadcast(cent), Seq("label", "dim"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(round(sqrt(sum(term.cast("decimal(38,12)")).cast("double")), 6)
+        .as("dist"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("dist").desc, col("vec_id"))
+    dist.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("label"), col("rn"), col("vec_id"), col("dist"))
+      .orderBy(col("label"), col("rn"))
+  }
+
   /** Product quantization (PQ) encoding: split each 64-dim embedding into
     * `SubSpaces` 16-dim chunks, assign every chunk its nearest codeword
     * (L2) from that subspace's codebook, and emit the per-vector code tuple

@@ -262,6 +262,32 @@ object VectorRegistry {
          |ORDER BY probe_id, vec_id""".stripMargin)(
       (s, d) => VectorQueries.rangeSearch(s, d)),
 
+    // OOD screening: 6dp-rounded centroid means, identical squared-term
+    // double tree, decimal-exact term sums → bit-identical distances; 1-based
+    // dims here vs 0-based pos in Spark — internal join keys only, never
+    // emitted.
+    QueryDef("q_ood_embeddings",
+      s"""WITH $embCte,
+         |dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+         |ex AS (SELECT vec_id, label, i, e[i] AS x FROM emb CROSS JOIN dims),
+         |cent AS (SELECT label, i,
+         |           round(CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE)
+         |             / count(*), 6) AS mean_c
+         |         FROM ex GROUP BY 1, 2),
+         |d AS (SELECT ex.vec_id, ex.label,
+         |        round(sqrt(CAST(SUM(CAST((x - mean_c) * (x - mean_c)
+         |          AS DECIMAL(38,12))) AS DOUBLE)), 6) AS dist
+         |      FROM ex JOIN cent ON ex.label = cent.label AND ex.i = cent.i
+         |      GROUP BY 1, 2),
+         |r AS (SELECT label, vec_id, dist,
+         |        CAST(row_number() OVER (PARTITION BY label
+         |          ORDER BY dist DESC, vec_id) AS BIGINT) AS rn
+         |      FROM d)
+         |SELECT label, rn, vec_id, dist FROM r
+         |WHERE rn <= ${VectorQueries.OodK}
+         |ORDER BY label, rn""".stripMargin)(
+      (s, d) => VectorQueries.oodEmbeddings(s, d)),
+
     // Mutual-kNN graph: LSH candidate pairs → per-node top-k (rounded-cos
     // DESC, dst tiebreak — a total order) → mutuality self-join. Same CTE
     // stack as q_dedup_embedding; k interpolates from MutualK.

@@ -143,7 +143,7 @@ class RelationalQueriesSpec extends SparkSpec {
     val ordCust = t.orders.collect()
       .filter { r =>
         // Timestamp (TimestampType) or LocalDateTime (NTZ) depending on the
-        // parquet read path — compare as UTC instants either way
+        // parquet read path - compare as UTC instants either way
         val d = r.get(4) match {
           case t: java.sql.Timestamp => t.toInstant
           case l: java.time.LocalDateTime => l.toInstant(java.time.ZoneOffset.UTC)
@@ -248,5 +248,20 @@ class RelationalQueriesSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     got shouldBe Map(2L -> "changed", 3L -> "removed", 4L -> "added")
     // cust 1 is 'same' and must be absent from the exception report
+  }
+
+  test("skyline ≡ brute-force strict-dominance scan") {
+    val orders = Tables(spark, sf).orders
+      .select(col("o_orderkey"),
+        (col("o_totalprice") * 100).cast("long").as("cents"),
+        floor(col("o_orderdate").cast("timestamp").cast("double")).cast("long").as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = orders.filter { case (_, c, d) =>
+      !orders.exists { case (_, c2, d2) => c2 < c && d2 > d }
+    }.map(_._1).toSet
+    val got = RelationalQueries.skylineOrders(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    got shouldBe expected
+    got should not be empty
   }
 }

@@ -236,6 +236,38 @@ class VectorQueriesSpec extends SparkSpec {
       s"radius search must not plan a rank bound:\n$plan")
   }
 
+  test("OOD screening ≡ driver-side centroid-distance recompute") {
+    val k = VectorQueries.OodK
+    val labels = Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("label").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // centroid per label with the query's 6dp-rounded means
+    val byLabel = vecs.toSeq.groupBy(x => labels(x._1))
+    val got = VectorQueries.oodEmbeddings(spark, sf).collect()
+    got.groupBy(_.getAs[Long]("label")).foreach { case (lab, rows) =>
+      val members = byLabel(lab)
+      val dims = members.head._2.length
+      val cent = Array.tabulate(dims) { i =>
+        val m = members.map(_._2(i)).sum / members.size
+        BigDecimal(m).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val dist = members.map { case (id, v) =>
+        id -> math.sqrt(v.zip(cent).map { case (a, c) => (a - c) * (a - c) }.sum)
+      }.toMap
+      val expectedTop = dist.toSeq
+        .map { case (id, dd) =>
+          id -> BigDecimal(dd).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+        .sortBy { case (id, dd) => (-dd, id) }.take(k).map(_._1)
+      rows.sortBy(_.getAs[Long]("rn")).map(_.getAs[Long]("vec_id")).toSeq shouldBe
+        expectedTop
+      // the farthest member really is far: its distance tops every member's
+      rows.foreach(r => r.getAs[Double]("dist") shouldBe
+        dist(r.getAs[Long]("vec_id")) +- 1e-5)
+    }
+    got.length shouldBe byLabel.size * k
+  }
+
   test("mutual-kNN graph: degrees bounded by k, ranks valid, cosines exact") {
     val k = VectorQueries.MutualK
     val edges = VectorQueries.mutualKnn(spark, sf).collect()
