@@ -517,6 +517,34 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Text-LSH recall monitor: for every TRUE near-dup pair (the exhaustive
+    * [[dedupNgramJaccard]] frontier, jaccard ≥ 0.5), did the banded MinHash
+    * generator ([[minhashCandidates]]) produce it as a candidate? Reported
+    * per jaccard band (0.5–0.6, …, ≥ 1.0), because banding recall is a
+    * steep function of true similarity — the 4×4 geometry is DESIGNED to
+    * recall the ≥ 0.8 region (the [[dedupVerified]] threshold) and shed the
+    * borderline band, and this query measures exactly that curve. The text
+    * twin of [[VectorQueries.annRecall]]: `q_lsh_bucket_stats` watches the
+    * vector generator's health, `q_ann_recall` its quality; this is the
+    * quality monitor for the TEXT route. Exhaustive truth is the documented
+    * O(df²) yardstick — run at audit cadence, never per-ingest.
+    *
+    * Determinism: band = ⌊10·round(j, 4)⌋ on the exact verified jaccard;
+    * the hit join is a left semi on the (a < b)-canonical pair key. */
+  def textLshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val truth = dedupNgramJaccard(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val cand = minhashCandidates(docShingles(spark, dir))
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
+    truth.join(cand, Seq("doc_a", "doc_b"), "left")
+      .groupBy(floor(col("jaccard") * 10).cast("long").as("band"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall",
+        round(col("n_hit").cast("double") / col("n_true"), 4))
+      .orderBy(col("band"))
+  }
+
   /** Containment threshold and minimum shingle count for
     * [[containmentDedup]] (shared with the oracle SQL). */
   val ContainmentMin = 0.9

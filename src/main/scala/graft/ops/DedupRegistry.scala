@@ -196,6 +196,36 @@ object DedupRegistry {
          |GROUP BY 1 ORDER BY 1""".stripMargin)(
       (s, d) => DedupQueries.passageDedup(s, d)),
 
+    // Recall curve of the banded-MinHash generator against the exhaustive
+    // Jaccard frontier, per similarity band. Reuses minhashCandCtes' `d`
+    // (the shingle sets) for the exhaustive side, so both arms see the
+    // identical corpus.
+    QueryDef("q_text_lsh_recall",
+      s"""WITH $minhashCandCtes,
+         |p0 AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS s FROM d),
+         |rare AS (SELECT s FROM p0 GROUP BY s
+         |         HAVING count(*) <= ${DedupQueries.JaccardDfCap}),
+         |p AS (SELECT p0.* FROM p0 JOIN rare USING (s)),
+         |tp AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.nsh AS na,
+         |         b.nsh AS nb, count(*) AS n_common
+         |  FROM p a JOIN p b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4),
+         |truth AS (
+         |  SELECT doc_a, doc_b,
+         |    round(CAST(n_common AS DOUBLE) / (na + nb - n_common), 4) AS j
+         |  FROM tp
+         |  WHERE round(CAST(n_common AS DOUBLE) / (na + nb - n_common), 4) >= 0.5)
+         |SELECT CAST(FLOOR(j * 10) AS BIGINT) AS band, count(*) AS n_true,
+         |  CAST(SUM(CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_hit,
+         |  round(SUM(CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END)::DOUBLE
+         |    / count(*), 4) AS recall
+         |FROM truth t LEFT JOIN cand c
+         |  ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+         |GROUP BY 1 ORDER BY band""".stripMargin)(
+      (s, d) => DedupQueries.textLshRecall(s, d)),
+
     // Exhaustive containment: sizes from the FULL shingle sets (nsh before
     // the rarity filter), overlaps from the df-capped postings — the same
     // convention as q_dedup_ngram_jaccard, one-sided denominator. The

@@ -574,4 +574,61 @@ object TextQueries {
           .as("oov_rate"))
       .orderBy(col("source"))
   }
+
+  /** RAKE phrase-length cap and report size (shared with the oracle SQL).
+    * Runs longer than [[RakeMaxLen]] words are discarded — standard RAKE
+    * practice, and the guard that keeps a stopword-free document from
+    * becoming one degenerate whole-document "phrase". */
+  val RakeMaxLen = 4
+  val RakeTopK = 20
+
+  /** RAKE keyword extraction (Rose et al., "Automatic keyword extraction
+    * from individual documents"): candidate phrases are maximal stopword-free
+    * word runs; each word scores deg/freq over the phrase corpus (deg = Σ
+    * length of phrases containing it, freq = its occurrence count — the
+    * ratio favors words that appear inside LONGER collocations); a phrase
+    * scores the sum of its words' scores. The phrase-level complement of
+    * [[tfidfKeywords]] (unigrams) and [[pmiCollocations]] (bigram lift):
+    * RAKE surfaces multi-word terms without any document-frequency model.
+    *
+    * Shape at scale: run segmentation is a per-document prefix sum (window
+    * partitioned by doc — each partition is one document's tokens, the
+    * bounded regime); phrase assembly is one (doc, run) partial agg; word
+    * scores are a vocabulary-sized agg; the phrase score re-join is keyed
+    * by word against that broadcast-sized table; the report is a top-k
+    * TakeOrdered. Word-score sums go through DECIMAL(38,12) so the
+    * per-phrase sum is order-independent. */
+  def rakePhrases(spark: SparkSession, dir: String, k: Int = RakeTopK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables(spark, dir).documents
+      .select(col("doc_id"), posexplode(expr(wordsExpr)))
+      .select(col("doc_id"), col("pos"), col("col").as("w"))
+      .withColumn("stp", col("w").isin(Stopwords: _*))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val runs = toks
+      .withColumn("run", sum(when(col("stp"), 1L).otherwise(0L)).over(byDoc))
+      .filter(!col("stp"))
+    val phrases = runs.groupBy(col("doc_id"), col("run"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("w")))).as("ws"))
+      .select(col("doc_id"), col("run"),
+        expr("array_join(transform(ws, x -> x.w), ' ')").as("phrase"),
+        size(col("ws")).cast("long").as("len"), col("ws"))
+      .filter(col("len") <= RakeMaxLen)
+    val wordInst = phrases
+      .select(col("doc_id"), col("run"), col("phrase"), col("len"),
+        explode(expr("transform(ws, x -> x.w)")).as("w"))
+    val wordScore = wordInst.groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+      .select(col("w"),
+        (col("deg").cast("double") / col("freq").cast("double")).as("wscore"))
+    wordInst.join(wordScore, Seq("w"))
+      .groupBy(col("doc_id"), col("run"), col("phrase"))
+      .agg(round(sum(col("wscore").cast("decimal(38,12)")).cast("double"), 6)
+        .as("pscore"))
+      .groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occ"), max(col("pscore")).as("score"))
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(k)
+  }
 }

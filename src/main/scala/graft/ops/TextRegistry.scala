@@ -317,6 +317,39 @@ object TextRegistry {
          |  round(CAST(sum(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END)
          |      AS DOUBLE) / count(*), 6) AS oov_rate
          |FROM j GROUP BY 1 ORDER BY source""".stripMargin)(
-      (s, d) => TextQueries.oovRate(s, d))
+      (s, d) => TextQueries.oovRate(s, d)),
+
+    // RAKE: stopword-split runs via a per-doc prefix sum, deg/freq word
+    // scores, decimal-exact per-phrase sums, top-k on (score, phrase).
+    QueryDef("q_rake_phrases", {
+      val stop = TextQueries.stopwordsSqlList
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |wp AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS pos, ws
+         |       FROM t),
+         |w AS (SELECT doc_id, pos, ws[pos] AS w FROM wp),
+         |r AS (SELECT doc_id, pos, w,
+         |        SUM(CASE WHEN w IN ($stop) THEN 1 ELSE 0 END)
+         |          OVER (PARTITION BY doc_id ORDER BY pos) AS run
+         |      FROM w),
+         |runs AS (SELECT * FROM r WHERE w NOT IN ($stop)),
+         |phr AS (SELECT doc_id, run,
+         |          string_agg(w, ' ' ORDER BY pos) AS phrase,
+         |          count(*) AS len
+         |        FROM runs GROUP BY 1, 2
+         |        HAVING count(*) <= ${TextQueries.RakeMaxLen}),
+         |wi AS (SELECT runs.doc_id, runs.run, phr.phrase, phr.len, runs.w
+         |       FROM runs JOIN phr USING (doc_id, run)),
+         |wsc AS (SELECT w,
+         |          CAST(SUM(len) AS DOUBLE) / count(*) AS wscore
+         |        FROM wi GROUP BY 1),
+         |ps AS (SELECT wi.doc_id, wi.run, wi.phrase,
+         |         round(CAST(SUM(CAST(wscore AS DECIMAL(38,12))) AS DOUBLE), 6)
+         |           AS pscore
+         |       FROM wi JOIN wsc USING (w)
+         |       GROUP BY 1, 2, 3)
+         |SELECT phrase, count(*) AS n_occ, max(pscore) AS score
+         |FROM ps GROUP BY 1
+         |ORDER BY score DESC, phrase LIMIT ${TextQueries.RakeTopK}""".stripMargin
+    })((s, d) => TextQueries.rakePhrases(s, d))
   )
 }

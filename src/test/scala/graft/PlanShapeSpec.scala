@@ -255,6 +255,27 @@ class PlanShapeSpec extends SparkSpec {
       s"probe set must broadcast:\n$hn")
   }
 
+  test("mutual-kNN and OOD top-k get the WindowGroupLimit pre-shuffle prune") {
+    val mk = plan(VectorQueries.mutualKnn(spark, sf))
+    assert(mk.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$mk")
+    val ood = plan(VectorQueries.oodEmbeddings(spark, sf))
+    assert(ood.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$ood")
+    // the centroid table is metadata and must come in broadcast
+    assert(ood.contains("BroadcastHashJoin"),
+      s"centroids must broadcast, not shuffle the exploded dims:\n$ood")
+  }
+
+  test("skyline's data-sized window is bucket-partitioned; bucket stats broadcast") {
+    val p = plan(RelationalQueries.skylineOrders(spark, sf))
+    // the RANGE frame over orders must be keyed by bucket — an unpartitioned
+    // cents-ordered window over the data stream is the single-task shape the
+    // two-pass prefix max exists to avoid
+    assert("""windowspecdefinition\(bucket#\d+L?, cents""".r.findFirstIn(p).isDefined,
+      s"expected bucket-partitioned in-bucket window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-bucket prefix maxima are metadata and must broadcast:\n$p")
+  }
+
   test("tpch3 top-k is a TakeOrderedAndProject over one aggregated join tree") {
     val p = plan(RelationalQueries.tpch3TopK(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
