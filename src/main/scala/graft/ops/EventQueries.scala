@@ -219,4 +219,37 @@ object EventQueries {
         (acc.join(next, Seq("user_id"), "left"), s"t_$st")
     }._1.orderBy(col("user_id"))
   }
+
+  /** Staleness threshold for [[freshnessSla]], seconds (one day). */
+  val FreshnessSlaSec = 86400L
+
+  /** Per-stream freshness SLA report: each event type's latest event time,
+    * its lag behind the corpus frontier (the freshest event anywhere), the
+    * trailing-day volume, and a stale flag at [[FreshnessSlaSec]] — the
+    * ingestion-health dashboard every pipeline keeps in front of its
+    * on-call. "Now" is the corpus frontier, not the wall clock, so the
+    * report is deterministic and replayable.
+    *
+    * Shape at scale: two partial-agg passes (per-type and the 1-row global
+    * frontier, broadcast back) plus one filtered re-aggregation for the
+    * trailing-day counts — no windows, no data-sized join sides. */
+  def freshnessSla(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+      .where(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), graft.ops.Out.epochSec(col("ts")).as("sec"))
+    val frontier = e.agg(max(col("sec")).as("gmax"))
+    val perType = e.groupBy(col("event_type"))
+      .agg(max(col("sec")).as("last_sec"), count(lit(1)).as("n_total"))
+    val recent = e.crossJoin(broadcast(frontier))
+      .filter(col("sec") > col("gmax") - FreshnessSlaSec)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_last_day"))
+    perType.crossJoin(broadcast(frontier))
+      .join(recent, Seq("event_type"), "left")
+      .select(col("event_type"), col("last_sec"),
+        (col("gmax") - col("last_sec")).as("lag_sec"),
+        col("n_total"), coalesce(col("n_last_day"), lit(0L)).as("n_last_day"),
+        when(col("gmax") - col("last_sec") > FreshnessSlaSec, 1L).otherwise(0L)
+          .as("stale"))
+      .orderBy(col("event_type"))
+  }
 }

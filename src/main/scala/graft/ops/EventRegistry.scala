@@ -121,5 +121,25 @@ object EventRegistry {
          |       LEFT JOIN p ON v.user_id = p.user_id
          |ORDER BY v.user_id""".stripMargin)(
       (s, d) => EventQueries.funnel(s, d, Seq("view", "click", "purchase")))
+    ,
+    // Freshness report against the corpus frontier (deterministic "now").
+    QueryDef("q_freshness_sla", {
+      val sla = EventQueries.FreshnessSlaSec
+      s"""WITH e AS (
+         |  SELECT event_type, ${Out.sql.epochSec("ts")} AS sec
+         |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+         |g AS (SELECT max(sec) AS gmax FROM e),
+         |t AS (SELECT event_type, max(sec) AS last_sec, count(*) AS n_total
+         |      FROM e GROUP BY 1),
+         |r AS (SELECT event_type, count(*) AS n_last_day
+         |      FROM e, g WHERE sec > gmax - $sla GROUP BY 1)
+         |SELECT t.event_type, t.last_sec,
+         |  g.gmax - t.last_sec AS lag_sec,
+         |  t.n_total, COALESCE(r.n_last_day, 0) AS n_last_day,
+         |  CAST(CASE WHEN g.gmax - t.last_sec > $sla THEN 1 ELSE 0 END
+         |    AS BIGINT) AS stale
+         |FROM t CROSS JOIN g LEFT JOIN r USING (event_type)
+         |ORDER BY t.event_type""".stripMargin
+    })(EventQueries.freshnessSla)
   )
 }

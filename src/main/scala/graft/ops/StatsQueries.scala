@@ -775,6 +775,46 @@ object StatsQueries {
       .orderBy(col("n_docs"))
   }
 
+  /** Exact WEIGHTED percentiles (p50/p90) of extended price per return
+    * flag, weighted by quantity — the quantile of "a dollar-per-unit
+    * shipped", not "a line item": a 1-unit and a 50-unit line count the
+    * same to [[percentiles]] but differ 50× here. No Spark builtin exists;
+    * the classic spelling is a per-group cumulative-weight sweep: sort by
+    * value, running weight sum, report the first value whose cumulative
+    * weight crosses q·total.
+    *
+    * Determinism: weights are 2dp-clean doubles → exact DECIMAL sums, and
+    * the crossing predicate is the all-decimal `2·cumw ≥ tot` (resp.
+    * `10·cumw ≥ 9·tot`) — no floating threshold anywhere, so both engines
+    * pick the identical crossing row even at exact-tie boundaries. The
+    * sweep order is pinned by the unique (price, orderkey, linenumber).
+    *
+    * Shape at scale: ONE window shuffle on the group key (each group's
+    * sweep is partition-local), then a partial-agg min over the crossing
+    * rows — the [[percentiles]] regime with a weighted measure. */
+  def weightedPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = Tables(spark, dir).lineitem
+      .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("p"),
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast(Out.SumDecimal).as("w"))
+    val sweep = Window.partitionBy(col("flag"))
+      .orderBy(col("p"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = rows.groupBy(col("flag"))
+      .agg(sum(col("w")).as("tot"), count(lit(1)).as("n"))
+    rows
+      .withColumn("cumw", sum(col("w")).over(sweep))
+      .join(broadcast(tot), Seq("flag"))
+      .groupBy(col("flag"))
+      .agg(
+        min(col("n")).as("n"),
+        round(min(col("tot")).cast("double"), 4).as("w_total"),
+        min(when(col("cumw") * 2 >= col("tot"), col("p"))).as("wp50"),
+        min(when(col("cumw") * 10 >= col("tot") * 9, col("p"))).as("wp90"))
+      .orderBy(col("flag"))
+  }
+
   /** Resample count for [[bootstrapCi]] (shared with the oracle SQL). */
   val BootstrapB = 16
 

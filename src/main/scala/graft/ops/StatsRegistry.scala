@@ -388,6 +388,30 @@ object StatsRegistry {
         |FROM g GROUP BY n ORDER BY n_docs""".stripMargin)(
       StatsQueries.chisqIndependence),
 
+    // Weighted percentiles: all-decimal crossing predicates (2·cumw ≥ tot,
+    // 10·cumw ≥ 9·tot) — no floating threshold; sweep order pinned by the
+    // unique (price, orderkey, linenumber).
+    QueryDef("q_weighted_percentiles",
+      """WITH r AS (
+        |  SELECT l_returnflag AS flag, l_extendedprice AS p,
+        |    l_orderkey, l_linenumber,
+        |    CAST(l_quantity AS DECIMAL(38,4)) AS w
+        |  FROM lineitem),
+        |t AS (SELECT flag, SUM(w) AS tot, count(*) AS n FROM r GROUP BY 1),
+        |c AS (
+        |  SELECT flag, p,
+        |    SUM(w) OVER (PARTITION BY flag
+        |      ORDER BY p, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw
+        |  FROM r)
+        |SELECT c.flag, MIN(t.n) AS n,
+        |  round(CAST(MIN(t.tot) AS DOUBLE), 4) AS w_total,
+        |  MIN(CASE WHEN cumw * 2 >= tot THEN p END) AS wp50,
+        |  MIN(CASE WHEN cumw * 10 >= tot * 9 THEN p END) AS wp90
+        |FROM c JOIN t USING (flag)
+        |GROUP BY c.flag ORDER BY c.flag""".stripMargin)(
+      StatsQueries.weightedPercentiles),
+
     // Deterministic multiplier bootstrap: hash-derived w ∈ {0,1,2} per
     // (resample, row), decimal-exact weighted sums, one double division per
     // resample mean, percentile ≡ quantile_cont over the B means.

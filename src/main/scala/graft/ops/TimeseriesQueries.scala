@@ -396,6 +396,40 @@ object TimeseriesQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Time-weighted average (TWAP) of `value` per user: each reading holds
+    * until the user's next event, so its weight is that holding duration —
+    * the step-function integral ÷ covered span. The right average for
+    * irregularly-sampled telemetry (a plain AVG over-weights bursts: 100
+    * readings in one minute count 100×, even though they describe the same
+    * minute a single reading describes elsewhere). The user's last reading
+    * has no successor and bounds no interval, so it carries no weight.
+    *
+    * Shape at scale: one `user_id` window shuffle (lead), one grouped
+    * partial agg — the [[interarrivalStats]] plan with a weighted measure.
+    * value is a 2dp-clean double → DECIMAL(18,4) exact; duration is an
+    * integer; the product sum is decimal-exact and order-independent, so
+    * TWAP hash-matches at any parallelism. */
+  def timeWeightedAvg(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec"), col("event_id"))
+    Tables(spark, dir).events
+      .where(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("event_id").isNotNull && col("value").isNotNull)
+      .select(col("user_id"), Out.epochSec(col("ts")).as("sec"),
+        col("event_id"), col("value").cast("decimal(18,4)").as("v"))
+      .withColumn("dur", lead(col("sec"), 1).over(byUser) - col("sec"))
+      .where(col("dur").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dur")).as("span_sec"),
+        sum(col("v") * col("dur")).as("vdur"))
+      .filter(col("span_sec") > 0)
+      .select(col("user_id"), col("n_intervals"), col("span_sec"),
+        round(col("vdur").cast("double") / col("span_sec").cast("double"), 6)
+          .as("twap"))
+      .orderBy(col("user_id"))
+  }
+
   /** Per-user inter-arrival (gap) profile: exact p50/p90/max of the
     * second-granularity gaps between consecutive events — the burstiness
     * fingerprint that separates steady telemetry from bursty interactive

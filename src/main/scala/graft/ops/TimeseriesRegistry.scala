@@ -221,6 +221,29 @@ object TimeseriesRegistry {
          |ORDER BY event_type""".stripMargin)(
       TimeseriesQueries.theilSen),
 
+    // Holding durations from the (sec, event_id)-pinned lead; decimal-exact
+    // value×duration sums; one double division per user.
+    QueryDef("q_time_weighted_avg",
+      s"""WITH e AS (
+         |  SELECT user_id, ${graft.ops.Out.sql.epochSec("ts")} AS sec,
+         |    event_id, CAST(value AS DECIMAL(18,4)) AS v
+         |  FROM events
+         |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+         |    AND event_id IS NOT NULL AND value IS NOT NULL),
+         |d AS (
+         |  SELECT user_id, v,
+         |    lead(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+         |      - sec AS dur
+         |  FROM e)
+         |SELECT user_id, count(*) AS n_intervals,
+         |  CAST(SUM(dur) AS BIGINT) AS span_sec,
+         |  round(CAST(SUM(v * dur) AS DOUBLE) / CAST(SUM(dur) AS DOUBLE), 6)
+         |    AS twap
+         |FROM d WHERE dur IS NOT NULL
+         |GROUP BY 1 HAVING SUM(dur) > 0
+         |ORDER BY user_id""".stripMargin)(
+      TimeseriesQueries.timeWeightedAvg),
+
     // Gap ordering under timestamp ties is pinned by event_id in both
     // engines; quantile_cont ≡ percentile on integer gaps.
     QueryDef("q_interarrival_stats",

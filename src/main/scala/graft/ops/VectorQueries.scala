@@ -348,6 +348,73 @@ object VectorQueries {
       .orderBy(col("probe_id"))
   }
 
+  /** nprobe for the IVF recall monitor (matches [[ivfSearch]]'s demo). */
+  val IvfNprobe = 3
+  /** Centroid count for the IVF demo index (vectors 0..9, fixed seed). */
+  val IvfCentroids = 10
+
+  /** IVF recall@k — the quality monitor for the IVF route, completing the
+    * per-route symmetry: `q_lsh_bucket_stats` + `q_ann_recall` watch the
+    * hyperplane-LSH generator, `q_text_lsh_recall` the MinHash generator,
+    * and this watches the inverted-list route: for each probe, how many of
+    * the exact top-k live in the `nprobe` lists the probe actually scans?
+    * Low recall here is the signal to raise nprobe or retrain centroids —
+    * THE operational dial of an IVF deployment.
+    *
+    * Shape at scale: assignment is the [[ivfSearchWith]] map-side `max_by`
+    * argmax over broadcast centroids (one partial-agg row per vector
+    * reaches the shuffle); the probe×centroid list table is metadata and
+    * ships broadcast; both ranking arms are WindowGroupLimit top-k. */
+  def ivfRecall(spark: SparkSession, dir: String,
+      nProbes: Int = AnnBatchProbes, k: Int = RecallK,
+      nprobe: Int = IvfNprobe): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(spark, dir)
+    val cents = e.filter(col("vec_id") < IvfCentroids)
+      .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("e"), col("cent_id"),
+        dot(col("e"), col("ce")).as("cdot"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("e"), col("cent_id")),
+        struct(col("cdot"), (-col("cent_id")).as("tb"))).as("m"))
+      .select(col("vec_id"), col("m.e").as("e"), col("m.cent_id").as("cent_id"))
+    val probes = e.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("e").as("pe"))
+    val wpl = Window.partitionBy(col("probe_id"))
+      .orderBy(col("pdot").desc, col("cent_id"))
+    val lists = cents.crossJoin(broadcast(probes))
+      .select(col("probe_id"), col("cent_id"),
+        dot(col("ce"), col("pe")).as("pdot"))
+      .withColumn("rn", row_number().over(wpl)).filter(col("rn") <= nprobe)
+      .select(col("probe_id"), col("cent_id"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    def topk(scored: DataFrame) = scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("vec_id"))
+    val scanned = assigned.join(broadcast(lists), Seq("cent_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(cosine(col("e"), col("pe")), 6).as("cos_sim"))
+    val ivf = topk(scanned)
+    val exact = topk(e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(cosine(col("e"), col("pe")), 6).as("cos_sim")))
+    val nCand = scanned.groupBy(col("probe_id")).agg(count(lit(1)).as("n_cand"))
+    exact.join(ivf.withColumn("hit", lit(1L)), Seq("probe_id", "vec_id"), "left")
+      .groupBy(col("probe_id"))
+      .agg(count(col("hit")).as("hits"))
+      .join(nCand, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"), col("hits"),
+        round(col("hits").cast("double") / k, 6).as("recall"))
+      .orderBy(col("probe_id"))
+  }
+
   /** Embedding near-dup pairs: LSH band-join candidates, exact-cosine
     * verified at ≥ 0.25. (The testdata vectors are random unit vectors — max
     * pairwise cosine ≈0.5 — so the demo threshold is low; a production dedup

@@ -262,6 +262,56 @@ object VectorRegistry {
          |ORDER BY probe_id, vec_id""".stripMargin)(
       (s, d) => VectorQueries.rangeSearch(s, d)),
 
+    // IVF recall: the q_ivf_search assignment/probe-list machinery over the
+    // q_ann_recall probe set; both arms rank (rounded cos DESC, vec_id).
+    QueryDef("q_ivf_recall", {
+      val np = VectorQueries.AnnBatchProbes
+      val k = VectorQueries.RecallK
+      s"""WITH $embCte,
+         |cents AS (SELECT vec_id AS cent_id, e AS ce FROM emb
+         |          WHERE vec_id < ${VectorQueries.IvfCentroids}),
+         |assigned AS (
+         |  SELECT vec_id, e, cent_id FROM (
+         |    SELECT emb.vec_id, emb.e AS e, c.cent_id,
+         |      row_number() OVER (PARTITION BY emb.vec_id
+         |                         ORDER BY ${dot("emb.e", "c.ce")} DESC, c.cent_id) AS rn
+         |    FROM emb CROSS JOIN cents c) WHERE rn = 1),
+         |probes AS (SELECT vec_id AS probe_id, e AS pe FROM emb
+         |           WHERE vec_id < $np),
+         |lists AS (SELECT probe_id, cent_id FROM (
+         |    SELECT p.probe_id, c.cent_id,
+         |      row_number() OVER (PARTITION BY p.probe_id
+         |        ORDER BY ${dot("c.ce", "p.pe")} DESC, c.cent_id) AS rn
+         |    FROM cents c CROSS JOIN probes p)
+         |  WHERE rn <= ${VectorQueries.IvfNprobe}),
+         |scanned AS (
+         |  SELECT l.probe_id, a.vec_id,
+         |    round(${cos("a.e", "p.pe")}, 6) AS cos_sim
+         |  FROM assigned a JOIN lists l ON a.cent_id = l.cent_id
+         |  JOIN probes p ON p.probe_id = l.probe_id
+         |  WHERE a.vec_id <> l.probe_id),
+         |ivf AS (SELECT probe_id, vec_id FROM (
+         |    SELECT probe_id, vec_id,
+         |      row_number() OVER (PARTITION BY probe_id
+         |        ORDER BY cos_sim DESC, vec_id) AS rn
+         |    FROM scanned) WHERE rn <= $k),
+         |exact AS (SELECT probe_id, vec_id FROM (
+         |    SELECT p.probe_id, emb.vec_id,
+         |      row_number() OVER (PARTITION BY p.probe_id
+         |        ORDER BY round(${cos("e", "pe")}, 6) DESC, emb.vec_id) AS rn
+         |    FROM emb CROSS JOIN probes p WHERE emb.vec_id <> p.probe_id)
+         |  WHERE rn <= $k),
+         |nc AS (SELECT probe_id, COUNT(*) AS n_cand FROM scanned GROUP BY 1)
+         |SELECT x.probe_id,
+         |  CAST(COALESCE(MIN(nc.n_cand), 0) AS BIGINT) AS n_cand,
+         |  CAST(COUNT(i.vec_id) AS BIGINT) AS hits,
+         |  ROUND(CAST(COUNT(i.vec_id) AS DOUBLE) / $k, 6) AS recall
+         |FROM exact x
+         |LEFT JOIN ivf i ON i.probe_id = x.probe_id AND i.vec_id = x.vec_id
+         |LEFT JOIN nc ON nc.probe_id = x.probe_id
+         |GROUP BY x.probe_id ORDER BY x.probe_id""".stripMargin
+    })((s, d) => VectorQueries.ivfRecall(s, d)),
+
     // OOD screening: 6dp-rounded centroid means, identical squared-term
     // double tree, decimal-exact term sums → bit-identical distances; 1-based
     // dims here vs 0-based pos in Spark — internal join keys only, never

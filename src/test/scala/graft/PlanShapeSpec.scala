@@ -200,8 +200,12 @@ class PlanShapeSpec extends SparkSpec {
       "q_js_divergence",
       // 1-row broadcast max per HITS half-step normalization
       "q_hits",
+      // 1-row broadcast corpus frontier (deterministic "now")
+      "q_freshness_sla",
       // k-row broadcast centroid tables (k = driver metadata, never data)
-      "q_kmeans_refine", "q_semdedup", "q_cluster_stats")
+      "q_kmeans_refine", "q_semdedup", "q_cluster_stats",
+      // broadcast centroid + probe tables (IVF assignment / list selection)
+      "q_ivf_recall")
     SparkEntry.all.filter(_.oracle.isDefined).foreach { q =>
       val p = plan(q.fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"${q.name} plans a cartesian:\n$p")
