@@ -220,6 +220,55 @@ object EventQueries {
     }._1.orderBy(col("user_id"))
   }
 
+  /** Tolerance for [[asofNearest]], seconds (±10 minutes). */
+  val AsofNearestTolSec = 600L
+
+  /** Nearest-in-time join: each purchase matched to the user's CLOSEST
+    * click within ±[[AsofNearestTolSec]] — either direction, unlike
+    * [[asofJoin]]'s backward-only "latest click at or before". This is the
+    * sensor-fusion/alignment variant ("pair each reading with the nearest
+    * reference sample"), where a later click can be the better match.
+    * Purchases with no click in the window survive with NULL match
+    * columns — absence is data here, not a join failure.
+    *
+    * Shape at scale: the [[StatsQueries.rangeJoinBinned]] discipline — both
+    * sides bucketed by tolerance-width time bins, the click side replicated
+    * to its ±1 neighbor bins, equi-join on (user, bin) so every true
+    * candidate shares a bucket and the θ-predicate only filters within
+    * buckets. The per-purchase winner is row_number ≤ 1 on the total order
+    * (|Δt|, click_id) — WindowGroupLimit prunes map-side. */
+  def asofNearest(spark: SparkSession, dir: String,
+      tolSec: Long = AsofNearestTolSec): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(spark, dir).events
+      .where(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("event_id").isNotNull)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        graft.ops.Out.epochSec(col("ts")).as("sec"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("sec").as("tp"))
+      .withColumn("bin", floor(col("tp") / tolSec).cast("long"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("sec").as("tc"))
+      .select(col("user_id"), col("click_id"), col("tc"),
+        explode(array(lit(-1L), lit(0L), lit(1L))).as("db"))
+      .withColumn("bin", (floor(col("tc") / tolSec) + col("db")).cast("long"))
+      .select(col("user_id"), col("bin"), col("click_id"), col("tc"))
+    val w = Window.partitionBy(col("purchase_id"))
+      .orderBy(abs(col("tc") - col("tp")), col("click_id"))
+    val best = purchases.join(clicks, Seq("user_id", "bin"))
+      .filter(abs(col("tc") - col("tp")) <= tolSec)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("purchase_id"), col("click_id"), col("tc"))
+    purchases.select(col("user_id"), col("purchase_id"), col("tp"))
+      .join(best, Seq("purchase_id"), "left")
+      .select(col("purchase_id"), col("user_id"), col("tp"),
+        col("click_id"), col("tc"), (col("tc") - col("tp")).as("lag_sec"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** Staleness threshold for [[freshnessSla]], seconds (one day). */
   val FreshnessSlaSec = 86400L
 

@@ -122,6 +122,35 @@ object EventRegistry {
          |ORDER BY v.user_id""".stripMargin)(
       (s, d) => EventQueries.funnel(s, d, Seq("view", "click", "purchase")))
     ,
+    // Nearest-in-time match: exhaustive tolerance join + the same
+    // (|Δt|, click_id) total-order winner — the binned generator is a
+    // superset of qualifying pairs, so the results coincide exactly.
+    QueryDef("q_asof_nearest", {
+      val tol = EventQueries.AsofNearestTolSec
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, event_id,
+         |    ${Out.sql.epochSec("ts")} AS sec
+         |  FROM events
+         |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+         |    AND event_id IS NOT NULL),
+         |p AS (SELECT user_id, event_id AS purchase_id, sec AS tp FROM e
+         |      WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id, event_id AS click_id, sec AS tc FROM e
+         |      WHERE event_type = 'click'),
+         |best AS (
+         |  SELECT purchase_id, click_id, tc FROM (
+         |    SELECT p.purchase_id, c.click_id, c.tc,
+         |      row_number() OVER (PARTITION BY p.purchase_id
+         |        ORDER BY abs(c.tc - p.tp), c.click_id) AS rn
+         |    FROM p JOIN c ON p.user_id = c.user_id
+         |      AND abs(c.tc - p.tp) <= $tol)
+         |  WHERE rn = 1)
+         |SELECT p.purchase_id, p.user_id, p.tp,
+         |  b.click_id, b.tc, b.tc - p.tp AS lag_sec
+         |FROM p LEFT JOIN best b USING (purchase_id)
+         |ORDER BY purchase_id""".stripMargin
+    })((s, d) => EventQueries.asofNearest(s, d)),
+
     // Freshness report against the corpus frontier (deterministic "now").
     QueryDef("q_freshness_sla", {
       val sla = EventQueries.FreshnessSlaSec

@@ -396,6 +396,44 @@ object TimeseriesQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Week length for [[wowChange]], seconds (epoch-anchored 7-day bins). */
+  val WowWeekSec = 604800L
+
+  /** Week-over-week change report per event type: weekly volume and exact
+    * decimal value sum, each with its percent change vs the type's PREVIOUS
+    * week — the default growth dashboard cut. Gaps matter: lag is over the
+    * weeks that EXIST, so a silent week shows up as a missing row (and the
+    * next present week compares against the last present one — the
+    * convention dashboards actually use; `q_gap_fill` is the densifier if
+    * calendar-adjacent comparison is wanted).
+    *
+    * Determinism: weekly sums are exact decimals; each pct change is ONE
+    * double division of two decimal-derived doubles, rounded 6dp; weeks
+    * with a zero/NULL previous sum emit NULL pct (never a division blowup
+    * — the divide-by-zero class from the round-5 hardening). */
+  def wowChange(spark: SparkSession, dir: String): DataFrame = {
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("wk"))
+    val weekly = Tables(spark, dir).events
+      .where(col("ts").isNotNull && col("event_type").isNotNull &&
+        col("value").isNotNull)
+      .groupBy(col("event_type"),
+        ((Out.epochSec(col("ts")) / WowWeekSec).cast("long") * WowWeekSec)
+          .as("wk"))
+      .agg(count(lit(1)).as("n"), Out.dsum(col("value")).as("sum_value"))
+    weekly
+      .withColumn("prev_n", lag(col("n"), 1).over(byType))
+      .withColumn("prev_sum", lag(col("sum_value"), 1).over(byType))
+      .select(col("event_type"), col("wk"), col("n"),
+        round(col("sum_value"), 4).as("sum_value"),
+        when(col("prev_n") > 0,
+          round((col("n") - col("prev_n")).cast("double") /
+            col("prev_n").cast("double"), 6)).as("n_wow"),
+        when(col("prev_sum") =!= 0.0,
+          round((col("sum_value") - col("prev_sum")) / col("prev_sum"), 6))
+          .as("sum_wow"))
+      .orderBy(col("event_type"), col("wk"))
+  }
+
   /** Time-weighted average (TWAP) of `value` per user: each reading holds
     * until the user's next event, so its weight is that holding duration —
     * the step-function integral ÷ covered span. The right average for

@@ -221,6 +221,34 @@ object TimeseriesRegistry {
          |ORDER BY event_type""".stripMargin)(
       TimeseriesQueries.theilSen),
 
+    // Weekly decimal sums; pct changes are single double divisions with
+    // NULL (not error) on zero/absent previous — both spellings identical.
+    QueryDef("q_wow_change", {
+      val wk = TimeseriesQueries.WowWeekSec
+      s"""WITH w AS (
+         |  SELECT event_type,
+         |    (${graft.ops.Out.sql.epochSec("ts")} // $wk) * $wk AS wk,
+         |    count(*) AS n,
+         |    ${graft.ops.Out.sql.dsum("value")} AS sum_value
+         |  FROM events
+         |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+         |    AND value IS NOT NULL
+         |  GROUP BY 1, 2),
+         |l AS (
+         |  SELECT event_type, wk, n, sum_value,
+         |    lag(n) OVER tw AS prev_n,
+         |    lag(sum_value) OVER tw AS prev_sum
+         |  FROM w WINDOW tw AS (PARTITION BY event_type ORDER BY wk))
+         |SELECT event_type, wk, n, round(sum_value, 4) AS sum_value,
+         |  CASE WHEN prev_n > 0 THEN
+         |    round(CAST(n - prev_n AS DOUBLE) / CAST(prev_n AS DOUBLE), 6)
+         |  END AS n_wow,
+         |  CASE WHEN prev_sum <> 0.0 THEN
+         |    round((sum_value - prev_sum) / prev_sum, 6)
+         |  END AS sum_wow
+         |FROM l ORDER BY event_type, wk""".stripMargin
+    })(TimeseriesQueries.wowChange),
+
     // Holding durations from the (sec, event_id)-pinned lead; decimal-exact
     // value×duration sums; one double division per user.
     QueryDef("q_time_weighted_avg",
