@@ -366,4 +366,99 @@ class PropertySpec extends SparkSpec {
         r.getLong(3), r.getLong(4))).toSeq
     got shouldBe expected
   }
+
+  test("IVF recall is exact (1.0 everywhere) when every list is probed") {
+    import graft.ops.VectorQueries
+    val full = VectorQueries.ivfRecall(spark, sf,
+      nprobe = VectorQueries.IvfCentroids).collect()
+    full.length should be > 0
+    full.foreach { r =>
+      r.getAs[Double]("recall") shouldBe 1.0
+      r.getAs[Long]("hits") shouldBe VectorQueries.RecallK.toLong
+    }
+    // and the demo nprobe is a lower bound, never exceeding 1
+    VectorQueries.ivfRecall(spark, sf).collect()
+      .foreach(_.getAs[Double]("recall") should be <= 1.0)
+  }
+
+  test("asof-nearest ≡ brute-force nearest click within tolerance") {
+    import graft.ops.EventQueries
+    import graft.tables.Tables
+    val tol = EventQueries.AsofNearestTolSec
+    val ev = Tables(spark, sf).events
+      .where(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        floor(col("ts").cast("double")).cast("long").as("sec"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val clicks = ev.filter(_._2 == "click").groupBy(_._1)
+    val got = EventQueries.asofNearest(spark, sf).collect()
+    got.length should be > 0
+    var matched = 0
+    got.foreach { r =>
+      val (pid, uid, tp) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val cands = clicks.getOrElse(uid, Array.empty[(Long, String, Long, Long)])
+        .filter(c => math.abs(c._4 - tp) <= tol)
+      if (r.isNullAt(3)) cands shouldBe empty
+      else {
+        matched += 1
+        val best = cands.minBy(c => (math.abs(c._4 - tp), c._3))
+        r.getLong(3) shouldBe best._3 // click_id
+        r.getLong(5) shouldBe best._4 - tp // lag
+      }
+    }
+    assert(matched > 0, "fixture must produce matches")
+  }
+
+  test("weighted percentiles ≡ driver-side cumulative-weight crossing") {
+    import graft.ops.StatsQueries
+    import graft.tables.Tables
+    val rows = Tables(spark, sf).lineitem
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+        r.getInt(3), BigDecimal(r.getDouble(4)).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP)))
+    val got = StatsQueries.weightedPercentiles(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Double]("wp50"), r.getAs[Double]("wp90"))).toMap
+    rows.groupBy(_._1).foreach { case (flag, rs) =>
+      val sorted = rs.sortBy(x => (x._2, x._3, x._4))
+      val tot = sorted.map(_._5).sum
+      var cum = BigDecimal(0)
+      var (p50, p90) = (Option.empty[Double], Option.empty[Double])
+      sorted.foreach { case (_, p, _, _, w) =>
+        cum += w
+        if (p50.isEmpty && cum * 2 >= tot) p50 = Some(p)
+        if (p90.isEmpty && cum * 10 >= tot * 9) p90 = Some(p)
+      }
+      got(flag) shouldBe ((p50.get, p90.get))
+    }
+  }
+
+  test("freshness SLA: freshest type has zero lag; day counts bounded") {
+    import graft.ops.EventQueries
+    val rows = EventQueries.freshnessSla(spark, sf).collect()
+    rows.length should be > 0
+    rows.map(_.getAs[Long]("lag_sec")).min shouldBe 0L
+    rows.foreach { r =>
+      r.getAs[Long]("n_last_day") should be <= r.getAs[Long]("n_total")
+      r.getAs[Long]("lag_sec") should be >= 0L
+      // the flag is exactly the threshold predicate
+      r.getAs[Long]("stale") shouldBe
+        (if (r.getAs[Long]("lag_sec") > EventQueries.FreshnessSlaSec) 1L else 0L)
+    }
+  }
+
+  test("RAKE phrases are stopword-free, bounded, and positively scored") {
+    import graft.ops.TextQueries
+    val rows = TextQueries.rakePhrases(spark, sf).collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      val words = r.getString(0).split(" ")
+      words.length should be <= TextQueries.RakeMaxLen
+      words.foreach(w => TextQueries.Stopwords should not contain w)
+      r.getAs[Long]("n_occ") should be >= 1L
+      r.getAs[Double]("score") should be > 0.0
+    }
+  }
 }
