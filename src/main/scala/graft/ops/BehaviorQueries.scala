@@ -247,6 +247,38 @@ object BehaviorQueries {
       .orderBy(col("day_sec"))
   }
 
+  /** Trailing window (days) for [[rollingDau]]'s smoothed series. */
+  val DauWindowDays = 7
+
+  /** Daily active users with a 7-day trailing average — the canonical
+    * product-health series. Daily DAU is a distinct-count per calendar day;
+    * the trailing mean smooths weekday seasonality. Distinct counts do NOT
+    * sum across days (the same user appears in many), so the rolling
+    * figure is the average OF the daily DAU values — the standard
+    * dashboard definition — computed with a window over the daily grain,
+    * which is METADATA (one row per day).
+    *
+    * Shape at scale: one (day, user) dedup shuffle partial-agged map-side,
+    * one count per day, then the metadata window. */
+  def rollingDau(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).events
+      .where(col("ts").isNotNull && col("user_id").isNotNull)
+      .select((Out.epochSec(col("ts")) / DaySec).cast("long").as("day"),
+        col("user_id"))
+      .distinct()
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"))
+    val trail = Window.orderBy(col("day"))
+      .rowsBetween(-(DauWindowDays - 1), Window.currentRow)
+    daily
+      .withColumn("n_days", count(lit(1)).over(trail))
+      .withColumn("dau_7d_avg",
+        round(sum(col("dau")).over(trail).cast("double") / col("n_days"), 6))
+      .select((col("day") * DaySec).as("day"), col("dau"),
+        col("n_days"), col("dau_7d_avg"))
+      .orderBy(col("day"))
+  }
+
   /** Per-(user, day) interval-union coverage: total seconds covered by the
     * union of the user's [ts, ts+300 s) activity intervals, with the busy
     * fraction of the day. The dual of [[concurrencyPeak]] — that query asks

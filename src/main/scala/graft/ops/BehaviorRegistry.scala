@@ -126,6 +126,26 @@ object BehaviorRegistry {
          |FROM a GROUP BY 1 ORDER BY day_sec""".stripMargin)(
       BehaviorQueries.attributionLastTouch),
 
+    // Daily DAU + trailing mean over PRESENT days (rows frame, the
+    // dashboard convention); the window runs over the metadata-scale daily
+    // grain.
+    QueryDef("q_rolling_dau", {
+      val d = BehaviorQueries.DaySec
+      val wdays = BehaviorQueries.DauWindowDays
+      s"""WITH du AS (
+         |  SELECT DISTINCT (${Out.sql.epochSec("ts")} // $d) AS day, user_id
+         |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         |daily AS (SELECT day, count(*) AS dau FROM du GROUP BY 1)
+         |SELECT day * $d AS day, dau,
+         |  count(*) OVER tw AS n_days,
+         |  round(CAST(SUM(dau) OVER tw AS DOUBLE) / count(*) OVER tw, 6)
+         |    AS dau_7d_avg
+         |FROM daily
+         |WINDOW tw AS (ORDER BY day
+         |  ROWS BETWEEN ${wdays - 1} PRECEDING AND CURRENT ROW)
+         |ORDER BY day""".stripMargin
+    })(BehaviorQueries.rollingDau),
+
     // Interval-union coverage: the same day-boundary split + netted sweep as
     // the Spark side, all in BIGINT seconds — the lone double is the final
     // busy-fraction division.

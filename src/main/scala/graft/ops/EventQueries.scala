@@ -220,6 +220,39 @@ object EventQueries {
     }._1.orderBy(col("user_id"))
   }
 
+  /** Funnel drop-off report: per stage, how many users reached it and the
+    * conversion rates vs the previous stage and the funnel top — the
+    * one-page summary a growth dashboard renders from [[funnel]]'s per-user
+    * detail. Counting non-null stage timestamps collapses the per-user
+    * table to ONE row of counts (a partial agg); the stage rows and the
+    * lag/first ratios are then a 3-row metadata window. */
+  def funnelConversion(spark: SparkSession, dir: String,
+      stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val f = funnel(spark, dir, stages)
+    val cs = stages.map(st => count(col(s"t_$st")).as(s"n_$st"))
+    val counts = f.agg(cs.head, cs.tail: _*)
+    val rows = counts.select(explode(array(
+      stages.zipWithIndex.map { case (st, i) =>
+        struct(lit(i.toLong).as("stage"), lit(st).as("stage_type"),
+          col(s"n_$st").as("n_reached"))
+      }: _*)).as("s"))
+      .select(col("s.stage"), col("s.stage_type"), col("s.n_reached"))
+    val w = Window.orderBy(col("stage"))
+    rows
+      .withColumn("prev", lag(col("n_reached"), 1).over(w))
+      .withColumn("top", first(col("n_reached")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("stage"), col("stage_type"), col("n_reached"),
+        when(col("prev") > 0,
+          round(col("n_reached").cast("double") / col("prev"), 6))
+          .as("conv_prev"),
+        when(col("top") > 0,
+          round(col("n_reached").cast("double") / col("top"), 6))
+          .as("conv_top"))
+      .orderBy(col("stage"))
+  }
+
   /** Tolerance for [[asofNearest]], seconds (±10 minutes). */
   val AsofNearestTolSec = 600L
 

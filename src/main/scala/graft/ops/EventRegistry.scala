@@ -122,6 +122,37 @@ object EventRegistry {
          |ORDER BY v.user_id""".stripMargin)(
       (s, d) => EventQueries.funnel(s, d, Seq("view", "click", "purchase")))
     ,
+    // Drop-off report over the same v/c/p staged CTEs as q_funnel; the
+    // 3-row stage table then carries the lag/top ratios.
+    QueryDef("q_funnel_conversion",
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, ${Out.sql.epochSec("ts")} AS t FROM events),
+         |v AS (SELECT user_id, min(t) AS t_view FROM e
+         |      WHERE event_type = 'view' GROUP BY 1),
+         |c AS (SELECT e.user_id, min(t) AS t_click
+         |      FROM e JOIN v USING (user_id)
+         |      WHERE event_type = 'click' AND t > t_view GROUP BY 1),
+         |p AS (SELECT e.user_id, min(t) AS t_purchase
+         |      FROM e JOIN c USING (user_id)
+         |      WHERE event_type = 'purchase' AND t > t_click GROUP BY 1),
+         |st AS (
+         |  SELECT 0 AS stage, 'view' AS stage_type,
+         |    (SELECT count(*) FROM v) AS n_reached
+         |  UNION ALL SELECT 1, 'click', (SELECT count(*) FROM c)
+         |  UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM p))
+         |SELECT CAST(stage AS BIGINT) AS stage, stage_type,
+         |  CAST(n_reached AS BIGINT) AS n_reached,
+         |  CASE WHEN lag(n_reached) OVER w > 0 THEN
+         |    round(CAST(n_reached AS DOUBLE) / lag(n_reached) OVER w, 6)
+         |  END AS conv_prev,
+         |  CASE WHEN first_value(n_reached) OVER w > 0 THEN
+         |    round(CAST(n_reached AS DOUBLE)
+         |          / first_value(n_reached) OVER w, 6)
+         |  END AS conv_top
+         |FROM st WINDOW w AS (ORDER BY stage)
+         |ORDER BY stage""".stripMargin)(
+      (s, d) => EventQueries.funnelConversion(s, d)),
+
     // Nearest-in-time match: exhaustive tolerance join + the same
     // (|Δt|, click_id) total-order winner — the binned generator is a
     // superset of qualifying pairs, so the results coincide exactly.

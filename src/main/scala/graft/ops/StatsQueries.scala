@@ -775,6 +775,28 @@ object StatsQueries {
       .orderBy(col("n_docs"))
   }
 
+  /** Statistical mode per group: each event type's most frequent (rounded)
+    * value with its share — the categorical central tendency the
+    * mean/percentile family can't report. Deterministic tiebreak: the
+    * SMALLEST value among equally-frequent candidates, via `max_by` over
+    * the (count, −value) ordering struct — a partial-agg argmax, never a
+    * window over the value census. Two partial-agg shuffles: the
+    * (type, value) census, then the per-type argmax + total. */
+  def modePerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val census = Tables(spark, dir).events
+      .where(col("event_type").isNotNull && col("value").isNotNull)
+      .groupBy(col("event_type"), round(col("value"), 0).as("v"))
+      .agg(count(lit(1)).as("n"))
+    census.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_total"),
+        max_by(col("v"), struct(col("n"), (-col("v")).as("tb"))).as("mode_value"),
+        max(struct(col("n"), (-col("v")).as("tb"))).getField("n").as("mode_n"))
+      .select(col("event_type"), col("mode_value"), col("mode_n"),
+        col("n_total"),
+        round(col("mode_n").cast("double") / col("n_total"), 6).as("share"))
+      .orderBy(col("event_type"))
+  }
+
   /** Exact WEIGHTED percentiles (p50/p90) of extended price per return
     * flag, weighted by quantity — the quantile of "a dollar-per-unit
     * shipped", not "a line item": a 1-unit and a 50-unit line count the

@@ -388,6 +388,25 @@ object StatsRegistry {
         |FROM g GROUP BY n ORDER BY n_docs""".stripMargin)(
       StatsQueries.chisqIndependence),
 
+    // Mode per group: arg_max over the (count, -value) ordering — smallest
+    // value wins frequency ties in both engines.
+    QueryDef("q_mode_per_group",
+      """WITH census AS (
+        |  SELECT event_type, round(value, 0) AS v, count(*) AS n
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, v, n,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY n DESC, v)
+        |      AS rn,
+        |    CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS n_total
+        |  FROM census)
+        |SELECT event_type, v AS mode_value, n AS mode_n, n_total,
+        |  round(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS share
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin)(
+      StatsQueries.modePerGroup),
+
     // Weighted percentiles: all-decimal crossing predicates (2·cumw ≥ tot,
     // 10·cumw ≥ 9·tot) — no floating threshold; sweep order pinned by the
     // unique (price, orderkey, linenumber).
