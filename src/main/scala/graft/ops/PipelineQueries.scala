@@ -79,6 +79,42 @@ object PipelineQueries {
       .withColumn("keep", (col("n_contaminated") === 0L).cast("long"))
       .orderBy(col("doc_id"))
 
+  /** Span-level contamination report: for every (training doc, eval doc)
+    * pair sharing at least one [[DecontamN]]-gram, the positional hit
+    * profile — hit count, distinct shared shingles, and the first/last
+    * WORD position of a hit in the training doc. [[decontaminate]] says
+    * WHICH docs to drop; this says WHY and WHERE, which is what a human
+    * auditing the contamination (or a cleaner stripping just the offending
+    * span instead of the whole doc) actually consumes.
+    *
+    * Positions come from positional (non-distinct) shingling — 1-based
+    * word offsets shared exactly with the oracle — so a doc quoting an
+    * eval item twice reports both spans' envelope. Same broadcast shape as
+    * [[contaminationCounts]]: the eval (id, hash) set is a sliver, the
+    * training corpus never shuffles for the probe; the per-pair rollup is
+    * one partial-agg shuffle on (doc, eval) — output rows = contaminated
+    * pairs only. */
+  def contaminationReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    def positional(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), expr(TextQueries.wordsExpr).as("w"))
+      .filter(size(col("w")) >= DecontamN)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(w) - ${DecontamN - 1}), i -> " +
+          s"array_join(slice(w, i, $DecontamN), ' '))")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("wpos"),
+        expr(hash48("col")).as("h"))
+    val evalSh = positional(docs.filter(col("source") === EvalSource))
+      .select(col("doc_id").as("eval_id"), col("h")).distinct()
+    positional(docs.filter(col("source") =!= EvalSource))
+      .join(broadcast(evalSh), Seq("h"))
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        count_distinct(col("h")).as("n_shingles"),
+        min(col("wpos")).as("first_pos"), max(col("wpos")).as("last_pos"))
+      .orderBy(col("doc_id"), col("eval_id"))
+  }
+
   /** Per-language sampling rates (permille) for the training-mix draw —
     * the "domain weights" of a data recipe. Default applies to languages
     * not listed. Shared with the oracle SQL. */

@@ -34,6 +34,31 @@ object PipelineRegistry {
          |FROM tr JOIN ev USING (h)
          |GROUP BY 1 ORDER BY doc_id""".stripMargin)(PipelineQueries.decontaminate),
 
+    // Positional (non-distinct) shingles on both sides — 1-based word
+    // offsets agree exactly; the pair rollup mirrors the Spark partial agg.
+    QueryDef("q_contamination_report", {
+      val n = PipelineQueries.DecontamN
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+         |           FROM documents),
+         |pos AS (
+         |  SELECT doc_id, source,
+         |    unnest(generate_series(1, len(ws) - ${n - 1})) AS wpos, ws
+         |  FROM t WHERE len(ws) >= $n),
+         |ph AS (
+         |  SELECT doc_id, source, wpos,
+         |    ${hash48(s"array_to_string(ws[wpos:wpos+${n - 1}], ' ')")} AS h
+         |  FROM pos),
+         |ev AS (SELECT DISTINCT doc_id AS eval_id, h FROM ph
+         |       WHERE source = '${PipelineQueries.EvalSource}'),
+         |tr AS (SELECT doc_id, wpos, h FROM ph
+         |       WHERE source <> '${PipelineQueries.EvalSource}')
+         |SELECT tr.doc_id, ev.eval_id, count(*) AS n_hits,
+         |  CAST(count(DISTINCT tr.h) AS BIGINT) AS n_shingles,
+         |  min(wpos) AS first_pos, max(wpos) AS last_pos
+         |FROM tr JOIN ev USING (h)
+         |GROUP BY 1, 2 ORDER BY doc_id, eval_id""".stripMargin
+    })(PipelineQueries.contaminationReport),
+
     QueryDef("q_decontaminate_keep",
       s"""WITH sh AS (SELECT doc_id, source, ${shingleSet(PipelineQueries.DecontamN)} AS sh
          |            FROM documents),
