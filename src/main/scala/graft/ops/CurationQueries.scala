@@ -203,6 +203,49 @@ object CurationQueries {
       .orderBy(col("stage"))
   }
 
+  /** Quality deciles for [[qualityDupCalibration]] (shared with oracle). */
+  val CalibrationBands = 10
+
+  /** Quality ↔ duplication calibration: quality-score deciles × exact-dup
+    * incidence — the diagnostic that tells a pipeline whether its quality
+    * filter and its dedup stage are measuring the same thing (high-quality
+    * docs duplicating at the same rate as low-quality ones means dedup
+    * budget is independent of the filter; a skew means one stage is
+    * shadowing the other). Per decile: doc count, docs whose exact text
+    * occurs elsewhere in the corpus, the dup rate, and average tokens.
+    *
+    * Shape at scale: the quality expressions are codegen'd per-row; the
+    * decile assignment is ntile over (quality, doc_id) — a single total
+    * order, the same documented metadata-window trade as `q_ntile_percent`;
+    * the dup flag is one md5 partial-agg census joined back (AQE broadcasts
+    * the duplicated sliver); the rollup is a 10-row partial agg. */
+  def qualityDupCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = scoredDocs(spark, dir)
+      .select(col("doc_id"), col("text"), col("n_tokens"), col("quality"))
+    val dupTexts = scored.groupBy(md5(col("text")).as("content_md5"))
+      .agg(count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") >= 2)
+      .select(col("content_md5"))
+    val banded = scored
+      .withColumn("decile",
+        ntile(CalibrationBands).over(
+          Window.orderBy(col("quality"), col("doc_id"))).cast("long"))
+      .join(dupTexts.withColumn("dup", lit(1L)),
+        md5(col("text")) === col("content_md5"), "left")
+    banded.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("dup"), lit(0L))).as("n_dup"),
+        round(Out.davg(col("n_tokens")), 6).as("avg_tokens"),
+        round(min(col("quality")), 4).as("q_lo"),
+        round(max(col("quality")), 4).as("q_hi"))
+      .withColumn("dup_rate",
+        round(col("n_dup").cast("double") / col("n_docs"), 6))
+      .select(col("decile"), col("n_docs"), col("n_dup"), col("dup_rate"),
+        col("avg_tokens"), col("q_lo"), col("q_hi"))
+      .orderBy(col("decile"))
+  }
+
   /** Quality-aware canonical selection per duplicate cluster: for every
     * near-dup component (the [[curateCC]] clustering), keep the HIGHEST
     * quality member (doc_id ascending as the tiebreak) instead of the

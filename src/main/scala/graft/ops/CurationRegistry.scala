@@ -136,6 +136,36 @@ object CurationRegistry {
          |FROM comp c JOIN sz USING (comp)
          |ORDER BY c.doc_id""".stripMargin)(CurationQueries.curateMultimodal),
 
+    // Quality×dup calibration: same scored2 quality tree over ALL docs (no
+    // gate), ntile on the (quality, doc_id) total order, md5 dup census.
+    QueryDef("q_quality_dup_calibration",
+      s"""WITH scored AS (
+         |  SELECT doc_id, text,
+         |    CAST(len($words) AS BIGINT) AS n_tokens,
+         |    round(CAST(len(list_distinct($words)) AS DOUBLE) / len($words), 4) AS uniq_ratio,
+         |    round(least(CAST(len($words) AS DOUBLE) / 100.0, 1.0), 4) AS len_score
+         |  FROM documents),
+         |s2 AS (SELECT doc_id, text, n_tokens,
+         |         round(len_score * 0.4 + uniq_ratio * 0.6, 4) AS quality
+         |       FROM scored),
+         |dup AS (SELECT md5(text) AS m FROM documents
+         |        GROUP BY 1 HAVING count(*) >= 2),
+         |b AS (SELECT doc_id, n_tokens, quality, md5(text) AS m,
+         |        CAST(NTILE(${CurationQueries.CalibrationBands})
+         |          OVER (ORDER BY quality, doc_id) AS BIGINT) AS decile
+         |      FROM s2)
+         |SELECT b.decile, count(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN dup.m IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_dup,
+         |  round(CAST(SUM(CASE WHEN dup.m IS NULL THEN 0 ELSE 1 END)
+         |    AS DOUBLE) / count(*), 6) AS dup_rate,
+         |  round(${Out.sql.davg("n_tokens")}, 6) AS avg_tokens,
+         |  round(min(quality), 4) AS q_lo,
+         |  round(max(quality), 4) AS q_hi
+         |FROM b LEFT JOIN dup ON b.m = dup.m
+         |GROUP BY 1 ORDER BY decile""".stripMargin)(
+      CurationQueries.qualityDupCalibration),
+
     // Canonical-by-merit selection: the q_curation_cc component fixpoint,
     // then one row per component = its highest-quality member (doc_id
     // tiebreak). quality is the shared 4dp-rounded score, so the ranking is
