@@ -247,6 +247,27 @@ object BehaviorQueries {
       .orderBy(col("day_sec"))
   }
 
+  /** Per-user lifespan profile: first/last activity, inclusive active-day
+    * span, event volume, and the per-day rate — the per-entity summary a
+    * retention model or LTV cut starts from. Integer span arithmetic;
+    * the rate divides by the INCLUSIVE day count (span//day + 1 ≥ 1), so
+    * single-day users are well-defined without a guard. One partial-agg
+    * shuffle on `user_id`. */
+  def userLifespan(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .where(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), Out.epochSec(col("ts")).as("sec"))
+      .groupBy(col("user_id"))
+      .agg(min(col("sec")).as("first_sec"), max(col("sec")).as("last_sec"),
+        count(lit(1)).as("n_events"))
+      .withColumn("days_inclusive",
+        ((col("last_sec") - col("first_sec")) / DaySec).cast("long") + 1)
+      .withColumn("events_per_day",
+        round(col("n_events").cast("double") / col("days_inclusive"), 6))
+      .select(col("user_id"), col("first_sec"), col("last_sec"),
+        col("days_inclusive"), col("n_events"), col("events_per_day"))
+      .orderBy(col("user_id"))
+
   /** Trailing window (days) for [[rollingDau]]'s smoothed series. */
   val DauWindowDays = 7
 

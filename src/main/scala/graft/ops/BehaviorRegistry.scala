@@ -126,6 +126,25 @@ object BehaviorRegistry {
          |FROM a GROUP BY 1 ORDER BY day_sec""".stripMargin)(
       BehaviorQueries.attributionLastTouch),
 
+    // Lifespan: integer span arithmetic; inclusive day count needs no
+    // zero guard.
+    QueryDef("q_user_lifespan", {
+      val d = BehaviorQueries.DaySec
+      s"""WITH e AS (
+         |  SELECT user_id, ${Out.sql.epochSec("ts")} AS sec FROM events
+         |  WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         |a AS (
+         |  SELECT user_id, min(sec) AS first_sec, max(sec) AS last_sec,
+         |    count(*) AS n_events
+         |  FROM e GROUP BY 1)
+         |SELECT user_id, first_sec, last_sec,
+         |  (last_sec - first_sec) // $d + 1 AS days_inclusive,
+         |  n_events,
+         |  round(CAST(n_events AS DOUBLE)
+         |    / ((last_sec - first_sec) // $d + 1), 6) AS events_per_day
+         |FROM a ORDER BY user_id""".stripMargin
+    })(BehaviorQueries.userLifespan),
+
     // Daily DAU + trailing mean over PRESENT days (rows frame, the
     // dashboard convention); the window runs over the metadata-scale daily
     // grain.

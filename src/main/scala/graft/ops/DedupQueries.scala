@@ -517,6 +517,27 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Near-dup incidence per source: the fraction of each source's docs
+    * that appear in at least one banded-MinHash candidate pair — the
+    * "which feed is flooding us with near-copies" attribution report that
+    * turns the corpus-level dedup census into a per-supplier quality
+    * signal. One explode of the (bounded) candidate pair stream, one
+    * distinct, one broadcast-sized join back to the doc table, one
+    * source-grain rollup. */
+  def nearDupRateBySource(spark: SparkSession, dir: String): DataFrame = {
+    val involved = minhashCandidates(docShingles(spark, dir))
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    Tables(spark, dir).documents.select(col("doc_id"), col("source"))
+      .join(involved.withColumn("nd", lit(1L)), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("nd"), lit(0L))).as("n_near_dup"))
+      .withColumn("nd_rate",
+        round(col("n_near_dup").cast("double") / col("n_docs"), 6))
+      .orderBy(col("source"))
+  }
+
   /** Text-LSH recall monitor: for every TRUE near-dup pair (the exhaustive
     * [[dedupNgramJaccard]] frontier, jaccard ≥ 0.5), did the banded MinHash
     * generator ([[minhashCandidates]]) produce it as a candidate? Reported

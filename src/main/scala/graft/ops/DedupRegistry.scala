@@ -196,6 +196,20 @@ object DedupRegistry {
          |GROUP BY 1 ORDER BY 1""".stripMargin)(
       (s, d) => DedupQueries.passageDedup(s, d)),
 
+    // Per-source near-dup incidence over the same banded candidate CTEs.
+    QueryDef("q_near_dup_by_source",
+      s"""WITH $minhashCandCtes,
+         |inv AS (SELECT doc_a AS doc_id FROM cand
+         |        UNION SELECT doc_b AS doc_id FROM cand)
+         |SELECT d.source, count(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN inv.doc_id IS NULL THEN 0 ELSE 1 END)
+         |    AS BIGINT) AS n_near_dup,
+         |  round(CAST(SUM(CASE WHEN inv.doc_id IS NULL THEN 0 ELSE 1 END)
+         |    AS DOUBLE) / count(*), 6) AS nd_rate
+         |FROM documents d LEFT JOIN inv ON d.doc_id = inv.doc_id
+         |GROUP BY 1 ORDER BY d.source""".stripMargin)(
+      (s, d) => DedupQueries.nearDupRateBySource(s, d)),
+
     // Recall curve of the banded-MinHash generator against the exhaustive
     // Jaccard frontier, per similarity band. Reuses minhashCandCtes' `d`
     // (the shingle sets) for the exhaustive side, so both arms see the

@@ -575,6 +575,26 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** Bucket width / cap for [[tokenLenDist]] (shared with the oracle). */
+  val LenBucketWidth = 50L
+  val LenBucketCap = 500L
+
+  /** Token-length distribution per language: fixed-width length buckets
+    * (capped tail bucket) with counts and exact average length — the
+    * length histogram every corpus report leads with, and the input to
+    * choosing packing/truncation lengths. One narrow projection + one
+    * partial-agg shuffle to the (lang, bucket) grain. */
+  def tokenLenDist(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("lang"), size(expr(wordsExpr)).cast("long").as("n_tokens"))
+      .withColumn("bucket",
+        least((col("n_tokens") / LenBucketWidth).cast("long") * LenBucketWidth,
+          lit(LenBucketCap)))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(Out.davg(col("n_tokens")), 6).as("avg_tokens"))
+      .orderBy(col("lang"), col("bucket"))
+
   /** RAKE phrase-length cap and report size (shared with the oracle SQL).
     * Runs longer than [[RakeMaxLen]] words are discarded — standard RAKE
     * practice, and the guard that keeps a stopword-free document from

@@ -319,6 +319,20 @@ object TextRegistry {
          |FROM j GROUP BY 1 ORDER BY source""".stripMargin)(
       (s, d) => TextQueries.oovRate(s, d)),
 
+    // Fixed-width length buckets with a capped tail; exact decimal avg.
+    QueryDef("q_token_len_dist", {
+      val w = TextQueries.LenBucketWidth; val cap = TextQueries.LenBucketCap
+      s"""WITH t AS (
+         |  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT)
+         |    AS n_tokens
+         |  FROM documents)
+         |SELECT lang,
+         |  LEAST((n_tokens // $w) * $w, $cap) AS bucket,
+         |  count(*) AS n_docs,
+         |  round(${Out.sql.davg("n_tokens")}, 6) AS avg_tokens
+         |FROM t GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
+    })(TextQueries.tokenLenDist),
+
     // RAKE: stopword-split runs via a per-doc prefix sum, deg/freq word
     // scores, decimal-exact per-phrase sums, top-k on (score, phrase).
     QueryDef("q_rake_phrases", {

@@ -559,6 +559,25 @@ object VectorQueries {
           .as("mean_c"))
       .orderBy(col("label"), col("dim"))
 
+  /** Embedding-norm audit per label: count and the min/avg/max L2 norm —
+    * the first data-quality check on any embedding drop (zero or wildly
+    * off-scale norms mean a broken encoder run or an unnormalized batch
+    * mixed into a normalized corpus). Norms are sqrt of the sequential-fold
+    * dot (bit-identical to the oracle's), rounded 6dp; the average sums the
+    * rounded norms through DECIMAL(18,6) so it is order-independent. One
+    * narrow pass + one label-grain partial agg. */
+  def embNormAudit(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir)
+      .select(col("label"),
+        round(sqrt(dot(col("e"), col("e"))), 6).as("nrm"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("nrm")).as("norm_min"),
+        round(sum(col("nrm").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("norm_avg"),
+        max(col("nrm")).as("norm_max"))
+      .orderBy(col("label"))
+
   /** Outliers reported per label by [[oodEmbeddings]] (shared with the
     * oracle SQL). */
   val OodK = 5

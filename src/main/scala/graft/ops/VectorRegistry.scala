@@ -262,6 +262,20 @@ object VectorRegistry {
          |ORDER BY probe_id, vec_id""".stripMargin)(
       (s, d) => VectorQueries.rangeSearch(s, d)),
 
+    // Norm audit: sqrt of the sequential-fold dot, 6dp; avg through
+    // DECIMAL(18,6) (rounded doubles land on the same decimal).
+    QueryDef("q_emb_norm_audit",
+      s"""WITH $embCte,
+         |n AS (SELECT label, round(sqrt(${dot("e", "e")}), 6) AS nrm
+         |      FROM emb)
+         |SELECT label, count(*) AS n_vecs,
+         |  min(nrm) AS norm_min,
+         |  round(CAST(SUM(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE)
+         |    / count(*), 6) AS norm_avg,
+         |  max(nrm) AS norm_max
+         |FROM n GROUP BY 1 ORDER BY label""".stripMargin)(
+      (s, d) => VectorQueries.embNormAudit(s, d)),
+
     // IVF recall: the q_ivf_search assignment/probe-list machinery over the
     // q_ann_recall probe set; both arms rank (rounded cos DESC, vec_id).
     QueryDef("q_ivf_recall", {
