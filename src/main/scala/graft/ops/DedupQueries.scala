@@ -517,6 +517,29 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document n-gram novelty under doc_id arrival order: the fraction
+    * of a doc's distinct shingles never seen in any EARLIER doc — the
+    * marginal-information curve of a growing corpus. Summed over an
+    * acquisition batch this is the diminishing-returns signal ("the last
+    * crawl increment brought 3% new n-grams") that decides whether more of
+    * the same source is worth ingesting. A shingle's first owner is its
+    * minimum doc_id, so novelty needs no sequential scan: one shuffle
+    * keyed by shingle for the min, one partial-agg back to the doc grain.
+    * Ties are impossible (min is unique per shingle), so the curve is
+    * deterministic under any parallelism. */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val postings = docShingles(spark, dir)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val firstDoc = postings.groupBy(col("s")).agg(min(col("doc_id")).as("fd"))
+    postings.join(firstDoc, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("doc_id") === col("fd"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_shingles"), 6))
+      .orderBy(col("doc_id"))
+  }
+
   /** Near-dup incidence per source: the fraction of each source's docs
     * that appear in at least one banded-MinHash candidate pair — the
     * "which feed is flooding us with near-copies" attribution report that

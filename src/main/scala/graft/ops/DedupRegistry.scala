@@ -196,6 +196,21 @@ object DedupRegistry {
          |GROUP BY 1 ORDER BY 1""".stripMargin)(
       (s, d) => DedupQueries.passageDedup(s, d)),
 
+    // Novelty: first owner = min doc_id per shingle; docs shorter than one
+    // shingle have no row (empty sets explode to nothing) — both engines.
+    QueryDef("q_ngram_novelty",
+      s"""WITH d AS (SELECT doc_id, $shingleSet AS sh FROM documents),
+         |p AS (SELECT doc_id, unnest(sh) AS s FROM d),
+         |f AS (SELECT s, min(doc_id) AS fd FROM p GROUP BY 1)
+         |SELECT p.doc_id, count(*) AS n_shingles,
+         |  CAST(SUM(CASE WHEN p.doc_id = f.fd THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_novel,
+         |  round(CAST(SUM(CASE WHEN p.doc_id = f.fd THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*), 6) AS novelty
+         |FROM p JOIN f USING (s)
+         |GROUP BY 1 ORDER BY p.doc_id""".stripMargin)(
+      (s, d) => DedupQueries.ngramNovelty(s, d)),
+
     // Per-source near-dup incidence over the same banded candidate CTEs.
     QueryDef("q_near_dup_by_source",
       s"""WITH $minhashCandCtes,
