@@ -396,6 +396,47 @@ object TimeseriesQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Additive seasonal decomposition of the per-type daily mean series —
+    * STL-lite: trend = centered 7-day moving average over present days;
+    * weekday seasonal = the mean detrended value of each day-of-week;
+    * residual = what neither explains. [[seasonalProfile]] reports raw
+    * hour-of-day averages; this separates trend from weekly seasonality so
+    * anomalies are judged against "what this weekday normally does once
+    * drift is removed" — the decomposition monitoring pipelines baseline
+    * on.
+    *
+    * Shape at scale: the daily series is metadata (one row per (type,
+    * day)); every window and rollup runs on that grain, partitioned by
+    * type. Determinism: daily means are 6dp-rounded decimal-exact values;
+    * the trend divides a DECIMAL(18,6) frame sum by the frame count; the
+    * seasonal averages go through DECIMAL(38,12); weekday is pure integer
+    * arithmetic (epoch day 0 = Thursday ⇒ weekday = (day+4) mod 7,
+    * 0 = Monday). */
+  def seasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).events
+      .where(col("ts").isNotNull && col("event_type").isNotNull &&
+        col("value").isNotNull)
+      .groupBy(col("event_type"),
+        (Out.epochSec(col("ts")) / CpDaySec).cast("long").as("day"))
+      .agg(round(Out.davg(col("value")), 6).as("x"))
+    val ma = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("trend",
+        round(sum(col("x").cast("decimal(18,6)")).over(ma).cast("double") /
+          count(lit(1)).over(ma), 6))
+      .withColumn("detr", col("x") - col("trend"))
+      .withColumn("weekday", pmod(col("day") + 4, lit(7)))
+    val seasonal = trended.groupBy(col("event_type"), col("weekday"))
+      .agg(round(sum(col("detr").cast("decimal(38,12)")).cast("double") /
+        count(lit(1)), 6).as("seasonal"))
+    trended.join(seasonal, Seq("event_type", "weekday"))
+      .select(col("event_type"), (col("day") * CpDaySec).as("day"),
+        col("weekday"), col("x"), col("trend"), col("seasonal"),
+        round(col("detr") - col("seasonal"), 6).as("residual"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Week length for [[wowChange]], seconds (epoch-anchored 7-day bins). */
   val WowWeekSec = 604800L
 

@@ -221,6 +221,38 @@ object TimeseriesRegistry {
          |ORDER BY event_type""".stripMargin)(
       TimeseriesQueries.theilSen),
 
+    // STL-lite: metadata-grain windows per type; 6dp daily means, decimal
+    // frame sums, integer weekday — identical expression trees both sides.
+    QueryDef("q_seasonal_decompose", {
+      val d = TimeseriesQueries.CpDaySec
+      s"""WITH daily AS (
+         |  SELECT event_type,
+         |    (${graft.ops.Out.sql.epochSec("ts")} // $d) AS day,
+         |    round(${graft.ops.Out.sql.davg("value")}, 6) AS x
+         |  FROM events
+         |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+         |    AND value IS NOT NULL
+         |  GROUP BY 1, 2),
+         |t AS (
+         |  SELECT event_type, day, x,
+         |    round(CAST(SUM(CAST(x AS DECIMAL(18,6))) OVER ma AS DOUBLE)
+         |      / count(*) OVER ma, 6) AS trend,
+         |    (day + 4) % 7 AS weekday
+         |  FROM daily
+         |  WINDOW ma AS (PARTITION BY event_type ORDER BY day
+         |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         |s AS (
+         |  SELECT event_type, weekday,
+         |    round(CAST(SUM(CAST(x - trend AS DECIMAL(38,12))) AS DOUBLE)
+         |      / count(*), 6) AS seasonal
+         |  FROM t GROUP BY 1, 2)
+         |SELECT t.event_type, t.day * $d AS day, t.weekday, t.x, t.trend,
+         |  s.seasonal,
+         |  round((t.x - t.trend) - s.seasonal, 6) AS residual
+         |FROM t JOIN s USING (event_type, weekday)
+         |ORDER BY t.event_type, day""".stripMargin
+    })(TimeseriesQueries.seasonalDecompose),
+
     // Weekly decimal sums; pct changes are single double divisions with
     // NULL (not error) on zero/absent previous — both spellings identical.
     QueryDef("q_wow_change", {
