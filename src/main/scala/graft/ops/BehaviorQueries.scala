@@ -247,6 +247,43 @@ object BehaviorQueries {
       .orderBy(col("day_sec"))
   }
 
+  /** Staleness horizon (seconds) after which a user counts as churned. */
+  val ChurnHorizonSec = 7L * 86400L
+
+  /** Churn-risk segmentation: users quartiled by lifetime activity volume,
+    * each quartile's churn rate — where "churned" = no event within
+    * [[ChurnHorizonSec]] of the corpus frontier (the deterministic "now",
+    * as in [[graft.ops.EventQueries.freshnessSla]]). The cut every
+    * retention review starts from: are we losing the heavy users or the
+    * drive-bys?
+    *
+    * Shape at scale: one user-grain partial agg, a 1-row broadcast
+    * frontier, an ntile over the user summary (the documented
+    * metadata-window trade of the RFM/ntile family), and a 4-row rollup. */
+  def churnRisk(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables(spark, dir).events
+      .where(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), Out.epochSec(col("ts")).as("sec"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), max(col("sec")).as("last_sec"))
+    val frontier = users.agg(max(col("last_sec")).as("gmax"))
+    users.crossJoin(broadcast(frontier))
+      .withColumn("activity_q",
+        ntile(4).over(Window.orderBy(col("n_events"), col("user_id")))
+          .cast("long"))
+      .withColumn("churned",
+        when(col("gmax") - col("last_sec") > ChurnHorizonSec, 1L).otherwise(0L))
+      .groupBy(col("activity_q"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("churned")).as("n_churned"),
+        round(Out.davg(col("n_events")), 6).as("avg_events"))
+      .withColumn("churn_rate",
+        round(col("n_churned").cast("double") / col("n_users"), 6))
+      .select(col("activity_q"), col("n_users"), col("n_churned"),
+        col("churn_rate"), col("avg_events"))
+      .orderBy(col("activity_q"))
+  }
+
   /** Per-user lifespan profile: first/last activity, inclusive active-day
     * span, event volume, and the per-day rate — the per-entity summary a
     * retention model or LTV cut starts from. Integer span arithmetic;

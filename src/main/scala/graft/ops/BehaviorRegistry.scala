@@ -126,6 +126,29 @@ object BehaviorRegistry {
          |FROM a GROUP BY 1 ORDER BY day_sec""".stripMargin)(
       BehaviorQueries.attributionLastTouch),
 
+    // Churn risk: quartiles on the (n_events, user_id) total order; the
+    // frontier is a 1-row broadcast "now".
+    QueryDef("q_churn_risk", {
+      val h = BehaviorQueries.ChurnHorizonSec
+      s"""WITH u AS (
+         |  SELECT user_id, count(*) AS n_events,
+         |    max(${Out.sql.epochSec("ts")}) AS last_sec
+         |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+         |  GROUP BY 1),
+         |g AS (SELECT max(last_sec) AS gmax FROM u),
+         |q AS (
+         |  SELECT u.*, g.gmax,
+         |    CAST(NTILE(4) OVER (ORDER BY n_events, user_id) AS BIGINT)
+         |      AS activity_q,
+         |    CASE WHEN g.gmax - last_sec > $h THEN 1 ELSE 0 END AS churned
+         |  FROM u CROSS JOIN g)
+         |SELECT activity_q, count(*) AS n_users,
+         |  CAST(SUM(churned) AS BIGINT) AS n_churned,
+         |  round(CAST(SUM(churned) AS DOUBLE) / count(*), 6) AS churn_rate,
+         |  round(${Out.sql.davg("n_events")}, 6) AS avg_events
+         |FROM q GROUP BY 1 ORDER BY activity_q""".stripMargin
+    })(BehaviorQueries.churnRisk),
+
     // Lifespan: integer span arithmetic; inclusive day count needs no
     // zero guard.
     QueryDef("q_user_lifespan", {

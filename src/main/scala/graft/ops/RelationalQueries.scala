@@ -830,6 +830,33 @@ object RelationalQueries {
       .limit(20)
   }
 
+  /** Order-to-ship latency profile per order priority: exact p50/p90/max
+    * of `l_shipdate − o_orderdate` in days, with line counts — the
+    * fulfillment-SLA cut of the order pipeline (does priority actually buy
+    * faster shipping?). Latencies are exact integer day differences; the
+    * join is the standard orders⋈lineitem equi-join (AQE handles the
+    * shuffle), and the percentile is a partition-local sort-agg per
+    * priority — the [[StatsQueries.percentiles]] regime on a derived
+    * measure. */
+  def shipLatency(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .select(col("l_orderkey"),
+        (Out.epochSec(col("l_shipdate")) / 86400).cast("long").as("ship_day"))
+      .join(t.orders.select(col("o_orderkey").as("l_orderkey"),
+        col("o_orderpriority"),
+        (Out.epochSec(col("o_orderdate")) / 86400).cast("long").as("order_day")),
+        Seq("l_orderkey"))
+      .select(col("o_orderpriority"),
+        (col("ship_day") - col("order_day")).as("lat_days"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(expr("percentile(lat_days, 0.5)"), 4).as("lat_p50"),
+        round(expr("percentile(lat_days, 0.9)"), 4).as("lat_p90"),
+        max(col("lat_days")).as("lat_max"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Price-bucket width (cents) for the skyline's two-pass prefix max.
     * Shared with the oracle SQL. */
   val SkylineBucketCents = 100000L

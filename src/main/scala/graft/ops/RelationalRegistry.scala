@@ -423,6 +423,20 @@ object RelationalRegistry {
         |GROUP BY 1, 2 ORDER BY n DESC, p1, p2 LIMIT 20""".stripMargin)(
       RelationalQueries.coPurchase),
 
+    // Ship-latency SLA: exact integer day gaps; quantile_cont ≡ percentile.
+    QueryDef("q_ship_latency",
+      s"""WITH j AS (
+         |  SELECT o.o_orderpriority,
+         |    (${S.epochSec("l.l_shipdate")} // 86400)
+         |      - (${S.epochSec("o.o_orderdate")} // 86400) AS lat_days
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+         |SELECT o_orderpriority, count(*) AS n_lines,
+         |  round(quantile_cont(lat_days, 0.5), 4) AS lat_p50,
+         |  round(quantile_cont(lat_days, 0.9), 4) AS lat_p90,
+         |  max(lat_days) AS lat_max
+         |FROM j GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)(
+      RelationalQueries.shipLatency),
+
     // 2-D skyline via the two-pass prefix max: exact integer cents (TRUNC,
     // matching Spark's double→long cast), strict dominance only, sentinel
     // floors never escape the GREATEST. Bucket width interpolates from the

@@ -201,7 +201,7 @@ class PlanShapeSpec extends SparkSpec {
       // 1-row broadcast max per HITS half-step normalization
       "q_hits",
       // 1-row broadcast corpus frontier (deterministic "now")
-      "q_freshness_sla",
+      "q_freshness_sla", "q_churn_risk",
       // k-row broadcast centroid tables (k = driver metadata, never data)
       "q_kmeans_refine", "q_semdedup", "q_cluster_stats",
       // broadcast centroid + probe tables (IVF assignment / list selection)
