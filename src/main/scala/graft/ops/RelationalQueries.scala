@@ -830,6 +830,49 @@ object RelationalQueries {
       .limit(20)
   }
 
+  /** Supply-concentration index per supplier nation: the Herfindahl–
+    * Hirschman index of line-item volume across the nation's suppliers
+    * (HHI = Σ share², 1/n for perfect balance → 1.0 for a monopoly), with
+    * the top supplier's share. The market-structure metric a sourcing-risk
+    * review reads. Exactness trick: with integer per-supplier counts,
+    * HHI = (Σ nᵢ²) / N² — all-integer numerator and denominator, ONE double
+    * division at the end, so no order-dependent double summation exists
+    * anywhere. Two partial-agg shuffles (supplier grain, then nation
+    * grain) + a broadcast supplier-dim join. */
+  def supplierConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val perSupp = t.lineitem
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
+      .join(broadcast(t.supplier.select(col("s_suppkey").as("l_suppkey"),
+        col("s_nationkey"))), Seq("l_suppkey"))
+    perSupp
+      .groupBy(col("s_nationkey").cast("long").as("nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("n")).as("n_lines"),
+        sum(col("n") * col("n")).as("sq"),
+        max(col("n")).as("top_n"))
+      .select(col("nationkey"), col("n_suppliers"), col("n_lines"),
+        // double×double denominator (matches the oracle and cannot
+        // overflow the way a long×long product would at 100 TB counts)
+        round(col("sq").cast("double") /
+          (col("n_lines").cast("double") * col("n_lines").cast("double")), 6)
+          .as("hhi"),
+        round(col("top_n").cast("double") / col("n_lines"), 6)
+          .as("top_share"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** Order-size distribution: how many orders have k line items — the
+    * basket-size histogram (k is bounded by TPC-H construction, so the
+    * output is a handful of rows). Two partial-agg shuffles: order grain,
+    * then size grain. */
+  def orderSizeDist(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_items"))
+      .groupBy(col("n_items"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_items"))
+
   /** Order-to-ship latency profile per order priority: exact p50/p90/max
     * of `l_shipdate − o_orderdate` in days, with line counts — the
     * fulfillment-SLA cut of the order pipeline (does priority actually buy

@@ -423,6 +423,31 @@ object RelationalRegistry {
         |GROUP BY 1, 2 ORDER BY n DESC, p1, p2 LIMIT 20""".stripMargin)(
       RelationalQueries.coPurchase),
 
+    // HHI: all-integer Σn² / N² with one final double division — no
+    // order-dependent float summation on either engine.
+    QueryDef("q_supplier_hhi",
+      """WITH s AS (
+        |  SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY 1),
+        |j AS (
+        |  SELECT sp.s_nationkey AS nationkey, s.n
+        |  FROM s JOIN supplier sp ON s.l_suppkey = sp.s_suppkey)
+        |SELECT CAST(nationkey AS BIGINT) AS nationkey,
+        |  count(*) AS n_suppliers,
+        |  CAST(SUM(n) AS BIGINT) AS n_lines,
+        |  round(CAST(SUM(n * n) AS DOUBLE)
+        |    / (CAST(SUM(n) AS DOUBLE) * CAST(SUM(n) AS DOUBLE)), 6) AS hhi,
+        |  round(CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6)
+        |    AS top_share
+        |FROM j GROUP BY 1 ORDER BY nationkey""".stripMargin)(
+      RelationalQueries.supplierConcentration),
+
+    QueryDef("q_order_size_dist",
+      """WITH o AS (
+        |  SELECT l_orderkey, count(*) AS n_items FROM lineitem GROUP BY 1)
+        |SELECT n_items, count(*) AS n_orders
+        |FROM o GROUP BY 1 ORDER BY n_items""".stripMargin)(
+      RelationalQueries.orderSizeDist),
+
     // Ship-latency SLA: exact integer day gaps; quantile_cont ≡ percentile.
     QueryDef("q_ship_latency",
       s"""WITH j AS (
