@@ -247,6 +247,40 @@ object BehaviorQueries {
       .orderBy(col("day_sec"))
   }
 
+  /** Cohort LTV curve: per signup-cohort week × weeks-since-signup, the
+    * purchase volume and value plus the CUMULATIVE value — the lifetime-
+    * value triangle ([[retentionCohorts]] counts who comes back; this
+    * measures what they're worth as it accrues). Only offsets with
+    * purchases emit rows (the cumulative carries across gaps).
+    *
+    * Shape at scale: per-user first week (one `user_id` partial agg),
+    * equi-join back on the same key, one (cohort, offset) partial agg, and
+    * a cumulative window over the cohort×offset TRIANGLE — metadata. Value
+    * sums stay DECIMAL through the window (order-independent), cast out
+    * once. */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .where(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"), col("value"),
+        (Out.epochSec(col("ts")) / WeekSec).cast("long").as("wk"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cwk"))
+    val cells = ev.filter(col("event_type") === "purchase" &&
+        col("value").isNotNull)
+      .join(first, Seq("user_id"))
+      .groupBy(col("cwk"), (col("wk") - col("cwk")).as("week_offset"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value").cast(Out.SumDecimal)).as("revdec"))
+    val cum = Window.partitionBy(col("cwk")).orderBy(col("week_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cumdec", sum(col("revdec")).over(cum))
+      .select((col("cwk") * WeekSec).as("cohort_week"), col("week_offset"),
+        col("n_purchases"),
+        round(col("revdec").cast("double"), 4).as("wk_value"),
+        round(col("cumdec").cast("double"), 4).as("cum_value"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   /** Staleness horizon (seconds) after which a user counts as churned. */
   val ChurnHorizonSec = 7L * 86400L
 

@@ -126,6 +126,30 @@ object BehaviorRegistry {
          |FROM a GROUP BY 1 ORDER BY day_sec""".stripMargin)(
       BehaviorQueries.attributionLastTouch),
 
+    // LTV triangle: decimal sums through the cumulative window; cohort
+    // assignment from ALL events, value from purchases only.
+    QueryDef("q_cohort_ltv", {
+      val wk = BehaviorQueries.WeekSec
+      s"""WITH ev AS (
+         |  SELECT user_id, event_type, value,
+         |    (${Out.sql.epochSec("ts")} // $wk) AS wk
+         |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         |f AS (SELECT user_id, min(wk) AS cwk FROM ev GROUP BY 1),
+         |cells AS (
+         |  SELECT f.cwk, ev.wk - f.cwk AS week_offset,
+         |    count(*) AS n_purchases,
+         |    SUM(CAST(value AS DECIMAL(38,4))) AS revdec
+         |  FROM ev JOIN f USING (user_id)
+         |  WHERE event_type = 'purchase' AND value IS NOT NULL
+         |  GROUP BY 1, 2)
+         |SELECT cwk * $wk AS cohort_week, week_offset, n_purchases,
+         |  round(CAST(revdec AS DOUBLE), 4) AS wk_value,
+         |  round(CAST(SUM(revdec) OVER (PARTITION BY cwk ORDER BY week_offset
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4)
+         |    AS cum_value
+         |FROM cells ORDER BY cohort_week, week_offset""".stripMargin
+    })(BehaviorQueries.cohortLtv),
+
     // Churn risk: quartiles on the (n_events, user_id) total order; the
     // frontier is a 1-row broadcast "now".
     QueryDef("q_churn_risk", {

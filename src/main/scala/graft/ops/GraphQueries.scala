@@ -163,6 +163,46 @@ object GraphQueries {
       .select(col("s1"), col("s2"))
   }
 
+  /** Degree assortativity of the co-order graph: the Pearson correlation
+    * of endpoint degrees over the DIRECTED edge list (both directions —
+    * the standard undirected-graph convention). Positive r = hubs trade
+    * with hubs (resilient core, fragile periphery); negative = hub-spoke.
+    * One number that summarizes the wiring the degree distribution alone
+    * can't see.
+    *
+    * Exactness: degrees are integers, so all six Pearson moments are
+    * integer sums (LONG is ample here — Σdeg² per edge tops out near
+    * 10¹¹ at this corpus; a 100 TB graph would lift the moments to
+    * DECIMAL(38,0), same plan); r is one shared double formula with
+    * 0-clamped variance numerators ([[StatsQueries]] discipline). Shape:
+    * edge build + degree partial agg + two broadcast-sized degree joins +
+    * one global agg. */
+  def assortativity(spark: SparkSession, dir: String,
+      minShared: Int = TriMinShared): DataFrame = {
+    val e = coOrderEdges(Tables(spark, dir), minShared)
+    val deg = degrees(e)
+    val directed = e.select(col("s1").as("u"), col("s2").as("v"))
+      .unionByName(e.select(col("s2").as("u"), col("s1").as("v")))
+    val j = directed
+      .join(deg.select(col("src").as("u"), col("deg").as("dx")), Seq("u"))
+      .join(deg.select(col("src").as("v"), col("deg").as("dy")), Seq("v"))
+    val m = j.agg(count(lit(1)).as("n"),
+      sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+      sum(col("dx") * col("dx")).as("sxx"),
+      sum(col("dy") * col("dy")).as("syy"),
+      sum(col("dx") * col("dy")).as("sxy"))
+    val n = col("n").cast("double")
+    val vx = n * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val vy = n * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    val cxy = n * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    m.select(col("n").as("n_directed_edges"),
+      round(cxy / (sqrt(greatest(vx, lit(0.0))) * sqrt(greatest(vy, lit(0.0)))), 6)
+        .as("assortativity"))
+  }
+
   /** Per-node degree over the thresholded co-order graph. */
   private def degrees(edges: DataFrame): DataFrame =
     edges.select(col("s1").as("src")).unionByName(edges.select(col("s2").as("src")))

@@ -55,6 +55,29 @@ object GraphRegistry {
     s"""WITH $graphCtes
        |SELECT deg, count(*) AS n_nodes FROM deg GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // Six integer Pearson moments over the directed edge list; one shared
+  // double formula with 0-clamped variances.
+  private val assortativitySql =
+    s"""WITH $graphCtes,
+       |de AS (SELECT s1 AS u, s2 AS v FROM e
+       |       UNION ALL SELECT s2, s1 FROM e),
+       |j AS (SELECT d1.deg AS dx, d2.deg AS dy
+       |      FROM de JOIN deg d1 ON d1.src = de.u
+       |      JOIN deg d2 ON d2.src = de.v),
+       |m AS (SELECT count(*) AS n,
+       |        CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+       |        CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+       |        CAST(SUM(dy * dy) AS BIGINT) AS syy,
+       |        CAST(SUM(dx * dy) AS BIGINT) AS sxy
+       |      FROM j)
+       |SELECT n AS n_directed_edges,
+       |  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+       |    / (sqrt(GREATEST(CAST(n AS DOUBLE) * sxx
+       |         - CAST(sx AS DOUBLE) * sx, 0.0))
+       |     * sqrt(GREATEST(CAST(n AS DOUBLE) * syy
+       |         - CAST(sy AS DOUBLE) * sy, 0.0))), 6) AS assortativity
+       |FROM m""".stripMargin
+
   /** Symmetrized trade-graph CTE (the PageRank graph, reused by the k-core
     * peel). */
   private val tradeCtes =
@@ -186,6 +209,8 @@ object GraphRegistry {
     QueryDef("q_hits", hitsSql)(GraphQueries.hitsTrade(_, _)),
     QueryDef("q_triangle_count", triangleSql)(GraphQueries.triangleCount(_, _)),
     QueryDef("q_degree_dist", degreeDistSql)(GraphQueries.degreeDist(_, _)),
+    QueryDef("q_assortativity", assortativitySql)(
+      (s, d) => GraphQueries.assortativity(s, d)),
     QueryDef("q_kcore", kcoreSql)(GraphQueries.kCoreTrade(_, _)),
     QueryDef("q_label_prop", labelPropSql)(GraphQueries.labelPropagationTrade(_, _)),
     QueryDef("q_link_predict", linkPredictSql)(GraphQueries.linkPredict(_, _)),
