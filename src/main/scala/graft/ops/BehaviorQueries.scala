@@ -247,6 +247,49 @@ object BehaviorQueries {
       .orderBy(col("day_sec"))
   }
 
+  /** Engagement inequality per event type: the Gini coefficient of
+    * per-user event volume (0 = everyone equally active, →1 = one user is
+    * the whole stream) with the top-decile volume share — the
+    * concentration cut behind "is this feature carried by a tiny power
+    * clique?". Uses the exact rank formula G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx)
+    * over volumes sorted ascending with user_id tiebreak: every moment is
+    * an INTEGER sum (LONG is ample at this corpus; a 100 TB run lifts the
+    * rank-weighted sum to DECIMAL(38,0), same plan) and only the final
+    * ratio is a double.
+    *
+    * Shape at scale: one user-grain partial agg, a per-type rank window
+    * over the user summary (the documented ntile-family metadata trade),
+    * one type-grain rollup. */
+  def engagementGini(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables(spark, dir).events
+      .where(col("user_id").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("x"))
+    val rank = Window.partitionBy(col("event_type"))
+      .orderBy(col("x"), col("user_id"))
+    val decile = Window.partitionBy(col("event_type"))
+      .orderBy(col("x").desc, col("user_id"))
+    users
+      .withColumn("i", row_number().over(rank).cast("long"))
+      .withColumn("top_rn", row_number().over(decile).cast("long"))
+      .withColumn("n_tot",
+        count(lit(1)).over(Window.partitionBy(col("event_type"))).cast("long"))
+      .withColumn("top_x",
+        when(col("top_rn") * 10 <= col("n_tot"), col("x")).otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"), sum(col("x")).as("n_events"),
+        sum(col("i") * col("x")).as("ix"),
+        sum(col("top_x")).as("top_decile_events"))
+      .select(col("event_type"), col("n_users"), col("n_events"),
+        round((lit(2.0) * col("ix").cast("double") -
+          (col("n_users") + 1).cast("double") * col("n_events").cast("double")) /
+          (col("n_users").cast("double") * col("n_events").cast("double")), 6)
+          .as("gini"),
+        round(col("top_decile_events").cast("double") / col("n_events"), 6)
+          .as("top_decile_share"))
+      .orderBy(col("event_type"))
+  }
+
   /** Cohort LTV curve: per signup-cohort week × weeks-since-signup, the
     * purchase volume and value plus the CUMULATIVE value — the lifetime-
     * value triangle ([[retentionCohorts]] counts who comes back; this

@@ -126,6 +126,32 @@ object BehaviorRegistry {
          |FROM a GROUP BY 1 ORDER BY day_sec""".stripMargin)(
       BehaviorQueries.attributionLastTouch),
 
+    // Gini from the exact rank formula — all-integer moments, one final
+    // double ratio; top-decile membership = top_rn*10 <= n (integer).
+    QueryDef("q_engagement_gini",
+      s"""WITH u AS (
+         |  SELECT event_type, user_id, count(*) AS x FROM events
+         |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+         |  GROUP BY 1, 2),
+         |r AS (
+         |  SELECT event_type, x,
+         |    CAST(row_number() OVER (PARTITION BY event_type
+         |      ORDER BY x, user_id) AS BIGINT) AS i,
+         |    CAST(row_number() OVER (PARTITION BY event_type
+         |      ORDER BY x DESC, user_id) AS BIGINT) AS top_rn,
+         |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_tot
+         |  FROM u)
+         |SELECT event_type, count(*) AS n_users,
+         |  CAST(SUM(x) AS BIGINT) AS n_events,
+         |  round((2.0 * CAST(SUM(i * x) AS DOUBLE)
+         |      - CAST(count(*) + 1 AS DOUBLE) * CAST(SUM(x) AS DOUBLE))
+         |    / (CAST(count(*) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)), 6)
+         |    AS gini,
+         |  round(CAST(SUM(CASE WHEN top_rn * 10 <= n_tot THEN x ELSE 0 END)
+         |    AS DOUBLE) / CAST(SUM(x) AS DOUBLE), 6) AS top_decile_share
+         |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin)(
+      BehaviorQueries.engagementGini),
+
     // LTV triangle: decimal sums through the cumulative window; cohort
     // assignment from ALL events, value from purchases only.
     QueryDef("q_cohort_ltv", {
