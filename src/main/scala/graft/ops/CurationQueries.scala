@@ -203,6 +203,18 @@ object CurationQueries {
       .orderBy(col("stage"))
   }
 
+  /** Duplicate-family size distribution: how many curateCC components have
+    * k members — the first chart of any dedup report (mass in k = 1 means
+    * a mostly-unique corpus; a heavy tail means copy farms). One extra
+    * partial agg over the component labels. */
+  def dupClusterSizeDist(spark: SparkSession, dir: String): DataFrame =
+    curateCC(spark, dir)
+      .select(col("comp"), col("csize")).distinct()
+      .groupBy(col("csize"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("csize") * col("n_clusters"))
+      .orderBy(col("csize"))
+
   /** Quality deciles for [[qualityDupCalibration]] (shared with oracle). */
   val CalibrationBands = 10
 

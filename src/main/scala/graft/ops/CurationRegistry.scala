@@ -136,6 +136,25 @@ object CurationRegistry {
          |FROM comp c JOIN sz USING (comp)
          |ORDER BY c.doc_id""".stripMargin)(CurationQueries.curateMultimodal),
 
+    // Dup-family size histogram over the same component fixpoint.
+    QueryDef("q_dup_cluster_sizes",
+      s"""WITH RECURSIVE $prefixCtes,
+         |edges AS (SELECT DISTINCT a.doc_id AS ea, b.doc_id AS eb
+         |          FROM bndc a JOIN bndc b
+         |            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |           AND a.doc_id < b.doc_id
+         |          WHERE len(list_filter(generate_series(1, 16),
+         |                  i -> a.sig[i] = b.sig[i])) / 16.0 >= ${CurationQueries.SigAgreeMin}),
+         |bi AS (SELECT ea, eb FROM edges UNION SELECT eb, ea FROM edges),
+         |reach AS (SELECT doc_id AS id, doc_id AS r FROM uniq
+         |          UNION
+         |          SELECT reach.id, bi.eb FROM reach JOIN bi ON bi.ea = reach.r),
+         |comp AS (SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id),
+         |sz AS (SELECT comp, count(*) AS csize FROM comp GROUP BY comp)
+         |SELECT csize, count(*) AS n_clusters, csize * count(*) AS n_docs
+         |FROM sz GROUP BY 1 ORDER BY csize""".stripMargin)(
+      CurationQueries.dupClusterSizeDist),
+
     // Quality×dup calibration: same scored2 quality tree over ALL docs (no
     // gate), ntile on the (quality, doc_id) total order, md5 dup census.
     QueryDef("q_quality_dup_calibration",

@@ -396,6 +396,30 @@ object TimeseriesQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Weekly quantile trend per event type: exact p50/p90 of `value` for
+    * each week with the week-over-week p50 delta — the ROBUST monitoring
+    * series ([[wowChange]] tracks the mean, which one outlier burst can
+    * drag; the median series only moves when the distribution's middle
+    * does). One (type, week) percentile sort-agg + a lag window over the
+    * weekly metadata grain. */
+  def weeklyQuantileTrend(spark: SparkSession, dir: String): DataFrame = {
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("wk"))
+    Tables(spark, dir).events
+      .where(col("ts").isNotNull && col("event_type").isNotNull &&
+        col("value").isNotNull)
+      .groupBy(col("event_type"),
+        ((Out.epochSec(col("ts")) / WowWeekSec).cast("long") * WowWeekSec)
+          .as("wk"))
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"))
+      .withColumn("p50_delta",
+        round(col("p50") - lag(col("p50"), 1).over(byType), 4))
+      .select(col("event_type"), col("wk"), col("n"), col("p50"),
+        col("p90"), col("p50_delta"))
+      .orderBy(col("event_type"), col("wk"))
+  }
+
   /** Additive seasonal decomposition of the per-type daily mean series —
     * STL-lite: trend = centered 7-day moving average over present days;
     * weekday seasonal = the mean detrended value of each day-of-week;

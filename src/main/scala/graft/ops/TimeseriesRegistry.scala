@@ -221,6 +221,26 @@ object TimeseriesRegistry {
          |ORDER BY event_type""".stripMargin)(
       TimeseriesQueries.theilSen),
 
+    // Robust weekly series: quantile_cont ≡ percentile; lag over the
+    // weekly grain; delta of two 4dp-rounded doubles re-rounded.
+    QueryDef("q_weekly_quantile_trend", {
+      val wk = TimeseriesQueries.WowWeekSec
+      s"""WITH w AS (
+         |  SELECT event_type,
+         |    (${graft.ops.Out.sql.epochSec("ts")} // $wk) * $wk AS wk,
+         |    count(*) AS n,
+         |    round(quantile_cont(value, 0.5), 4) AS p50,
+         |    round(quantile_cont(value, 0.9), 4) AS p90
+         |  FROM events
+         |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+         |    AND value IS NOT NULL
+         |  GROUP BY 1, 2)
+         |SELECT event_type, wk, n, p50, p90,
+         |  round(p50 - lag(p50) OVER (PARTITION BY event_type ORDER BY wk), 4)
+         |    AS p50_delta
+         |FROM w ORDER BY event_type, wk""".stripMargin
+    })(TimeseriesQueries.weeklyQuantileTrend),
+
     // STL-lite: metadata-grain windows per type; 6dp daily means, decimal
     // frame sums, integer weekday — identical expression trees both sides.
     QueryDef("q_seasonal_decompose", {
