@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Content-defined chunking (FastCDC/gear-hash style) of a payload into
@@ -53,6 +53,33 @@ case class CdcChunks(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, s => s"graft.functions.CdcChunks.compute($s)")
 
   override protected def withNewChildInternal(newChild: Expression): CdcChunks =
+    copy(child = newChild)
+}
+
+/** Byte LENGTH of each content-defined chunk of the payload (same cut rule
+  * as [[CdcChunks]], without hashing) — the observability face of the
+  * kernel: lengths feed the structural CLAIMS the oracle can assert
+  * (coverage: lengths sum to the payload's byte count; bounds: every chunk
+  * ≤ MaxChunk, every non-tail chunk ≥ MinChunk) without replaying the
+  * sequential gear recurrence in SQL. Registered as
+  * `graft_cdc_chunk_lens`. */
+case class CdcChunkLens(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_cdc_chunk_lens"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CdcChunks.computeLens(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.CdcChunks.computeLens($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunkLens =
     copy(child = newChild)
 }
 
@@ -151,5 +178,15 @@ object CdcChunks {
     }
     if (start < n) out += md5Hex(md, bytes, start, n)
     new GenericArrayData(out.result().toArray)
+  }
+
+  /** Chunk byte lengths by the same cut rule ([[CdcChunkLens]]). */
+  def computeLens(s: UTF8String): ArrayData = {
+    val cuts = cutPoints(s.getBytes)
+    val out = new Array[Any](cuts.length)
+    var prev = 0
+    var i = 0
+    cuts.foreach { c => out(i) = c - prev; prev = c; i += 1 }
+    new GenericArrayData(out)
   }
 }

@@ -122,6 +122,47 @@ object MultimodalQueries {
       .orderBy(col("n_total").desc, col("chunk_md5"))
       .limit(topK)
 
+  /** Mean-chunk-length band [[cdcChunkAudit]] holds the gear kernel to.
+    * The mask geometry targets ≈ MinChunk + 2^MaskBits = 80 bytes; the band
+    * is ±2.5× so it is robust to corpus regeneration, while a broken mask
+    * (every byte cuts → 16, or never cuts → 256) still fails. */
+  val CdcMeanLenLo = 24.0
+  val CdcMeanLenHi = 200.0
+
+  /** Structural audit of the content-defined chunker — the ORACLE-CHECKABLE
+    * face of [[chunkCensusCdc]]'s kernel (round-6 advice: emit claims, not
+    * engine-specific hashes). The gear recurrence is sequential per payload
+    * and not reasonably expressible in SQL, but its structural INVARIANTS
+    * are: chunk lengths partition the payload (coverage), every chunk ≤
+    * MaxChunk with every non-tail chunk ≥ MinChunk (bounds), and the mean
+    * chunk length sits in the mask-geometry band. The oracle computes the
+    * exact doc/byte totals from `documents` and asserts the claims TRUE, so
+    * a broken kernel fails the driver hash gate; CdcChunksSpec keeps the
+    * byte-exact reimplementation + shift-invariance checks.
+    *
+    * Shape at scale: one projection pass (the kernel is a codegen'd static
+    * call) + a single global agg — no shuffle of chunk rows at all. */
+  def cdcChunkAudit(spark: SparkSession, dir: String): DataFrame = {
+    val min = graft.functions.CdcChunks.MinChunk
+    val max = graft.functions.CdcChunks.MaxChunk
+    Tables(spark, dir).documents
+      .select(octet_length(col("text")).cast("long").as("bytes"),
+        expr("graft_cdc_chunk_lens(text)").as("lens"))
+      .filter(col("bytes") > 0)
+      .select(col("bytes"),
+        expr("aggregate(lens, 0L, (a, x) -> a + x)").as("chunk_bytes"),
+        expr("size(lens)").cast("long").as("n_chunks"),
+        (expr("array_max(lens)") <= max &&
+          expr(s"forall(slice(lens, 1, size(lens) - 1), x -> x >= $min)"))
+          .as("doc_bounds_ok"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("bytes")).as("total_bytes"),
+        expr("bool_and(chunk_bytes = bytes)").as("coverage_ok"),
+        expr("bool_and(doc_bounds_ok)").as("bounds_ok"),
+        (sum(col("bytes")).cast("double") / sum(col("n_chunks"))
+          between(CdcMeanLenLo, CdcMeanLenHi)).as("mean_len_ok"))
+  }
+
   /** Frame-sampling plan for "video" payloads: per payload, the frame count
     * (stub-derived) and the evenly-spaced sample positions a real pipeline
     * would hand to the decoder — array logic in codegen-friendly expressions. */

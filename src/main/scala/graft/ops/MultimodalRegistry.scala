@@ -49,11 +49,19 @@ object MultimodalRegistry {
          |ORDER BY n_total DESC, chunk_md5 LIMIT 50""".stripMargin)(
       (s, d) => MultimodalQueries.chunkCensus(s, d, topK = 50)),
 
-    // no oracle: the gear rolling hash is a sequential per-payload
-    // recurrence DuckDB can't reasonably replay; CdcChunksSpec holds the
-    // independent reimplementation + shift-invariance checks
-    graft.QueryDef.noOracle("q_chunk_census_cdc")(
-      (s, d) => MultimodalQueries.chunkCensusCdc(s, d, topK = 50)),
+    // The gear rolling hash is a sequential per-payload recurrence DuckDB
+    // can't replay, so the key emits the kernel's structural CLAIMS
+    // (coverage / bounds / mean-length band) + oracle-computable doc/byte
+    // totals; the oracle asserts the claims TRUE (round-6 advice).
+    // CdcChunksSpec holds the byte-exact reimplementation + shift-invariance
+    // checks, and the census shape itself is the oracle-proven
+    // q_chunk_census arithmetic.
+    QueryDef("q_chunk_census_cdc",
+      """SELECT count(*) AS n_docs,
+        |  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+        |  TRUE AS coverage_ok, TRUE AS bounds_ok, TRUE AS mean_len_ok
+        |FROM documents WHERE strlen(text) > 0""".stripMargin)(
+      MultimodalQueries.cdcChunkAudit),
 
     QueryDef("q_media_resize",
       s"""WITH b AS (SELECT doc_id, md5(text) AS content_md5 FROM documents),

@@ -313,30 +313,60 @@ object RelationalQueries {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
-  /** Approximate distinct (HLL++) — engine-specific sketch, so no SQL oracle;
-    * ScalaTest checks the estimate against the exact count. */
+  /** Relative-error tolerance the HLL++ sketch is held to in
+    * [[approxDistinct]] (3× the default 5% rsd — a drifting sketch fails
+    * the gate long before a user would notice). Shared with the oracle. */
+  val ApproxDistinctTol = 0.15
+
+  /** Approximate distinct (HLL++) — the sketch value itself is
+    * engine-specific, so the CHECKABLE output is the exact count (oracle-
+    * computable) plus a `within_tol` CLAIM: |approx − exact| ≤
+    * [[ApproxDistinctTol]] · exact. The oracle emits the same exact rows
+    * with `within_tol = TRUE`, so a sketch that drifts out of its error
+    * budget fails the hash gate — the sketch is gated, not just displayed.
+    * ScalaTest additionally brackets the raw estimate.
+    *
+    * At 100 TB the sketch (fixed-size, mergeable, one pass) is the point;
+    * the exact countDistinct alongside it is affordable here because the
+    * gate runs at small SF — production would emit the sketch alone. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).events
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n"))
+      .select(col("event_type"), col("exact_users"), col("n"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          lit(ApproxDistinctTol) * col("exact_users")).as("within_tol"))
       .orderBy(col("event_type"))
 
-  /** Approximate percentiles (t-digest-style sketch) — engine-specific, so
-    * no SQL oracle; ScalaTest brackets the estimates with the exact values.
-    * At 100 TB this is the only viable GLOBAL percentile (exact needs a full
-    * sort; the sketch is one pass, mergeable across partitions). */
+  /** Relative-error tolerance for [[approxPercentiles]]' sketch claim. The
+    * GK sketch at accuracy 10000 bounds RANK error at n/10000; on the
+    * smooth extendedprice distribution that is far inside 1% VALUE error. */
+  val ApproxPctTol = 0.01
+
+  /** Approximate percentiles (GK sketch) — same claim pattern as
+    * [[approxDistinct]]: the checkable output is the EXACT percentiles
+    * (`percentile` ≡ DuckDB `quantile_cont`, the q_percentiles contract)
+    * plus `within_tol` = every sketch estimate within [[ApproxPctTol]]
+    * relative error of its exact value. At 100 TB the sketch is the only
+    * viable GLOBAL percentile (exact needs a full sort; the sketch is one
+    * pass, mergeable across partitions) — here it is gated against the
+    * exact values the small-SF oracle can compute. */
   def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).lineitem
       .groupBy(col("l_returnflag"))
       .agg(
-        expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)").as("approx_q"),
+        expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)").as("aq"),
+        expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("eq"),
         count(lit(1)).as("n"))
       .select(col("l_returnflag"),
-        col("approx_q").getItem(0).as("p25"),
-        col("approx_q").getItem(1).as("p50"),
-        col("approx_q").getItem(2).as("p75"),
-        col("n"))
+        round(col("eq").getItem(0), 4).as("p25"),
+        round(col("eq").getItem(1), 4).as("p50"),
+        round(col("eq").getItem(2), 4).as("p75"),
+        col("n"),
+        expr(s"forall(zip_with(aq, eq, (a, e) -> abs(a - e) <= $ApproxPctTol * abs(e)), x -> x)")
+          .as("within_tol"))
       .orderBy(col("l_returnflag"))
 
   /** Ordered string aggregation per nation — spelled as

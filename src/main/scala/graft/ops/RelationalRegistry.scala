@@ -180,8 +180,22 @@ object RelationalRegistry {
          |ORDER BY l_returnflag, l_linestatus""".stripMargin)(
       RelationalQueries.tpch1Pricing),
 
-    QueryDef.noOracle("q_approx_distinct")(RelationalQueries.approxDistinct),
-    QueryDef.noOracle("q_approx_percentiles")(RelationalQueries.approxPercentiles),
+    // The sketch values are engine-specific, so both approx keys emit the
+    // EXACT values (oracle-computable) plus a within_tol CLAIM the oracle
+    // asserts TRUE — a drifting sketch fails the hash gate (round-6 advice).
+    QueryDef("q_approx_distinct",
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  count(*) AS n, TRUE AS within_tol
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)(
+      RelationalQueries.approxDistinct),
+    QueryDef("q_approx_percentiles",
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+        |  count(*) AS n, TRUE AS within_tol
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)(
+      RelationalQueries.approxPercentiles),
 
     QueryDef("q_string_agg",
       """SELECT n_name, count(*) AS n_suppliers,

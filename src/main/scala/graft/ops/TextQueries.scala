@@ -418,7 +418,11 @@ object TextQueries {
     * sorts. The capped postings aggregate via collect_list of
     * (-tf, doc_id) structs + sort_array — deterministic regardless of
     * partition arrival order (collect_list alone is not). Output is
-    * vocabulary-sized, not corpus-sized. */
+    * vocabulary-sized, not corpus-sized.
+    *
+    * The posting list is emitted as a comma-joined STRING (not an array):
+    * the values are identical, and a scalar column is hashable by any
+    * row-comparator (the driver's pandas gate cannot sort array cells). */
   def invertedIndex(spark: SparkSession, dir: String,
       k: Int = IdxPostings): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -437,7 +441,9 @@ object TextQueries {
       .groupBy(col("term"))
       .agg(sort_array(collect_list(struct((-col("tf")).as("ntf"),
         col("doc_id")))).as("p"))
-      .select(col("term"), expr("transform(p, x -> x.doc_id)").as("postings"))
+      .select(col("term"),
+        expr("array_join(transform(p, x -> cast(x.doc_id as string)), ',')")
+          .as("postings"))
     stats.join(postings, Seq("term")).orderBy(col("term"))
   }
 

@@ -233,9 +233,11 @@ object TextRegistry {
          |FROM s ORDER BY doc_id""".stripMargin)(
       TextQueries.piiScrub),
 
-    // The rank-window + list() spelling mirrors the Spark side's
-    // WindowGroupLimit + sorted-struct aggregation; list(... ORDER BY) makes
-    // the posting order explicit rather than arrival-dependent.
+    // The rank-window + string_agg(... ORDER BY) spelling mirrors the Spark
+    // side's WindowGroupLimit + sorted-struct aggregation; the explicit
+    // ORDER BY makes the posting order deterministic rather than
+    // arrival-dependent. Postings are comma-joined into a scalar string so
+    // every row-comparator (including the driver's) can sort/hash the cell.
     QueryDef("q_inverted_index",
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
@@ -250,7 +252,8 @@ object TextRegistry {
          |                            ORDER BY tf DESC, doc_id) AS rk
          |       FROM tf),
          |post AS (SELECT term,
-         |           list(doc_id ORDER BY tf DESC, doc_id) AS postings
+         |           string_agg(CAST(doc_id AS VARCHAR), ','
+         |                      ORDER BY tf DESC, doc_id) AS postings
          |         FROM rk WHERE rk <= ${TextQueries.IdxPostings} GROUP BY 1)
          |SELECT s.term, s.df, s.cf, p.postings
          |FROM stats s JOIN post p USING (term) ORDER BY s.term""".stripMargin)(

@@ -341,11 +341,53 @@ object StreamRegistry {
     * distribution + batch-stream-equivalence checks. */
   def sensorGenAgg(spark: SparkSession, dir: String): DataFrame = {
     val raw = spark.read.format("sensor-gen")
-      .option("messages", 2000).option("threads", 4).load()
+      .option("messages", GenMessages).option("threads", GenThreads).load()
     val parsed = SensorPipeline.parse(raw)
     SensorPipeline.windowedAgg(
       parsed.filter(SensorPipeline.isValid(col("temperature"), col("humidity"))))
       .orderBy(col("id"), col("w_start"))
+  }
+
+  /** Generator geometry for the q_sensor_gen audit — mqttgen's distribution
+    * is loop-deterministic (empty every 100th, outlier every other 10th),
+    * so with messages divisible by 100 the class counts are EXACT spec
+    * constants, not seed-dependent observations. */
+  val GenMessages = 2000L
+  val GenThreads = 4
+
+  /** Oracle-checkable audit of the DSv2 generator + parse→filter→aggregate
+    * chain (round-6 advice: emit claims, not engine-specific values). The
+    * checkable outputs are the spec-exact class counts (empty / outlier /
+    * valid — loop-position-determined, independent of the seed) plus
+    * boolean claims: value bounds per class, windowed-agg row conservation
+    * (sum of per-window n = valid count), and the 2-sensor id universe.
+    * The oracle emits the same constants with TRUE claims, so a generator
+    * or pipeline drift fails the driver hash gate; SensorGenSpec keeps the
+    * distribution + restart-exactly-once checks. */
+  def sensorGenAudit(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.format("sensor-gen")
+      .option("messages", GenMessages).option("threads", GenThreads).load()
+    val parsed = SensorPipeline.parse(raw)
+    val flags = parsed.select(
+      col("id"), col("temperature").as("t"), col("humidity").as("h"),
+      (col("temperature") === 0L && col("humidity") === 0L).as("is_empty"),
+      (col("temperature") >= 50L && col("humidity") >= 100L).as("is_outlier"),
+      SensorPipeline.isValid(col("temperature"), col("humidity")).as("is_valid"))
+    val counts = flags.agg(
+      count(lit(1)).as("n_raw"),
+      sum(when(col("is_empty"), 1L).otherwise(0L)).as("n_empty"),
+      sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outlier"),
+      sum(when(col("is_valid"), 1L).otherwise(0L)).as("n_valid"),
+      expr("bool_and((NOT is_valid) OR (t BETWEEN 10 AND 50 AND h BETWEEN 50 AND 80))")
+        .as("bounds_ok"),
+      expr("bool_and(id IN ('sensor1rcc', 'sensor2rcc'))").as("ids_ok"))
+    val winN = SensorPipeline.windowedAgg(
+      parsed.filter(SensorPipeline.isValid(col("temperature"), col("humidity"))))
+      .agg(coalesce(sum(col("n")), lit(0L)).as("win_n"))
+    counts.crossJoin(broadcast(winN))
+      .select(col("n_raw"), col("n_empty"), col("n_outlier"), col("n_valid"),
+        (col("win_n") === col("n_valid")).as("windows_consistent"),
+        col("bounds_ok"), col("ids_ok"))
   }
 
   /** DuckDB spelling of the staged serialize → parse → validity chain.
@@ -609,6 +651,18 @@ object StreamRegistry {
          |  n - COALESCE(lag(n) OVER (PARTITION BY id ORDER BY w_start), 0)
          |    AS delta
          |FROM w ORDER BY id, w_start""".stripMargin)(streamRates),
-    QueryDef.noOracle("q_sensor_gen")(sensorGenAgg)
+    // The generator's class distribution is loop-deterministic, so the key
+    // emits spec-exact counts + boolean claims the oracle asserts — see
+    // [[sensorGenAudit]]. (The windowed-agg VALUES stay seed-dependent and
+    // Spark-side; SensorGenSpec holds them.)
+    QueryDef("q_sensor_gen", {
+      val n = GenMessages * GenThreads
+      val empty = n / 100
+      val outlier = n / 10 - empty
+      s"""SELECT CAST($n AS BIGINT) AS n_raw, CAST($empty AS BIGINT) AS n_empty,
+         |  CAST($outlier AS BIGINT) AS n_outlier,
+         |  CAST(${n - n / 10} AS BIGINT) AS n_valid,
+         |  TRUE AS windows_consistent, TRUE AS bounds_ok, TRUE AS ids_ok""".stripMargin
+    })(sensorGenAudit)
   )
 }

