@@ -136,10 +136,14 @@ object EventRegistry {
          |      FROM e JOIN c USING (user_id)
          |      WHERE event_type = 'purchase' AND t > t_click GROUP BY 1),
          |st AS (
+         |  -- count(t_<stage>), not count(*): only users with a CONCRETE
+         |  -- stage timestamp count, mirroring the Spark side's count(col) —
+         |  -- a user whose every 'view' has NULL ts yields a NULL min(t) row
+         |  -- that must not inflate the funnel (round-6 advice).
          |  SELECT 0 AS stage, 'view' AS stage_type,
-         |    (SELECT count(*) FROM v) AS n_reached
-         |  UNION ALL SELECT 1, 'click', (SELECT count(*) FROM c)
-         |  UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM p))
+         |    (SELECT count(t_view) FROM v) AS n_reached
+         |  UNION ALL SELECT 1, 'click', (SELECT count(t_click) FROM c)
+         |  UNION ALL SELECT 2, 'purchase', (SELECT count(t_purchase) FROM p))
          |SELECT CAST(stage AS BIGINT) AS stage, stage_type,
          |  CAST(n_reached AS BIGINT) AS n_reached,
          |  CASE WHEN lag(n_reached) OVER w > 0 THEN

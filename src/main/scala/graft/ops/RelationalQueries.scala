@@ -951,14 +951,19 @@ object RelationalQueries {
     * data-sized stage is keyed by bucket; nothing data-sized crosses a
     * single task.
     *
-    * Determinism: prices compared as exact integer CENTS (the corpus's 2dp
-    * doubles scaled by 100 — same trunc in both engines), dates as epoch
-    * seconds; strict inequalities only, so ties never depend on order. */
+    * Determinism: prices compared as integer CENTS — ROUND-to-nearest of
+    * price×100, same spelling in both engines and the brute-force spec.
+    * Round, not trunc: the corpus's 2dp prices land within 1e-9 of an
+    * integer after ×100, so nearest recovers the exact cent, where trunc
+    * mapped e.g. 19.99 (double 1998.999…) and 19.98 (1998.0) both to 1998
+    * and could let a dominated order survive (round-6 advice). Dates are
+    * epoch seconds; strict inequalities only, so ties never depend on
+    * order. */
   def skylineOrders(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables(spark, dir).orders
       .select(col("o_orderkey"), col("o_totalprice"),
         Out.epochSec(col("o_orderdate")).as("d"),
-        (col("o_totalprice") * 100).cast("long").as("cents"))
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
       .withColumn("bucket", (col("cents") / SkylineBucketCents).cast("long"))
     val bucketMax = o.groupBy(col("bucket")).agg(max(col("d")).as("bmax"))
       .withColumn("bprev",

@@ -485,7 +485,7 @@ object RelationalRegistry {
       s"""WITH o AS (
          |  SELECT o_orderkey, o_totalprice,
          |    ${S.epochSec("o_orderdate")} AS d,
-         |    CAST(TRUNC(o_totalprice * 100) AS BIGINT) AS cents
+         |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
          |  FROM orders),
          |ob AS (SELECT *, cents // $w AS bucket FROM o),
          |bm AS (SELECT bucket, max(d) AS bmax FROM ob GROUP BY 1),

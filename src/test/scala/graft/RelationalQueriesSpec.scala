@@ -257,7 +257,7 @@ class RelationalQueriesSpec extends SparkSpec {
   test("skyline ≡ brute-force strict-dominance scan") {
     val orders = Tables(spark, sf).orders
       .select(col("o_orderkey"),
-        (col("o_totalprice") * 100).cast("long").as("cents"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
         floor(col("o_orderdate").cast("timestamp").cast("double")).cast("long").as("d"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val expected = orders.filter { case (_, c, d) =>
