@@ -74,8 +74,11 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}"""
     println(line)
     // The driver tail-captures stdout at ~2000 chars, which front-truncates
-    // the per-query map on a 120+-key run; the file copy keeps the full
-    // record reachable (target/ is checked-in-adjacent but untracked).
+    // the full per-query map on a 235-key run (~7 KB) — BENCH_r06 recorded
+    // "parsed": null because no complete JSON line survived in the tail.
+    // The file copy keeps the full record reachable, and a COMPACT line
+    // (total + the slowest keys, well under the tail window) is printed
+    // LAST so the driver always has one complete parseable line.
     try {
       val outP = java.nio.file.Paths.get("target/bench_full.json")
       java.nio.file.Files.createDirectories(outP.getParent)
@@ -84,6 +87,9 @@ object Bench {
     } catch { case t: Throwable =>
       System.err.println(s"[bench] could not write target/bench_full.json: ${t.getMessage}")
     }
+    val slowest = results.filter(_._3.isEmpty).sortBy(-_._2).take(15)
+      .map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowest$errField,"sf":"$sfDir","n_queries":${results.size},"queries_truncated_to_slowest":15,"full_record":"target/bench_full.json"}""")
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)
   }
