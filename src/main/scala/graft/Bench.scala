@@ -60,8 +60,11 @@ object Bench {
       // outside the SQL cache — drop those too, or a 180-key sweep carries
       // every round's checkpoint blocks forward and evicts live state.
       spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      // Staged prefix tables (ops.Staged) are process-level by design —
+      // evicting them here would force every family key to rebuild them.
+      spark.sparkContext.getPersistentRDDs
+        .foreach { case (id, rdd) =>
+          if (!ops.Staged.pinned(id)) rdd.unpersist(blocking = false) }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
     val qs = results.map { case (k, v, e) =>

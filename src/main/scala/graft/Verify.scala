@@ -35,10 +35,13 @@ object Verify {
       }
       // builder-persisted signature tables are per-plan; drop them so the
       // 60-query run doesn't accumulate cached partitions (same as Bench,
-      // incl. the localCheckpoint blocks of the iterative queries)
+      // incl. the localCheckpoint blocks of the iterative queries) — but
+      // keep the process-level Staged prefix tables, which exist to be
+      // shared across the family's queries.
       spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs
+        .foreach { case (id, rdd) =>
+          if (!ops.Staged.pinned(id)) rdd.unpersist(blocking = false) }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -64,7 +64,10 @@ object CurationQueries {
     * md5(text)), the signature stage (doc_id, text)), so Catalyst's column
     * pruning makes the re-scans cheaper than materializing the full scored
     * width (measured: persisting was net-neutral to slower at sf0.1). */
-  private def uniqQualified(spark: SparkSession, dir: String): DataFrame = {
+  /** Stages 1+2 with the text column — feeds the staged-pairs build (the
+    * one consumer that needs text for shingling); everything else reads the
+    * narrow [[uniqQualified]]. */
+  private def uniqQualifiedFull(spark: SparkSession, dir: String): DataFrame = {
     val qualified = qualifiedDocs(spark, dir)
     // stage 2: exact dedup — min doc_id per content hash
     val exactKeepers = qualified
@@ -72,6 +75,30 @@ object CurationQueries {
       .select(col("doc_id"))
     qualified.join(exactKeepers, Seq("doc_id"))
   }
+
+  private def uniqQualified(spark: SparkSession, dir: String): DataFrame =
+    // [[Staged]] once per (process, dir), WITHOUT the text column (narrow
+    // numeric frame — cheap to pin, and no post-pairs consumer needs text):
+    // six curation keys (pipeline, CC, multimodal CC, report, canonical,
+    // cluster sizes) start from this identical frame (round-6 advice:
+    // amortize the family prefix).
+    Staged("curation_uniq", spark, dir)(uniqQualifiedFull(spark, dir).drop("text"))
+
+  /** The canonical stage-3 candidate edges — [[nearDupPairs]] over the
+    * quality-gated unique docs, staged once per (process, dir): every
+    * CC-based key (curateCC, dup-cluster sizes, canonical docs, multimodal
+    * CC, the report's prune stage, curate itself) consumes these identical
+    * edges, and the shingle+minhash+banding work behind them dominates
+    * those keys' cost — while the edge table itself is tiny (bounded by
+    * the band bucket cap). */
+  private def canonicalNearDupPairs(spark: SparkSession, dir: String): DataFrame =
+    Staged("curation_pairs", spark, dir) {
+      // Reuse the staged id set and join the text back from the table —
+      // re-running the quality scorer here would tokenize the whole corpus
+      // a second time during the one-two staging punch.
+      nearDupPairs(uniqQualified(spark, dir).select("doc_id")
+        .join(Tables(spark, dir).documents.select("doc_id", "text"), Seq("doc_id")))
+    }
 
   /** Stage 3's candidate generator: MinHash-LSH near-dup pairs `(a, b)`,
     * a < b, signature agreement ≥ 0.5, deduplicated across bands. Bounded by
@@ -101,7 +128,7 @@ object CurationQueries {
     val uniqueDocs = uniqQualified(spark, dir)
 
     // stage 3: near-dup prune — greedy keep-lowest over the candidate pairs
-    val dropIds = nearDupPairs(uniqueDocs).select(col("b").as("doc_id")).distinct()
+    val dropIds = canonicalNearDupPairs(spark, dir).select(col("b").as("doc_id")).distinct()
 
     // stage 4: language gate on the near-dup survivors
     uniqueDocs.join(dropIds, Seq("doc_id"), "left_anti")
@@ -121,7 +148,7 @@ object CurationQueries {
     * stratified sampling of duplicate families consumes. */
   def curateCC(spark: SparkSession, dir: String): DataFrame = {
     val uniqueDocs = uniqQualified(spark, dir)
-    clusterAndLabel(uniqueDocs, nearDupPairs(uniqueDocs))
+    clusterAndLabel(uniqueDocs, canonicalNearDupPairs(spark, dir))
   }
 
   /** Embedding edges below this cosine are not multimodal DUP evidence.
@@ -160,7 +187,7 @@ object CurationQueries {
       .join(ids.select(col("doc_id").as("a")), Seq("a"), "left_semi")
       .join(ids.select(col("doc_id").as("b")), Seq("b"), "left_semi")
       .select(col("a"), col("b"))
-    val edges = nearDupPairs(uniqueDocs).unionByName(embEdges).distinct()
+    val edges = canonicalNearDupPairs(spark, dir).unionByName(embEdges).distinct()
     clusterAndLabel(ids, edges)
   }
 
@@ -182,7 +209,7 @@ object CurationQueries {
     // AQE's exchange reuse already shares the minhash/banding subplan
     // between the two counts.
     val afterNearDup = uniq.join(
-      nearDupPairs(uniq).select(col("b").as("doc_id")).distinct(),
+      canonicalNearDupPairs(spark, dir).select(col("b").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
     def cnt(df: DataFrame, stage: Int, name: String): DataFrame =
       df.agg(count(lit(1)).as("n_out"))
@@ -274,7 +301,7 @@ object CurationQueries {
   def canonicalDocs(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val uniqueDocs = uniqQualified(spark, dir)
-    val comp = ConnectedComponents.minLabel(nearDupPairs(uniqueDocs))
+    val comp = ConnectedComponents.minLabel(canonicalNearDupPairs(spark, dir))
       .withColumnRenamed("id", "doc_id")
     val labeled = uniqueDocs.select(col("doc_id"), col("quality"))
       .join(comp, Seq("doc_id"), "left")

@@ -82,7 +82,14 @@ object DedupQueries {
       .orderBy(col("keeper_id"))
 
   /** Docs → (doc_id, sh): distinct 3-word shingle sets, hashing parallelism
-    * decoupled from input splits. */
+    * decoupled from input splits.
+    *
+    * Deliberately NOT [[Staged]]: the shingle frame is the family's largest
+    * intermediate (~10³ bytes/doc) and its recompute is pipelined CPU — an
+    * A/B measured that materializing it for reuse costs MORE on the first
+    * key than every later key saves (4.2 s → 11 s on the jaccard key
+    * alone). Staging pays on SMALL-but-expensive derivatives (the verified
+    * pair / candidate edge tables below), not on wide raw intermediates. */
   private def docShingles(spark: SparkSession, dir: String): DataFrame =
     shingled(fanout(Tables(spark, dir).documents.select("doc_id", "text"), "doc_id"), 3)
 
@@ -135,7 +142,14 @@ object DedupQueries {
     * prefixes bias toward df≈1). Posting lists are never collected into one
     * aggregation buffer (the df count is a partial agg, unlike a
     * collect_list-per-shingle shape which a stop-shingle would blow up). */
-  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    // The verified pair table doubles as q_text_lsh_recall's exhaustive
+    // TRUTH set — stage it so the recall audit reads the pairs the key
+    // already computed instead of replaying the O(df²) verify leg.
+    Staged("jaccard_pairs", spark, dir)(dedupNgramJaccardImpl(spark, dir))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private def dedupNgramJaccardImpl(spark: SparkSession, dir: String): DataFrame = {
     // Per-doc shingle ARRAYS are cached (one row per doc), not the exploded
     // postings (one row per posting): same bytes, ~500× fewer row headers —
     // measured 2× cheaper to materialize. Both consumers below re-explode
@@ -205,7 +219,6 @@ object DedupQueries {
         (col("na") + col("nb") - col("n_common")), 4))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Banded MinHash candidate pairs with their lane-agreement estimate —

@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Process-level staging of deterministic per-dir derived tables.
+  *
+  * The dedup/curation family's heavy keys share an expensive prefix — the
+  * shingle table, the exhaustive Jaccard truth pairs, the quality-gated
+  * unique-doc frame — and a process that runs several of them (`Verify`,
+  * `Bench`, a long analysis session) otherwise recomputes the same
+  * CPU-dense hashing once per key. Each prefix is computed ONCE per
+  * (name, dir) per JVM via an EAGER `localCheckpoint` and re-read
+  * thereafter — the same amortization
+  * [[graft.streaming.StreamRegistry.stagedSensorJson]] applies to the
+  * streaming feeds (round-6 advice asked for exactly this).
+  *
+  * localCheckpoint, not parquet: a parquet round-trip was measured to cost
+  * MORE on first touch than it saved downstream (columnar encode of the
+  * wide shingle arrays ≈ the shingling CPU itself); checkpoint blocks are
+  * one serialize into the block manager (MEMORY_AND_DISK — spills, never
+  * recomputes). And not plain `persist`: `Verify`/`Bench` clear the SQL
+  * cache and unpersist RDDs between queries (the per-query persist
+  * contract in [[DedupQueries]]), so staged blocks live OUTSIDE the SQL
+  * cache and register their RDD ids in [[pinned]], which those cleanup
+  * loops skip. Content is row-identical to the inline computation (every
+  * staged prefix is a deterministic function of the input dir), so oracle
+  * hashes are unchanged — consumers re-apply any final ordering
+  * themselves, since staging does not preserve order.
+  *
+  * At 100 TB the analogue is a materialized intermediate table (the thing
+  * every production pipeline does for a shared dedup prefix); the TrieMap
+  * is just the single-JVM registry of what's already built. */
+object Staged {
+
+  private val tables =
+    scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
+
+  /** RDD ids backing staged tables — cleanup loops must not unpersist. */
+  @volatile private var pinnedIds = Set.empty[Int]
+
+  def pinned(id: Int): Boolean = pinnedIds.contains(id)
+
+  def apply(name: String, spark: SparkSession, dir: String)
+      (build: => DataFrame): DataFrame =
+    tables.getOrElseUpdate((name, new java.io.File(dir).getCanonicalPath), {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val df = build.localCheckpoint() // eager: computes + pins blocks now
+      val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+      synchronized { pinnedIds ++= added }
+      df
+    })
+}

@@ -1,0 +1,137 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{GraftExtensions, GraftSession, SparkEntry}
+
+/** Data-sized scaling probe (round-6 advice #4): the sf0.01→sf0.1 probes are
+  * machinery-bound, so this main manufactures a COPIES× blow-up of the
+  * data-sized tables at `outDir` and times the heavy keys at both scales,
+  * printing per-key growth factors. A key whose growth factor tracks the
+  * data factor (~linear) has no super-linear shuffle/pair/loop term hiding
+  * behind the small-SF machinery floor; one that grows faster needs a plan
+  * fix or a documented cap.
+  *
+  * Blow-up construction — COPIES disjoint translates, deliberately:
+  *   - `documents`: per-copy word prefix `c<k>·` (disjoint shingle/minhash/
+  *     simhash space — within-copy dup structure preserved exactly, ZERO
+  *     cross-copy near-dup pairs, so true pair counts scale ×COPIES and any
+  *     super-linear candidate growth is the ALGORITHM's, not planted by the
+  *     replication), doc_id translated by a stride; n_chars recomputed.
+  *   - `events`: event_id/user_id translated — COPIES disjoint user/sensor
+  *     universes for the behavior/stream/timeseries folds.
+  *   - `orders`/`lineitem`: order/customer/supplier keys translated —
+  *     COPIES disjoint trade-graph components for PageRank/BFS/CC.
+  *   - dimension tables + embeddings: symlinked unchanged.
+  *
+  * Run: `sbt "runMain graft.tools.ScaleProbe /root/testdata/sf0.1 /tmp/sfx10"`
+  * (optionally: copies, then key names). Results go to stdout as one JSON
+  * line per key; record the growth factors in BASELINE.md. */
+object ScaleProbe {
+
+  /** doc_id / user_id / order-key translation stride per copy — far above
+    * any real id in the corpus. */
+  val Stride = 10000000L
+
+  val DefaultKeys: Seq[String] = Seq(
+    "q_dedup_ngram_jaccard", "q_minhash_lsh", "q_containment_dedup",
+    "q_simhash_pairs", "q_curation_cc", "q_source_overlap",
+    "q_pagerank", "q_bfs_frontier", "q_kcore", "q_stream_pipeline")
+
+  private def blowUpDocuments(spark: SparkSession, src: String, out: String,
+      copies: Int): Unit = {
+    val d = spark.read.parquet(s"$src/documents.parquet")
+    val copiesDf = (0 until copies).map { k =>
+      d.select(
+        (col("doc_id") + lit(k * Stride)).as("doc_id"),
+        // prefix EVERY word: the copy's token space is fully disjoint, so
+        // no shingle, minhash band, or simhash plane collides across copies
+        array_join(transform(split(col("text"), " "),
+          w => concat(lit(s"c$k"), w)), " ").as("text"),
+        col("lang"), col("source"))
+    }.reduce(_ unionByName _)
+    copiesDf.withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+  }
+
+  private def blowUpEvents(spark: SparkSession, src: String, out: String,
+      copies: Int): Unit = {
+    val e = spark.read.parquet(s"$src/events.parquet")
+    (0 until copies).map { k =>
+      e.withColumn("event_id", col("event_id") + lit(k * Stride))
+        .withColumn("user_id", col("user_id") + lit(k * Stride))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+  }
+
+  private def blowUpTrade(spark: SparkSession, src: String, out: String,
+      copies: Int): Unit = {
+    val o = spark.read.parquet(s"$src/orders.parquet")
+    (0 until copies).map { k =>
+      o.withColumn("o_orderkey", col("o_orderkey") + lit(k * Stride))
+        .withColumn("o_custkey", col("o_custkey") + lit(k * Stride))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    val l = spark.read.parquet(s"$src/lineitem.parquet")
+    (0 until copies).map { k =>
+      l.withColumn("l_orderkey", col("l_orderkey") + lit(k * Stride))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(k * Stride))
+        .withColumn("l_partkey", col("l_partkey") + lit(k * Stride))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+  }
+
+  def generate(spark: SparkSession, src: String, out: String,
+      copies: Int): Unit = {
+    Files.createDirectories(Paths.get(out))
+    blowUpDocuments(spark, src, out, copies)
+    blowUpEvents(spark, src, out, copies)
+    blowUpTrade(spark, src, out, copies)
+    Seq("region", "nation", "customer", "supplier", "part", "embeddings")
+      .foreach { t =>
+        val link = Paths.get(s"$out/$t.parquet")
+        if (!Files.exists(link))
+          Files.createSymbolicLink(link, Paths.get(s"$src/$t.parquet"))
+      }
+  }
+
+  private def time(fn: => Long): (Double, Long) = {
+    val t0 = System.nanoTime()
+    val n = fn
+    ((System.nanoTime() - t0) / 1e9, n)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/tmp/graft_sfx10")
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val keys = if (args.length > 3) args.drop(3).toSeq else DefaultKeys
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.tune(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus))
+      .getOrCreate()
+    GraftExtensions.ensureRegistered(spark)
+    spark.sparkContext.setLogLevel("WARN")
+    if (!Files.exists(Paths.get(s"$out/documents.parquet")))
+      generate(spark, src, out, copies)
+    def clean(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs
+        .foreach { case (id, rdd) =>
+          if (!graft.ops.Staged.pinned(id)) rdd.unpersist(blocking = false) }
+    }
+    keys.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val (t1, n1) = time(fn(spark, src).count()); clean()
+      val (tx, nx) = time(fn(spark, out).count()); clean()
+      println(s"""{"key":"$name","sec_1x":$t1,"rows_1x":$n1,""" +
+        s""""sec_${copies}x":$tx,"rows_${copies}x":$nx,""" +
+        s""""growth":${math.rint(tx / t1 * 100) / 100}}""")
+    }
+    spark.stop()
+  }
+}

@@ -205,7 +205,10 @@ class PlanShapeSpec extends SparkSpec {
       // k-row broadcast centroid tables (k = driver metadata, never data)
       "q_kmeans_refine", "q_semdedup", "q_cluster_stats",
       // broadcast centroid + probe tables (IVF assignment / list selection)
-      "q_ivf_recall")
+      "q_ivf_recall",
+      // 1-row broadcast windowed-agg total (row-conservation claim joined
+      // to the 1-row class-count frame)
+      "q_sensor_gen")
     SparkEntry.all.filter(_.oracle.isDefined).foreach { q =>
       val p = plan(q.fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"${q.name} plans a cartesian:\n$p")
