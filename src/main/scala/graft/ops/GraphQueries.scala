@@ -44,14 +44,18 @@ object GraphQueries {
     * and keeps the join key a single BIGINT). Undirected: each pair yields
     * both directions, so every node has in- and out-degree ≥ 1 and the
     * random walk has no dangling mass to redistribute. */
-  private def edges(t: Tables): DataFrame = {
+  private def edges(t: Tables): DataFrame =
+    // [[Staged]] once per (process, dir): the 600 k-row orders⋈lineitem
+    // join reduces to a ~32 k-row edge list consumed by pagerank / k-core /
+    // BFS — a small derivative, the granularity staging pays at.
+    Staged("trade_edges", t.spark, t.dir) {
     val pairs = t.orders.select(col("o_orderkey"), col("o_custkey"))
       .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
     pairs.unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
-  }
+    }
 
   /** [[PrIters]] rounds of fixed-point PageRank over the trade graph.
     * Output: every node with its kind and integer rank.
@@ -152,7 +156,10 @@ object GraphQueries {
     * then one partial-aggregated shuffle on the pair key applies the
     * threshold. No all-pairs path: suppliers never join against suppliers,
     * only within an order. */
-  private[ops] def coOrderEdges(t: Tables, minShared: Int): DataFrame = {
+  private[ops] def coOrderEdges(t: Tables, minShared: Int): DataFrame =
+    // Staged per minShared: triangles / degree-dist / assortativity /
+    // link-predict all replay the same co-order self-join otherwise.
+    Staged(s"coorder_edges_$minShared", t.spark, t.dir) {
     val lo = t.lineitem.select(col("l_orderkey").as("o"), col("l_suppkey").as("s"))
       .distinct()
     lo.as("a").join(lo.as("b"), col("a.o") === col("b.o") && col("a.s") < col("b.s"))
@@ -161,7 +168,7 @@ object GraphQueries {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .select(col("s1"), col("s2"))
-  }
+    }
 
   /** Degree assortativity of the co-order graph: the Pearson correlation
     * of endpoint degrees over the DIRECTED edge list (both directions —
@@ -383,7 +390,8 @@ object GraphQueries {
     * (one dense cluster per nation, bridged only through shared suppliers),
     * unlike the full bipartite trade graph, which LPA would collapse to a
     * handful of labels. Node ids use the PageRank parity encoding. */
-  private[ops] def nationTradeEdges(t: Tables): DataFrame = {
+  private[ops] def nationTradeEdges(t: Tables): DataFrame =
+    Staged("nation_trade_edges", t.spark, t.dir) {
     val pairs = t.orders.select(col("o_orderkey"), col("o_custkey"))
       .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
@@ -395,7 +403,7 @@ object GraphQueries {
       .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
     pairs.unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
-  }
+    }
 
   /** [[labelPropagationOf]] over the same-nation trade graph: communities ≈
     * national trade clusters. */
@@ -441,7 +449,8 @@ object GraphQueries {
     * metadata-scale at any corpus size. */
   def linkPredict(spark: SparkSession, dir: String,
       minShared: Int = TriMinShared, k: Int = LinkPredTopK): DataFrame = {
-    val e = coOrderEdges(Tables(spark, dir), minShared).localCheckpoint()
+    // coOrderEdges is already a pinned checkpoint (Staged) — no re-pin
+    val e = coOrderEdges(Tables(spark, dir), minShared)
     val sym = e.select(col("s1").as("src"), col("s2").as("dst"))
       .unionByName(e.select(col("s2").as("src"), col("s1").as("dst")))
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -513,11 +522,13 @@ object GraphQueries {
   /** Directed customer→supplier order edges (the bipartite half of
     * [[edges]]: no symmetrization — HITS needs the direction). */
   private def orderPairs(t: Tables): DataFrame =
-    t.orders.select(col("o_orderkey"), col("o_custkey"))
-      .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
-      .distinct()
+    Staged("order_pairs", t.spark, t.dir) {
+      t.orders.select(col("o_orderkey"), col("o_custkey"))
+        .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+        .distinct()
+    }
 
   /** [[HitsIters]] rounds of fixed-point HITS (hubs & authorities) over
     * the directed trade graph — customers are natural hubs (they point),

@@ -429,7 +429,20 @@ object VectorQueries {
     * sort, so composing pipelines (multimodal curation CC) don't inherit a
     * range shuffle they immediately discard. */
   private[ops] def embeddingPairs(spark: SparkSession, dir: String,
-      minCos: Double = EmbeddingMinCos): DataFrame = {
+      minCos: Double = EmbeddingMinCos): DataFrame =
+    // Thresholds ≥ the dedup default share one [[Staged]] table (the
+    // ≥ 0.25 pair set is small — dedup 0.25 and multimodal CC 0.5 both
+    // filter it); the sub-threshold stream (mutual-kNN's −1 keeps EVERY
+    // banded collision) stays inline — staging it was measured net-negative
+    // (millions of scored pairs: the checkpoint serialize cost more than
+    // the one re-score it saved, the wide-intermediate lesson again).
+    if (minCos >= EmbeddingMinCos)
+      Staged("embedding_pairs_dedup", spark, dir) {
+        scoredEmbeddingPairs(spark, dir).filter(col("cos_sim") >= EmbeddingMinCos)
+      }.filter(col("cos_sim") >= minCos)
+    else scoredEmbeddingPairs(spark, dir).filter(col("cos_sim") >= minCos)
+
+  private def scoredEmbeddingPairs(spark: SparkSession, dir: String): DataFrame = {
     // Band table feeds both sides of the candidate self-join — persist it so
     // the 16 projections per vector run once, not once per side (signature
     // materialization, same as the text-dedup family).
@@ -450,8 +463,6 @@ object VectorQueries {
       .join(e.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("nrm").as("nb")), Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("cos_sim"))
-      .filter(col("cos_sim") >= minCos)
-      .select(col("vec_a"), col("vec_b"), col("cos_sim"))
   }
 
   /** Neighbors kept per node in the mutual-kNN graph (shared with the
