@@ -22,10 +22,14 @@ final case class Tables(spark: SparkSession, dir: String) {
     * schema-driven rather than generation-pinned. */
   private def withNanoTs(name: String, tsCol: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
+    import org.apache.spark.sql.types.{DateType, LongType, TimestampType, TimestampNTZType}
     val df = table(name)
     df.schema(tsCol).dataType match {
       case TimestampType => df
+      case DateType =>
+        // date32 generation: midnight-UTC timestamp (session tz is pinned
+        // UTC, so this matches DuckDB's EPOCH(DATE) second count exactly).
+        df.withColumn(tsCol, col(tsCol).cast(TimestampType))
       case TimestampNTZType =>
         // Parquet isAdjustedToUTC=false reads as NTZ; the session timezone is
         // pinned UTC (GraftSession), so this cast re-tags the same instant with
@@ -47,8 +51,12 @@ final case class Tables(spark: SparkSession, dir: String) {
   def customer: DataFrame = table("customer")
   def supplier: DataFrame = table("supplier")
   def part: DataFrame = table("part")
-  def orders: DataFrame = table("orders")
-  def lineitem: DataFrame = table("lineitem")
+  // o_orderdate / l_shipdate ride the same physical-type insurance as
+  // events.ts: testdata generations have switched timestamp physical types
+  // between rounds before, and these two are the only other timestamp
+  // columns the query inventory depends on.
+  def orders: DataFrame = withNanoTs("orders", "o_orderdate")
+  def lineitem: DataFrame = withNanoTs("lineitem", "l_shipdate")
   def events: DataFrame = withNanoTs("events", "ts")
   def documents: DataFrame = table("documents")
   def embeddings: DataFrame = table("embeddings")
