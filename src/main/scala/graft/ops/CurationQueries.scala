@@ -36,8 +36,10 @@ object CurationQueries {
   import TextQueries.{shingled, stopwordsSqlList, wordsExpr}
 
   /** Stage-0 frame: every doc with its quality + language features — the
-    * one narrow scoring pass stages 1 and 4 read from. */
-  private def scoredDocs(spark: SparkSession, dir: String): DataFrame =
+    * one narrow scoring pass stages 1 and 4 read from (also the quality
+    * authority for [[PipelineQueries.tokenBudget]], so the formula lives in
+    * exactly one place per engine). */
+  private[ops] def scoredDocs(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
       .withColumn("w", expr(wordsExpr))
       .withColumn("n_tokens", size(col("w")).cast("long"))
@@ -50,7 +52,8 @@ object CurationQueries {
       .withColumn("stop_ratio", round(
         size(expr(s"filter(w, t -> t in ($stopwordsSqlList))")).cast("double")
           / col("n_tokens"), 4))
-      .select(col("doc_id"), col("text"), col("n_tokens"), col("quality"), col("stop_ratio"))
+      .select(col("doc_id"), col("text"), col("source"),
+        col("n_tokens"), col("quality"), col("stop_ratio"))
 
   /** Stage-1 frame: quality gate over [[scoredDocs]]. */
   private def qualifiedDocs(spark: SparkSession, dir: String): DataFrame =

@@ -581,4 +581,97 @@ object PipelineQueries {
       .select(col("source"), col("n").as("n_tokens"), col("js_nats"))
       .orderBy(col("source"))
   }
+
+  /** Pseudo deletion-request bucket for [[forgetUser]]: user ids whose
+    * hash48 lands here (1% of the id space) stand in for right-to-be-
+    * forgotten requests. Shared with the oracle SQL. */
+  val ForgetBucket = 7L
+
+  /** Right-to-be-forgotten purge AUDIT — the governance operator every
+    * production corpus needs: given a deletion-request id set, anti-join
+    * the event store and prove the purge: request count, rows before /
+    * deleted / after, and `purge_complete` — zero surviving rows for any
+    * requested id, checked against the PURGED output (not assumed from the
+    * anti-join's semantics; a real audit re-reads what it wrote).
+    *
+    * Shape at scale: the request set is a hash-bucket filter over a
+    * distinct-id partial agg (tiny — broadcast to both the purge anti-join
+    * and the audit semi-join); the event store is scanned twice (purge,
+    * audit) with no data-sized shuffle at all. The 1-row count frames
+    * combine via broadcast — driver metadata. */
+  def forgetUser(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events.filter(col("user_id").isNotNull)
+      .select(col("user_id"))
+    val req = ev.distinct()
+      .filter(expr(s"${hash48("cast(user_id as string)")} % 100") === ForgetBucket)
+    val purged = ev.join(broadcast(req), Seq("user_id"), "left_anti")
+    val nReq = req.agg(count(lit(1)).as("n_requests"))
+    val nBefore = ev.agg(count(lit(1)).as("rows_before"))
+    val nAfter = purged.agg(count(lit(1)).as("rows_after"))
+    val leftover = purged.join(broadcast(req), Seq("user_id"), "left_semi")
+      .agg(count(lit(1)).as("n_leftover"))
+    nReq.crossJoin(broadcast(nBefore)).crossJoin(broadcast(nAfter))
+      .crossJoin(broadcast(leftover))
+      .select(col("n_requests"), col("rows_before"),
+        (col("rows_before") - col("rows_after")).as("rows_deleted"),
+        col("rows_after"), (col("n_leftover") === 0L).as("purge_complete"))
+  }
+
+  /** Group-size threshold for [[kAnonymity]] (groups smaller than this are
+    * re-identification risks). Shared with the oracle SQL. */
+  val KAnonK = 5L
+  /** Quasi-identifier length-bucket width (chars). */
+  val KAnonLenBucket = 1000L
+
+  /** k-anonymity screen over the document quasi-identifiers
+    * (lang, source, length bucket): every QI combination held by fewer
+    * than [[KAnonK]] documents, with its member count — the privacy audit
+    * a curated corpus release runs before publication (small QI groups are
+    * re-identification risks; the fix is suppression or wider buckets).
+    *
+    * Shape at scale: one partial-agg shuffle on the QI key; the risky-group
+    * output is bounded by the QI domain, not the corpus. */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .groupBy(col("lang"), col("source"),
+        (col("n_chars") / KAnonLenBucket).cast("long").as("len_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") < KAnonK)
+      .orderBy(col("lang"), col("source"), col("len_bucket"))
+
+  /** Per-source token budget for [[tokenBudget]]. */
+  val TokenBudgetPerSource = 20000L
+
+  /** Token-budget trim — the data-mixing primitive that caps each source at
+    * a token budget, keeping its HIGHEST-quality documents first
+    * ([[CurationQueries.scoredDocs]] is the single quality authority):
+    * a doc survives iff the running token total through it — in (quality
+    * DESC, doc_id) order within its source — stays within the budget. Per
+    * source: doc counts kept/dropped, tokens kept, budget utilization.
+    * This is how production mixes enforce "at most N tokens of source X"
+    * without sampling noise ([[domainMix]] rates are the RATIO face;
+    * this is the absolute-cap face).
+    *
+    * Shape at scale: one scoring pass, one window partitioned BY SOURCE
+    * (state bounded per source, the same documented trade as the other
+    * per-key windows), one partial-agg rollup to #sources rows. */
+  def tokenBudget(spark: SparkSession, dir: String,
+      budget: Long = TokenBudgetPerSource): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    CurationQueries.scoredDocs(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("quality"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("kept", col("cum") <= budget)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        coalesce(sum(when(col("kept"), col("n_tokens"))), lit(0L)).as("tokens_kept"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        (col("n_docs") - col("n_kept")).as("n_dropped"), col("tokens_kept"),
+        round(col("tokens_kept").cast("double") / budget.toDouble, 4).as("budget_used"))
+      .orderBy(col("source"))
+  }
 }

@@ -275,6 +275,62 @@ object PipelineRegistry {
          |    + q * ln(2.0 * q / (p + q))) AS DECIMAL(38,12))) AS DOUBLE), 6)
          |    AS js_nats
          |FROM grid GROUP BY source, n ORDER BY source""".stripMargin)(
-      PipelineQueries.jsDivergence)
+      PipelineQueries.jsDivergence),
+
+    // Right-to-be-forgotten purge audit: requests = 1% hash bucket of the
+    // id space; counts + the re-checked zero-survivor claim.
+    QueryDef("q_forget_user",
+      s"""WITH e AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+         |r AS (SELECT DISTINCT user_id FROM e
+         |      WHERE ${hash48("user_id::VARCHAR")} % 100 = ${PipelineQueries.ForgetBucket}),
+         |p AS (SELECT user_id FROM e
+         |      WHERE user_id NOT IN (SELECT user_id FROM r))
+         |SELECT (SELECT count(*) FROM r) AS n_requests,
+         |  (SELECT count(*) FROM e) AS rows_before,
+         |  (SELECT count(*) FROM e) - (SELECT count(*) FROM p) AS rows_deleted,
+         |  (SELECT count(*) FROM p) AS rows_after,
+         |  (SELECT count(*) FROM p JOIN r USING (user_id)) = 0
+         |    AS purge_complete""".stripMargin)(
+      PipelineQueries.forgetUser),
+
+    QueryDef("q_k_anonymity",
+      s"""SELECT lang, source,
+         |  CAST(n_chars // ${PipelineQueries.KAnonLenBucket} AS BIGINT) AS len_bucket,
+         |  count(*) AS n
+         |FROM documents GROUP BY 1, 2, 3
+         |HAVING count(*) < ${PipelineQueries.KAnonK}
+         |ORDER BY lang, source, len_bucket""".stripMargin)(
+      PipelineQueries.kAnonymity),
+
+    // Quality spelling = CurationRegistry's scored CTEs (round-4dp stages,
+    // the one quality formula both engines share); the budget trim is an
+    // inclusive running-sum window in (quality DESC, doc_id) order.
+    QueryDef("q_token_budget",
+      s"""WITH s1 AS (
+         |  SELECT doc_id, source,
+         |    CAST(len($words) AS BIGINT) AS n_tokens,
+         |    round(CAST(len(list_distinct($words)) AS DOUBLE) / len($words), 4) AS uniq_ratio,
+         |    round(least(CAST(len($words) AS DOUBLE) / 100.0, 1.0), 4) AS len_score
+         |  FROM documents),
+         |s2 AS (SELECT *, round(len_score * 0.4 + uniq_ratio * 0.6, 4) AS quality
+         |       FROM s1),
+         |w AS (SELECT source, doc_id, n_tokens,
+         |        sum(n_tokens) OVER (PARTITION BY source
+         |          ORDER BY quality DESC, doc_id
+         |          ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM s2)
+         |SELECT source, count(*) AS n_docs,
+         |  count(*) FILTER (WHERE cum <= ${PipelineQueries.TokenBudgetPerSource})
+         |    AS n_kept,
+         |  count(*) - count(*) FILTER (WHERE cum <= ${PipelineQueries.TokenBudgetPerSource})
+         |    AS n_dropped,
+         |  CAST(COALESCE(sum(n_tokens)
+         |    FILTER (WHERE cum <= ${PipelineQueries.TokenBudgetPerSource}), 0) AS BIGINT)
+         |    AS tokens_kept,
+         |  round(CAST(COALESCE(sum(n_tokens)
+         |    FILTER (WHERE cum <= ${PipelineQueries.TokenBudgetPerSource}), 0) AS DOUBLE)
+         |    / ${PipelineQueries.TokenBudgetPerSource}, 4) AS budget_used
+         |FROM w GROUP BY source ORDER BY source""".stripMargin)(
+      (s, d) => PipelineQueries.tokenBudget(s, d))
   )
 }

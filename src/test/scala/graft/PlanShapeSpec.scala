@@ -208,7 +208,10 @@ class PlanShapeSpec extends SparkSpec {
       "q_ivf_recall",
       // 1-row broadcast windowed-agg total (row-conservation claim joined
       // to the 1-row class-count frame)
-      "q_sensor_gen")
+      "q_sensor_gen",
+      // 1-row broadcast purge-audit count frames (requests/before/after/
+      // leftover combine via broadcast)
+      "q_forget_user")
     SparkEntry.all.filter(_.oracle.isDefined).foreach { q =>
       val p = plan(q.fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"${q.name} plans a cartesian:\n$p")
