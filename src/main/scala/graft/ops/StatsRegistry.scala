@@ -497,6 +497,24 @@ object StatsRegistry {
          |       ELSE 'partial' END AS cls,
          |  n_match
          |FROM z ORDER BY wk""".stripMargin
-    })(StatsQueries.dataskipAudit)
+    })(StatsQueries.dataskipAudit),
+
+    // Midpoint from a 1-row span aggregate; both halves profiled in one
+    // conditional-agg pass. Integer-div parity: Spark's (min+max)/2 cast
+    // long truncates; BIGINT // 2 floors — positive epochs agree.
+    QueryDef("q_profile_drift",
+      s"""WITH e AS (
+         |  SELECT ${Out.sql.epochSec("ts")} AS sec, value, event_type, user_id
+         |  FROM events WHERE ts IS NOT NULL),
+         |m AS (SELECT (MIN(sec) + MAX(sec)) // 2 AS mid FROM e)
+         |SELECT CASE WHEN sec < mid THEN 'h1_early' ELSE 'h2_late' END AS half,
+         |  count(*) AS n_rows,
+         |  CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_null_value,
+         |  round(${Out.sql.davg("value")}, 6) AS avg_value,
+         |  count(DISTINCT event_type) AS n_types,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM e CROSS JOIN m GROUP BY 1 ORDER BY half""".stripMargin)(
+      StatsQueries.profileDrift)
   )
 }

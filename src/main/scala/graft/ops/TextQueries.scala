@@ -657,4 +657,63 @@ object TextQueries {
       .orderBy(col("score").desc, col("phrase"))
       .limit(k)
   }
+
+  /** Top-k output size for [[bpePairMerges]]. */
+  val BpeTopK = 30
+
+  /** Good–Turing vocabulary-coverage screen per source: token count, type
+    * count, hapax/dis legomena, and the Turing unseen-mass estimate f1/N —
+    * "how much of this source's vocabulary has my sample NOT seen yet".
+    * The coverage answer decides whether a tokenizer/vocab trained on the
+    * sample will hold on the full source (a high unseen mass means the
+    * source is lexically open-ended and needs byte-fallback).
+    *
+    * Shape at scale: one partial-agg shuffle to the (source, token) census;
+    * everything downstream (type counts, f1/f2, the mass formula) runs on
+    * the vocabulary, not the token stream — the [[vocabStats]] economics.
+    * All ratios are exact-integer divisions evaluated in double, the same
+    * tree in the oracle. */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("source"), explode(expr(wordsExpr)).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("f"))
+      .groupBy(col("source"))
+      .agg(sum(col("f")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("f") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("f") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("f1"), col("f2"),
+        round(col("f1").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("gt_unseen_mass"),
+        round(lit(1.0) - col("f1").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("coverage"))
+      .orderBy(col("source"))
+
+  /** BPE merge-candidate table: the frequency of every adjacent character
+    * pair across the corpus, weighted by word frequency — exactly the
+    * statistic the first byte-pair-encoding merge round maximizes when
+    * training a tokenizer. Re-running this against a trained vocabulary is
+    * the standard tokenizer-drift check on a new corpus.
+    *
+    * Shape at scale: the token stream collapses to the word census FIRST
+    * (one partial-agg shuffle to vocabulary size — the [[vocabStats]]
+    * move), so the pair explosion runs per TYPE, not per token: a word seen
+    * 10⁹ times contributes its pairs once, weighted. The second shuffle
+    * aggregates to the character-pair grid (≤ alphabet² rows — metadata)
+    * and the top-k is a `TakeOrderedAndProject`. Tie-break on the pair
+    * string makes the cut deterministic. */
+  def bpePairMerges(spark: SparkSession, dir: String, k: Int = BpeTopK): DataFrame = {
+    val vocab = Tables(spark, dir).documents
+      .select(explode(expr(wordsExpr)).as("w"))
+      .where(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    vocab
+      .select(col("freq"),
+        explode(expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))"))
+          .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("pair"))
+      .limit(k)
+  }
 }

@@ -367,6 +367,39 @@ object TextRegistry {
          |SELECT phrase, count(*) AS n_occ, max(pscore) AS score
          |FROM ps GROUP BY 1
          |ORDER BY score DESC, phrase LIMIT ${TextQueries.RakeTopK}""".stripMargin
-    })((s, d) => TextQueries.rakePhrases(s, d))
-  )
+    })((s, d) => TextQueries.rakePhrases(s, d)),
+
+    // Pair explosion runs over the word CENSUS (vocabulary-sized), never the
+    // token stream; DuckDB range(a,b) is [a,b) = Spark sequence(a, b-1).
+    QueryDef("q_bpe_pair_merges",
+      s"""WITH vocab AS (
+         |  SELECT w, count(*) AS freq FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE length(w) >= 2 GROUP BY 1),
+         |pos AS (
+         |  SELECT w, freq, unnest(range(1, length(w))) AS i FROM vocab),
+         |pairs AS (
+         |  SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, freq FROM pos)
+         |SELECT pair, CAST(SUM(freq) AS BIGINT) AS n_occ
+         |FROM pairs GROUP BY 1
+         |ORDER BY n_occ DESC, pair LIMIT ${TextQueries.BpeTopK}""".stripMargin)(
+      (s, d) => TextQueries.bpePairMerges(s, d)),
+
+    // Census-then-rollup: the mass formula never touches the token stream.
+    QueryDef("q_vocab_coverage",
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+        |census AS (
+        |  SELECT source, w, count(*) AS f FROM tok WHERE w <> '' GROUP BY 1, 2)
+        |SELECT source,
+        |  CAST(SUM(f) AS BIGINT) AS n_tokens,
+        |  count(*) AS n_types,
+        |  CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |  CAST(SUM(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+        |  round(CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(f) AS DOUBLE), 6) AS gt_unseen_mass,
+        |  round(1.0 - CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(f) AS DOUBLE), 6) AS coverage
+        |FROM census GROUP BY 1 ORDER BY source""".stripMargin)(
+      TextQueries.vocabCoverage))
 }

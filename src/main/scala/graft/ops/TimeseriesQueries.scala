@@ -560,4 +560,97 @@ object TimeseriesQueries {
         max(col("gap")).as("gap_max"))
       .orderBy(col("user_id"))
   }
+
+  /** Transport-delay bound (s) and micro-batch length (s) for
+    * [[lateArrival]]. Shared with the oracle SQL. */
+  val LateMaxDelay = 180L
+  val LateBatchSec = 300L
+
+  /** Out-of-order arrival census — the data-driven way to size a streaming
+    * watermark delay. The corpus is generation-ordered (event_id follows
+    * ts exactly), so disorder is induced the way it arises in production:
+    * per-event transport delay, here a deterministic 48-bit-hash jitter in
+    * [0, [[LateMaxDelay]]). Arrivals are then replayed at micro-batch
+    * granularity ([[LateBatchSec]]-second arrival buckets): the watermark
+    * an event meets is the max event-time seen in all EARLIER batches, and
+    * its lateness is `watermark − ts` (0 when it beats the watermark). The
+    * banded census is the curve you read a `withWatermark` delay off.
+    *
+    * Shape at scale: NO row-level running max (a global arrival-ordered
+    * window is a single sequential task — the anti-shape). Instead the
+    * exact micro-batch decomposition a streaming engine uses: (1) one
+    * partial-agg shuffle to per-batch max event-time (≤ #batches rows),
+    * (2) the watermark recurrence as a running max over that metadata
+    * series, (3) broadcast the batch→watermark table back onto the stream,
+    * (4) partial-agg to the ≤5-row band census. Everything row-scale is
+    * embarrassingly parallel. */
+  def lateArrival(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .where(col("ts").isNotNull && col("event_id").isNotNull)
+      .select(col("event_id"), Out.epochSec(col("ts")).as("sec"))
+      .withColumn("arrival",
+        col("sec") + expr(TextQueries.hash48("cast(event_id as string)")) % LateMaxDelay)
+      .withColumn("batch", expr(s"arrival div $LateBatchSec"))
+    val wmByBatch = Window.orderBy(col("batch"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wm = ev.groupBy(col("batch")).agg(max(col("sec")).as("batch_max"))
+      .withColumn("wm", max(col("batch_max")).over(wmByBatch))
+      .select(col("batch"), col("wm"))
+    ev.join(broadcast(wm), Seq("batch"))
+      .withColumn("late_sec", greatest(coalesce(col("wm"), lit(0L)) - col("sec"), lit(0L)))
+      .withColumn("band",
+        when(col("late_sec") === 0, lit("b0_ontime"))
+          .when(col("late_sec") <= 30, lit("b1_le30s"))
+          .when(col("late_sec") <= 60, lit("b2_le60s"))
+          .when(col("late_sec") <= 120, lit("b3_le2m"))
+          .otherwise(lit("b4_gt2m")))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_events"), max(col("late_sec")).as("max_late_sec"))
+      .orderBy(col("band"))
+  }
+
+  /** Trailing-window length for [[burstDetect]] (days) and its σ multiplier.
+    * Shared with the oracle SQL (interpolated, not duplicated). */
+  val BurstWindow = 7
+  val BurstSigma = 3.0
+
+  /** Burst detection on daily event-type counts: flag days whose count
+    * exceeds `trailing mean + 3σ` of the FULL preceding [[BurstWindow]]-day
+    * frame (frame ends at 1 PRECEDING — the day under test never feeds its
+    * own baseline, the [[mlFeatures]] leakage rule). The trailing-local
+    * baseline is what separates this from [[anomalyZscore]]'s global-mean
+    * regime: a slow trend never alarms here, a step does.
+    *
+    * Shape at scale: the event stream collapses to the (type, day) grain in
+    * ONE partial-agg shuffle; every window after that runs over the
+    * calendar-bounded day series (≤ types × days rows — metadata). Counts
+    * are integers, so Σn and Σn² are exact BIGINTs and mean/σ are the same
+    * double expression tree in both engines; days with an incomplete
+    * trailing frame are excluded by the window-count predicate, not by row
+    * position (robust to missing days). */
+  def burstDetect(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day_sec"))
+      .rowsBetween(-BurstWindow, -1)
+    val nD = lit(BurstWindow.toDouble)
+    val daily = Tables(spark, dir).events
+      .where(col("ts").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("event_type"),
+        Out.epochSec(date_trunc("day", col("ts"))).as("day_sec"))
+      .agg(count(lit(1)).as("n"))
+    daily
+      .withColumn("w_cnt", count(col("n")).over(w))
+      .withColumn("s", sum(col("n")).over(w))
+      .withColumn("ss", sum(col("n") * col("n")).over(w))
+      .where(col("w_cnt") === BurstWindow)
+      .withColumn("mean", col("s").cast("double") / nD)
+      .withColumn("std",
+        sqrt(greatest(
+          (nD * col("ss").cast("double") - col("s").cast("double") * col("s").cast("double")),
+          lit(0.0)) / (nD * (nD - 1.0))))
+      .where(col("n").cast("double") > col("mean") + lit(BurstSigma) * col("std"))
+      .select(col("event_type"), col("day_sec"), col("n"),
+        round(col("mean"), 6).as("trail_mean"),
+        round(col("std"), 6).as("trail_std"))
+      .orderBy(col("event_type"), col("day_sec"))
+  }
 }

@@ -343,5 +343,68 @@ object TimeseriesRegistry {
          |  max(gap) AS gap_max
          |FROM g WHERE gap IS NOT NULL
          |GROUP BY 1 ORDER BY user_id""".stripMargin)(
-      TimeseriesQueries.interarrivalStats))
+      TimeseriesQueries.interarrivalStats),
+
+    // Micro-batch watermark replay: per-batch max event-time, running max
+    // over the batch series, lateness = watermark − ts clamped at 0. The
+    // hash jitter is the shared deterministic transport-delay model.
+    QueryDef("q_late_arrival",
+      s"""WITH e AS (
+         |  SELECT event_id, ${Out.sql.epochSec("ts")} AS sec
+         |  FROM events
+         |  WHERE ts IS NOT NULL AND event_id IS NOT NULL),
+         |a AS (
+         |  SELECT event_id, sec,
+         |    (sec + ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT
+         |      % ${TimeseriesQueries.LateMaxDelay})
+         |      // ${TimeseriesQueries.LateBatchSec} AS batch
+         |  FROM e),
+         |w AS (
+         |  SELECT batch,
+         |    MAX(MAX(sec)) OVER (ORDER BY batch
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+         |  FROM a GROUP BY batch),
+         |l AS (
+         |  SELECT GREATEST(COALESCE(w.wm, 0) - a.sec, 0) AS late_sec
+         |  FROM a JOIN w USING (batch))
+         |SELECT CASE WHEN late_sec = 0 THEN 'b0_ontime'
+         |            WHEN late_sec <= 30 THEN 'b1_le30s'
+         |            WHEN late_sec <= 60 THEN 'b2_le60s'
+         |            WHEN late_sec <= 120 THEN 'b3_le2m'
+         |            ELSE 'b4_gt2m' END AS band,
+         |  count(*) AS n_events, max(late_sec) AS max_late_sec
+         |FROM l GROUP BY 1 ORDER BY band""".stripMargin)(
+      TimeseriesQueries.lateArrival),
+
+    // Integer day counts ⇒ exact BIGINT power sums; the mean/σ formula is
+    // the same double tree both engines evaluate. Incomplete trailing
+    // frames excluded by the window COUNT, not row position.
+    QueryDef("q_burst_detect",
+      s"""WITH daily AS (
+         |  SELECT event_type,
+         |    ${Out.sql.epochSec("date_trunc('day', ts)")} AS day_sec,
+         |    count(*) AS n
+         |  FROM events
+         |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+         |  GROUP BY 1, 2),
+         |t AS (
+         |  SELECT event_type, day_sec, n,
+         |    COUNT(n) OVER w AS w_cnt,
+         |    SUM(n) OVER w AS s, SUM(n * n) OVER w AS ss
+         |  FROM daily
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY day_sec
+         |    ROWS BETWEEN ${TimeseriesQueries.BurstWindow} PRECEDING AND 1 PRECEDING)),
+         |m AS (
+         |  SELECT event_type, day_sec, n,
+         |    CAST(s AS DOUBLE) / ${TimeseriesQueries.BurstWindow}.0 AS mean,
+         |    SQRT(GREATEST(${TimeseriesQueries.BurstWindow}.0 * CAST(ss AS DOUBLE)
+         |        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE), 0.0)
+         |      / (${TimeseriesQueries.BurstWindow}.0 * ${TimeseriesQueries.BurstWindow - 1}.0)) AS std
+         |  FROM t WHERE w_cnt = ${TimeseriesQueries.BurstWindow})
+         |SELECT event_type, day_sec, n,
+         |  round(mean, 6) AS trail_mean, round(std, 6) AS trail_std
+         |FROM m
+         |WHERE CAST(n AS DOUBLE) > mean + ${TimeseriesQueries.BurstSigma} * std
+         |ORDER BY event_type, day_sec""".stripMargin)(
+      TimeseriesQueries.burstDetect))
 }

@@ -759,4 +759,91 @@ object VectorQueries {
       .filter(col("cos_sim") >= minCos)
       .orderBy(col("probe_id"), col("vec_id"))
   }
+
+  /** RRF constant (the standard k = 60 from the Cormack/Clarke/Buettcher
+    * fusion formula) and arm depth, shared with the oracle SQL. */
+  val RrfK = 60
+  val RrfArmDepth = 20
+
+  /** Hybrid retrieval via reciprocal-rank fusion: the BM25 keyword arm
+    * ([[TextQueries.bm25Search]]) and the vector-similarity arm
+    * ([[similarVectors]], probe 0) each produce a top-[[RrfArmDepth]]
+    * ranking; RRF combines them as Σ 1/([[RrfK]] + rank) — the standard
+    * hybrid-search scorer in front of a RAG stack, robust to the two arms'
+    * incomparable score scales because only RANKS cross the boundary.
+    *
+    * Shape at scale: each arm ends in its own `TakeOrderedAndProject`
+    * (corpus-scale work stays inside the arms, which scale as documented on
+    * each); everything after is a full-outer join of two ≤[[RrfArmDepth]]-row
+    * frames — metadata. The rank windows also run on those tiny frames.
+    * Determinism: ranks are integers with unique tiebreaks (score desc,
+    * id asc); the fused score is a fixed two-term double sum — the same
+    * expression tree in DuckDB — rounded once. */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byText = Window.orderBy(col("bm25").desc, col("doc_id"))
+    val byVec = Window.orderBy(col("cos_sim").desc, col("vec_id"))
+    val textArm = TextQueries.bm25Search(spark, dir, k = RrfArmDepth)
+      .withColumn("rank_text", row_number().over(byText).cast("long"))
+      .select(col("doc_id"), col("rank_text"))
+    val vecArm = similarVectors(spark, dir, probeId = 0L, k = RrfArmDepth)
+      .withColumn("rank_vec", row_number().over(byVec).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("rank_vec"))
+    textArm.join(vecArm, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("rank_text"), col("rank_vec"),
+        round(
+          coalesce(lit(1.0) / (lit(RrfK.toDouble) + col("rank_text")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RrfK.toDouble) + col("rank_vec")), lit(0.0)),
+          6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(RrfArmDepth)
+  }
+
+  /** Leading-dimension count for [[embeddingCov]] and its quantization
+    * grid (values land on integer multiples of 1e-6 before any sum). */
+  val CovDims = 16
+  val CovQuant = 1000000L
+
+  /** Covariance block of the leading [[CovDims]] embedding dimensions —
+    * the input to a PCA/whitening step (dimensionality reduction before
+    * IVF/PQ training) and the redundant-dimension screen: a near-singular
+    * block means the index can run on fewer dims.
+    *
+    * Shape at scale: each row explodes to its d'(d'+1)/2 = 136 upper-
+    * triangle products (a constant factor on the NARROW pre-shuffle stage,
+    * all codegen'd), and map-side combine collapses them to ≤136 rows per
+    * task before the ONE shuffle to the (i, j) grid. Per-dimension sums
+    * ride the same explosion (j = i diagonal carries them), so the corpus
+    * is scanned exactly once. The full-d alternative (64² via a
+    * per-partition Gram in `mapPartitions`) buys a 30× constant at the
+    * price of leaving codegen — the declarative spelling wins until d' is
+    * in the hundreds.
+    *
+    * Determinism: floats are widened to double (exact) and quantized to an
+    * integer grid (`floor(x·1e6)` — identical IEEE ops both engines), so
+    * every sum is an exact integer and the covariance is one shared double
+    * expression tree: cov = (Σab/n − (Σa/n)(Σb/n)) / 1e12. */
+  def embeddingCov(spark: SparkSession, dir: String, dims: Int = CovDims): DataFrame = {
+    val q = emb(spark, dir)
+      .select(expr(
+        s"transform(sequence(0, ${dims - 1}), i -> cast(floor(e[i] * $CovQuant) as bigint))")
+        .as("qv"))
+    val pairs = q.select(explode(expr(
+      s"""flatten(transform(sequence(0, ${dims - 1}), i ->
+         |  transform(sequence(i, ${dims - 1}), j ->
+         |    named_struct('i', i, 'j', j,
+         |      'ab', qv[i] * qv[j], 'a', qv[i], 'b', qv[j]))))""".stripMargin))
+      .as("p"))
+    val g = lit(CovQuant.toDouble * CovQuant.toDouble)
+    pairs
+      .groupBy(col("p.i").cast("long").as("i"), col("p.j").cast("long").as("j"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("p.ab").cast("decimal(38,0)")).cast("double").as("sab"),
+        sum(col("p.a").cast("decimal(38,0)")).cast("double").as("sa"),
+        sum(col("p.b").cast("decimal(38,0)")).cast("double").as("sb"))
+      .select(col("i"), col("j"), col("n"),
+        round((col("sab") / col("n") - (col("sa") / col("n")) * (col("sb") / col("n"))) / g,
+          8).as("cov"))
+      .orderBy(col("i"), col("j"))
+  }
 }

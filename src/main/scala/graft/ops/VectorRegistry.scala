@@ -382,6 +382,82 @@ object VectorRegistry {
          |FROM knn f JOIN knn r ON f.src = r.dst AND f.dst = r.src
          |WHERE f.src < f.dst
          |ORDER BY vec_a, vec_b""".stripMargin)(
-      (s, d) => VectorQueries.mutualKnn(s, d))
+      (s, d) => VectorQueries.mutualKnn(s, d)),
+
+    // Corpus-scale work stays inside the two arm CTEs (each the exact SQL
+    // of its standalone key); fusion is rank-only over ≤20-row frames.
+    QueryDef("q_rrf_fusion", {
+      val words = "string_split(text, ' ')"
+      val k1 = TextQueries.Bm25K1
+      val b = TextQueries.Bm25B
+      val kk = VectorQueries.RrfK
+      val depth = VectorQueries.RrfArmDepth
+      s"""WITH docs AS (
+         |  SELECT doc_id, CAST(len($words) AS BIGINT) AS dl, text FROM documents),
+         |stats AS (
+         |  SELECT count(*) AS n_docs,
+         |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM docs),
+         |tok AS (SELECT doc_id, dl, unnest($words) AS term FROM docs),
+         |tf AS (
+         |  SELECT doc_id, dl, term, count(*) AS tf FROM tok
+         |  WHERE term IN (${TextQueries.bm25TermsSqlList})
+         |  GROUP BY doc_id, dl, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    ln(CAST(1.0 AS DOUBLE)
+         |       + (n_docs - df.df + CAST(0.5 AS DOUBLE)) / (df.df + CAST(0.5 AS DOUBLE)))
+         |    * (tf * (CAST($k1 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+         |    / (tf + CAST($k1 AS DOUBLE)
+         |            * (CAST(${1.0 - b} AS DOUBLE)
+         |               + CAST($b AS DOUBLE) * dl / avgdl)) AS s
+         |  FROM tf JOIN df USING (term) CROSS JOIN stats),
+         |bm AS (
+         |  SELECT doc_id, round(list_sum(list(s ORDER BY term)), 6) AS bm25
+         |  FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT $depth),
+         |ta AS (
+         |  SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+         |    AS BIGINT) AS rank_text FROM bm),
+         |$embCte,
+         |p AS (SELECT e AS pe FROM emb WHERE vec_id = 0),
+         |cs AS (
+         |  SELECT vec_id, round(${cos("e", "pe")}, 6) AS cos_sim
+         |  FROM emb, p WHERE vec_id <> 0
+         |  ORDER BY cos_sim DESC, vec_id LIMIT $depth),
+         |va AS (
+         |  SELECT vec_id AS doc_id, CAST(row_number() OVER
+         |    (ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank_vec FROM cs)
+         |SELECT COALESCE(ta.doc_id, va.doc_id) AS doc_id, rank_text, rank_vec,
+         |  round(COALESCE(CAST(1.0 AS DOUBLE) / ($kk.0 + rank_text), 0.0)
+         |      + COALESCE(CAST(1.0 AS DOUBLE) / ($kk.0 + rank_vec), 0.0), 6)
+         |    AS rrf
+         |FROM ta FULL OUTER JOIN va ON ta.doc_id = va.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT $depth""".stripMargin
+    })((s, d) => VectorQueries.rrfFusion(s, d)),
+
+    // Quantized-integer power sums (floor(x·1e6) — identical IEEE ops both
+    // engines) make the covariance one shared double expression tree;
+    // list indices are 1-based in DuckDB, 0-based in Spark's qv[i].
+    QueryDef("q_embedding_cov", {
+      val d = VectorQueries.CovDims
+      val qc = VectorQueries.CovQuant
+      s"""WITH q AS (
+         |  SELECT list_transform(range(1, ${d + 1}),
+         |    k -> CAST(FLOOR(CAST(list_extract(embedding, k) AS DOUBLE) * $qc)
+         |      AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+         |    list_extract(qv, CAST(i + 1 AS INTEGER)) AS a,
+         |    list_extract(qv, CAST(j + 1 AS INTEGER)) AS b
+         |  FROM q, range(0, $d) t(i), range(0, $d) u(j)
+         |  WHERE j >= i)
+         |SELECT i, j, count(*) AS n,
+         |  round((CAST(SUM(a * b) AS DOUBLE) / count(*)
+         |      - (CAST(SUM(a) AS DOUBLE) / count(*))
+         |        * (CAST(SUM(b) AS DOUBLE) / count(*)))
+         |    / ($qc.0 * $qc.0), 8) AS cov
+         |FROM p GROUP BY 1, 2 ORDER BY i, j""".stripMargin
+    })((s, d) => VectorQueries.embeddingCov(s, d))
   )
 }

@@ -1,0 +1,224 @@
+package graft
+
+import graft.ops.{BehaviorQueries, DedupQueries, TextQueries, TimeseriesQueries, VectorQueries}
+
+/** Brute-force oracles for the round-7 growth batch: the Scala
+  * recomputation runs on sf0.001 with naive single-machine logic, so any
+  * agreement with the distributed plan is evidence of the plan, not of a
+  * shared shortcut. (The DuckDB gate at sf0.01 is the primary oracle; these
+  * pin the semantics at a second scale and cover the non-SQL invariants.) */
+class GrowthOpsSpec extends SparkSpec {
+
+  test("q_burst_detect flags exactly the days a naive trailing scan flags") {
+    val daily = SparkSpec.spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_type", "cast(floor(cast(date_trunc('day', ts) as double)) as bigint) as day", "1L as one")
+      .where("event_type is not null and day is not null")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).map { case ((t, d), xs) => (t, d, xs.length.toLong) }
+      .toSeq
+    val want = daily.groupBy(_._1).flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.indices.flatMap { i =>
+        val frame = sorted.slice(math.max(0, i - TimeseriesQueries.BurstWindow), i)
+          .takeRight(TimeseriesQueries.BurstWindow)
+        if (i >= TimeseriesQueries.BurstWindow &&
+            frame.length == TimeseriesQueries.BurstWindow) {
+          val ns = frame.map(_._3)
+          val nD = TimeseriesQueries.BurstWindow.toDouble
+          val s = ns.sum.toDouble
+          val ss = ns.map(n => n * n).sum.toDouble
+          val mean = s / nD
+          val std = math.sqrt(math.max(nD * ss - s * s, 0.0) / (nD * (nD - 1.0)))
+          if (sorted(i)._3 > mean + TimeseriesQueries.BurstSigma * std)
+            Some((sorted(i)._1, sorted(i)._2))
+          else None
+        } else None
+      }
+    }.toSet
+    val got = TimeseriesQueries.burstDetect(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    got shouldBe want
+  }
+
+  test("q_late_arrival: census is total, lateness bounded by delay + batch") {
+    val total = SparkSpec.spark.read.parquet(s"$sf/events.parquet")
+      .where("ts is not null and event_id is not null").count()
+    val rows = TimeseriesQueries.lateArrival(spark, sf).collect()
+    rows.map(_.getAs[Long]("n_events")).sum shouldBe total
+    // an event's watermark deficit cannot exceed the worst transport delay
+    // plus one batch width (events that beat it into an earlier batch were
+    // at most maxDelay newer; the batch floor adds at most one batch)
+    rows.foreach(r => r.getAs[Long]("max_late_sec") should be <=
+      (TimeseriesQueries.LateMaxDelay + TimeseriesQueries.LateBatchSec))
+    assert(rows.length >= 2, "hash jitter must produce at least one late band")
+  }
+
+  test("q_running_distinct: cumulative curve is the distinct-user count") {
+    val users = SparkSpec.spark.read.parquet(s"$sf/events.parquet")
+      .where("ts is not null and user_id is not null")
+      .select("user_id").distinct().count()
+    val got = BehaviorQueries.runningDistinct(spark, sf).collect()
+    got.map(_.getAs[Long]("new_users")).sum shouldBe users
+    got.last.getAs[Long]("cum_users") shouldBe users
+    // monotone, and each step is exactly the day's new users
+    got.sliding(2).foreach {
+      case Array(a, b) =>
+        b.getAs[Long]("cum_users") - a.getAs[Long]("cum_users") shouldBe
+          b.getAs[Long]("new_users")
+      case _ =>
+    }
+  }
+
+  test("q_bpe_pair_merges matches a naive per-word pair count") {
+    val freq = SparkSpec.spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("text").collect().iterator
+      .flatMap(_.getString(0).split(" ", -1)).filter(_.length >= 2)
+      .foldLeft(Map.empty[String, Long]) { (m, w) =>
+        m.updated(w, m.getOrElse(w, 0L) + 1L) }
+    // positional pairs: duplicates within a word count once per position
+    val want = freq.toSeq
+      .flatMap { case (w, f) =>
+        (0 until w.length - 1).map(i => w.substring(i, i + 2) -> f) }
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+      .toSeq.sortBy { case (p, n) => (-n, p) }
+      .take(TextQueries.BpeTopK)
+    val got = TextQueries.bpePairMerges(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    got shouldBe want
+  }
+
+  test("q_dedup_prefix groups exactly the docs sharing a token prefix") {
+    val docs = SparkSpec.spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val want = docs.groupBy { case (_, _, t) =>
+        t.split(" ", -1).take(DedupQueries.PrefixTokens).mkString(" ") }
+      .values.filter(_.size >= 2)
+      .map(g => (g.map(_._1).min, g.size.toLong, g.map(_._2).distinct.size.toLong))
+      .toSet
+    val got = DedupQueries.dedupPrefix(spark, sf).collect()
+      .map(r => (r.getAs[Long]("min_doc_id"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_sources"))).toSet
+    got shouldBe want
+  }
+
+  test("q_rrf_fusion: fused score recomputes from the arm ranks") {
+    val rows = VectorQueries.rrfFusion(spark, sf).collect()
+    rows.length should be <= VectorQueries.RrfArmDepth
+    rows.foreach { r =>
+      val rt = Option(r.getAs[java.lang.Long]("rank_text")).map(_.toLong)
+      val rv = Option(r.getAs[java.lang.Long]("rank_vec")).map(_.toLong)
+      assert(rt.nonEmpty || rv.nonEmpty, "a fused doc must come from an arm")
+      val want = rt.map(x => 1.0 / (VectorQueries.RrfK + x)).getOrElse(0.0) +
+        rv.map(x => 1.0 / (VectorQueries.RrfK + x)).getOrElse(0.0)
+      r.getAs[Double]("rrf") shouldBe (want +- 1e-6)
+    }
+    // both arms contribute: at least one doc per arm is present
+    assert(rows.exists(r => r.getAs[java.lang.Long]("rank_text") != null))
+    assert(rows.exists(r => r.getAs[java.lang.Long]("rank_vec") != null))
+  }
+
+  test("q_vocab_coverage matches a naive per-source census") {
+    val toks = SparkSpec.spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("source", "text").collect()
+      .flatMap(r => r.getString(1).split(" ", -1).filter(_.nonEmpty)
+        .map(r.getString(0) -> _))
+    val want = toks.groupBy(_._1).map { case (src, xs) =>
+      val census = xs.groupBy(_._2).map(_._2.size.toLong)
+      val n = xs.length.toLong
+      val f1 = census.count(_ == 1L).toLong
+      src -> (n, census.size.toLong, f1, census.count(_ == 2L).toLong,
+        f1.toDouble / n)
+    }
+    val got = TextQueries.vocabCoverage(spark, sf).collect()
+    got.length shouldBe want.size
+    got.foreach { r =>
+      val (n, types, f1, f2, mass) = want(r.getString(0))
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) shouldBe
+        ((n, types, f1, f2))
+      r.getAs[Double]("gt_unseen_mass") shouldBe (mass +- 1e-6)
+      r.getAs[Double]("coverage") shouldBe (1.0 - mass +- 1e-6)
+    }
+  }
+
+  test("q_ab_lift: arms partition the users; z recomputes from the counts") {
+    val users = SparkSpec.spark.read.parquet(s"$sf/events.parquet")
+      .where("user_id is not null").select("user_id").distinct().count()
+    val r = BehaviorQueries.abLift(spark, sf).collect().head
+    val (na, ca, nb, cb) = (r.getAs[Long]("n_a"), r.getAs[Long]("conv_a"),
+      r.getAs[Long]("n_b"), r.getAs[Long]("conv_b"))
+    na + nb shouldBe users
+    ca should be <= na
+    cb should be <= nb
+    val pPool = (ca + cb).toDouble / (na + nb)
+    val se = math.sqrt(pPool * (1 - pPool) * (1.0 / na + 1.0 / nb))
+    if (se > 0)
+      r.getAs[Double]("z") shouldBe
+        ((ca.toDouble / na - cb.toDouble / nb) / se +- 1e-6)
+    else assert(r.isNullAt(r.fieldIndex("z")))
+  }
+
+  test("q_time_to_convert matches a naive first-view/first-purchase scan") {
+    val evs = SparkSpec.spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("user_id", "event_type",
+        "cast(floor(cast(ts as double)) as bigint) as sec")
+      .where("user_id is not null and sec is not null").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = evs.groupBy(_._1).flatMap { case (u, xs) =>
+      val v = xs.filter(_._2 == "view").map(_._3)
+      val p = xs.filter(_._2 == "purchase").map(_._3)
+      if (v.nonEmpty && p.nonEmpty && p.min >= v.min)
+        Some(u -> (p.min - v.min))
+      else None
+    }
+    val got = BehaviorQueries.timeToConvert(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("convert_sec")).toMap
+    got shouldBe want
+  }
+
+  test("q_profile_drift: halves partition the stream at the span midpoint") {
+    val rows = ops.StatsQueries.profileDrift(spark, sf).collect()
+    rows.map(_.getString(0)).toSeq shouldBe Seq("h1_early", "h2_late")
+    val total = SparkSpec.spark.read.parquet(s"$sf/events.parquet")
+      .where("ts is not null").count()
+    rows.map(_.getAs[Long]("n_rows")).sum shouldBe total
+  }
+
+  test("q_minhash_est_error: scores in [0,1]; error is their gap; " +
+      "the verified pairs are exactly the candidates above threshold") {
+    val rows = DedupQueries.minhashEstError(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getAs[Double]("est_jaccard")
+      val ex = r.getAs[Double]("exact_jaccard")
+      est should (be >= 0.0 and be <= 1.0)
+      ex should (be >= 0.0 and be <= 1.0)
+      r.getAs[Double]("abs_err") shouldBe
+        (BigDecimal(math.abs(est - ex)).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble +- 1e-9)
+    }
+    val above = rows.filter(_.getAs[Double]("exact_jaccard") >=
+      DedupQueries.VerifiedMinJaccard).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val verified = DedupQueries.dedupVerified(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    above shouldBe verified
+  }
+
+  test("q_embedding_cov: diagonal is the (quantized) per-dim variance, ≥ 0") {
+    val vecs = SparkSpec.spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val got = VectorQueries.embeddingCov(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("cov")).toMap
+    got.size shouldBe VectorQueries.CovDims * (VectorQueries.CovDims + 1) / 2
+    (0 until VectorQueries.CovDims).foreach { i =>
+      val q = vecs.map(v => math.floor(v(i) * VectorQueries.CovQuant))
+      val n = q.length.toDouble
+      val mean = q.sum / n
+      val varPop = (q.map(x => x * x).sum / n - mean * mean) /
+        (VectorQueries.CovQuant.toDouble * VectorQueries.CovQuant)
+      got((i.toLong, i.toLong)) shouldBe (varPop +- 1e-6)
+      got((i.toLong, i.toLong)) should be >= 0.0
+    }
+  }
+}
