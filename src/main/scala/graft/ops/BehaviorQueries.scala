@@ -558,6 +558,39 @@ object BehaviorQueries {
         col("n_b"), col("conv_b"), col("rate_b"), col("z"))
   }
 
+  /** Journey-prefix length and output size for [[sessionPaths]]. */
+  val PathLen = 3
+  val PathTopK = 20
+
+  /** User-journey mining: each user's first [[PathLen]] event types as an
+    * ordered path string, with the population count per path — the
+    * "how do sessions start" view product analytics opens with, and the
+    * empirical prior a next-event model is sanity-checked against.
+    *
+    * Shape at scale: ONE shuffle to the user grain; each user's history is
+    * collected and sorted within its task (the [[EventQueries.funnel]]
+    * trade note's buffering caveat applies — per-user volume is bounded in
+    * any real event log, and only the first [[PathLen]] entries survive
+    * the projection), then a partial-agg shuffle to the path census
+    * (≤ types^len rows) and a TakeOrderedAndProject. Deterministic: the
+    * sort key (sec, event_id) is unique. */
+  def sessionPaths(spark: SparkSession, dir: String,
+      len: Int = PathLen, k: Int = PathTopK): DataFrame =
+    Tables(spark, dir).events
+      .where(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("event_id").isNotNull)
+      .select(col("user_id"), Out.epochSec(col("ts")).as("sec"),
+        col("event_id"), col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(
+        struct(col("sec"), col("event_id"), col("event_type")))).as("xs"))
+      .select(expr(
+        s"array_join(transform(slice(xs, 1, $len), x -> x.event_type), '>')")
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(k)
+
   /** Time-to-convert: for every user whose first purchase follows their
     * first view, the lag in seconds — the funnel-latency distribution
     * behind [[q_funnel]]'s stage counts (the counts say HOW MANY convert;

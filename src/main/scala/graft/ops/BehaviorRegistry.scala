@@ -349,5 +349,24 @@ object BehaviorRegistry {
          |FROM u
          |WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
          |  AND first_purchase >= first_view
-         |ORDER BY user_id""".stripMargin)(BehaviorQueries.timeToConvert))
+         |ORDER BY user_id""".stripMargin)(BehaviorQueries.timeToConvert),
+
+    // Ordered list slice per user ((sec, event_id) unique sort key); path
+    // census then top-k.
+    QueryDef("q_session_paths",
+      s"""WITH e AS (
+         |  SELECT user_id, ${Out.sql.epochSec("ts")} AS sec, event_id, event_type
+         |  FROM events
+         |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+         |    AND event_id IS NOT NULL),
+         |u AS (
+         |  SELECT user_id,
+         |    array_to_string(
+         |      (list(event_type ORDER BY sec, event_id))
+         |        [1:${BehaviorQueries.PathLen}], '>') AS path
+         |  FROM e GROUP BY user_id)
+         |SELECT path, count(*) AS n_users FROM u GROUP BY 1
+         |ORDER BY n_users DESC, path
+         |LIMIT ${BehaviorQueries.PathTopK}""".stripMargin)(
+      (s, d) => BehaviorQueries.sessionPaths(s, d)))
 }

@@ -220,6 +220,47 @@ object EventQueries {
     }._1.orderBy(col("user_id"))
   }
 
+  /** Funnel window (s) for [[windowFunnel]], shared with the oracle SQL. */
+  val FunnelWindowSec = 3600L
+
+  /** Strict in-window funnel (the ClickHouse `windowFunnel` shape): stages
+    * must complete in order AND all within [[FunnelWindowSec]] of the FIRST
+    * stage — `level` is how deep the user got before the window closed.
+    * [[funnel]] answers "did they ever convert"; this answers "did they
+    * convert in one sitting", which is what a conversion-rate SLA or a
+    * real-time nudge triggers on.
+    *
+    * Shape at scale: same staged per-stage-min economics as [[funnel]]
+    * (pushed stage filters, every join/agg on the one `user_id` key, so
+    * AQE coalesces the chain onto a single exchange family); the deadline
+    * `t_head + window` rides the accumulator as a projected column. Stage
+    * count is a library arg; work is stages × one filtered pass. */
+  def windowFunnel(spark: SparkSession, dir: String,
+      stages: Seq[String] = Seq("view", "click", "purchase"),
+      windowSec: Long = FunnelWindowSec): DataFrame = {
+    require(stages.nonEmpty, "windowFunnel needs at least one stage")
+    val e = Tables(spark, dir).events
+      .select(col("user_id"), col("event_type"), Out.epochSec(col("ts")).as("t"))
+    val head = e.filter(col("event_type") === stages.head)
+      .groupBy(col("user_id")).agg(min(col("t")).as(s"t_${stages.head}"))
+      .withColumn("deadline", col(s"t_${stages.head}") + windowSec)
+    val full = stages.tail.foldLeft((head, s"t_${stages.head}")) {
+      case ((acc, prevCol), st) =>
+        val next = e.filter(col("event_type") === st)
+          .join(acc.select(col("user_id"), col(prevCol), col("deadline")),
+            Seq("user_id"))
+          .filter(col("t") > col(prevCol) && col("t") <= col("deadline"))
+          .groupBy(col("user_id")).agg(min(col("t")).as(s"t_$st"))
+        (acc.join(next, Seq("user_id"), "left"), s"t_$st")
+    }._1
+    full
+      .withColumn("level",
+        stages.map(st => when(col(s"t_$st").isNotNull, 1L).otherwise(0L))
+          .reduce(_ + _))
+      .select(col("user_id") +: stages.map(st => col(s"t_$st")) :+ col("level"): _*)
+      .orderBy(col("user_id"))
+  }
+
   /** Funnel drop-off report: per stage, how many users reached it and the
     * conversion rates vs the previous stage and the funnel top — the
     * one-page summary a growth dashboard renders from [[funnel]]'s per-user

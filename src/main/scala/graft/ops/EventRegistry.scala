@@ -122,6 +122,30 @@ object EventRegistry {
          |ORDER BY v.user_id""".stripMargin)(
       (s, d) => EventQueries.funnel(s, d, Seq("view", "click", "purchase")))
     ,
+    // Same staged CTEs as q_funnel plus the first-stage deadline; level
+    // counts the non-null stage times.
+    QueryDef("q_window_funnel",
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, ${Out.sql.epochSec("ts")} AS t FROM events),
+         |v AS (SELECT user_id, min(t) AS t_view,
+         |        min(t) + ${EventQueries.FunnelWindowSec} AS deadline
+         |      FROM e WHERE event_type = 'view' GROUP BY 1),
+         |c AS (SELECT e.user_id, min(t) AS t_click
+         |      FROM e JOIN v USING (user_id)
+         |      WHERE event_type = 'click' AND t > t_view AND t <= deadline
+         |      GROUP BY 1),
+         |p AS (SELECT e.user_id, min(t) AS t_purchase
+         |      FROM e JOIN v USING (user_id) JOIN c USING (user_id)
+         |      WHERE event_type = 'purchase' AND t > t_click AND t <= deadline
+         |      GROUP BY 1)
+         |SELECT v.user_id, t_view, t_click, t_purchase,
+         |  CAST(CASE WHEN t_view IS NULL THEN 0 ELSE 1 END
+         |    + CASE WHEN t_click IS NULL THEN 0 ELSE 1 END
+         |    + CASE WHEN t_purchase IS NULL THEN 0 ELSE 1 END AS BIGINT) AS level
+         |FROM v LEFT JOIN c ON v.user_id = c.user_id
+         |       LEFT JOIN p ON v.user_id = p.user_id
+         |ORDER BY v.user_id""".stripMargin)(
+      (s, d) => EventQueries.windowFunnel(s, d)),
     // Drop-off report over the same v/c/p staged CTEs as q_funnel; the
     // 3-row stage table then carries the lag/top ratios.
     QueryDef("q_funnel_conversion",

@@ -139,6 +139,53 @@ object GraphQueries {
       iters: Int = PrIters): DataFrame =
     pagerankOf(edges(Tables(spark, dir)), iters)
 
+  /** Seed-set bound for [[pprTrade]]: customers with custkey < 50 (node
+    * encoding custkey·2, so node < 100 ∧ even). Shared with the oracle. */
+  val PprSeedMax = 100L
+
+  /** Personalized PageRank from a seed set: the restart mass lands ONLY on
+    * the seeds, so ranks measure proximity TO the seeds rather than global
+    * centrality — the "expand this customer cohort" primitive behind
+    * lookalike audiences and seed-based graph retrieval. Same fixed-point
+    * integer discipline as [[pagerankOf]] (BIGINT ranks at [[PrScale]],
+    * integer damping, truncating div): bit-reproducible at any parallelism,
+    * the oracle unrolls the identical recurrence.
+    *
+    * Shape at scale: identical to [[pagerank]] — degree attached to edges
+    * once, each round one equi-join + one partial-agg shuffle; the seed
+    * predicate is a codegen'd projection, never a join against a seed
+    * table (for dynamic seed sets it would become a broadcast semi-join —
+    * same plan class). Non-seed teleport is zero, so mass drains from
+    * regions unreachable from the seeds — exactly the semantics that make
+    * PPR a proximity measure. */
+  def pprTrade(spark: SparkSession, dir: String,
+      iters: Int = PrIters, seedMax: Long = PprSeedMax): DataFrame = {
+    val es = edges(Tables(spark, dir))
+    val deg = es.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val adj = es.join(deg, Seq("src"))
+    def seed(c: org.apache.spark.sql.Column) = c % 2 === 0 && c < seedMax
+    var ranks = deg.select(col("src").as("node"),
+      when(seed(col("src")), lit(PrScale)).otherwise(lit(0L)).as("pr"))
+    for (_ <- 1 to iters) {
+      ranks = adj.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("pr div deg").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("m"))
+        .select(col("dst").as("node"),
+          (when(seed(col("dst")), lit(PrTeleport)).otherwise(lit(0L)) +
+            expr(s"($PrDampNum * m) div $PrDampDen")).as("pr"))
+    }
+    ranks.select(col("node"),
+        when(col("node") % 2 === 0, lit("cust")).otherwise(lit("supp")).as("kind"),
+        when(seed(col("node")), 1L).otherwise(0L).as("is_seed"),
+        // same wrap tripwire as pagerankOf: fail loudly on overflow
+        when(col("pr") < 0, expr(
+          "raise_error('ppr fixed-point overflow: a hub exceeded the mass " +
+            "envelope — lower PrScale or shard the hub')"))
+          .otherwise(col("pr")).as("pr"))
+      .orderBy(col("node"))
+  }
+
   /** Minimum distinct shared orders for a supplier pair to count as a
     * co-order edge (shared with the oracle SQL via interpolation). The
     * threshold is what keeps the projected graph sparse: an unthresholded

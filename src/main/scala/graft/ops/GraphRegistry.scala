@@ -18,6 +18,31 @@ object GraphRegistry {
        |    CAST($PrTeleport + ($PrDampNum * SUM(r.pr // a.deg)) // $PrDampDen AS BIGINT) AS pr
        |  FROM adj a JOIN r${i - 1} r ON a.src = r.node GROUP BY a.dst)""".stripMargin
 
+  private def pprSeed(e: String): String =
+    s"CASE WHEN $e % 2 = 0 AND $e < ${GraphQueries.PprSeedMax} THEN"
+
+  private def pprIter(i: Int): String =
+    s"""r$i AS (
+       |  SELECT a.dst AS node,
+       |    CAST((${pprSeed("a.dst")} $PrTeleport ELSE 0 END)
+       |      + ($PrDampNum * SUM(r.pr // a.deg)) // $PrDampDen AS BIGINT) AS pr
+       |  FROM adj a JOIN r${i - 1} r ON a.src = r.node GROUP BY a.dst)""".stripMargin
+
+  private val pprSql =
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+       |adj AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+       |r0 AS (SELECT src AS node,
+       |  CAST(${pprSeed("src")} $PrScale ELSE 0 END AS BIGINT) AS pr FROM deg),
+       |${(1 to PrIters).map(pprIter).mkString(",\n")}
+       |SELECT node,
+       |  CASE WHEN node % 2 = 0 THEN 'cust' ELSE 'supp' END AS kind,
+       |  CAST(${pprSeed("node")} 1 ELSE 0 END AS BIGINT) AS is_seed, pr
+       |FROM r$PrIters ORDER BY node""".stripMargin
+
   private val pagerankSql =
     s"""WITH pairs AS (
        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
@@ -206,6 +231,7 @@ object GraphRegistry {
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_pagerank", pagerankSql)(GraphQueries.pagerank(_, _)),
+    QueryDef("q_ppr", pprSql)((s, d) => GraphQueries.pprTrade(s, d)),
     QueryDef("q_hits", hitsSql)(GraphQueries.hitsTrade(_, _)),
     QueryDef("q_triangle_count", triangleSql)(GraphQueries.triangleCount(_, _)),
     QueryDef("q_degree_dist", degreeDistSql)(GraphQueries.degreeDist(_, _)),

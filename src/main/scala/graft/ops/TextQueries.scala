@@ -661,6 +661,34 @@ object TextQueries {
   /** Top-k output size for [[bpePairMerges]]. */
   val BpeTopK = 30
 
+  /** Character-level entropy screen per source — the compressibility /
+    * gibberish detector: natural language sits ~4–4.5 bits/char over a
+    * word-like alphabet, random hex ≫, boilerplate ≪. Sources whose
+    * `entropy_bits` falls far from the corpus band are machine noise or
+    * template spam and go to quarantine before tokenization. Runs with no
+    * model at all — the cheapest quality signal after length.
+    *
+    * Shape at scale: the char explosion collapses to the (source, char)
+    * census by map-side combine (alphabet-bounded — the [[vocabCoverage]]
+    * economics one level down); the entropy fold rides the
+    * [[StatsQueries.columnEntropy]] determinism contract (per-term doubles
+    * truncated to DECIMAL(38,12), order-independent sum, one ÷ln 2). */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val census = Tables(spark, dir).documents
+      .select(col("source"), explode(split(col("text"), "")).as("ch"))
+      .where(col("ch") =!= "")
+      .groupBy(col("source"), col("ch")).agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("source"))))
+    val p = col("c").cast("double") / col("n").cast("double")
+    census.groupBy(col("source"))
+      .agg(max(col("n")).as("n_chars"),
+        count(lit(1)).as("alphabet_size"),
+        round((-sum((p * log(p)).cast("decimal(38,12)")).cast("double")) /
+          log(lit(2.0)), 6).as("entropy_bits"))
+      .orderBy(col("source"))
+  }
+
   /** Good–Turing vocabulary-coverage screen per source: token count, type
     * count, hapax/dis legomena, and the Turing unseen-mass estimate f1/N —
     * "how much of this source's vocabulary has my sample NOT seen yet".

@@ -401,5 +401,23 @@ object TextRegistry {
         |  round(1.0 - CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(SUM(f) AS DOUBLE), 6) AS coverage
         |FROM census GROUP BY 1 ORDER BY source""".stripMargin)(
-      TextQueries.vocabCoverage))
+      TextQueries.vocabCoverage),
+
+    // Chars via the unnest(range) positional trick (range is [a,b));
+    // entropy fold on the q_entropy DECIMAL(38,12) contract.
+    QueryDef("q_char_entropy",
+      """WITH pos AS (
+        |  SELECT source, text, unnest(range(1, length(text) + 1)) AS i
+        |  FROM documents),
+        |ch AS (SELECT source, substr(text, CAST(i AS INTEGER), 1) AS ch FROM pos),
+        |census AS (
+        |  SELECT source, ch, count(*) AS c FROM ch WHERE ch <> '' GROUP BY 1, 2),
+        |w AS (SELECT source, c, sum(c) OVER (PARTITION BY source) AS n FROM census)
+        |SELECT source, CAST(max(n) AS BIGINT) AS n_chars,
+        |  count(*) AS alphabet_size,
+        |  round(CAST(-sum(CAST((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |      AS DECIMAL(38,12))) AS DOUBLE) / ln(2.0), 6) AS entropy_bits
+        |FROM w GROUP BY 1 ORDER BY source""".stripMargin)(
+      TextQueries.charEntropy))
 }

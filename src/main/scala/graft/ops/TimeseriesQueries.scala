@@ -614,6 +614,46 @@ object TimeseriesQueries {
   val BurstWindow = 7
   val BurstSigma = 3.0
 
+  /** σ multiplier for [[seasonalAnomaly]], shared with the oracle SQL. */
+  val SeasonalZ = 2.5
+
+  /** Seasonally-adjusted anomaly detection: events deviating more than
+    * [[SeasonalZ]]·σ from the mean of their OWN (event_type, UTC-hour)
+    * cell — the diurnal baseline [[q_seasonal_profile]] fingerprints. A
+    * value normal at noon can be anomalous at 3 a.m.; [[anomalyZscore]]'s
+    * per-user global mean cannot see that, this residual regime can.
+    *
+    * Shape at scale: the [[anomalyZscore]] two-pass — partial-agg shuffle
+    * to the ≤ types×24-row cell stats (exact decimal power sums), stats
+    * broadcast back onto the stream, flag filter in the scan stage. Cells
+    * with n < 2 are excluded (sample σ undefined), mirroring the z-score
+    * regime. */
+  def seasonalAnomaly(spark: SparkSession, dir: String,
+      threshold: Double = SeasonalZ): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .where(col("ts").isNotNull && col("event_type").isNotNull &&
+        col("value").isNotNull)
+      .select(col("event_id"), col("event_type"),
+        hour(col("ts")).cast("long").as("hour_utc"), col("value"))
+    val v = col("value").cast("decimal(18,4)")
+    val stats = ev
+      .select(col("event_type"), col("hour_utc"), v.as("v"))
+      .groupBy(col("event_type"), col("hour_utc"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("v")).cast("double").as("s"),
+        sum(col("v") * col("v")).cast("double").as("ss"))
+      .where(col("n") >= 2)
+      .select(col("event_type"), col("hour_utc"),
+        (col("s") / col("n")).as("mean"),
+        sqrt(greatest(col("n") * col("ss") - col("s") * col("s"), lit(0.0)) /
+          (col("n") * (col("n") - 1.0))).as("std"))
+    ev.join(stats, Seq("event_type", "hour_utc"))
+      .where(abs(col("value") - col("mean")) > lit(threshold) * col("std"))
+      .select(col("event_id"), col("event_type"), col("hour_utc"), col("value"),
+        round((col("value") - col("mean")) / col("std"), 6).as("z"))
+      .orderBy(col("event_id"))
+  }
+
   /** Burst detection on daily event-type counts: flag days whose count
     * exceeds `trailing mean + 3σ` of the FULL preceding [[BurstWindow]]-day
     * frame (frame ends at 1 PRECEDING — the day under test never feeds its

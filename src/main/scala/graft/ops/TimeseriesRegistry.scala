@@ -406,5 +406,31 @@ object TimeseriesRegistry {
          |FROM m
          |WHERE CAST(n AS DOUBLE) > mean + ${TimeseriesQueries.BurstSigma} * std
          |ORDER BY event_type, day_sec""".stripMargin)(
-      TimeseriesQueries.burstDetect))
+      TimeseriesQueries.burstDetect),
+
+    // The anomaly-zscore moment tree keyed by (type, UTC hour); cells with
+    // n < 2 excluded in both engines.
+    QueryDef("q_seasonal_anomaly",
+      s"""WITH e AS (
+         |  SELECT event_id, event_type,
+         |    CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS hour_utc, value
+         |  FROM events
+         |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+         |    AND value IS NOT NULL),
+         |st AS (
+         |  SELECT event_type, hour_utc, COUNT(*)::DOUBLE AS n,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,4))
+         |      * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS ss
+         |  FROM e GROUP BY 1, 2),
+         |m AS (
+         |  SELECT event_type, hour_utc, s / n AS mean,
+         |    SQRT(GREATEST(n * ss - s * s, 0.0) / (n * (n - 1.0))) AS std
+         |  FROM st WHERE n >= 2)
+         |SELECT e.event_id, e.event_type, e.hour_utc, e.value,
+         |  ROUND((e.value - m.mean) / m.std, 6) AS z
+         |FROM e JOIN m USING (event_type, hour_utc)
+         |WHERE ABS(e.value - m.mean) > ${TimeseriesQueries.SeasonalZ} * m.std
+         |ORDER BY event_id""".stripMargin)(
+      (s, d) => TimeseriesQueries.seasonalAnomaly(s, d)))
 }

@@ -204,6 +204,143 @@ class GrowthOpsSpec extends SparkSpec {
     above shouldBe verified
   }
 
+  test("q_window_funnel matches a naive in-window staged scan") {
+    val evs = SparkSpec.spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("user_id", "event_type",
+        "cast(floor(cast(ts as double)) as bigint) as sec")
+      .where("user_id is not null and sec is not null").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val w = ops.EventQueries.FunnelWindowSec
+    val want = evs.groupBy(_._1).flatMap { case (u, xs) =>
+      val v = xs.filter(_._2 == "view").map(_._3)
+      if (v.isEmpty) None else {
+        val t1 = v.min
+        val dl = t1 + w
+        val t2 = xs.filter(x => x._2 == "click" && x._3 > t1 && x._3 <= dl)
+          .map(_._3).minOption
+        val t3 = t2.flatMap(c => xs
+          .filter(x => x._2 == "purchase" && x._3 > c && x._3 <= dl)
+          .map(_._3).minOption)
+        Some(u -> (Some(t1), t2, t3,
+          1L + t2.size + t3.size))
+      }
+    }
+    val got = ops.EventQueries.windowFunnel(spark, sf).collect().map { r =>
+      def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+      r.getLong(0) -> ((opt(1), opt(2), opt(3), r.getAs[Long]("level")))
+    }.toMap
+    got shouldBe want
+  }
+
+  test("q_seasonal_anomaly flags exactly the per-(type, hour) outliers") {
+    val evs = SparkSpec.spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_id", "event_type", "cast(hour(ts) as bigint) as h", "value")
+      .where("ts is not null and event_type is not null and value is not null")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val want = evs.groupBy(x => (x._2, x._3)).flatMap { case (_, xs) =>
+      val n = xs.length.toDouble
+      if (n < 2) Seq.empty[Long] else {
+        val vs = xs.map(x => BigDecimal(x._4).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP))
+        val s = vs.sum.toDouble
+        val ss = vs.map(v => v * v).sum.toDouble
+        val mean = s / n
+        val std = math.sqrt(math.max(n * ss - s * s, 0.0) / (n * (n - 1.0)))
+        xs.filter(x => math.abs(x._4 - mean) >
+          ops.TimeseriesQueries.SeasonalZ * std).map(_._1).toSeq
+      }
+    }.toSet
+    val got = ops.TimeseriesQueries.seasonalAnomaly(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    got shouldBe want
+  }
+
+  test("q_char_entropy matches a naive per-source character census") {
+    val docs = SparkSpec.spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val want = docs.groupBy(_._1).map { case (src, xs) =>
+      val census = xs.flatMap(_._2.toSeq).groupBy(identity).map(_._2.size.toLong)
+      val n = census.sum.toDouble
+      val h = -census.map { c =>
+        val p = c / n
+        BigDecimal(p * math.log(p)).setScale(12, BigDecimal.RoundingMode.DOWN)
+      }.sum.toDouble / math.log(2.0)
+      src -> (census.sum, census.size.toLong, h)
+    }
+    val got = TextQueries.charEntropy(spark, sf).collect()
+    got.length shouldBe want.size
+    got.foreach { r =>
+      val (n, a, h) = want(r.getString(0))
+      (r.getLong(1), r.getLong(2)) shouldBe ((n, a))
+      r.getAs[Double]("entropy_bits") shouldBe (h +- 1e-5)
+    }
+  }
+
+  test("q_session_paths matches a naive journey-prefix census") {
+    val evs = SparkSpec.spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("user_id", "cast(floor(cast(ts as double)) as bigint) as sec",
+        "event_id", "event_type")
+      .where("user_id is not null and sec is not null and event_id is not null")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val want = evs.groupBy(_._1).map { case (_, xs) =>
+      xs.sortBy(x => (x._2, x._3)).take(ops.BehaviorQueries.PathLen)
+        .map(_._4).mkString(">")
+    }.groupBy(identity).map { case (p, g) => p -> g.size.toLong }
+      .toSeq.sortBy { case (p, n) => (-n, p) }
+      .take(ops.BehaviorQueries.PathTopK)
+    val got = BehaviorQueries.sessionPaths(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    got shouldBe want
+  }
+
+  test("q_ppr matches a driver-side integer recompute; mass near seeds") {
+    import ops.GraphQueries._
+    val es = SparkSpec.spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey")
+      .join(SparkSpec.spark.read.parquet(s"$sf/lineitem.parquet")
+        .select("l_orderkey", "l_suppkey"),
+        org.apache.spark.sql.functions.col("o_orderkey") ===
+          org.apache.spark.sql.functions.col("l_orderkey"))
+      .selectExpr("o_custkey * 2 as src", "l_suppkey * 2 + 1 as dst")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val und = es ++ es.map(e => (e._2, e._1))
+    val deg = und.groupBy(_._1).map { case (n, xs) => n -> xs.size.toLong }
+    def isSeed(n: Long) = n % 2 == 0 && n < PprSeedMax
+    var pr = deg.keys.map(n => n -> (if (isSeed(n)) PrScale else 0L)).toMap
+    (1 to PrIters).foreach { _ =>
+      val in = und.groupBy(_._2).map { case (dst, xs) =>
+        dst -> xs.map(e => pr(e._1) / deg(e._1)).sum
+      }
+      pr = in.map { case (n, m) =>
+        n -> ((if (isSeed(n)) PrTeleport else 0L) + PrDampNum * m / PrDampDen)
+      }
+    }
+    val got = pprTrade(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("pr")).toMap
+    got.keySet shouldBe pr.keySet
+    got.foreach { case (n, v) => v shouldBe pr(n) }
+    // proximity semantics: restart mass only ever travels PrIters hops, so
+    // every node farther than that from ALL seeds must hold exactly zero,
+    // and every seed holds at least its own teleport mass
+    val adjMap = und.groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2) }
+    var frontier = deg.keys.filter(isSeed).toSet
+    var reach = frontier
+    (1 to PrIters).foreach { _ =>
+      frontier = frontier.flatMap(n =>
+        adjMap.getOrElse(n, Array.empty[Long]).toSeq) -- reach
+      reach ++= frontier
+    }
+    got.foreach { case (n, v) =>
+      if (!reach.contains(n)) v shouldBe 0L
+      if (isSeed(n)) v should be >= PrTeleport
+    }
+    assert(got.keys.exists(n => !reach.contains(n) || !isSeed(n)),
+      "corpus must exercise non-seed nodes")
+  }
+
   test("q_embedding_cov: diagonal is the (quantized) per-dim variance, ≥ 0") {
     val vecs = SparkSpec.spark.read.parquet(s"$sf/embeddings.parquet")
       .selectExpr("embedding").collect()
