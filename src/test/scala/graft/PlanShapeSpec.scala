@@ -211,7 +211,11 @@ class PlanShapeSpec extends SparkSpec {
       "q_sensor_gen",
       // 1-row broadcast purge-audit count frames (requests/before/after/
       // leftover combine via broadcast)
-      "q_forget_user")
+      "q_forget_user",
+      // 1-row broadcast arm frames (A/B readout) and span midpoint
+      "q_ab_lift", "q_profile_drift",
+      // BM25 arm carries its 1-row broadcast corpus stats
+      "q_rrf_fusion")
     SparkEntry.all.filter(_.oracle.isDefined).foreach { q =>
       val p = plan(q.fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"${q.name} plans a cartesian:\n$p")
@@ -304,5 +308,37 @@ class PlanShapeSpec extends SparkSpec {
     // sit directly on the scan (same WholeStageCodegen), before any exchange
     assert(p.indexOf("Filter") < p.indexOf("Scan parquet"),
       s"sample filter must precede (sit atop) the scan:\n$p")
+  }
+
+  test("BPE pair census and session paths end in TakeOrderedAndProject") {
+    val p1 = plan(TextQueries.bpePairMerges(spark, sf))
+    assert(p1.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p1")
+    val p2 = plan(BehaviorQueries.sessionPaths(spark, sf))
+    assert(p2.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p2")
+  }
+
+  test("late-arrival census joins the batch watermark table broadcast, " +
+      "with no row-level global window") {
+    val p = plan(TimeseriesQueries.lateArrival(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"batch→watermark table is metadata and must broadcast:\n$p")
+    // the only window runs over the batch-grain aggregate: its
+    // windowspecdefinition must order by batch, never by event columns
+    assert(!"""windowspecdefinition\((event_id|sec|arrival)""".r
+      .findFirstIn(p).isDefined,
+      s"no window may run over the row-level stream:\n$p")
+  }
+
+  test("embedding covariance is one partial-agg shuffle over the pair explode") {
+    val p = plan(VectorQueries.embeddingCov(spark, sf))
+    assert(p.contains("partial_"),
+      s"pair stream must combine map-side before the one shuffle:\n$p")
+    assert(!p.contains("Join"), s"covariance needs no join at all:\n$p")
+  }
+
+  test("seasonal anomaly broadcasts the cell-stats side back onto the stream") {
+    val p = plan(TimeseriesQueries.seasonalAnomaly(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"types×24 cell stats are metadata and must broadcast:\n$p")
   }
 }
