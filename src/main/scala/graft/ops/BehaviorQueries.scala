@@ -558,6 +558,41 @@ object BehaviorQueries {
         col("n_b"), col("conv_b"), col("rate_b"), col("z"))
   }
 
+  /** Return horizons (days after first activity) for [[retentionFlags]],
+    * shared with the oracle SQL. */
+  val RetentionHorizons: Seq[Long] = Seq(1L, 7L, 14L)
+
+  /** Fixed-horizon retention rates (the D1/D7/D14 dashboard staple): of
+    * all users, what fraction was active again exactly N days after their
+    * first-seen day. [[retentionCohorts]] gives the full cohort × period
+    * triangle; this is the one-row readout product reviews quote.
+    *
+    * Shape at scale: activity collapses to DISTINCT (user, day) in one
+    * shuffle; first-seen is a `min` re-agg on the same key (exchange
+    * reuse); the horizon flags are conditional MAXes in a per-user agg and
+    * the output is a single global rollup row. No per-horizon pass, no
+    * join against a calendar. */
+  def retentionFlags(spark: SparkSession, dir: String,
+      horizons: Seq[Long] = RetentionHorizons): DataFrame = {
+    val act = Tables(spark, dir).events
+      .where(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"),
+        (Out.epochSec(col("ts")) / DaySec).cast("long").as("day"))
+      .distinct()
+    val first = act.groupBy(col("user_id")).agg(min(col("day")).as("f"))
+    val flagCols = horizons.map(h =>
+      max(when(col("day") === col("f") + h, 1L).otherwise(0L)).as(s"d$h"))
+    val flags = act.join(first, Seq("user_id"))
+      .groupBy(col("user_id"))
+      .agg(flagCols.head, flagCols.tail: _*)
+    val outCols = count(lit(1)).as("n_users") +:
+      horizons.flatMap(h => Seq(
+        sum(col(s"d$h")).as(s"d${h}_users"),
+        round(sum(col(s"d$h")).cast("double") / count(lit(1)), 6)
+          .as(s"d${h}_rate")))
+    flags.agg(outCols.head, outCols.tail: _*)
+  }
+
   /** Journey-prefix length and output size for [[sessionPaths]]. */
   val PathLen = 3
   val PathTopK = 20

@@ -368,5 +368,27 @@ object BehaviorRegistry {
          |SELECT path, count(*) AS n_users FROM u GROUP BY 1
          |ORDER BY n_users DESC, path
          |LIMIT ${BehaviorQueries.PathTopK}""".stripMargin)(
-      (s, d) => BehaviorQueries.sessionPaths(s, d)))
+      (s, d) => BehaviorQueries.sessionPaths(s, d)),
+
+    // Distinct (user, day) once; horizon flags are conditional MAXes;
+    // single-row rollout. No ORDER BY needed on one row.
+    QueryDef("q_retention_flags", {
+      val hs = BehaviorQueries.RetentionHorizons
+      s"""WITH act AS (
+         |  SELECT DISTINCT user_id,
+         |    ${Out.sql.epochSec("ts")} // ${BehaviorQueries.DaySec} AS day
+         |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         |f AS (SELECT user_id, MIN(day) AS f FROM act GROUP BY 1),
+         |u AS (
+         |  SELECT act.user_id,
+         |${hs.map(h => s"    MAX(CASE WHEN day = f + $h THEN 1 ELSE 0 END) AS d$h")
+              .mkString(",\n")}
+         |  FROM act JOIN f USING (user_id) GROUP BY 1)
+         |SELECT count(*) AS n_users,
+         |${hs.map(h =>
+            s"  CAST(SUM(d$h) AS BIGINT) AS d${h}_users,\n" +
+            s"  round(CAST(SUM(d$h) AS DOUBLE) / count(*), 6) AS d${h}_rate")
+            .mkString(",\n")}
+         |FROM u""".stripMargin
+    })((s, d) => BehaviorQueries.retentionFlags(s, d)))
 }

@@ -711,6 +711,39 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Near-dup transitivity audit over the VERIFIED pair graph: wedge
+    * closure rate (a~b ∧ b~c ⇒ a~c?). Jaccard ≥ τ is not transitive, and
+    * the closure rate is exactly the number that says how much damage
+    * cluster-level canonicalization (CC over these edges — [[q_curation_cc]])
+    * does by merging a-c pairs no verifier ever approved: closure ≈ 1
+    * means clusters are honest cliques; low closure means CC is chaining.
+    *
+    * Shape at scale: the verified pair set is the SMALL output of the
+    * banded generator (candidates × verify), so the wedge join is a
+    * self-join of a near-dup edge list on its center node — bounded by
+    * Σ deg², the same budget [[q_link_predict]] documents — and closure is
+    * one more equi-join against the edges. Output is one row. */
+  def dedupTransitivity(spark: SparkSession, dir: String): DataFrame = {
+    val e = dedupVerified(spark, dir).select(col("doc_a"), col("doc_b"))
+    val und = e.unionByName(
+      e.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val wedges = und.select(col("doc_a").as("a"), col("doc_b").as("ctr"))
+      .join(und.select(col("doc_a").as("ctr"), col("doc_b").as("c")), Seq("ctr"))
+      .filter(col("a") < col("c"))
+      .select(col("a"), col("c"))
+    val closed = wedges
+      .join(e.select(col("doc_a").as("a"), col("doc_b").as("c"))
+        .withColumn("closed", lit(1L)), Seq("a", "c"), "left")
+      .agg(count(lit(1)).as("n_wedges"),
+        sum(coalesce(col("closed"), lit(0L))).as("n_closed"))
+    val edges = e.agg(count(lit(1)).as("n_edges"))
+    closed.crossJoin(broadcast(edges))
+      .select(col("n_edges"), col("n_wedges"), col("n_closed"),
+        when(col("n_wedges") > 0,
+          round(col("n_closed").cast("double") / col("n_wedges").cast("double"), 6))
+          .as("closure_rate"))
+  }
+
   /** Token length of the prefix [[dedupPrefix]] keys on. */
   val PrefixTokens = 8
 

@@ -313,6 +313,35 @@ object DedupRegistry {
          |  round(ABS(est_jaccard
          |    - round(CAST(inter AS DOUBLE) / (sz - inter), 4)), 4) AS abs_err
          |FROM j ORDER BY doc_a, doc_b""".stripMargin)(
-      (s, d) => DedupQueries.minhashEstError(s, d))
+      (s, d) => DedupQueries.minhashEstError(s, d)),
+
+    // Verified edge list (q_dedup_verified's CTEs) → wedge self-join on
+    // the center → closure via left join back to the edges. One row out.
+    QueryDef("q_dedup_transitivity",
+      s"""WITH $minhashCandCtes,
+         |jv AS (SELECT c.doc_a, c.doc_b,
+         |        len(list_intersect(da.sh, db.sh)) AS inter,
+         |        len(da.sh) + len(db.sh) AS sz
+         |      FROM cand c
+         |      JOIN d da ON da.doc_id = c.doc_a
+         |      JOIN d db ON db.doc_id = c.doc_b),
+         |ed AS (SELECT doc_a, doc_b FROM jv
+         |       WHERE round(CAST(inter AS DOUBLE) / (sz - inter), 4)
+         |         >= ${DedupQueries.VerifiedMinJaccard}),
+         |und AS (SELECT doc_a AS a, doc_b AS b FROM ed
+         |        UNION ALL SELECT doc_b, doc_a FROM ed),
+         |w AS (SELECT x.a AS a, y.b AS c
+         |      FROM und x JOIN und y ON x.b = y.a WHERE x.a < y.b),
+         |cl AS (SELECT count(*) AS n_wedges,
+         |        CAST(SUM(CASE WHEN e2.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+         |          AS BIGINT) AS n_closed
+         |      FROM w LEFT JOIN ed e2 ON e2.doc_a = w.a AND e2.doc_b = w.c),
+         |eg AS (SELECT count(*) AS n_edges FROM ed)
+         |SELECT n_edges, n_wedges, n_closed,
+         |  CASE WHEN n_wedges > 0
+         |    THEN round(CAST(n_closed AS DOUBLE) / n_wedges, 6) END
+         |    AS closure_rate
+         |FROM cl CROSS JOIN eg""".stripMargin)(
+      (s, d) => DedupQueries.dedupTransitivity(s, d))
   )
 }

@@ -338,6 +338,44 @@ object PipelineQueries {
         round(Out.davg(col("value")), 6).as("avg_value"))
       .orderBy(col("split"))
 
+  /** Per-(split, lang) balance audit of the document-level hash split —
+    * "is my validation set distributionally representative": each split's
+    * internal language shares next to the corpus share, with the delta.
+    * A split whose share_delta is large on some language will report
+    * misleading eval numbers for it; the fix is stratified assignment,
+    * and this table is the evidence. Uses the [[leakageSplit]] assignment
+    * discipline at the document grain (hash of doc_id, 80/10/10).
+    *
+    * Shape at scale: split+lang are codegen'd projections riding ONE
+    * partial-agg shuffle to the (split, lang) grid; the share arithmetic
+    * joins the ≤3-row split totals and ≤langs-row corpus shares back onto
+    * that metadata grid. */
+  def splitBalance(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+      .select(col("lang"),
+        expr(s"${hash48("concat('split:', cast(doc_id as string))")} % 100").as("b"))
+      .withColumn("split",
+        when(col("b") < SplitTrainPct, lit("train"))
+          .when(col("b") < SplitValidPct, lit("valid"))
+          .otherwise(lit("test")))
+    val grid = d.groupBy(col("split"), col("lang")).agg(count(lit(1)).as("n_docs"))
+    val splitTot = grid.groupBy(col("split")).agg(sum(col("n_docs")).as("n_split"))
+    val corpus = grid.groupBy(col("lang")).agg(sum(col("n_docs")).as("n_lang"))
+      .crossJoin(broadcast(grid.agg(sum(col("n_docs")).as("n_corpus"))))
+      .select(col("lang"),
+        (col("n_lang").cast("double") / col("n_corpus").cast("double"))
+          .as("corpus_share"))
+    grid.join(broadcast(splitTot), Seq("split"))
+      .join(broadcast(corpus), Seq("lang"))
+      .select(col("split"), col("lang"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_split").cast("double"), 6)
+          .as("split_share"),
+        round(col("corpus_share"), 6).as("corpus_share"),
+        round(col("n_docs").cast("double") / col("n_split").cast("double")
+          - col("corpus_share"), 6).as("share_delta"))
+      .orderBy(col("split"), col("lang"))
+  }
+
   /** Shingle width for the cross-source overlap matrix — the dedup family's
     * 3-word shingles, not decontamination's 8 (the question here is "how
     * much do two crawls share" — broad phrase reuse — not verbatim

@@ -331,6 +331,35 @@ object PipelineRegistry {
          |    FILTER (WHERE cum <= ${PipelineQueries.TokenBudgetPerSource}), 0) AS DOUBLE)
          |    / ${PipelineQueries.TokenBudgetPerSource}, 4) AS budget_used
          |FROM w GROUP BY source ORDER BY source""".stripMargin)(
-      (s, d) => PipelineQueries.tokenBudget(s, d))
+      (s, d) => PipelineQueries.tokenBudget(s, d)),
+
+    // Split + lang ride one partial-agg shuffle; shares join back onto the
+    // metadata grid.
+    QueryDef("q_split_balance",
+      s"""WITH d AS (
+         |  SELECT lang,
+         |    ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+         |      % 100 AS b
+         |  FROM documents),
+         |s AS (
+         |  SELECT lang,
+         |    CASE WHEN b < ${PipelineQueries.SplitTrainPct} THEN 'train'
+         |         WHEN b < ${PipelineQueries.SplitValidPct} THEN 'valid'
+         |         ELSE 'test' END AS split
+         |  FROM d),
+         |grid AS (SELECT split, lang, count(*) AS n_docs FROM s GROUP BY 1, 2),
+         |st AS (SELECT split, CAST(SUM(n_docs) AS BIGINT) AS n_split
+         |       FROM grid GROUP BY 1),
+         |co AS (SELECT lang,
+         |         CAST(SUM(n_docs) AS DOUBLE)
+         |           / (SELECT SUM(n_docs) FROM grid) AS corpus_share
+         |       FROM grid GROUP BY 1)
+         |SELECT split, lang, n_docs,
+         |  round(CAST(n_docs AS DOUBLE) / n_split, 6) AS split_share,
+         |  round(corpus_share, 6) AS corpus_share,
+         |  round(CAST(n_docs AS DOUBLE) / n_split - corpus_share, 6)
+         |    AS share_delta
+         |FROM grid JOIN st USING (split) JOIN co USING (lang)
+         |ORDER BY split, lang""".stripMargin)(PipelineQueries.splitBalance)
   )
 }

@@ -661,6 +661,44 @@ object TextQueries {
   /** Top-k output size for [[bpePairMerges]]. */
   val BpeTopK = 30
 
+  /** Output size and sketch capacity for [[approxTopkTokens]]. */
+  val TopkK = 10
+  val TopkTracked = 100000
+
+  /** Sketch heavy-hitters under the oracle gate: exact top-[[TopkK]]
+    * tokens (oracle-computable) each paired with the claim that Spark's
+    * `approx_top_k` sketch reports the SAME count for it. With
+    * [[TopkTracked]] ≥ the vocabulary size the sketch is provably exact,
+    * so the claim column must be uniformly TRUE — a drifting sketch
+    * implementation fails the hash gate, which is the whole point (the
+    * same bracketing discipline as `q_approx_distinct`). At 100 TB the
+    * sketch arm is the production path: one pass, fixed memory, mergeable
+    * partials; the exact arm is the audit.
+    *
+    * Shape at scale: both arms aggregate the same exploded token stream —
+    * the exact arm a partial-agg census + TakeOrdered, the sketch arm a
+    * single 1-row aggregate broadcast back onto the k-row result. */
+  def approxTopkTokens(spark: SparkSession, dir: String,
+      k: Int = TopkK, tracked: Int = TopkTracked): DataFrame = {
+    val toks = Tables(spark, dir).documents
+      .select(explode(expr(wordsExpr)).as("w"))
+      .where(col("w") =!= "")
+    val exact = toks.groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(k)
+    // the sketch arm asks for 10·k items: the k exact heads must appear in
+    // the sketch's wider head even when counts tie at the k boundary (ties
+    // make the sketch's own top-k selection order-free); a head token the
+    // sketch has no row for yields NULL via get() → a FALSE claim, never a
+    // crash
+    val sketch = toks.agg(expr(s"approx_top_k(w, ${10 * k}, $tracked)").as("sk"))
+    exact.crossJoin(broadcast(sketch))
+      .select(col("w"), col("n"),
+        coalesce(
+          expr("get(filter(sk, x -> x.item = w), 0).count").cast("long") === col("n"),
+          lit(false)).as("sketch_agrees"))
+      .orderBy(col("n").desc, col("w"))
+  }
+
   /** Character-level entropy screen per source — the compressibility /
     * gibberish detector: natural language sits ~4–4.5 bits/char over a
     * word-like alphabet, random hex ≫, boilerplate ≪. Sources whose

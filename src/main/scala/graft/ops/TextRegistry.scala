@@ -419,5 +419,17 @@ object TextRegistry {
         |      * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
         |      AS DECIMAL(38,12))) AS DOUBLE) / ln(2.0), 6) AS entropy_bits
         |FROM w GROUP BY 1 ORDER BY source""".stripMargin)(
-      TextQueries.charEntropy))
+      TextQueries.charEntropy),
+
+    // The oracle computes the EXACT top-k and asserts the sketch claim
+    // TRUE (tracked >= vocabulary => the sketch is exact by construction).
+    QueryDef("q_approx_topk",
+      s"""WITH toks AS (
+         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         |census AS (
+         |  SELECT w, count(*) AS n FROM toks WHERE w <> '' GROUP BY 1)
+         |SELECT w, n, TRUE AS sketch_agrees
+         |FROM census ORDER BY n DESC, w
+         |LIMIT ${TextQueries.TopkK}""".stripMargin)(
+      (s, d) => TextQueries.approxTopkTokens(s, d)))
 }

@@ -341,6 +341,70 @@ class GrowthOpsSpec extends SparkSpec {
       "corpus must exercise non-seed nodes")
   }
 
+  test("q_retention_flags matches a naive per-user horizon scan") {
+    val act = SparkSpec.spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("user_id",
+        "cast(floor(cast(ts as double)) as bigint) div 86400 as day")
+      .where("user_id is not null and day is not null")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val byUser = act.groupBy(_._1).map { case (u, xs) =>
+      val days = xs.map(_._2).toSet
+      val f = days.min
+      u -> ops.BehaviorQueries.RetentionHorizons.map(h => days.contains(f + h))
+    }
+    val r = BehaviorQueries.retentionFlags(spark, sf).collect().head
+    r.getAs[Long]("n_users") shouldBe byUser.size
+    ops.BehaviorQueries.RetentionHorizons.zipWithIndex.foreach { case (h, i) =>
+      val wantUsers = byUser.values.count(_(i)).toLong
+      r.getAs[Long](s"d${h}_users") shouldBe wantUsers
+      r.getAs[Double](s"d${h}_rate") shouldBe
+        (wantUsers.toDouble / byUser.size +- 1e-6)
+    }
+  }
+
+  test("q_dedup_transitivity recomputes from the verified edge list") {
+    val edges = DedupQueries.dedupVerified(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val und = edges ++ edges.map(e => (e._2, e._1))
+    // wedges (a, c) through every shared center, a < c, multiplicity kept
+    val byOut = und.groupBy(_._1)
+    val wedges = und.flatMap { case (a, ctr) =>
+      byOut.getOrElse(ctr, Array.empty[(Long, Long)]).collect {
+        case (_, c) if a < c => (a, c)
+      }
+    }
+    val eset = edges.toSet
+    val r = DedupQueries.dedupTransitivity(spark, sf).collect().head
+    r.getAs[Long]("n_edges") shouldBe edges.length.toLong
+    r.getAs[Long]("n_wedges") shouldBe wedges.length.toLong
+    r.getAs[Long]("n_closed") shouldBe wedges.count(eset).toLong
+  }
+
+  test("q_split_balance: splits partition the corpus; shares sum to 1 per split") {
+    val rows = ops.PipelineQueries.splitBalance(spark, sf).collect()
+    val total = SparkSpec.spark.read.parquet(s"$sf/documents.parquet").count()
+    rows.map(_.getAs[Long]("n_docs")).sum shouldBe total
+    rows.groupBy(_.getString(0)).foreach { case (_, g) =>
+      g.map(_.getAs[Double]("split_share")).sum shouldBe (1.0 +- 1e-4)
+    }
+    rows.foreach { r =>
+      r.getAs[Double]("share_delta") shouldBe
+        (r.getAs[Double]("split_share") - r.getAs[Double]("corpus_share") +- 1e-5)
+    }
+  }
+
+  test("q_approx_topk: claims all TRUE and heads match the exact census") {
+    val rows = TextQueries.approxTopkTokens(spark, sf).collect()
+    rows.length shouldBe TextQueries.TopkK
+    rows.foreach(r => r.getAs[Boolean]("sketch_agrees") shouldBe true)
+    val exact = SparkSpec.spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("explode(split(text, ' ')) as w").where("w <> ''")
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .sortBy { case (w, n) => (-n, w) }.take(TextQueries.TopkK)
+    rows.map(r => r.getString(0) -> r.getLong(1)).toSeq shouldBe exact.toSeq
+  }
+
   test("q_embedding_cov: diagonal is the (quantized) per-dim variance, ≥ 0") {
     val vecs = SparkSpec.spark.read.parquet(s"$sf/embeddings.parquet")
       .selectExpr("embedding").collect()

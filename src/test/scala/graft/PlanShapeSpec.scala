@@ -215,7 +215,9 @@ class PlanShapeSpec extends SparkSpec {
       // 1-row broadcast arm frames (A/B readout) and span midpoint
       "q_ab_lift", "q_profile_drift",
       // BM25 arm carries its 1-row broadcast corpus stats
-      "q_rrf_fusion")
+      "q_rrf_fusion",
+      // 1-row broadcast sketch / edge-count / corpus-total frames
+      "q_approx_topk", "q_dedup_transitivity", "q_split_balance")
     SparkEntry.all.filter(_.oracle.isDefined).foreach { q =>
       val p = plan(q.fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"${q.name} plans a cartesian:\n$p")
