@@ -43,6 +43,32 @@ object TableRegistry {
       .orderBy(col("uid"))
   }
 
+  /** Time-travel exercise over the SAME three-batch upsert sequence as
+    * [[mergeIntoDemo]], but through [[TimeTravel.mergeVersioned]]: after
+    * the sequence, EVERY intermediate state is still readable — the output
+    * is the union of `readAt(v)` for v = 0, 1, 2, each tagged with its
+    * version. The oracle recomputes snapshot v directly as the
+    * last-write-wins state over batches 0..v, so green means
+    * snapshot-isolation reads reconstruct history exactly. A vacuum
+    * retention pass and crash/orphan behavior are spec-checked
+    * (TimeTravelSpec); this key gates the read-path semantics. */
+  def timeTravelDemo(spark: SparkSession, dir: String): DataFrame = {
+    val table = Files.createTempDirectory("graft_time_travel").toString + "/table"
+    val e = Tables(spark, dir).events
+      .select(col("user_id").as("uid"), col("event_id"))
+      .filter(col("uid").isNotNull && col("event_id").isNotNull)
+    val vs = (0 until MergeBatches).map { b =>
+      val batch = e.filter(pmod(col("event_id"), lit(MergeBatches)) === b)
+        .groupBy(col("uid"))
+        .agg(max(col("event_id")).as("v_last"), count(lit(1)).as("n_b"))
+      TimeTravel.mergeVersioned(table, batch, keyCols = Seq("uid"))
+    }
+    vs.map(v => TimeTravel.readAt(spark, table, v)
+        .select(lit(v.toLong).as("version"), col("uid"), col("v_last"), col("n_b")))
+      .reduce(_ unionByName _)
+      .orderBy(col("version"), col("uid"))
+  }
+
   /** Number of delta batches in the incremental-view exercise. */
   val MvBatches = 3
 
@@ -163,5 +189,21 @@ object TableRegistry {
          |m AS (SELECT uid, max(b) AS bmax FROM e GROUP BY 1)
          |SELECT e.uid, max(e.event_id) AS v_last, count(*) AS n_b
          |FROM e JOIN m ON e.uid = m.uid AND e.b = m.bmax
-         |GROUP BY e.uid ORDER BY e.uid""".stripMargin)(mergeIntoDemo))
+         |GROUP BY e.uid ORDER BY e.uid""".stripMargin)(mergeIntoDemo),
+
+    // Snapshot v = last-write-wins over batches 0..v; one arm per version.
+    QueryDef("q_time_travel", {
+      def arm(v: Int) =
+        s"""SELECT CAST($v AS BIGINT) AS version, e.uid,
+           |  max(e.event_id) AS v_last, count(*) AS n_b
+           |FROM e JOIN (SELECT uid, max(b) AS bmax FROM e
+           |             WHERE b <= $v GROUP BY 1) m
+           |  ON e.uid = m.uid AND e.b = m.bmax
+           |GROUP BY e.uid""".stripMargin
+      s"""WITH e AS (
+         |  SELECT user_id AS uid, event_id, event_id % $MergeBatches AS b
+         |  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL)
+         |${(0 until MergeBatches).map(arm).mkString("\nUNION ALL\n")}
+         |ORDER BY version, uid""".stripMargin
+    })(timeTravelDemo))
 }

@@ -1,0 +1,172 @@
+package graft.tables
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+
+/** Snapshot versioning (time travel) for the bucketed keyed table —
+  * manifest-based, the Iceberg/Delta idea re-expressed over bare parquet:
+  *
+  *   - data files are IMMUTABLE: merge `v` writes the buckets it touches
+  *     under `files/v<v>/bucket=K/` and never rewrites an older version's
+  *     files (contrast [[Merge.mergeInto]], which overwrites in place and
+  *     therefore keeps only the latest state);
+  *   - a manifest per version (`_manifests/v<v>`, driver-side metadata of
+  *     ≤ nBuckets lines `bucket,version`) records, for every bucket, which
+  *     version's directory holds its CURRENT file — so manifest `v` IS the
+  *     table as of merge `v`, reconstructible forever (until vacuumed);
+  *   - per-merge work is O(affected buckets + batch), same economics as
+  *     the in-place merge: untouched buckets are carried forward in the
+  *     manifest as a POINTER, zero data movement.
+  *
+  * Readers never race writers: a reader resolves one immutable manifest
+  * and reads only immutable files, so `readAt` is consistent without any
+  * locking — the property that makes manifest-based formats the 100 TB
+  * standard. The crash contract is manifest-last: data files for version v
+  * land before manifest v, so a crash between the two leaves an orphan
+  * file directory (harmless: the version was never committed, and the
+  * retry overwrites it) and never a manifest pointing at missing files.
+  * Writer concurrency is single-writer, as [[Merge]] documents.
+  *
+  * [[vacuum]] drops file directories no retained manifest references —
+  * the retention story that bounds storage growth. */
+object TimeTravel {
+
+  val DefaultBuckets = 32
+  private def manifestDir(t: Path) = new Path(t, "_manifests")
+  private def filesDir(t: Path, v: Int) = new Path(t, s"files/v$v")
+
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Committed versions, ascending (manifests are the commit log). */
+  def versions(spark: SparkSession, tablePath: String): Seq[Int] = {
+    val md = manifestDir(new Path(tablePath))
+    val fs = fsOf(spark, md)
+    if (!fs.exists(md)) Seq.empty
+    else fs.listStatus(md).map(_.getPath.getName).toSeq
+      .collect { case n if n.startsWith("v") => n.drop(1).toInt }.sorted
+  }
+
+  def latestVersion(spark: SparkSession, tablePath: String): Option[Int] =
+    versions(spark, tablePath).lastOption
+
+  private def readManifest(fs: FileSystem, t: Path, v: Int): Map[Int, Int] = {
+    val in = fs.open(new Path(manifestDir(t), s"v$v"))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).map { line =>
+        val Array(b, ver) = line.split(","); b.toInt -> ver.toInt
+      }.toMap
+    finally in.close()
+  }
+
+  private def writeManifest(fs: FileSystem, t: Path, v: Int,
+      m: Map[Int, Int]): Unit = {
+    val md = manifestDir(t)
+    if (!fs.exists(md)) fs.mkdirs(md)
+    // write-then-rename: the manifest appears atomically or not at all
+    val tmp = new Path(md, s".v$v.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(m.toSeq.sorted.map { case (b, ver) => s"$b,$ver" }
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    fs.rename(tmp, new Path(md, s"v$v"))
+  }
+
+  /** Merge `updates` (≤ 1 row per key, full-row upsert — the [[Merge]]
+    * contract) as a NEW snapshot; returns its version. */
+  def mergeVersioned(tablePath: String, updates: DataFrame,
+      keyCols: Seq[String], nBuckets: Int = DefaultBuckets): Int = {
+    require(keyCols.nonEmpty, "mergeVersioned needs at least one key column")
+    require(!updates.columns.contains("bucket"),
+      "updates must not carry a 'bucket' column (reserved for the layout)")
+    val spark = updates.sparkSession
+    val t = new Path(tablePath)
+    val fs = fsOf(spark, t)
+    val prevV = latestVersion(spark, tablePath)
+    val prev = prevV.map(readManifest(fs, t, _)).getOrElse(Map.empty[Int, Int])
+    val v = prevV.map(_ + 1).getOrElse(0)
+    val keyed = updates
+      .withColumn("bucket", pmod(hash(keyCols.map(col): _*), lit(nBuckets)))
+      .persist()
+    try {
+      if (keyed.count() == 0L) return prevV.getOrElse {
+        // an empty FIRST batch still commits an empty table (version 0
+        // exists, reads as zero rows) — callers can rely on a version
+        writeManifest(fs, t, v, Map.empty); v
+      }
+      val affected = keyed.select(col("bucket")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      // current rows of the affected buckets, grouped by the version dir
+      // that holds them (one read per distinct source version, not per
+      // bucket)
+      val sources = prev.filter { case (b, _) => affected(b) }
+        .groupBy(_._2).view.mapValues(_.keys.toSeq).toSeq
+      val current = sources.map { case (srcV, buckets) =>
+        spark.read.parquet(filesDir(t, srcV).toString)
+          .filter(col("bucket").isin(buckets: _*))
+      }.reduceOption(_ unionByName _)
+      val merged = current match {
+        case Some(cur) =>
+          cur.join(keyed.select(keyCols.map(col): _*), keyCols, "left_anti")
+            .unionByName(keyed)
+        case None => keyed
+      }
+      // new version dir: inputs are OLDER versions' immutable files, so no
+      // read-overwrite hazard exists and no checkpoint is needed (contrast
+      // Merge.mergeInto); one file per bucket via the bucket repartition
+      merged.repartition(math.max(affected.size, 1), col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(filesDir(t, v).toString)
+      writeManifest(fs, t, v, prev ++ affected.map(_ -> v))
+      v
+    } finally keyed.unpersist()
+  }
+
+  /** The table exactly as of snapshot `version` (data columns only). */
+  def readAt(spark: SparkSession, tablePath: String, version: Int): DataFrame = {
+    val t = new Path(tablePath)
+    val fs = fsOf(spark, t)
+    require(fs.exists(new Path(manifestDir(t), s"v$version")),
+      s"no committed snapshot v$version at $tablePath " +
+        s"(have: ${versions(spark, tablePath).mkString(", ")})")
+    val m = readManifest(fs, t, version)
+    val parts = m.groupBy(_._2).view.mapValues(_.keys.toSeq).toSeq.map {
+      case (srcV, buckets) =>
+        spark.read.parquet(filesDir(t, srcV).toString)
+          .filter(col("bucket").isin(buckets: _*))
+    }
+    parts.reduceOption(_ unionByName _) match {
+      case Some(df) => df.drop("bucket")
+      case None => // empty table: schema unknowable from data — empty frame
+        spark.emptyDataFrame
+    }
+  }
+
+  /** Drop every version directory not referenced by one of the newest
+    * `keepLast` manifests, and the older manifests themselves. Returns the
+    * dropped version ids. Old SNAPSHOTS become unreadable; the LATEST
+    * state is untouched (its files are carried forward by reference and
+    * therefore always retained). */
+  def vacuum(spark: SparkSession, tablePath: String, keepLast: Int): Seq[Int] = {
+    require(keepLast >= 1, "must retain at least the latest snapshot")
+    val t = new Path(tablePath)
+    val fs = fsOf(spark, t)
+    val vs = versions(spark, tablePath)
+    if (vs.size <= keepLast) return Seq.empty
+    val keep = vs.takeRight(keepLast)
+    val referenced = keep.flatMap(readManifest(fs, t, _).values).toSet
+    val droppable = vs.dropRight(keepLast).filterNot(referenced)
+    droppable.foreach { v =>
+      fs.delete(filesDir(t, v), true)
+      fs.delete(new Path(manifestDir(t), s"v$v"), false)
+    }
+    // prune dropped manifests that survived as referenced file dirs: their
+    // manifest is gone (the snapshot is no longer readable) but their files
+    // stay because newer manifests point into them
+    vs.dropRight(keepLast).filter(referenced).foreach { v =>
+      fs.delete(new Path(manifestDir(t), s"v$v"), false)
+    }
+    vs.dropRight(keepLast)
+  }
+}

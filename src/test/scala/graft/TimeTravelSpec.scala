@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.tables.TimeTravel
+
+/** Snapshot-versioning semantics: history reconstruction, pointer
+  * carry-forward, retention/vacuum, empty batches, and the orphan-dir
+  * crash contract. The oracle-gated read path is q_time_travel. */
+class TimeTravelSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_tt_spec").toString + "/t"
+
+  test("each merge commits a snapshot; readAt reconstructs every state") {
+    val t = tmp()
+    val v0 = TimeTravel.mergeVersioned(t,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Seq("k"))
+    val v1 = TimeTravel.mergeVersioned(t,
+      Seq((2L, "B"), (3L, "c")).toDF("k", "v"), Seq("k"))
+    val v2 = TimeTravel.mergeVersioned(t,
+      Seq((1L, "A")).toDF("k", "v"), Seq("k"))
+    (v0, v1, v2) shouldBe ((0, 1, 2))
+    def state(v: Int) = TimeTravel.readAt(spark, t, v).as[(Long, String)]
+      .collect().toSet
+    state(0) shouldBe Set((1L, "a"), (2L, "b"))
+    state(1) shouldBe Set((1L, "a"), (2L, "B"), (3L, "c"))
+    state(2) shouldBe Set((1L, "A"), (2L, "B"), (3L, "c"))
+    TimeTravel.versions(spark, t) shouldBe Seq(0, 1, 2)
+  }
+
+  test("untouched buckets are carried by pointer: old version dirs serve " +
+      "newer snapshots") {
+    val t = tmp()
+    // many keys spread over buckets in v0; v1 touches exactly one key
+    TimeTravel.mergeVersioned(t,
+      (1L to 50L).map(k => (k, s"v$k")).toDF("k", "v"), Seq("k"))
+    TimeTravel.mergeVersioned(t, Seq((7L, "SEVEN")).toDF("k", "v"), Seq("k"))
+    val s1 = TimeTravel.readAt(spark, t, 1).as[(Long, String)].collect().toMap
+    s1(7L) shouldBe "SEVEN"
+    s1(8L) shouldBe "v8"
+    s1.size shouldBe 50
+    // v1's file dir must hold ONLY the affected bucket's rows
+    val v1Rows = spark.read.parquet(s"$t/files/v1").count()
+    assert(v1Rows < 50, s"v1 rewrote $v1Rows rows; pointer carry-forward broken")
+  }
+
+  test("vacuum drops pruned snapshots but keeps files newer manifests reference") {
+    val t = tmp()
+    TimeTravel.mergeVersioned(t,
+      (1L to 20L).map(k => (k, "x")).toDF("k", "v"), Seq("k"))
+    TimeTravel.mergeVersioned(t, Seq((1L, "y")).toDF("k", "v"), Seq("k"))
+    TimeTravel.mergeVersioned(t, Seq((2L, "z")).toDF("k", "v"), Seq("k"))
+    val dropped = TimeTravel.vacuum(spark, t, keepLast = 1)
+    dropped shouldBe Seq(0, 1)
+    TimeTravel.versions(spark, t) shouldBe Seq(2)
+    // latest still fully readable even though v0's manifest is gone —
+    // v2's manifest references v0's files for untouched buckets
+    val s2 = TimeTravel.readAt(spark, t, 2).as[(Long, String)].collect().toMap
+    s2.size shouldBe 20
+    s2(1L) shouldBe "y"
+    s2(2L) shouldBe "z"
+    s2(3L) shouldBe "x"
+    intercept[IllegalArgumentException](TimeTravel.readAt(spark, t, 0))
+  }
+
+  test("empty first batch commits an empty readable snapshot; empty later " +
+      "batch is a no-op returning the current version") {
+    val t = tmp()
+    val empty = Seq.empty[(Long, String)].toDF("k", "v")
+    TimeTravel.mergeVersioned(t, empty, Seq("k")) shouldBe 0
+    TimeTravel.readAt(spark, t, 0).count() shouldBe 0
+    TimeTravel.mergeVersioned(t, Seq((1L, "a")).toDF("k", "v"), Seq("k")) shouldBe 1
+    TimeTravel.mergeVersioned(t, empty, Seq("k")) shouldBe 1
+    TimeTravel.versions(spark, t) shouldBe Seq(0, 1)
+  }
+
+  test("orphan file dir from a crash before the manifest is invisible and " +
+      "overwritten by the retry") {
+    val t = tmp()
+    TimeTravel.mergeVersioned(t, Seq((1L, "a")).toDF("k", "v"), Seq("k"))
+    // simulate a crash: files for v1 land, manifest does not
+    Seq((9L, "GHOST")).toDF("k", "v")
+      .withColumn("bucket", lit(0))
+      .write.partitionBy("bucket").parquet(s"$t/files/v1")
+    TimeTravel.versions(spark, t) shouldBe Seq(0)
+    intercept[IllegalArgumentException](TimeTravel.readAt(spark, t, 1))
+    // retry commits v1 properly; the ghost rows are overwritten, not merged
+    TimeTravel.mergeVersioned(t, Seq((2L, "b")).toDF("k", "v"), Seq("k")) shouldBe 1
+    val s1 = TimeTravel.readAt(spark, t, 1).as[(Long, String)].collect().toSet
+    s1 shouldBe Set((1L, "a"), (2L, "b"))
+  }
+
+  test("the demo key's history equals the per-version recompute") {
+    val df = tables.TableRegistry.timeTravelDemo(spark, sf).collect()
+    val evs = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("user_id as uid", "event_id")
+      .where("uid is not null and event_id is not null").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nb = tables.TableRegistry.MergeBatches
+    val want = (0 until nb).flatMap { v =>
+      evs.groupBy(_._1).flatMap { case (u, xs) =>
+        val eligible = xs.filter(e => (e._2 % nb) <= v)
+        if (eligible.isEmpty) None else {
+          val bmax = eligible.map(_._2 % nb).max
+          val last = eligible.filter(_._2 % nb == bmax)
+          Some((v.toLong, u, last.map(_._2).max, last.length.toLong))
+        }
+      }
+    }.toSet
+    df.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet shouldBe want
+  }
+}
