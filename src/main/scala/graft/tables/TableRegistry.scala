@@ -69,6 +69,34 @@ object TableRegistry {
       .orderBy(col("version"), col("uid"))
   }
 
+  /** Change-data-feed exercise: the same versioned three-batch sequence,
+    * then [[TimeTravel.changesBetween]](v0 → v2) — the incremental-
+    * consumption contract (a downstream that processed snapshot 0 asks
+    * "what changed since", and pays for the CHANGES, not the table: the
+    * manifest diff prunes untouched buckets before any scan). Structs are
+    * flattened to scalar before/after columns for the hash gate. Upsert
+    * history produces inserts (users absent from batch 0) and updates
+    * (summary replaced by a later batch); unchanged keys must NOT appear. */
+  def tableCdcDemo(spark: SparkSession, dir: String): DataFrame = {
+    val table = Files.createTempDirectory("graft_table_cdc").toString + "/table"
+    val e = Tables(spark, dir).events
+      .select(col("user_id").as("uid"), col("event_id"))
+      .filter(col("uid").isNotNull && col("event_id").isNotNull)
+    for (b <- 0 until MergeBatches) {
+      val batch = e.filter(pmod(col("event_id"), lit(MergeBatches)) === b)
+        .groupBy(col("uid"))
+        .agg(max(col("event_id")).as("v_last"), count(lit(1)).as("n_b"))
+      TimeTravel.mergeVersioned(table, batch, keyCols = Seq("uid"))
+    }
+    TimeTravel.changesBetween(spark, table, 0, MergeBatches - 1, Seq("uid"))
+      .select(col("uid"), col("change"),
+        col("before.v_last").as("before_v_last"),
+        col("before.n_b").as("before_n_b"),
+        col("after.v_last").as("after_v_last"),
+        col("after.n_b").as("after_n_b"))
+      .orderBy(col("uid"))
+  }
+
   /** Number of delta batches in the incremental-view exercise. */
   val MvBatches = 3
 
@@ -205,5 +233,31 @@ object TableRegistry {
          |  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL)
          |${(0 until MergeBatches).map(arm).mkString("\nUNION ALL\n")}
          |ORDER BY version, uid""".stripMargin
-    })(timeTravelDemo))
+    })(timeTravelDemo),
+
+    // Change feed v0 → v2 = full-outer diff of the two last-write-wins
+    // states; unchanged rows filtered on the full summary.
+    QueryDef("q_table_cdc", {
+      def state(v: Int) =
+        s"""SELECT e.uid, max(e.event_id) AS v_last, count(*) AS n_b
+           |FROM e JOIN (SELECT uid, max(b) AS bmax FROM e
+           |             WHERE b <= $v GROUP BY 1) m
+           |  ON e.uid = m.uid AND e.b = m.bmax
+           |GROUP BY e.uid""".stripMargin
+      s"""WITH e AS (
+         |  SELECT user_id AS uid, event_id, event_id % $MergeBatches AS b
+         |  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL),
+         |s0 AS (${state(0)}),
+         |s2 AS (${state(MergeBatches - 1)})
+         |SELECT COALESCE(s0.uid, s2.uid) AS uid,
+         |  CASE WHEN s0.uid IS NULL THEN 'insert'
+         |       WHEN s2.uid IS NULL THEN 'delete'
+         |       ELSE 'update' END AS change,
+         |  s0.v_last AS before_v_last, s0.n_b AS before_n_b,
+         |  s2.v_last AS after_v_last, s2.n_b AS after_n_b
+         |FROM s0 FULL OUTER JOIN s2 ON s0.uid = s2.uid
+         |WHERE s0.uid IS NULL OR s2.uid IS NULL
+         |   OR s0.v_last <> s2.v_last OR s0.n_b <> s2.n_b
+         |ORDER BY uid""".stripMargin
+    })(tableCdcDemo))
 }

@@ -92,6 +92,27 @@ class TimeTravelSpec extends SparkSpec {
     s1 shouldBe Set((1L, "a"), (2L, "b"))
   }
 
+  test("changesBetween types inserts/updates/deletes and skips unchanged keys") {
+    val t = tmp()
+    TimeTravel.mergeVersioned(t,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), Seq("k"))
+    TimeTravel.mergeVersioned(t,
+      Seq((2L, "B"), (4L, "d")).toDF("k", "v"), Seq("k"))
+    // re-upsert key 3 with the SAME value: its bucket pointer moves but the
+    // row is unchanged — it must NOT appear in the feed
+    TimeTravel.mergeVersioned(t, Seq((3L, "c")).toDF("k", "v"), Seq("k"))
+    val feed = TimeTravel.changesBetween(spark, t, 0, 2, Seq("k"))
+      .selectExpr("k", "change", "before.v as bv", "after.v as av")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.getString(2)), Option(r.getString(3)))))
+      .toMap
+    feed.keySet shouldBe Set(2L, 4L)
+    feed(2L) shouldBe (("update", Some("b"), Some("B")))
+    feed(4L) shouldBe (("insert", None, Some("d")))
+    // identity feed is empty
+    TimeTravel.changesBetween(spark, t, 2, 2, Seq("k")).count() shouldBe 0L
+  }
+
   test("the demo key's history equals the per-version recompute") {
     val df = tables.TableRegistry.timeTravelDemo(spark, sf).collect()
     val evs = spark.read.parquet(s"$sf/events.parquet")
