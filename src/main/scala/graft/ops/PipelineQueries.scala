@@ -376,6 +376,52 @@ object PipelineQueries {
       .orderBy(col("split"), col("lang"))
   }
 
+  /** Smoothing pseudo-count and weight clamp for [[covariateShift]],
+    * shared with the oracle SQL. */
+  val ShiftSmooth = 0.5
+  val ShiftMaxWeight = 10.0
+  val ShiftVMax = 500.0
+
+  /** Covariate-shift importance weights between the event stream's two
+    * time halves — the CORRECTION the drift family's detectors
+    * ([[driftPsi]], KS, JS) hand off to: training on the early half to
+    * serve the late half, each early-half value bin gets weight
+    * p_late(bin)/p_early(bin) (smoothed, clamped at [[ShiftMaxWeight]]) so
+    * a weighted fit matches the target distribution. The output is the
+    * per-bin weight table a training job broadcast-joins onto its data.
+    *
+    * Shape at scale: the stream collapses to the (half, bin) grid in ONE
+    * conditional partial-agg pass (the [[StatsQueries.profileDrift]] split
+    * discipline — the midpoint is a 1-row broadcast, never a config);
+    * the density ratio runs on ≤ bins rows of metadata. Smoothing keeps
+    * empty bins finite; the clamp bounds the variance a tail bin could
+    * inject into a weighted objective. */
+  def covariateShift(spark: SparkSession, dir: String,
+      bins: Int = PsiBins): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .where(col("ts").isNotNull && col("value").isNotNull)
+      .select(Out.epochSec(col("ts")).as("sec"), col("value"))
+    val mid = ev.agg(((min(col("sec")) + max(col("sec"))) / 2).cast("long").as("mid"))
+    val vmax = lit(ShiftVMax)
+    val binned = ev.crossJoin(broadcast(mid))
+      .select(
+        when(col("sec") < col("mid"), lit("early")).otherwise(lit("late")).as("half"),
+        least(greatest(floor(col("value") / vmax * bins), lit(0.0))
+          .cast("long"), lit(bins - 1L)).as("bin"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("half") === "early", 1L).otherwise(0L)).as("c_early"),
+        sum(when(col("half") === "late", 1L).otherwise(0L)).as("c_late"))
+    val tot = binned.agg(sum(col("c_early")).as("n_early"),
+      sum(col("c_late")).as("n_late"))
+    binned.crossJoin(broadcast(tot))
+      .select(col("bin"), col("c_early"), col("c_late"),
+        round(least(
+          ((col("c_late") + lit(ShiftSmooth)) / (col("n_late") + lit(ShiftSmooth) * bins)) /
+            ((col("c_early") + lit(ShiftSmooth)) / (col("n_early") + lit(ShiftSmooth) * bins)),
+          lit(ShiftMaxWeight)), 6).as("weight"))
+      .orderBy(col("bin"))
+  }
+
   /** Shingle width for the cross-source overlap matrix — the dedup family's
     * 3-word shingles, not decontamination's 8 (the question here is "how
     * much do two crawls share" — broad phrase reuse — not verbatim

@@ -360,6 +360,38 @@ object PipelineRegistry {
          |  round(CAST(n_docs AS DOUBLE) / n_split - corpus_share, 6)
          |    AS share_delta
          |FROM grid JOIN st USING (split) JOIN co USING (lang)
-         |ORDER BY split, lang""".stripMargin)(PipelineQueries.splitBalance)
+         |ORDER BY split, lang""".stripMargin)(PipelineQueries.splitBalance),
+
+    // One conditional partial-agg pass to the bin grid; the density ratio
+    // runs on <= bins rows. Same parenthesization both engines.
+    QueryDef("q_covariate_shift", {
+      val sm = PipelineQueries.ShiftSmooth
+      val bins = PipelineQueries.PsiBins
+      val vmax = PipelineQueries.ShiftVMax
+      s"""WITH e AS (
+         |  SELECT ${graft.ops.Out.sql.epochSec("ts")} AS sec, value
+         |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+         |m AS (SELECT (MIN(sec) + MAX(sec)) // 2 AS mid FROM e),
+         |b AS (
+         |  SELECT LEAST(CAST(GREATEST(FLOOR(value / $vmax * $bins), 0.0)
+         |      AS BIGINT), ${bins - 1}) AS bin,
+         |    CASE WHEN sec < mid THEN 'early' ELSE 'late' END AS half
+         |  FROM e CROSS JOIN m),
+         |g AS (
+         |  SELECT bin,
+         |    CAST(SUM(CASE WHEN half = 'early' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS c_early,
+         |    CAST(SUM(CASE WHEN half = 'late' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS c_late
+         |  FROM b GROUP BY 1),
+         |t AS (SELECT CAST(SUM(c_early) AS BIGINT) AS n_early,
+         |        CAST(SUM(c_late) AS BIGINT) AS n_late FROM g)
+         |SELECT bin, c_early, c_late,
+         |  round(LEAST(
+         |    ((c_late + $sm) / (n_late + $sm * $bins))
+         |      / ((c_early + $sm) / (n_early + $sm * $bins)),
+         |    ${PipelineQueries.ShiftMaxWeight}), 6) AS weight
+         |FROM g CROSS JOIN t ORDER BY bin""".stripMargin
+    })((s, d) => PipelineQueries.covariateShift(s, d))
   )
 }

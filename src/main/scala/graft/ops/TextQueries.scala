@@ -284,6 +284,43 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram-LM cross-entropy per doc with add-one (Laplace) smoothing:
+    * P(w₂|w₁) = (c(w₁w₂) + 1) / (c(w₁) + V), avg −ln P over the doc's
+    * bigrams. The bigram companion to [[lmScore]]'s unigram model — it
+    * penalizes scrambled or template-stitched text that unigram perplexity
+    * cannot see (same words, wrong order), which is exactly the failure
+    * mode of low-effort spun content. Self-trained on the corpus, so no
+    * external model ships.
+    *
+    * Shape at scale: the bigram stream is a narrow positional transform;
+    * the two count tables are partial-agg shuffles bounded by bigram/
+    * unigram type counts, equi-joined back; V is a 1-row broadcast. NLL
+    * sums ride the DECIMAL(38,12) order-independence contract. */
+  def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val bg = docs
+      .select(col("doc_id"), expr(wordsExpr).as("ws"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+          |  i -> struct(element_at(ws, i) as w1, element_at(ws, i + 1) as w2))"""
+          .stripMargin)).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val tok = docs.select(explode(expr(wordsExpr)).as("t"))
+    val c1 = tok.groupBy(col("t").as("w1")).agg(count(lit(1)).as("c1"))
+    val v = tok.agg(countDistinct(col("t")).as("vsz"))
+    bg.join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .withColumn("nll",
+        (-log((col("c12") + lit(1.0)) / (col("c1") + col("vsz"))))
+          .cast("decimal(38,12)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("nll")).cast("double") / count(lit(1)), 6).as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprinting: whole-doc MD5 plus a 1-permutation MinHash over
     * 5-word shingles (the min MD5 of any shingle) — a content-defined
     * fingerprint stable under document reordering of *other* docs and cheap

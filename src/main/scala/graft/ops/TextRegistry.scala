@@ -431,5 +431,24 @@ object TextRegistry {
          |SELECT w, n, TRUE AS sketch_agrees
          |FROM census ORDER BY n DESC, w
          |LIMIT ${TextQueries.TopkK}""".stripMargin)(
-      (s, d) => TextQueries.approxTopkTokens(s, d)))
+      (s, d) => TextQueries.approxTopkTokens(s, d)),
+
+    // Laplace bigram model trained on the corpus itself; NLL terms on the
+    // DECIMAL(38,12) contract. (c12 + 1.0) is DOUBLE in both engines;
+    // (c1 + vsz) stays integral until the one division.
+    QueryDef("q_bigram_lm",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |pos AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w),
+        |bg AS (SELECT doc_id, ws[CAST(i AS INTEGER)] AS w1,
+        |         ws[CAST(i + 1 AS INTEGER)] AS w2 FROM pos),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+        |c1 AS (SELECT t AS w1, count(*) AS c1 FROM tok GROUP BY 1),
+        |v AS (SELECT count(DISTINCT t) AS vsz FROM tok)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(SUM(CAST(-ln((c12.c12 + 1.0) / (c1.c1 + vsz))
+        |      AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS avg_nll
+        |FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)(
+      TextQueries.bigramLm))
 }

@@ -84,13 +84,35 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
   }
 
+  private def blowUpEmbeddings(spark: SparkSession, src: String, out: String,
+      copies: Int): Unit = {
+    // vec_id translated per copy; each copy's vectors CYCLICALLY ROTATED by
+    // its copy index — a rotation preserves every within-copy dot product
+    // (pair structure, centroid geometry scale exactly ×COPIES) while
+    // decorrelating copies from each other and from the fixed hyperplanes,
+    // so LSH buckets don't systematically collide across copies (identical
+    // copies would: signatures are functions of the vector alone, and a
+    // shared bucket turns the ×COPIES blow-up quadratic)
+    val e = spark.read.parquet(s"$src/embeddings.parquet")
+    (0 until copies).map { k =>
+      val rotated =
+        if (k == 0) e
+        else e.withColumn("embedding", expr(
+          s"concat(slice(embedding, ${k + 1}, size(embedding) - $k), " +
+            s"slice(embedding, 1, $k))"))
+      rotated.withColumn("vec_id", col("vec_id") + lit(k * Stride))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+  }
+
   def generate(spark: SparkSession, src: String, out: String,
       copies: Int): Unit = {
     Files.createDirectories(Paths.get(out))
     blowUpDocuments(spark, src, out, copies)
     blowUpEvents(spark, src, out, copies)
     blowUpTrade(spark, src, out, copies)
-    Seq("region", "nation", "customer", "supplier", "part", "embeddings")
+    blowUpEmbeddings(spark, src, out, copies)
+    Seq("region", "nation", "customer", "supplier", "part")
       .foreach { t =>
         val link = Paths.get(s"$out/$t.parquet")
         if (!Files.exists(link))

@@ -405,6 +405,55 @@ class GrowthOpsSpec extends SparkSpec {
     rows.map(r => r.getString(0) -> r.getLong(1)).toSeq shouldBe exact.toSeq
   }
 
+  test("q_bigram_lm matches a naive Laplace-smoothed recompute") {
+    val docs = SparkSpec.spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    val toks = docs.flatMap(_._2)
+    val c1 = toks.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val vsz = c1.size.toLong
+    val bigrams = docs.flatMap { case (_, ws) => ws.sliding(2).filter(_.size == 2) }
+      .map(p => (p(0), p(1)))
+    val c12 = bigrams.groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    val want = docs.flatMap { case (id, ws) =>
+      val bgs = ws.sliding(2).filter(_.size == 2).toSeq
+      if (bgs.isEmpty) None else {
+        val nll = bgs.map { p =>
+          val term = -math.log(
+            (c12((p(0), p(1))) + 1.0) / (c1(p(0)) + vsz))
+          BigDecimal(term).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        }.sum
+        Some(id -> (bgs.size.toLong, nll.toDouble / bgs.size))
+      }
+    }.toMap
+    val got = TextQueries.bigramLm(spark, sf).collect()
+    got.length shouldBe want.size
+    got.foreach { r =>
+      val (n, avg) = want(r.getLong(0))
+      r.getLong(1) shouldBe n
+      r.getAs[Double]("avg_nll") shouldBe (avg +- 1e-5)
+    }
+  }
+
+  test("q_covariate_shift: weighted early histogram approaches the late one") {
+    val rows = ops.PipelineQueries.covariateShift(spark, sf).collect()
+    val nE = rows.map(_.getAs[Long]("c_early")).sum.toDouble
+    val nL = rows.map(_.getAs[Long]("c_late")).sum.toDouble
+    assert(nE > 0 && nL > 0)
+    rows.foreach { r =>
+      val w = r.getAs[Double]("weight")
+      w should be > 0.0
+      w should be <= ops.PipelineQueries.ShiftMaxWeight
+      // unclamped weights reproduce the smoothed density ratio
+      val sm = ops.PipelineQueries.ShiftSmooth
+      val bins = ops.PipelineQueries.PsiBins
+      val expect = ((r.getAs[Long]("c_late") + sm) / (nL + sm * bins)) /
+        ((r.getAs[Long]("c_early") + sm) / (nE + sm * bins))
+      if (expect < ops.PipelineQueries.ShiftMaxWeight)
+        w shouldBe (expect +- 1e-5)
+    }
+  }
+
   test("q_embedding_cov: diagonal is the (quantized) per-dim variance, ≥ 0") {
     val vecs = SparkSpec.spark.read.parquet(s"$sf/embeddings.parquet")
       .selectExpr("embedding").collect()

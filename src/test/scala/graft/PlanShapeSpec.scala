@@ -217,7 +217,9 @@ class PlanShapeSpec extends SparkSpec {
       // BM25 arm carries its 1-row broadcast corpus stats
       "q_rrf_fusion",
       // 1-row broadcast sketch / edge-count / corpus-total frames
-      "q_approx_topk", "q_dedup_transitivity", "q_split_balance")
+      "q_approx_topk", "q_dedup_transitivity", "q_split_balance",
+      // 1-row broadcast vocabulary size (Laplace denominator)
+      "q_bigram_lm")
     SparkEntry.all.filter(_.oracle.isDefined).foreach { q =>
       val p = plan(q.fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"${q.name} plans a cartesian:\n$p")

@@ -113,6 +113,36 @@ class TimeTravelSpec extends SparkSpec {
     TimeTravel.changesBetween(spark, t, 2, 2, Seq("k")).count() shouldBe 0L
   }
 
+  test("streaming foreachBatch through mergeVersioned: one snapshot per " +
+      "micro-batch, latest equals the batch recompute, history readable") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Files.createTempDirectory("graft_tt_stream").toString
+    val table = s"$base/table"
+    // three input files → maxFilesPerTrigger=1 → three deterministic batches
+    (0 until 3).foreach { b =>
+      Seq((b * 10L + 1L, s"b$b"), (b * 10L + 2L, s"b$b"))
+        .toDF("k", "v").coalesce(1).write.parquet(s"$base/in/f$b")
+    }
+    val stream = SparkSpec.spark.readStream
+      .schema("k LONG, v STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$base/in/*")
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        TimeTravel.mergeVersioned(table, batch, Seq("k")): Unit
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val vs = TimeTravel.versions(spark, table)
+    vs.size shouldBe 3
+    TimeTravel.readAt(spark, table, vs.last).count() shouldBe 6
+    // every intermediate snapshot is still readable with 2 more rows each
+    vs.zipWithIndex.foreach { case (v, i) =>
+      TimeTravel.readAt(spark, table, v).count() shouldBe 2L * (i + 1)
+    }
+  }
+
   test("the demo key's history equals the per-version recompute") {
     val df = tables.TableRegistry.timeTravelDemo(spark, sf).collect()
     val evs = spark.read.parquet(s"$sf/events.parquet")
