@@ -458,6 +458,43 @@ object GraphQueries {
       rounds: Int = LpaRounds): DataFrame =
     labelPropagationOf(nationTradeEdges(Tables(spark, dir)), rounds)
 
+  /** Newman modularity of the LPA communities over the same-nation trade
+    * graph — the quality score that decides whether [[labelPropagationTrade]]'s
+    * partition means anything: Q ≈ 0 is no better than random, Q ≳ 0.3 is
+    * real community structure. Emitting Q next to the labels is what a
+    * community-detection pipeline monitors per run (sync LPA can oscillate;
+    * a Q drop flags a bad round budget before anyone consumes the labels).
+    *
+    * Q = Σ_c [ within_c/D − (deg_c/D)² ] over the DIRECTED edge census
+    * (D = 2m): both terms are exact-integer ratios evaluated in double,
+    * each community's term truncated to DECIMAL(38,12) so the sum is
+    * partition-order-independent (the [[StatsQueries.columnEntropy]]
+    * contract).
+    *
+    * Shape at scale: the label table joins the edge list twice (equi-joins
+    * on the node key), one partial-agg shuffle to the ≤#labels community
+    * grid, a 1-row broadcast edge total, and a 1-row output. */
+  def lpaModularity(spark: SparkSession, dir: String,
+      rounds: Int = LpaRounds): DataFrame = {
+    val edges = nationTradeEdges(Tables(spark, dir))
+    val labels = labelPropagationOf(edges, rounds)
+    val ew = edges
+      .join(labels.select(col("node").as("src"), col("label").as("l1")), Seq("src"))
+      .join(labels.select(col("node").as("dst"), col("label").as("l2")), Seq("dst"))
+    val per = ew.groupBy(col("l1").as("label"))
+      .agg(count(lit(1)).as("degc"),
+        sum(when(col("l1") === col("l2"), 1L).otherwise(0L)).as("withinc"))
+    val d = ew.agg(count(lit(1)).as("dd"))
+    per.crossJoin(broadcast(d))
+      .select(((col("withinc").cast("double") / col("dd").cast("double")) -
+        (col("degc").cast("double") / col("dd").cast("double")) *
+          (col("degc").cast("double") / col("dd").cast("double")))
+        .cast("decimal(38,12)").as("term"), col("dd"))
+      .agg(count(lit(1)).as("n_communities"),
+        (max(col("dd")) / 2).cast("long").as("n_edges"),
+        round(sum(col("term")).cast("double"), 6).as("modularity"))
+  }
+
   /** Fixed-point scale for the resource-allocation link-prediction score:
     * RA(u,v) = Σ_{c ∈ CN(u,v)} 1/deg(c) (Zhou/Lü/Zhang's RA index), summed
     * as `RaScale div deg` integer contributions — the same exact,

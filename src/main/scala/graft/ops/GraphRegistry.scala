@@ -156,6 +156,34 @@ object GraphRegistry {
        |${(1 to GraphQueries.LpaRounds).map(lpaRound).mkString(",\n")}
        |SELECT node, label FROM l${GraphQueries.LpaRounds} ORDER BY node""".stripMargin
 
+  private val lpaModularitySql =
+    s"""WITH np AS (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  JOIN customer ON c_custkey = o_custkey
+       |  JOIN supplier ON s_suppkey = l_suppkey
+       |  WHERE c_nationkey = s_nationkey),
+       |sn AS MATERIALIZED (SELECT src, dst FROM np UNION ALL SELECT dst, src FROM np),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM sn),
+       |${(1 to GraphQueries.LpaRounds).map(lpaRound).mkString(",\n")},
+       |ew AS (
+       |  SELECT ls.label AS l1, ld.label AS l2
+       |  FROM sn e
+       |  JOIN l${GraphQueries.LpaRounds} ls ON ls.node = e.src
+       |  JOIN l${GraphQueries.LpaRounds} ld ON ld.node = e.dst),
+       |d AS (SELECT count(*) AS dd FROM ew),
+       |per AS (
+       |  SELECT l1 AS label, count(*) AS degc,
+       |    CAST(SUM(CASE WHEN l1 = l2 THEN 1 ELSE 0 END) AS BIGINT) AS withinc
+       |  FROM ew GROUP BY 1)
+       |SELECT count(*) AS n_communities,
+       |  CAST(MAX(dd) // 2 AS BIGINT) AS n_edges,
+       |  round(CAST(SUM(CAST(
+       |    (withinc / CAST(dd AS DOUBLE))
+       |      - (degc / CAST(dd AS DOUBLE)) * (degc / CAST(dd AS DOUBLE))
+       |    AS DECIMAL(38,12))) AS DOUBLE), 6) AS modularity
+       |FROM per CROSS JOIN d""".stripMargin
+
   /** Link prediction: wedge enumeration through the center node, RA score
     * as exact fixed-point integer sum (`//` is DuckDB's truncating division,
     * matching Spark's `div` on positive BIGINTs; the HUGEINT sum casts back
@@ -239,6 +267,8 @@ object GraphRegistry {
       (s, d) => GraphQueries.assortativity(s, d)),
     QueryDef("q_kcore", kcoreSql)(GraphQueries.kCoreTrade(_, _)),
     QueryDef("q_label_prop", labelPropSql)(GraphQueries.labelPropagationTrade(_, _)),
+    QueryDef("q_lpa_modularity", lpaModularitySql)(
+      (s, d) => GraphQueries.lpaModularity(s, d)),
     QueryDef("q_link_predict", linkPredictSql)(GraphQueries.linkPredict(_, _)),
     QueryDef("q_bfs_frontier", bfsSql)(GraphQueries.bfsFrontier(_, _)))
 }

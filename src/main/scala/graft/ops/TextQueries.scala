@@ -106,6 +106,36 @@ object TextQueries {
         col("stop_ratio"), col("pred_lang"))
       .orderBy(col("doc_id"))
 
+  /** Confusion census for the [[langId]] heuristic against the labeled
+    * `lang` column — the evaluation table a language-ID gate ships with:
+    * per (true lang, predicted) doc counts and the within-lang share. The
+    * current heuristic only separates en/und, so the census is exactly
+    * where its miss pattern (non-en languages predicted 'en' via shared
+    * stopwords, en docs under the ratio floor) becomes visible — the
+    * evidence for choosing the next heuristic.
+    *
+    * Shape at scale: the prediction is the same codegen'd projection
+    * [[langId]] runs, collapsed by ONE partial-agg shuffle to the
+    * ≤ langs×preds grid; shares join the per-lang totals back on that
+    * metadata frame. */
+  def langidConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val pred = Tables(spark, dir).documents
+      .select(col("lang"),
+        (size(expr(s"filter($wordsExpr, t -> t in ($stopwordsSqlList))"))
+          .cast("double") / size(expr(wordsExpr)).cast("double")).as("ratio"))
+      .select(col("lang"),
+        when(round(col("ratio"), 4) >= 0.08, lit("en")).otherwise(lit("und"))
+          .as("pred_lang"))
+    val grid = pred.groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = grid.groupBy(col("lang")).agg(sum(col("n_docs")).as("n_lang"))
+    grid.join(broadcast(tot), Seq("lang"))
+      .select(col("lang"), col("pred_lang"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_lang").cast("double"), 6)
+          .as("share"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
   /** Quality scoring: length saturation × lexical diversity — the standard
     * cheap pre-filter a training-data pipeline runs before dedup. All terms
     * are exact integer ratios rounded once at the end. */

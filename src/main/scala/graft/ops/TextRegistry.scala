@@ -450,5 +450,23 @@ object TextRegistry {
         |      AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS avg_nll
         |FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)(
-      TextQueries.bigramLm))
+      TextQueries.bigramLm),
+
+    // Same rounded stop-ratio rule as q_lang_id, collapsed to the
+    // (lang, pred) grid with within-lang shares.
+    QueryDef("q_langid_confusion",
+      s"""WITH p AS (
+         |  SELECT lang,
+         |    CASE WHEN round(CAST(len(list_filter($words, t -> t IN ($stop)))
+         |                    AS DOUBLE) / len($words), 4) >= 0.08
+         |         THEN 'en' ELSE 'und' END AS pred_lang
+         |  FROM documents),
+         |grid AS (
+         |  SELECT lang, pred_lang, count(*) AS n_docs FROM p GROUP BY 1, 2),
+         |t AS (SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS n_lang
+         |      FROM grid GROUP BY 1)
+         |SELECT lang, pred_lang, n_docs,
+         |  round(CAST(n_docs AS DOUBLE) / n_lang, 6) AS share
+         |FROM grid JOIN t USING (lang)
+         |ORDER BY lang, pred_lang""".stripMargin)(TextQueries.langidConfusion))
 }

@@ -454,6 +454,51 @@ class GrowthOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_lpa_modularity recomputes from the labels and edges; Q in [-1, 1]") {
+    import ops.GraphQueries
+    val t = graft.tables.Tables(spark, sf)
+    val pairs = t.orders.select("o_orderkey", "o_custkey")
+      .join(t.lineitem.select("l_orderkey", "l_suppkey"),
+        org.apache.spark.sql.functions.col("o_orderkey") ===
+          org.apache.spark.sql.functions.col("l_orderkey"))
+      .join(t.customer.select("c_custkey", "c_nationkey"),
+        org.apache.spark.sql.functions.col("c_custkey") ===
+          org.apache.spark.sql.functions.col("o_custkey"))
+      .join(t.supplier.select("s_suppkey", "s_nationkey"),
+        org.apache.spark.sql.functions.col("s_suppkey") ===
+          org.apache.spark.sql.functions.col("l_suppkey"))
+      .where("c_nationkey = s_nationkey")
+      .selectExpr("o_custkey * 2 as src", "l_suppkey * 2 + 1 as dst")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = pairs ++ pairs.map(e => (e._2, e._1))
+    val labels = GraphQueries.labelPropagationTrade(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dd = edges.length.toDouble
+    val per = edges.groupBy(e => labels(e._1)).map { case (_, es) =>
+      val degc = es.length.toDouble
+      val withinc = es.count(e => labels(e._1) == labels(e._2)).toDouble
+      BigDecimal(withinc / dd - (degc / dd) * (degc / dd))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val want = per.sum.toDouble
+    val r = GraphQueries.lpaModularity(spark, sf).collect().head
+    assert(r.getAs[Long]("n_communities") == per.size.toLong)
+    assert(r.getAs[Long]("n_edges") == edges.length.toLong / 2)
+    r.getAs[Double]("modularity") shouldBe (want +- 1e-6)
+    r.getAs[Double]("modularity") should (be >= -1.0 and be <= 1.0)
+  }
+
+  test("q_langid_confusion: shares sum to 1 per lang; census covers all docs") {
+    val rows = TextQueries.langidConfusion(spark, sf).collect()
+    val total = SparkSpec.spark.read.parquet(s"$sf/documents.parquet").count()
+    rows.map(_.getAs[Long]("n_docs")).sum shouldBe total
+    rows.groupBy(_.getString(0)).foreach { case (_, g) =>
+      g.map(_.getAs[Double]("share")).sum shouldBe (1.0 +- 1e-4)
+    }
+    // the heuristic only emits en/und
+    assert(rows.map(_.getString(1)).toSet.subsetOf(Set("en", "und")))
+  }
+
   test("q_embedding_cov: diagonal is the (quantized) per-dim variance, ≥ 0") {
     val vecs = SparkSpec.spark.read.parquet(s"$sf/embeddings.parquet")
       .selectExpr("embedding").collect()

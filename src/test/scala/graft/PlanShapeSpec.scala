@@ -219,7 +219,9 @@ class PlanShapeSpec extends SparkSpec {
       // 1-row broadcast sketch / edge-count / corpus-total frames
       "q_approx_topk", "q_dedup_transitivity", "q_split_balance",
       // 1-row broadcast vocabulary size (Laplace denominator)
-      "q_bigram_lm")
+      "q_bigram_lm",
+      // 1-row broadcast directed-edge total (modularity denominator)
+      "q_lpa_modularity")
     SparkEntry.all.filter(_.oracle.isDefined).foreach { q =>
       val p = plan(q.fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"${q.name} plans a cartesian:\n$p")
