@@ -763,6 +763,9 @@ object DedupQueries {
     * to a key that near-dup families share by construction. */
   def dedupPrefix(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
+      // non-null guard: prefix_hash is the ORDER BY key, and a NULL text
+      // would make it NULL — Spark sorts NULLS FIRST, DuckDB NULLS LAST
+      .where(col("text").isNotNull)
       .select(col("doc_id"), col("source"),
         expr(s"${TextQueries.hash48(s"array_join(slice($wordsExpr, 1, $PrefixTokens), ' ')")}")
           .as("prefix_hash"))

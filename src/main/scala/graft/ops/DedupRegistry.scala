@@ -289,7 +289,7 @@ object DedupRegistry {
          |    ('0x' || substr(md5(array_to_string(
          |      list_slice(string_split(text, ' '), 1, ${DedupQueries.PrefixTokens}),
          |      ' ')), 1, 12))::BIGINT AS prefix_hash
-         |  FROM documents)
+         |  FROM documents WHERE text IS NOT NULL)
          |SELECT prefix_hash, count(*) AS n_docs,
          |  count(DISTINCT source) AS n_sources,
          |  min(doc_id) AS min_doc_id

@@ -120,6 +120,8 @@ object TextQueries {
     * metadata frame. */
   def langidConfusion(spark: SparkSession, dir: String): DataFrame = {
     val pred = Tables(spark, dir).documents
+      // lang is the leading ORDER BY key — NULLS FIRST/LAST divergence guard
+      .where(col("lang").isNotNull)
       .select(col("lang"),
         (size(expr(s"filter($wordsExpr, t -> t in ($stopwordsSqlList))"))
           .cast("double") / size(expr(wordsExpr)).cast("double")).as("ratio"))
@@ -781,6 +783,8 @@ object TextQueries {
   def charEntropy(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val census = Tables(spark, dir).documents
+      // source is the ORDER BY key — NULLS FIRST/LAST divergence guard
+      .where(col("source").isNotNull)
       .select(col("source"), explode(split(col("text"), "")).as("ch"))
       .where(col("ch") =!= "")
       .groupBy(col("source"), col("ch")).agg(count(lit(1)).as("c"))
@@ -808,6 +812,8 @@ object TextQueries {
     * tree in the oracle. */
   def vocabCoverage(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
+      // source is the ORDER BY key — NULLS FIRST/LAST divergence guard
+      .where(col("source").isNotNull)
       .select(col("source"), explode(expr(wordsExpr)).as("w"))
       .where(col("w") =!= "")
       .groupBy(col("source"), col("w")).agg(count(lit(1)).as("f"))

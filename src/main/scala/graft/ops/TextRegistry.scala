@@ -388,7 +388,8 @@ object TextRegistry {
     // Census-then-rollup: the mass formula never touches the token stream.
     QueryDef("q_vocab_coverage",
       """WITH tok AS (
-        |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+        |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+        |  WHERE source IS NOT NULL),
         |census AS (
         |  SELECT source, w, count(*) AS f FROM tok WHERE w <> '' GROUP BY 1, 2)
         |SELECT source,
@@ -408,7 +409,7 @@ object TextRegistry {
     QueryDef("q_char_entropy",
       """WITH pos AS (
         |  SELECT source, text, unnest(range(1, length(text) + 1)) AS i
-        |  FROM documents),
+        |  FROM documents WHERE source IS NOT NULL),
         |ch AS (SELECT source, substr(text, CAST(i AS INTEGER), 1) AS ch FROM pos),
         |census AS (
         |  SELECT source, ch, count(*) AS c FROM ch WHERE ch <> '' GROUP BY 1, 2),
@@ -460,7 +461,7 @@ object TextRegistry {
          |    CASE WHEN round(CAST(len(list_filter($words, t -> t IN ($stop)))
          |                    AS DOUBLE) / len($words), 4) >= 0.08
          |         THEN 'en' ELSE 'und' END AS pred_lang
-         |  FROM documents),
+         |  FROM documents WHERE lang IS NOT NULL),
          |grid AS (
          |  SELECT lang, pred_lang, count(*) AS n_docs FROM p GROUP BY 1, 2),
          |t AS (SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS n_lang

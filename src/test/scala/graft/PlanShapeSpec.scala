@@ -221,7 +221,9 @@ class PlanShapeSpec extends SparkSpec {
       // 1-row broadcast vocabulary size (Laplace denominator)
       "q_bigram_lm",
       // 1-row broadcast directed-edge total (modularity denominator)
-      "q_lpa_modularity")
+      "q_lpa_modularity",
+      // 1-row broadcast span midpoint + half totals (density ratio)
+      "q_covariate_shift")
     SparkEntry.all.filter(_.oracle.isDefined).foreach { q =>
       val p = plan(q.fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"${q.name} plans a cartesian:\n$p")
