@@ -744,6 +744,34 @@ object DedupQueries {
           .as("closure_rate"))
   }
 
+  /** SimHash-route quality monitor: the banded-Hamming candidate pairs
+    * ([[simhashPairs]]) scored against the verified near-dup truth
+    * ([[dedupVerified]], exact Jaccard ≥ τ) — recall says how much real
+    * duplication the cheap 48-bit route misses, precision how much of its
+    * candidate volume is noise. The MinHash route has [[q_text_lsh_recall]];
+    * with this, BOTH sketch routes carry a live quality row, which is what
+    * lets an operator pick a route per corpus instead of by folklore.
+    *
+    * Shape at scale: both pair sets are SMALL outputs of capped banded
+    * generators; the intersection is one semi-join on the pair key and the
+    * readout is three 1-row aggregates broadcast together. */
+  def simhashRecall(spark: SparkSession, dir: String): DataFrame = {
+    val truth = dedupVerified(spark, dir).select(col("doc_a"), col("doc_b"))
+    val cand = simhashPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val nCand = cand.agg(count(lit(1)).as("n_cand"))
+    val nHit = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    nTruth.crossJoin(broadcast(nCand)).crossJoin(broadcast(nHit))
+      .select(col("n_truth"), col("n_cand"), col("n_hit"),
+        when(col("n_truth") > 0,
+          round(col("n_hit").cast("double") / col("n_truth").cast("double"), 6))
+          .as("recall"),
+        when(col("n_cand") > 0,
+          round(col("n_hit").cast("double") / col("n_cand").cast("double"), 6))
+          .as("precision"))
+  }
+
   /** Token length of the prefix [[dedupPrefix]] keys on. */
   val PrefixTokens = 8
 

@@ -342,6 +342,53 @@ object DedupRegistry {
          |    THEN round(CAST(n_closed AS DOUBLE) / n_wedges, 6) END
          |    AS closure_rate
          |FROM cl CROSS JOIN eg""".stripMargin)(
-      (s, d) => DedupQueries.dedupTransitivity(s, d))
+      (s, d) => DedupQueries.dedupTransitivity(s, d)),
+
+    // Truth = the verified-pair CTEs; candidates = the simhash pair CTEs
+    // (renamed sh*/sc* to coexist); semi-join + three 1-row counts.
+    QueryDef("q_simhash_recall",
+      s"""WITH $minhashCandCtes,
+         |jv AS (SELECT c.doc_a, c.doc_b,
+         |        len(list_intersect(da.sh, db.sh)) AS inter,
+         |        len(da.sh) + len(db.sh) AS sz
+         |      FROM cand c
+         |      JOIN d da ON da.doc_id = c.doc_a
+         |      JOIN d db ON db.doc_id = c.doc_b),
+         |ed AS (SELECT doc_a, doc_b FROM jv
+         |       WHERE round(CAST(inter AS DOUBLE) / (sz - inter), 4)
+         |         >= ${DedupQueries.VerifiedMinJaccard}),
+         |shh AS (SELECT doc_id,
+         |  list_transform(list_distinct($words), t -> $hash48) AS hs
+         |FROM documents),
+         |shs AS (SELECT doc_id,
+         |  CAST(list_sum(list_transform(generate_series(0, 47), b ->
+         |    CASE WHEN CAST(list_sum(list_transform(hs, h ->
+         |           CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) AS BIGINT) > 0
+         |         THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash
+         |FROM shh),
+         |sc0 AS (SELECT doc_id, simhash, c.c AS chunk_idx,
+         |         (simhash >> (c.c * 12)) % 4096 AS chunk
+         |       FROM shs CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c) c),
+         |sok AS (SELECT chunk_idx, chunk FROM sc0
+         |       GROUP BY 1, 2 HAVING count(*) <= ${DedupQueries.SimhashBucketCap}),
+         |sch AS (SELECT sc0.* FROM sc0 JOIN sok USING (chunk_idx, chunk)),
+         |scand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM sch a JOIN sch b
+         |           ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+         |          AND a.doc_id < b.doc_id
+         |         WHERE CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) <= 6),
+         |nt AS (SELECT count(*) AS n_truth FROM ed),
+         |nc AS (SELECT count(*) AS n_cand FROM scand),
+         |nh AS (SELECT count(*) AS n_hit FROM ed
+         |       WHERE EXISTS (SELECT 1 FROM scand
+         |                     WHERE scand.doc_a = ed.doc_a
+         |                       AND scand.doc_b = ed.doc_b))
+         |SELECT n_truth, n_cand, n_hit,
+         |  CASE WHEN n_truth > 0
+         |    THEN round(CAST(n_hit AS DOUBLE) / n_truth, 6) END AS recall,
+         |  CASE WHEN n_cand > 0
+         |    THEN round(CAST(n_hit AS DOUBLE) / n_cand, 6) END AS precision
+         |FROM nt CROSS JOIN nc CROSS JOIN nh""".stripMargin)(
+      (s, d) => DedupQueries.simhashRecall(s, d))
   )
 }

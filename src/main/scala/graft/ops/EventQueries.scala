@@ -220,6 +220,51 @@ object EventQueries {
     }._1.orderBy(col("user_id"))
   }
 
+  /** Staleness bound (s) for [[asofTolerance]], shared with the oracle. */
+  val AsofToleranceSec = 600L
+
+  /** As-of join with a STALENESS BOUND — the feature-store contract:
+    * each purchase gets the latest prior click only if it is at most
+    * [[AsofToleranceSec]] old, else NULL (serving a feature staler than
+    * the tolerance is worse than serving none: the model trained on fresh
+    * joins). Emits the gap and an `is_fresh` flag so the miss rate is
+    * monitorable from the same output.
+    *
+    * Shape at scale: identical to [[asofJoin]] — ONE union + ONE window
+    * shuffle on the entity key; the tolerance is a post-window projection,
+    * so bounding staleness costs nothing over the unbounded join. */
+  def asofTolerance(spark: SparkSession, dir: String,
+      toleranceSec: Long = AsofToleranceSec): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(spark, dir).events
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("side", lit(1))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("side", lit(0))
+    val unioned = purchases.unionByName(clicks)
+      .withColumn("click_id", when(col("side") === 0, col("event_id")))
+      .withColumn("click_sec", when(col("side") === 0, Out.epochSec(col("ts"))))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("last_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("last_click_sec", last(col("click_sec"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .withColumn("gap_sec", Out.epochSec(col("ts")) - col("last_click_sec"))
+      .withColumn("fresh", col("gap_sec").isNotNull && col("gap_sec") <= toleranceSec)
+      .select(
+        col("event_id").as("purchase_id"),
+        col("user_id"),
+        Out.epochSec(col("ts")).as("purchase_ts"),
+        when(col("fresh"), col("last_click_id")).as("click_id"),
+        when(col("fresh"), col("gap_sec")).as("gap_sec"),
+        when(col("fresh"), 1L).otherwise(0L).as("is_fresh"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** Funnel window (s) for [[windowFunnel]], shared with the oracle SQL. */
   val FunnelWindowSec = 3600L
 

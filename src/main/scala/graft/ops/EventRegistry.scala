@@ -105,6 +105,38 @@ object EventRegistry {
          |FROM m WHERE side = 1 ORDER BY purchase_id""".stripMargin)(
       EventQueries.asofJoin),
 
+    // The asof window with a staleness bound applied post-window; gap in
+    // integer epoch seconds on both sides.
+    QueryDef("q_asof_tolerance",
+      s"""WITH u AS (
+         |  SELECT user_id, ts, event_id, 1 AS side FROM events WHERE event_type = 'purchase'
+         |  UNION ALL
+         |  SELECT user_id, ts, event_id, 0 AS side FROM events WHERE event_type = 'click'),
+         |m AS (
+         |  SELECT user_id, ts, event_id, side,
+         |    LAST_VALUE(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY ts, side, event_id
+         |            ROWS UNBOUNDED PRECEDING) AS click_id,
+         |    LAST_VALUE(CASE WHEN side = 0 THEN ${Out.sql.epochSec("ts")} END
+         |      IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY ts, side, event_id
+         |            ROWS UNBOUNDED PRECEDING) AS click_sec
+         |  FROM u),
+         |g AS (
+         |  SELECT event_id AS purchase_id, user_id,
+         |    ${Out.sql.epochSec("ts")} AS purchase_ts, click_id,
+         |    ${Out.sql.epochSec("ts")} - click_sec AS gap_sec
+         |  FROM m WHERE side = 1)
+         |SELECT purchase_id, user_id, purchase_ts,
+         |  CASE WHEN gap_sec <= ${EventQueries.AsofToleranceSec}
+         |       THEN click_id END AS click_id,
+         |  CASE WHEN gap_sec <= ${EventQueries.AsofToleranceSec}
+         |       THEN gap_sec END AS gap_sec,
+         |  CAST(CASE WHEN gap_sec <= ${EventQueries.AsofToleranceSec}
+         |       THEN 1 ELSE 0 END AS BIGINT) AS is_fresh
+         |FROM g ORDER BY purchase_id""".stripMargin)(
+      (s, d) => EventQueries.asofTolerance(s, d)),
+
     QueryDef("q_funnel",
       s"""WITH e AS (
          |  SELECT user_id, event_type, ${Out.sql.epochSec("ts")} AS t FROM events),

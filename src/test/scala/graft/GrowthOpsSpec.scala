@@ -499,6 +499,43 @@ class GrowthOpsSpec extends SparkSpec {
     assert(rows.map(_.getString(1)).toSet.subsetOf(Set("en", "und")))
   }
 
+  test("q_simhash_recall: counts recompute from the two pair generators") {
+    val truth = DedupQueries.dedupVerified(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = DedupQueries.simhashPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r = DedupQueries.simhashRecall(spark, sf).collect().head
+    assert(r.getAs[Long]("n_truth") == truth.size.toLong)
+    assert(r.getAs[Long]("n_cand") == cand.size.toLong)
+    assert(r.getAs[Long]("n_hit") == truth.intersect(cand).size.toLong)
+    if (truth.nonEmpty)
+      r.getAs[Double]("recall") shouldBe
+        (truth.intersect(cand).size.toDouble / truth.size +- 1e-6)
+  }
+
+  test("q_asof_tolerance: fresh rows match the unbounded asof within bound; " +
+      "stale rows are nulled, never dropped") {
+    val unbounded = ops.EventQueries.asofJoin(spark, sf).collect()
+      .map(r => r.getLong(0) -> (Option(r.getAs[java.lang.Long]("click_id")),
+        Option(r.getAs[java.lang.Long]("click_ts")),
+        r.getLong(2))).toMap
+    val rows = ops.EventQueries.asofTolerance(spark, sf).collect()
+    rows.length shouldBe unbounded.size
+    rows.foreach { r =>
+      val (clickId, clickTs, pTs) = unbounded(r.getLong(0))
+      val fresh = clickTs.exists(ct => pTs - ct <= ops.EventQueries.AsofToleranceSec)
+      r.getAs[Long]("is_fresh") shouldBe (if (fresh) 1L else 0L)
+      if (fresh) {
+        Option(r.getAs[java.lang.Long]("click_id")).map(_.toLong) shouldBe
+          clickId.map(_.toLong)
+        r.getAs[Long]("gap_sec") shouldBe (pTs - clickTs.get)
+      } else {
+        assert(r.isNullAt(r.fieldIndex("click_id")))
+        assert(r.isNullAt(r.fieldIndex("gap_sec")))
+      }
+    }
+  }
+
   test("q_embedding_cov: diagonal is the (quantized) per-dim variance, ≥ 0") {
     val vecs = SparkSpec.spark.read.parquet(s"$sf/embeddings.parquet")
       .selectExpr("embedding").collect()

@@ -223,7 +223,9 @@ class PlanShapeSpec extends SparkSpec {
       // 1-row broadcast directed-edge total (modularity denominator)
       "q_lpa_modularity",
       // 1-row broadcast span midpoint + half totals (density ratio)
-      "q_covariate_shift")
+      "q_covariate_shift",
+      // three 1-row count frames combine via broadcast (recall readout)
+      "q_simhash_recall")
     SparkEntry.all.filter(_.oracle.isDefined).foreach { q =>
       val p = plan(q.fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"${q.name} plans a cartesian:\n$p")
