@@ -422,6 +422,47 @@ object PipelineQueries {
       .orderBy(col("bin"))
   }
 
+  /** One-pass leakage-safe training-matrix assembly: per user, behavioral
+    * features computed STRICTLY BEFORE the corpus-midpoint cutoff and a
+    * label (any purchase) STRICTLY AFTER it — the feature/label temporal
+    * wall is structural, not a convention (the [[q_ml_features]] rule
+    * lifted to whole-table assembly). This is the table a churn/propensity
+    * model trains on, produced the way a feature store would: one pass,
+    * point-in-time correct.
+    *
+    * Shape at scale: the cutoff is a 1-row broadcast; features AND label
+    * are conditional aggregates in ONE user-grain partial-agg shuffle —
+    * never a features-join-label of two passes. Recency/day features are
+    * integer day arithmetic; the value average rides the decimal contract. */
+  def featureMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val day = 86400L
+    val ev = Tables(spark, dir).events
+      .where(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), Out.epochSec(col("ts")).as("sec"),
+        col("event_type"), col("value"))
+    val mid = ev.agg(((min(col("sec")) + max(col("sec"))) / 2).cast("long").as("mid"))
+    val pre = col("sec") < col("mid")
+    ev.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("mid")).as("mid"),
+        sum(when(pre, 1L).otherwise(0L)).as("n_events_pre"),
+        sum(when(pre && col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purch_pre"),
+        round(sum(when(pre, col("value")).cast(Out.SumDecimal)).cast("double") /
+          count(when(pre, col("value"))), 6).as("avg_value_pre"),
+        countDistinct(when(pre, expr(s"sec div $day"))).as("days_active_pre"),
+        max(when(pre, expr(s"sec div $day"))).as("last_day_pre"),
+        max(when(!pre && col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("label"))
+      .where(col("n_events_pre") > 0)
+      .select(col("user_id"), col("n_events_pre"), col("n_purch_pre"),
+        col("avg_value_pre"), col("days_active_pre"),
+        (expr(s"mid div $day") - col("last_day_pre")).as("recency_days"),
+        col("label"))
+      .orderBy(col("user_id"))
+  }
+
   /** Shingle width for the cross-source overlap matrix — the dedup family's
     * 3-word shingles, not decontamination's 8 (the question here is "how
     * much do two crawls share" — broad phrase reuse — not verbatim

@@ -392,6 +392,34 @@ object PipelineRegistry {
          |      / ((c_early + $sm) / (n_early + $sm * $bins)),
          |    ${PipelineQueries.ShiftMaxWeight}), 6) AS weight
          |FROM g CROSS JOIN t ORDER BY bin""".stripMargin
-    })((s, d) => PipelineQueries.covariateShift(s, d))
+    })((s, d) => PipelineQueries.covariateShift(s, d)),
+
+    // Features strictly before the midpoint, label strictly after — one
+    // conditional-agg pass; integer day arithmetic, decimal value average.
+    QueryDef("q_feature_matrix",
+      s"""WITH e AS (
+         |  SELECT user_id, ${graft.ops.Out.sql.epochSec("ts")} AS sec,
+         |    event_type, value
+         |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         |m AS (SELECT (MIN(sec) + MAX(sec)) // 2 AS mid FROM e),
+         |u AS (
+         |  SELECT user_id, MAX(mid) AS mid,
+         |    CAST(SUM(CASE WHEN sec < mid THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_events_pre,
+         |    CAST(SUM(CASE WHEN sec < mid AND event_type = 'purchase'
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_purch_pre,
+         |    round(CAST(SUM(CAST(CASE WHEN sec < mid THEN value END
+         |        AS DECIMAL(38,4))) AS DOUBLE)
+         |      / COUNT(CASE WHEN sec < mid THEN value END), 6) AS avg_value_pre,
+         |    count(DISTINCT CASE WHEN sec < mid THEN sec // 86400 END)
+         |      AS days_active_pre,
+         |    MAX(CASE WHEN sec < mid THEN sec // 86400 END) AS last_day_pre,
+         |    CAST(MAX(CASE WHEN sec >= mid AND event_type = 'purchase'
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS label
+         |  FROM e CROSS JOIN m GROUP BY user_id)
+         |SELECT user_id, n_events_pre, n_purch_pre, avg_value_pre,
+         |  days_active_pre, mid // 86400 - last_day_pre AS recency_days, label
+         |FROM u WHERE n_events_pre > 0
+         |ORDER BY user_id""".stripMargin)(PipelineQueries.featureMatrix)
   )
 }

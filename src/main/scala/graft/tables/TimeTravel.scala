@@ -143,6 +143,37 @@ object TimeTravel {
     }
   }
 
+  /** Maintenance compaction (the OPTIMIZE analog for the versioned table):
+    * rewrite the CURRENT state of every bucket into one fresh version dir
+    * (one file per bucket) and commit it as a new snapshot whose manifest
+    * points only at itself. Contents are bit-identical to the latest
+    * snapshot — this is a layout operation. After a long merge history the
+    * current state is scattered across many version dirs (each read fans
+    * out across them); compaction collapses the read back to one dir and
+    * makes every older version dir vacuum-eligible the moment retention
+    * passes it. Returns the new version. */
+  def compactLatest(spark: SparkSession, tablePath: String,
+      nBuckets: Int = DefaultBuckets): Int = {
+    val t = new Path(tablePath)
+    val fs = fsOf(spark, t)
+    val prevV = latestVersion(spark, tablePath).getOrElse(
+      throw new IllegalArgumentException(s"no committed table at $tablePath"))
+    val m = readManifest(fs, t, prevV)
+    val v = prevV + 1
+    if (m.nonEmpty) {
+      val current = m.groupBy(_._2).view.mapValues(_.keys.toSeq).toSeq.map {
+        case (srcV, buckets) =>
+          spark.read.parquet(filesDir(t, srcV).toString)
+            .filter(col("bucket").isin(buckets: _*))
+      }.reduce(_ unionByName _)
+      current.repartition(math.max(m.size, 1), col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(filesDir(t, v).toString)
+    }
+    writeManifest(fs, t, v, m.keys.map(_ -> v).toMap)
+    v
+  }
+
   /** Change feed between two snapshots: every key INSERTED, UPDATED (any
     * non-key column differs), or DELETED going from `fromV` to `toV` —
     * the incremental-consumption contract (a downstream job that processed

@@ -536,6 +536,43 @@ class GrowthOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_feature_matrix: features never see post-cutoff data, label never " +
+      "sees pre-cutoff data (recompute)") {
+    val evs = SparkSpec.spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("user_id", "cast(floor(cast(ts as double)) as bigint) as sec",
+        "event_type", "value")
+      .where("user_id is not null and sec is not null").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    val mid = (evs.map(_._2).min + evs.map(_._2).max) / 2
+    val want = evs.groupBy(_._1).flatMap { case (u, xs) =>
+      val preE = xs.filter(_._2 < mid)
+      if (preE.isEmpty) None else {
+        val vals = preE.flatMap(_._4)
+        val avg = if (vals.isEmpty) None else Some(
+          (vals.map(v => BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+            .sum.toDouble / vals.size))
+        Some(u -> (preE.length.toLong,
+          preE.count(_._3 == "purchase").toLong,
+          avg,
+          preE.map(_._2 / 86400).distinct.length.toLong,
+          mid / 86400 - preE.map(_._2 / 86400).max,
+          if (xs.exists(x => x._2 >= mid && x._3 == "purchase")) 1L else 0L))
+      }
+    }
+    val got = ops.PipelineQueries.featureMatrix(spark, sf).collect()
+    got.length shouldBe want.size
+    got.foreach { r =>
+      val (n, np, avg, da, rec, lab) = want(r.getLong(0))
+      (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5), r.getLong(6)) shouldBe
+        ((n, np, da, rec, lab))
+      avg match {
+        case Some(a) => r.getAs[Double]("avg_value_pre") shouldBe (a +- 1e-5)
+        case None => assert(r.isNullAt(r.fieldIndex("avg_value_pre")))
+      }
+    }
+  }
+
   test("q_embedding_cov: diagonal is the (quantized) per-dim variance, ≥ 0") {
     val vecs = SparkSpec.spark.read.parquet(s"$sf/embeddings.parquet")
       .selectExpr("embedding").collect()

@@ -225,7 +225,9 @@ class PlanShapeSpec extends SparkSpec {
       // 1-row broadcast span midpoint + half totals (density ratio)
       "q_covariate_shift",
       // three 1-row count frames combine via broadcast (recall readout)
-      "q_simhash_recall")
+      "q_simhash_recall",
+      // 1-row broadcast cutoff midpoint (leakage wall)
+      "q_feature_matrix")
     SparkEntry.all.filter(_.oracle.isDefined).foreach { q =>
       val p = plan(q.fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"${q.name} plans a cartesian:\n$p")

@@ -143,6 +143,30 @@ class TimeTravelSpec extends SparkSpec {
     }
   }
 
+  test("compactLatest: identical state, self-contained manifest, old " +
+      "versions vacuum away cleanly") {
+    val t = tmp()
+    TimeTravel.mergeVersioned(t,
+      (1L to 30L).map(k => (k, s"v$k")).toDF("k", "v"), Seq("k"))
+    TimeTravel.mergeVersioned(t, Seq((5L, "X")).toDF("k", "v"), Seq("k"))
+    TimeTravel.mergeVersioned(t, Seq((31L, "n")).toDF("k", "v"), Seq("k"))
+    val before = TimeTravel.readAt(spark, t, 2).as[(Long, String)]
+      .collect().toSet
+    val cv = TimeTravel.compactLatest(spark, t)
+    cv shouldBe 3
+    TimeTravel.readAt(spark, t, cv).as[(Long, String)]
+      .collect().toSet shouldBe before
+    // pre-compaction snapshots still read correctly
+    TimeTravel.readAt(spark, t, 0).count() shouldBe 30
+    // after retention passes, only the compacted dir remains on disk
+    TimeTravel.vacuum(spark, t, keepLast = 1)
+    TimeTravel.versions(spark, t) shouldBe Seq(3)
+    val dirs = new java.io.File(s"$t/files").listFiles().map(_.getName).sorted
+    dirs.toSeq shouldBe Seq("v3")
+    TimeTravel.readAt(spark, t, 3).as[(Long, String)]
+      .collect().toSet shouldBe before
+  }
+
   test("the demo key's history equals the per-version recompute") {
     val df = tables.TableRegistry.timeTravelDemo(spark, sf).collect()
     val evs = spark.read.parquet(s"$sf/events.parquet")
