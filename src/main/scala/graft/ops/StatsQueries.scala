@@ -140,6 +140,36 @@ object StatsQueries {
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
       .orderBy(col("o_orderkey"))
 
+  /** Representativeness audit of the deterministic 5% hash sample
+    * ([[sampleHash]]'s predicate): per order status, the full-corpus share
+    * next to the in-sample share and the delta. A hash of the PRIMARY KEY
+    * is provably independent of every attribute, so deltas here are pure
+    * sampling noise — the audit quantifies it, and catches the day someone
+    * "optimizes" the sample to hash a correlated column instead (the
+    * classic silent bias). One pass: the sample membership is a codegen'd
+    * flag riding the same conditional partial-agg as the full counts. */
+  def sampleBias(spark: SparkSession, dir: String): DataFrame = {
+    val inSample =
+      expr(s"${TextQueries.hash48("cast(o_orderkey as string)")} % 20 = 0")
+    val grid = Tables(spark, dir).orders
+      .where(col("o_orderstatus").isNotNull)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_full"),
+        sum(when(inSample, 1L).otherwise(0L)).as("n_sample"))
+    val tot = grid.agg(sum(col("n_full")).as("t_full"),
+      sum(col("n_sample")).as("t_sample"))
+    grid.crossJoin(broadcast(tot))
+      .select(col("o_orderstatus"), col("n_full"), col("n_sample"),
+        round(col("n_full").cast("double") / col("t_full").cast("double"), 6)
+          .as("full_share"),
+        round(col("n_sample").cast("double") / col("t_sample").cast("double"), 6)
+          .as("sample_share"),
+        round(col("n_sample").cast("double") / col("t_sample").cast("double")
+          - col("n_full").cast("double") / col("t_full").cast("double"), 6)
+          .as("share_delta"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Binned range self-join: pairs of events by the same user within 60 s,
     * counted per user. The scalable spelling of the θ-join
     * `|ts_a − ts_b| ≤ 60 s`: bucket time into 60-s bins, equi-join on

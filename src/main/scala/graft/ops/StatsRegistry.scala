@@ -515,6 +515,24 @@ object StatsRegistry {
          |  count(DISTINCT event_type) AS n_types,
          |  count(DISTINCT user_id) AS n_users
          |FROM e CROSS JOIN m GROUP BY 1 ORDER BY half""".stripMargin)(
-      StatsQueries.profileDrift)
+      StatsQueries.profileDrift),
+
+    // Sample membership = the q_sample_hash predicate as a conditional-agg
+    // flag; shares off the same grid + a 1-row totals broadcast.
+    QueryDef("q_sample_bias",
+      """WITH g AS (
+        |  SELECT o_orderstatus, count(*) AS n_full,
+        |    CAST(SUM(CASE WHEN ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+        |      1, 12))::BIGINT % 20 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sample
+        |  FROM orders WHERE o_orderstatus IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_full) AS BIGINT) AS t_full,
+        |        CAST(SUM(n_sample) AS BIGINT) AS t_sample FROM g)
+        |SELECT o_orderstatus, n_full, n_sample,
+        |  round(CAST(n_full AS DOUBLE) / t_full, 6) AS full_share,
+        |  round(CAST(n_sample AS DOUBLE) / t_sample, 6) AS sample_share,
+        |  round(CAST(n_sample AS DOUBLE) / t_sample
+        |    - CAST(n_full AS DOUBLE) / t_full, 6) AS share_delta
+        |FROM g CROSS JOIN t ORDER BY o_orderstatus""".stripMargin)(
+      StatsQueries.sampleBias)
   )
 }

@@ -89,6 +89,34 @@ object TextQueries {
           .cast("long").as("re_tokens"))
       .orderBy(col("doc_id"))
 
+  /** Tokenizer fertility per language: regex-token count over
+    * whitespace-word count — the standard "how many subwords per word does
+    * this tokenizer spend on this language" metric. Fertility far above
+    * the corpus band on some language means its text fragments into
+    * character soup (the compute-cost and quality complaint against
+    * under-trained vocabularies); tracking it per lang is how a tokenizer
+    * budget review starts.
+    *
+    * Shape at scale: the two token counts are codegen'd per-doc
+    * projections (the [[tokenCount]] expressions) collapsed by ONE
+    * partial-agg shuffle to the ≤langs grid; exact integer sums, one
+    * division. */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .where(col("lang").isNotNull)
+      .select(col("lang"),
+        size(expr(wordsExpr)).cast("long").as("ws"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .cast("long").as("re"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("re")).as("re_tokens"))
+      .select(col("lang"), col("n_docs"), col("ws_tokens"), col("re_tokens"),
+        round(col("re_tokens").cast("double") / col("ws_tokens").cast("double"), 6)
+          .as("fertility"))
+      .orderBy(col("lang"))
+
   /** Language-ID heuristic: stopword-marker ratio over whitespace tokens.
     * (The testdata's `lang` column is a label with no textual signal — all
     * langs share one vocabulary — so the heuristic's value is the pipeline

@@ -469,5 +469,21 @@ object TextRegistry {
          |SELECT lang, pred_lang, n_docs,
          |  round(CAST(n_docs AS DOUBLE) / n_lang, 6) AS share
          |FROM grid JOIN t USING (lang)
-         |ORDER BY lang, pred_lang""".stripMargin)(TextQueries.langidConfusion))
+         |ORDER BY lang, pred_lang""".stripMargin)(TextQueries.langidConfusion),
+
+    // The q_token_count expressions rolled up to the lang grid.
+    QueryDef("q_tokenizer_fertility",
+      s"""WITH d AS (
+         |  SELECT lang,
+         |    CAST(len($words) AS BIGINT) AS ws,
+         |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+         |      AS BIGINT) AS re
+         |  FROM documents WHERE lang IS NOT NULL)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+         |  CAST(SUM(re) AS BIGINT) AS re_tokens,
+         |  round(CAST(SUM(re) AS DOUBLE) / CAST(SUM(ws) AS DOUBLE), 6)
+         |    AS fertility
+         |FROM d GROUP BY 1 ORDER BY lang""".stripMargin)(
+      TextQueries.tokenizerFertility))
 }

@@ -573,6 +573,38 @@ class GrowthOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_tokenizer_fertility matches a naive per-lang token recount") {
+    val docs = SparkSpec.spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("lang", "text").where("lang is not null").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val re = "[a-z]+|[0-9]+|[^a-z0-9 ]".r
+    val want = docs.groupBy(_._1).map { case (lang, xs) =>
+      val ws = xs.map(_._2.split(" ", -1).length.toLong).sum
+      val rt = xs.map(x => re.findAllIn(x._2).length.toLong).sum
+      lang -> (xs.length.toLong, ws, rt)
+    }
+    val got = TextQueries.tokenizerFertility(spark, sf).collect()
+    got.length shouldBe want.size
+    got.foreach { r =>
+      val (n, ws, rt) = want(r.getString(0))
+      (r.getLong(1), r.getLong(2), r.getLong(3)) shouldBe ((n, ws, rt))
+      r.getAs[Double]("fertility") shouldBe (rt.toDouble / ws +- 1e-5)
+    }
+  }
+
+  test("q_sample_bias: grid sums to corpus; deltas are share differences") {
+    val rows = ops.StatsQueries.sampleBias(spark, sf).collect()
+    val total = SparkSpec.spark.read.parquet(s"$sf/orders.parquet")
+      .where("o_orderstatus is not null").count()
+    rows.map(_.getAs[Long]("n_full")).sum shouldBe total
+    rows.foreach { r =>
+      r.getAs[Long]("n_sample") should be <= r.getAs[Long]("n_full")
+      r.getAs[Double]("share_delta") shouldBe
+        (r.getAs[Double]("sample_share") - r.getAs[Double]("full_share") +- 1e-5)
+    }
+    rows.map(_.getAs[Double]("full_share")).sum shouldBe (1.0 +- 1e-4)
+  }
+
   test("q_embedding_cov: diagonal is the (quantized) per-dim variance, ≥ 0") {
     val vecs = SparkSpec.spark.read.parquet(s"$sf/embeddings.parquet")
       .selectExpr("embedding").collect()

@@ -227,7 +227,9 @@ class PlanShapeSpec extends SparkSpec {
       // three 1-row count frames combine via broadcast (recall readout)
       "q_simhash_recall",
       // 1-row broadcast cutoff midpoint (leakage wall)
-      "q_feature_matrix")
+      "q_feature_matrix",
+      // 1-row broadcast sample/corpus totals
+      "q_sample_bias")
     SparkEntry.all.filter(_.oracle.isDefined).foreach { q =>
       val p = plan(q.fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"${q.name} plans a cartesian:\n$p")
