@@ -772,6 +772,60 @@ object DedupQueries {
           .as("precision"))
   }
 
+  /** Band configurations for [[lshBandSweep]]: (name, bands, lanes/band)
+    * over the SAME 16-lane signature. Shared with the oracle SQL. */
+  val BandConfigs: Seq[(String, Int, Int)] =
+    Seq(("b2x8", 2, 8), ("b4x4", 4, 4), ("b8x2", 8, 2))
+
+  /** LSH banding-geometry sweep: the 16-lane MinHash signatures banded
+    * three ways — 2×8 (high precision), the production 4×4, 8×2 (high
+    * recall) — each candidate set scored against the verified truth
+    * (exact J ≥ τ). The S-curve P(candidate) = 1 − (1 − J^lanes)^bands
+    * says 8×2 catches weaker pairs at a candidate-volume price and 2×8
+    * the reverse; this table MEASURES that trade on the live corpus,
+    * which is how the 4×4 default gets justified (or revised) per corpus
+    * instead of by folklore.
+    *
+    * Shape at scale: ONE signature pass feeds all three arms; each arm is
+    * the standard capped-bucket pair enumeration (never a cross product),
+    * and the scoring is a pair-key semi-join against the small verified
+    * set. Output: 3 rows. */
+  def lshBandSweep(spark: SparkSession, dir: String): DataFrame = {
+    val sig = docShingles(spark, dir).filter(size(col("sh")) > 0)
+      .select(col("doc_id"), expr("graft_minhash(sh)").as("sig"))
+      .persist()
+    val truth = dedupVerified(spark, dir).select(col("doc_a"), col("doc_b"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val arms = BandConfigs.map { case (name, nb, lpb) =>
+      val cand = sig
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, ${nb - 1}), b -> concat_ws('|', slice(sig, b * $lpb + 1, $lpb)))")))
+        .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key")
+        .groupBy(col("band_idx"), col("band_key"))
+        .agg(collect_list(col("doc_id")).as("xs"))
+        .filter(size(col("xs")).between(2, SimhashBucketCap))
+        .select(explode(expr(
+          """flatten(transform(xs, a ->
+            |  transform(filter(xs, b -> b > a),
+            |    b -> named_struct('doc_a', a, 'doc_b', b))))""".stripMargin))
+          .as("p"))
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+        .distinct()
+      val nCand = cand.agg(count(lit(1)).as("n_cand"))
+      val nHit = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      nCand.crossJoin(broadcast(nHit)).crossJoin(broadcast(nTruth))
+        .select(lit(name).as("config"), col("n_cand"), col("n_hit"), col("n_truth"),
+          when(col("n_truth") > 0,
+            round(col("n_hit").cast("double") / col("n_truth").cast("double"), 6))
+            .as("recall"),
+          when(col("n_cand") > 0,
+            round(col("n_hit").cast("double") / col("n_cand").cast("double"), 6))
+            .as("precision"))
+    }
+    arms.reduce(_ unionByName _).orderBy(col("config"))
+  }
+
   /** Token length of the prefix [[dedupPrefix]] keys on. */
   val PrefixTokens = 8
 

@@ -389,6 +389,55 @@ object DedupRegistry {
          |  CASE WHEN n_cand > 0
          |    THEN round(CAST(n_hit AS DOUBLE) / n_cand, 6) END AS precision
          |FROM nt CROSS JOIN nc CROSS JOIN nh""".stripMargin)(
-      (s, d) => DedupQueries.simhashRecall(s, d))
+      (s, d) => DedupQueries.simhashRecall(s, d)),
+
+    // One signature CTE feeds three banding arms; each arm = capped-bucket
+    // pair gen + semi-join score against the verified truth.
+    QueryDef("q_lsh_band_sweep", {
+      def arm(name: String, nb: Int, lpb: Int) =
+        s"""bnd_$name AS (SELECT doc_id, b.b AS band_idx,
+           |    array_to_string(sig[b.b*$lpb+1 : b.b*$lpb+$lpb], '|') AS band_key
+           |  FROM s CROSS JOIN (SELECT unnest(generate_series(0, ${nb - 1})) AS b) b),
+           |okb_$name AS (SELECT band_idx, band_key FROM bnd_$name
+           |  GROUP BY 1, 2 HAVING count(*) <= ${DedupQueries.SimhashBucketCap}),
+           |cnd_$name AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM (SELECT bnd_$name.* FROM bnd_$name
+           |        JOIN okb_$name USING (band_idx, band_key)) a
+           |  JOIN (SELECT bnd_$name.* FROM bnd_$name
+           |        JOIN okb_$name USING (band_idx, band_key)) b
+           |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           |   AND a.doc_id < b.doc_id),
+           |row_$name AS (
+           |  SELECT '$name' AS config,
+           |    (SELECT count(*) FROM cnd_$name) AS n_cand,
+           |    (SELECT count(*) FROM ed
+           |     WHERE EXISTS (SELECT 1 FROM cnd_$name c
+           |                   WHERE c.doc_a = ed.doc_a AND c.doc_b = ed.doc_b))
+           |      AS n_hit,
+           |    (SELECT count(*) FROM ed) AS n_truth)""".stripMargin
+      val armSelect = (n: String) =>
+        s"""SELECT config, n_cand, n_hit, n_truth,
+           |  CASE WHEN n_truth > 0
+           |    THEN round(CAST(n_hit AS DOUBLE) / n_truth, 6) END AS recall,
+           |  CASE WHEN n_cand > 0
+           |    THEN round(CAST(n_hit AS DOUBLE) / n_cand, 6) END AS precision
+           |FROM row_$n""".stripMargin
+      s"""WITH $minhashCandCtes,
+         |jv AS (SELECT c.doc_a, c.doc_b,
+         |        len(list_intersect(da.sh, db.sh)) AS inter,
+         |        len(da.sh) + len(db.sh) AS sz
+         |      FROM cand c
+         |      JOIN d da ON da.doc_id = c.doc_a
+         |      JOIN d db ON db.doc_id = c.doc_b),
+         |ed AS (SELECT doc_a, doc_b FROM jv
+         |       WHERE round(CAST(inter AS DOUBLE) / (sz - inter), 4)
+         |         >= ${DedupQueries.VerifiedMinJaccard}),
+         |${DedupQueries.BandConfigs.map { case (n, nb, lpb) => arm(n, nb, lpb) }
+            .mkString(",\n")}
+         |${DedupQueries.BandConfigs.map(c => armSelect(c._1))
+            .mkString("\nUNION ALL\n")}
+         |ORDER BY config""".stripMargin
+    })((s, d) => DedupQueries.lshBandSweep(s, d))
   )
 }

@@ -605,6 +605,25 @@ class GrowthOpsSpec extends SparkSpec {
     rows.map(_.getAs[Double]("full_share")).sum shouldBe (1.0 +- 1e-4)
   }
 
+  test("q_lsh_band_sweep: monotone S-curve ordering — more bands never " +
+      "lose candidates or recall") {
+    val rows = DedupQueries.lshBandSweep(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_cand"),
+        r.getAs[Long]("n_hit"), r.getAs[Long]("n_truth")))).toMap
+    rows.keySet shouldBe DedupQueries.BandConfigs.map(_._1).toSet
+    // P(candidate | J) = 1 − (1 − J^lanes)^bands is monotone in the config
+    // direction 2x8 → 4x4 → 8x2 for every J, so candidate and hit counts
+    // must be non-decreasing along it (caps permitting; no cap binds at
+    // this SF)
+    val Seq(c2, c4, c8) = Seq("b2x8", "b4x4", "b8x2").map(rows)
+    c2._1 should be <= c4._1
+    c4._1 should be <= c8._1
+    c2._2 should be <= c4._2
+    c4._2 should be <= c8._2
+    // all arms share one truth set
+    Seq(c2, c4, c8).map(_._3).distinct.size shouldBe 1
+  }
+
   test("q_embedding_cov: diagonal is the (quantized) per-dim variance, ≥ 0") {
     val vecs = SparkSpec.spark.read.parquet(s"$sf/embeddings.parquet")
       .selectExpr("embedding").collect()

@@ -229,7 +229,9 @@ class PlanShapeSpec extends SparkSpec {
       // 1-row broadcast cutoff midpoint (leakage wall)
       "q_feature_matrix",
       // 1-row broadcast sample/corpus totals
-      "q_sample_bias")
+      "q_sample_bias",
+      // per-arm 1-row count frames (band-sweep readout)
+      "q_lsh_band_sweep")
     SparkEntry.all.filter(_.oracle.isDefined).foreach { q =>
       val p = plan(q.fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"${q.name} plans a cartesian:\n$p")
