@@ -650,28 +650,42 @@ object VectorQueries {
     * map-side-combinable. L2² via the three-dot identity |a|² − 2a·b + |b|²
     * with [[dot]]'s sequential fold, so assignments and errors are
     * bit-identical to the oracle's. */
-  def pqEncode(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-(vector, subspace) nearest-codeword assignment — the shared
+    * front of [[pqEncode]] and [[pqSearch]]. */
+  private def pqAssignments(spark: SparkSession, dir: String): DataFrame = {
     val m = PqCodec.SubSpaces
     val dims = PqCodec.SubDim
     val chunked = emb(spark, dir).select(col("vec_id"), posexplode(
       array((0 until m).map(s =>
         slice(col("e"), s * dims + 1, dims)): _*)).as(Seq("s", "chunk")))
-    val codebook = emb(spark, dir)
-      .filter(col("vec_id") < PqCodec.CodebookSize).select(posexplode(
-        array((0 until m).map(s =>
-          struct(lit(s).as("cs"), col("vec_id").as("code"),
-            slice(col("e"), s * dims + 1, dims).as("cw"))): _*)))
-      .select(col("col.cs").as("cs"), col("col.code"), col("col.cw"))
     val d2 = dot(col("chunk"), col("chunk")) -
       lit(2.0) * dot(col("chunk"), col("cw")) + dot(col("cw"), col("cw"))
-    val assigned = chunked
-      .join(broadcast(codebook), col("s") === col("cs"))
+    chunked
+      .join(broadcast(pqCodebook(spark, dir)), col("s") === col("cs"))
       .select(col("vec_id"), col("s"), col("code"), d2.as("d2"))
       .groupBy(col("vec_id"), col("s"))
       .agg(min_by(struct(col("code"), col("d2")),
         struct(col("d2"), col("code"))).as("m"))
       .select(col("vec_id"), col("s"), col("m.code").as("code"),
         col("m.d2").as("d2"))
+  }
+
+  /** The (subspace, code) → codeword table (codebook = leading vectors'
+    * chunks, deterministically seeded — the [[ivfSearch]] convention). */
+  private def pqCodebook(spark: SparkSession, dir: String): DataFrame = {
+    val m = PqCodec.SubSpaces
+    val dims = PqCodec.SubDim
+    emb(spark, dir)
+      .filter(col("vec_id") < PqCodec.CodebookSize).select(posexplode(
+        array((0 until m).map(s =>
+          struct(lit(s).as("cs"), col("vec_id").as("code"),
+            slice(col("e"), s * dims + 1, dims).as("cw"))): _*)))
+      .select(col("col.cs").as("cs"), col("col.code"), col("col.cw"))
+  }
+
+  def pqEncode(spark: SparkSession, dir: String): DataFrame = {
+    val m = PqCodec.SubSpaces
+    val assigned = pqAssignments(spark, dir)
     val pivots = (0 until m).map(s =>
       max(when(col("s") === s, col("code"))).as(s"code_$s")) ++
       (0 until m).map(s =>
@@ -687,6 +701,53 @@ object VectorQueries {
     val SubSpaces = 4
     val SubDim = 16
     val CodebookSize = 8
+  }
+
+  /** Output depth for [[pqSearch]]. */
+  val PqSearchK = 10
+
+  /** PQ serving path — asymmetric distance computation (ADC): the probe
+    * builds a (subspace × codeword) distance table (SubSpaces·CodebookSize
+    * = 32 rows of metadata), and each corpus vector's approximate distance
+    * is the SUM of table lookups at its stored codes — the vector itself
+    * is never touched at query time, which is the whole point of PQ
+    * compression (the index reads codes, ~1/64th of the float payload).
+    * Each hit carries its exact L2² next to the ADC value, so the
+    * approximation error of the compressed route is visible per row (the
+    * [[q_minhash_est_error]] discipline applied to vectors).
+    *
+    * Shape at scale: codes come from the [[pqEncode]] assignment (in a
+    * real index they are STORED — the recompute here stands in for the
+    * code column); ADC is one equi-join against the broadcast 32-row
+    * table + a partial-agg sum of [[PqCodec.SubSpaces]] decimal terms per
+    * vector; top-k is TakeOrderedAndProject on the rounded key. */
+  def pqSearch(spark: SparkSession, dir: String,
+      probeId: Long = 0L, k: Int = PqSearchK): DataFrame = {
+    val probeChunks = emb(spark, dir).filter(col("vec_id") === probeId)
+      .select(posexplode(array((0 until PqCodec.SubSpaces).map(s =>
+        slice(col("e"), s * PqCodec.SubDim + 1, PqCodec.SubDim)): _*))
+        .as(Seq("ps", "pchunk")))
+    val pd2 = dot(col("pchunk"), col("pchunk")) -
+      lit(2.0) * dot(col("pchunk"), col("cw")) + dot(col("cw"), col("cw"))
+    val ptab = pqCodebook(spark, dir)
+      .join(broadcast(probeChunks), col("cs") === col("ps"))
+      .select(col("cs").as("s"), col("code"), pd2.as("pd2"))
+    val adc = pqAssignments(spark, dir)
+      .join(broadcast(ptab), Seq("s", "code"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("pd2").cast("decimal(38,12)")).cast("double").as("adc_raw"))
+    val exact = emb(spark, dir)
+      .crossJoin(broadcast(emb(spark, dir).filter(col("vec_id") === probeId)
+        .select(col("e").as("pe"))))
+      .select(col("vec_id"),
+        (dot(col("e"), col("e")) - lit(2.0) * dot(col("e"), col("pe")) +
+          dot(col("pe"), col("pe"))).as("exact_raw"))
+    adc.join(exact, Seq("vec_id"))
+      .filter(col("vec_id") =!= probeId)
+      .select(col("vec_id"), round(col("adc_raw"), 6).as("adc_d2"),
+        round(col("exact_raw"), 6).as("exact_d2"))
+      .orderBy(round(col("adc_raw"), 6), col("vec_id"))
+      .limit(k)
   }
 
   /** Quantization range for [[quantizeInt8]] (signed-byte code space). */

@@ -435,6 +435,42 @@ object VectorRegistry {
          |ORDER BY rrf DESC, doc_id LIMIT $depth""".stripMargin
     })((s, d) => VectorQueries.rrfFusion(s, d)),
 
+    // ADC: probe × codebook distance table (32 metadata rows) joined onto
+    // the stored codes; per-vector sum of SubSpaces decimal terms.
+    QueryDef("q_pq_search", {
+      import VectorQueries.PqCodec.{SubSpaces, SubDim, CodebookSize}
+      def d2(a: String, b: String) =
+        s"(${dot(a, a)} - 2.0 * ${dot(a, b)} + ${dot(b, b)})"
+      s"""WITH $embCte,
+         |sub AS (SELECT unnest(range(0, $SubSpaces)) AS s),
+         |chunks AS (SELECT vec_id, s,
+         |    e[CAST(s * $SubDim + 1 AS INT):CAST((s + 1) * $SubDim AS INT)] AS chunk
+         |  FROM emb CROSS JOIN sub),
+         |codebook AS (SELECT s AS cs, vec_id AS code,
+         |    e[CAST(s * $SubDim + 1 AS INT):CAST((s + 1) * $SubDim AS INT)] AS cw
+         |  FROM emb CROSS JOIN sub WHERE vec_id < $CodebookSize),
+         |scored AS (SELECT vec_id, s, code, ${d2("chunk", "cw")} AS d2,
+         |    row_number() OVER (PARTITION BY vec_id, s
+         |                       ORDER BY ${d2("chunk", "cw")}, code) AS rn
+         |  FROM chunks JOIN codebook ON s = cs),
+         |best AS (SELECT vec_id, s, code FROM scored WHERE rn = 1),
+         |pch AS (SELECT s AS ps, chunk AS pchunk FROM chunks WHERE vec_id = 0),
+         |ptab AS (SELECT cs AS s, code, ${d2("pchunk", "cw")} AS pd2
+         |  FROM codebook JOIN pch ON cs = ps),
+         |adc AS (SELECT b.vec_id,
+         |    CAST(SUM(CAST(pd2 AS DECIMAL(38,12))) AS DOUBLE) AS adc_raw
+         |  FROM best b JOIN ptab USING (s, code) GROUP BY 1),
+         |p AS (SELECT e AS pe FROM emb WHERE vec_id = 0),
+         |ex AS (SELECT vec_id, ${d2("e", "pe")} AS exact_raw
+         |  FROM emb CROSS JOIN p)
+         |SELECT adc.vec_id, round(adc_raw, 6) AS adc_d2,
+         |  round(exact_raw, 6) AS exact_d2
+         |FROM adc JOIN ex USING (vec_id)
+         |WHERE vec_id <> 0
+         |ORDER BY round(adc_raw, 6), vec_id
+         |LIMIT ${VectorQueries.PqSearchK}""".stripMargin
+    })((s, d) => VectorQueries.pqSearch(s, d)),
+
     // Quantized-integer power sums (floor(x·1e6) — identical IEEE ops both
     // engines) make the covariance one shared double expression tree;
     // list indices are 1-based in DuckDB, 0-based in Spark's qv[i].

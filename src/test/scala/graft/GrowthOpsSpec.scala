@@ -624,6 +624,36 @@ class GrowthOpsSpec extends SparkSpec {
     Seq(c2, c4, c8).map(_._3).distinct.size shouldBe 1
   }
 
+  test("q_pq_search matches a naive ADC recompute over the same codebook") {
+    import ops.VectorQueries.PqCodec._
+    val vecs = SparkSpec.spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as e").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def chunk(v: Array[Double], s: Int) = v.slice(s * SubDim, (s + 1) * SubDim)
+    def d2(a: Array[Double], b: Array[Double]) = {
+      // same three-dot identity, left-fold order, as both engines
+      def dot(x: Array[Double], y: Array[Double]) =
+        x.indices.foldLeft(0.0)((acc, i) => acc + x(i) * y(i))
+      dot(a, a) - 2.0 * dot(a, b) + dot(b, b)
+    }
+    val codebook = (0 until SubSpaces).map { s =>
+      s -> (0L until CodebookSize).map(c => c -> chunk(vecs(c), s)).toMap
+    }.toMap
+    val probe = vecs(0L)
+    val want = vecs.toSeq.filter(_._1 != 0L).map { case (id, v) =>
+      val adc = (0 until SubSpaces).map { s =>
+        val code = codebook(s).minBy { case (c, cw) => (d2(chunk(v, s), cw), c) }._1
+        BigDecimal(d2(chunk(probe, s), codebook(s)(code)))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble
+      (id, BigDecimal(adc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (id, a) => (a, id) }.take(ops.VectorQueries.PqSearchK)
+    val got = ops.VectorQueries.pqSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getAs[Double]("adc_d2")))
+    got.map(_._1).toSeq shouldBe want.map(_._1)
+    got.zip(want).foreach { case ((_, g), (_, w)) => g shouldBe (w +- 1e-5) }
+  }
+
   test("q_embedding_cov: diagonal is the (quantized) per-dim variance, ≥ 0") {
     val vecs = SparkSpec.spark.read.parquet(s"$sf/embeddings.parquet")
       .selectExpr("embedding").collect()
