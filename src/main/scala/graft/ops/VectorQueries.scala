@@ -750,6 +750,65 @@ object VectorQueries {
       .limit(k)
   }
 
+  /** IVF+PQ — the standard industrial vector-index composition: the IVF
+    * coarse quantizer restricts the search to the `nprobe` inverted lists
+    * nearest the probe (touching nprobe/nlists of the corpus), and within
+    * them ranking runs on PQ CODES via the [[pqSearch]] ADC table — so
+    * query-time work is (corpus/nlists)·nprobe code lookups, no float
+    * vector ever read. Exact L2² rides along per hit, keeping the
+    * compression error observable. This is the serving plan a
+    * billion-vector index runs; here every stage is the oracle-gated
+    * building block it composes ([[ivfSearch]] lists, [[pqEncode]] codes,
+    * [[pqSearch]] table).
+    *
+    * Shape at scale: centroid/probe/ADC tables are all broadcast
+    * metadata; the only corpus-scale work is the assignment partial-agg
+    * (stored in a real index) and the list-restricted code join. */
+  def ivfPqSearch(spark: SparkSession, dir: String,
+      probeId: Long = 42L, k: Int = PqSearchK, nprobe: Int = IvfNprobe): DataFrame = {
+    val e = emb(spark, dir)
+    val cents = e.filter(col("vec_id") < IvfCentroids)
+      .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"), dot(col("e"), col("ce")).as("cdot"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"), struct(col("cdot"), (-col("cent_id")).as("tb")))
+        .as("cent_id"))
+    val probeLists = cents
+      .crossJoin(broadcast(probe(spark, dir, probeId)))
+      .select(col("cent_id"), dot(col("ce"), col("pe")).as("pdot"))
+      .orderBy(col("pdot").desc, col("cent_id"))
+      .limit(nprobe)
+      .select(col("cent_id"))
+    val probeChunks = e.filter(col("vec_id") === probeId)
+      .select(posexplode(array((0 until PqCodec.SubSpaces).map(s =>
+        slice(col("e"), s * PqCodec.SubDim + 1, PqCodec.SubDim)): _*))
+        .as(Seq("ps", "pchunk")))
+    val pd2 = dot(col("pchunk"), col("pchunk")) -
+      lit(2.0) * dot(col("pchunk"), col("cw")) + dot(col("cw"), col("cw"))
+    val ptab = pqCodebook(spark, dir)
+      .join(broadcast(probeChunks), col("cs") === col("ps"))
+      .select(col("cs").as("s"), col("code"), pd2.as("pd2"))
+    val adc = pqAssignments(spark, dir)
+      .join(assigned.join(broadcast(probeLists), Seq("cent_id")), Seq("vec_id"))
+      .join(broadcast(ptab), Seq("s", "code"))
+      .groupBy(col("vec_id"), col("cent_id"))
+      .agg(sum(col("pd2").cast("decimal(38,12)")).cast("double").as("adc_raw"))
+    val exact = e
+      .crossJoin(broadcast(e.filter(col("vec_id") === probeId)
+        .select(col("e").as("pe"))))
+      .select(col("vec_id"),
+        (dot(col("e"), col("e")) - lit(2.0) * dot(col("e"), col("pe")) +
+          dot(col("pe"), col("pe"))).as("exact_raw"))
+    adc.join(exact, Seq("vec_id"))
+      .filter(col("vec_id") =!= probeId)
+      .select(col("vec_id"), col("cent_id"),
+        round(col("adc_raw"), 6).as("adc_d2"),
+        round(col("exact_raw"), 6).as("exact_d2"))
+      .orderBy(round(col("adc_raw"), 6), col("vec_id"))
+      .limit(k)
+  }
+
   /** Quantization range for [[quantizeInt8]] (signed-byte code space). */
   val QuantLevels = 255
 

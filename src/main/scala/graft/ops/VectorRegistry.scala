@@ -435,6 +435,56 @@ object VectorRegistry {
          |ORDER BY rrf DESC, doc_id LIMIT $depth""".stripMargin
     })((s, d) => VectorQueries.rrfFusion(s, d)),
 
+    // IVF lists restrict, PQ codes rank: the q_ivf_search CTEs feed the
+    // q_pq_search ADC CTEs; probe 42 (IVF convention), codes as stored.
+    QueryDef("q_ivf_pq", {
+      import VectorQueries.PqCodec.{SubSpaces, SubDim, CodebookSize}
+      def d2(a: String, b: String) =
+        s"(${dot(a, a)} - 2.0 * ${dot(a, b)} + ${dot(b, b)})"
+      s"""WITH $embCte,
+         |cents AS (SELECT vec_id AS cent_id, e AS ce FROM emb
+         |          WHERE vec_id < ${VectorQueries.IvfCentroids}),
+         |assigned AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT emb.vec_id, c.cent_id,
+         |      row_number() OVER (PARTITION BY emb.vec_id
+         |                         ORDER BY ${dot("emb.e", "c.ce")} DESC, c.cent_id) AS rn
+         |    FROM emb CROSS JOIN cents c) WHERE rn = 1),
+         |p AS (SELECT e AS pe FROM emb WHERE vec_id = 42),
+         |probelists AS (SELECT cent_id FROM cents, p
+         |               ORDER BY ${dot("ce", "pe")} DESC, cent_id
+         |               LIMIT ${VectorQueries.IvfNprobe}),
+         |sub AS (SELECT unnest(range(0, $SubSpaces)) AS s),
+         |chunks AS (SELECT vec_id, s,
+         |    e[CAST(s * $SubDim + 1 AS INT):CAST((s + 1) * $SubDim AS INT)] AS chunk
+         |  FROM emb CROSS JOIN sub),
+         |codebook AS (SELECT s AS cs, vec_id AS code,
+         |    e[CAST(s * $SubDim + 1 AS INT):CAST((s + 1) * $SubDim AS INT)] AS cw
+         |  FROM emb CROSS JOIN sub WHERE vec_id < $CodebookSize),
+         |scored AS (SELECT vec_id, s, code, ${d2("chunk", "cw")} AS d2,
+         |    row_number() OVER (PARTITION BY vec_id, s
+         |                       ORDER BY ${d2("chunk", "cw")}, code) AS rn
+         |  FROM chunks JOIN codebook ON s = cs),
+         |best AS (SELECT vec_id, s, code FROM scored WHERE rn = 1),
+         |pch AS (SELECT s AS ps, chunk AS pchunk FROM chunks WHERE vec_id = 42),
+         |ptab AS (SELECT cs AS s, code, ${d2("pchunk", "cw")} AS pd2
+         |  FROM codebook JOIN pch ON cs = ps),
+         |lists AS (SELECT assigned.vec_id, assigned.cent_id
+         |  FROM assigned JOIN probelists USING (cent_id)),
+         |adc AS (SELECT b.vec_id, l.cent_id,
+         |    CAST(SUM(CAST(pd2 AS DECIMAL(38,12))) AS DOUBLE) AS adc_raw
+         |  FROM best b JOIN lists l ON b.vec_id = l.vec_id
+         |  JOIN ptab USING (s, code) GROUP BY 1, 2),
+         |ex AS (SELECT vec_id, ${d2("e", "pe")} AS exact_raw
+         |  FROM emb CROSS JOIN p)
+         |SELECT adc.vec_id, adc.cent_id, round(adc_raw, 6) AS adc_d2,
+         |  round(exact_raw, 6) AS exact_d2
+         |FROM adc JOIN ex USING (vec_id)
+         |WHERE vec_id <> 42
+         |ORDER BY round(adc_raw, 6), vec_id
+         |LIMIT ${VectorQueries.PqSearchK}""".stripMargin
+    })((s, d) => VectorQueries.ivfPqSearch(s, d)),
+
     // ADC: probe × codebook distance table (32 metadata rows) joined onto
     // the stored codes; per-vector sum of SubSpaces decimal terms.
     QueryDef("q_pq_search", {

@@ -654,6 +654,27 @@ class GrowthOpsSpec extends SparkSpec {
     got.zip(want).foreach { case ((_, g), (_, w)) => g shouldBe (w +- 1e-5) }
   }
 
+  test("q_ivf_pq: results come only from probed lists and agree with the " +
+      "full-ADC ranking restricted to them") {
+    import ops.VectorQueries
+    val full = VectorQueries.pqSearch(spark, sf, probeId = 42L,
+      k = Int.MaxValue - 1).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("adc_d2")).toMap
+    val rows = VectorQueries.ivfPqSearch(spark, sf).collect()
+    rows.length should be <= VectorQueries.PqSearchK
+    assert(rows.nonEmpty)
+    // every hit's ADC value equals the unrestricted ADC computation
+    rows.foreach { r =>
+      r.getAs[Double]("adc_d2") shouldBe (full(r.getLong(0)) +- 1e-9)
+    }
+    // hits are confined to <= nprobe distinct lists
+    rows.map(_.getAs[Long]("cent_id")).distinct.length should be <=
+      VectorQueries.IvfNprobe
+    // ADC-ordered within the output
+    val adcs = rows.map(_.getAs[Double]("adc_d2")).toSeq
+    adcs shouldBe adcs.sorted
+  }
+
   test("q_embedding_cov: diagonal is the (quantized) per-dim variance, ≥ 0") {
     val vecs = SparkSpec.spark.read.parquet(s"$sf/embeddings.parquet")
       .selectExpr("embedding").collect()

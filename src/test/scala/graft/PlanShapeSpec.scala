@@ -233,7 +233,7 @@ class PlanShapeSpec extends SparkSpec {
       // per-arm 1-row count frames (band-sweep readout)
       "q_lsh_band_sweep",
       // 1-row broadcast probe vector (exact arm of the ADC audit)
-      "q_pq_search")
+      "q_pq_search", "q_ivf_pq")
     SparkEntry.all.filter(_.oracle.isDefined).foreach { q =>
       val p = plan(q.fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"${q.name} plans a cartesian:\n$p")
