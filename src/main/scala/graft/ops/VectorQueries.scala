@@ -246,11 +246,19 @@ object VectorQueries {
     * are observable via [[lshBucketStats]] (`q_lsh_bucket_stats`), not silent. */
   private def bands(spark: SparkSession, dir: String): DataFrame = {
     val all = rawBands(spark, dir)
-    val ok = all.groupBy(col("band_idx"), col("band_val"))
+    // anti-join against the OVER-cap bucket list, not an inner join on the
+    // under-cap allowlist: the allowlist grows with bands × min(n, 2^bits)
+    // (~10⁸ rows at the geometryFor(10⁹) regime — pinning broadcast on it
+    // was a guaranteed OOM exactly where the corpus-size knob applies;
+    // round-7 advice), while over-cap buckets number ≤ n / cap and each
+    // kills a quadratic straggler. No pinned broadcast either way — AQE
+    // picks the strategy from the measured size (the decontaminateKeepList
+    // rule: never pin broadcast on a side that scales with the data).
+    val over = all.groupBy(col("band_idx"), col("band_val"))
       .agg(count(lit(1)).as("bn"))
-      .filter(col("bn") <= DedupQueries.SimhashBucketCap)
+      .filter(col("bn") > DedupQueries.SimhashBucketCap)
       .select(col("band_idx"), col("band_val"))
-    all.join(broadcast(ok), Seq("band_idx", "band_val"))
+    all.join(over, Seq("band_idx", "band_val"), "left_anti")
   }
 
   /** Per-band bucket census for the embedding LSH: bucket count, the largest

@@ -70,7 +70,12 @@ object TimeTravel {
     try out.write(m.toSeq.sorted.map { case (b, ver) => s"$b,$ver" }
       .mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    fs.rename(tmp, new Path(md, s"v$v"))
+    // rename returns false instead of throwing on some filesystems
+    // (leftover destination, object-store semantics) — an unchecked false
+    // here would silently not commit the snapshot while the merge still
+    // returns v, surfacing later as an inexplicable missing version
+    require(fs.rename(tmp, new Path(md, s"v$v")),
+      s"manifest commit failed for v$v at $t (rename returned false)")
   }
 
   /** Merge `updates` (≤ 1 row per key, full-row upsert — the [[Merge]]
@@ -95,6 +100,15 @@ object TimeTravel {
         // exists, reads as zero rows) — callers can rely on a version
         writeManifest(fs, t, v, Map.empty); v
       }
+      // NULL keys never match the left_anti upsert join (SQL null
+      // inequality): a NULL-key update row would be APPENDED every merge
+      // while prior NULL-key rows survive — duplicates accumulating across
+      // versions. Reject loudly instead (same spirit as the bucket guard).
+      val nNullKey = keyed
+        .filter(keyCols.map(col(_).isNull).reduce(_ || _)).count()
+      require(nNullKey == 0L,
+        s"mergeVersioned: $nNullKey update rows have NULL in a key column " +
+          s"(${keyCols.mkString(", ")}) — the upsert contract needs non-null keys")
       val affected = keyed.select(col("bucket")).distinct()
         .collect().map(_.getInt(0)).toSet
       // current rows of the affected buckets, grouped by the version dir
@@ -240,19 +254,25 @@ object TimeTravel {
     val fs = fsOf(spark, t)
     val vs = versions(spark, tablePath)
     if (vs.size <= keepLast) return Seq.empty
-    val keep = vs.takeRight(keepLast)
-    val referenced = keep.flatMap(readManifest(fs, t, _).values).toSet
-    val droppable = vs.dropRight(keepLast).filterNot(referenced)
-    droppable.foreach { v =>
-      fs.delete(filesDir(t, v), true)
-      fs.delete(new Path(manifestDir(t), s"v$v"), false)
-    }
-    // prune dropped manifests that survived as referenced file dirs: their
-    // manifest is gone (the snapshot is no longer readable) but their files
-    // stay because newer manifests point into them
-    vs.dropRight(keepLast).filter(referenced).foreach { v =>
-      fs.delete(new Path(manifestDir(t), s"v$v"), false)
-    }
-    vs.dropRight(keepLast)
+    val keep = vs.takeRight(keepLast).toSet
+    val referenced = keep.toSeq.flatMap(readManifest(fs, t, _).values).toSet
+    // enumerate files/v* ON DISK, not just versions with a surviving
+    // manifest: a dir whose manifest an earlier vacuum dropped while its
+    // files stayed carried-forward-referenced must be re-examined once a
+    // later compaction de-references it — deriving droppability from
+    // versions() alone leaked such dirs forever (round-7 advice, medium)
+    val fd = new Path(t, "files")
+    val onDisk =
+      if (!fs.exists(fd)) Seq.empty[Int]
+      else fs.listStatus(fd).map(_.getPath.getName).toSeq
+        .collect { case n if n.startsWith("v") => n.drop(1).toInt }.sorted
+    val droppableDirs = onDisk.filterNot(v => keep(v) || referenced(v))
+    droppableDirs.foreach(v => fs.delete(filesDir(t, v), true))
+    // every non-retained manifest goes (its snapshot stops being readable),
+    // whether or not its files survive as carried-forward references
+    val droppedManifests = vs.filterNot(keep)
+    droppedManifests.foreach(v =>
+      fs.delete(new Path(manifestDir(t), s"v$v"), false))
+    (droppableDirs ++ droppedManifests).distinct.sorted
   }
 }

@@ -86,21 +86,24 @@ object ScaleProbe {
 
   private def blowUpEmbeddings(spark: SparkSession, src: String, out: String,
       copies: Int): Unit = {
-    // vec_id translated per copy; each copy's vectors CYCLICALLY ROTATED by
-    // its copy index — a rotation preserves every within-copy dot product
-    // (pair structure, centroid geometry scale exactly ×COPIES) while
+    // vec_id translated per copy; each copy multiplied by a deterministic
+    // per-copy DIAGONAL ±1 matrix (signs from hash(copy, dim index)) — an
+    // orthogonal transform preserves every within-copy dot product (pair
+    // structure, centroid geometry scale exactly ×COPIES) while
     // decorrelating copies from each other and from the fixed hyperplanes,
     // so LSH buckets don't systematically collide across copies (identical
     // copies would: signatures are functions of the vector alone, and a
-    // shared bucket turns the ×COPIES blow-up quadratic)
+    // shared bucket turns the ×COPIES blow-up quadratic). The former cyclic
+    // rotation silently repeated past copy index 64 (slice degenerated to
+    // the identity — round-7 advice); the 2^64 sign patterns cannot repeat
+    // for any realistic copy count.
     val e = spark.read.parquet(s"$src/embeddings.parquet")
     (0 until copies).map { k =>
-      val rotated =
+      val signed =
         if (k == 0) e
         else e.withColumn("embedding", expr(
-          s"concat(slice(embedding, ${k + 1}, size(embedding) - $k), " +
-            s"slice(embedding, 1, $k))"))
-      rotated.withColumn("vec_id", col("vec_id") + lit(k * Stride))
+          s"transform(embedding, (x, i) -> if(pmod(hash($k, i), 2) = 0, x, -x))"))
+      signed.withColumn("vec_id", col("vec_id") + lit(k * Stride))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
   }

@@ -46,6 +46,37 @@ class TimeTravelSpec extends SparkSpec {
     assert(v1Rows < 50, s"v1 rewrote $v1Rows rows; pointer carry-forward broken")
   }
 
+  test("vacuum reclaims carried-forward dirs once compaction de-references them") {
+    val t = tmp()
+    TimeTravel.mergeVersioned(t,
+      (1L to 20L).map(k => (k, "x")).toDF("k", "v"), Seq("k"))
+    TimeTravel.mergeVersioned(t, Seq((1L, "y")).toDF("k", "v"), Seq("k"))
+    // first vacuum: v0's manifest goes but its files stay (v1 references
+    // them for the untouched buckets)
+    TimeTravel.vacuum(spark, t, keepLast = 1)
+    new java.io.File(s"$t/files/v0").exists() shouldBe true
+    // compaction de-references v0's files; the next vacuum must reclaim the
+    // dir even though no v0 manifest survives to list it (round-7 advice:
+    // droppability must come from the disk listing, not versions())
+    TimeTravel.compactLatest(spark, t)
+    val dropped = TimeTravel.vacuum(spark, t, keepLast = 1)
+    dropped should contain(0)
+    new java.io.File(s"$t/files/v0").exists() shouldBe false
+    new java.io.File(s"$t/files").listFiles().map(_.getName).toSeq shouldBe Seq("v2")
+    TimeTravel.readAt(spark, t, 2).as[(Long, String)].collect().toMap
+      .apply(1L) shouldBe "y"
+  }
+
+  test("mergeVersioned rejects NULL-key update rows loudly") {
+    val t = tmp()
+    TimeTravel.mergeVersioned(t, Seq((1L, "a")).toDF("k", "v"), Seq("k"))
+    val bad = Seq((Option(2L), "b"), (Option.empty[Long], "c")).toDF("k", "v")
+    an[IllegalArgumentException] should be thrownBy
+      TimeTravel.mergeVersioned(t, bad, Seq("k"))
+    // the failed merge must not have committed a snapshot
+    TimeTravel.versions(spark, t) shouldBe Seq(0)
+  }
+
   test("vacuum drops pruned snapshots but keeps files newer manifests reference") {
     val t = tmp()
     TimeTravel.mergeVersioned(t,
