@@ -97,6 +97,67 @@ object TableRegistry {
       .orderBy(col("uid"))
   }
 
+  /** Per-batch user summary over events with `event_id % MergeBatches = b`
+    * — the shared building block of every versioned-table exercise. */
+  private def userBatch(spark: SparkSession, dir: String, b: Int): DataFrame =
+    Tables(spark, dir).events
+      .select(col("user_id").as("uid"), col("event_id"))
+      .filter(col("uid").isNotNull && col("event_id").isNotNull)
+      .filter(pmod(col("event_id"), lit(MergeBatches)) === b)
+      .groupBy(col("uid"))
+      .agg(max(col("event_id")).as("v_last"), count(lit(1)).as("n_b"))
+
+  /** Additive schema evolution across snapshots (the Delta/Iceberg
+    * mergeSchema semantic driven through [[TimeTravel]]): batch 0 commits
+    * a NARROW schema (uid, v_last); batch 1 ADDS `n_b`; batch 2 arrives
+    * WITHOUT `v_last`. Every snapshot stays readable on the union schema —
+    * rows written before a column existed read NULL there, and the
+    * full-row-upsert contract means a narrow late batch nulls the columns
+    * it omits for the keys it touches. The oracle recomputes each
+    * version's last-write-wins state and nulls exactly the columns the
+    * winning batch lacked — green means old files + new schema compose
+    * exactly, with zero rewrites of committed data. */
+  def schemaEvolutionDemo(spark: SparkSession, dir: String): DataFrame = {
+    val table = Files.createTempDirectory("graft_schema_evo").toString + "/table"
+    TimeTravel.mergeVersioned(table,
+      userBatch(spark, dir, 0).drop("n_b"), keyCols = Seq("uid"))
+    TimeTravel.mergeVersioned(table,
+      userBatch(spark, dir, 1), keyCols = Seq("uid"))
+    TimeTravel.mergeVersioned(table,
+      userBatch(spark, dir, 2).drop("v_last"), keyCols = Seq("uid"))
+    (0 until MergeBatches).map { v =>
+      val r = TimeTravel.readAt(spark, table, v)
+      val padded = Seq("v_last", "n_b").foldLeft(r)((d, c) =>
+        if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast("long")))
+      padded.select(lit(v.toLong).as("version"), col("uid"),
+        col("v_last"), col("n_b"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("version"), col("uid"))
+  }
+
+  /** Snapshot ROLLBACK (the Delta RESTORE semantic): after the three-batch
+    * sequence, [[TimeTravel.restoreVersion]] rolls the table back to v0 as
+    * a new version v3 — pure manifest metadata, zero data movement (the
+    * spec asserts no files/v3 dir exists) — and the upsert line continues
+    * from the restored state: merging batch 1 on top yields exactly the
+    * last-write-wins state over batches {0, 1}, as if batch 2 had never
+    * happened. The output reads BOTH the restored snapshot and the
+    * continued line, so green pins restore + post-restore writes. */
+  def tableRestoreDemo(spark: SparkSession, dir: String): DataFrame = {
+    val table = Files.createTempDirectory("graft_table_restore").toString + "/table"
+    for (b <- 0 until MergeBatches)
+      TimeTravel.mergeVersioned(table, userBatch(spark, dir, b),
+        keyCols = Seq("uid"))
+    val v3 = TimeTravel.restoreVersion(spark, table, 0)
+    val v4 = TimeTravel.mergeVersioned(table, userBatch(spark, dir, 1),
+      keyCols = Seq("uid"))
+    Seq(v3, v4).map(v => TimeTravel.readAt(spark, table, v)
+        .select(lit(v.toLong).as("version"), col("uid"),
+          col("v_last"), col("n_b")))
+      .reduce(_ unionByName _)
+      .orderBy(col("version"), col("uid"))
+  }
+
   /** Number of delta batches in the incremental-view exercise. */
   val MvBatches = 3
 
@@ -234,6 +295,43 @@ object TableRegistry {
          |${(0 until MergeBatches).map(arm).mkString("\nUNION ALL\n")}
          |ORDER BY version, uid""".stripMargin
     })(timeTravelDemo),
+
+    // Snapshot v = last-write-wins over batches 0..v on the UNION schema;
+    // the winning batch's missing columns read NULL (additive evolution).
+    QueryDef("q_schema_evolution", {
+      def arm(v: Int) =
+        s"""SELECT CAST($v AS BIGINT) AS version, a.uid,
+           |  CASE WHEN a.b = ${MergeBatches - 1} THEN NULL ELSE a.v_last END AS v_last,
+           |  CASE WHEN a.b = 0 THEN NULL ELSE a.n_b END AS n_b
+           |FROM a JOIN (SELECT uid, max(b) AS bmax FROM a
+           |             WHERE b <= $v GROUP BY 1) m
+           |  ON a.uid = m.uid AND a.b = m.bmax""".stripMargin
+      s"""WITH e AS (
+         |  SELECT user_id AS uid, event_id, event_id % $MergeBatches AS b
+         |  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL),
+         |a AS (SELECT uid, b, max(event_id) AS v_last, count(*) AS n_b
+         |      FROM e GROUP BY 1, 2)
+         |${(0 until MergeBatches).map(arm).mkString("\nUNION ALL\n")}
+         |ORDER BY version, uid""".stripMargin
+    })(schemaEvolutionDemo),
+
+    // Restored snapshot v3 = batch-0 state verbatim; continued line v4 =
+    // last-write-wins over batches {0, 1} (batch 2 rolled away).
+    QueryDef("q_table_restore",
+      s"""WITH e AS (
+         |  SELECT user_id AS uid, event_id, event_id % $MergeBatches AS b
+         |  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL),
+         |a AS (SELECT uid, b, max(event_id) AS v_last, count(*) AS n_b
+         |      FROM e GROUP BY 1, 2)
+         |SELECT CAST($MergeBatches AS BIGINT) AS version, uid, v_last, n_b
+         |FROM a WHERE b = 0
+         |UNION ALL
+         |SELECT CAST(${MergeBatches + 1} AS BIGINT) AS version, a.uid,
+         |  a.v_last, a.n_b
+         |FROM a JOIN (SELECT uid, max(b) AS bmax FROM a
+         |             WHERE b <= 1 GROUP BY 1) m
+         |  ON a.uid = m.uid AND a.b = m.bmax
+         |ORDER BY version, uid""".stripMargin)(tableRestoreDemo),
 
     // Change feed v0 → v2 = full-outer diff of the two last-write-wins
     // states; unchanged rows filtered on the full summary.

@@ -36,6 +36,15 @@ object TimeTravel {
   private def manifestDir(t: Path) = new Path(t, "_manifests")
   private def filesDir(t: Path, v: Int) = new Path(t, s"files/v$v")
 
+  /** Union with ADDITIVE SCHEMA EVOLUTION (the Delta/Iceberg mergeSchema
+    * semantic): version dirs written before a column existed surface it as
+    * NULL, and a batch missing an old column upserts NULL there (the
+    * full-row-upsert contract applied to the widened schema). Used by
+    * every multi-version read so old snapshots stay readable across
+    * column additions. */
+  private def unionEvolved(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b, allowMissingColumns = true)
+
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -119,11 +128,12 @@ object TimeTravel {
       val current = sources.map { case (srcV, buckets) =>
         spark.read.parquet(filesDir(t, srcV).toString)
           .filter(col("bucket").isin(buckets: _*))
-      }.reduceOption(_ unionByName _)
+      }.reduceOption(unionEvolved)
       val merged = current match {
         case Some(cur) =>
-          cur.join(keyed.select(keyCols.map(col): _*), keyCols, "left_anti")
-            .unionByName(keyed)
+          unionEvolved(
+            cur.join(keyed.select(keyCols.map(col): _*), keyCols, "left_anti"),
+            keyed)
         case None => keyed
       }
       // new version dir: inputs are OLDER versions' immutable files, so no
@@ -150,7 +160,7 @@ object TimeTravel {
         spark.read.parquet(filesDir(t, srcV).toString)
           .filter(col("bucket").isin(buckets: _*))
     }
-    parts.reduceOption(_ unionByName _) match {
+    parts.reduceOption(unionEvolved) match {
       case Some(df) => df.drop("bucket")
       case None => // empty table: schema unknowable from data — empty frame
         spark.emptyDataFrame
@@ -179,12 +189,30 @@ object TimeTravel {
         case (srcV, buckets) =>
           spark.read.parquet(filesDir(t, srcV).toString)
             .filter(col("bucket").isin(buckets: _*))
-      }.reduce(_ unionByName _)
+      }.reduce(unionEvolved)
       current.repartition(math.max(m.size, 1), col("bucket"))
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(filesDir(t, v).toString)
     }
     writeManifest(fs, t, v, m.keys.map(_ -> v).toMap)
+    v
+  }
+
+  /** Roll the table back to snapshot `toV` AS A NEW VERSION (the Delta
+    * RESTORE semantic): commits a manifest IDENTICAL to `toV`'s under the
+    * next version number — pure metadata, zero data movement. History is
+    * preserved: the rolled-back versions stay readable (and diffable via
+    * [[changesBetween]]) until retention vacuums them, and the restored
+    * version's files are carried forward by reference, so [[vacuum]] keeps
+    * them alive as long as any retained manifest points at them. */
+  def restoreVersion(spark: SparkSession, tablePath: String, toV: Int): Int = {
+    val t = new Path(tablePath)
+    val fs = fsOf(spark, t)
+    require(fs.exists(new Path(manifestDir(t), s"v$toV")),
+      s"no committed snapshot v$toV at $tablePath " +
+        s"(have: ${versions(spark, tablePath).mkString(", ")})")
+    val v = latestVersion(spark, tablePath).get + 1
+    writeManifest(fs, t, v, readManifest(fs, t, toV))
     v
   }
 
@@ -217,13 +245,22 @@ object TimeTravel {
           case (srcV, buckets) =>
             spark.read.parquet(filesDir(t, srcV).toString)
               .filter(col("bucket").isin(buckets: _*))
-        }.reduceOption(_ unionByName _).map(_.drop("bucket"))
+        }.reduceOption(unionEvolved).map(_.drop("bucket"))
     (sliceAt(mFrom), sliceAt(mTo)) match {
       case (None, None) =>
         spark.emptyDataFrame
       case (before, after) =>
-        val b = before.getOrElse(after.get.filter(lit(false)))
-        val a = after.getOrElse(before.get.filter(lit(false)))
+        val b0 = before.getOrElse(after.get.filter(lit(false)))
+        val a0 = after.getOrElse(before.get.filter(lit(false)))
+        // align both slices to the union schema (additive evolution: a
+        // column born after `fromV` reads as NULL on the before side and
+        // diffs as an update wherever the after side holds a value)
+        def pad(d: DataFrame, like: DataFrame): DataFrame =
+          like.columns.foldLeft(d)((acc, c) =>
+            if (acc.columns.contains(c)) acc
+            else acc.withColumn(c, lit(null).cast(like.schema(c).dataType)))
+        val b = pad(b0, a0)
+        val a = pad(a0, b0)
         val dataCols = a.columns.filterNot(keyCols.contains).toSeq
         val bKeyed = b.select(
           org.apache.spark.sql.functions.struct(keyCols.map(col): _*).as("k"),

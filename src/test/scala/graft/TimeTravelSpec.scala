@@ -67,6 +67,53 @@ class TimeTravelSpec extends SparkSpec {
       .apply(1L) shouldBe "y"
   }
 
+  test("additive schema evolution: old snapshots readable, carried rows NULL") {
+    val t = tmp()
+    TimeTravel.mergeVersioned(t,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Seq("k"))
+    // batch 1 ADDS a column; only key 2 is touched
+    TimeTravel.mergeVersioned(t,
+      Seq((2L, "B", 9L)).toDF("k", "v", "extra"), Seq("k"))
+    // old snapshot keeps its original (narrow) shape
+    TimeTravel.readAt(spark, t, 0).columns.toSet shouldBe Set("k", "v")
+    // new snapshot reads the union schema; the carried row is NULL there
+    val rows = TimeTravel.readAt(spark, t, 1).collect()
+      .map(r => r.getLong(r.fieldIndex("k")) ->
+        (r.getString(r.fieldIndex("v")),
+          if (r.isNullAt(r.fieldIndex("extra"))) None
+          else Some(r.getLong(r.fieldIndex("extra"))))).toMap
+    rows(1L) shouldBe (("a", None))
+    rows(2L) shouldBe (("B", Some(9L)))
+    // a narrow LATE batch nulls the columns it omits for its keys
+    TimeTravel.mergeVersioned(t, Seq((1L, 7L)).toDF("k", "extra"), Seq("k"))
+    val rows2 = TimeTravel.readAt(spark, t, 2).collect()
+      .map(r => r.getLong(r.fieldIndex("k")) ->
+        (Option(r.getAs[String]("v")), Option(r.getAs[java.lang.Long]("extra"))
+          .map(_.longValue))).toMap
+    rows2(1L) shouldBe ((None, Some(7L)))
+    rows2(2L) shouldBe ((Some("B"), Some(9L)))
+  }
+
+  test("restoreVersion is metadata-only and the upsert line continues from it") {
+    val t = tmp()
+    TimeTravel.mergeVersioned(t,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Seq("k"))
+    TimeTravel.mergeVersioned(t, Seq((1L, "X")).toDF("k", "v"), Seq("k"))
+    val v2 = TimeTravel.restoreVersion(spark, t, 0)
+    v2 shouldBe 2
+    // pure metadata: no data dir was written for the restored version
+    new java.io.File(s"$t/files/v2").exists() shouldBe false
+    TimeTravel.readAt(spark, t, 2).as[(Long, String)].collect().toSet shouldBe
+      Set((1L, "a"), (2L, "b"))
+    // the rolled-back version is still readable until vacuumed
+    TimeTravel.readAt(spark, t, 1).as[(Long, String)].collect().toSet shouldBe
+      Set((1L, "X"), (2L, "b"))
+    // and new merges continue from the restored state
+    TimeTravel.mergeVersioned(t, Seq((2L, "Y")).toDF("k", "v"), Seq("k"))
+    TimeTravel.readAt(spark, t, 3).as[(Long, String)].collect().toSet shouldBe
+      Set((1L, "a"), (2L, "Y"))
+  }
+
   test("mergeVersioned rejects NULL-key update rows loudly") {
     val t = tmp()
     TimeTravel.mergeVersioned(t, Seq((1L, "a")).toDF("k", "v"), Seq("k"))
