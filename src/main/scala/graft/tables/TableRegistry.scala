@@ -53,17 +53,8 @@ object TableRegistry {
     * retention pass and crash/orphan behavior are spec-checked
     * (TimeTravelSpec); this key gates the read-path semantics. */
   def timeTravelDemo(spark: SparkSession, dir: String): DataFrame = {
-    val table = Files.createTempDirectory("graft_time_travel").toString + "/table"
-    val e = Tables(spark, dir).events
-      .select(col("user_id").as("uid"), col("event_id"))
-      .filter(col("uid").isNotNull && col("event_id").isNotNull)
-    val vs = (0 until MergeBatches).map { b =>
-      val batch = e.filter(pmod(col("event_id"), lit(MergeBatches)) === b)
-        .groupBy(col("uid"))
-        .agg(max(col("event_id")).as("v_last"), count(lit(1)).as("n_b"))
-      TimeTravel.mergeVersioned(table, batch, keyCols = Seq("uid"))
-    }
-    vs.map(v => TimeTravel.readAt(spark, table, v)
+    val table = sharedVersionedTable(spark, dir)
+    (0 until MergeBatches).map(v => TimeTravel.readAt(spark, table, v)
         .select(lit(v.toLong).as("version"), col("uid"), col("v_last"), col("n_b")))
       .reduce(_ unionByName _)
       .orderBy(col("version"), col("uid"))
@@ -78,16 +69,7 @@ object TableRegistry {
     * history produces inserts (users absent from batch 0) and updates
     * (summary replaced by a later batch); unchanged keys must NOT appear. */
   def tableCdcDemo(spark: SparkSession, dir: String): DataFrame = {
-    val table = Files.createTempDirectory("graft_table_cdc").toString + "/table"
-    val e = Tables(spark, dir).events
-      .select(col("user_id").as("uid"), col("event_id"))
-      .filter(col("uid").isNotNull && col("event_id").isNotNull)
-    for (b <- 0 until MergeBatches) {
-      val batch = e.filter(pmod(col("event_id"), lit(MergeBatches)) === b)
-        .groupBy(col("uid"))
-        .agg(max(col("event_id")).as("v_last"), count(lit(1)).as("n_b"))
-      TimeTravel.mergeVersioned(table, batch, keyCols = Seq("uid"))
-    }
+    val table = sharedVersionedTable(spark, dir)
     TimeTravel.changesBetween(spark, table, 0, MergeBatches - 1, Seq("uid"))
       .select(col("uid"), col("change"),
         col("before.v_last").as("before_v_last"),
@@ -96,6 +78,28 @@ object TableRegistry {
         col("after.n_b").as("after_n_b"))
       .orderBy(col("uid"))
   }
+
+  private val versionedTables =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** The committed three-batch versioned table, built ONCE per
+    * (process, dir): `q_time_travel`, `q_table_cdc`, and `q_table_restore`
+    * replay the IDENTICAL merge sequence, so a sweep otherwise pays the
+    * three merges (writes + manifests) three times — the [[graft.ops.Staged]]
+    * amortization applied to a table directory instead of a DataFrame.
+    * Safe to share because reads are snapshot-isolated against immutable
+    * manifests: the restore key APPENDS versions (v3, v4) and never
+    * disturbs v0–v2, which are the only versions the other two read.
+    * (`q_schema_evolution` keeps its own table — its version line carries
+    * deliberately different schemas.) */
+  private def sharedVersionedTable(spark: SparkSession, dir: String): String =
+    versionedTables.getOrElseUpdate(new java.io.File(dir).getCanonicalPath, {
+      val table = Files.createTempDirectory("graft_versioned").toString + "/table"
+      for (b <- 0 until MergeBatches)
+        TimeTravel.mergeVersioned(table, userBatch(spark, dir, b),
+          keyCols = Seq("uid"))
+      table
+    })
 
   /** Per-batch user summary over events with `event_id % MergeBatches = b`
     * — the shared building block of every versioned-table exercise. */
@@ -144,10 +148,7 @@ object TableRegistry {
     * happened. The output reads BOTH the restored snapshot and the
     * continued line, so green pins restore + post-restore writes. */
   def tableRestoreDemo(spark: SparkSession, dir: String): DataFrame = {
-    val table = Files.createTempDirectory("graft_table_restore").toString + "/table"
-    for (b <- 0 until MergeBatches)
-      TimeTravel.mergeVersioned(table, userBatch(spark, dir, b),
-        keyCols = Seq("uid"))
+    val table = sharedVersionedTable(spark, dir)
     val v3 = TimeTravel.restoreVersion(spark, table, 0)
     val v4 = TimeTravel.mergeVersioned(table, userBatch(spark, dir, 1),
       keyCols = Seq("uid"))
