@@ -151,8 +151,19 @@ object CurationQueries {
     * stratified sampling of duplicate families consumes. */
   def curateCC(spark: SparkSession, dir: String): DataFrame = {
     val uniqueDocs = uniqQualified(spark, dir)
-    clusterAndLabel(uniqueDocs, canonicalNearDupPairs(spark, dir))
+    clusterAndLabelComp(uniqueDocs, textCcLabels(spark, dir))
   }
+
+  /** CC labels over the text near-dup candidate edges, STAGED once per
+    * process: [[curateCC]] and [[canonicalDocs]] both need exactly these
+    * labels, and the CC rounds (iterative localCheckpoint star
+    * contraction) are the expensive part of both keys. One row per
+    * involved doc — a small derivative, the [[graft.ops.Staged]] charter. */
+  private def textCcLabels(spark: SparkSession, dir: String): DataFrame =
+    Staged("curation_cc_labels", spark, dir) {
+      ConnectedComponents.minLabel(canonicalNearDupPairs(spark, dir))
+        .withColumnRenamed("id", "doc_id")
+    }
 
   /** Embedding edges below this cosine are not multimodal DUP evidence.
     * Deliberately above [[VectorQueries.dedupEmbedding]]'s 0.25 demo
@@ -304,8 +315,7 @@ object CurationQueries {
   def canonicalDocs(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val uniqueDocs = uniqQualified(spark, dir)
-    val comp = ConnectedComponents.minLabel(canonicalNearDupPairs(spark, dir))
-      .withColumnRenamed("id", "doc_id")
+    val comp = textCcLabels(spark, dir)
     val labeled = uniqueDocs.select(col("doc_id"), col("quality"))
       .join(comp, Seq("doc_id"), "left")
       .withColumn("comp", coalesce(col("comp"), col("doc_id")))
@@ -323,9 +333,11 @@ object CurationQueries {
   /** Shared CC tail: label every quality-gated unique doc with its
     * component representative (minimum doc_id; singletons map to
     * themselves) and cluster size. */
-  private def clusterAndLabel(uniqueDocs: DataFrame, edges: DataFrame): DataFrame = {
-    val comp = ConnectedComponents.minLabel(edges)
-      .withColumnRenamed("id", "doc_id")
+  private def clusterAndLabel(uniqueDocs: DataFrame, edges: DataFrame): DataFrame =
+    clusterAndLabelComp(uniqueDocs,
+      ConnectedComponents.minLabel(edges).withColumnRenamed("id", "doc_id"))
+
+  private def clusterAndLabelComp(uniqueDocs: DataFrame, comp: DataFrame): DataFrame = {
     val labeled = uniqueDocs.select(col("doc_id"))
       .join(comp, Seq("doc_id"), "left")
       .withColumn("comp", coalesce(col("comp"), col("doc_id")))
