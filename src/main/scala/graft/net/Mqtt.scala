@@ -1,0 +1,238 @@
+package graft.net
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException, InputStream}
+import java.net.{InetSocketAddress, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+import scala.collection.mutable
+
+/** Minimal MQTT 3.1.1 wire codec + blocking client, implemented from the
+  * public OASIS spec over bare JDK sockets — no client library exists in
+  * this offline environment (re-verified each round), and the reference's
+  * ingest edge is MQTT (reference/src/main/java/stream/sources/
+  * HiveMQSource.java:62-106), so the transport is implemented rather than
+  * stubbed. Scope is the subset an ingest edge needs: CONNECT/CONNACK
+  * (clean and persistent sessions), SUBSCRIBE/SUBACK, PUBLISH QoS 0/1 with
+  * PUBACK, PING, DISCONNECT. QoS 2's two-phase handshake is out of scope
+  * (the reference subscribes at QoS 1).
+  *
+  * Framing: fixed header byte `(type << 4) | flags`, then the remaining
+  * length as a 1–4-byte base-128 varint, then the variable header +
+  * payload. Strings are 2-byte-length-prefixed UTF-8. */
+object Mqtt {
+
+  val Connect = 1; val Connack = 2; val Publish = 3; val Puback = 4
+  val Subscribe = 8; val Suback = 9; val Pingreq = 12; val Pingresp = 13
+  val Disconnect = 14
+
+  /** One decoded control packet: type, fixed-header flags, body bytes. */
+  final case class Packet(ptype: Int, flags: Int, body: Array[Byte])
+
+  def writeRemainingLength(out: DataOutputStream, n0: Int): Unit = {
+    require(n0 >= 0 && n0 <= 268435455, s"remaining length out of range: $n0")
+    var n = n0
+    while ({
+      val digit = n % 128
+      n /= 128
+      out.writeByte(if (n > 0) digit | 0x80 else digit)
+      n > 0
+    }) ()
+  }
+
+  def readRemainingLength(in: DataInputStream): Int = {
+    var mult = 1; var value = 0; var i = 0
+    while ({
+      val b = in.readUnsignedByte()
+      value += (b & 0x7f) * mult
+      mult *= 128
+      i += 1
+      require(i <= 4, "malformed remaining length (over 4 bytes)")
+      (b & 0x80) != 0
+    }) ()
+    value
+  }
+
+  def writePacket(out: DataOutputStream, ptype: Int, flags: Int,
+      body: Array[Byte]): Unit = out.synchronized {
+    out.writeByte((ptype << 4) | (flags & 0x0f))
+    writeRemainingLength(out, body.length)
+    out.write(body)
+    out.flush()
+  }
+
+  def readPacket(in: DataInputStream): Packet = {
+    val h = in.readUnsignedByte()
+    val len = readRemainingLength(in)
+    val body = new Array[Byte](len)
+    in.readFully(body)
+    Packet(h >> 4, h & 0x0f, body)
+  }
+
+  def utf(s: String): Array[Byte] = {
+    val b = s.getBytes(UTF_8)
+    require(b.length <= 0xffff, "MQTT string over 64 KiB")
+    Array[Byte]((b.length >> 8).toByte, (b.length & 0xff).toByte) ++ b
+  }
+
+  def u16(n: Int): Array[Byte] =
+    Array[Byte]((n >> 8).toByte, (n & 0xff).toByte)
+
+  /** Cursor-style reader over a packet body. */
+  final class BodyReader(b: Array[Byte]) {
+    private var pos = 0
+    def readU16(): Int = {
+      val v = ((b(pos) & 0xff) << 8) | (b(pos + 1) & 0xff); pos += 2; v
+    }
+    def readUtf(): String = {
+      val n = readU16()
+      val s = new String(b, pos, n, UTF_8); pos += n; s
+    }
+    def readByte(): Int = { val v = b(pos) & 0xff; pos += 1; v }
+    def rest(): Array[Byte] = java.util.Arrays.copyOfRange(b, pos, b.length)
+    def remaining: Int = b.length - pos
+  }
+
+  def connectBody(clientId: String, cleanSession: Boolean,
+      keepAliveSec: Int): Array[Byte] =
+    utf("MQTT") ++ Array[Byte](4, (if (cleanSession) 0x02 else 0x00).toByte) ++
+      u16(keepAliveSec) ++ utf(clientId)
+
+  def publishPacket(topic: String, payload: Array[Byte], qos: Int,
+      packetId: Int, retain: Boolean = false, dup: Boolean = false): (Int, Array[Byte]) = {
+    val flags = (if (dup) 8 else 0) | (qos << 1) | (if (retain) 1 else 0)
+    val body = utf(topic) ++ (if (qos > 0) u16(packetId) else Array.empty[Byte]) ++ payload
+    (flags, body)
+  }
+
+  /** Does a subscription `filter` (with + and # wildcards) match `topic`?
+    * Spec rules: `+` matches exactly one level, `#` the remainder (must be
+    * last), `$`-prefixed topics don't match wildcard-leading filters. */
+  def topicMatches(filter: String, topic: String): Boolean = {
+    if (topic.startsWith("$") && (filter.startsWith("+") || filter.startsWith("#")))
+      return false
+    val f = filter.split("/", -1); val t = topic.split("/", -1)
+    var i = 0
+    while (i < f.length) {
+      if (f(i) == "#") return i == f.length - 1
+      if (i >= t.length) return false
+      if (f(i) != "+" && f(i) != t(i)) return false
+      i += 1
+    }
+    i == t.length
+  }
+}
+
+/** A received application message. */
+final case class MqttMessage(topic: String, payload: Array[Byte]) {
+  def payloadString: String = new String(payload, UTF_8)
+}
+
+/** Blocking MQTT 3.1.1 client over one socket. Thread-safety: `publish` /
+  * `subscribe` / `receive` are mutually synchronized (one in-flight
+  * control exchange at a time — the ingest edge's natural shape);
+  * interleaved PUBLISHes arriving while an ack is awaited are queued, so
+  * no message is lost to protocol ordering. */
+final class MqttClient(host: String, port: Int, clientId: String,
+    cleanSession: Boolean = true, keepAliveSec: Int = 60,
+    connectTimeoutMs: Int = 5000, readTimeoutMs: Int = 30000) {
+  import Mqtt._
+
+  private val socket = new Socket()
+  socket.connect(new InetSocketAddress(host, port), connectTimeoutMs)
+  socket.setSoTimeout(readTimeoutMs)
+  socket.setTcpNoDelay(true)
+  private val out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream))
+  private val in = new DataInputStream(new BufferedInputStream(socket.getInputStream))
+  private val inbox = mutable.Queue.empty[MqttMessage]
+  private var nextId = 0
+  private def freshId(): Int = { nextId = (nextId % 0xffff) + 1; nextId }
+
+  /** CONNECT → CONNACK; throws on a non-zero return code. */
+  def connect(): MqttClient = synchronized {
+    writePacket(out, Connect, 0, connectBody(clientId, cleanSession, keepAliveSec))
+    val p = readPacket(in)
+    require(p.ptype == Connack, s"expected CONNACK, got type ${p.ptype}")
+    require(p.body(1) == 0, s"CONNECT refused, return code ${p.body(1)}")
+    this
+  }
+
+  /** Handle one inbound packet while awaiting `want`; queues PUBLISHes and
+    * answers pings so the wait never drops data. Returns the packet if it
+    * is the awaited type. */
+  private def pump(want: Int): Option[Packet] = {
+    val p = readPacket(in)
+    p.ptype match {
+      case t if t == want => Some(p)
+      case Publish => enqueue(p); None
+      case Pingreq => writePacket(out, Pingresp, 0, Array.empty); None
+      case _ => None // unsolicited acks (e.g. late PUBACK) are droppable
+    }
+  }
+
+  private def enqueue(p: Packet): Unit = {
+    val r = new BodyReader(p.body)
+    val topic = r.readUtf()
+    val qos = (p.flags >> 1) & 3
+    val pid = if (qos > 0) r.readU16() else 0
+    if (qos == 1) writePacket(out, Puback, 0, u16(pid))
+    inbox.enqueue(MqttMessage(topic, r.rest()))
+  }
+
+  def subscribe(filter: String, qos: Int = 1): Int = synchronized {
+    val pid = freshId()
+    writePacket(out, Subscribe, 0x2, u16(pid) ++ utf(filter) :+ qos.toByte)
+    var ack: Option[Packet] = None
+    while (ack.isEmpty) ack = pump(Suback)
+    val r = new BodyReader(ack.get.body)
+    require(r.readU16() == pid, "SUBACK for a different packet id")
+    val granted = r.readByte()
+    require(granted != 0x80, s"subscription to '$filter' rejected")
+    granted
+  }
+
+  def publish(topic: String, payload: Array[Byte], qos: Int = 0): Unit = synchronized {
+    val pid = if (qos > 0) freshId() else 0
+    val (flags, body) = publishPacket(topic, payload, qos, pid)
+    writePacket(out, Publish, flags, body)
+    if (qos == 1) {
+      var ack: Option[Packet] = None
+      while (ack.isEmpty) ack = pump(Puback)
+      require(new BodyReader(ack.get.body).readU16() == pid,
+        "PUBACK for a different packet id")
+    }
+  }
+
+  def publish(topic: String, payload: String): Unit =
+    publish(topic, payload.getBytes(UTF_8), qos = 1)
+
+  /** Next inbound message (QoS 1 acked transparently); None on timeout. */
+  def receive(timeoutMs: Int): Option[MqttMessage] = synchronized {
+    if (inbox.nonEmpty) return Some(inbox.dequeue())
+    val prev = socket.getSoTimeout
+    socket.setSoTimeout(timeoutMs)
+    try {
+      while (inbox.isEmpty) {
+        val p = readPacket(in)
+        p.ptype match {
+          case Publish => enqueue(p)
+          case Pingreq => writePacket(out, Pingresp, 0, Array.empty)
+          case _ => ()
+        }
+      }
+      Some(inbox.dequeue())
+    } catch {
+      case _: java.net.SocketTimeoutException => None
+      case _: EOFException => None
+    } finally socket.setSoTimeout(prev)
+  }
+
+  def ping(): Unit = synchronized {
+    writePacket(out, Pingreq, 0, Array.empty)
+    var ack: Option[Packet] = None
+    while (ack.isEmpty) ack = pump(Pingresp)
+  }
+
+  def close(): Unit = synchronized {
+    try writePacket(out, Disconnect, 0, Array.empty) catch { case _: Throwable => () }
+    try socket.close() catch { case _: Throwable => () }
+  }
+}
