@@ -207,8 +207,9 @@ class PlanShapeSpec extends SparkSpec {
       // broadcast centroid + probe tables (IVF assignment / list selection)
       "q_ivf_recall",
       // 1-row broadcast windowed-agg total (row-conservation claim joined
-      // to the 1-row class-count frame)
-      "q_sensor_gen",
+      // to the 1-row class-count frame); the MQTT round-trip runs the same
+      // audit over transport-delivered rows
+      "q_sensor_gen", "q_mqtt_roundtrip",
       // 1-row broadcast purge-audit count frames (requests/before/after/
       // leftover combine via broadcast)
       "q_forget_user",
