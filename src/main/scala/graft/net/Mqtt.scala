@@ -1,6 +1,6 @@
 package graft.net
 
-import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException, InputStream}
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
 import java.net.{InetSocketAddress, Socket}
 import java.nio.charset.StandardCharsets.UTF_8
 import scala.collection.mutable
@@ -132,8 +132,13 @@ final case class MqttMessage(topic: String, payload: Array[Byte]) {
   * interleaved PUBLISHes arriving while an ack is awaited are queued, so
   * no message is lost to protocol ordering. */
 final class MqttClient(host: String, port: Int, clientId: String,
-    cleanSession: Boolean = true, keepAliveSec: Int = 60,
+    cleanSession: Boolean = true, keepAliveSec: Int = 0,
     connectTimeoutMs: Int = 5000, readTimeoutMs: Int = 30000) {
+  // keepAliveSec defaults to 0 = keep-alive DISABLED per the spec: this
+  // client never self-pings while idle, and a nonzero advertisement would
+  // let a compliant broker drop an idle subscriber after 1.5x the interval
+  // [MQTT-3.1.2-24] (round-8 self-review). Callers that want liveness
+  // checks pass a nonzero value and drive ping() themselves.
   import Mqtt._
 
   private val socket = new Socket()
@@ -204,14 +209,28 @@ final class MqttClient(host: String, port: Int, clientId: String,
   def publish(topic: String, payload: String): Unit =
     publish(topic, payload.getBytes(UTF_8), qos = 1)
 
-  /** Next inbound message (QoS 1 acked transparently); None on timeout. */
+  /** Next inbound message (QoS 1 acked transparently); None on poll
+    * timeout. The poll timeout applies ONLY to the first header byte: once
+    * a packet has started, the long read timeout takes over so a
+    * mid-packet stall either completes or fails loudly — returning None
+    * after consuming partial bytes would desynchronize the stream and the
+    * next read would parse payload bytes as a header (round-8
+    * self-review). A dead connection (EOF) also throws, so callers can
+    * tell "no data yet" from "socket gone" and reconnect. */
   def receive(timeoutMs: Int): Option[MqttMessage] = synchronized {
     if (inbox.nonEmpty) return Some(inbox.dequeue())
     val prev = socket.getSoTimeout
-    socket.setSoTimeout(timeoutMs)
     try {
       while (inbox.isEmpty) {
-        val p = readPacket(in)
+        socket.setSoTimeout(timeoutMs)
+        val h =
+          try in.readUnsignedByte()
+          catch { case _: java.net.SocketTimeoutException => return None }
+        socket.setSoTimeout(readTimeoutMs)
+        val len = readRemainingLength(in)
+        val body = new Array[Byte](len)
+        in.readFully(body)
+        val p = Packet(h >> 4, h & 0x0f, body)
         p.ptype match {
           case Publish => enqueue(p)
           case Pingreq => writePacket(out, Pingresp, 0, Array.empty)
@@ -219,9 +238,6 @@ final class MqttClient(host: String, port: Int, clientId: String,
         }
       }
       Some(inbox.dequeue())
-    } catch {
-      case _: java.net.SocketTimeoutException => None
-      case _: EOFException => None
     } finally socket.setSoTimeout(prev)
   }
 

@@ -798,10 +798,15 @@ object PipelineQueries {
   def tokenBudget(spark: SparkSession, dir: String,
       budget: Long = TokenBudgetPerSource): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // persisted because the offset aggregate and the main join are two
+    // physical consumers of the scoring subtree (exchange reuse does not
+    // cover this split — round-8 self-review); the caller-clears-cache
+    // contract applies as in DedupQueries
     val scored = CurationQueries.scoredDocs(spark, dir)
       .select(col("source"), col("doc_id"), col("n_tokens"), col("quality"))
       .withColumn("qshard",
         floor((lit(1.0) - col("quality")) * TokenBudgetQShards))
+      .persist()
     val wOffset = Window.partitionBy(col("source")).orderBy(col("qshard"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = scored.groupBy(col("source"), col("qshard"))

@@ -60,19 +60,36 @@ final class MqttReceiver(host: String, port: Int, topic: String,
     clientId: String, maxBuffered: Int) {
   private val buf = new ArrayBuffer[(String, String)]()
   @volatile private var closed = false
-  private val client =
-    new MqttClient(host, port, clientId, cleanSession = false).connect()
-  client.subscribe(topic, qos = 1)
+  private def connectClient(): MqttClient = {
+    val c = new MqttClient(host, port, clientId, cleanSession = false)
+    c.connect()
+    c.subscribe(topic, qos = 1)
+    c
+  }
+  // connect in the constructor so a dead broker fails the CALLER loudly;
+  // later drops are the pump's reconnect loop's problem
+  @volatile private var client = connectClient()
 
   private val pump = new Thread(() => {
     while (!closed) {
       try client.receive(timeoutMs = 200).foreach { m =>
         buf.synchronized {
           if (buf.size < maxBuffered) buf += ((m.topic, m.payloadString))
-          // over-cap messages are dropped loudly in logs-free minimalism:
-          // the bound exists so a stalled query cannot OOM the driver
+          // over-cap messages are dropped: the bound exists so a stalled
+          // query cannot OOM the driver
         }
-      } catch { case _: Throwable => if (!closed) Thread.sleep(100) }
+      } catch {
+        case _: Throwable if !closed =>
+          // connection died (receive throws on EOF precisely so this path
+          // is distinguishable from an idle poll — round-8 self-review):
+          // back off and resubscribe; with cleanSession=false a compliant
+          // broker redelivers un-acked QoS 1 messages on resume
+          try client.close() catch { case _: Throwable => () }
+          Thread.sleep(200)
+          try { if (!closed) client = connectClient() }
+          catch { case _: Throwable => Thread.sleep(500) }
+        case _: Throwable => ()
+      }
     }
   }, s"mqtt-receiver-$host:$port/$topic")
   pump.setDaemon(true)
@@ -91,7 +108,10 @@ object MqttReceiver {
   def key(host: String, port: Int, topic: String, clientId: String): String =
     s"$host:$port/$topic@$clientId"
 
-  /** Get-or-start the receiver for this endpoint (subscribes immediately). */
+  /** Get-or-start the receiver for this endpoint (subscribes immediately).
+    * `maxBuffered` applies only when this call CREATES the receiver; an
+    * existing receiver keeps its original bound (the registry key is the
+    * endpoint, not the options). */
   def apply(host: String, port: Int, topic: String,
       clientId: String = "graft-ingest", maxBuffered: Int = 1000000): MqttReceiver =
     receivers.getOrElseUpdate(key(host, port, topic, clientId),
@@ -146,6 +166,17 @@ class MqttStream(host: String, port: Int, topic: String, clientId: String,
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[MqttOffset].emitted
+    // a checkpointed offset ahead of this process's buffer means the query
+    // was restarted in a NEW process against a fresh (empty) receiver —
+    // the documented in-process-only replay limit. Fail loudly: silently
+    // proceeding would alias the first `s` fresh messages as already
+    // emitted and drop them (round-8 self-review). The recovery path is a
+    // new checkpoint (or a durable log in front, which is what production
+    // puts here).
+    require(receiver.size.toLong >= s,
+      s"MQTT offset $s is ahead of the receiver buffer (${receiver.size}): " +
+        "checkpoint predates this process's receiver; start from a fresh " +
+        "checkpoint or front the broker with a replayable log")
     def rowCap(l: ReadLimit): Option[Long] = l match {
       case r: ReadMaxRows => Some(r.maxRows())
       case c: CompositeReadLimit => c.getReadLimits.flatMap(rowCap(_)).headOption

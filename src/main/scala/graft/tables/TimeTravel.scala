@@ -290,7 +290,10 @@ object TimeTravel {
     val t = new Path(tablePath)
     val fs = fsOf(spark, t)
     val vs = versions(spark, tablePath)
-    if (vs.size <= keepLast) return Seq.empty
+    // no early return when vs.size <= keepLast: even with every manifest
+    // retained, a de-referenced carried-forward dir (manifest vacuumed
+    // earlier, files since de-referenced by a compaction) must still be
+    // reclaimed from the disk listing (round-8 self-review)
     val keep = vs.takeRight(keepLast).toSet
     val referenced = keep.toSeq.flatMap(readManifest(fs, t, _).values).toSet
     // enumerate files/v* ON DISK, not just versions with a surviving

@@ -114,6 +114,25 @@ class TimeTravelSpec extends SparkSpec {
       Set((1L, "a"), (2L, "Y"))
   }
 
+  test("vacuum heals a pre-existing de-referenced dir even when every " +
+      "manifest is retained") {
+    val t = tmp()
+    TimeTravel.mergeVersioned(t, Seq((1L, "a")).toDF("k", "v"), Seq("k"))
+    TimeTravel.compactLatest(spark, t) // v1, self-contained
+    // simulate a leak inherited from an older binary / out-of-band manifest
+    // loss: an unreferenced version dir with no manifest anywhere
+    val leaked = new java.io.File(s"$t/files/v99")
+    leaked.mkdirs()
+    new java.io.File(leaked, "junk").createNewFile()
+    // vs.size (2) <= keepLast (5): an early return here would skip the disk
+    // scan and leak v99 forever (round-8 self-review)
+    val dropped = TimeTravel.vacuum(spark, t, keepLast = 5)
+    dropped should contain(99)
+    leaked.exists() shouldBe false
+    TimeTravel.versions(spark, t) shouldBe Seq(0, 1)
+    TimeTravel.readAt(spark, t, 1).count() shouldBe 1
+  }
+
   test("mergeVersioned rejects NULL-key update rows loudly") {
     val t = tmp()
     TimeTravel.mergeVersioned(t, Seq((1L, "a")).toDF("k", "v"), Seq("k"))
