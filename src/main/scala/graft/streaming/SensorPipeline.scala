@@ -368,9 +368,17 @@ object SensorPipeline {
     }
 
   def replay(spark: SparkSession, inDir: String, outBase: String): ReplayOut =
+    replayFrom(spark,
+      spark.readStream.schema(StructType(Seq(StructField("value", StringType))))
+        .text(inDir).toDF("value"),
+      outBase)
+
+  /** The R1–R5 chain over ANY raw `value: STRING` stream: the file-source
+    * replay above (tests/verify determinism) and the `graft-mqtt` DSv2
+    * source (real transport) run the IDENTICAL dataflow — MqttSpec pins
+    * byte-equality of all three sinks between the two transports. */
+  def replayFrom(spark: SparkSession, raw: DataFrame, outBase: String): ReplayOut =
     withStatePartitions(spark) {
-      val raw = spark.readStream.schema(StructType(Seq(StructField("value", StringType))))
-        .text(inDir).toDF("value")
       val parsed = parse(raw)
       val out = ReplayOut(s"$outBase/raw", s"$outBase/filtered", s"$outBase/agg")
 

@@ -103,6 +103,46 @@ class MqttSpec extends SparkSpec {
     } finally broker.close()
   }
 
+  test("full R1-R5 pipeline over MQTT equals the file-source replay on " +
+      "identical payloads") {
+    val lines = (1L to 500L).map(SensorGen.payload(
+      seed = 42L, startEpoch = 1700000000L, intervalMs = 1000L, thread = 0, _))
+    val inDir = java.nio.file.Files.createTempDirectory("mqtt_pipe_in")
+    java.nio.file.Files.write(inDir.resolve("data.txt"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val fileOut = SensorPipeline.replay(spark, inDir.toString,
+      java.nio.file.Files.createTempDirectory("mqtt_pipe_file").toString)
+    val broker = new MiniBroker()
+    try {
+      val receiver = MqttReceiver("127.0.0.1", broker.port, "pipe/#",
+        clientId = s"pipe-${broker.port}")
+      val pub = new MqttClient("127.0.0.1", broker.port, "pub-p").connect()
+      lines.foreach(l => pub.publish("pipe/s", l))
+      pub.close()
+      val deadline = System.currentTimeMillis() + 15000
+      while (receiver.size < lines.size && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      receiver.size shouldBe lines.size
+      val raw = spark.readStream.format("graft-mqtt")
+        .option("host", "127.0.0.1").option("port", broker.port)
+        .option("topic", "pipe/#").option("clientId", s"pipe-${broker.port}")
+        .load()
+        .select(col("value"))
+      val mqttOut = SensorPipeline.replayFrom(spark, raw,
+        java.nio.file.Files.createTempDirectory("mqtt_pipe_mqtt").toString)
+      for ((pa, pb) <- Seq(fileOut.raw -> mqttOut.raw,
+          fileOut.filtered -> mqttOut.filtered, fileOut.agg -> mqttOut.agg)) {
+        val da = spark.read.parquet(pa)
+        val db = spark.read.parquet(pb)
+        withClue(s"$pa vs $pb: ") {
+          da.count() shouldBe db.count()
+          da.exceptAll(db).count() shouldBe 0
+          db.exceptAll(da).count() shouldBe 0
+        }
+      }
+    } finally broker.close()
+  }
+
   test("DSv2 source: a restarted query resumes from its checkpoint with " +
       "no loss or duplication") {
     val broker = new MiniBroker()
