@@ -5,7 +5,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 import org.apache.spark.sql.functions._
 
 import graft.net.{MiniBroker, Mqtt, MqttClient}
-import graft.sources.{MqttReceiver, SensorGen}
+import graft.sources.{MqttReceiver, MqttSink, SensorGen}
 import graft.streaming.SensorPipeline
 
 /** The MQTT transport stack, loopback end-to-end: wire codec, client ↔
@@ -140,6 +140,28 @@ class MqttSpec extends SparkSpec {
           db.exceptAll(da).count() shouldBe 0
         }
       }
+    } finally broker.close()
+  }
+
+  test("MqttSink publishes the filtered pipeline output as JSON, " +
+      "round-tripping through the broker intact") {
+    val broker = new MiniBroker()
+    try {
+      val sub = new MqttClient("127.0.0.1", broker.port, "sink-sub").connect()
+      sub.subscribe("out/filtered", qos = 1)
+      // the R5 shape: filtered events, JSON-serialized, one message per row
+      val lines = (1L to 120L).map(SensorGen.payload(
+        seed = 7L, startEpoch = 1700000000L, intervalMs = 1000L, thread = 0, _))
+      import SparkSpec.spark.implicits._
+      val filtered = SensorPipeline.parse(lines.toDF("value"))
+        .filter(SensorPipeline.isValid(col("temperature"), col("humidity")))
+      val expected = filtered.toJSON.collect().sorted
+      MqttSink.publish(filtered, "127.0.0.1", broker.port, "out/filtered")
+      val got = (0 until expected.length).flatMap(_ => sub.receive(2000))
+      got.size shouldBe expected.length
+      got.map(_.payloadString).sorted shouldBe expected.toSeq
+      sub.receive(300) shouldBe None // nothing extra
+      sub.close()
     } finally broker.close()
   }
 
