@@ -38,7 +38,10 @@ final class MiniBroker(port0: Int = 0) {
         t.start()
       } catch {
         case _: SocketException => () // closed during shutdown
-        case _: Throwable if !running.get() => ()
+        // any other accept failure (fd exhaustion, transient I/O) must not
+        // kill the acceptor thread while the broker is live — back off and
+        // keep accepting (round-8 self-review)
+        case _: Throwable => if (running.get()) Thread.sleep(50)
       }
     }
   }, "minibroker-accept")

@@ -43,10 +43,21 @@ object Staged {
   def apply(name: String, spark: SparkSession, dir: String)
       (build: => DataFrame): DataFrame =
     tables.getOrElseUpdate((name, new java.io.File(dir).getCanonicalPath), {
-      val before = spark.sparkContext.getPersistentRDDs.keySet
-      val df = build.localCheckpoint() // eager: computes + pins blocks now
-      val added = spark.sparkContext.getPersistentRDDs.keySet -- before
-      synchronized { pinnedIds ++= added }
+      val sc = spark.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val built = build
+      val mid = sc.getPersistentRDDs.keySet
+      val df = built.localCheckpoint() // eager: computes + pins blocks now
+      val fin = sc.getPersistentRDDs.keySet
+      // pin ONLY the final table's own checkpoint blocks. Anything the
+      // build persisted along the way (per-round CC checkpoints, signature
+      // caches) is dead weight once the final blocks exist — unpersist it
+      // here rather than pinning it for the process lifetime, which would
+      // leak every intermediate past the Bench/Verify cleanup loops
+      // (round-8 self-review).
+      synchronized { pinnedIds ++= (fin -- mid) }
+      (mid -- before).foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
       df
     })
 }

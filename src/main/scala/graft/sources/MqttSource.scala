@@ -58,7 +58,12 @@ object MqttSourceProvider {
   * lifetime, so offsets stay valid across query restarts in-process. */
 final class MqttReceiver(host: String, port: Int, topic: String,
     clientId: String, maxBuffered: Int) {
+  /** buf(i) holds the message at ABSOLUTE offset base + i; committed
+    * prefixes are trimmed away, so `maxBuffered` bounds the in-memory
+    * BACKLOG (uncommitted messages), not the lifetime message count —
+    * a caught-up live tail ingests forever in constant memory. */
   private val buf = new ArrayBuffer[(String, String)]()
+  private var base = 0L
   @volatile private var closed = false
   private def connectClient(): MqttClient = {
     val c = new MqttClient(host, port, clientId, cleanSession = false)
@@ -72,11 +77,15 @@ final class MqttReceiver(host: String, port: Int, topic: String,
 
   private val pump = new Thread(() => {
     while (!closed) {
-      try client.receive(timeoutMs = 200).foreach { m =>
-        buf.synchronized {
-          if (buf.size < maxBuffered) buf += ((m.topic, m.payloadString))
-          // over-cap messages are dropped: the bound exists so a stalled
-          // query cannot OOM the driver
+      try {
+        // backpressure, not drop: at the backlog cap we simply stop
+        // reading the socket — TCP flow control stalls the broker's
+        // writes, and no PUBACK is ever sent for a message we did not
+        // buffer, so nothing is silently lost (round-8 self-review:
+        // dropping AFTER the client acked was unrecoverable)
+        if (buf.synchronized(buf.size) >= maxBuffered) Thread.sleep(100)
+        else client.receive(timeoutMs = 200).foreach { m =>
+          buf.synchronized { buf += ((m.topic, m.payloadString)) }
         }
       } catch {
         case _: Throwable if !closed =>
@@ -95,9 +104,19 @@ final class MqttReceiver(host: String, port: Int, topic: String,
   pump.setDaemon(true)
   pump.start()
 
-  def size: Int = buf.synchronized { buf.size }
-  def slice(from: Int, until: Int): Array[(String, String)] =
-    buf.synchronized { buf.slice(from, until).toArray }
+  /** High-water mark: total messages ever buffered (an absolute offset). */
+  def size: Long = buf.synchronized { base + buf.size }
+  def slice(from: Long, until: Long): Array[(String, String)] =
+    buf.synchronized {
+      require(from >= base,
+        s"offset $from below trimmed base $base (committed data is gone)")
+      buf.slice((from - base).toInt, (until - base).toInt).toArray
+    }
+  /** Release committed prefix — called from the stream's commit(). */
+  def trimTo(offset: Long): Unit = buf.synchronized {
+    val n = math.max(0, math.min(offset - base, buf.size.toLong)).toInt
+    if (n > 0) { buf.remove(0, n); base += n }
+  }
   def close(): Unit = { closed = true; client.close() }
 }
 
@@ -108,14 +127,23 @@ object MqttReceiver {
   def key(host: String, port: Int, topic: String, clientId: String): String =
     s"$host:$port/$topic@$clientId"
 
+  /** Topic-derived default: MQTT 3.1.1 [MQTT-3.1.4-2] makes a broker
+    * disconnect the EXISTING session when a duplicate ClientId connects,
+    * so a fixed default across topics would have two default-id receivers
+    * kicking each other in a reconnect loop (round-8 self-review). */
+  def defaultClientId(topic: String): String =
+    s"graft-ingest-${Integer.toHexString(topic.hashCode)}"
+
   /** Get-or-start the receiver for this endpoint (subscribes immediately).
     * `maxBuffered` applies only when this call CREATES the receiver; an
     * existing receiver keeps its original bound (the registry key is the
     * endpoint, not the options). */
   def apply(host: String, port: Int, topic: String,
-      clientId: String = "graft-ingest", maxBuffered: Int = 1000000): MqttReceiver =
-    receivers.getOrElseUpdate(key(host, port, topic, clientId),
-      new MqttReceiver(host, port, topic, clientId, maxBuffered))
+      clientId: String = null, maxBuffered: Int = 1000000): MqttReceiver = {
+    val cid = Option(clientId).getOrElse(defaultClientId(topic))
+    receivers.getOrElseUpdate(key(host, port, topic, cid),
+      new MqttReceiver(host, port, topic, cid, maxBuffered))
+  }
 
   /** Stop and forget one receiver (used by bounded exercises; a live-tail
     * deployment keeps its receiver for the process lifetime). */
@@ -131,7 +159,8 @@ class MqttTable(o: CaseInsensitiveStringMap) extends Table with SupportsRead {
   private val host = o.get("host")
   private val port = o.getInt("port", 1883)
   private val topic = o.getOrDefault("topic", "#")
-  private val clientId = o.getOrDefault("clientId", "graft-ingest")
+  private val clientId =
+    o.getOrDefault("clientId", MqttReceiver.defaultClientId(topic))
   private val rowsPerBatch = o.getLong("rowsPerBatch", 10000L)
   override def name(): String = s"graft-mqtt($host:$port/$topic)"
   override def schema(): StructType = MqttSourceProvider.schema
@@ -173,7 +202,7 @@ class MqttStream(host: String, port: Int, topic: String, clientId: String,
     // emitted and drop them (round-8 self-review). The recovery path is a
     // new checkpoint (or a durable log in front, which is what production
     // puts here).
-    require(receiver.size.toLong >= s,
+    require(receiver.size >= s,
       s"MQTT offset $s is ahead of the receiver buffer (${receiver.size}): " +
         "checkpoint predates this process's receiver; start from a fresh " +
         "checkpoint or front the broker with a replayable log")
@@ -183,19 +212,23 @@ class MqttStream(host: String, port: Int, topic: String, clientId: String,
       case _ => None
     }
     val cap = rowCap(limit).getOrElse(Long.MaxValue)
-    MqttOffset(math.min(receiver.size.toLong, s + cap))
+    MqttOffset(math.min(receiver.size, s + cap))
   }
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "admission-control source: Spark calls latestOffset(start, limit)")
-  override def reportLatestOffset(): Offset = MqttOffset(receiver.size.toLong)
+  override def reportLatestOffset(): Offset = MqttOffset(receiver.size)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[MqttOffset].emitted.toInt
-    val e = end.asInstanceOf[MqttOffset].emitted.toInt
+    val s = start.asInstanceOf[MqttOffset].emitted
+    val e = end.asInstanceOf[MqttOffset].emitted
     Array(MqttSlice(receiver.slice(s, e)))
   }
   override def createReaderFactory(): PartitionReaderFactory = MqttReaderFactory
-  override def commit(end: Offset): Unit = ()
+  // Spark guarantees it will only request offsets > end after this call —
+  // release the committed prefix so the backlog bound is a true backlog
+  // bound (round-8 self-review)
+  override def commit(end: Offset): Unit =
+    receiver.trimTo(end.asInstanceOf[MqttOffset].emitted)
   override def stop(): Unit = ()
 }
 

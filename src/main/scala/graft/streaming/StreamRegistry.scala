@@ -725,27 +725,25 @@ object StreamRegistry {
     // emits spec-exact counts + boolean claims the oracle asserts — see
     // [[sensorGenAudit]]. (The windowed-agg VALUES stay seed-dependent and
     // Spark-side; SensorGenSpec holds them.)
-    QueryDef("q_sensor_gen", {
-      val n = GenMessages * GenThreads
-      val empty = n / 100
-      val outlier = n / 10 - empty
-      s"""SELECT CAST($n AS BIGINT) AS n_raw, CAST($empty AS BIGINT) AS n_empty,
-         |  CAST($outlier AS BIGINT) AS n_outlier,
-         |  CAST(${n - n / 10} AS BIGINT) AS n_valid,
-         |  TRUE AS windows_consistent, TRUE AS bounds_ok, TRUE AS ids_ok""".stripMargin
-    })(sensorGenAudit),
+    QueryDef("q_sensor_gen", genAuditOracle)(sensorGenAudit),
 
     // Same spec constants as q_sensor_gen, earned the hard way: the bytes
     // cross a real MQTT 3.1.1 broker round-trip before the audit — any
     // transport loss/duplication/corruption moves a count or flips a claim.
-    QueryDef("q_mqtt_roundtrip", {
-      val n = GenMessages * GenThreads
-      val empty = n / 100
-      val outlier = n / 10 - empty
-      s"""SELECT CAST($n AS BIGINT) AS n_raw, CAST($empty AS BIGINT) AS n_empty,
-         |  CAST($outlier AS BIGINT) AS n_outlier,
-         |  CAST(${n - n / 10} AS BIGINT) AS n_valid,
-         |  TRUE AS windows_consistent, TRUE AS bounds_ok, TRUE AS ids_ok""".stripMargin
-    })(mqttRoundtrip)
+    QueryDef("q_mqtt_roundtrip", genAuditOracle)(mqttRoundtrip)
   )
+
+  /** Spec-exact generator-audit oracle, shared by `q_sensor_gen` and
+    * `q_mqtt_roundtrip` so the two gates cannot drift (both run
+    * [[genAudit]] over the same seeded distribution; only the transport
+    * differs). */
+  private def genAuditOracle: String = {
+    val n = GenMessages * GenThreads
+    val empty = n / 100
+    val outlier = n / 10 - empty
+    s"""SELECT CAST($n AS BIGINT) AS n_raw, CAST($empty AS BIGINT) AS n_empty,
+       |  CAST($outlier AS BIGINT) AS n_outlier,
+       |  CAST(${n - n / 10} AS BIGINT) AS n_valid,
+       |  TRUE AS windows_consistent, TRUE AS bounds_ok, TRUE AS ids_ok""".stripMargin
+  }
 }

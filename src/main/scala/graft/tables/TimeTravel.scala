@@ -306,7 +306,14 @@ object TimeTravel {
       if (!fs.exists(fd)) Seq.empty[Int]
       else fs.listStatus(fd).map(_.getPath.getName).toSeq
         .collect { case n if n.startsWith("v") => n.drop(1).toInt }.sorted
-    val droppableDirs = onDisk.filterNot(v => keep(v) || referenced(v))
+    // never touch dirs ABOVE the newest committed manifest: files land
+    // before the manifest (the crash contract), so a dir numbered past
+    // maxV is either an in-flight merge or a crash orphan the retry will
+    // overwrite — deleting it here would race a committing writer
+    // (round-8 self-review). Historical garbage is always ≤ maxV.
+    val maxV = vs.lastOption.getOrElse(-1)
+    val droppableDirs =
+      onDisk.filter(v => v <= maxV && !keep(v) && !referenced(v))
     droppableDirs.foreach(v => fs.delete(filesDir(t, v), true))
     // every non-retained manifest goes (its snapshot stops being readable),
     // whether or not its files survive as carried-forward references

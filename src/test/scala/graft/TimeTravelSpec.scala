@@ -115,22 +115,26 @@ class TimeTravelSpec extends SparkSpec {
   }
 
   test("vacuum heals a pre-existing de-referenced dir even when every " +
-      "manifest is retained") {
+      "manifest is retained, but never touches dirs past the commit head") {
     val t = tmp()
     TimeTravel.mergeVersioned(t, Seq((1L, "a")).toDF("k", "v"), Seq("k"))
-    TimeTravel.compactLatest(spark, t) // v1, self-contained
-    // simulate a leak inherited from an older binary / out-of-band manifest
-    // loss: an unreferenced version dir with no manifest anywhere
-    val leaked = new java.io.File(s"$t/files/v99")
-    leaked.mkdirs()
-    new java.io.File(leaked, "junk").createNewFile()
+    TimeTravel.mergeVersioned(t, Seq((1L, "b")).toDF("k", "v"), Seq("k"))
+    TimeTravel.compactLatest(spark, t) // v2, self-contained
+    // simulate a leak inherited from an older binary: v1's manifest lost
+    // out-of-band, so files/v1 is referenced by nothing yet listed nowhere
+    new java.io.File(s"$t/_manifests/v1").delete()
+    // and an in-flight/crash-orphan dir PAST the commit head, which vacuum
+    // must never touch (files land before the manifest)
+    val inflight = new java.io.File(s"$t/files/v9"); inflight.mkdirs()
     // vs.size (2) <= keepLast (5): an early return here would skip the disk
-    // scan and leak v99 forever (round-8 self-review)
+    // scan and leak files/v1 forever (round-8 self-review)
     val dropped = TimeTravel.vacuum(spark, t, keepLast = 5)
-    dropped should contain(99)
-    leaked.exists() shouldBe false
-    TimeTravel.versions(spark, t) shouldBe Seq(0, 1)
-    TimeTravel.readAt(spark, t, 1).count() shouldBe 1
+    dropped should contain(1)
+    dropped should not contain 9
+    new java.io.File(s"$t/files/v1").exists() shouldBe false
+    inflight.exists() shouldBe true
+    TimeTravel.readAt(spark, t, 2).as[(Long, String)].collect().toSet shouldBe
+      Set((1L, "b"))
   }
 
   test("mergeVersioned rejects NULL-key update rows loudly") {
