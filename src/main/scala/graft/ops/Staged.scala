@@ -54,9 +54,13 @@ object Staged {
       // caches) is dead weight once the final blocks exist — unpersist it
       // here rather than pinning it for the process lifetime, which would
       // leak every intermediate past the Bench/Verify cleanup loops
-      // (round-8 self-review).
+      // (round-8 self-review). EXCEPT other staged tables built NESTED
+      // inside this build (e.g. cc-labels stages pairs stages uniq): their
+      // ids are already in pinnedIds, and unpersisting a localCheckpoint
+      // destroys it unrecoverably — the same skip contract the cleanup
+      // loops follow.
       synchronized { pinnedIds ++= (fin -- mid) }
-      (mid -- before).foreach(id =>
+      (mid -- before).filterNot(pinned).foreach(id =>
         sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
       df
     })
