@@ -12,8 +12,12 @@ import scala.collection.mutable
   * HiveMQSource.java:62-106), so the transport is implemented rather than
   * stubbed. Scope is the subset an ingest edge needs: CONNECT/CONNACK
   * (clean and persistent sessions), SUBSCRIBE/SUBACK, PUBLISH QoS 0/1 with
-  * PUBACK, PING, DISCONNECT. QoS 2's two-phase handshake is out of scope
-  * (the reference subscribes at QoS 1).
+  * PUBACK, PING, DISCONNECT. QoS 2's two-phase handshake is out of scope as
+  * a deliberate simplification — the reference actually subscribes at QoS 2
+  * (HiveMQSource.java:75 sets MqttQos.EXACTLY_ONCE, while its own comment
+  * says "at least once"); at-least-once suffices here because the source
+  * layer above this client dedups redeliveries and WAL-buffers before
+  * acking (round-8 advice).
   *
   * Framing: fixed header byte `(type << 4) | flags`, then the remaining
   * length as a 1–4-byte base-128 varint, then the variable header +

@@ -40,8 +40,21 @@ object Staged {
 
   def pinned(id: Int): Boolean = pinnedIds.contains(id)
 
+  /** Build-or-fetch under a GLOBAL reentrant lock (`Staged.synchronized`).
+    * The lock exists because first-build bookkeeping attributes RDD ids by
+    * diffing the global `getPersistentRDDs` keyset (before/mid/fin): if two
+    * first-builds ran concurrently, one thread's in-flight persisted RDD —
+    * including a localCheckpoint not yet registered in `pinnedIds` — would
+    * land in the other thread's (mid -- before) window and get unpersisted,
+    * which for a localCheckpoint is unrecoverable (round-8 advice, medium).
+    * JVM monitors are reentrant, so NESTED staged builds (cc-labels stages
+    * pairs stages uniq — same thread) still work; what's excluded is
+    * cross-thread interleaving. Non-Staged persists on OTHER threads are
+    * still attributable to this window in principle — the drivers (Verify/
+    * Bench/ScaleProbe) are strictly sequential, and any concurrent caller
+    * must route shared persists through Staged for this reason. */
   def apply(name: String, spark: SparkSession, dir: String)
-      (build: => DataFrame): DataFrame =
+      (build: => DataFrame): DataFrame = synchronized {
     tables.getOrElseUpdate((name, new java.io.File(dir).getCanonicalPath), {
       val sc = spark.sparkContext
       val before = sc.getPersistentRDDs.keySet
@@ -64,4 +77,5 @@ object Staged {
         sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
       df
     })
+  }
 }
