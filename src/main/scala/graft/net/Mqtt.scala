@@ -151,9 +151,20 @@ final class MqttClient(host: String, port: Int, clientId: String,
   socket.setTcpNoDelay(true)
   private val out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream))
   private val in = new DataInputStream(new BufferedInputStream(socket.getInputStream))
-  private val inbox = mutable.Queue.empty[MqttMessage]
+  /** (message, packetId — 0 for QoS 0, dup flag). PUBACKs are NOT sent at
+    * enqueue time: the ack is deferred to the consumption point ([[receive]]
+    * acks as it hands the message over; [[receiveRaw]] defers further, to an
+    * explicit [[ack]] after the caller has durably accepted the message) —
+    * round-8 advice: acking before the caller accepts left a window where an
+    * acked-but-unbuffered message died with the process, unrecoverable even
+    * with broker redelivery. */
+  private val inbox = mutable.Queue.empty[(MqttMessage, Int, Boolean)]
   private var nextId = 0
   private def freshId(): Int = { nextId = (nextId % 0xffff) + 1; nextId }
+
+  /** Did the broker resume a persistent session for our clientId?
+    * (CONNACK session-present flag; meaningful after [[connect]].) */
+  @volatile var sessionPresent: Boolean = false
 
   /** CONNECT → CONNACK; throws on a non-zero return code. */
   def connect(): MqttClient = synchronized {
@@ -161,6 +172,7 @@ final class MqttClient(host: String, port: Int, clientId: String,
     val p = readPacket(in)
     require(p.ptype == Connack, s"expected CONNACK, got type ${p.ptype}")
     require(p.body(1) == 0, s"CONNECT refused, return code ${p.body(1)}")
+    sessionPresent = (p.body(0) & 1) != 0
     this
   }
 
@@ -182,8 +194,7 @@ final class MqttClient(host: String, port: Int, clientId: String,
     val topic = r.readUtf()
     val qos = (p.flags >> 1) & 3
     val pid = if (qos > 0) r.readU16() else 0
-    if (qos == 1) writePacket(out, Puback, 0, u16(pid))
-    inbox.enqueue(MqttMessage(topic, r.rest()))
+    inbox.enqueue((MqttMessage(topic, r.rest()), pid, (p.flags & 0x08) != 0))
   }
 
   def subscribe(filter: String, qos: Int = 1): Int = synchronized {
@@ -213,20 +224,35 @@ final class MqttClient(host: String, port: Int, clientId: String,
   def publish(topic: String, payload: String): Unit =
     publish(topic, payload.getBytes(UTF_8), qos = 1)
 
-  /** Next inbound message (QoS 1 acked transparently); None on poll
-    * timeout. The poll timeout applies ONLY to the first header byte: once
-    * a packet has started, the long read timeout takes over so a
-    * mid-packet stall either completes or fails loudly — returning None
-    * after consuming partial bytes would desynchronize the stream and the
-    * next read would parse payload bytes as a header (round-8
-    * self-review). A dead connection (EOF) also throws, so callers can
-    * tell "no data yet" from "socket gone" and reconnect. */
+  /** Next inbound message, acked transparently AT HAND-OVER (QoS 1);
+    * None on poll timeout. For an ack deferred past durable acceptance,
+    * use [[receiveRaw]] + [[ack]]. */
   def receive(timeoutMs: Int): Option[MqttMessage] = synchronized {
+    receiveRaw(timeoutMs).map { case (m, pid, _) =>
+      if (pid > 0) ack(pid)
+      m
+    }
+  }
+
+  /** Next inbound message WITHOUT acking: (message, packetId — 0 for
+    * QoS 0, dup flag). The caller owes [[ack]](packetId) once it has
+    * accepted the message (buffered/persisted it); until then a broker
+    * holding a persistent session will redeliver it with DUP set, which is
+    * exactly the at-least-once handshake the ingest edge wants — nothing
+    * acked is unaccepted, nothing unaccepted is acked (round-8 advice +
+    * verdict). None on poll timeout. The poll timeout applies ONLY to the
+    * first header byte: once a packet has started, the long read timeout
+    * takes over so a mid-packet stall either completes or fails loudly —
+    * returning None after consuming partial bytes would desynchronize the
+    * stream and the next read would parse payload bytes as a header
+    * (round-8 self-review). A dead connection (EOF) also throws, so
+    * callers can tell "no data yet" from "socket gone" and reconnect. */
+  def receiveRaw(timeoutMs: Int): Option[(MqttMessage, Int, Boolean)] = synchronized {
     if (inbox.nonEmpty) return Some(inbox.dequeue())
     val prev = socket.getSoTimeout
     try {
       while (inbox.isEmpty) {
-        socket.setSoTimeout(timeoutMs)
+        socket.setSoTimeout(math.max(1, timeoutMs)) // 0 would mean infinite
         val h =
           try in.readUnsignedByte()
           catch { case _: java.net.SocketTimeoutException => return None }
@@ -245,6 +271,11 @@ final class MqttClient(host: String, port: Int, clientId: String,
     } finally socket.setSoTimeout(prev)
   }
 
+  /** PUBACK a message obtained from [[receiveRaw]]. */
+  def ack(packetId: Int): Unit = synchronized {
+    writePacket(out, Puback, 0, u16(packetId))
+  }
+
   def ping(): Unit = synchronized {
     writePacket(out, Pingreq, 0, Array.empty)
     var ack: Option[Packet] = None
@@ -253,6 +284,14 @@ final class MqttClient(host: String, port: Int, clientId: String,
 
   def close(): Unit = synchronized {
     try writePacket(out, Disconnect, 0, Array.empty) catch { case _: Throwable => () }
+    try socket.close() catch { case _: Throwable => () }
+  }
+
+  /** Kill the socket WITHOUT the DISCONNECT handshake — simulates a crash
+    * (process death, network partition) for redelivery/reconnect specs.
+    * Deliberately not synchronized: a crash doesn't wait for an in-flight
+    * receive to finish, and the blocked read must die with the socket. */
+  def abort(): Unit = {
     try socket.close() catch { case _: Throwable => () }
   }
 }

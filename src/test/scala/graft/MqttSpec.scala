@@ -205,6 +205,132 @@ class MqttSpec extends SparkSpec {
     } finally broker.close()
   }
 
+  test("broker resumes a persistent session: un-acked QoS 1 messages are " +
+      "redelivered after a crashed socket, with original packet ids") {
+    val broker = new MiniBroker()
+    try {
+      val sub = new MqttClient("127.0.0.1", broker.port, "dur-sub",
+        cleanSession = false).connect()
+      sub.sessionPresent shouldBe false
+      sub.subscribe("d/#", qos = 1) shouldBe 1
+      val pub = new MqttClient("127.0.0.1", broker.port, "dur-pub").connect()
+      for (i <- 0 until 100) pub.publish("d/x", s"a$i")
+      // consume-and-ack a prefix, then crash without DISCONNECT
+      val before = (0 until 30).flatMap(_ => sub.receive(2000)).map(_.payloadString)
+      before.size shouldBe 30
+      Thread.sleep(200) // let the broker process the in-flight PUBACKs
+      sub.abort()
+      // published while the subscriber is down: queued in the session
+      for (i <- 0 until 50) pub.publish("d/y", s"b$i")
+      // resume: same clientId, cleanSession=false — session-present, the
+      // retained subscription needs no re-SUBSCRIBE, and every un-acked
+      // message comes back (DUP set on re-attempts)
+      val sub2 = new MqttClient("127.0.0.1", broker.port, "dur-sub",
+        cleanSession = false).connect()
+      sub2.sessionPresent shouldBe true
+      val got = scala.collection.mutable.Set.empty[String]
+      val deadline = System.currentTimeMillis() + 20000
+      while (got.size < 120 && System.currentTimeMillis() < deadline)
+        sub2.receiveRaw(500).foreach { case (m, pid, _) =>
+          got += m.payloadString
+          if (pid > 0) sub2.ack(pid)
+        }
+      // no loss: every message not acked before the crash arrives on resume
+      val expected = ((30 until 100).map(i => s"a$i") ++
+        (0 until 50).map(i => s"b$i")).toSet
+      got.toSet should contain allElementsOf expected
+      // nothing re-acked resurfaces: the acked prefix must NOT be redelivered
+      got.intersect(before.toSet) shouldBe empty
+      pub.close(); sub2.close()
+    } finally broker.close()
+  }
+
+  test("receiver survives a hard-dropped socket mid-stream: broker " +
+      "redelivery + pid dedup close the audit with no loss and no dups") {
+    val broker = new MiniBroker()
+    try {
+      val receiver = MqttReceiver("127.0.0.1", broker.port, "kill/#",
+        clientId = s"kill-${broker.port}")
+      val n = 2000
+      val pubThread = new Thread(() => {
+        val pub = new MqttClient("127.0.0.1", broker.port, "kill-pub").connect()
+        for (i <- 0 until n) pub.publish("kill/x", s"k$i")
+        pub.close()
+      }, "kill-pub")
+      pubThread.start()
+      // crash the receiver's connection twice, mid-stream — while QoS 1
+      // deliveries and acks are in full flight
+      val deadline0 = System.currentTimeMillis() + 30000
+      for (cut <- Seq(n / 10, n / 2)) {
+        while (receiver.size < cut && System.currentTimeMillis() < deadline0)
+          Thread.sleep(10)
+        receiver.abortConnection()
+      }
+      pubThread.join(60000)
+      val deadline = System.currentTimeMillis() + 30000
+      while (receiver.size < n && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      // no loss AND no duplication: exactly the published multiset
+      receiver.size shouldBe n
+      val got = receiver.slice(0, n).map(_._2).sorted
+      got.toSeq shouldBe (0 until n).map(i => s"k$i").sorted
+      MqttReceiver.stop("127.0.0.1", broker.port, "kill/#", s"kill-${broker.port}")
+    } finally broker.close()
+  }
+
+  test("walDir makes offsets durable: a query restarted in a NEW session " +
+      "and a NEW receiver resumes from its checkpoint with no loss or dups") {
+    val broker = new MiniBroker()
+    try {
+      val walDir = java.nio.file.Files.createTempDirectory("mqtt_wal").toString
+      val cid = s"wal-${broker.port}"
+      val receiver = MqttReceiver("127.0.0.1", broker.port, "wal/#",
+        clientId = cid, walDir = Some(walDir))
+      val pub = new MqttClient("127.0.0.1", broker.port, "wal-pub").connect()
+      for (i <- 0 until 300) pub.publish("wal/x", s"w$i")
+      val deadline = System.currentTimeMillis() + 15000
+      while (receiver.size < 300 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      val ckpt = java.nio.file.Files.createTempDirectory("mqtt_wal_ckpt").toString
+      val outDir = java.nio.file.Files.createTempDirectory("mqtt_wal_out").toString
+      def startQuery(s: org.apache.spark.sql.SparkSession) =
+        s.readStream.format("graft-mqtt")
+          .option("host", "127.0.0.1").option("port", broker.port)
+          .option("topic", "wal/#").option("clientId", cid)
+          .option("rowsPerBatch", 100L).option("walDir", walDir)
+          .load()
+          .writeStream.format("parquet")
+          .option("path", s"$outDir/data").option("checkpointLocation", ckpt)
+          .start()
+      val q1 = startQuery(spark)
+      q1.processAllAvailable(); q1.stop()
+      // "process death": the receiver object is discarded entirely; only
+      // the WAL directory and the broker-side persistent session survive
+      MqttReceiver.stop("127.0.0.1", broker.port, "wal/#", cid)
+      // arrives while nothing is listening — queued broker-side
+      for (i <- 0 until 200) pub.publish("wal/x", s"x$i")
+      pub.close()
+      // "new process": a fresh receiver recovers the WAL (committed offsets
+      // stay addressable) and the broker redelivers the queued tail; the
+      // restarted query runs in a NEW SparkSession against the checkpoint
+      val receiver2 = MqttReceiver("127.0.0.1", broker.port, "wal/#",
+        clientId = cid, walDir = Some(walDir))
+      val deadline2 = System.currentTimeMillis() + 15000
+      while (receiver2.size < 500 && System.currentTimeMillis() < deadline2)
+        Thread.sleep(50)
+      receiver2.size shouldBe 500
+      val spark2 = spark.newSession()
+      val q2 = startQuery(spark2)
+      q2.processAllAvailable(); q2.stop()
+      val got = spark.read.parquet(s"$outDir/data")
+        .select(col("value")).collect().map(_.getString(0)).sorted
+      got.length shouldBe 500
+      got.toSeq shouldBe ((0 until 300).map(i => s"w$i") ++
+        (0 until 200).map(i => s"x$i")).sorted
+      MqttReceiver.stop("127.0.0.1", broker.port, "wal/#", cid)
+    } finally broker.close()
+  }
+
   test("DSv2 source: broker-published sensor payloads flow through parse " +
       "in micro-batches") {
     val broker = new MiniBroker()
