@@ -90,9 +90,40 @@ object Bench {
     } catch { case t: Throwable =>
       System.err.println(s"[bench] could not write target/bench_full.json: ${t.getMessage}")
     }
+    // Self-annotating load detection (round-8 verdict #7): compare each key
+    // against the checked-in quiescent reference (tools/bench_bands.json, a
+    // copy of a clean closing sweep's per-query record). A key ≥3× its
+    // quiescent time AND ≥2 s absolute is flagged as LOAD-SUSPECT in the
+    // final record, so a driver sweep taken under box load reads as
+    // "re-measure isolated" instead of as a regression — BASELINE.md's
+    // compare-isolated-medians rule, machine-applied.
+    val bands: Map[String, Double] =
+      try {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(new java.io.File("tools/bench_bands.json")).get("queries")
+        val it = node.fields()
+        val m = scala.collection.mutable.Map.empty[String, Double]
+        while (it.hasNext) { val e = it.next(); m(e.getKey) = e.getValue.asDouble() }
+        m.toMap
+      } catch { case t: Throwable =>
+        System.err.println(s"[bench] no band reference (${t.getClass.getSimpleName}) — skipping load annotation")
+        Map.empty
+      }
+    val suspects = results.collect {
+      case (k, v, None) if bands.get(k).exists(b => b > 0 && v >= 3 * b && v >= 2.0) =>
+        (k, v, bands(k))
+    }.sortBy { case (_, v, b) => -(v / b) }
+    suspects.foreach { case (k, v, b) =>
+      System.err.println(f"[bench] LOAD-SUSPECT $k: $v%.2f s in-sweep vs $b%.2f s quiescent reference (${v / b}%.1fx) - re-measure isolated before reading this as a regression")
+    }
+    val suspectField =
+      if (suspects.isEmpty) ""
+      else suspects.take(5).map { case (k, v, b) =>
+        f""""$k":{"sweep":$v%.2f,"quiescent":$b%.2f}"""
+      }.mkString(""","load_suspects":{""", ",", "}")
     val slowest = results.filter(_._3.isEmpty).sortBy(-_._2).take(15)
       .map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowest$errField,"sf":"$sfDir","n_queries":${results.size},"queries_truncated_to_slowest":15,"full_record":"target/bench_full.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowest$errField$suspectField,"sf":"$sfDir","n_queries":${results.size},"queries_truncated_to_slowest":15,"full_record":"target/bench_full.json"}""")
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)
   }

@@ -153,8 +153,11 @@ private[sources] final class MqttWal(dir: java.nio.file.Path, rollEvery: Int = 4
     segments += Segment(next, 0, path)
   }
 
-  /** Append records and fsync — returns only once they are durable. */
-  def append(records: Seq[(String, String, Int)]): Unit = if (records.nonEmpty) {
+  /** Append records and fsync — returns only once they are durable.
+    * Synchronized: append runs on the receiver pump, trim on the stream's
+    * commit thread, and both touch the segment list. */
+  def append(records: Seq[(String, String, Int)]): Unit = synchronized {
+    if (records.nonEmpty) {
     records.foreach { case (topic, payload, pid) =>
       if (out == null || segments.last.count >= rollEvery) {
         if (out != null) { out.close(); out = null }
@@ -170,11 +173,12 @@ private[sources] final class MqttWal(dir: java.nio.file.Path, rollEvery: Int = 4
     }
     out.flush()
     outFd.sync()
+    }
   }
 
   /** Drop segments wholly below the committed offset (the active segment
     * is never deleted under the writer). */
-  def trimTo(offset: Long): Unit = {
+  def trimTo(offset: Long): Unit = synchronized {
     val active = if (out != null) segments.lastOption else None
     val (dead, live) = segments.partition(s =>
       s.start + s.count <= offset && !active.exists(_ eq s))
@@ -182,9 +186,11 @@ private[sources] final class MqttWal(dir: java.nio.file.Path, rollEvery: Int = 4
     dead.foreach(s => try Files.deleteIfExists(s.path) catch { case _: Throwable => () })
   }
 
-  def close(): Unit = if (out != null) {
-    try { out.flush(); outFd.sync(); out.close() } catch { case _: Throwable => () }
-    out = null
+  def close(): Unit = synchronized {
+    if (out != null) {
+      try { out.flush(); outFd.sync(); out.close() } catch { case _: Throwable => () }
+      out = null
+    }
   }
 }
 

@@ -108,19 +108,32 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
   }
 
+  /** Which table groups to blow up; the rest are symlinked 1×. A probe of
+    * one family doesn't need 100× copies of every table — e.g. the
+    * streaming-state probe (round-8 verdict #3) reads only `events`, and
+    * manufacturing 100× documents/embeddings for it would cost more disk
+    * and time than the probe itself. */
+  val AllGroups: Set[String] = Set("documents", "events", "trade", "embeddings")
+
   def generate(spark: SparkSession, src: String, out: String,
-      copies: Int): Unit = {
+      copies: Int, groups: Set[String] = AllGroups): Unit = {
     Files.createDirectories(Paths.get(out))
-    blowUpDocuments(spark, src, out, copies)
-    blowUpEvents(spark, src, out, copies)
-    blowUpTrade(spark, src, out, copies)
-    blowUpEmbeddings(spark, src, out, copies)
-    Seq("region", "nation", "customer", "supplier", "part")
-      .foreach { t =>
-        val link = Paths.get(s"$out/$t.parquet")
-        if (!Files.exists(link))
-          Files.createSymbolicLink(link, Paths.get(s"$src/$t.parquet"))
+    if (groups("documents")) blowUpDocuments(spark, src, out, copies)
+    if (groups("events")) blowUpEvents(spark, src, out, copies)
+    if (groups("trade")) blowUpTrade(spark, src, out, copies)
+    if (groups("embeddings")) blowUpEmbeddings(spark, src, out, copies)
+    val linked = Seq("region", "nation", "customer", "supplier", "part") ++
+      (AllGroups -- groups).toSeq.flatMap {
+        case "documents" => Seq("documents")
+        case "events" => Seq("events")
+        case "trade" => Seq("orders", "lineitem")
+        case "embeddings" => Seq("embeddings")
       }
+    linked.foreach { t =>
+      val link = Paths.get(s"$out/$t.parquet")
+      if (!Files.exists(link))
+        Files.createSymbolicLink(link, Paths.get(s"$src/$t.parquet"))
+    }
   }
 
   private def time(fn: => Long): (Double, Long) = {
@@ -135,14 +148,32 @@ object ScaleProbe {
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
     val keys = if (args.length > 3) args.drop(3).toSeq else DefaultKeys
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = GraftSession.tune(SparkSession.builder()
+    val builder = GraftSession.tune(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus))
-      .getOrCreate()
+    // A/B knobs for the probe itself (e.g. statePartitions or the RocksDB
+    // state-store provider, round-8 verdict #3): semicolon-separated k=v
+    // pairs applied to the session conf.
+    //   SPARK_GRAFT_CONF="spark.graft.replay.statePartitions=32"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      builder.config(k.trim, v.trim)
+    })
+    val spark = builder.getOrCreate()
     GraftExtensions.ensureRegistered(spark)
     spark.sparkContext.setLogLevel("WARN")
-    if (!Files.exists(Paths.get(s"$out/documents.parquet")))
-      generate(spark, src, out, copies)
+    // SPARK_GRAFT_BLOWUP=events (comma-list of documents|events|trade|
+    // embeddings) blows up just those groups and symlinks the rest 1×.
+    val groups = sys.env.get("SPARK_GRAFT_BLOWUP")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(AllGroups)
+    require(groups.subsetOf(AllGroups), s"unknown blow-up group in $groups")
+    val probeTable = groups.headOption match {
+      case Some("trade") => "orders"
+      case Some(g) => g
+      case None => "documents"
+    }
+    if (!Files.exists(Paths.get(s"$out/$probeTable.parquet")))
+      generate(spark, src, out, copies, groups)
     def clean(): Unit = {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs
