@@ -1,0 +1,96 @@
+package graft.sources
+
+import java.nio.file.{Files, Path}
+
+/** Durability contract of the receiver WAL ([[MqttWal]]) in isolation:
+  * segment roll-over, reopen recovery, crash-truncated tails, commit-trim
+  * file deletion, and loud failure on a gapped segment chain. The
+  * end-to-end cross-process story lives in MqttSpec ("walDir makes offsets
+  * durable"); these pin the file-level invariants that story rests on. */
+class MqttWalSpec extends graft.SparkSpec {
+
+  private def tmp(): Path = Files.createTempDirectory("mqtt_wal_spec")
+
+  private def recs(from: Int, until: Int): Seq[(String, String, Int)] =
+    (from until until).map(i => (s"t/${i % 3}", s"payload-$i", i + 1))
+
+  import scala.jdk.CollectionConverters._
+
+  private def walFiles(dir: Path): Seq[String] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.map(_.getFileName.toString).toSeq.sorted
+    finally s.close()
+  }
+
+  test("records round-trip across rolled segments and a reopen") {
+    val dir = tmp()
+    val w = new MqttWal(dir, rollEvery = 10)
+    w.recoveredBase shouldBe 0L
+    w.recovered shouldBe empty
+    w.append(recs(0, 25))
+    w.close()
+    walFiles(dir) shouldBe Seq(
+      f"wal-${0}%020d.log", f"wal-${10}%020d.log", f"wal-${20}%020d.log")
+    val w2 = new MqttWal(dir, rollEvery = 10)
+    w2.recoveredBase shouldBe 0L
+    w2.recovered shouldBe recs(0, 25).toVector
+    // appends after recovery land in a FRESH segment at the recovered
+    // high-water mark (never appended to a possibly-truncated tail file)
+    w2.append(recs(25, 27))
+    w2.close()
+    walFiles(dir) should contain(f"wal-${25}%020d.log")
+    val w3 = new MqttWal(dir, rollEvery = 10)
+    w3.recovered shouldBe recs(0, 27).toVector
+    w3.close()
+  }
+
+  test("a crash-truncated tail record is dropped; the chain stays consistent") {
+    val dir = tmp()
+    val w = new MqttWal(dir, rollEvery = 10)
+    w.append(recs(0, 12))
+    w.close()
+    // chop 3 bytes off the active segment's last record — a crash mid-append
+    val last = dir.resolve(f"wal-${10}%020d.log")
+    val bytes = Files.readAllBytes(last)
+    Files.write(last, java.util.Arrays.copyOf(bytes, bytes.length - 3))
+    val w2 = new MqttWal(dir, rollEvery = 10)
+    // record 11 (index) was torn: never exposed, never acked — dropped;
+    // the broker still owns it and will redeliver
+    w2.recovered shouldBe recs(0, 11).toVector
+    w2.append(recs(11, 13))
+    w2.close()
+    // the re-append starts a fresh segment at offset 11 and a THIRD
+    // recovery sees the contiguous chain 0..13
+    val w3 = new MqttWal(dir, rollEvery = 10)
+    w3.recovered shouldBe recs(0, 13).toVector
+    w3.close()
+  }
+
+  test("trimTo deletes wholly-committed segments but never the active one") {
+    val dir = tmp()
+    val w = new MqttWal(dir, rollEvery = 5)
+    w.append(recs(0, 13)) // segments 0(5), 5(5), 10(3 — active)
+    w.trimTo(10)
+    walFiles(dir) shouldBe Seq(f"wal-${10}%020d.log")
+    // a commit INSIDE the active segment deletes nothing
+    w.trimTo(12)
+    walFiles(dir) shouldBe Seq(f"wal-${10}%020d.log")
+    w.close()
+    // recovery replays the retained segment from its base — committed
+    // offsets below the base are gone, exactly the slice() contract
+    val w2 = new MqttWal(dir, rollEvery = 5)
+    w2.recoveredBase shouldBe 10L
+    w2.recovered shouldBe recs(10, 13).toVector
+    w2.close()
+  }
+
+  test("a gapped segment chain fails recovery loudly") {
+    val dir = tmp()
+    val w = new MqttWal(dir, rollEvery = 5)
+    w.append(recs(0, 15)) // segments 0, 5, 10
+    w.close()
+    Files.delete(dir.resolve(f"wal-${5}%020d.log")) // not a prefix deletion
+    val e = intercept[IllegalArgumentException](new MqttWal(dir, rollEvery = 5))
+    e.getMessage should include("WAL gap")
+  }
+}
