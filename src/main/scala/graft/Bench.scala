@@ -119,7 +119,9 @@ object Bench {
     val suspectField =
       if (suspects.isEmpty) ""
       else suspects.take(5).map { case (k, v, b) =>
-        f""""$k":{"sweep":$v%.2f,"quiescent":$b%.2f}"""
+        // Double.toString, not %.2f: the f-interpolator is locale-sensitive
+        // and a comma decimal separator would corrupt the JSON line
+        s""""$k":{"sweep":${math.rint(v * 100) / 100},"quiescent":${math.rint(b * 100) / 100}}"""
       }.mkString(""","load_suspects":{""", ",", "}")
     val slowest = results.filter(_._3.isEmpty).sortBy(-_._2).take(15)
       .map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -35,20 +35,30 @@ import scala.collection.mutable
 final class MiniBroker(port0: Int = 0) {
   import Mqtt._
 
-  /** Per-clientId broker-side session state. */
-  private final class Session(val clientId: String) {
+  /** Per-clientId broker-side session state. `persistent` records the
+    * session's own cleanSession=false-ness: only a persistent session may
+    * be RESUMED by a later cleanSession=false CONNECT — reusing a clean
+    * session left over from a live connection would both lie in
+    * session-present and get torn out of the registry by the booted
+    * connection's cleanup (round-9 review). */
+  private final class Session(val clientId: String, val persistent: Boolean) {
     val filters = mutable.Buffer.empty[(String, Int)]
     /** un-acked QoS 1 outbound, insertion-ordered: pid → (topic, payload,
       * attempted) — attempted=true once written to some socket (→ DUP on
       * the next delivery per [MQTT-3.3.1-1]: DUP means re-delivery of an
       * EARLIER ATTEMPT, not merely "queued while you were away"). */
     val pending = mutable.LinkedHashMap.empty[Int, (String, Array[Byte], Boolean)]
+    /** QoS 1 messages dropped because `pending` hit [[MiniBroker.MaxPending]]
+      * (a real broker's queue limit; unbounded growth would exhaust the
+      * 16-bit pid space and deadlock pid allocation — round-9 review). */
+    var droppedOverflow = 0L
     var out: DataOutputStream = null
     var sock: Socket = null
     var nextPid = 0
     def freshPid(): Int = {
       // per-session, skipping ids still in flight — a wrapped counter must
-      // not alias two distinct un-acked messages
+      // not alias two distinct un-acked messages. Terminates because
+      // route() caps pending at MaxPending < the 65535-id space.
       do { nextPid = (nextPid % 0xffff) + 1 } while (pending.contains(nextPid))
       nextPid
     }
@@ -107,11 +117,18 @@ final class MiniBroker(port0: Int = 0) {
             }
           }
         }
-        if (cleanSession || existing.isEmpty) {
-          val fresh = new Session(clientId)
-          sessions(clientId) = fresh
-          (fresh, false)
-        } else (existing.get, true)
+        // resume ONLY a persistent predecessor: a clean session belongs to
+        // its (just-booted) connection and is discarded, per
+        // [MQTT-3.1.2-6] — reusing it would advertise session-present for
+        // state that never persisted (round-9 review)
+        val resumable = existing.filter(e => !cleanSession && e.persistent)
+        resumable match {
+          case Some(e) => (e, true)
+          case None =>
+            val fresh = new Session(clientId, persistent = !cleanSession)
+            sessions(clientId) = fresh
+            (fresh, false)
+        }
       }
       session = sess
       // CONNACK goes out BEFORE session.out becomes visible to route() —
@@ -212,12 +229,26 @@ final class MiniBroker(port0: Int = 0) {
       val (out, pid) = sess.synchronized {
         val o = sess.out
         if (qos > 0) {
-          val id = sess.freshPid()
-          sess.pending(id) = (topic, payload, o != null)
-          (o, id)
+          if (sess.pending.size >= MiniBroker.MaxPending) {
+            // queue-limit drop, as real brokers do under an absent consumer
+            // — unbounded pending would exhaust the 16-bit pid space and
+            // spin freshPid forever under the session lock (round-9
+            // review). Loud once per session: silent QoS 1 loss is the one
+            // thing this harness must never do quietly.
+            if (sess.droppedOverflow == 0)
+              System.err.println(s"[minibroker] session '${sess.clientId}' " +
+                s"pending queue full (${MiniBroker.MaxPending}): dropping " +
+                "QoS 1 messages until the subscriber drains")
+            sess.droppedOverflow += 1
+            (null: DataOutputStream, -1)
+          } else {
+            val id = sess.freshPid()
+            sess.pending(id) = (topic, payload, o != null)
+            (o, id)
+          }
         } else (o, 0)
       }
-      if (out != null) {
+      if (out != null && pid >= 0) {
         val (flags, body) = publishPacket(topic, payload, qos, pid)
         try writePacket(out, Publish, flags, body)
         catch { case _: Throwable => () } // dead subscriber: QoS 1 stays pending
@@ -231,4 +262,11 @@ final class MiniBroker(port0: Int = 0) {
     sockets.synchronized { sockets.foreach(s =>
       try s.close() catch { case _: Throwable => () }) }
   }
+}
+
+object MiniBroker {
+  /** Per-session un-acked/queued QoS 1 cap — well inside the 65535 packet-
+    * id space so pid allocation always terminates; overflow drops (loudly)
+    * like a real broker's queue limit. */
+  val MaxPending = 60000
 }

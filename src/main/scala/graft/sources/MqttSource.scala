@@ -206,9 +206,10 @@ private[sources] final class MqttWal(dir: java.nio.file.Path, rollEvery: Int = 4
   * redelivers un-acked QoS 1 messages on session resume
   * (`cleanSession=false` — MiniBroker now implements this), so nothing
   * unacked can be lost; and redeliveries whose original delivery WAS
-  * buffered (the ack died on the wire) are recognized by DUP flag + packet
-  * id and skipped, so the no-loss path introduces no duplicates. The
-  * dedup window is the packet-id space (65536) — beyond MQTT's own
+  * buffered (the ack died on the wire) are recognized by DUP flag +
+  * packet id + content hash and skipped, so the no-loss path introduces
+  * no duplicates. The dedup window is the packet-id space (65536, with a
+  * 64-bit content check against pid aliasing) — beyond MQTT's own
   * in-flight guarantees nothing stronger exists at this layer, which is
   * why production fronts MQTT with a replayable log for exactly-once. */
 final class MqttReceiver(host: String, port: Int, topic: String,
@@ -224,21 +225,43 @@ final class MqttReceiver(host: String, port: Int, topic: String,
 
   private val wal: Option[MqttWal] =
     walDir.map(d => new MqttWal(java.nio.file.Paths.get(d)))
-  /** Packet ids of buffered messages — consulted only for DUP deliveries.
-    * Bounded at the full pid space; insertion-ordered for FIFO eviction.
-    * Rebuilt from the WAL on recovery so the crash window between WAL
-    * append and PUBACK dedups across processes too. */
-  private val seenPids = new java.util.LinkedHashSet[Integer]()
-  private def rememberPid(pid: Int): Unit = if (pid > 0) {
-    seenPids.add(pid)
-    if (seenPids.size > 0x10000) {
-      val it = seenPids.iterator(); it.next(); it.remove()
+  /** (packet id → content hash) of buffered messages — consulted only for
+    * DUP deliveries, and a redelivery counts as already-buffered only when
+    * BOTH the pid and the (topic, payload) hash match: pid alone would
+    * wrongly skip-and-ack a NEVER-received message whose redelivery pid
+    * aliases an old entry after the 16-bit pid space wraps (round-9
+    * review — on the path whose contract is "nothing acked is
+    * unaccepted"). With the content check, a wrong skip needs a wrapped
+    * pid AND a 64-bit hash collision on different content. Bounded at the
+    * pid space, insertion-ordered for FIFO eviction. Rebuilt from the WAL
+    * on recovery so the crash window between WAL append and PUBACK dedups
+    * across processes too. */
+  private val seenPids = new java.util.LinkedHashMap[Integer, java.lang.Long]()
+  private def contentHash(topic: String, payload: String): Long = {
+    // FNV-1a over topic + NUL + payload — cheap, stable across processes
+    var h = 0xcbf29ce484222325L
+    def mix(s: String): Unit = {
+      var i = 0
+      while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
     }
+    mix(topic); h ^= 0; h *= 0x100000001b3L; mix(payload)
+    h
+  }
+  private def rememberPid(pid: Int, topic: String, payload: String): Unit =
+    if (pid > 0) {
+      seenPids.put(pid, contentHash(topic, payload))
+      if (seenPids.size > 0x10000) {
+        val it = seenPids.entrySet().iterator(); it.next(); it.remove()
+      }
+    }
+  private def alreadyBuffered(pid: Int, topic: String, payload: String): Boolean = {
+    val h = seenPids.get(pid)
+    h != null && h.longValue() == contentHash(topic, payload)
   }
   wal.foreach { w =>
     base = w.recoveredBase
     w.recovered.foreach { case (t, p, pid) =>
-      buf += ((t, p)); rememberPid(pid)
+      buf += ((t, p)); rememberPid(pid, t, p)
     }
   }
 
@@ -261,15 +284,15 @@ final class MqttReceiver(host: String, port: Int, topic: String,
     if (first.isEmpty) return
     val batch = ArrayBuffer(first.get)
     while (batch.size < 512 && c.receiveRaw(timeoutMs = 1).map(batch += _).isDefined) ()
-    val fresh = batch.filter { case (_, pid, dup) =>
-      !(dup && pid > 0 && seenPids.contains(pid))
+    val fresh = batch.filter { case (m, pid, dup) =>
+      !(dup && pid > 0 && alreadyBuffered(pid, m.topic, m.payloadString))
     }
     wal.foreach(_.append(fresh.map { case (m, pid, _) =>
       (m.topic, m.payloadString, pid) }.toSeq))
     buf.synchronized {
       fresh.foreach { case (m, _, _) => buf += ((m.topic, m.payloadString)) }
     }
-    fresh.foreach { case (_, pid, _) => rememberPid(pid) }
+    fresh.foreach { case (m, pid, _) => rememberPid(pid, m.topic, m.payloadString) }
     // ack everything — fresh (now durable) and recognized redeliveries
     batch.foreach { case (_, pid, _) => if (pid > 0) c.ack(pid) }
   }

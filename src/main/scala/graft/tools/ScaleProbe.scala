@@ -155,10 +155,13 @@ object ScaleProbe {
     // state-store provider, round-8 verdict #3): semicolon-separated k=v
     // pairs applied to the session conf.
     //   SPARK_GRAFT_CONF="spark.graft.replay.statePartitions=32"
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      builder.config(k.trim, v.trim)
-    })
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").map(_.trim)
+      .filter(_.nonEmpty).foreach { kv =>
+        require(kv.contains("="),
+          s"SPARK_GRAFT_CONF entry '$kv' is not key=value")
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k.trim, v.trim)
+      })
     val spark = builder.getOrCreate()
     GraftExtensions.ensureRegistered(spark)
     spark.sparkContext.setLogLevel("WARN")
@@ -167,13 +170,25 @@ object ScaleProbe {
     val groups = sys.env.get("SPARK_GRAFT_BLOWUP")
       .map(_.split(",").map(_.trim).toSet).getOrElse(AllGroups)
     require(groups.subsetOf(AllGroups), s"unknown blow-up group in $groups")
-    val probeTable = groups.headOption match {
-      case Some("trade") => "orders"
-      case Some(g) => g
-      case None => "documents"
-    }
-    if (!Files.exists(Paths.get(s"$out/$probeTable.parquet")))
+    // A marker records WHAT a populated out dir holds. Generation is
+    // skipped only on an exact (copies, groups) match; any other populated
+    // state fails loudly — keying the skip on one table's existence let a
+    // re-run with a different SPARK_GRAFT_BLOWUP silently probe 1×
+    // symlinks as if they were blown up (round-9 review).
+    val marker = Paths.get(s"$out/_blowup_marker")
+    val stamp = s"copies=$copies;groups=${groups.toSeq.sorted.mkString(",")}"
+    if (Files.exists(marker)) {
+      val found = new String(Files.readAllBytes(marker), "UTF-8")
+      require(found == stamp,
+        s"$out already holds a different blow-up ($found vs requested " +
+          s"$stamp) — use a fresh out dir or delete this one")
+    } else {
+      require(!Files.exists(Paths.get(s"$out/documents.parquet")),
+        s"$out is populated but has no blow-up marker (pre-round-9 dir?) " +
+          "— use a fresh out dir")
       generate(spark, src, out, copies, groups)
+      Files.write(marker, stamp.getBytes("UTF-8"))
+    }
     def clean(): Unit = {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs
