@@ -245,6 +245,46 @@ class MqttSpec extends SparkSpec {
     } finally broker.close()
   }
 
+  test("a persistent connect over a live clean session gets a FRESH " +
+      "session and is not blackholed by the booted connection's cleanup") {
+    val broker = new MiniBroker()
+    try {
+      val a = new MqttClient("127.0.0.1", broker.port, "takeover",
+        cleanSession = true).connect()
+      a.subscribe("cs/#", qos = 1)
+      // same clientId, persistent: must NOT resume the live clean session
+      val b = new MqttClient("127.0.0.1", broker.port, "takeover",
+        cleanSession = false).connect()
+      b.sessionPresent shouldBe false // a clean session is never resumable
+      b.subscribe("cs/#", qos = 1)
+      Thread.sleep(200) // let the booted connection's serve loop clean up
+      val pub = new MqttClient("127.0.0.1", broker.port, "cs-pub").connect()
+      pub.publish("cs/x", "after-takeover")
+      b.receive(2000).map(_.payloadString) shouldBe Some("after-takeover")
+      pub.close(); b.close()
+    } finally broker.close()
+  }
+
+  test("a clean-session reconnect discards server state: no session-present, " +
+      "no redelivery, no retained subscription") {
+    val broker = new MiniBroker()
+    try {
+      val s1 = new MqttClient("127.0.0.1", broker.port, "wipe",
+        cleanSession = false).connect()
+      s1.subscribe("wipe/#", qos = 1)
+      val pub = new MqttClient("127.0.0.1", broker.port, "wipe-pub").connect()
+      for (i <- 0 until 5) pub.publish("wipe/x", s"m$i")
+      s1.abort() // un-acked messages now pending in the persistent session
+      val s2 = new MqttClient("127.0.0.1", broker.port, "wipe",
+        cleanSession = true).connect()
+      s2.sessionPresent shouldBe false
+      s2.receive(500) shouldBe None // pending discarded with the old session
+      pub.publish("wipe/y", "fresh")
+      s2.receive(500) shouldBe None // subscription discarded too
+      pub.close(); s2.close()
+    } finally broker.close()
+  }
+
   test("receiver survives a hard-dropped socket mid-stream: broker " +
       "redelivery + pid dedup close the audit with no loss and no dups") {
     val broker = new MiniBroker()
