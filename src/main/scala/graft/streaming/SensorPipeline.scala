@@ -152,14 +152,57 @@ object SensorPipeline {
     * peak). */
   val DefaultStatePartitions = 8
 
+  /** The other side of the crossover, measured at 100× in the round-9
+    * probe (BASELINE.md round-9 table): once batches carry ~300 k rows,
+    * per-partition state VOLUME dominates commit-count overhead and 32
+    * partitions beat 8 by 1.2–2.9× (`q_stream_sessions` 50.8 → 17.6 s at
+    * 10 M feed rows), while at ≤1 M rows 8 still wins by 2–4×. */
+  val ScaledStatePartitions = 32
+
+  /** Estimated feed rows above which the auto default flips 8 → 32. The
+    * measured bracket is [1 M → 8 wins, 10 M → 32 wins]; 2 M splits it
+    * conservatively (mis-picking 8 slightly past the crossover costs far
+    * less than 32 far below it). */
+  val AutoStateRowThreshold = 2000000L
+
+  /** ~bytes per staged sensor-JSON line — only used to turn feed size into
+    * an order-of-magnitude row estimate; a 2× error cannot cross the
+    * measured bracket. */
+  private val ApproxFeedBytesPerRow = 150L
+
+  /** Auto-size state partitions from the replay feed's on-disk volume when
+    * `spark.graft.replay.statePartitions` is unset: the round-9 100× probe
+    * showed the right value is a function of STATE size, and the feed is
+    * the best zero-cost proxy the replay has at query birth (state
+    * partitions are baked into the checkpoint — they must be chosen before
+    * the first batch). An explicit conf always wins; production sets it
+    * from expected key cardinality × volume. */
+  def autoStatePartitions(feedDir: String): Int =
+    if (feedDir == null) DefaultStatePartitions
+    else try {
+      var bytes = 0L
+      val stream = java.nio.file.Files.walk(java.nio.file.Paths.get(feedDir))
+      try {
+        val it = stream.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (java.nio.file.Files.isRegularFile(p)) bytes += java.nio.file.Files.size(p)
+        }
+      } finally stream.close()
+      if (bytes / ApproxFeedBytesPerRow > AutoStateRowThreshold)
+        ScaledStatePartitions
+      else DefaultStatePartitions
+    } catch { case _: Throwable => DefaultStatePartitions }
+
   /** Run `body` (which starts and drains a stateful streaming query) with
     * the session's shuffle-partition count temporarily set to the replay
-    * state sizing. The previous value is always restored; batch queries in
-    * the same session are unaffected because Spark reads the conf at query
-    * START only. */
-  def withStatePartitions[T](spark: SparkSession)(body: => T): T = {
+    * state sizing — the explicit conf if set, else auto-sized from
+    * `feedDir` ([[autoStatePartitions]]). The previous value is always
+    * restored; batch queries in the same session are unaffected because
+    * Spark reads the conf at query START only. */
+  def withStatePartitions[T](spark: SparkSession, feedDir: String = null)(body: => T): T = {
     val n = spark.conf.getOption(StatePartitionsConf)
-      .map(_.trim.toInt).getOrElse(DefaultStatePartitions)
+      .map(_.trim.toInt).getOrElse(autoStatePartitions(feedDir))
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", n.toString)
     try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
@@ -259,7 +302,7 @@ object SensorPipeline {
     * wins), which is exactly what the DuckDB oracle for
     * `q_changelog_table` checks. */
   def replayChangelog(spark: SparkSession, inDir: String, outBase: String): String =
-    withStatePartitions(spark) {
+    withStatePartitions(spark, inDir) {
       val raw = spark.readStream.schema(StructType(Seq(StructField("value", StringType))))
         .text(inDir).toDF("value")
       val filtered = parse(raw).filter(isValid(col("temperature"), col("humidity")))
@@ -314,7 +357,7 @@ object SensorPipeline {
   /** Replay `inDir` through parse → validity filter → sliding-window agg in
     * append mode; returns the sink path. */
   def replaySliding(spark: SparkSession, inDir: String, outBase: String): String =
-    withStatePartitions(spark) {
+    withStatePartitions(spark, inDir) {
       val raw = spark.readStream.schema(StructType(Seq(StructField("value", StringType))))
         .text(inDir).toDF("value")
       val filtered = parse(raw).filter(isValid(col("temperature"), col("humidity")))
@@ -353,7 +396,7 @@ object SensorPipeline {
   /** Replay `inDir` through parse → validity filter → session-window agg in
     * append mode; returns the session sink path. */
   def replaySessions(spark: SparkSession, inDir: String, outBase: String): String =
-    withStatePartitions(spark) {
+    withStatePartitions(spark, inDir) {
       val raw = spark.readStream.schema(StructType(Seq(StructField("value", StringType))))
         .text(inDir).toDF("value")
       val filtered = parse(raw).filter(isValid(col("temperature"), col("humidity")))
@@ -371,14 +414,18 @@ object SensorPipeline {
     replayFrom(spark,
       spark.readStream.schema(StructType(Seq(StructField("value", StringType))))
         .text(inDir).toDF("value"),
-      outBase)
+      outBase, feedDir = inDir)
 
   /** The R1–R5 chain over ANY raw `value: STRING` stream: the file-source
     * replay above (tests/verify determinism) and the `graft-mqtt` DSv2
     * source (real transport) run the IDENTICAL dataflow — MqttSpec pins
-    * byte-equality of all three sinks between the two transports. */
-  def replayFrom(spark: SparkSession, raw: DataFrame, outBase: String): ReplayOut =
-    withStatePartitions(spark) {
+    * byte-equality of all three sinks between the two transports.
+    * `feedDir` (when the caller has one) feeds the state-partition
+    * auto-sizing; an arbitrary stream (e.g. the MQTT source) omits it and
+    * gets the explicit conf or the 8-partition default. */
+  def replayFrom(spark: SparkSession, raw: DataFrame, outBase: String,
+      feedDir: String = null): ReplayOut =
+    withStatePartitions(spark, feedDir) {
       val parsed = parse(raw)
       val out = ReplayOut(s"$outBase/raw", s"$outBase/filtered", s"$outBase/agg")
 
@@ -418,7 +465,7 @@ object SensorPipeline {
     * answer, which is what the oracle checks. */
   def replayTopkComplete(spark: SparkSession, inDir: String, outBase: String,
       k: Int = 10): String =
-    withStatePartitions(spark) {
+    withStatePartitions(spark, inDir) {
       val raw = spark.readStream.schema(StructType(Seq(StructField("value", StringType))))
         .text(inDir).toDF("value")
       val filtered = parse(raw).filter(isValid(col("temperature"), col("humidity")))
@@ -451,7 +498,7 @@ object SensorPipeline {
     * oracle is the plain interval self-join). */
   def replayCorrelate(spark: SparkSession, inDir: String, outBase: String,
       joinType: String = "inner"): String =
-    withStatePartitions(spark) {
+    withStatePartitions(spark, inDir) {
       val raw = spark.readStream.schema(StructType(Seq(StructField("value", StringType))))
         .text(inDir).toDF("value")
       val parsed = parse(raw)
@@ -495,7 +542,7 @@ object SensorPipeline {
     * drain processes the whole feed with the per-key fold sorting each
     * group by exactly that key. */
   def replayRecordHighs(spark: SparkSession, inDir: String, outBase: String): String =
-    withStatePartitions(spark) {
+    withStatePartitions(spark, inDir) {
       val raw = spark.readStream.schema(StructType(Seq(StructField("value", StringType))))
         .text(inDir).toDF("value")
       val path = s"$outBase/highs"
@@ -513,7 +560,7 @@ object SensorPipeline {
     * state per sensor), drained to parquet exactly like the record-high
     * replay — the alert stream a monitoring sink would consume. */
   def replayAlarms(spark: SparkSession, inDir: String, outBase: String): String =
-    withStatePartitions(spark) {
+    withStatePartitions(spark, inDir) {
       val raw = spark.readStream.schema(StructType(Seq(StructField("value", StringType))))
         .text(inDir).toDF("value")
       val path = s"$outBase/alarms"
@@ -530,7 +577,7 @@ object SensorPipeline {
     * (tumbling counts + cross-window delta, one long of state per sensor),
     * drained to parquet like the other history-fold replays. */
   def replayRates(spark: SparkSession, inDir: String, outBase: String): String =
-    withStatePartitions(spark) {
+    withStatePartitions(spark, inDir) {
       val raw = spark.readStream.schema(StructType(Seq(StructField("value", StringType))))
         .text(inDir).toDF("value")
       val path = s"$outBase/rates"
@@ -551,7 +598,7 @@ object SensorPipeline {
     * oracle is the duplicate-free batch projection: every message exactly
     * once, regardless of delivery count. */
   def replayDedup(spark: SparkSession, inDir: String, outBase: String): String =
-    withStatePartitions(spark) {
+    withStatePartitions(spark, inDir) {
       val raw = spark.readStream.schema(StructType(Seq(StructField("value", StringType))))
         .text(inDir).toDF("value")
       val path = s"$outBase/deduped"
