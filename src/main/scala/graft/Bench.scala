@@ -74,28 +74,14 @@ object Bench {
     val errField =
       if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}"""
-    println(line)
-    // The driver tail-captures stdout at ~2000 chars, which front-truncates
-    // the full per-query map on a 235-key run (~7 KB) — BENCH_r06 recorded
-    // "parsed": null because no complete JSON line survived in the tail.
-    // The file copy keeps the full record reachable, and a COMPACT line
-    // (total + the slowest keys, well under the tail window) is printed
-    // LAST so the driver always has one complete parseable line.
-    try {
-      val outP = java.nio.file.Paths.get("target/bench_full.json")
-      java.nio.file.Files.createDirectories(outP.getParent)
-      java.nio.file.Files.writeString(outP, line + "\n")
-      System.err.println(s"[bench] full record: ${outP.toAbsolutePath}")
-    } catch { case t: Throwable =>
-      System.err.println(s"[bench] could not write target/bench_full.json: ${t.getMessage}")
-    }
     // Self-annotating load detection (round-8 verdict #7): compare each key
     // against the checked-in quiescent reference (tools/bench_bands.json, a
     // copy of a clean closing sweep's per-query record). A key ≥3× its
-    // quiescent time AND ≥2 s absolute is flagged as LOAD-SUSPECT in the
-    // final record, so a driver sweep taken under box load reads as
-    // "re-measure isolated" instead of as a regression — BASELINE.md's
+    // quiescent time AND ≥2 s absolute is flagged as LOAD-SUSPECT in BOTH
+    // records (the durable full file and the compact tail line — the full
+    // file is what bands are regenerated from, so it must carry the flag
+    // too; round-9 review), so a driver sweep taken under box load reads
+    // as "re-measure isolated" instead of as a regression — BASELINE.md's
     // compare-isolated-medians rule, machine-applied.
     val bands: Map[String, Double] =
       try {
@@ -123,6 +109,22 @@ object Bench {
         // and a comma decimal separator would corrupt the JSON line
         s""""$k":{"sweep":${math.rint(v * 100) / 100},"quiescent":${math.rint(b * 100) / 100}}"""
       }.mkString(""","load_suspects":{""", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField$suspectField,"sf":"$sfDir"}"""
+    println(line)
+    // The driver tail-captures stdout at ~2000 chars, which front-truncates
+    // the full per-query map on a 235-key run (~7 KB) — BENCH_r06 recorded
+    // "parsed": null because no complete JSON line survived in the tail.
+    // The file copy keeps the full record reachable, and a COMPACT line
+    // (total + the slowest keys, well under the tail window) is printed
+    // LAST so the driver always has one complete parseable line.
+    try {
+      val outP = java.nio.file.Paths.get("target/bench_full.json")
+      java.nio.file.Files.createDirectories(outP.getParent)
+      java.nio.file.Files.writeString(outP, line + "\n")
+      System.err.println(s"[bench] full record: ${outP.toAbsolutePath}")
+    } catch { case t: Throwable =>
+      System.err.println(s"[bench] could not write target/bench_full.json: ${t.getMessage}")
+    }
     val slowest = results.filter(_._3.isEmpty).sortBy(-_._2).take(15)
       .map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowest$errField$suspectField,"sf":"$sfDir","n_queries":${results.size},"queries_truncated_to_slowest":15,"full_record":"target/bench_full.json"}""")

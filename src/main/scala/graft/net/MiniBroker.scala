@@ -256,6 +256,14 @@ final class MiniBroker(port0: Int = 0) {
     }
   }
 
+  /** QoS 1 messages this clientId's session dropped at the queue limit
+    * ([[MiniBroker.MaxPending]]); 0 if none/unknown. The no-loss specs
+    * assert this stays 0 — a nonzero value means the "nothing unacked can
+    * be lost" contract was voided by overflow, not violated by a bug. */
+  def droppedOverflow(clientId: String): Long = sessions.synchronized {
+    sessions.get(clientId).map(s => s.synchronized(s.droppedOverflow)).getOrElse(0L)
+  }
+
   def close(): Unit = {
     running.set(false)
     try server.close() catch { case _: Throwable => () }

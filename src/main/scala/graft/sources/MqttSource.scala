@@ -205,7 +205,12 @@ private[sources] final class MqttWal(dir: java.nio.file.Path, rollEvery: Int = 4
   * [[graft.net.MqttClient.ack]]), so nothing acked can be lost; the broker
   * redelivers un-acked QoS 1 messages on session resume
   * (`cleanSession=false` — MiniBroker now implements this), so nothing
-  * unacked can be lost; and redeliveries whose original delivery WAS
+  * unacked can be lost UP TO the broker's queue limit (every broker caps
+  * a disconnected session's backlog — MiniBroker at
+  * [[graft.net.MiniBroker.MaxPending]], dropping loudly beyond; the
+  * no-loss specs assert `droppedOverflow == 0`, and an outage longer than
+  * the cap needs the durable-log front, not MQTT); and redeliveries whose
+  * original delivery WAS
   * buffered (the ack died on the wire) are recognized by DUP flag +
   * packet id + content hash and skipped, so the no-loss path introduces
   * no duplicates. The dedup window is the packet-id space (65536, with a
@@ -232,11 +237,11 @@ final class MqttReceiver(host: String, port: Int, topic: String,
     * aliases an old entry after the 16-bit pid space wraps (round-9
     * review — on the path whose contract is "nothing acked is
     * unaccepted"). With the content check, a wrong skip needs a wrapped
-    * pid AND a 64-bit hash collision on different content. Bounded at the
-    * pid space, insertion-ordered for FIFO eviction. Rebuilt from the WAL
-    * on recovery so the crash window between WAL append and PUBACK dedups
-    * across processes too. */
-  private val seenPids = new java.util.LinkedHashMap[Integer, java.lang.Long]()
+    * pid AND a 64-bit hash collision on different content. Naturally
+    * bounded at one slot per 16-bit pid (overwritten on reuse). Rebuilt
+    * from the WAL on recovery so the crash window between WAL append and
+    * PUBACK dedups across processes too. */
+  private val seenPids = new java.util.HashMap[Integer, java.lang.Long]()
   private def contentHash(topic: String, payload: String): Long = {
     // FNV-1a over topic + NUL + payload — cheap, stable across processes
     var h = 0xcbf29ce484222325L
@@ -249,10 +254,9 @@ final class MqttReceiver(host: String, port: Int, topic: String,
   }
   private def rememberPid(pid: Int, topic: String, payload: String): Unit =
     if (pid > 0) {
+      // naturally bounded at the 16-bit pid space: one slot per pid,
+      // overwritten when the broker reuses the id — no eviction needed
       seenPids.put(pid, contentHash(topic, payload))
-      if (seenPids.size > 0x10000) {
-        val it = seenPids.entrySet().iterator(); it.next(); it.remove()
-      }
     }
   private def alreadyBuffered(pid: Int, topic: String, payload: String): Boolean = {
     val h = seenPids.get(pid)

@@ -319,7 +319,7 @@ object StreamRegistry {
           "user_id BIGINT, event_type STRING, t BIGINT, event_id BIGINT")).as("e"))
       .select(col("e.user_id"), col("e.event_type"), col("e.t"), col("e.event_id"))
     val path = s"$base/out/updates"
-    SensorPipeline.withStatePartitions(spark) {
+    SensorPipeline.withStatePartitions(spark, s"$base/in") {
       val q = StatefulOps.funnelUpdates(parsed, Seq("view", "click", "purchase"))
         .toDF().writeStream
         .outputMode("append")

@@ -170,6 +170,20 @@ object ScaleProbe {
     val groups = sys.env.get("SPARK_GRAFT_BLOWUP")
       .map(_.split(",").map(_.trim).toSet).getOrElse(AllGroups)
     require(groups.subsetOf(AllGroups), s"unknown blow-up group in $groups")
+    // A partial blow-up with the DEFAULT key list would time keys over 1×
+    // symlinks and print growth ≈ 1.0 — reading as "scales perfectly" when
+    // nothing was tested (round-9 review). Partial groups therefore demand
+    // explicitly chosen keys, and the 1×-symlinked groups are named loudly
+    // so a key/group mismatch is the caller's visible decision.
+    if (groups != AllGroups) {
+      require(args.length > 3,
+        s"SPARK_GRAFT_BLOWUP=${groups.mkString(",")} symlinks " +
+          s"${(AllGroups -- groups).mkString("/")} at 1x - pass the key " +
+          "names that read the blown-up groups explicitly")
+      System.err.println(s"[scaleprobe] NOTE: ${(AllGroups -- groups).toSeq.sorted
+        .mkString(", ")} are 1x symlinks; keys reading them will show ~1x " +
+        "growth by construction")
+    }
     // A marker records WHAT a populated out dir holds. Generation is
     // skipped only on an exact (copies, groups) match; any other populated
     // state fails loudly — keying the skip on one table's existence let a

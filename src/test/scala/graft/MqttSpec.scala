@@ -310,7 +310,10 @@ class MqttSpec extends SparkSpec {
       val deadline = System.currentTimeMillis() + 30000
       while (receiver.size < n && System.currentTimeMillis() < deadline)
         Thread.sleep(50)
-      // no loss AND no duplication: exactly the published multiset
+      // no loss AND no duplication: exactly the published multiset —
+      // and the broker never hit its queue limit (a nonzero drop count
+      // would make "no loss" vacuous rather than proven)
+      broker.droppedOverflow(s"kill-${broker.port}") shouldBe 0
       receiver.size shouldBe n
       val got = receiver.slice(0, n).map(_._2).sorted
       got.toSeq shouldBe (0 until n).map(i => s"k$i").sorted
@@ -359,6 +362,7 @@ class MqttSpec extends SparkSpec {
       while (receiver2.size < 500 && System.currentTimeMillis() < deadline2)
         Thread.sleep(50)
       receiver2.size shouldBe 500
+      broker.droppedOverflow(cid) shouldBe 0 // queue limit never voided no-loss
       val spark2 = spark.newSession()
       val q2 = startQuery(spark2)
       q2.processAllAvailable(); q2.stop()
