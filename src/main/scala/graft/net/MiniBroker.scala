@@ -7,13 +7,15 @@ import scala.collection.mutable
 
 /** Embeddable loopback MQTT 3.1.1 broker — enough of the server side
   * (CONNECT/CONNACK with session resumption, SUBSCRIBE/SUBACK with +/#
-  * wildcard filters, PUBLISH routing at QoS ≤ 1 with per-session
-  * redelivery, PING, DISCONNECT) to drive the MQTT ingest path end-to-end
-  * in an offline environment with no broker binary. This is a test/dev
-  * harness standing in for the reference deployment's HiveMQ container
+  * wildcard filters, PUBLISH routing at QoS 0/1/2 — delivery at
+  * min(publish, granted), the full PUBREC/PUBREL/PUBCOMP handshake on
+  * both faces since round 9 — with per-session redelivery, PING,
+  * DISCONNECT) to drive the MQTT ingest path end-to-end in an offline
+  * environment with no broker binary. This is a test/dev harness standing
+  * in for the reference deployment's HiveMQ container
   * (reference/docker-compose.yml), not a production broker: no disk
-  * persistence (sessions die with the broker process), no QoS 2, no
-  * retained messages.
+  * persistence (sessions die with the broker process), no retained
+  * messages.
   *
   * Sessions (round-8 verdict item): a `cleanSession=false` CONNECT gets a
   * per-clientId session that SURVIVES its socket — subscriptions are
@@ -41,16 +43,28 @@ final class MiniBroker(port0: Int = 0) {
     * session left over from a live connection would both lie in
     * session-present and get torn out of the registry by the booted
     * connection's cleanup (round-9 review). */
+  /** One un-acked outbound delivery. `attempted`=true once written to some
+    * socket (→ DUP on the next PUBLISH per [MQTT-3.3.1-1]: DUP means
+    * re-delivery of an EARLIER ATTEMPT, not merely "queued while you were
+    * away"). For QoS 2, `relPhase`=true once the subscriber's PUBREC
+    * arrived — the message itself is confirmed received and only the
+    * PUBREL → PUBCOMP tail remains (a resume re-sends PUBREL, never the
+    * message: that is the exactly-once half). */
+  private final case class Pend(topic: String, payload: Array[Byte],
+      qos: Int, attempted: Boolean, relPhase: Boolean)
+
   private final class Session(val clientId: String, val persistent: Boolean) {
     val filters = mutable.Buffer.empty[(String, Int)]
-    /** un-acked QoS 1 outbound, insertion-ordered: pid → (topic, payload,
-      * attempted) — attempted=true once written to some socket (→ DUP on
-      * the next delivery per [MQTT-3.3.1-1]: DUP means re-delivery of an
-      * EARLIER ATTEMPT, not merely "queued while you were away"). */
-    val pending = mutable.LinkedHashMap.empty[Int, (String, Array[Byte], Boolean)]
-    /** QoS 1 messages dropped because `pending` hit [[MiniBroker.MaxPending]]
-      * (a real broker's queue limit; unbounded growth would exhaust the
-      * 16-bit pid space and deadlock pid allocation — round-9 review). */
+    /** un-acked QoS 1/2 outbound, insertion-ordered by pid. */
+    val pending = mutable.LinkedHashMap.empty[Int, Pend]
+    /** inbound QoS 2 pids already routed (PUBREC sent/owed, PUBREL not yet
+      * received): a publisher's DUP re-PUBLISH of one of these must not be
+      * routed again — the broker's half of exactly-once. */
+    val inboundRec = mutable.Set.empty[Int]
+    /** QoS 1/2 messages dropped because `pending` hit
+      * [[MiniBroker.MaxPending]] (a real broker's queue limit; unbounded
+      * growth would exhaust the 16-bit pid space and deadlock pid
+      * allocation — round-9 review). */
     var droppedOverflow = 0L
     var out: DataOutputStream = null
     var sock: Socket = null
@@ -144,15 +158,24 @@ final class MiniBroker(port0: Int = 0) {
         val q = session.pending.toSeq
         // mark attempted now (under the lock) — the write below is this
         // attempt
-        q.foreach { case (pid, (t, p, _)) => session.pending(pid) = (t, p, true) }
+        q.foreach { case (pid, pend) =>
+          if (!pend.relPhase) session.pending(pid) = pend.copy(attempted = true)
+        }
         q
       }
-      // resumed session: redeliver every queued/un-acked QoS 1 message with
-      // its ORIGINAL pid; DUP set only if an earlier delivery was attempted
-      queued.foreach { case (pid, (topic, payload, attempted)) =>
-        val (flags, body) = publishPacket(topic, payload, qos = 1, pid, dup = attempted)
-        try writePacket(out, Publish, flags, body)
-        catch { case _: Throwable => () } // stays pending; next reconnect retries
+      // resumed session: re-drive every un-acked delivery with its ORIGINAL
+      // pid. Message phase → PUBLISH (DUP iff an earlier attempt exists);
+      // QoS 2 rel phase (PUBREC arrived) → PUBREL only, never the message
+      // again — the exactly-once half of the handshake.
+      queued.foreach { case (pid, pend) =>
+        try {
+          if (pend.relPhase) writePacket(out, Pubrel, 0x2, u16(pid))
+          else {
+            val (flags, body) =
+              publishPacket(pend.topic, pend.payload, pend.qos, pid, dup = pend.attempted)
+            writePacket(out, Publish, flags, body)
+          }
+        } catch { case _: Throwable => () } // stays pending; next reconnect retries
       }
       var open = true
       while (open && running.get()) {
@@ -164,7 +187,7 @@ final class MiniBroker(port0: Int = 0) {
             val granted = mutable.Buffer.empty[Byte]
             while (r.remaining > 0) {
               val filter = r.readUtf()
-              val qos = math.min(r.readByte(), 1) // QoS 2 downgraded
+              val qos = math.min(r.readByte(), 2)
               session.synchronized {
                 // re-subscribing an identical filter replaces it [MQTT-3.8.4-3]
                 val i = session.filters.indexWhere(_._1 == filter)
@@ -180,9 +203,38 @@ final class MiniBroker(port0: Int = 0) {
             val qos = (p.flags >> 1) & 3
             val pid = if (qos > 0) r.readU16() else 0
             val payload = r.rest()
-            if (qos == 1) writePacket(out, Puback, 0, u16(pid))
-            route(topic, payload)
+            qos match {
+              case 1 =>
+                writePacket(out, Puback, 0, u16(pid))
+                route(topic, payload, qos)
+              case 2 =>
+                // inbound exactly-once: route on FIRST receipt only; a DUP
+                // re-PUBLISH (our PUBREC was lost) re-acks without re-routing
+                val first = session.synchronized {
+                  if (session.inboundRec.contains(pid)) false
+                  else { session.inboundRec += pid; true }
+                }
+                if (first) route(topic, payload, qos)
+                writePacket(out, Pubrec, 0, u16(pid))
+              case _ => route(topic, payload, qos)
+            }
+          case Pubrel =>
+            val pid = new BodyReader(p.body).readU16()
+            session.synchronized { session.inboundRec -= pid }
+            writePacket(out, Pubcomp, 0, u16(pid))
           case Puback =>
+            val pid = new BodyReader(p.body).readU16()
+            session.synchronized { session.pending.remove(pid) }
+          case Pubrec =>
+            // subscriber confirmed receipt of a QoS 2 delivery: advance to
+            // the rel phase and release it
+            val pid = new BodyReader(p.body).readU16()
+            session.synchronized {
+              session.pending.get(pid).foreach(pend =>
+                session.pending(pid) = pend.copy(relPhase = true))
+            }
+            writePacket(out, Pubrel, 0x2, u16(pid))
+          case Pubcomp =>
             val pid = new BodyReader(p.body).readU16()
             session.synchronized { session.pending.remove(pid) }
           case Pingreq => writePacket(out, Pingresp, 0, Array.empty)
@@ -209,18 +261,22 @@ final class MiniBroker(port0: Int = 0) {
     }
   }
 
-  /** Deliver to every session with a matching filter at min(1, granted
-    * QoS). QoS 1 deliveries are recorded in the session's pending map
-    * BEFORE the socket write — acked on PUBACK, redelivered with DUP on
-    * session resume — so a subscriber death at ANY point between here and
-    * its ack cannot lose the message (round-8 verdict item). QoS 0 to a
-    * disconnected session is dropped, per spec. */
-  private def route(topic: String, payload: Array[Byte]): Unit = {
+  /** Deliver to every session with a matching filter at
+    * min(publish QoS, granted QoS) [MQTT-3.8.4]. QoS 1/2 deliveries are
+    * recorded in the session's pending map BEFORE the socket write —
+    * released by PUBACK (QoS 1) or the PUBREC/PUBREL/PUBCOMP handshake
+    * (QoS 2), re-driven on session resume — so a subscriber death at ANY
+    * point between here and its final ack cannot lose the message
+    * (round-8 verdict item) and a QoS 2 message is never delivered twice
+    * past its PUBREC. QoS 0 to a disconnected session is dropped, per
+    * spec. */
+  private def route(topic: String, payload: Array[Byte], pubQos: Int): Unit = {
     val targets = sessions.synchronized {
       sessions.values.toSeq.flatMap { sess =>
         sess.synchronized {
           sess.filters.collectFirst {
-            case (f, qos) if topicMatches(f, topic) => (sess, qos)
+            case (f, granted) if topicMatches(f, topic) =>
+              (sess, math.min(granted, pubQos))
           }
         }
       }
@@ -233,17 +289,18 @@ final class MiniBroker(port0: Int = 0) {
             // queue-limit drop, as real brokers do under an absent consumer
             // — unbounded pending would exhaust the 16-bit pid space and
             // spin freshPid forever under the session lock (round-9
-            // review). Loud once per session: silent QoS 1 loss is the one
-            // thing this harness must never do quietly.
+            // review). Loud once per session: silent QoS 1/2 loss is the
+            // one thing this harness must never do quietly.
             if (sess.droppedOverflow == 0)
               System.err.println(s"[minibroker] session '${sess.clientId}' " +
                 s"pending queue full (${MiniBroker.MaxPending}): dropping " +
-                "QoS 1 messages until the subscriber drains")
+                "QoS 1/2 messages until the subscriber drains")
             sess.droppedOverflow += 1
             (null: DataOutputStream, -1)
           } else {
             val id = sess.freshPid()
-            sess.pending(id) = (topic, payload, o != null)
+            sess.pending(id) = Pend(topic, payload, qos,
+              attempted = o != null, relPhase = false)
             (o, id)
           }
         } else (o, 0)
@@ -251,7 +308,7 @@ final class MiniBroker(port0: Int = 0) {
       if (out != null && pid >= 0) {
         val (flags, body) = publishPacket(topic, payload, qos, pid)
         try writePacket(out, Publish, flags, body)
-        catch { case _: Throwable => () } // dead subscriber: QoS 1 stays pending
+        catch { case _: Throwable => () } // dead subscriber: QoS 1/2 stays pending
       }
     }
   }

@@ -11,13 +11,14 @@ import scala.collection.mutable
   * ingest edge is MQTT (reference/src/main/java/stream/sources/
   * HiveMQSource.java:62-106), so the transport is implemented rather than
   * stubbed. Scope is the subset an ingest edge needs: CONNECT/CONNACK
-  * (clean and persistent sessions), SUBSCRIBE/SUBACK, PUBLISH QoS 0/1 with
-  * PUBACK, PING, DISCONNECT. QoS 2's two-phase handshake is out of scope as
-  * a deliberate simplification — the reference actually subscribes at QoS 2
-  * (HiveMQSource.java:75 sets MqttQos.EXACTLY_ONCE, while its own comment
-  * says "at least once"); at-least-once suffices here because the source
-  * layer above this client dedups redeliveries and WAL-buffers before
-  * acking (round-8 advice).
+  * (clean and persistent sessions), SUBSCRIBE/SUBACK, PUBLISH QoS 0/1/2
+  * (PUBACK for 1; the PUBREC/PUBREL/PUBCOMP two-phase handshake for 2 —
+  * added round 9 for full parity with the reference, whose HiveMQSource
+  * subscribes at MqttQos.EXACTLY_ONCE, HiveMQSource.java:75, while its own
+  * comment says "at least once"), PING, DISCONNECT. The ingest receiver's
+  * WAL+dedup layer makes QoS 1 sufficient for no-loss ([[
+  * graft.sources.MqttReceiver]]), so QoS 2 is parity and publisher choice,
+  * not a correctness dependency.
   *
   * Framing: fixed header byte `(type << 4) | flags`, then the remaining
   * length as a 1–4-byte base-128 varint, then the variable header +
@@ -25,6 +26,7 @@ import scala.collection.mutable
 object Mqtt {
 
   val Connect = 1; val Connack = 2; val Publish = 3; val Puback = 4
+  val Pubrec = 5; val Pubrel = 6; val Pubcomp = 7
   val Subscribe = 8; val Suback = 9; val Pingreq = 12; val Pingresp = 13
   val Disconnect = 14
 
@@ -159,6 +161,13 @@ final class MqttClient(host: String, port: Int, clientId: String,
     * acked-but-unbuffered message died with the process, unrecoverable even
     * with broker redelivery. */
   private val inbox = mutable.Queue.empty[(MqttMessage, Int, Boolean)]
+  /** QoS of each un-acked inbound message handed out by [[receiveRaw]]
+    * (1 → owe PUBACK, 2 → owe PUBREC); consulted by [[ack]]. */
+  private val inFlightInbound = mutable.Map.empty[Int, Int]
+  /** Inbound QoS 2 pids already enqueued (and not yet released by
+    * PUBREL): a DUP re-PUBLISH of one of these must NOT re-enqueue — the
+    * exactly-once half the receiver cannot see from the payload alone. */
+  private val inboundRec = mutable.Set.empty[Int]
   private var nextId = 0
   private def freshId(): Int = { nextId = (nextId % 0xffff) + 1; nextId }
 
@@ -176,14 +185,16 @@ final class MqttClient(host: String, port: Int, clientId: String,
     this
   }
 
-  /** Handle one inbound packet while awaiting `want`; queues PUBLISHes and
-    * answers pings so the wait never drops data. Returns the packet if it
-    * is the awaited type. */
+  /** Handle one inbound packet while awaiting `want`; queues PUBLISHes,
+    * answers pings and PUBRELs so the wait never drops data or stalls the
+    * peer's QoS 2 handshake. Returns the packet if it is the awaited
+    * type. */
   private def pump(want: Int): Option[Packet] = {
     val p = readPacket(in)
     p.ptype match {
       case t if t == want => Some(p)
       case Publish => enqueue(p); None
+      case Pubrel => release(p); None
       case Pingreq => writePacket(out, Pingresp, 0, Array.empty); None
       case _ => None // unsolicited acks (e.g. late PUBACK) are droppable
     }
@@ -194,7 +205,24 @@ final class MqttClient(host: String, port: Int, clientId: String,
     val topic = r.readUtf()
     val qos = (p.flags >> 1) & 3
     val pid = if (qos > 0) r.readU16() else 0
+    // exactly-once inbound: a QoS 2 pid already enqueued (PUBREC pending
+    // or sent, PUBREL not yet received) is the sender retrying — drop the
+    // duplicate body, the handshake state answers for it
+    if (qos == 2) {
+      if (inboundRec.contains(pid)) return
+      inboundRec += pid
+    }
+    if (qos > 0) inFlightInbound(pid) = qos
     inbox.enqueue((MqttMessage(topic, r.rest()), pid, (p.flags & 0x08) != 0))
+  }
+
+  /** Inbound PUBREL: the sender releases a QoS 2 pid — answer PUBCOMP and
+    * forget the handshake state (the pid may now be reused). */
+  private def release(p: Packet): Unit = {
+    val pid = new BodyReader(p.body).readU16()
+    inboundRec -= pid
+    inFlightInbound -= pid
+    writePacket(out, Pubcomp, 0, u16(pid))
   }
 
   def subscribe(filter: String, qos: Int = 1): Int = synchronized {
@@ -218,6 +246,17 @@ final class MqttClient(host: String, port: Int, clientId: String,
       while (ack.isEmpty) ack = pump(Puback)
       require(new BodyReader(ack.get.body).readU16() == pid,
         "PUBACK for a different packet id")
+    } else if (qos == 2) {
+      // exactly-once outbound: PUBLISH → PUBREC → PUBREL → PUBCOMP
+      var rec: Option[Packet] = None
+      while (rec.isEmpty) rec = pump(Pubrec)
+      require(new BodyReader(rec.get.body).readU16() == pid,
+        "PUBREC for a different packet id")
+      writePacket(out, Pubrel, 0x2, u16(pid)) // PUBREL fixed flags = 0010
+      var comp: Option[Packet] = None
+      while (comp.isEmpty) comp = pump(Pubcomp)
+      require(new BodyReader(comp.get.body).readU16() == pid,
+        "PUBCOMP for a different packet id")
     }
   }
 
@@ -263,6 +302,7 @@ final class MqttClient(host: String, port: Int, clientId: String,
         val p = Packet(h >> 4, h & 0x0f, body)
         p.ptype match {
           case Publish => enqueue(p)
+          case Pubrel => release(p)
           case Pingreq => writePacket(out, Pingresp, 0, Array.empty)
           case _ => ()
         }
@@ -271,9 +311,18 @@ final class MqttClient(host: String, port: Int, clientId: String,
     } finally socket.setSoTimeout(prev)
   }
 
-  /** PUBACK a message obtained from [[receiveRaw]]. */
+  /** Acknowledge a message obtained from [[receiveRaw]]: PUBACK for a
+    * QoS 1 delivery; for QoS 2, the PUBREC half of the handshake (the
+    * PUBREL → PUBCOMP tail is answered transparently by the receive
+    * pump). Either way, this is the packet the caller defers until the
+    * message is durably accepted. */
   def ack(packetId: Int): Unit = synchronized {
-    writePacket(out, Puback, 0, u16(packetId))
+    inFlightInbound.getOrElse(packetId, 1) match {
+      case 2 => writePacket(out, Pubrec, 0, u16(packetId))
+      case _ =>
+        inFlightInbound -= packetId
+        writePacket(out, Puback, 0, u16(packetId))
+    }
   }
 
   def ping(): Unit = synchronized {

@@ -272,7 +272,12 @@ final class MqttReceiver(host: String, port: Int, topic: String,
   private def connectClient(): MqttClient = {
     val c = new MqttClient(host, port, clientId, cleanSession = false)
     c.connect()
-    c.subscribe(topic, qos = 1)
+    // QoS 2, like the reference's HiveMQSource (EXACTLY_ONCE,
+    // HiveMQSource.java:75). Granted QoS is only a ceiling — delivery runs
+    // at min(publisher's QoS, 2), so QoS 1 publishers behave exactly as
+    // before, while QoS 2 publishers get the broker-side exactly-once
+    // handshake on top of this receiver's own WAL + dedup no-loss story.
+    c.subscribe(topic, qos = 2)
     c
   }
   // connect in the constructor so a dead broker fails the CALLER loudly;

@@ -245,6 +245,95 @@ class MqttSpec extends SparkSpec {
     } finally broker.close()
   }
 
+  test("QoS 2 publish delivers exactly once through the full " +
+      "PUBREC/PUBREL/PUBCOMP handshake") {
+    val broker = new MiniBroker()
+    try {
+      val sub = new MqttClient("127.0.0.1", broker.port, "q2-sub").connect()
+      sub.subscribe("q2/#", qos = 2) shouldBe 2
+      val pub = new MqttClient("127.0.0.1", broker.port, "q2-pub").connect()
+      val n = 100
+      for (i <- 0 until n)
+        pub.publish("q2/x", s"e$i".getBytes("UTF-8"), qos = 2) // blocks per handshake
+      val got = (0 until n).flatMap(_ => sub.receive(2000)).map(_.payloadString)
+      got.size shouldBe n
+      got shouldBe (0 until n).map(i => s"e$i") // in order, exactly once
+      sub.receive(300) shouldBe None // and nothing extra
+      // granted ceiling caps delivery: a QoS 2 publish to a QoS 0 grantee
+      // arrives exactly once as QoS 0 (min of the two)
+      val sub0 = new MqttClient("127.0.0.1", broker.port, "q2-sub0").connect()
+      sub0.subscribe("q2/#", qos = 0) shouldBe 0
+      pub.publish("q2/y", "capped".getBytes("UTF-8"), qos = 2)
+      sub0.receive(2000).map(_.payloadString) shouldBe Some("capped")
+      sub0.receive(300) shouldBe None
+      pub.close(); sub.close(); sub0.close()
+    } finally broker.close()
+  }
+
+  test("QoS 2 session resume: messages past PUBREC are released via " +
+      "PUBREL only — never delivered twice; unseen ones arrive once") {
+    val broker = new MiniBroker()
+    try {
+      val sub = new MqttClient("127.0.0.1", broker.port, "q2-dur",
+        cleanSession = false).connect()
+      sub.subscribe("qd/#", qos = 2) shouldBe 2
+      val pub = new MqttClient("127.0.0.1", broker.port, "q2-dpub").connect()
+      for (i <- 0 until 60) pub.publish("qd/x", s"d$i".getBytes("UTF-8"), qos = 2)
+      // fully consume a prefix (receive PUBRECs at hand-over; the pump
+      // answers the broker's PUBRELs as they arrive on later receives)
+      val before = (0 until 20).flatMap(_ => sub.receive(2000)).map(_.payloadString)
+      before.size shouldBe 20
+      Thread.sleep(200) // let in-flight PUBREC/PUBREL/PUBCOMP rounds settle
+      sub.abort()
+      for (i <- 0 until 15) pub.publish("qd/y", s"q$i".getBytes("UTF-8"), qos = 2)
+      val sub2 = new MqttClient("127.0.0.1", broker.port, "q2-dur",
+        cleanSession = false).connect()
+      sub2.sessionPresent shouldBe true
+      val resumed = scala.collection.mutable.Buffer.empty[String]
+      val deadline = System.currentTimeMillis() + 20000
+      while (resumed.size < 55 && System.currentTimeMillis() < deadline)
+        sub2.receive(500).foreach(m => resumed += m.payloadString)
+      // every message not consumed before the crash arrives EXACTLY once
+      val expected = ((20 until 60).map(i => s"d$i") ++
+        (0 until 15).map(i => s"q$i")).sorted
+      resumed.sorted.toSeq shouldBe expected
+      // and the consumed prefix (PUBREC'd, relPhase broker-side) is only
+      // ever released via PUBREL — it must not resurface as a message
+      resumed.toSet.intersect(before.toSet) shouldBe empty
+      pub.close(); sub2.close()
+    } finally broker.close()
+  }
+
+  test("receiver ingests a QoS 2 publisher exactly once through a " +
+      "hard-dropped socket") {
+    val broker = new MiniBroker()
+    try {
+      val receiver = MqttReceiver("127.0.0.1", broker.port, "k2/#",
+        clientId = s"k2-${broker.port}")
+      val n = 600
+      val pubThread = new Thread(() => {
+        val pub = new MqttClient("127.0.0.1", broker.port, "k2-pub").connect()
+        for (i <- 0 until n)
+          pub.publish("k2/x", s"z$i".getBytes("UTF-8"), qos = 2)
+        pub.close()
+      }, "k2-pub")
+      pubThread.start()
+      val deadline0 = System.currentTimeMillis() + 30000
+      while (receiver.size < n / 3 && System.currentTimeMillis() < deadline0)
+        Thread.sleep(10)
+      receiver.abortConnection()
+      pubThread.join(60000)
+      val deadline = System.currentTimeMillis() + 30000
+      while (receiver.size < n && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      broker.droppedOverflow(s"k2-${broker.port}") shouldBe 0
+      receiver.size shouldBe n
+      receiver.slice(0, n).map(_._2).sorted.toSeq shouldBe
+        (0 until n).map(i => s"z$i").sorted
+      MqttReceiver.stop("127.0.0.1", broker.port, "k2/#", s"k2-${broker.port}")
+    } finally broker.close()
+  }
+
   test("a persistent connect over a live clean session gets a FRESH " +
       "session and is not blackholed by the booted connection's cleanup") {
     val broker = new MiniBroker()
