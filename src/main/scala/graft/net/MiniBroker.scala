@@ -37,12 +37,6 @@ import scala.collection.mutable
 final class MiniBroker(port0: Int = 0) {
   import Mqtt._
 
-  /** Per-clientId broker-side session state. `persistent` records the
-    * session's own cleanSession=false-ness: only a persistent session may
-    * be RESUMED by a later cleanSession=false CONNECT — reusing a clean
-    * session left over from a live connection would both lie in
-    * session-present and get torn out of the registry by the booted
-    * connection's cleanup (round-9 review). */
   /** One un-acked outbound delivery. `attempted`=true once written to some
     * socket (→ DUP on the next PUBLISH per [MQTT-3.3.1-1]: DUP means
     * re-delivery of an EARLIER ATTEMPT, not merely "queued while you were
@@ -53,6 +47,12 @@ final class MiniBroker(port0: Int = 0) {
   private final case class Pend(topic: String, payload: Array[Byte],
       qos: Int, attempted: Boolean, relPhase: Boolean)
 
+  /** Per-clientId broker-side session state. `persistent` records the
+    * session's own cleanSession=false-ness: only a persistent session may
+    * be RESUMED by a later cleanSession=false CONNECT — reusing a clean
+    * session left over from a live connection would both lie in
+    * session-present and get torn out of the registry by the booted
+    * connection's cleanup (round-9 review). */
   private final class Session(val clientId: String, val persistent: Boolean) {
     val filters = mutable.Buffer.empty[(String, Int)]
     /** un-acked QoS 1/2 outbound, insertion-ordered by pid. */
@@ -137,7 +137,18 @@ final class MiniBroker(port0: Int = 0) {
         // state that never persisted (round-9 review)
         val resumable = existing.filter(e => !cleanSession && e.persistent)
         resumable match {
-          case Some(e) => (e, true)
+          case Some(e) =>
+            // drop publisher-side QoS 2 dedup state on resume: the in-repo
+            // client has NO outbound persistence (a reconnect starts a
+            // fresh pid sequence and never re-sends PUBLISH/PUBREL), so a
+            // retained pid can only ALIAS a brand-new message and swallow
+            // it silently — completing the handshake while routing nothing
+            // (round-9 review). The trade: a hypothetical fully-persistent
+            // publisher re-sending PUBLISH+DUP after reconnect would be
+            // routed again (at-least-once across that one crash window);
+            // loss is the failure mode this harness must never pick.
+            e.synchronized { e.inboundRec.clear() }
+            (e, true)
           case None =>
             val fresh = new Session(clientId, persistent = !cleanSession)
             sessions(clientId) = fresh
@@ -313,7 +324,7 @@ final class MiniBroker(port0: Int = 0) {
     }
   }
 
-  /** QoS 1 messages this clientId's session dropped at the queue limit
+  /** QoS 1/2 messages this clientId's session dropped at the queue limit
     * ([[MiniBroker.MaxPending]]); 0 if none/unknown. The no-loss specs
     * assert this stays 0 — a nonzero value means the "nothing unacked can
     * be lost" contract was voided by overflow, not violated by a bug. */

@@ -18,7 +18,9 @@ import graft.net.MqttClient
 /** MQTT ingest as a DataSource V2 micro-batch stream — the reference's R1
   * edge (reference/src/main/java/stream/sources/HiveMQSource.java:62-106)
   * on a REAL transport: the in-repo MQTT 3.1.1 client
-  * ([[graft.net.MqttClient]]) subscribes at QoS 1 and a driver-side
+  * ([[graft.net.MqttClient]]) subscribes at QoS 2 (EXACTLY_ONCE, like the
+  * reference's HiveMQSource — delivery runs at min(publisher QoS,
+  * granted)) and a driver-side
   * receiver buffers inbound messages; micro-batches read index ranges of
   * that buffer, so offsets are replayable within the receiver's lifetime
   * and the admission-control pacing matches [[SensorGen]]'s.

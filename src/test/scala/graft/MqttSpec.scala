@@ -304,6 +304,49 @@ class MqttSpec extends SparkSpec {
     } finally broker.close()
   }
 
+  test("a resumed QoS 2 publisher reusing a packet id is routed, not " +
+      "silently swallowed by stale handshake state") {
+    // The in-repo client has no outbound persistence: after a crash it
+    // starts a fresh pid sequence and never re-sends PUBLISH/PUBREL. If
+    // the broker retained inbound QoS 2 pid state across a session resume,
+    // a reused pid would alias a BRAND-NEW message — completing the whole
+    // handshake while routing nothing (round-9 review). Drive the wire by
+    // hand to pin the exact crash window: PUBLISH sent, PUBREC received,
+    // socket dies before PUBREL.
+    val broker = new MiniBroker()
+    try {
+      val sub = new MqttClient("127.0.0.1", broker.port, "st-sub").connect()
+      sub.subscribe("st/#", qos = 2) shouldBe 2
+      def rawConnect() = {
+        val s = new java.net.Socket("127.0.0.1", broker.port)
+        val out = new DataOutputStream(new java.io.BufferedOutputStream(s.getOutputStream))
+        val in = new DataInputStream(new java.io.BufferedInputStream(s.getInputStream))
+        Mqtt.writePacket(out, Mqtt.Connect, 0,
+          Mqtt.connectBody("st-pub", cleanSession = false, keepAliveSec = 0))
+        Mqtt.readPacket(in).ptype shouldBe Mqtt.Connack
+        (s, out, in)
+      }
+      val (s1, o1, i1) = rawConnect()
+      val (f1, b1) = Mqtt.publishPacket("st/x", "first".getBytes("UTF-8"),
+        qos = 2, packetId = 1)
+      Mqtt.writePacket(o1, Mqtt.Publish, f1, b1)
+      Mqtt.readPacket(i1).ptype shouldBe Mqtt.Pubrec
+      s1.close() // crash before PUBREL — pid 1 would linger in inboundRec
+      sub.receive(2000).map(_.payloadString) shouldBe Some("first")
+      // resume the persistent session; a fresh pid sequence reuses pid 1
+      // for a NEW message — it must reach the subscriber
+      val (s2, o2, i2) = rawConnect()
+      val (f2, b2) = Mqtt.publishPacket("st/x", "second".getBytes("UTF-8"),
+        qos = 2, packetId = 1)
+      Mqtt.writePacket(o2, Mqtt.Publish, f2, b2)
+      Mqtt.readPacket(i2).ptype shouldBe Mqtt.Pubrec
+      Mqtt.writePacket(o2, Mqtt.Pubrel, 0x2, Mqtt.u16(1))
+      Mqtt.readPacket(i2).ptype shouldBe Mqtt.Pubcomp
+      sub.receive(2000).map(_.payloadString) shouldBe Some("second")
+      s2.close(); sub.close()
+    } finally broker.close()
+  }
+
   test("receiver ingests a QoS 2 publisher exactly once through a " +
       "hard-dropped socket") {
     val broker = new MiniBroker()
