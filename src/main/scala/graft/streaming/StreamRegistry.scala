@@ -427,10 +427,16 @@ object StreamRegistry {
         new Thread(() => {
           val c = new graft.net.MqttClient(
             "127.0.0.1", broker.port, s"pub-$t-${broker.port}").connect()
+          // mixed QoS across publisher threads (round-9): even threads at
+          // QoS 1, odd at QoS 2 — the oracle-gated audit now exercises the
+          // PUBREC/PUBREL/PUBCOMP handshake on the real wire too (the
+          // subscriber grants 2; delivery runs at min(publish, granted)),
+          // and a loss/dup on EITHER path moves a spec-constant count
           for (loop <- 1L to GenMessages)
             c.publish(s"sensors/t$t", graft.sources.SensorGen.payload(
               seed = 42L, startEpoch = 1700000000L, intervalMs = 1000L,
-              thread = t, loop = loop))
+              thread = t, loop = loop).getBytes("UTF-8"),
+              qos = 1 + (t % 2))
           c.close()
         }, s"mqtt-pub-$t")
       }
