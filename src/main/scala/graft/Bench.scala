@@ -83,16 +83,29 @@ object Bench {
     // too; round-9 review), so a driver sweep taken under box load reads
     // as "re-measure isolated" instead of as a regression — BASELINE.md's
     // compare-isolated-medians rule, machine-applied.
+    // Band file resolution (round-9 advice): a CWD-relative path silently
+    // disabled the LOAD-SUSPECT annotation when Bench ran from any other
+    // directory. Order: SPARK_GRAFT_BANDS env override, else walk up from
+    // the CWD to the nearest ancestor holding tools/bench_bands.json (the
+    // project root, wherever the launcher cd'd to).
+    val bandsFile: java.io.File = sys.env.get("SPARK_GRAFT_BANDS")
+      .map(new java.io.File(_)).getOrElse {
+        var d = new java.io.File(".").getAbsoluteFile.getParentFile
+        while (d != null && !new java.io.File(d, "tools/bench_bands.json").exists())
+          d = d.getParentFile
+        if (d != null) new java.io.File(d, "tools/bench_bands.json")
+        else new java.io.File("tools/bench_bands.json")
+      }
     val bands: Map[String, Double] =
       try {
         val node = new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(new java.io.File("tools/bench_bands.json")).get("queries")
+          .readTree(bandsFile).get("queries")
         val it = node.fields()
         val m = scala.collection.mutable.Map.empty[String, Double]
         while (it.hasNext) { val e = it.next(); m(e.getKey) = e.getValue.asDouble() }
         m.toMap
       } catch { case t: Throwable =>
-        System.err.println(s"[bench] no band reference (${t.getClass.getSimpleName}) — skipping load annotation")
+        System.err.println(s"[bench] no band reference at $bandsFile (${t.getClass.getSimpleName}) — skipping load annotation")
         Map.empty
       }
     val suspects = results.collect {

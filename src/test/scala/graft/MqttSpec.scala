@@ -507,6 +507,54 @@ class MqttSpec extends SparkSpec {
     } finally broker.close()
   }
 
+  test("a fresh checkpoint against a recovered walDir starts at the " +
+      "recovered base; an OLDER checkpoint fails with the mismatch named") {
+    import graft.sources.{MqttOffset, MqttStream}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val broker = new MiniBroker()
+    try {
+      val walDir = java.nio.file.Files.createTempDirectory("mqtt_stale").toString
+      val cid = s"stale-${broker.port}"
+      val r1 = MqttReceiver("127.0.0.1", broker.port, "stale/#",
+        clientId = cid, walDir = Some(walDir), walRollEvery = 4)
+      val pub = new MqttClient("127.0.0.1", broker.port, "stale-pub").connect()
+      for (i <- 0 until 20) pub.publish("stale/x", s"s$i")
+      pub.close()
+      val deadline = System.currentTimeMillis() + 15000
+      while (r1.size < 20 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      r1.size shouldBe 20
+      val s1 = new MqttStream("127.0.0.1", broker.port, "stale/#", cid, 100L,
+        Some(walDir))
+      s1.commit(MqttOffset(10)) // a checkpoint committed-and-trimmed to 10
+      r1.baseOffset shouldBe 10
+      // "process death": only the walDir survives; recovery rounds the
+      // base down to the retained segment boundary (10 → 8 at rollEvery=4)
+      MqttReceiver.stop("127.0.0.1", broker.port, "stale/#", cid)
+      val r2 = MqttReceiver("127.0.0.1", broker.port, "stale/#",
+        clientId = cid, walDir = Some(walDir), walRollEvery = 4)
+      r2.baseOffset shouldBe 8
+      r2.size shouldBe 20
+      val s2 = new MqttStream("127.0.0.1", broker.port, "stale/#", cid, 100L,
+        Some(walDir))
+      // FRESH checkpoint: initialOffset fast-forwards to the recovered base
+      // instead of 0 (which would only fail later, in slice, with a
+      // misleading message — round-9 advice)
+      s2.initialOffset().asInstanceOf[MqttOffset].emitted shouldBe 8
+      // OLDER checkpoint (offset below the base): planning fails naming the
+      // stale-WAL/checkpoint mismatch, not a slice() internals error
+      val e = intercept[IllegalArgumentException](
+        s2.latestOffset(MqttOffset(4), ReadLimit.maxRows(100)))
+      e.getMessage should include("recovered base")
+      // and the fast-forwarded start plans cleanly over the retained range
+      val end = s2.latestOffset(MqttOffset(8), ReadLimit.maxRows(100))
+        .asInstanceOf[MqttOffset].emitted
+      end shouldBe 20
+      r2.slice(8, end).map(_._2).toSeq shouldBe (8 until 20).map(i => s"s$i")
+      MqttReceiver.stop("127.0.0.1", broker.port, "stale/#", cid)
+    } finally broker.close()
+  }
+
   test("DSv2 source: broker-published sensor payloads flow through parse " +
       "in micro-batches") {
     val broker = new MiniBroker()

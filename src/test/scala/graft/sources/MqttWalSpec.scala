@@ -84,6 +84,29 @@ class MqttWalSpec extends graft.SparkSpec {
     w2.close()
   }
 
+  test("a batch straddling segment rolls syncs every touched segment " +
+      "before append returns — fsync-before-ack covers rolled-away records") {
+    val dir = tmp()
+    val w = new MqttWal(dir, rollEvery = 4)
+    w.append(recs(0, 10)) // segments 0-3, 4-7 (rolled away), 8-9 (active)
+    // one sync per rolled-away segment + one for the active tail: every
+    // record of the batch is durable when append returns, so the PUBACKs
+    // that follow never ack flush-only data (round-9 verdict #1 — the old
+    // roll path close()d without sync, so an OS crash could lose the tail
+    // of a rolled-away segment whose records were already acked)
+    w.syncCount shouldBe 3L
+    // a batch ending exactly on a roll boundary still ends with a sync of
+    // the segment holding its tail
+    w.append(recs(10, 12)) // fills segment 8-11; no roll
+    w.syncCount shouldBe 4L
+    w.append(recs(12, 13)) // rolls 8-11 away (sync), then syncs the tail
+    w.syncCount shouldBe 6L
+    w.close()
+    val w2 = new MqttWal(dir, rollEvery = 4)
+    w2.recovered shouldBe recs(0, 13).toVector
+    w2.close()
+  }
+
   test("a gapped segment chain fails recovery loudly") {
     val dir = tmp()
     val w = new MqttWal(dir, rollEvery = 5)
