@@ -555,6 +555,129 @@ class MqttSpec extends SparkSpec {
     } finally broker.close()
   }
 
+  test("sharded source: three topic shards back three input partitions " +
+      "with per-shard offsets, and the row cap waterfills across shards") {
+    import graft.sources.{MqttOffset, MqttShardOffset, MqttStream}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val broker = new MiniBroker()
+    try {
+      val cid = s"shard-${broker.port}"
+      // spaces after commas are tolerated: filters are trimmed
+      val stream = new MqttStream("127.0.0.1", broker.port,
+        "ms/0/#, ms/1/#, ms/2/#", cid, 100L)
+      // initialOffset instantiates the shard receivers = subscribes all
+      // three sessions BEFORE anything publishes
+      stream.initialOffset() shouldBe MqttShardOffset(IndexedSeq(0L, 0L, 0L))
+      val rs = (0 until 3).map(i =>
+        MqttReceiver("127.0.0.1", broker.port, s"ms/$i/#", s"$cid-s$i"))
+      val pub = new MqttClient("127.0.0.1", broker.port, "ms-pub").connect()
+      for (i <- 0 until 90) pub.publish(s"ms/${i % 3}/x", s"m$i") // 30 each
+      val deadline = System.currentTimeMillis() + 15000
+      while (rs.exists(_.size < 30) && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      rs.map(_.size) shouldBe Seq(30L, 30L, 30L)
+      val zero = MqttShardOffset(IndexedSeq(0L, 0L, 0L))
+      // even availability, cap below total: even split
+      stream.latestOffset(zero, ReadLimit.maxRows(45)) shouldBe
+        MqttShardOffset(IndexedSeq(15L, 15L, 15L))
+      // cap above total: everything
+      val all = stream.latestOffset(zero, ReadLimit.maxRows(1000))
+      all shouldBe MqttShardOffset(IndexedSeq(30L, 30L, 30L))
+      // a hot shard cannot starve the others: extra leftovers flow to it
+      // only AFTER every shard got its even share
+      for (i <- 0 until 40) pub.publish("ms/0/x", s"h$i")
+      while (rs(0).size < 70 && System.currentTimeMillis() < deadline + 15000)
+        Thread.sleep(50)
+      // cap 60 over avail [70,30,30]: even 20-shares, no leftover phase
+      stream.latestOffset(zero, ReadLimit.maxRows(60)) shouldBe
+        MqttShardOffset(IndexedSeq(20L, 20L, 20L))
+      // cap 100: shards 1/2 saturate at 30, the 7-row leftover then flows
+      // to the hot shard — 40/30/30
+      stream.latestOffset(zero, ReadLimit.maxRows(100)) shouldBe
+        MqttShardOffset(IndexedSeq(40L, 30L, 30L))
+      // one partition per shard with data; empty shards planned away
+      stream.planInputPartitions(zero, all).length shouldBe 3
+      stream.planInputPartitions(all,
+        MqttShardOffset(IndexedSeq(70L, 30L, 30L))).length shouldBe 1
+      // offset-shape drift (topic list changed under a checkpoint) is loud
+      val e = intercept[IllegalArgumentException](
+        stream.latestOffset(MqttOffset(0L), ReadLimit.maxRows(10)))
+      e.getMessage should include("topic list changed")
+      // commit trims each shard independently
+      stream.commit(MqttShardOffset(IndexedSeq(70L, 30L, 30L)))
+      rs.map(_.baseOffset) shouldBe Seq(70L, 30L, 30L)
+      pub.close()
+      (0 until 3).foreach(i =>
+        MqttReceiver.stop("127.0.0.1", broker.port, s"ms/$i/#", s"$cid-s$i"))
+    } finally broker.close()
+  }
+
+  test("sharded source e2e: per-shard WALs and broker sessions survive a " +
+      "restart in a new session; every shard's audit closes, no loss/dups") {
+    val broker = new MiniBroker()
+    try {
+      val walDir = java.nio.file.Files.createTempDirectory("mqtt_shards").toString
+      val cid = s"msr-${broker.port}"
+      val topics = (0 until 3).map(i => s"sh/$i/#")
+      // subscribe-before-publish: pre-create each shard's receiver under
+      // the stream's naming convention (clientId-s<i>, walDir/shard-<i>)
+      def receivers() = topics.zipWithIndex.map { case (t, i) =>
+        MqttReceiver("127.0.0.1", broker.port, t, clientId = s"$cid-s$i",
+          walDir = Some(s"$walDir/shard-$i"))
+      }
+      val rs = receivers()
+      val pubs = (0 until 3).map(i =>
+        new MqttClient("127.0.0.1", broker.port, s"msr-pub-$i").connect())
+      def publish(from: Int, until: Int): Unit =
+        for (i <- from until until; s <- 0 until 3)
+          pubs(s).publish(s"sh/$s/x", s"m$s-$i")
+      publish(0, 100)
+      val deadline = System.currentTimeMillis() + 20000
+      while (rs.exists(_.size < 100) && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      rs.map(_.size) shouldBe Seq(100L, 100L, 100L)
+      val ckpt = java.nio.file.Files.createTempDirectory("mqtt_sh_ckpt").toString
+      val outDir = java.nio.file.Files.createTempDirectory("mqtt_sh_out").toString
+      def startQuery(ss: org.apache.spark.sql.SparkSession) =
+        ss.readStream.format("graft-mqtt")
+          .option("host", "127.0.0.1").option("port", broker.port)
+          .option("topic", topics.mkString(","))
+          .option("clientId", cid).option("rowsPerBatch", 40L)
+          .option("walDir", walDir)
+          .load()
+          .writeStream.format("parquet")
+          .option("path", s"$outDir/data").option("checkpointLocation", ckpt)
+          .start()
+      val q1 = startQuery(spark)
+      q1.processAllAvailable(); q1.stop()
+      // "process death" of every shard receiver; data arrives while down —
+      // queued in each shard's persistent broker session
+      topics.zipWithIndex.foreach { case (t, i) =>
+        MqttReceiver.stop("127.0.0.1", broker.port, t, s"$cid-s$i") }
+      publish(100, 160)
+      val rs2 = receivers() // recover per-shard WALs + broker redelivery
+      while (rs2.exists(_.size < 160) && System.currentTimeMillis() < deadline + 30000)
+        Thread.sleep(50)
+      rs2.map(_.size) shouldBe Seq(160L, 160L, 160L)
+      (0 until 3).foreach(i => broker.droppedOverflow(s"$cid-s$i") shouldBe 0)
+      val q2 = startQuery(spark.newSession())
+      q2.processAllAvailable(); q2.stop()
+      pubs.foreach(_.close())
+      val got = spark.read.parquet(s"$outDir/data")
+      got.count() shouldBe 480
+      for (s <- 0 until 3) {
+        val shard = got.filter(col("topic") === s"sh/$s/x")
+          .select(col("value")).collect().map(_.getString(0)).sorted
+        withClue(s"shard $s: ") {
+          shard.length shouldBe 160
+          shard.toSeq shouldBe (0 until 160).map(i => s"m$s-$i").sorted
+        }
+      }
+      topics.zipWithIndex.foreach { case (t, i) =>
+        MqttReceiver.stop("127.0.0.1", broker.port, t, s"$cid-s$i") }
+    } finally broker.close()
+  }
+
   test("DSv2 source: broker-published sensor payloads flow through parse " +
       "in micro-batches") {
     val broker = new MiniBroker()
