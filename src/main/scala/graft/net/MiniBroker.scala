@@ -244,7 +244,12 @@ final class MiniBroker(port0: Int = 0) {
               session.pending.get(pid).foreach(pend =>
                 session.pending(pid) = pend.copy(relPhase = true))
             }
-            writePacket(out, Pubrel, 0x2, u16(pid))
+            // fault injection (round-9 verdict #4): relPhase is recorded —
+            // dropping the wire write simulates the release lost in
+            // transit, which a session resume must repair by re-driving
+            // PUBREL (the exactly-once tail)
+            if (dropPubrels.getAndUpdate(x => math.max(0, x - 1)) <= 0)
+              writePacket(out, Pubrel, 0x2, u16(pid))
           case Pubcomp =>
             val pid = new BodyReader(p.body).readU16()
             session.synchronized { session.pending.remove(pid) }
@@ -330,6 +335,36 @@ final class MiniBroker(port0: Int = 0) {
     * be lost" contract was voided by overflow, not violated by a bug. */
   def droppedOverflow(clientId: String): Long = sessions.synchronized {
     sessions.get(clientId).map(s => s.synchronized(s.droppedOverflow)).getOrElse(0L)
+  }
+
+  /** TEST HOOK (fault injection): drop the next N broker→subscriber
+    * PUBRELs AFTER recording relPhase — the release lost on the wire.
+    * The contract under test: a session resume re-drives PUBREL (never
+    * the message), so the subscriber sees the message exactly once and
+    * the handshake still completes. */
+  private[graft] val dropPubrels = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** TEST HOOK (fault injection): write a raw PUBLISH with a CALLER-CHOSEN
+    * pid/DUP/payload straight to a session's live socket, bypassing pid
+    * allocation and pending bookkeeping. Simulates wires a compliant
+    * broker cannot otherwise be driven into at spec scale: a 16-bit
+    * pid-space wrap aliasing a remembered pid onto NEW content, and a
+    * redelivery whose payload was corrupted in transit — the two
+    * adversarial inputs the receiver's pid+content-hash dedup
+    * (graft.sources.MqttReceiver) defends against. Returns false if the
+    * session has no live connection. */
+  private[graft] def injectPublish(clientId: String, topic: String,
+      payload: Array[Byte], qos: Int, pid: Int, dup: Boolean): Boolean = {
+    val sessOpt = sessions.synchronized(sessions.get(clientId))
+    sessOpt.exists { sess =>
+      val o = sess.synchronized(sess.out)
+      if (o == null) false
+      else {
+        val (flags, body) = publishPacket(topic, payload, qos, pid, dup = dup)
+        try { writePacket(o, Publish, flags, body); true }
+        catch { case _: Throwable => false }
+      }
+    }
   }
 
   def close(): Unit = {

@@ -507,6 +507,89 @@ class MqttSpec extends SparkSpec {
     } finally broker.close()
   }
 
+  test("injected PUBREL loss: the release is re-driven on session resume " +
+      "and the QoS 2 message is never delivered twice") {
+    val broker = new MiniBroker()
+    try {
+      val sub = new MqttClient("127.0.0.1", broker.port, "fi-rel",
+        cleanSession = false).connect()
+      sub.subscribe("rel/#", qos = 2) shouldBe 2
+      val pub = new MqttClient("127.0.0.1", broker.port, "fi-rel-pub").connect()
+      broker.dropPubrels.set(1) // lose the next release on the wire
+      pub.publish("rel/x", "one".getBytes("UTF-8"), qos = 2)
+      sub.receive(2000).map(_.payloadString) shouldBe Some("one")
+      // the handshake is now stuck in relPhase broker-side: PUBREC
+      // arrived, PUBREL was dropped. A later message still flows (the
+      // stall is per-pid, not per-connection)
+      pub.publish("rel/x", "two".getBytes("UTF-8"), qos = 2)
+      sub.receive(2000).map(_.payloadString) shouldBe Some("two")
+      Thread.sleep(200) // let in-flight acks land broker-side
+      sub.abort()
+      // resume: the broker must re-drive PUBREL (never the message) for
+      // the stuck pid; the fresh client answers PUBCOMP transparently
+      val sub2 = new MqttClient("127.0.0.1", broker.port, "fi-rel",
+        cleanSession = false).connect()
+      sub2.sessionPresent shouldBe true
+      sub2.receive(500) shouldBe None // "one" does NOT resurface
+      Thread.sleep(200) // PUBREL→PUBCOMP tail completes
+      sub2.abort()
+      // a SECOND resume proves the pending entry really cleared: nothing
+      // left to re-drive
+      val sub3 = new MqttClient("127.0.0.1", broker.port, "fi-rel",
+        cleanSession = false).connect()
+      sub3.sessionPresent shouldBe true
+      sub3.receive(500) shouldBe None
+      pub.publish("rel/x", "three".getBytes("UTF-8"), qos = 2)
+      sub3.receive(2000).map(_.payloadString) shouldBe Some("three")
+      sub3.receive(300) shouldBe None
+      pub.close(); sub3.close()
+    } finally broker.close()
+  }
+
+  test("injected stale-pid DUP redeliveries: the receiver's content-hash " +
+      "defense keeps wrap-aliased and corrupted content, skips true dups") {
+    val broker = new MiniBroker()
+    try {
+      val cid = s"fi-${broker.port}"
+      val receiver = MqttReceiver("127.0.0.1", broker.port, "fi/#",
+        clientId = cid)
+      def inject(payload: String, dup: Boolean): Unit = {
+        val deadline = System.currentTimeMillis() + 5000
+        while (!broker.injectPublish(cid, "fi/x",
+            payload.getBytes("UTF-8"), qos = 1, pid = 77, dup = dup) &&
+            System.currentTimeMillis() < deadline)
+          Thread.sleep(20)
+      }
+      def waitSize(k: Long): Unit = {
+        val deadline = System.currentTimeMillis() + 5000
+        while (receiver.size < k && System.currentTimeMillis() < deadline)
+          Thread.sleep(20)
+      }
+      // original delivery under pid 77: buffered, remembered
+      inject("alpha", dup = false); waitSize(1)
+      receiver.size shouldBe 1
+      // true redelivery (lost-ack wire: same pid, same content, DUP):
+      // skipped — re-buffering would double-count
+      inject("alpha", dup = true)
+      Thread.sleep(400)
+      receiver.size shouldBe 1
+      // pid-space wrap alias: pid 77 reused for DIFFERENT content whose
+      // first attempt "was lost" (arrives only as DUP). The pid alone
+      // matches the remembered entry — the content hash must keep it
+      // (MqttSource.scala's pid-alias defense, exercised on a real wire
+      // for the first time — round-9 verdict #4)
+      inject("bravo", dup = true); waitSize(2)
+      receiver.size shouldBe 2
+      // corrupted redelivery (one byte flipped in transit): content no
+      // longer matches the remembered delivery — kept as new, never
+      // silently merged with the original
+      inject("bravp", dup = true); waitSize(3)
+      receiver.size shouldBe 3
+      receiver.slice(0, 3).map(_._2).toSeq shouldBe Seq("alpha", "bravo", "bravp")
+      MqttReceiver.stop("127.0.0.1", broker.port, "fi/#", cid)
+    } finally broker.close()
+  }
+
   test("a fresh checkpoint against a recovered walDir starts at the " +
       "recovered base; an OLDER checkpoint fails with the mismatch named") {
     import graft.sources.{MqttOffset, MqttStream}
