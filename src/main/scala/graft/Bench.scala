@@ -83,19 +83,20 @@ object Bench {
     // too; round-9 review), so a driver sweep taken under box load reads
     // as "re-measure isolated" instead of as a regression — BASELINE.md's
     // compare-isolated-medians rule, machine-applied.
-    // Band file resolution (round-9 advice): a CWD-relative path silently
-    // disabled the LOAD-SUSPECT annotation when Bench ran from any other
-    // directory. Order: SPARK_GRAFT_BANDS env override, else walk up from
-    // the CWD to the nearest ancestor holding tools/bench_bands.json (the
-    // project root, wherever the launcher cd'd to).
+    // Project-root resolution (round-9 advice + round-10 review): CWD-
+    // relative paths silently disabled the LOAD-SUSPECT annotation (and
+    // misplaced the full record) when Bench ran from any other directory.
+    // Walk up from the CWD to the nearest ancestor holding build.sbt; both
+    // the band read and the bench_full.json write resolve against it.
+    val projectRoot: java.io.File = {
+      var d = new java.io.File(".").getAbsoluteFile.getParentFile
+      while (d != null && !new java.io.File(d, "build.sbt").exists())
+        d = d.getParentFile
+      if (d != null) d else new java.io.File(".").getAbsoluteFile.getParentFile
+    }
     val bandsFile: java.io.File = sys.env.get("SPARK_GRAFT_BANDS")
-      .map(new java.io.File(_)).getOrElse {
-        var d = new java.io.File(".").getAbsoluteFile.getParentFile
-        while (d != null && !new java.io.File(d, "tools/bench_bands.json").exists())
-          d = d.getParentFile
-        if (d != null) new java.io.File(d, "tools/bench_bands.json")
-        else new java.io.File("tools/bench_bands.json")
-      }
+      .map(new java.io.File(_))
+      .getOrElse(new java.io.File(projectRoot, "tools/bench_bands.json"))
     val bands: Map[String, Double] =
       try {
         val node = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -130,13 +131,13 @@ object Bench {
     // The file copy keeps the full record reachable, and a COMPACT line
     // (total + the slowest keys, well under the tail window) is printed
     // LAST so the driver always has one complete parseable line.
+    val outP = new java.io.File(projectRoot, "target/bench_full.json").toPath
     try {
-      val outP = java.nio.file.Paths.get("target/bench_full.json")
       java.nio.file.Files.createDirectories(outP.getParent)
       java.nio.file.Files.writeString(outP, line + "\n")
       System.err.println(s"[bench] full record: ${outP.toAbsolutePath}")
     } catch { case t: Throwable =>
-      System.err.println(s"[bench] could not write target/bench_full.json: ${t.getMessage}")
+      System.err.println(s"[bench] could not write $outP: ${t.getMessage}")
     }
     val slowest = results.filter(_._3.isEmpty).sortBy(-_._2).take(15)
       .map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -46,13 +46,15 @@ import graft.net.MqttClient
   * start (the subscribe-then-publish ordering every MQTT consumer needs —
   * a query start would otherwise race the first messages).
   *
-  * Sharded ingest (round-9 verdict #2): `topic` accepts a comma-separated
-  * filter list (`"plant/0/#,plant/1/#"`) — one receiver, one broker
-  * session, one WAL subdir (`walDir/shard-<i>`), and one
+  * Sharded ingest (round-9 verdict #2): the `topics` option takes a
+  * comma-separated filter list (`"plant/0/#,plant/1/#"`) — one receiver,
+  * one broker session, one WAL subdir (`walDir/shard-<i>`), and one
   * [[InputPartition]] PER SHARD, with per-shard offsets in a composite
-  * [[MqttShardOffset]]. Shard i's clientId is `<clientId>-s<i>`; to
-  * subscribe ahead of the query, pre-create each shard's receiver with
-  * that clientId (and walDir subdir). See [[MqttStream]]. */
+  * [[MqttShardOffset]]. (`topic` stays ONE literal filter and is never
+  * split — commas are legal in MQTT topic names.) Shard i's clientId is
+  * `<clientId>-s<i>`; to subscribe ahead of the query, pre-create each
+  * shard's receiver with that clientId (and walDir subdir). See
+  * [[MqttStream]]. */
 class MqttSourceProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-mqtt"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = MqttSourceProvider.schema
@@ -169,10 +171,20 @@ private[sources] final class MqttWal(dir: java.nio.file.Path, rollEvery: Int = 4
     segments += Segment(next, 0, path)
   }
 
+  private var isClosed = false
+
   /** Append records and fsync — returns only once they are durable.
     * Synchronized: append runs on the receiver pump, trim on the stream's
-    * commit thread, and both touch the segment list. */
+    * commit thread, and both touch the segment list. Throws after
+    * [[close]]: a pump racing the receiver's shutdown must NOT reopen a
+    * fresh segment nobody will close (fd leak) — and since the pump acks
+    * only after a successful append, the raced batch is neither buffered
+    * nor acked, so the broker's session redelivers it to the next
+    * receiver: the no-loss contract holds through the race (round-10
+    * review). */
   def append(records: Seq[(String, String, Int)]): Unit = synchronized {
+    if (isClosed)
+      throw new IllegalStateException("WAL closed (receiver shutting down)")
     if (records.nonEmpty) {
     records.foreach { case (topic, payload, pid) =>
       if (out == null || segments.last.count >= rollEvery) {
@@ -211,6 +223,7 @@ private[sources] final class MqttWal(dir: java.nio.file.Path, rollEvery: Int = 4
   }
 
   def close(): Unit = synchronized {
+    isClosed = true
     if (out != null) {
       try { syncActive(); out.close() } catch { case _: Throwable => () }
       out = null
@@ -454,7 +467,22 @@ object MqttReceiver {
 class MqttTable(o: CaseInsensitiveStringMap) extends Table with SupportsRead {
   private val host = o.get("host")
   private val port = o.getInt("port", 1883)
-  private val topic = o.getOrDefault("topic", "#")
+  /** `topic` is ONE literal filter (commas are legal in MQTT topic names —
+    * only `/`, `+`, `#`, NUL are special — so it is never split);
+    * `topics` is an explicitly comma-separated shard list (entries
+    * therefore cannot contain literal commas — use single-shard `topic`
+    * for those). Exactly one of the two. */
+  private val shards: Seq[String] = {
+    val topicOpt = Option(o.get("topic")).filter(_.nonEmpty)
+    val topicsOpt = Option(o.get("topics")).filter(_.nonEmpty)
+    require(topicOpt.isEmpty || topicsOpt.isEmpty,
+      "set either 'topic' (one literal filter) or 'topics' " +
+        "(comma-separated shard list), not both")
+    topicsOpt.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .orElse(topicOpt.map(Seq(_)))
+      .getOrElse(Seq("#"))
+  }
+  private val topic = shards.mkString(",")
   private val clientId =
     o.getOrDefault("clientId", MqttReceiver.defaultClientId(topic))
   private val rowsPerBatch = o.getLong("rowsPerBatch", 10000L)
@@ -473,7 +501,7 @@ class MqttTable(o: CaseInsensitiveStringMap) extends Table with SupportsRead {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = MqttSourceProvider.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new MqttStream(host, port, topic, clientId, rowsPerBatch, walDir)
+          new MqttStream(host, port, shards, clientId, rowsPerBatch, walDir)
       }
     }
 }
@@ -498,8 +526,8 @@ final case class MqttSlice(rows: Array[(String, String)]) extends InputPartition
 
 /** Micro-batch stream over one or more MQTT topic-filter shards.
   *
-  * `topic` may be a comma-separated list of filters (e.g.
-  * `"plant/0/#,plant/1/#,plant/2/#"`): each filter gets its own receiver —
+  * With multiple filters (the table's `topics` option, e.g.
+  * `"plant/0/#,plant/1/#,plant/2/#"`) each filter gets its own receiver —
   * its own broker session (clientId suffixed `-s<i>`), its own WAL
   * subdirectory (`walDir/shard-<i>`), its own backlog bound — and its own
   * [[InputPartition]] per batch, with per-shard offsets in a composite
@@ -507,18 +535,19 @@ final case class MqttSlice(rows: Array[(String, String)]) extends InputPartition
   * round-9 verdict named (#2): ingest scales with the shard count exactly
   * the way the reference's deployment scales with generator containers
   * (reference/docker-compose.yml runs N `mqttgen` publishers against one
-  * broker), and `planInputPartitions` goes from 1 partition to N. Shard
-  * order is the option's declared order, so offsets stay stable across
-  * restarts. Admission control waterfills the batch's row cap across
-  * shards (even shares, leftovers in shard order), so one hot shard cannot
-  * starve the rest of a batch. */
-class MqttStream(host: String, port: Int, topic: String, clientId: String,
-    rowsPerBatch: Long, walDir: Option[String] = None)
+  * broker), and `planInputPartitions` goes from 1 partition to N — the
+  * measured single-pump ceiling (~55k msg/s) lifts ~3× at 4 shards
+  * (BASELINE.md round-10, `graft.tools.MqttIngestProbe`). Shard order is
+  * the option's declared order, so offsets stay stable across restarts.
+  * Admission control waterfills the batch's row cap across shards (even
+  * shares, leftovers in shard order), so one hot shard cannot starve the
+  * rest of a batch. */
+class MqttStream(host: String, port: Int, topics0: Seq[String],
+    clientId: String, rowsPerBatch: Long, walDir: Option[String] = None)
     extends MicroBatchStream with SupportsAdmissionControl {
-  private val topics: IndexedSeq[String] =
-    topic.split(",").map(_.trim).filter(_.nonEmpty).toIndexedSeq
+  private val topics: IndexedSeq[String] = topics0.toIndexedSeq
   private val n = topics.size
-  require(n >= 1, s"no topic filter in '$topic'")
+  require(n >= 1, "no topic filter given")
 
   private def receiver(i: Int): MqttReceiver =
     MqttReceiver(host, port, topics(i),

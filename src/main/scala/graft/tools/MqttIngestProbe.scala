@@ -51,9 +51,12 @@ object MqttIngestProbe {
         Thread.sleep(5)
       val sec = (System.nanoTime() - t0) / 1e9
       val got = receivers.map(_.size).sum
-      require(got == total, s"ingest incomplete: $got of $total")
+      // stop BEFORE the completeness check: a timeout must not leak K
+      // registered receivers whose pumps would reconnect-loop against the
+      // closed broker forever (round-10 review)
       (0 until shards).foreach(s => MqttReceiver.stop(
         "127.0.0.1", broker.port, s"pr/$s/#", s"$cid-s$s"))
+      require(got == total, s"ingest incomplete: $got of $total")
       (sec, got)
     } finally broker.close()
   }

@@ -36,8 +36,8 @@ class MqttSoakSpec extends SparkSpec {
       val receiver = MqttReceiver("127.0.0.1", broker.port, "soak/#",
         clientId = cid, maxBuffered = maxBuffered,
         walDir = Some(walDir.toString), walRollEvery = rollEvery)
-      val stream = new MqttStream("127.0.0.1", broker.port, "soak/#", cid,
-        8L, Some(walDir.toString))
+      val stream = new MqttStream("127.0.0.1", broker.port, Seq("soak/#"),
+        cid, 8L, Some(walDir.toString))
       val pubThread = new Thread(() => {
         val pub = new MqttClient("127.0.0.1", broker.port, "soak-pub").connect()
         for (i <- 0 until n) pub.publish("soak/x", s"s$i")

@@ -607,8 +607,8 @@ class MqttSpec extends SparkSpec {
       while (r1.size < 20 && System.currentTimeMillis() < deadline)
         Thread.sleep(50)
       r1.size shouldBe 20
-      val s1 = new MqttStream("127.0.0.1", broker.port, "stale/#", cid, 100L,
-        Some(walDir))
+      val s1 = new MqttStream("127.0.0.1", broker.port, Seq("stale/#"), cid,
+        100L, Some(walDir))
       s1.commit(MqttOffset(10)) // a checkpoint committed-and-trimmed to 10
       r1.baseOffset shouldBe 10
       // "process death": only the walDir survives; recovery rounds the
@@ -618,8 +618,8 @@ class MqttSpec extends SparkSpec {
         clientId = cid, walDir = Some(walDir), walRollEvery = 4)
       r2.baseOffset shouldBe 8
       r2.size shouldBe 20
-      val s2 = new MqttStream("127.0.0.1", broker.port, "stale/#", cid, 100L,
-        Some(walDir))
+      val s2 = new MqttStream("127.0.0.1", broker.port, Seq("stale/#"), cid,
+        100L, Some(walDir))
       // FRESH checkpoint: initialOffset fast-forwards to the recovered base
       // instead of 0 (which would only fail later, in slice, with a
       // misleading message — round-9 advice)
@@ -645,9 +645,8 @@ class MqttSpec extends SparkSpec {
     val broker = new MiniBroker()
     try {
       val cid = s"shard-${broker.port}"
-      // spaces after commas are tolerated: filters are trimmed
       val stream = new MqttStream("127.0.0.1", broker.port,
-        "ms/0/#, ms/1/#, ms/2/#", cid, 100L)
+        Seq("ms/0/#", "ms/1/#", "ms/2/#"), cid, 100L)
       // initialOffset instantiates the shard receivers = subscribes all
       // three sessions BEFORE anything publishes
       stream.initialOffset() shouldBe MqttShardOffset(IndexedSeq(0L, 0L, 0L))
@@ -695,6 +694,44 @@ class MqttSpec extends SparkSpec {
     } finally broker.close()
   }
 
+  test("'topic' with a literal comma is ONE filter (commas are legal in " +
+      "MQTT names); 'topics' is the shard list; both at once is an error") {
+    import graft.sources.{MqttOffset, MqttShardOffset, MqttTable}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import scala.jdk.CollectionConverters._
+    val broker = new MiniBroker()
+    try {
+      def stream(opts: Map[String, String]) =
+        new MqttTable(new CaseInsensitiveStringMap(
+          (opts ++ Map("host" -> "127.0.0.1",
+            "port" -> broker.port.toString)).asJava))
+          .newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+          .toMicroBatchStream("unused")
+      // literal comma: one shard (scalar offset), one subscription whose
+      // filter is the WHOLE string — a publish to the comma topic arrives
+      val s1 = stream(Map("topic" -> "room,1/#", "clientId" -> "comma-sub"))
+      s1.initialOffset() shouldBe MqttOffset(0L)
+      val pub = new MqttClient("127.0.0.1", broker.port, "comma-pub").connect()
+      pub.publish("room,1/x", "lit")
+      val r = MqttReceiver("127.0.0.1", broker.port, "room,1/#", "comma-sub")
+      val deadline = System.currentTimeMillis() + 10000
+      while (r.size < 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      r.slice(0, 1).map(_._2).toSeq shouldBe Seq("lit")
+      // explicit shard list: composite offset, one shard per entry
+      val s2 = stream(Map("topics" -> "tl/a/#,tl/b/#", "clientId" -> "tl-sub"))
+      s2.initialOffset() shouldBe MqttShardOffset(IndexedSeq(0L, 0L))
+      // both options: loud error
+      val e = intercept[IllegalArgumentException](
+        stream(Map("topic" -> "x/#", "topics" -> "y/#,z/#")))
+      e.getMessage should include("not both")
+      pub.close()
+      MqttReceiver.stop("127.0.0.1", broker.port, "room,1/#", "comma-sub")
+      Seq("tl/a/#" -> "tl-sub-s0", "tl/b/#" -> "tl-sub-s1").foreach {
+        case (t, c) => MqttReceiver.stop("127.0.0.1", broker.port, t, c) }
+    } finally broker.close()
+  }
+
   test("sharded source e2e: per-shard WALs and broker sessions survive a " +
       "restart in a new session; every shard's audit closes, no loss/dups") {
     val broker = new MiniBroker()
@@ -724,7 +761,7 @@ class MqttSpec extends SparkSpec {
       def startQuery(ss: org.apache.spark.sql.SparkSession) =
         ss.readStream.format("graft-mqtt")
           .option("host", "127.0.0.1").option("port", broker.port)
-          .option("topic", topics.mkString(","))
+          .option("topics", topics.mkString(","))
           .option("clientId", cid).option("rowsPerBatch", 40L)
           .option("walDir", walDir)
           .load()
