@@ -141,7 +141,10 @@ object Bench {
     }
     val slowest = results.filter(_._3.isEmpty).sortBy(-_._2).take(15)
       .map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowest$errField$suspectField,"sf":"$sfDir","n_queries":${results.size},"queries_truncated_to_slowest":15,"full_record":"target/bench_full.json"}""")
+    // full_record carries the RESOLVED absolute path: a CWD-relative
+    // pointer would be wrong exactly in the run-from-elsewhere case the
+    // projectRoot resolution exists for (round-10 review)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowest$errField$suspectField,"sf":"$sfDir","n_queries":${results.size},"queries_truncated_to_slowest":15,"full_record":"${outP.toAbsolutePath}"}""")
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)
   }

@@ -478,9 +478,18 @@ class MqttTable(o: CaseInsensitiveStringMap) extends Table with SupportsRead {
     require(topicOpt.isEmpty || topicsOpt.isEmpty,
       "set either 'topic' (one literal filter) or 'topics' " +
         "(comma-separated shard list), not both")
-    topicsOpt.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val s = topicsOpt.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .orElse(topicOpt.map(Seq(_)))
       .getOrElse(Seq("#"))
+    require(s.nonEmpty,
+      s"'topics'='${topicsOpt.get}' contains no filter (commas/whitespace only)")
+    // a comma in 'topic' is usually a sharding typo ('topics' is the shard
+    // option), but it IS a legal literal filter — note it, don't reject it
+    if (topicOpt.exists(_.contains(",")))
+      System.err.println(s"[graft-mqtt] topic='${topicOpt.get}' contains a " +
+        "comma and is treated as ONE literal filter; use the 'topics' " +
+        "option for sharding")
+    s
   }
   private val topic = shards.mkString(",")
   private val clientId =

@@ -7,7 +7,7 @@ import graft.sources.MqttReceiver
   * verdict #2): measures wall time for P concurrent QoS 1 publishers to
   * push N messages through the loopback broker into K shard receivers
   * (K topic filters, one receiver/session/pump per shard — exactly what
-  * `topic = "f0,f1,..."` gives the DSv2 source). The K=1 column is the
+  * the `topics = "f0,f1,..."` option gives the DSv2 source). The K=1 column is the
   * round-9 single-endpoint ceiling; K>1 shows the ceiling lifting because
   * the per-shard pumps, sockets, and (when enabled) WAL fsyncs run in
   * parallel, mirroring the reference deployment's N-generator fan-in
@@ -26,8 +26,13 @@ object MqttIngestProbe {
   def run(n: Int, publishers: Int, shards: Int,
       walDir: Option[String]): (Double, Long) = {
     val broker = new MiniBroker()
+    val cid = s"probe-$shards"
     try {
-      val cid = s"probe-$shards"
+      // stop-in-finally: a drain timeout, a failed assertion, or a shard
+      // receiver whose CONSTRUCTOR throws partway through the fan-out must
+      // not leak registered receivers whose pumps reconnect-loop against
+      // the closed broker forever (round-10 review, both passes); stop()
+      // of a never-created shard is a no-op
       val receivers = (0 until shards).map { s =>
         MqttReceiver("127.0.0.1", broker.port, s"pr/$s/#",
           clientId = s"$cid-s$s", walDir = walDir.map(d => s"$d/shard-$s"))
@@ -51,14 +56,13 @@ object MqttIngestProbe {
         Thread.sleep(5)
       val sec = (System.nanoTime() - t0) / 1e9
       val got = receivers.map(_.size).sum
-      // stop BEFORE the completeness check: a timeout must not leak K
-      // registered receivers whose pumps would reconnect-loop against the
-      // closed broker forever (round-10 review)
-      (0 until shards).foreach(s => MqttReceiver.stop(
-        "127.0.0.1", broker.port, s"pr/$s/#", s"$cid-s$s"))
       require(got == total, s"ingest incomplete: $got of $total")
       (sec, got)
-    } finally broker.close()
+    } finally {
+      try (0 until shards).foreach(s => MqttReceiver.stop(
+        "127.0.0.1", broker.port, s"pr/$s/#", s"$cid-s$s"))
+      finally broker.close()
+    }
   }
 
   def main(args: Array[String]): Unit = {

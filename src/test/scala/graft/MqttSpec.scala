@@ -725,11 +725,18 @@ class MqttSpec extends SparkSpec {
       val e = intercept[IllegalArgumentException](
         stream(Map("topic" -> "x/#", "topics" -> "y/#,z/#")))
       e.getMessage should include("not both")
+      // an all-commas shard list fails at option parsing, naming the option
+      val e2 = intercept[IllegalArgumentException](stream(Map("topics" -> " , ")))
+      e2.getMessage should include("topics")
       pub.close()
-      MqttReceiver.stop("127.0.0.1", broker.port, "room,1/#", "comma-sub")
-      Seq("tl/a/#" -> "tl-sub-s0", "tl/b/#" -> "tl-sub-s1").foreach {
+    } finally {
+      // cleanup in finally: a failed assertion must not leak receivers
+      // whose pumps reconnect-loop against the closed broker
+      try Seq("room,1/#" -> "comma-sub", "tl/a/#" -> "tl-sub-s0",
+        "tl/b/#" -> "tl-sub-s1").foreach {
         case (t, c) => MqttReceiver.stop("127.0.0.1", broker.port, t, c) }
-    } finally broker.close()
+      finally broker.close()
+    }
   }
 
   test("sharded source e2e: per-shard WALs and broker sessions survive a " +
