@@ -563,6 +563,33 @@ class MqttStream(host: String, port: Int, topics0: Seq[String],
       if (n == 1) clientId else s"$clientId-s$i",
       walDir = walDir.map(d => if (n == 1) d else s"$d/shard-$i"))
 
+  /** All shard receivers, materialized ONCE and in PARALLEL: creating a
+    * receiver replays its WAL segments and performs the broker
+    * connect/subscribe handshake — per-shard sequential I/O, so N shards
+    * recover in max time, not sum time (a restart with large per-shard
+    * backlogs would otherwise serialize N WAL replays on the driver).
+    * Failures carry the shard index; the process-global registry makes a
+    * concurrent create race benign (TrieMap getOrElseUpdate). */
+  private lazy val receivers: IndexedSeq[MqttReceiver] = {
+    if (n == 1) IndexedSeq(receiver(0))
+    else {
+      val made = new Array[MqttReceiver](n)
+      val errs = new Array[Throwable](n)
+      val threads = (0 until n).map { i =>
+        new Thread(() => {
+          try made(i) = receiver(i)
+          catch { case t: Throwable => errs(i) = t }
+        }, s"mqtt-shard-init-$i")
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      errs.zipWithIndex.find(_._1 != null).foreach { case (t, i) =>
+        throw new IllegalStateException(
+          s"MQTT shard $i (${topics(i)}) failed to start", t)
+      }
+      made.toIndexedSeq
+    }
+  }
+
   private def offsets(o: Offset): IndexedSeq[Long] = o match {
     case MqttOffset(e) =>
       require(n == 1, s"scalar MQTT offset $e against $n topic shards " +
@@ -607,7 +634,7 @@ class MqttStream(host: String, port: Int, topics0: Seq[String],
     * correct at-least-once answer to deliberately abandoning a checkpoint.
     * Without a WAL the base is 0 and this is the old behavior. */
   override def initialOffset(): Offset =
-    mkOffset((0 until n).map(i => receiver(i).baseOffset))
+    mkOffset((0 until n).map(i => receivers(i).baseOffset))
   override def deserializeOffset(json: String): Offset =
     if (json.startsWith("["))
       MqttShardOffset(json.stripPrefix("[").stripSuffix("]")
@@ -618,7 +645,7 @@ class MqttStream(host: String, port: Int, topics0: Seq[String],
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = offsets(start)
     (0 until n).foreach { i =>
-      val r = receiver(i)
+      val r = receivers(i)
       // an OLD checkpoint against a FURTHER-trimmed walDir (stale-WAL /
       // checkpoint mismatch): fail at planning time with the mismatch
       // named, not later in slice() (round-9 advice)
@@ -649,7 +676,7 @@ class MqttStream(host: String, port: Int, topics0: Seq[String],
       case _ => None
     }
     val cap = rowCap(limit).getOrElse(Long.MaxValue)
-    val avail = (0 until n).map(i => receiver(i).size - s(i))
+    val avail = (0 until n).map(i => receivers(i).size - s(i))
     val take = allocate(avail, cap)
     mkOffset((0 until n).map(i => s(i) + take(i)))
   }
@@ -657,14 +684,14 @@ class MqttStream(host: String, port: Int, topics0: Seq[String],
     throw new UnsupportedOperationException(
       "admission-control source: Spark calls latestOffset(start, limit)")
   override def reportLatestOffset(): Offset =
-    mkOffset((0 until n).map(i => receiver(i).size))
+    mkOffset((0 until n).map(i => receivers(i).size))
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = offsets(start)
     val e = offsets(end)
     // one partition per shard with data this batch (empty shards planned
     // away — no point scheduling empty tasks)
     (0 until n).iterator
-      .map(i => MqttSlice(receiver(i).slice(s(i), e(i))))
+      .map(i => MqttSlice(receivers(i).slice(s(i), e(i))))
       .filter(_.rows.nonEmpty)
       .toArray[InputPartition]
   }
@@ -674,7 +701,7 @@ class MqttStream(host: String, port: Int, topics0: Seq[String],
   // backlog bound (round-8 self-review)
   override def commit(end: Offset): Unit = {
     val e = offsets(end)
-    (0 until n).foreach(i => receiver(i).trimTo(e(i)))
+    (0 until n).foreach(i => receivers(i).trimTo(e(i)))
   }
   override def stop(): Unit = ()
 }
