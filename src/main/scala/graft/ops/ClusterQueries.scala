@@ -59,6 +59,21 @@ object ClusterQueries {
     * trips. 10⁴ vectors ⇒ ≤ 5·10⁷ pairs per cluster — an easy task. */
   val SemDedupClusterCap = 10000
 
+  /** Auto-k for [[semDedup]] (k ≤ 0 means "size it for me"): target
+    * clusters of ~cap/4 vectors — comfortably under the abort cap with
+    * headroom for imbalance — from the corpus's measured vector count
+    * (cached, metadata-only), never below [[KmeansK]]. The same
+    * measure-then-encode pattern as LSH auto-geometry: the round-10 100×
+    * full-sweep probe tripped the cluster-cap guard exactly as designed
+    * ("raise k"), and this makes the raise self-applying. At test scale
+    * (n ≤ [[KmeansK]] · cap/4 = 20 k) it resolves to [[KmeansK]], so the
+    * static oracle is k-stable. An EXPLICIT k still wins — the guard still
+    * aborts if a caller undersizes it. */
+  private def resolveK(spark: SparkSession, dir: String, k: Int, cap: Int): Int =
+    if (k > 0) k
+    else math.max(KmeansK,
+      math.ceil(VectorQueries.corpusSize(spark, dir) / (cap / 4.0)).toInt)
+
   /** E-step: every vector of `vectors` (vec_id, e) argmax-cosine-assigned
     * to its nearest centroid in `cents` (cluster, ce) → (vec_id, e,
     * cluster). The `max_by` ordering struct (cos, -cluster) reproduces the
@@ -177,9 +192,9 @@ object ClusterQueries {
     * crosses cluster boundaries, so with k sized to hold clusters at ~10⁴
     * vectors the candidate volume is linear in n. Norms are computed once
     * per vector (not per pair), same as [[VectorQueries.embeddingPairs]]. */
-  def semDedup(spark: SparkSession, dir: String, k: Int = KmeansK,
+  def semDedup(spark: SparkSession, dir: String, k: Int = -1,
       tau: Double = SemDedupTau, cap: Int = SemDedupClusterCap): DataFrame = {
-    val raw = assigned(spark, dir, k)
+    val raw = assigned(spark, dir, resolveK(spark, dir, k, cap))
       .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
     // Oversized-cluster guard: computed on the per-cluster frame (k rows,
     // one evaluation per cluster) and joined back on the shuffle key the

@@ -57,8 +57,11 @@ object ClusterRegistry {
          |  CAST(CASE WHEN d.v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM a0 LEFT JOIN d ON a0.vec_id = d.v
          |ORDER BY a0.vec_id""".stripMargin)(
+      // k left at auto (-1): resolves to KmeansK at oracle scale (the SQL
+      // above hardcodes KmeansK seeds, and n ≤ 20 k keeps auto == KmeansK),
+      // and scales the cluster count past it — the cap guard stays armed
       (s, d) => ClusterQueries.semDedup(s, d,
-        k = ClusterQueries.KmeansK, tau = ClusterQueries.SemDedupTau)),
+        tau = ClusterQueries.SemDedupTau)),
 
     // m(m-1) is even, so the double division by 2 is exact and the BIGINT
     // cast truncates identically in both engines.

@@ -195,20 +195,40 @@ object VectorQueries {
       * (approximate) corpus vector count and every LSH query in this file
       * derives its banding from [[geometryFor]] instead of the fixed
       * defaults — e.g. `spark.conf.set(CorpusSizeConf, "1000000000")` plans
-      * 30 bands × 22 bits. Left unset, the defaults apply (8 × 8), which is
-      * exactly `geometryFor`'s regime for n ≲ 64 k — and keeps the static
-      * DuckDB oracle geometry-stable at test scale. An estimate is fine:
-      * recall degrades gradually with n (the cap-skip monitor
-      * [[VectorQueries.lshBucketStats]] is the alarm for a stale value). */
+      * 30 bands × 22 bits. An estimate is fine: recall degrades gradually
+      * with n (the cap-skip monitor [[VectorQueries.lshBucketStats]] is the
+      * alarm for a stale value). */
     val CorpusSizeConf = "spark.graft.lsh.corpusSize"
 
-    /** Effective (bands, bits) for this session — [[CorpusSizeConf]]-derived
-      * when set, the fixed defaults otherwise. */
-    def geometry(spark: SparkSession): (Int, Int) =
+    /** Defaults stop being `geometryFor`'s own answer above this corpus
+      * size; past it the geometry derives from the MEASURED count. */
+    val AutoThreshold = 65536L
+
+    /** Effective (bands, bits) for this corpus: [[CorpusSizeConf]] wins
+      * when set; otherwise the geometry AUTO-SIZES from the corpus's
+      * actual vector count (a cached metadata-only parquet count) once it
+      * exceeds [[AutoThreshold]] — the same measure-then-encode pattern as
+      * `SensorPipeline.autoStatePartitions`. Round-10's 100× full-sweep
+      * probe is why this stopped being conf-only: at 200 k vectors the
+      * n ≲ 64 k defaults put ~780 vectors in every bucket and the pair
+      * stage exploded ~600 M candidates — the documented knob existed and
+      * nothing applied it. Below the threshold the fixed defaults keep the
+      * static DuckDB oracle geometry-stable at test scale. */
+    def geometry(spark: SparkSession, dir: String): (Int, Int) =
       spark.conf.getOption(CorpusSizeConf)
         .map(n => geometryFor(n.trim.toLong))
-        .getOrElse((Bands, BitsPerBand))
+        .getOrElse {
+          val n = corpusSize(spark, dir)
+          if (n <= AutoThreshold) (Bands, BitsPerBand) else geometryFor(n)
+        }
   }
+
+  /** Corpus vector count per data dir, cached for the process (the data
+    * dirs are immutable inputs): drives LSH auto-geometry and SemDeDup
+    * auto-k. Parquet row counts are footer metadata — microseconds. */
+  private val corpusCounts = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private[ops] def corpusSize(spark: SparkSession, dir: String): Long =
+    corpusCounts.getOrElseUpdate(dir, emb(spark, dir).count())
 
   /** (bands × bits)-row hyperplane table: plane p's component d is ±1 by MD5
     * parity of "p:d" — deterministic, engine-portable pseudo-randomness (the
@@ -230,7 +250,7 @@ object VectorQueries {
     * [[EmbeddingLsh.geometry]]: corpus-size-derived when the
     * [[EmbeddingLsh.CorpusSizeConf]] knob is set, fixed defaults otherwise. */
   private def rawBands(spark: SparkSession, dir: String): DataFrame = {
-    val (nBands, bits) = EmbeddingLsh.geometry(spark)
+    val (nBands, bits) = EmbeddingLsh.geometry(spark, dir)
     emb(spark, dir)
       .crossJoin(broadcast(planes(spark, nBands * bits)))
       .select(col("vec_id"), col("p"), dot(col("e"), col("signs")).as("proj"))
@@ -451,26 +471,36 @@ object VectorQueries {
     else scoredEmbeddingPairs(spark, dir).filter(col("cos_sim") >= minCos)
 
   private def scoredEmbeddingPairs(spark: SparkSession, dir: String): DataFrame = {
-    // Band table feeds both sides of the candidate self-join — persist it so
-    // the 16 projections per vector run once, not once per side (signature
-    // materialization, same as the text-dedup family).
-    val b = bands(spark, dir).persist()
-    val a = b.select(col("band_idx"), col("band_val"), col("vec_id").as("vec_a"))
-    val c = b.select(col("band_idx"), col("band_val"), col("vec_id").as("vec_b"))
-    val pairs = a.join(c, Seq("band_idx", "band_val"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b")).distinct()
-    // Norms are per-VECTOR quantities: compute the n of them once here, never
-    // per candidate pair (the pair stage is ~200× larger than the vector
-    // table on this corpus) — cos = dot / (nrm_a · nrm_b) is the identical
-    // double expression tree as cosine(), so the oracle still matches bitwise.
+    // Arrays ride the BAND rows (n × bands — linear in the corpus), never
+    // the pair stream: both sides of the candidate self-join carry their
+    // vector + norm, the cosine is projected INSIDE the join's codegen
+    // pipeline, and the arrays are dropped before anything shuffles again —
+    // the only pair-volume shuffle is the 24-byte (vec_a, vec_b) distinct.
+    // The previous shape joined slim pairs back to the embedding table and
+    // shuffled/sorted the array-attached intermediate for the second join:
+    // ~560 B per CANDIDATE of spill, which filled the disk at the round-10
+    // 100× full-sweep probe (200 k vectors → ~10⁸ banded collisions →
+    // tens-of-GB sorts in q_dedup_embedding / q_mutual_knn /
+    // q_curation_multimodal). This shape's array-bearing relation is
+    // n × bands × ~560 B — ~100× smaller there, and the gap widens with n
+    // (at n = 10⁹ / 30 bands: ~17 TB vs ~2 PB of shuffle). A pair colliding
+    // in j bands is scored j times and collapsed by the distinct (identical
+    // deterministic expression ⇒ identical rows — oracle results are
+    // byte-for-byte what the old plan produced); the duplicate-score CPU is
+    // the price of never shuffling arrays at pair volume. Norms are still
+    // per-vector, computed once before the fan-out.
     val e = emb(spark, dir)
       .select(col("vec_id"), col("e"), sqrt(dot(col("e"), col("e"))).as("nrm"))
-    pairs
-      .join(e.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("nrm").as("na")), Seq("vec_a"))
-      .join(e.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("nrm").as("nb")), Seq("vec_b"))
+    val be = bands(spark, dir).join(e, Seq("vec_id")).persist()
+    val a = be.select(col("band_idx"), col("band_val"),
+      col("vec_id").as("vec_a"), col("e").as("ea"), col("nrm").as("na"))
+    val c = be.select(col("band_idx"), col("band_val"),
+      col("vec_id").as("vec_b"), col("e").as("eb"), col("nrm").as("nb"))
+    a.join(c, Seq("band_idx", "band_val"))
+      .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("cos_sim"))
+      .distinct()
   }
 
   /** Neighbors kept per node in the mutual-kNN graph (shared with the

@@ -24,7 +24,7 @@ class LshGeometrySpec extends SparkSpec {
   test("CorpusSizeConf drives the planned band count through the query path") {
     spark.conf.set(EmbeddingLsh.CorpusSizeConf, "1000000")
     try {
-      EmbeddingLsh.geometry(spark) shouldBe ((10, 12))
+      EmbeddingLsh.geometry(spark, sf) shouldBe ((10, 12))
       // one row per band in the census — the 12-bit/10-band geometry is what
       // the public query actually plans, not just what geometryFor returns
       val rows = VectorQueries.lshBucketStats(spark, sf).collect()
@@ -37,5 +37,21 @@ class LshGeometrySpec extends SparkSpec {
     val rows = VectorQueries.lshBucketStats(spark, "/root/testdata/sf0.1").collect()
     rows.length shouldBe EmbeddingLsh.Bands
     rows.map(_.getLong(3)).sum shouldBe 0L // n_skipped
+  }
+
+  test("geometry auto-sizes from the measured corpus count above the " +
+      "threshold and keeps the defaults below it (round-10)") {
+    // below AutoThreshold: defaults, so the static oracle geometry holds
+    EmbeddingLsh.geometry(spark, sf) shouldBe
+      ((EmbeddingLsh.Bands, EmbeddingLsh.BitsPerBand))
+    // the cached count is what the auto path reads; past the threshold the
+    // geometry must be geometryFor(n) — the 100× full-sweep failure mode
+    // (200 k vectors under the 8×8 defaults → ~780-vector buckets →
+    // ~6×10⁸ candidate pairs) is exactly what this flip prevents
+    EmbeddingLsh.geometryFor(200000L) shouldBe ((8, 10))
+    val conf = EmbeddingLsh.CorpusSizeConf
+    spark.conf.set(conf, "200000")
+    try EmbeddingLsh.geometry(spark, sf) shouldBe ((8, 10))
+    finally spark.conf.unset(conf)
   }
 }
