@@ -71,8 +71,18 @@ object ClusterQueries {
     * aborts if a caller undersizes it. */
   private def resolveK(spark: SparkSession, dir: String, k: Int, cap: Int): Int =
     if (k > 0) k
-    else math.max(KmeansK,
-      math.ceil(VectorQueries.corpusSize(spark, dir) / (cap / 4.0)).toInt)
+    else {
+      val n = VectorQueries.corpusSize(spark, dir)
+      val auto = math.max(KmeansK, math.ceil(n / (cap / 4.0)).toInt)
+      // the flip is a deliberate result change on corpus growth (cluster
+      // ids and keep/drop decisions shift with k, as they must) — say so
+      // once instead of changing silently (round-10 review)
+      if (auto != KmeansK && !loggedAutoK.getAndSet(true))
+        System.err.println(s"[graft-semdedup] auto k=$auto for $n vectors " +
+          s"(target cluster ~${cap / 4}; pass k explicitly to pin)")
+      auto
+    }
+  private val loggedAutoK = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   /** E-step: every vector of `vectors` (vec_id, e) argmax-cosine-assigned
     * to its nearest centroid in `cents` (cluster, ce) → (vec_id, e,
@@ -235,8 +245,11 @@ object ClusterQueries {
     * pipeline alerts on BEFORE the cap guard aborts a run (growing max
     * cluster size means k is falling behind corpus growth) — same role
     * [[VectorQueries.lshBucketStats]] plays for the LSH geometry. */
-  def clusterStats(spark: SparkSession, dir: String, k: Int = KmeansK): DataFrame =
-    assigned(spark, dir, k)
+  def clusterStats(spark: SparkSession, dir: String, k: Int = -1): DataFrame =
+    // default k auto-resolves IDENTICALLY to semDedup's (round-10 review:
+    // the cap-abort message points here, so the monitor must report the
+    // clustering semDedup actually runs, not the fixed seed count)
+    assigned(spark, dir, resolveK(spark, dir, k, SemDedupClusterCap))
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_vecs"))
       .select(col("cluster"), col("n_vecs"),

@@ -41,10 +41,12 @@ import graft.tables.Tables
   * similarity values, sign bits, and argmax assignments agree exactly; every
   * emitted double is `round`ed once at the output.
   *
-  * Persist contract: [[annLsh]] and [[dedupEmbedding]] `persist()` the banded
-  * signature table (it feeds both sides of the candidate join). The caller
-  * runs the plan and then clears the cache — see the identical contract note
-  * on [[DedupQueries]].
+  * Persist contract: [[annLsh]] `persist()`s the banded signature table, and
+  * [[dedupEmbedding]]/[[mutualKnn]] persist the band rows JOINED with their
+  * vectors + norms (n × bands rows × ~560 B — the arrays deliberately ride
+  * this linear relation so they never shuffle at pair volume; round-10).
+  * The caller runs the plan and then clears the cache — see the identical
+  * contract note on [[DedupQueries]].
   */
 object VectorQueries {
 
@@ -201,8 +203,11 @@ object VectorQueries {
     val CorpusSizeConf = "spark.graft.lsh.corpusSize"
 
     /** Defaults stop being `geometryFor`'s own answer above this corpus
-      * size; past it the geometry derives from the MEASURED count. */
-    val AutoThreshold = 65536L
+      * size; past it the geometry derives from the MEASURED count.
+      * Derived from the cap (E[bucket] = n/2^bits ≤ cap at n = 64 · cap
+      * under the 8-bit default) so the two constants cannot silently
+      * decouple (round-10 review). */
+    val AutoThreshold: Long = 64L * DedupQueries.SimhashBucketCap
 
     /** Effective (bands, bits) for this corpus: [[CorpusSizeConf]] wins
       * when set; otherwise the geometry AUTO-SIZES from the corpus's
@@ -219,16 +224,39 @@ object VectorQueries {
         .map(n => geometryFor(n.trim.toLong))
         .getOrElse {
           val n = corpusSize(spark, dir)
-          if (n <= AutoThreshold) (Bands, BitsPerBand) else geometryFor(n)
+          if (n <= AutoThreshold) (Bands, BitsPerBand)
+          else {
+            val g = geometryFor(n)
+            // candidate sets change with the geometry, as they must — log
+            // the flip once instead of changing silently (round-10 review)
+            if (!loggedAuto.getAndSet(true))
+              System.err.println(s"[graft-lsh] auto geometry " +
+                s"(bands=${g._1}, bits=${g._2}) for $n vectors; set " +
+                s"$CorpusSizeConf to pin")
+            g
+          }
         }
+    private val loggedAuto = new java.util.concurrent.atomic.AtomicBoolean(false)
   }
 
-  /** Corpus vector count per data dir, cached for the process (the data
-    * dirs are immutable inputs): drives LSH auto-geometry and SemDeDup
-    * auto-k. Parquet row counts are footer metadata — microseconds. */
+  /** Corpus vector count per data dir, cached for the process under the
+    * CANONICAL path (same normalization as `Staged`): drives LSH
+    * auto-geometry and SemDeDup auto-k. Parquet row counts are footer
+    * metadata — milliseconds. The cache assumes data dirs are immutable
+    * inputs (true of the testdata and blow-up dirs); a pipeline that
+    * rewrites a dir in-process should pin sizing via the explicit
+    * conf/k knobs instead. */
   private val corpusCounts = scala.collection.concurrent.TrieMap.empty[String, Long]
-  private[ops] def corpusSize(spark: SparkSession, dir: String): Long =
-    corpusCounts.getOrElseUpdate(dir, emb(spark, dir).count())
+  private[ops] def corpusSize(spark: SparkSession, dir: String): Long = {
+    val key = new java.io.File(dir).getCanonicalPath
+    corpusCounts.getOrElseUpdate(key, emb(spark, dir).count())
+  }
+  /** TEST HOOK: seed the corpus-count cache so the measured-count auto
+    * branch is exercisable without manufacturing a 64 k-vector dir. */
+  private[graft] def overrideCorpusCount(dir: String, n: Long): Unit =
+    corpusCounts.put(new java.io.File(dir).getCanonicalPath, n)
+  private[graft] def clearCorpusCount(dir: String): Unit =
+    corpusCounts.remove(new java.io.File(dir).getCanonicalPath)
 
   /** (bands × bits)-row hyperplane table: plane p's component d is ±1 by MD5
     * parity of "p:d" — deterministic, engine-portable pseudo-randomness (the
@@ -247,8 +275,9 @@ object VectorQueries {
     * word — so `bits × bands` can exceed 64 and no arithmetic-shift sign trap
     * exists in either engine. Broadcast join (plane table is tiny) → one dot
     * per (vector, plane) → map-side-combined groupBy. Geometry comes from
-    * [[EmbeddingLsh.geometry]]: corpus-size-derived when the
-    * [[EmbeddingLsh.CorpusSizeConf]] knob is set, fixed defaults otherwise. */
+    * [[EmbeddingLsh.geometry]]: the [[EmbeddingLsh.CorpusSizeConf]] knob
+    * when set, else AUTO-derived from the measured corpus count past
+    * [[EmbeddingLsh.AutoThreshold]], else the fixed defaults (round-10). */
   private def rawBands(spark: SparkSession, dir: String): DataFrame = {
     val (nBands, bits) = EmbeddingLsh.geometry(spark, dir)
     emb(spark, dir)
@@ -464,11 +493,18 @@ object VectorQueries {
     // banded collision) stays inline — staging it was measured net-negative
     // (millions of scored pairs: the checkpoint serialize cost more than
     // the one re-score it saved, the wide-intermediate lesson again).
+    {
+    // pre-warm the corpus-count cache OUTSIDE Staged's global build lock —
+    // the auto-geometry count is milliseconds, but nothing that runs a
+    // Spark action belongs under the lock every other staged build waits
+    // on (round-10 review)
+    corpusSize(spark, dir)
     if (minCos >= EmbeddingMinCos)
       Staged("embedding_pairs_dedup", spark, dir) {
         scoredEmbeddingPairs(spark, dir).filter(col("cos_sim") >= EmbeddingMinCos)
       }.filter(col("cos_sim") >= minCos)
     else scoredEmbeddingPairs(spark, dir).filter(col("cos_sim") >= minCos)
+    }
 
   private def scoredEmbeddingPairs(spark: SparkSession, dir: String): DataFrame = {
     // Arrays ride the BAND rows (n × bands — linear in the corpus), never

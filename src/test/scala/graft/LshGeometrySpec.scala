@@ -44,11 +44,19 @@ class LshGeometrySpec extends SparkSpec {
     // below AutoThreshold: defaults, so the static oracle geometry holds
     EmbeddingLsh.geometry(spark, sf) shouldBe
       ((EmbeddingLsh.Bands, EmbeddingLsh.BitsPerBand))
-    // the cached count is what the auto path reads; past the threshold the
-    // geometry must be geometryFor(n) — the 100× full-sweep failure mode
-    // (200 k vectors under the 8×8 defaults → ~780-vector buckets →
-    // ~6×10⁸ candidate pairs) is exactly what this flip prevents
+    // the MEASURED-count branch itself (no conf set): seed the cached
+    // count past the threshold and the geometry must flip to
+    // geometryFor(n) — the 100× full-sweep failure mode (200 k vectors
+    // under the 8×8 defaults → ~780-vector buckets → ~6×10⁸ candidate
+    // pairs) is exactly what this branch prevents
     EmbeddingLsh.geometryFor(200000L) shouldBe ((8, 10))
+    VectorQueries.overrideCorpusCount(sf, 200000L)
+    try EmbeddingLsh.geometry(spark, sf) shouldBe ((8, 10))
+    finally VectorQueries.clearCorpusCount(sf)
+    // back on the real (small) corpus: defaults again
+    EmbeddingLsh.geometry(spark, sf) shouldBe
+      ((EmbeddingLsh.Bands, EmbeddingLsh.BitsPerBand))
+    // and the conf override wins over any measured count
     val conf = EmbeddingLsh.CorpusSizeConf
     spark.conf.set(conf, "200000")
     try EmbeddingLsh.geometry(spark, sf) shouldBe ((8, 10))
