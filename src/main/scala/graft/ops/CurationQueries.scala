@@ -269,14 +269,20 @@ object CurationQueries {
     *
     * Shape at scale: the quality expressions are codegen'd per-row; the
     * decile assignment is ntile over (quality, doc_id) — a single total
-    * order, the same documented metadata-window trade as `q_ntile_percent`;
-    * the dup flag is one md5 partial-agg census joined back (AQE broadcasts
-    * the duplicated sliver); the rollup is a 10-row partial agg. */
+    * order, the same documented metadata-window trade as `q_ntile_percent` —
+    * but the window input is SLIM: `text` is hashed to `content_md5` in the
+    * pre-window projection and dropped, so the one sorting task carries four
+    * scalar columns, never document bodies (corpus-width payload through an
+    * unpartitioned window is the round-10 scale defect this shape closes);
+    * the dup flag is one md5 partial-agg census joined back on the
+    * precomputed column (AQE broadcasts the duplicated sliver); the rollup
+    * is a 10-row partial agg. */
   def qualityDupCalibration(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scored = scoredDocs(spark, dir)
-      .select(col("doc_id"), col("text"), col("n_tokens"), col("quality"))
-    val dupTexts = scored.groupBy(md5(col("text")).as("content_md5"))
+      .select(col("doc_id"), md5(col("text")).as("content_md5"),
+        col("n_tokens"), col("quality"))
+    val dupTexts = scored.groupBy(col("content_md5"))
       .agg(count(lit(1)).as("n_copies"))
       .filter(col("n_copies") >= 2)
       .select(col("content_md5"))
@@ -284,8 +290,7 @@ object CurationQueries {
       .withColumn("decile",
         ntile(CalibrationBands).over(
           Window.orderBy(col("quality"), col("doc_id"))).cast("long"))
-      .join(dupTexts.withColumn("dup", lit(1L)),
-        md5(col("text")) === col("content_md5"), "left")
+      .join(dupTexts.withColumn("dup", lit(1L)), Seq("content_md5"), "left")
     banded.groupBy(col("decile"))
       .agg(count(lit(1)).as("n_docs"),
         sum(coalesce(col("dup"), lit(0L))).as("n_dup"),

@@ -236,11 +236,37 @@ class PlanShapeSpec extends SparkSpec {
       // 1-row broadcast probe vector (exact arm of the ADC audit)
       "q_pq_search", "q_ivf_pq")
     SparkEntry.all.filter(_.oracle.isDefined).foreach { q =>
-      val p = plan(q.fn(spark, sf))
+      val df = q.fn(spark, sf)
+      val p = plan(df)
       assert(!p.contains("CartesianProduct"), s"${q.name} plans a cartesian:\n$p")
       if (!probeQueries(q.name))
         assert(!p.contains("BroadcastNestedLoopJoin"),
           s"${q.name} degrades to a nested-loop join:\n$p")
+      assertNoWidePayloadInGlobalWindow(q.name, df)
+    }
+  }
+
+  /** Round-10 scale defect, closed as a class: an UNPARTITIONED window sort
+    * funnels the whole stream through one task — tolerable only when the
+    * input is slim scalars (the documented metadata-window trade). A
+    * corpus-width payload riding that sort (document text, embedding
+    * arrays, binary blobs) turns it into a disk-filling single task at
+    * 100 TB. Checked against the optimized plan, so a projection that
+    * Catalyst can prune doesn't count — only columns that actually feed
+    * the sort. */
+  private def assertNoWidePayloadInGlobalWindow(name: String,
+      df: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    import org.apache.spark.sql.types.{ArrayType, BinaryType, MapType}
+    df.queryExecution.optimizedPlan.foreach {
+      case w: LWindow if w.partitionSpec.isEmpty =>
+        val wide = w.child.output.filter(a => a.dataType.isInstanceOf[ArrayType] ||
+          a.dataType.isInstanceOf[MapType] || a.dataType == BinaryType ||
+          a.name == "text" || a.name == "payload")
+        assert(wide.isEmpty,
+          s"$name feeds corpus-width column(s) ${wide.map(_.name).mkString(", ")} " +
+            s"through an unpartitioned window sort:\n${df.queryExecution.optimizedPlan}")
+      case _ =>
     }
   }
 
