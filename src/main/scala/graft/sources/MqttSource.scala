@@ -521,10 +521,47 @@ final case class MqttOffset(emitted: Long) extends Offset {
 }
 
 /** Sharded offset: one emitted count per topic-filter shard, in declared
-  * order. JSON is a bare array, so single-shard sources keep the bare-long
-  * [[MqttOffset]] and round-9 checkpoints stay readable unchanged. */
-final case class MqttShardOffset(emitted: IndexedSeq[Long]) extends Offset {
-  override def json(): String = emitted.mkString("[", ",", "]")
+  * order. The persisted JSON names each shard's topic FILTER —
+  * `{"plant/0/#":12,"plant/1/#":40}` — the way Spark's Kafka source keys
+  * offsets by topic-partition, so a restart validates shard IDENTITY, not
+  * just shard count: WAL subdirs and broker sessions are positional
+  * (`shard-<i>`, `-s<i>`), and a reordered/renamed `topics` list under an
+  * existing checkpoint would otherwise silently apply shard A's committed
+  * offset to shard B's receiver (skipping or re-emitting rows). Round-10
+  * checkpoints wrote a bare array (`[12,40]`, no filter identity); those
+  * deserialize with empty `filters` and keep the weaker count-only check.
+  * Single-shard sources keep the bare-long [[MqttOffset]] unchanged.
+  *
+  * `filters` rides a SECOND parameter list: case-class equality/unapply
+  * use the emitted counts only (offset comparison is positional by
+  * construction once identity is validated), and tests/legacy parses can
+  * omit it. */
+final case class MqttShardOffset(emitted: IndexedSeq[Long])(
+    val filters: IndexedSeq[String] = IndexedSeq.empty) extends Offset {
+  override def json(): String =
+    if (filters.isEmpty) emitted.mkString("[", ",", "]")
+    else {
+      require(filters.size == emitted.size,
+        s"${filters.size} filters vs ${emitted.size} shard offsets")
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().createObjectNode()
+      filters.zip(emitted).foreach { case (f, e) => node.put(f, e) }
+      node.toString
+    }
+}
+
+object MqttShardOffset {
+  /** Parse either persisted form: `{"filter":emitted,...}` (round-11,
+    * filter-keyed) or the legacy bare array (round-10, positional). */
+  def parse(json: String): MqttShardOffset =
+    if (json.startsWith("{")) {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      val fields = scala.jdk.CollectionConverters.IteratorHasAsScala(node.fields())
+        .asScala.map(e => e.getKey -> e.getValue.asLong()).toIndexedSeq
+      MqttShardOffset(fields.map(_._2))(fields.map(_._1))
+    } else
+      MqttShardOffset(json.stripPrefix("[").stripSuffix("]")
+        .split(",").iterator.map(_.trim).filter(_.nonEmpty)
+        .map(_.toLong).toIndexedSeq)()
 }
 
 /** The micro-batch slice ships its rows in the partition (transport-edge
