@@ -532,12 +532,17 @@ final case class MqttOffset(emitted: Long) extends Offset {
   * deserialize with empty `filters` and keep the weaker count-only check.
   * Single-shard sources keep the bare-long [[MqttOffset]] unchanged.
   *
-  * `filters` rides a SECOND parameter list: case-class equality/unapply
-  * use the emitted counts only (offset comparison is positional by
-  * construction once identity is validated), and tests/legacy parses can
-  * omit it. */
-final case class MqttShardOffset(emitted: IndexedSeq[Long])(
-    val filters: IndexedSeq[String] = IndexedSeq.empty) extends Offset {
+  * Equality/hashCode use the emitted counts only (offset comparison is
+  * positional by construction once identity is validated at planning
+  * time), so a filter-carrying offset equals its counts-only legacy
+  * parse — tests and legacy checkpoints can omit `filters`. */
+final case class MqttShardOffset(emitted: IndexedSeq[Long],
+    filters: IndexedSeq[String] = IndexedSeq.empty) extends Offset {
+  override def equals(o: Any): Boolean = o match {
+    case other: MqttShardOffset => emitted == other.emitted
+    case _ => false
+  }
+  override def hashCode(): Int = emitted.hashCode
   override def json(): String =
     if (filters.isEmpty) emitted.mkString("[", ",", "]")
     else {
@@ -557,11 +562,11 @@ object MqttShardOffset {
       val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
       val fields = scala.jdk.CollectionConverters.IteratorHasAsScala(node.fields())
         .asScala.map(e => e.getKey -> e.getValue.asLong()).toIndexedSeq
-      MqttShardOffset(fields.map(_._2))(fields.map(_._1))
+      MqttShardOffset(fields.map(_._2), fields.map(_._1))
     } else
       MqttShardOffset(json.stripPrefix("[").stripSuffix("]")
         .split(",").iterator.map(_.trim).filter(_.nonEmpty)
-        .map(_.toLong).toIndexedSeq)()
+        .map(_.toLong).toIndexedSeq)
 }
 
 /** The micro-batch slice ships its rows in the partition (transport-edge
@@ -594,6 +599,11 @@ class MqttStream(host: String, port: Int, topics0: Seq[String],
   private val topics: IndexedSeq[String] = topics0.toIndexedSeq
   private val n = topics.size
   require(n >= 1, "no topic filter given")
+  // Duplicate filters would collapse to one key in the filter-keyed offset
+  // JSON (object keys are unique), silently dropping a shard's offset —
+  // and two receivers on the same filter double-ingest anyway.
+  require(topics.distinct.size == n,
+    s"duplicate MQTT topic filters in 'topics': ${topics.mkString(", ")}")
 
   private def receiver(i: Int): MqttReceiver =
     MqttReceiver(host, port, topics(i),
@@ -620,6 +630,14 @@ class MqttStream(host: String, port: Int, topics0: Seq[String],
       }
       threads.foreach(_.start()); threads.foreach(_.join())
       errs.zipWithIndex.find(_._1 != null).foreach { case (t, i) =>
+        // don't leak the shards that DID come up: each holds a live broker
+        // session + WAL handle. Stop via the registry (remove + close) so a
+        // retry of the failed lazy val re-creates them instead of getting a
+        // closed cached receiver back.
+        made.indices.filter(made(_) != null).foreach { j =>
+          try MqttReceiver.stop(host, port, topics(j), s"$clientId-s$j")
+          catch { case _: Throwable => () }
+        }
         throw new IllegalStateException(
           s"MQTT shard $i (${topics(i)}) failed to start", t)
       }
@@ -632,13 +650,35 @@ class MqttStream(host: String, port: Int, topics0: Seq[String],
       require(n == 1, s"scalar MQTT offset $e against $n topic shards " +
         "(the topic list changed under an existing checkpoint?)")
       IndexedSeq(e)
-    case MqttShardOffset(e) =>
+    case so: MqttShardOffset =>
+      val e = so.emitted
       require(e.size == n, s"MQTT offset has ${e.size} shards, source has " +
         s"$n (the topic list changed under an existing checkpoint?)")
+      // Filter-keyed checkpoints (round-11+) validate shard IDENTITY, not
+      // just count: WAL subdirs and broker sessions are positional, so a
+      // reordered/renamed topics list under an existing checkpoint would
+      // silently apply shard A's committed offset to shard B's receiver.
+      // Legacy bare-array checkpoints carry no filters and keep the
+      // count-only check above.
+      if (so.filters.nonEmpty) {
+        require(so.filters.size == n,
+          s"MQTT offset names ${so.filters.size} shard filters, source has $n")
+        so.filters.zip(topics).zipWithIndex.collectFirst {
+          case ((ck, cfg), i) if ck != cfg => (ck, cfg, i)
+        }.foreach { case (ck, cfg, i) =>
+          throw new IllegalStateException(
+            s"MQTT shard $i identity mismatch: checkpoint was committed for " +
+              s"topic filter '$ck' but the source's 'topics' option now has " +
+              s"'$cfg' at that position. Shard state (WAL subdir, broker " +
+              "session) is positional — reordering or renaming filters under " +
+              "an existing checkpoint would replay the wrong shard's offset. " +
+              "Restore the original topics order, or start a fresh checkpoint.")
+        }
+      }
       e
   }
   private def mkOffset(e: IndexedSeq[Long]): Offset =
-    if (n == 1) MqttOffset(e.head) else MqttShardOffset(e)
+    if (n == 1) MqttOffset(e.head) else MqttShardOffset(e, topics)
 
   /** Waterfill `cap` rows over per-shard availability: repeated even
     * shares (leftovers to earlier shards), so a backlogged shard cannot
@@ -673,10 +713,7 @@ class MqttStream(host: String, port: Int, topics0: Seq[String],
   override def initialOffset(): Offset =
     mkOffset((0 until n).map(i => receivers(i).baseOffset))
   override def deserializeOffset(json: String): Offset =
-    if (json.startsWith("["))
-      MqttShardOffset(json.stripPrefix("[").stripSuffix("]")
-        .split(",").iterator.map(_.trim).filter(_.nonEmpty)
-        .map(_.toLong).toIndexedSeq)
+    if (json.startsWith("[") || json.startsWith("{")) MqttShardOffset.parse(json)
     else MqttOffset(json.toLong)
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {

@@ -694,6 +694,63 @@ class MqttSpec extends SparkSpec {
     } finally broker.close()
   }
 
+  test("filter-keyed offsets: a restart validates shard IDENTITY (reordered " +
+      "topics fail loudly); legacy array checkpoints keep the count-only check") {
+    import graft.sources.{MqttOffset, MqttShardOffset, MqttStream}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    // serde round-trip, no broker needed: the persisted object names each
+    // shard's filter, the way Spark's Kafka source keys topic-partitions
+    val o = MqttShardOffset(IndexedSeq(12L, 40L),
+      IndexedSeq("plant/0/#", "plant/1/#"))
+    o.json() shouldBe """{"plant/0/#":12,"plant/1/#":40}"""
+    val p = MqttShardOffset.parse(o.json())
+    p.emitted shouldBe IndexedSeq(12L, 40L)
+    p.filters shouldBe IndexedSeq("plant/0/#", "plant/1/#")
+    // round-10 bare-array form still parses, with no filter identity
+    val legacy = MqttShardOffset.parse("[12,40]")
+    legacy.emitted shouldBe IndexedSeq(12L, 40L)
+    legacy.filters shouldBe empty
+    // duplicate filters would collapse to one JSON key (and double-ingest):
+    // rejected at construction
+    val dup = intercept[IllegalArgumentException](
+      new MqttStream("127.0.0.1", 1883, Seq("d/#", "d/#"), "dup-cid", 100L))
+    dup.getMessage should include("duplicate")
+
+    val broker = new MiniBroker()
+    try {
+      val cid = s"ident-${broker.port}"
+      val topics = Seq("id/a/#", "id/b/#", "id/c/#")
+      val s1 = new MqttStream("127.0.0.1", broker.port, topics, cid, 100L)
+      val end = s1.latestOffset(s1.initialOffset(), ReadLimit.maxRows(10))
+      // the stream now persists filter identity...
+      end.json() should startWith("{")
+      // ...and deserializeOffset reads back all three persisted forms
+      val back = s1.deserializeOffset(end.json()).asInstanceOf[MqttShardOffset]
+      back.filters shouldBe topics.toIndexedSeq
+      s1.deserializeOffset("[0,0,0]") shouldBe
+        MqttShardOffset(IndexedSeq(0L, 0L, 0L))
+      s1.deserializeOffset("7") shouldBe MqttOffset(7L)
+      // same checkpoint, topics list REORDERED: shard state (WAL subdirs,
+      // broker sessions) is positional, so planning must fail naming the
+      // mismatched filter — not silently replay shard a's offset as shard b's
+      val s2 = new MqttStream("127.0.0.1", broker.port,
+        Seq("id/b/#", "id/a/#", "id/c/#"), s"$cid-re", 100L)
+      val e = intercept[IllegalStateException](
+        s2.latestOffset(s2.deserializeOffset(end.json()), ReadLimit.maxRows(10)))
+      e.getMessage should include("identity mismatch")
+      e.getMessage should include("id/a/#")
+      e.getMessage should include("id/b/#")
+      // a legacy array checkpoint carries no identity: the reordered stream
+      // keeps the documented weaker count-only check and plans
+      s2.latestOffset(s2.deserializeOffset("[0,0,0]"), ReadLimit.maxRows(10))
+      (0 until 3).foreach { i =>
+        MqttReceiver.stop("127.0.0.1", broker.port, topics(i), s"$cid-s$i")
+        MqttReceiver.stop("127.0.0.1", broker.port,
+          Seq("id/b/#", "id/a/#", "id/c/#")(i), s"$cid-re-s$i")
+      }
+    } finally broker.close()
+  }
+
   test("'topic' with a literal comma is ONE filter (commas are legal in " +
       "MQTT names); 'topics' is the shard list; both at once is an error") {
     import graft.sources.{MqttOffset, MqttShardOffset, MqttTable}
