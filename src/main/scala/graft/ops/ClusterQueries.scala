@@ -62,7 +62,7 @@ object ClusterQueries {
   /** Auto-k for [[semDedup]] (k ≤ 0 means "size it for me"): target
     * clusters of ~cap/4 vectors — comfortably under the abort cap with
     * headroom for imbalance — from the corpus's measured vector count
-    * (cached, metadata-only), never below [[KmeansK]]. The same
+    * (cached zero-column scan), never below [[KmeansK]]. The same
     * measure-then-encode pattern as LSH auto-geometry: the round-10 100×
     * full-sweep probe tripped the cluster-cap guard exactly as designed
     * ("raise k"), and this makes the raise self-applying. At test scale
@@ -245,15 +245,18 @@ object ClusterQueries {
     * pipeline alerts on BEFORE the cap guard aborts a run (growing max
     * cluster size means k is falling behind corpus growth) — same role
     * [[VectorQueries.lshBucketStats]] plays for the LSH geometry. */
-  def clusterStats(spark: SparkSession, dir: String, k: Int = -1): DataFrame =
+  def clusterStats(spark: SparkSession, dir: String, k: Int = -1,
+      cap: Int = SemDedupClusterCap): DataFrame =
     // default k auto-resolves IDENTICALLY to semDedup's (round-10 review:
     // the cap-abort message points here, so the monitor must report the
-    // clustering semDedup actually runs, not the fixed seed count)
-    assigned(spark, dir, resolveK(spark, dir, k, SemDedupClusterCap))
+    // clustering semDedup actually runs, not the fixed seed count) — and
+    // `cap` is the same parameter semDedup takes, so a caller running a
+    // custom cap monitors the headroom against THAT cap, not the default
+    assigned(spark, dir, resolveK(spark, dir, k, cap))
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_vecs"))
       .select(col("cluster"), col("n_vecs"),
         (col("n_vecs") * (col("n_vecs") - 1) / 2).cast("long").as("n_pairs"),
-        (lit(SemDedupClusterCap.toLong) - col("n_vecs")).as("cap_headroom"))
+        (lit(cap.toLong) - col("n_vecs")).as("cap_headroom"))
       .orderBy(col("cluster"))
 }

@@ -211,7 +211,7 @@ object VectorQueries {
 
     /** Effective (bands, bits) for this corpus: [[CorpusSizeConf]] wins
       * when set; otherwise the geometry AUTO-SIZES from the corpus's
-      * actual vector count (a cached metadata-only parquet count) once it
+      * actual vector count (a cached zero-column scan) once it
       * exceeds [[AutoThreshold]] — the same measure-then-encode pattern as
       * `SensorPipeline.autoStatePartitions`. Round-10's 100× full-sweep
       * probe is why this stopped being conf-only: at 200 k vectors the
@@ -241,22 +241,34 @@ object VectorQueries {
 
   /** Corpus vector count per data dir, cached for the process under the
     * CANONICAL path (same normalization as `Staged`): drives LSH
-    * auto-geometry and SemDeDup auto-k. Parquet row counts are footer
-    * metadata — milliseconds. The cache assumes data dirs are immutable
-    * inputs (true of the testdata and blow-up dirs); a pipeline that
-    * rewrites a dir in-process should pin sizing via the explicit
-    * conf/k knobs instead. */
+    * auto-geometry and SemDeDup auto-k. The count is ONE distributed
+    * zero-column scan (Catalyst prunes every column for a bare count, so
+    * tasks read parquet page headers, not data) — cheap and, unlike a
+    * driver-side footer walk, it stays cheap when the dir holds thousands
+    * of files. The cache assumes data dirs are immutable inputs (true of
+    * the testdata and blow-up dirs); a pipeline that rewrites a dir
+    * in-process should pin sizing via the explicit conf/k knobs instead. */
   private val corpusCounts = scala.collection.concurrent.TrieMap.empty[String, Long]
   private[ops] def corpusSize(spark: SparkSession, dir: String): Long = {
     val key = new java.io.File(dir).getCanonicalPath
     corpusCounts.getOrElseUpdate(key, emb(spark, dir).count())
   }
-  /** TEST HOOK: seed the corpus-count cache so the measured-count auto
-    * branch is exercisable without manufacturing a 64 k-vector dir. */
-  private[graft] def overrideCorpusCount(dir: String, n: Long): Unit =
-    corpusCounts.put(new java.io.File(dir).getCanonicalPath, n)
-  private[graft] def clearCorpusCount(dir: String): Unit =
-    corpusCounts.remove(new java.io.File(dir).getCanonicalPath)
+  /** TEST HOOK: run `body` with the corpus-count cache seeded to `n` for
+    * `dir` (so the measured-count auto branch is exercisable without
+    * manufacturing a 64 k-vector dir), restoring the prior entry — or its
+    * absence — on the way out. The cache is process-global; a seed that
+    * outlived its suite would poison every later auto-sizing decision for
+    * that dir in the same JVM. */
+  private[graft] def withCorpusCount[A](dir: String, n: Long)(body: => A): A = {
+    val key = new java.io.File(dir).getCanonicalPath
+    val prev = corpusCounts.get(key)
+    corpusCounts.put(key, n)
+    try body
+    finally prev match {
+      case Some(v) => corpusCounts.put(key, v)
+      case None => corpusCounts.remove(key)
+    }
+  }
 
   /** (bands × bits)-row hyperplane table: plane p's component d is ±1 by MD5
     * parity of "p:d" — deterministic, engine-portable pseudo-randomness (the

@@ -50,9 +50,9 @@ class LshGeometrySpec extends SparkSpec {
     // under the 8×8 defaults → ~780-vector buckets → ~6×10⁸ candidate
     // pairs) is exactly what this branch prevents
     EmbeddingLsh.geometryFor(200000L) shouldBe ((8, 10))
-    VectorQueries.overrideCorpusCount(sf, 200000L)
-    try EmbeddingLsh.geometry(spark, sf) shouldBe ((8, 10))
-    finally VectorQueries.clearCorpusCount(sf)
+    VectorQueries.withCorpusCount(sf, 200000L) {
+      EmbeddingLsh.geometry(spark, sf) shouldBe ((8, 10))
+    }
     // back on the real (small) corpus: defaults again
     EmbeddingLsh.geometry(spark, sf) shouldBe
       ((EmbeddingLsh.Bands, EmbeddingLsh.BitsPerBand))

@@ -254,18 +254,36 @@ class PlanShapeSpec extends SparkSpec {
     * 100 TB. Checked against the optimized plan, so a projection that
     * Catalyst can prune doesn't count — only columns that actually feed
     * the sort. */
+  /** StringType columns KNOWN slim (bounded length/cardinality: hashes,
+    * codes, enum-ish labels, entity names) that may ride an unpartitioned
+    * window sort. Anything stringly NOT on this list is treated as
+    * potentially corpus-width — a document body under a name other than
+    * 'text' (e.g. 'content', 'body') must not slip past a name blacklist
+    * (round-11 advice), so the guard is allowlist-shaped instead. */
+  private val slimStrings = Set(
+    "content_md5", "fp", "hash", "bucket", "topic", "lang", "language",
+    "source", "domain", "split", "split_name", "kind", "media_type", "fmt",
+    "device", "sensor", "status", "segment", "stratum", "phase", "arm",
+    "l_returnflag", "l_linestatus", "o_orderpriority", "o_orderstatus",
+    "p_brand", "p_type", "p_container", "c_mktsegment", "n_name", "r_name",
+    "s_name", "c_name", "p_name", "week", "day", "month", "grp", "key",
+    "metric", "name", "label", "term", "token", "word", "ngram", "event_type",
+    "stage_type", "stage_name")
+
   private def assertNoWidePayloadInGlobalWindow(name: String,
       df: org.apache.spark.sql.DataFrame): Unit = {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
-    import org.apache.spark.sql.types.{ArrayType, BinaryType, MapType}
+    import org.apache.spark.sql.types.{ArrayType, BinaryType, MapType, StringType}
     df.queryExecution.optimizedPlan.foreach {
       case w: LWindow if w.partitionSpec.isEmpty =>
         val wide = w.child.output.filter(a => a.dataType.isInstanceOf[ArrayType] ||
           a.dataType.isInstanceOf[MapType] || a.dataType == BinaryType ||
-          a.name == "text" || a.name == "payload")
+          (a.dataType == StringType && !slimStrings(a.name.toLowerCase)))
         assert(wide.isEmpty,
-          s"$name feeds corpus-width column(s) ${wide.map(_.name).mkString(", ")} " +
-            s"through an unpartitioned window sort:\n${df.queryExecution.optimizedPlan}")
+          s"$name feeds corpus-width (or unvetted string) column(s) " +
+            s"${wide.map(_.name).mkString(", ")} through an unpartitioned " +
+            "window sort - if the column is genuinely slim, add it to " +
+            s"slimStrings:\n${df.queryExecution.optimizedPlan}")
       case _ =>
     }
   }
