@@ -13,13 +13,22 @@ object Verify {
       .getOrCreate()
     GraftExtensions.ensureRegistered(spark)
     spark.sparkContext.setLogLevel("WARN")
-    // The DuckDB oracles bake EmbeddingLsh's DEFAULT geometry at object
-    // construction; a leaked corpus-size conf would re-plan the Spark side
-    // of four vector/multimodal queries and produce opaque hash mismatches.
-    // Fail here with a clear message instead.
-    require(spark.conf.getOption(ops.VectorQueries.EmbeddingLsh.CorpusSizeConf).isEmpty,
-      s"${ops.VectorQueries.EmbeddingLsh.CorpusSizeConf} must be unset during oracle runs: " +
-        "the DuckDB oracles assume the default LSH geometry")
+    // The DuckDB oracles bake EmbeddingLsh geometry at object construction
+    // — the fixed defaults, or geometryFor(SPARK_GRAFT_ORACLE_CORPUS) when
+    // a blown-up-scale oracle sweep pins a corpus count (round-12). Keep
+    // the engine in lock-step: pin the conf from the SAME env var, and
+    // fail on a conf the oracle side doesn't know about (a leaked conf
+    // would re-plan the Spark side of the vector/multimodal queries and
+    // produce opaque hash mismatches).
+    ops.VectorQueries.EmbeddingLsh.oracleCorpus match {
+      case Some(n) =>
+        spark.conf.set(ops.VectorQueries.EmbeddingLsh.CorpusSizeConf, n.toString)
+      case None =>
+        require(spark.conf.getOption(ops.VectorQueries.EmbeddingLsh.CorpusSizeConf).isEmpty,
+          s"${ops.VectorQueries.EmbeddingLsh.CorpusSizeConf} must be unset during oracle runs: " +
+            "the DuckDB oracles assume the default LSH geometry (set " +
+            "SPARK_GRAFT_ORACLE_CORPUS to size BOTH sides from one count)")
+    }
     new java.io.File(outDir).mkdirs()
     // Local-iteration filter (same contract as Bench): SPARK_GRAFT_ONLY=q_a,q_b
     // verifies just those; the driver sets nothing and gets the full dump.

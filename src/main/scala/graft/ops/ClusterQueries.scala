@@ -72,7 +72,12 @@ object ClusterQueries {
   private def resolveK(spark: SparkSession, dir: String, k: Int, cap: Int): Int =
     if (k > 0) k
     else {
-      val n = VectorQueries.corpusSize(spark, dir)
+      // the pinned corpus-size conf drives auto-k the same way it drives
+      // LSH geometry (one sizing knob, every auto-sizer) — else the
+      // cached measured count
+      val n = spark.conf.getOption(VectorQueries.EmbeddingLsh.CorpusSizeConf)
+        .map(_.trim.toLong)
+        .getOrElse(VectorQueries.corpusSize(spark, dir))
       val auto = math.max(KmeansK, math.ceil(n / (cap / 4.0)).toInt)
       // the flip is a deliberate result change on corpus growth (cluster
       // ids and keep/drop decisions shift with k, as they must) — say so
@@ -83,6 +88,15 @@ object ClusterQueries {
       auto
     }
   private val loggedAutoK = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** k the ORACLE SQL renders q_semdedup's seed centroids with: auto-k of
+    * [[VectorQueries.EmbeddingLsh.oracleCorpus]] when the blown-up-scale
+    * oracle sweep pins a corpus count (same rule as [[resolveK]] under the
+    * pinned conf), else [[KmeansK]] — the auto answer at test scale. */
+  def oracleK(cap: Int = SemDedupClusterCap): Int =
+    VectorQueries.EmbeddingLsh.oracleCorpus
+      .map(n => math.max(KmeansK, math.ceil(n / (cap / 4.0)).toInt))
+      .getOrElse(KmeansK)
 
   /** E-step: every vector of `vectors` (vec_id, e) argmax-cosine-assigned
     * to its nearest centroid in `cents` (cluster, ce) → (vec_id, e,

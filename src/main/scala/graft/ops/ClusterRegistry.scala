@@ -10,11 +10,15 @@ object ClusterRegistry {
 
   import VectorRegistry.{cos, embCte}
 
-  /** Seed-centroid assignment CTE chain shared by both queries: every vector
-    * argmax-cosine-assigned to centroids = vectors 0..k-1. */
-  private val assignCtes =
+  /** Seed-centroid assignment CTE chain shared by the queries: every vector
+    * argmax-cosine-assigned to centroids = vectors 0..k-1. The two
+    * pinned-k queries render with [[ClusterQueries.KmeansK]]; q_semdedup
+    * renders with [[ClusterQueries.oracleK]] so a blown-up-scale oracle
+    * sweep (SPARK_GRAFT_ORACLE_CORPUS) seeds the same auto-k the engine
+    * resolves under the pinned corpus-size conf. */
+  private def assignCtes(k: Int = ClusterQueries.KmeansK) =
     s"""cents0 AS (SELECT vec_id AS cluster, e AS ce FROM emb
-       |           WHERE vec_id < ${ClusterQueries.KmeansK}),
+       |           WHERE vec_id < $k),
        |x0 AS (SELECT emb.vec_id, emb.e, cents0.cluster, ${cos("e", "ce")} AS cs,
        |         row_number() OVER (PARTITION BY emb.vec_id
        |                            ORDER BY ${cos("e", "ce")} DESC, cents0.cluster) AS rn
@@ -26,7 +30,7 @@ object ClusterRegistry {
     // pass; generate_series(1, len(e)) is inclusive = len(e) positions.
     QueryDef("q_kmeans_refine",
       s"""WITH $embCte,
-         |$assignCtes,
+         |${assignCtes()},
          |mexp AS (SELECT cluster, unnest(generate_series(1, len(e))) - 1 AS pos,
          |                unnest(e) AS v
          |         FROM a0),
@@ -46,7 +50,7 @@ object ClusterRegistry {
 
     QueryDef("q_semdedup",
       s"""WITH $embCte,
-         |$assignCtes,
+         |${assignCtes(ClusterQueries.oracleK())},
          |p AS (SELECT b.vec_id AS v
          |      FROM a0 a JOIN a0 b
          |        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
@@ -57,9 +61,11 @@ object ClusterRegistry {
          |  CAST(CASE WHEN d.v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM a0 LEFT JOIN d ON a0.vec_id = d.v
          |ORDER BY a0.vec_id""".stripMargin)(
-      // k left at auto (-1): resolves to KmeansK at oracle scale (the SQL
-      // above hardcodes KmeansK seeds, and n ≤ 20 k keeps auto == KmeansK),
-      // and scales the cluster count past it — the cap guard stays armed
+      // k left at auto (-1): at plain oracle scale it resolves to KmeansK
+      // (n ≤ 20 k) and the SQL seeds KmeansK centroids; under
+      // SPARK_GRAFT_ORACLE_CORPUS both sides derive the SAME auto-k from
+      // the pinned count (oracleK above ↔ resolveK under the conf Verify
+      // pins) — the cap guard stays armed either way
       (s, d) => ClusterQueries.semDedup(s, d,
         tau = ClusterQueries.SemDedupTau)),
 
@@ -67,7 +73,7 @@ object ClusterRegistry {
     // cast truncates identically in both engines.
     QueryDef("q_cluster_stats",
       s"""WITH $embCte,
-         |$assignCtes,
+         |${assignCtes()},
          |g AS (SELECT cluster, count(*) AS n_vecs FROM a0 GROUP BY 1)
          |SELECT cluster, n_vecs,
          |  CAST(n_vecs * (n_vecs - 1) / 2 AS BIGINT) AS n_pairs,

@@ -209,6 +209,32 @@ object VectorQueries {
       * decouple (round-10 review). */
     val AutoThreshold: Long = 64L * DedupQueries.SimhashBucketCap
 
+    /** Corpus count the ORACLE SQL should size for (round-12): set the
+      * `SPARK_GRAFT_ORACLE_CORPUS` env var and every registry oracle that
+      * interpolates LSH geometry or SemDeDup k renders with
+      * [[geometryFor]]/auto-k of THIS count — the same sizing rule the
+      * engine applies when [[CorpusSizeConf]] is pinned to the same value
+      * (graft.Verify pins it automatically from the env var). This is how
+      * the auto-sized keys get HASH-checked at blown-up scale instead of
+      * merely running without errors: one count, two engines, same rule. */
+    def oracleCorpus: Option[Long] =
+      sys.env.get("SPARK_GRAFT_ORACLE_CORPUS").map { s =>
+        // registries read this at object init — a bare toLong would
+        // surface as an opaque ExceptionInInitializerError with no hint
+        // of the env var (round-12 review)
+        try s.trim.toLong
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_ORACLE_CORPUS must be a corpus row count, got '$s'")
+        }
+      }
+
+    /** (bands, bits) the registry oracle SQL renders with: mirrors the
+      * engine's [[CorpusSizeConf]] path (geometryFor, unconditionally)
+      * when [[oracleCorpus]] is set, else the fixed test-scale defaults. */
+    def oracleGeometry: (Int, Int) =
+      oracleCorpus.map(geometryFor(_)).getOrElse((Bands, BitsPerBand))
+
     /** Effective (bands, bits) for this corpus: [[CorpusSizeConf]] wins
       * when set; otherwise the geometry AUTO-SIZES from the corpus's
       * actual vector count (a cached zero-column scan) once it

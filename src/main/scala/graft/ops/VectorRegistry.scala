@@ -22,12 +22,18 @@ object VectorRegistry {
   private[ops] val embCte =
     "emb AS (SELECT vec_id, CAST(label AS BIGINT) AS label, embedding::DOUBLE[] AS e FROM embeddings)"
 
+  /** Oracle-side LSH geometry: the fixed 8 × 8 defaults, or
+    * geometryFor(SPARK_GRAFT_ORACLE_CORPUS) when the blown-up-scale
+    * oracle sweep pins a corpus count (round-12; graft.Verify pins the
+    * engine's CorpusSizeConf to the same value). */
+  private val (ogBands, ogBits) = VectorQueries.EmbeddingLsh.oracleGeometry
+
   /** ±1 hyperplane components by MD5 parity of "p:d" (TextQueries.hash48);
-    * 8 bands × 8 bits = 64 planes (VectorQueries.EmbeddingLsh). */
+    * bands × bits planes (VectorQueries.EmbeddingLsh). */
   private val planesCte =
     s"""planes AS (SELECT p, list_transform(range(0, 64), d ->
        |  CAST(1 - 2 * ((('0x' || substr(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 12))::BIGINT) % 2) AS DOUBLE)) AS signs
-       |FROM (SELECT unnest(range(0, ${VectorQueries.EmbeddingLsh.Bands * VectorQueries.EmbeddingLsh.BitsPerBand})) AS p))""".stripMargin
+       |FROM (SELECT unnest(range(0, ${ogBands * ogBits})) AS p))""".stripMargin
 
   /** Per-(vec, band) sign-bit packing — band values aggregated directly
     * (mirrors VectorQueries.rawBands; no 64-bit signature word, no
@@ -35,9 +41,9 @@ object VectorRegistry {
   private val bands0Cte =
     s"""proj AS (SELECT vec_id, p, ${dot("e", "signs")} AS proj
        |         FROM emb CROSS JOIN planes),
-       |bands0 AS (SELECT vec_id, p // ${VectorQueries.EmbeddingLsh.BitsPerBand} AS band_idx,
+       |bands0 AS (SELECT vec_id, p // $ogBits AS band_idx,
        |             CAST(sum(CASE WHEN proj >= 0
-       |                           THEN (1::BIGINT << CAST(p % ${VectorQueries.EmbeddingLsh.BitsPerBand} AS INT))
+       |                           THEN (1::BIGINT << CAST(p % $ogBits AS INT))
        |                           ELSE 0::BIGINT END) AS BIGINT) AS band_val
        |           FROM proj GROUP BY 1, 2)""".stripMargin
 

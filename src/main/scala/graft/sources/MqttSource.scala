@@ -98,20 +98,7 @@ private[sources] final class MqttWal(dir: java.nio.file.Path, rollEvery: Int = 4
     * the last segment (crash mid-append) is dropped — it was never exposed
     * nor acked, so the broker still owns it and will redeliver. */
   val (recoveredBase: Long, recovered: Vector[(String, String, Int)]) = {
-    val segs = {
-      val found = mutable.Buffer.empty[(Long, java.nio.file.Path)]
-      val stream = Files.list(dir)
-      try {
-        val it = stream.iterator()
-        while (it.hasNext) {
-          val p = it.next()
-          val n = p.getFileName.toString
-          if (n.startsWith("wal-") && n.endsWith(".log"))
-            found += ((n.stripPrefix("wal-").stripSuffix(".log").toLong, p))
-        }
-      } finally stream.close()
-      found.sortBy(_._1)
-    }
+    val segs = MqttWal.listSegments(dir)
     val all = Vector.newBuilder[(String, String, Int)]
     var expect = segs.headOption.map(_._1).getOrElse(0L)
     segs.foreach { case (start, path) =>
@@ -165,6 +152,15 @@ private[sources] final class MqttWal(dir: java.nio.file.Path, rollEvery: Int = 4
   // partial record); a fresh segment starts at the recovered high-water
   private def openSegment(): Unit = {
     val path = dir.resolve(f"wal-$next%020d.log")
+    // a crash between a roll and the first durable record leaves a
+    // ZERO-record recovered segment at exactly this path; drop its stale
+    // entry before re-opening, or trimTo would see two Segment objects for
+    // one file, classify the recovered one dead (it is not `eq` to the
+    // active one) and delete the file the fresh writer is appending to —
+    // fatal now that MqttWalSlice readers read these files (round-12
+    // review)
+    val keep = segments.filter(_.path != path)
+    segments.clear(); segments ++= keep
     val fos = new FileOutputStream(path.toFile)
     out = new DataOutputStream(new java.io.BufferedOutputStream(fos))
     outFd = fos.getFD
@@ -231,6 +227,110 @@ private[sources] final class MqttWal(dir: java.nio.file.Path, rollEvery: Int = 4
   }
 }
 
+private[graft] object MqttWal {
+  import java.io.{DataInputStream, EOFException}
+  import java.nio.file.Files
+
+  /** `wal-<startOffset>.log` files in `dir`, sorted by start offset — the
+    * ONE place the segment-name contract lives (recovery and the
+    * executor-side range reader both call this; round-12 review). */
+  private[sources] def listSegments(
+      dir: java.nio.file.Path): IndexedSeq[(Long, java.nio.file.Path)] = {
+    val found = scala.collection.mutable.Buffer.empty[(Long, java.nio.file.Path)]
+    val stream = Files.list(dir)
+    try {
+      val it = stream.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val n = p.getFileName.toString
+        if (n.startsWith("wal-") && n.endsWith(".log"))
+          found += ((n.stripPrefix("wal-").stripSuffix(".log").toLong, p))
+      }
+    } finally stream.close()
+    found.sortBy(_._1).toIndexedSeq
+  }
+
+  /** Executor-side range read over the segment files in `dir` — see
+    * [[readRange]]. AutoCloseable so a partition reader abandoned before
+    * exhaustion (limit/take, task kill, downstream error) still releases
+    * the open segment stream instead of leaking the fd (round-12 review);
+    * fully draining the iterator also closes it. */
+  final class WalRangeIterator(dir: java.nio.file.Path, start: Long, until: Long)
+      extends Iterator[(String, String)] with AutoCloseable {
+    private val empty = until <= start
+    private val segs: IndexedSeq[(Long, java.nio.file.Path)] =
+      if (empty) IndexedSeq.empty else listSegments(dir)
+    require(empty || (segs.nonEmpty && segs.head._1 <= start),
+      s"WAL $dir holds no segment at or below offset $start " +
+        s"(first segment: ${segs.headOption.map(_._1)}) — trimmed past the range?")
+    // segment i covers [segs(i)._1, segs(i+1)._1) (the last: to its EOF);
+    // keep those overlapping [start, until)
+    private val relevant = segs.zipWithIndex.filter { case ((segStart, _), i) =>
+      segStart < until && (i + 1 >= segs.size || segs(i + 1)._1 > start)
+    }.map(_._1)
+    private var off = 0L
+    private var segIdx = 0
+    private var in: DataInputStream = null
+    private def readStr(): String = {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      new String(b, java.nio.charset.StandardCharsets.UTF_8)
+    }
+    private def readRecord(): (String, String) =
+      try {
+        val t = readStr(); val p = readStr(); in.readInt() // pid unused here
+        (t, p)
+      } catch {
+        case _: EOFException => throw new IllegalStateException(
+          s"WAL $dir ended before planned record $off of [$start, $until) " +
+            "— segment truncated under the range?")
+      }
+    private def openNext(): Unit = {
+      if (in != null) in.close()
+      val (segStart, path) = relevant(segIdx)
+      off = segStart
+      in = new DataInputStream(new java.io.BufferedInputStream(
+        Files.newInputStream(path)))
+    }
+    // position at `start`: open the first relevant segment, skip-scan
+    if (!empty) {
+      openNext()
+      while (off < start) { readRecord(); off += 1 }
+    }
+    override def close(): Unit = {
+      if (in != null) { in.close(); in = null }
+    }
+    override def hasNext: Boolean = {
+      val more = !empty && off < until
+      if (!more) close()
+      more
+    }
+    override def next(): (String, String) = {
+      // a range can straddle segments: roll when the current one is done
+      // (the next segment's name says where the current one ends)
+      while (segIdx + 1 < relevant.size && off >= relevant(segIdx + 1)._1) {
+        segIdx += 1; openNext()
+      }
+      val r = readRecord(); off += 1; r
+    }
+  }
+
+  /** Executor-side range read: records [start, until) straight from the
+    * segment files in `dir`, no receiver state. Segment names carry their
+    * start offset, so whole segments below the range are skipped without
+    * opening them; within the first relevant segment the reader skip-scans
+    * (segments are ≤ rollEvery records). Safe against the live writer:
+    * every record below a PLANNED `until` was fsync'd before planning saw
+    * it, so the bytes are complete; appends past `until` are simply never
+    * reached, and the EOF guard turns a torn concurrent tail into a loud
+    * error instead of a short read. */
+  def readRange(dir: java.nio.file.Path, start: Long, until: Long): WalRangeIterator = {
+    require(until >= start, s"bad WAL range [$start, $until)")
+    new WalRangeIterator(dir, start, until)
+  }
+}
+
 /** Driver-side buffering subscriber. One per (host, port, topic, clientId)
   * per process — the registry decouples subscription lifetime from query
   * lifetime, so offsets stay valid across query restarts in-process; with
@@ -268,6 +368,10 @@ final class MqttReceiver(host: String, port: Int, topic: String,
 
   private val wal: Option[MqttWal] =
     walDir.map(d => new MqttWal(java.nio.file.Paths.get(d), walRollEvery))
+  /** The WAL directory, when one exists — lets the stream plan
+    * [[MqttWalSlice]] partitions (executor-side segment reads) instead of
+    * shipping row bytes inside the partition. */
+  private[sources] def walPath: Option[String] = walDir
   /** (packet id → content hash) of buffered messages — consulted only for
     * DUP deliveries, and a redelivery counts as already-buffered only when
     * BOTH the pid and the (topic, payload) hash match: pid alone would
@@ -454,6 +558,12 @@ object MqttReceiver {
       new MqttReceiver(host, port, topic, cid, maxBuffered, walDir, walRollEvery))
   }
 
+  /** Whether a receiver for this endpoint already lives in the registry
+    * (no side effects — lets shard init tell reused receivers, which hold
+    * acked driver-buffered rows, from ones it is about to create). */
+  def registered(host: String, port: Int, topic: String, clientId: String): Boolean =
+    receivers.contains(key(host, port, topic, clientId))
+
   /** Stop and forget one receiver (used by bounded exercises; a live-tail
     * deployment keeps its receiver for the process lifetime). */
   def stop(host: String, port: Int, topic: String, clientId: String): Unit =
@@ -569,11 +679,27 @@ object MqttShardOffset {
         .map(_.toLong).toIndexedSeq)
 }
 
-/** The micro-batch slice ships its rows in the partition (transport-edge
-  * rows are driver-resident by construction; with topic shards each shard
-  * backs its OWN partition, so scan parallelism is the shard count and
-  * further parallelism comes from the downstream shuffle). */
+/** The micro-batch slice ships its rows in the partition — the fallback
+  * when no WAL exists (transport-edge rows are then driver-resident by
+  * construction; with topic shards each shard backs its OWN partition, so
+  * scan parallelism is the shard count and further parallelism comes from
+  * the downstream shuffle). */
 final case class MqttSlice(rows: Array[(String, String)]) extends InputPartition
+
+/** WAL-backed slice: the partition carries only the shard's WAL directory
+  * and the offset range — the EXECUTOR reads the records from the segment
+  * files ([[MqttWal.readRange]]), so per-batch row bytes come off storage
+  * instead of being serialized through the driver with every task
+  * (round-11 verdict #4: with [[MqttSlice]] all shard traffic transited
+  * the driver heap/NIC twice — once at ingest, again at every batch).
+  * Correctness lean: every record below the planned `until` was fsync'd
+  * before it was exposed to planning, and commit-trimming only deletes
+  * segments wholly below the committed offset, so the files a planned
+  * range needs exist and hold complete bytes for the whole range. On a
+  * multi-machine cluster `walDir` must live on storage the executors can
+  * read (NFS/DFS) — the same contract as Spark's own file sources. */
+final case class MqttWalSlice(dir: String, start: Long, until: Long)
+    extends InputPartition
 
 /** Micro-batch stream over one or more MQTT topic-filter shards.
   *
@@ -620,6 +746,13 @@ class MqttStream(host: String, port: Int, topics0: Seq[String],
   private lazy val receivers: IndexedSeq[MqttReceiver] = {
     if (n == 1) IndexedSeq(receiver(0))
     else {
+      // receivers that predate this init attempt hold acked, driver-buffered
+      // rows (for WAL-less sources those rows exist NOWHERE else — the
+      // broker will not redeliver acked QoS 1 messages), so a partial
+      // failure must leave them alive for the retry and stop only the
+      // receivers THIS attempt created (round-12 review)
+      val preexisting = (0 until n).map(i =>
+        MqttReceiver.registered(host, port, topics(i), s"$clientId-s$i"))
       val made = new Array[MqttReceiver](n)
       val errs = new Array[Throwable](n)
       val threads = (0 until n).map { i =>
@@ -630,11 +763,12 @@ class MqttStream(host: String, port: Int, topics0: Seq[String],
       }
       threads.foreach(_.start()); threads.foreach(_.join())
       errs.zipWithIndex.find(_._1 != null).foreach { case (t, i) =>
-        // don't leak the shards that DID come up: each holds a live broker
-        // session + WAL handle. Stop via the registry (remove + close) so a
-        // retry of the failed lazy val re-creates them instead of getting a
-        // closed cached receiver back.
-        made.indices.filter(made(_) != null).foreach { j =>
+        // don't leak the shards this attempt started: each holds a live
+        // broker session + WAL handle nobody will ever use (the failed
+        // lazy val retries from scratch). Stop via the registry (remove +
+        // close) so the retry re-creates them instead of getting a closed
+        // cached receiver back.
+        made.indices.filter(j => made(j) != null && !preexisting(j)).foreach { j =>
           try MqttReceiver.stop(host, port, topics(j), s"$clientId-s$j")
           catch { case _: Throwable => () }
         }
@@ -763,10 +897,17 @@ class MqttStream(host: String, port: Int, topics0: Seq[String],
     val s = offsets(start)
     val e = offsets(end)
     // one partition per shard with data this batch (empty shards planned
-    // away — no point scheduling empty tasks)
+    // away — no point scheduling empty tasks). WAL-backed shards plan a
+    // path+range partition (the executor reads the segment bytes itself);
+    // WAL-less shards fall back to shipping the driver-buffered rows.
     (0 until n).iterator
-      .map(i => MqttSlice(receivers(i).slice(s(i), e(i))))
-      .filter(_.rows.nonEmpty)
+      .filter(i => e(i) > s(i))
+      .map[InputPartition] { i =>
+        receivers(i).walPath match {
+          case Some(d) => MqttWalSlice(d, s(i), e(i))
+          case None => MqttSlice(receivers(i).slice(s(i), e(i)))
+        }
+      }
       .toArray[InputPartition]
   }
   override def createReaderFactory(): PartitionReaderFactory = MqttReaderFactory
@@ -781,14 +922,29 @@ class MqttStream(host: String, port: Int, topics0: Seq[String],
 }
 
 object MqttReaderFactory extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val rows = partition.asInstanceOf[MqttSlice].rows
-    new PartitionReader[InternalRow] {
-      private var i = -1
-      override def next(): Boolean = { i += 1; i < rows.length }
-      override def get(): InternalRow = InternalRow(
-        UTF8String.fromString(rows(i)._1), UTF8String.fromString(rows(i)._2))
-      override def close(): Unit = ()
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case MqttSlice(rows) =>
+        new PartitionReader[InternalRow] {
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < rows.length }
+          override def get(): InternalRow = InternalRow(
+            UTF8String.fromString(rows(i)._1), UTF8String.fromString(rows(i)._2))
+          override def close(): Unit = ()
+        }
+      case MqttWalSlice(dir, start, until) =>
+        new PartitionReader[InternalRow] {
+          private val it =
+            MqttWal.readRange(java.nio.file.Paths.get(dir), start, until)
+          private var row: (String, String) = null
+          override def next(): Boolean = {
+            if (it.hasNext) { row = it.next(); true } else false
+          }
+          override def get(): InternalRow = InternalRow(
+            UTF8String.fromString(row._1), UTF8String.fromString(row._2))
+          // a task abandoned before exhaustion (limit, kill, error) must
+          // release the open segment stream (round-12 review)
+          override def close(): Unit = it.close()
+        }
     }
-  }
 }

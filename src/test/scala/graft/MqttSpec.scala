@@ -751,6 +751,48 @@ class MqttSpec extends SparkSpec {
     } finally broker.close()
   }
 
+  test("WAL-backed batches plan path+range partitions and the executor-side " +
+      "segment reader reproduces the driver buffer exactly") {
+    import graft.sources.{MqttWalSlice, MqttReaderFactory, MqttStream}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val broker = new MiniBroker()
+    try {
+      val walDir = java.nio.file.Files.createTempDirectory("mqtt_wslice").toString
+      val cid = s"wslice-${broker.port}"
+      val r = MqttReceiver("127.0.0.1", broker.port, "ws/#",
+        clientId = cid, walDir = Some(walDir), walRollEvery = 4)
+      val pub = new MqttClient("127.0.0.1", broker.port, "ws-pub").connect()
+      for (i <- 0 until 19) pub.publish("ws/x", s"w$i")
+      pub.close()
+      val deadline = System.currentTimeMillis() + 15000
+      while (r.size < 19 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      r.size shouldBe 19
+      val wdir = java.nio.file.Paths.get(walDir)
+      // range reads across segment rolls (rollEvery=4 → 5 segments), at
+      // boundaries, mid-segment, and the live tail of the ACTIVE segment
+      for ((a, b) <- Seq((0L, 19L), (3L, 9L), (4L, 8L), (8L, 12L), (18L, 19L),
+          (5L, 5L))) {
+        graft.sources.MqttWal.readRange(wdir, a, b).toSeq shouldBe
+          r.slice(a, b).toSeq
+      }
+      // the stream plans a WAL slice (path + range, no row bytes) and the
+      // reader factory reproduces the rows through the executor path
+      val stream = new MqttStream("127.0.0.1", broker.port, Seq("ws/#"), cid,
+        100L, Some(walDir))
+      val start = stream.initialOffset()
+      val end = stream.latestOffset(start, ReadLimit.maxRows(100))
+      val parts = stream.planInputPartitions(start, end)
+      parts.length shouldBe 1
+      parts(0) shouldBe a[MqttWalSlice]
+      val rd = MqttReaderFactory.createReader(parts(0))
+      val got = Iterator.continually(rd)
+        .takeWhile(_.next()).map(_.get().getString(1)).toSeq
+      got shouldBe (0 until 19).map(i => s"w$i")
+      MqttReceiver.stop("127.0.0.1", broker.port, "ws/#", cid)
+    } finally broker.close()
+  }
+
   test("'topic' with a literal comma is ONE filter (commas are legal in " +
       "MQTT names); 'topics' is the shard list; both at once is an error") {
     import graft.sources.{MqttOffset, MqttShardOffset, MqttTable}

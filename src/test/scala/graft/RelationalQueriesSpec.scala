@@ -12,6 +12,44 @@ class RelationalQueriesSpec extends SparkSpec {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
 
+  test("bandedNtile: agrees with ntile on distinct values when bands divide " +
+      "the count; keeps ties in ONE band where ntile splits them; and plans " +
+      "no window at all") {
+    import org.apache.spark.sql.expressions.Window
+    val sp = spark
+    import sp.implicits._
+    // distinct values, 8 rows / 4 bands: value-banding == ntile
+    val distinctDf = (1 to 8).map(_.toDouble).toDF("v")
+    val banded = RelationalQueries.bandedNtile(distinctDf, "v", 4, exact = true)
+      .select(col("v"), col("band")).collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    val tiled = distinctDf
+      .select(col("v"), ntile(4).over(Window.orderBy(col("v"))).cast("long").as("t"))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    banded shouldBe tiled
+    // ties: ntile SPLITS a run of equal values across tiles (count
+    // equalization by row position); value banding keeps every equal value
+    // in the same band — the documented semantic difference
+    val ties = Seq(1.0, 2.0, 2.0, 2.0, 2.0, 2.0, 2.0, 3.0).toDF("v")
+    val b2 = RelationalQueries.bandedNtile(ties, "v", 4, exact = true)
+      .select(col("v"), col("band")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    b2.filter(_._1 == 2.0).map(_._2).distinct.length shouldBe 1 // one band for all ties
+    val t2 = ties
+      .select(col("v"), ntile(4).over(Window.orderBy(col("v"))).cast("long").as("t"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    t2.filter(_._1 == 2.0).map(_._2).distinct.length should be > 1 // ntile splits the run
+    // every row lands in [1, nBands]
+    b2.map(_._2).foreach(b => assert(b >= 1 && b <= 4))
+    // scale shape: the assignment is an aggregate + broadcast-back + map —
+    // NO window operator (so no unpartitioned sort) in the optimized plan
+    val big = RelationalQueries.bandedNtile(
+      Tables(spark, sf).orders, "o_totalprice", 10)
+    val p = plan(big)
+    p.toLowerCase should not include "window"
+    p should include("BroadcastNestedLoopJoin") // the 1-row bounds frame
+  }
+
   test("top-k matches a full driver-side sort") {
     val expected = orders.sortBy(o => (-o._3, o._1)).take(100).map(_._1)
     val got = rows(RelationalQueries.sortLimitTopK(spark, sf))

@@ -22,6 +22,37 @@ class MqttWalSpec extends graft.SparkSpec {
     finally s.close()
   }
 
+  test("a zero-record recovered segment re-opened by the writer survives " +
+      "trimTo (one Segment entry per file, never a deletable stale twin)") {
+    val dir = tmp()
+    val w = new MqttWal(dir, rollEvery = 4)
+    w.append(recs(0, 5)) // wal-0 (4 records) + wal-4 (1 record)
+    w.close()
+    // crash truncates wal-4's only record mid-write: recovery must see a
+    // ZERO-record segment at offset 4
+    val seg4 = dir.resolve(f"wal-${4}%020d.log")
+    val raw = Files.readAllBytes(seg4)
+    Files.write(seg4, raw.take(3))
+    val w2 = new MqttWal(dir, rollEvery = 4)
+    w2.recovered.size shouldBe 4
+    // the first append re-opens the SAME path (next == 4); the stale
+    // recovered entry must be dropped, or trimTo(4) would classify it dead
+    // and delete the file the live writer is appending to (round-12
+    // review — fatal since MqttWalSlice readers read these files)
+    w2.append(recs(4, 6))
+    w2.trimTo(4)
+    walFiles(dir) shouldBe Seq(f"wal-${4}%020d.log")
+    // the re-opened segment is intact end-to-end: executor-side range read
+    // and a fresh recovery both see exactly the two live records
+    MqttWal.readRange(dir, 4, 6).toSeq shouldBe
+      recs(4, 6).map(r => (r._1, r._2))
+    w2.close()
+    val w3 = new MqttWal(dir, rollEvery = 4)
+    w3.recoveredBase shouldBe 4
+    w3.recovered shouldBe recs(4, 6).toVector
+    w3.close()
+  }
+
   test("records round-trip across rolled segments and a reopen") {
     val dir = tmp()
     val w = new MqttWal(dir, rollEvery = 10)

@@ -8,11 +8,17 @@ Assumes `sbt "runMain graft.Verify <sfDir> <outDir>"` has already produced
 SQL in DuckDB over views named after the parquet tables and compares
 row-by-row (column order normalized by name, rows compared in result order).
 """
-import json, sys, math
+import json, os, sys, math
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+def table_glob(path):
+    """Blow-up dirs hold Spark-written DIRECTORY tables (<t>.parquet/
+    part-*.parquet); the driver testdata holds single files. Glob the dir
+    form so the 10x/100x oracle sweeps read the same views."""
+    return f"{path}/*.parquet" if os.path.isdir(path) else path
 
 def norm(v):
     if isinstance(v, float):
@@ -26,7 +32,7 @@ def main():
     only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_glob(f'{sf_dir}/{t}.parquet')}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
