@@ -69,16 +69,23 @@ object ClusterQueries {
     * (n ≤ [[KmeansK]] · cap/4 = 20 k) it resolves to [[KmeansK]], so the
     * static oracle is k-stable. An EXPLICIT k still wins — the guard still
     * aborts if a caller undersizes it. */
+  /** The ONE auto-k rule, shared by the engine ([[resolveK]]) and the
+    * oracle side ([[oracleK]]): a retune applied to one but not the other
+    * would desync the engine's k from the oracle SQL's seed count and fail
+    * q_semdedup as an opaque row-hash mismatch at the next blown-up-scale
+    * sweep (round-12 review). */
+  private def autoK(n: Long, cap: Int): Int =
+    math.max(KmeansK, math.ceil(n / (cap / 4.0)).toInt)
+
   private def resolveK(spark: SparkSession, dir: String, k: Int, cap: Int): Int =
     if (k > 0) k
     else {
       // the pinned corpus-size conf drives auto-k the same way it drives
       // LSH geometry (one sizing knob, every auto-sizer) — else the
       // cached measured count
-      val n = spark.conf.getOption(VectorQueries.EmbeddingLsh.CorpusSizeConf)
-        .map(_.trim.toLong)
+      val n = VectorQueries.EmbeddingLsh.pinnedCorpus(spark)
         .getOrElse(VectorQueries.corpusSize(spark, dir))
-      val auto = math.max(KmeansK, math.ceil(n / (cap / 4.0)).toInt)
+      val auto = autoK(n, cap)
       // the flip is a deliberate result change on corpus growth (cluster
       // ids and keep/drop decisions shift with k, as they must) — say so
       // once instead of changing silently (round-10 review)
@@ -95,7 +102,7 @@ object ClusterQueries {
     * pinned conf), else [[KmeansK]] — the auto answer at test scale. */
   def oracleK(cap: Int = SemDedupClusterCap): Int =
     VectorQueries.EmbeddingLsh.oracleCorpus
-      .map(n => math.max(KmeansK, math.ceil(n / (cap / 4.0)).toInt))
+      .map(autoK(_, cap))
       .getOrElse(KmeansK)
 
   /** E-step: every vector of `vectors` (vec_id, e) argmax-cosine-assigned

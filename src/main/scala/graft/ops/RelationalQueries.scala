@@ -417,17 +417,25 @@ object RelationalQueries {
   def bandedNtile(df: DataFrame, valueCol: String, nBands: Int,
       outCol: String = "band", exact: Boolean = false): DataFrame = {
     require(nBands >= 2, s"nBands must be >= 2, got $nBands")
+    // uniquify the internal bounds column against the input: a caller
+    // whose frame already carries `__bounds` (e.g. a preserved intermediate
+    // of an earlier banding pass) would otherwise hit an ambiguous-reference
+    // AnalysisException after the crossJoin — and drop() would drop both
+    // (round-12 review)
+    val bCol = Iterator.from(0)
+      .map(i => if (i == 0) "__bounds" else s"__bounds$i")
+      .find(c => !df.columns.contains(c)).get
     val ps = (1 until nBands).map(k => k.toDouble / nBands)
       .mkString("array(", ", ", ")")
     val boundsAgg =
       if (exact) expr(s"percentile($valueCol, $ps)")
       else expr(s"approx_percentile($valueCol, $ps, 10000)")
-    val bounds = df.agg(boundsAgg.cast("array<double>").as("__bounds"))
+    val bounds = df.agg(boundsAgg.cast("array<double>").as(bCol))
     df.crossJoin(broadcast(bounds))
       .withColumn(outCol,
-        expr(s"1L + aggregate(__bounds, 0L, (acc, b) -> " +
+        expr(s"1L + aggregate($bCol, 0L, (acc, b) -> " +
           s"acc + CASE WHEN cast($valueCol AS double) > b THEN 1L ELSE 0L END)"))
-      .drop("__bounds")
+      .drop(bCol)
   }
 
   /** Unpivot: lineitem measures → (measure, value) rows, then per-measure

@@ -193,14 +193,33 @@ object VectorQueries {
       (bands, bits)
     }
 
-    /** Production sizing knob (round-3 review): set this session conf to the
-      * (approximate) corpus vector count and every LSH query in this file
-      * derives its banding from [[geometryFor]] instead of the fixed
-      * defaults — e.g. `spark.conf.set(CorpusSizeConf, "1000000000")` plans
-      * 30 bands × 22 bits. An estimate is fine: recall degrades gradually
-      * with n (the cap-skip monitor [[VectorQueries.lshBucketStats]] is the
-      * alarm for a stale value). */
+    /** Production sizing knob (round-3 review): set this session conf to
+      * the (approximate) corpus vector count and every auto-sizer derives
+      * from it — the LSH queries in this file plan their banding via
+      * [[geometryFor]] instead of the fixed defaults (e.g.
+      * `spark.conf.set(CorpusSizeConf, "1000000000")` plans 30 bands × 22
+      * bits), and since round 12 `ClusterQueries.resolveK` derives
+      * SemDeDup/clusterStats auto-k from the same count (one sizing knob,
+      * every auto-sizer). For LSH banding an estimate is fine — recall
+      * degrades gradually with n (the cap-skip monitor
+      * [[VectorQueries.lshBucketStats]] is the alarm for a stale value).
+      * Auto-k is NOT gradual: k steps discretely with the count and
+      * cluster ids / keep-drop decisions shift at each step, so pin
+      * SemDeDup's k explicitly when this conf carries a rough estimate. */
     val CorpusSizeConf = "spark.graft.lsh.corpusSize"
+
+    /** [[CorpusSizeConf]]'s pinned count, failing with the conf's name —
+      * a bare `toLong` would surface a malformed value as a contextless
+      * NumberFormatException deep inside a sizing rule (round-12 review,
+      * same hardening as [[oracleCorpus]]). */
+    def pinnedCorpus(spark: org.apache.spark.sql.SparkSession): Option[Long] =
+      spark.conf.getOption(CorpusSizeConf).map { s =>
+        try s.trim.toLong
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"$CorpusSizeConf must be a corpus row count, got '$s'")
+        }
+      }
 
     /** Defaults stop being `geometryFor`'s own answer above this corpus
       * size; past it the geometry derives from the MEASURED count.
@@ -246,8 +265,8 @@ object VectorQueries {
       * nothing applied it. Below the threshold the fixed defaults keep the
       * static DuckDB oracle geometry-stable at test scale. */
     def geometry(spark: SparkSession, dir: String): (Int, Int) =
-      spark.conf.getOption(CorpusSizeConf)
-        .map(n => geometryFor(n.trim.toLong))
+      pinnedCorpus(spark)
+        .map(geometryFor(_))
         .getOrElse {
           val n = corpusSize(spark, dir)
           if (n <= AutoThreshold) (Bands, BitsPerBand)

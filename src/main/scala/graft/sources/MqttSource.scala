@@ -112,13 +112,10 @@ private[sources] final class MqttWal(dir: java.nio.file.Path, rollEvery: Int = 4
         var more = true
         while (more) {
           // a partial record throws EOFException part-way through — drop it
-          val topic = readStr(in)
-          topic match {
+          MqttWal.readRecord(in) match {
             case None => more = false
-            case Some(t) =>
-              val payload = readStr(in).getOrElse(throw new EOFException())
-              val pid = in.readInt()
-              all += ((t, payload, pid))
+            case Some(rec) =>
+              all += rec
               n += 1
           }
         }
@@ -128,15 +125,6 @@ private[sources] final class MqttWal(dir: java.nio.file.Path, rollEvery: Int = 4
       expect = start + n
     }
     (segs.headOption.map(_._1).getOrElse(0L), all.result())
-  }
-
-  private def readStr(in: DataInputStream): Option[String] = {
-    val len =
-      try in.readInt()
-      catch { case _: EOFException => return None }
-    val b = new Array[Byte](len)
-    in.readFully(b)
-    Some(new String(b, java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** Next absolute offset to be written. */
@@ -250,6 +238,31 @@ private[graft] object MqttWal {
     found.sortBy(_._1).toIndexedSeq
   }
 
+  /** Decode ONE WAL record — len-prefixed UTF-8 topic, len-prefixed UTF-8
+    * payload, int pid — the ONE place the record wire format lives
+    * (recovery and the executor-side range reader both call this; a
+    * format change applied to one parser but not the other would make
+    * executor-side reads misinterpret offsets mid-stream, round-12
+    * review). Returns None on clean EOF at a record boundary; a truncated
+    * mid-record tail throws EOFException for the caller to classify
+    * (recovery drops it as a never-acked partial append; a planned range
+    * read fails loudly). */
+  private[sources] def readRecord(
+      in: DataInputStream): Option[(String, String, Int)] = {
+    val topicLen =
+      try in.readInt()
+      catch { case _: EOFException => return None }
+    def str(len: Int): String = {
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      new String(b, java.nio.charset.StandardCharsets.UTF_8)
+    }
+    val topic = str(topicLen)
+    val payload = str(in.readInt())
+    val pid = in.readInt()
+    Some((topic, payload, pid))
+  }
+
   /** Executor-side range read over the segment files in `dir` — see
     * [[readRange]]. AutoCloseable so a partition reader abandoned before
     * exhaustion (limit/take, task kill, downstream error) still releases
@@ -271,16 +284,12 @@ private[graft] object MqttWal {
     private var off = 0L
     private var segIdx = 0
     private var in: DataInputStream = null
-    private def readStr(): String = {
-      val len = in.readInt()
-      val b = new Array[Byte](len)
-      in.readFully(b)
-      new String(b, java.nio.charset.StandardCharsets.UTF_8)
-    }
     private def readRecord(): (String, String) =
       try {
-        val t = readStr(); val p = readStr(); in.readInt() // pid unused here
-        (t, p)
+        MqttWal.readRecord(in) match {
+          case Some((t, p, _)) => (t, p) // pid unused here
+          case None => throw new EOFException() // clean EOF before `until`
+        }
       } catch {
         case _: EOFException => throw new IllegalStateException(
           s"WAL $dir ended before planned record $off of [$start, $until) " +
@@ -293,10 +302,16 @@ private[graft] object MqttWal {
       in = new DataInputStream(new java.io.BufferedInputStream(
         Files.newInputStream(path)))
     }
-    // position at `start`: open the first relevant segment, skip-scan
+    // position at `start`: open the first relevant segment, skip-scan. A
+    // failure mid-scan (segment truncated/deleted under the range) escapes
+    // the constructor, so nobody ever holds a reference to close() through
+    // — release the open segment stream before rethrowing (round-12
+    // review).
     if (!empty) {
-      openNext()
-      while (off < start) { readRecord(); off += 1 }
+      try {
+        openNext()
+        while (off < start) { readRecord(); off += 1 }
+      } catch { case t: Throwable => close(); throw t }
     }
     override def close(): Unit = {
       if (in != null) { in.close(); in = null }
@@ -533,8 +548,32 @@ final class MqttReceiver(host: String, port: Int, topic: String,
 }
 
 object MqttReceiver {
+  /** Registry slot: the entry is published (putIfAbsent) BEFORE the
+    * receiver connects, so ownership is decided atomically and exactly one
+    * caller runs the constructor (connect + WAL replay) under the holder's
+    * lock — TrieMap.getOrElseUpdate can evaluate-then-discard its thunk,
+    * which here would mean a second live broker session silently dropped
+    * without close (round-12 review). close() on a never-forced holder is
+    * a no-op (nothing was created). */
+  private final class Holder(mk: () => MqttReceiver) {
+    private var v: MqttReceiver = null
+    private var failed: Throwable = null
+    def r: MqttReceiver = synchronized {
+      // a failed create poisons the holder rather than retrying: the
+      // creator removed the registry entry on failure, so a retry here
+      // would start a live receiver no registry entry points at (stop()
+      // could never reach it). The next acquire() inserts a fresh holder.
+      if (failed != null)
+        throw new IllegalStateException("receiver create failed", failed)
+      if (v == null)
+        try v = mk()
+        catch { case t: Throwable => failed = t; throw t }
+      v
+    }
+    def close(): Unit = synchronized { if (v != null) v.close() }
+  }
   private val receivers =
-    scala.collection.concurrent.TrieMap[String, MqttReceiver]()
+    scala.collection.concurrent.TrieMap[String, Holder]()
 
   def key(host: String, port: Int, topic: String, clientId: String): String =
     s"$host:$port/$topic@$clientId"
@@ -552,17 +591,33 @@ object MqttReceiver {
     * registry key is the endpoint, not the options). */
   def apply(host: String, port: Int, topic: String,
       clientId: String = null, maxBuffered: Int = 1000000,
-      walDir: Option[String] = None, walRollEvery: Int = 4096): MqttReceiver = {
-    val cid = Option(clientId).getOrElse(defaultClientId(topic))
-    receivers.getOrElseUpdate(key(host, port, topic, cid),
-      new MqttReceiver(host, port, topic, cid, maxBuffered, walDir, walRollEvery))
-  }
+      walDir: Option[String] = None, walRollEvery: Int = 4096): MqttReceiver =
+    acquire(host, port, topic, clientId, maxBuffered, walDir, walRollEvery)._1
 
-  /** Whether a receiver for this endpoint already lives in the registry
-    * (no side effects — lets shard init tell reused receivers, which hold
-    * acked driver-buffered rows, from ones it is about to create). */
-  def registered(host: String, port: Int, topic: String, clientId: String): Boolean =
-    receivers.contains(key(host, port, topic, clientId))
+  /** Like [[apply]], but also reports whether THIS call created the
+    * receiver — decided atomically at registry insert, so concurrent
+    * initializers each know exactly which receivers they own. Shard-init
+    * partial-failure cleanup must stop ONLY those: a pre-snapshot
+    * `registered` check races a concurrent stream registering the same
+    * endpoint between snapshot and create, and stopping that stream's
+    * receiver discards acked driver-buffered rows a WAL-less source can
+    * never recover (round-12 review). A failed create removes the entry
+    * so a retry starts from scratch. */
+  def acquire(host: String, port: Int, topic: String,
+      clientId: String = null, maxBuffered: Int = 1000000,
+      walDir: Option[String] = None,
+      walRollEvery: Int = 4096): (MqttReceiver, Boolean) = {
+    val cid = Option(clientId).getOrElse(defaultClientId(topic))
+    val k = key(host, port, topic, cid)
+    val mine = new Holder(() =>
+      new MqttReceiver(host, port, topic, cid, maxBuffered, walDir, walRollEvery))
+    receivers.putIfAbsent(k, mine) match {
+      case Some(theirs) => (theirs.r, false)
+      case None =>
+        try (mine.r, true)
+        catch { case t: Throwable => receivers.remove(k, mine); throw t }
+    }
+  }
 
   /** Stop and forget one receiver (used by bounded exercises; a live-tail
     * deployment keeps its receiver for the process lifetime). */
@@ -731,8 +786,8 @@ class MqttStream(host: String, port: Int, topics0: Seq[String],
   require(topics.distinct.size == n,
     s"duplicate MQTT topic filters in 'topics': ${topics.mkString(", ")}")
 
-  private def receiver(i: Int): MqttReceiver =
-    MqttReceiver(host, port, topics(i),
+  private def receiver(i: Int): (MqttReceiver, Boolean) =
+    MqttReceiver.acquire(host, port, topics(i),
       if (n == 1) clientId else s"$clientId-s$i",
       walDir = walDir.map(d => if (n == 1) d else s"$d/shard-$i"))
 
@@ -744,21 +799,26 @@ class MqttStream(host: String, port: Int, topics0: Seq[String],
     * Failures carry the shard index; the process-global registry makes a
     * concurrent create race benign (TrieMap getOrElseUpdate). */
   private lazy val receivers: IndexedSeq[MqttReceiver] = {
-    if (n == 1) IndexedSeq(receiver(0))
+    if (n == 1) IndexedSeq(receiver(0)._1)
     else {
       // receivers that predate this init attempt hold acked, driver-buffered
       // rows (for WAL-less sources those rows exist NOWHERE else — the
       // broker will not redeliver acked QoS 1 messages), so a partial
       // failure must leave them alive for the retry and stop only the
-      // receivers THIS attempt created (round-12 review)
-      val preexisting = (0 until n).map(i =>
-        MqttReceiver.registered(host, port, topics(i), s"$clientId-s$i"))
+      // receivers THIS attempt created. Ownership comes from acquire's
+      // atomic created flag, not a pre-snapshot of the registry — a
+      // concurrent stream registering an endpoint between snapshot and
+      // create would otherwise be misclassified as ours and stopped out
+      // from under it (round-12 review).
       val made = new Array[MqttReceiver](n)
+      val mine = new Array[Boolean](n)
       val errs = new Array[Throwable](n)
       val threads = (0 until n).map { i =>
         new Thread(() => {
-          try made(i) = receiver(i)
-          catch { case t: Throwable => errs(i) = t }
+          try {
+            val (r, created) = receiver(i)
+            made(i) = r; mine(i) = created
+          } catch { case t: Throwable => errs(i) = t }
         }, s"mqtt-shard-init-$i")
       }
       threads.foreach(_.start()); threads.foreach(_.join())
@@ -768,7 +828,7 @@ class MqttStream(host: String, port: Int, topics0: Seq[String],
         // lazy val retries from scratch). Stop via the registry (remove +
         // close) so the retry re-creates them instead of getting a closed
         // cached receiver back.
-        made.indices.filter(j => made(j) != null && !preexisting(j)).foreach { j =>
+        made.indices.filter(j => made(j) != null && mine(j)).foreach { j =>
           try MqttReceiver.stop(host, port, topics(j), s"$clientId-s$j")
           catch { case _: Throwable => () }
         }

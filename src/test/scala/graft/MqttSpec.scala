@@ -952,4 +952,38 @@ class MqttSpec extends SparkSpec {
       } finally q.stop()
     } finally broker.close()
   }
+
+  test("acquire reports creation ownership atomically: reuse is flagged " +
+      "not-ours (so shard-init cleanup won't stop it) and a failed create " +
+      "leaves no poisoned registry entry") {
+    val broker = new MiniBroker()
+    try {
+      val cid = s"acq-${broker.port}"
+      val (r1, c1) = MqttReceiver.acquire("127.0.0.1", broker.port, "acq/#", cid)
+      c1 shouldBe true
+      // second acquire of the same endpoint: same receiver, NOT created by
+      // this call — the flag a concurrent shard-init's partial-failure
+      // cleanup keys its stop decisions on
+      val (r2, c2) = MqttReceiver.acquire("127.0.0.1", broker.port, "acq/#", cid)
+      c2 shouldBe false
+      assert(r2 eq r1)
+      MqttReceiver.stop("127.0.0.1", broker.port, "acq/#", cid)
+      // after stop the endpoint is creatable again, by a fresh receiver
+      val (r3, c3) = MqttReceiver.acquire("127.0.0.1", broker.port, "acq/#", cid)
+      c3 shouldBe true
+      assert(!(r3 eq r1))
+      MqttReceiver.stop("127.0.0.1", broker.port, "acq/#", cid)
+      // a create that fails (no broker) must remove its registry entry:
+      // the retry hits the wire again (IOException) instead of a poisoned
+      // holder's IllegalStateException("receiver create failed")
+      val deadPort = {
+        val ss = new java.net.ServerSocket(0)
+        val p = ss.getLocalPort; ss.close(); p
+      }
+      intercept[java.io.IOException](
+        MqttReceiver.acquire("127.0.0.1", deadPort, "acq/#", "acq-dead"))
+      intercept[java.io.IOException](
+        MqttReceiver.acquire("127.0.0.1", deadPort, "acq/#", "acq-dead"))
+    } finally broker.close()
+  }
 }

@@ -50,6 +50,19 @@ class RelationalQueriesSpec extends SparkSpec {
     p should include("BroadcastNestedLoopJoin") // the 1-row bounds frame
   }
 
+  test("bandedNtile: an input frame already carrying __bounds bands cleanly " +
+      "(internal column uniquified, caller's column survives)") {
+    val sp = spark
+    import sp.implicits._
+    // e.g. a preserved intermediate of an earlier banding pass
+    val withBounds = (1 to 8).map(i => (i.toDouble, s"b$i")).toDF("v", "__bounds")
+    val out = RelationalQueries.bandedNtile(withBounds, "v", 4, exact = true)
+    out.columns.toSeq shouldBe Seq("v", "__bounds", "band")
+    val got = out.collect().map(r => (r.getDouble(0), r.getString(1), r.getLong(2)))
+    got.map(_._2).toSet shouldBe (1 to 8).map(i => s"b$i").toSet // caller's column intact
+    got.foreach { case (v, _, b) => b shouldBe math.ceil(v / 2).toLong } // 8 rows / 4 bands
+  }
+
   test("top-k matches a full driver-side sort") {
     val expected = orders.sortBy(o => (-o._3, o._1)).take(100).map(_._1)
     val got = rows(RelationalQueries.sortLimitTopK(spark, sf))
