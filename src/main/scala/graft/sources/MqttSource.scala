@@ -796,8 +796,9 @@ class MqttStream(host: String, port: Int, topics0: Seq[String],
     * connect/subscribe handshake — per-shard sequential I/O, so N shards
     * recover in max time, not sum time (a restart with large per-shard
     * backlogs would otherwise serialize N WAL replays on the driver).
-    * Failures carry the shard index; the process-global registry makes a
-    * concurrent create race benign (TrieMap getOrElseUpdate). */
+    * Failures carry the shard index; the process-global registry decides
+    * create-vs-reuse atomically (MqttReceiver.acquire), so a concurrent
+    * create race yields one receiver and a correct ownership flag. */
   private lazy val receivers: IndexedSeq[MqttReceiver] = {
     if (n == 1) IndexedSeq(receiver(0)._1)
     else {
