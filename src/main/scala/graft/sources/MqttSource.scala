@@ -291,9 +291,11 @@ private[graft] object MqttWal {
           case None => throw new EOFException() // clean EOF before `until`
         }
       } catch {
-        case _: EOFException => throw new IllegalStateException(
-          s"WAL $dir ended before planned record $off of [$start, $until) " +
-            "— segment truncated under the range?")
+        case _: EOFException =>
+          close() // terminal: nothing more can be read from this range
+          throw new IllegalStateException(
+            s"WAL $dir ended before planned record $off of [$start, $until) " +
+              "— segment truncated under the range?")
       }
     private def openNext(): Unit = {
       if (in != null) in.close()

@@ -138,6 +138,38 @@ class MqttWalSpec extends graft.SparkSpec {
     w2.close()
   }
 
+  test("a range read over a truncated/short segment fails loudly naming the " +
+      "range — from the constructor's skip-scan too, which must release its " +
+      "segment stream (no fd leak from a failed reader init)") {
+    val dir = tmp()
+    val w = new MqttWal(dir, rollEvery = 5)
+    w.append(recs(0, 12)) // segments 0(5), 5(5), 10(2 — active)
+    w.close()
+    def fdsOn(p: Path): Int = {
+      val s = Files.list(java.nio.file.Paths.get("/proc/self/fd"))
+      try s.iterator().asScala.count { fd =>
+        try Files.readSymbolicLink(fd).toString == p.toAbsolutePath.toString
+        catch { case _: Exception => false }
+      } finally s.close()
+    }
+    // clean EOF short of the planned range (intact files): loud, not silent
+    val e0 = intercept[IllegalStateException](MqttWal.readRange(dir, 10, 13).toSeq)
+    e0.getMessage should include("truncated")
+    // tear segment 5 mid-record (half the file: some middle record is torn)
+    val seg5 = dir.resolve(f"wal-${5}%020d.log")
+    val bytes = Files.readAllBytes(seg5)
+    Files.write(seg5, java.util.Arrays.copyOf(bytes, bytes.length / 2))
+    // iteration path: the reader hits the tear mid-drain
+    val e1 = intercept[IllegalStateException](MqttWal.readRange(dir, 5, 10).toSeq)
+    e1.getMessage should include("truncated")
+    // constructor path: positioning at offset 9 skip-scans across the tear —
+    // the failure escapes before any caller holds a close() handle, so the
+    // init block itself must release the stream (round-12 review)
+    val e2 = intercept[IllegalStateException](MqttWal.readRange(dir, 9, 10))
+    e2.getMessage should include("truncated")
+    fdsOn(seg5) shouldBe 0 // nothing left open on the torn segment
+  }
+
   test("a gapped segment chain fails recovery loudly") {
     val dir = tmp()
     val w = new MqttWal(dir, rollEvery = 5)
