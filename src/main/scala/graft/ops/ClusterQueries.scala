@@ -59,6 +59,14 @@ object ClusterQueries {
     * trips. 10⁴ vectors ⇒ ≤ 5·10⁷ pairs per cluster — an easy task. */
   val SemDedupClusterCap = 10000
 
+  /** The ONE auto-k rule, shared by the engine ([[resolveK]]) and the
+    * oracle side ([[oracleK]]): a retune applied to one but not the other
+    * would desync the engine's k from the oracle SQL's seed count and fail
+    * q_semdedup as an opaque row-hash mismatch at the next blown-up-scale
+    * sweep (round-12 review). */
+  private def autoK(n: Long, cap: Int): Int =
+    math.max(KmeansK, math.ceil(n / (cap / 4.0)).toInt)
+
   /** Auto-k for [[semDedup]] (k ≤ 0 means "size it for me"): target
     * clusters of ~cap/4 vectors — comfortably under the abort cap with
     * headroom for imbalance — from the corpus's measured vector count
@@ -69,14 +77,6 @@ object ClusterQueries {
     * (n ≤ [[KmeansK]] · cap/4 = 20 k) it resolves to [[KmeansK]], so the
     * static oracle is k-stable. An EXPLICIT k still wins — the guard still
     * aborts if a caller undersizes it. */
-  /** The ONE auto-k rule, shared by the engine ([[resolveK]]) and the
-    * oracle side ([[oracleK]]): a retune applied to one but not the other
-    * would desync the engine's k from the oracle SQL's seed count and fail
-    * q_semdedup as an opaque row-hash mismatch at the next blown-up-scale
-    * sweep (round-12 review). */
-  private def autoK(n: Long, cap: Int): Int =
-    math.max(KmeansK, math.ceil(n / (cap / 4.0)).toInt)
-
   private def resolveK(spark: SparkSession, dir: String, k: Int, cap: Int): Int =
     if (k > 0) k
     else {

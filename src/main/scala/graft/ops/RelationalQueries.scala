@@ -417,14 +417,18 @@ object RelationalQueries {
   def bandedNtile(df: DataFrame, valueCol: String, nBands: Int,
       outCol: String = "band", exact: Boolean = false): DataFrame = {
     require(nBands >= 2, s"nBands must be >= 2, got $nBands")
-    // uniquify the internal bounds column against the input: a caller
-    // whose frame already carries `__bounds` (e.g. a preserved intermediate
-    // of an earlier banding pass) would otherwise hit an ambiguous-reference
-    // AnalysisException after the crossJoin — and drop() would drop both
-    // (round-12 review)
+    // uniquify the internal bounds column against the input AND the output
+    // name: a caller whose frame already carries `__bounds` (e.g. a
+    // preserved intermediate of an earlier banding pass) would otherwise
+    // hit an ambiguous-reference AnalysisException after the crossJoin —
+    // and drop() would drop both. Compare case-insensitively (the default
+    // resolver is case-insensitive, so `__BOUNDS` collides with
+    // `__bounds`), and exclude outCol or the final drop would silently
+    // delete the band column itself (round-12 review).
+    val taken = (df.columns.toSeq :+ outCol).map(_.toLowerCase)
     val bCol = Iterator.from(0)
       .map(i => if (i == 0) "__bounds" else s"__bounds$i")
-      .find(c => !df.columns.contains(c)).get
+      .find(c => !taken.contains(c)).get
     val ps = (1 until nBands).map(k => k.toDouble / nBands)
       .mkString("array(", ", ", ")")
     val boundsAgg =

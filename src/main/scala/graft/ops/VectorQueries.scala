@@ -208,18 +208,28 @@ object VectorQueries {
       * SemDeDup's k explicitly when this conf carries a rough estimate. */
     val CorpusSizeConf = "spark.graft.lsh.corpusSize"
 
-    /** [[CorpusSizeConf]]'s pinned count, failing with the conf's name —
-      * a bare `toLong` would surface a malformed value as a contextless
-      * NumberFormatException deep inside a sizing rule (round-12 review,
-      * same hardening as [[oracleCorpus]]). */
-    def pinnedCorpus(spark: org.apache.spark.sql.SparkSession): Option[Long] =
-      spark.conf.getOption(CorpusSizeConf).map { s =>
-        try s.trim.toLong
+    /** Parse a sizing knob's corpus row count, failing with the knob's
+      * NAME — a bare `toLong` would surface a malformed value as a
+      * contextless NumberFormatException deep inside a sizing rule (or,
+      * for the registry-init path, an opaque ExceptionInInitializerError).
+      * Non-positive counts are rejected here too: a negative n would flow
+      * through [[geometryFor]]'s log as NaN and silently yield the MINIMUM
+      * geometry instead of a loud config error (round-12 review). ONE
+      * parser for both knobs so they cannot drift. */
+    private def parseCount(raw: String, name: String): Long = {
+      val n =
+        try raw.trim.toLong
         catch {
           case _: NumberFormatException => throw new IllegalArgumentException(
-            s"$CorpusSizeConf must be a corpus row count, got '$s'")
+            s"$name must be a corpus row count, got '$raw'")
         }
-      }
+      require(n > 0, s"$name must be a POSITIVE corpus row count, got '$raw'")
+      n
+    }
+
+    /** [[CorpusSizeConf]]'s pinned count (see [[parseCount]]). */
+    def pinnedCorpus(spark: org.apache.spark.sql.SparkSession): Option[Long] =
+      spark.conf.getOption(CorpusSizeConf).map(parseCount(_, CorpusSizeConf))
 
     /** Defaults stop being `geometryFor`'s own answer above this corpus
       * size; past it the geometry derives from the MEASURED count.
@@ -237,16 +247,8 @@ object VectorQueries {
       * the auto-sized keys get HASH-checked at blown-up scale instead of
       * merely running without errors: one count, two engines, same rule. */
     def oracleCorpus: Option[Long] =
-      sys.env.get("SPARK_GRAFT_ORACLE_CORPUS").map { s =>
-        // registries read this at object init — a bare toLong would
-        // surface as an opaque ExceptionInInitializerError with no hint
-        // of the env var (round-12 review)
-        try s.trim.toLong
-        catch {
-          case _: NumberFormatException => throw new IllegalArgumentException(
-            s"SPARK_GRAFT_ORACLE_CORPUS must be a corpus row count, got '$s'")
-        }
-      }
+      sys.env.get("SPARK_GRAFT_ORACLE_CORPUS")
+        .map(parseCount(_, "SPARK_GRAFT_ORACLE_CORPUS"))
 
     /** (bands, bits) the registry oracle SQL renders with: mirrors the
       * engine's [[CorpusSizeConf]] path (geometryFor, unconditionally)

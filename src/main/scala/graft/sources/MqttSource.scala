@@ -560,6 +560,12 @@ object MqttReceiver {
   private final class Holder(mk: () => MqttReceiver) {
     private var v: MqttReceiver = null
     private var failed: Throwable = null
+    private var closedHere = false
+    /** acquires minus releases — [[release]] closes only at zero, because
+      * a receiver can be SHARED (a second stream acquiring the same
+      * endpoint gets created=false but still depends on it staying up).
+      * Guarded by this. */
+    private var refs = 0
     def r: MqttReceiver = synchronized {
       // a failed create poisons the holder rather than retrying: the
       // creator removed the registry entry on failure, so a retry here
@@ -572,7 +578,11 @@ object MqttReceiver {
         catch { case t: Throwable => failed = t; throw t }
       v
     }
-    def close(): Unit = synchronized { if (v != null) v.close() }
+    def retain(): Unit = synchronized { refs += 1 }
+    def releaseRef(): Int = synchronized { refs -= 1; refs }
+    def close(): Unit = synchronized {
+      if (v != null && !closedHere) { closedHere = true; v.close() }
+    }
   }
   private val receivers =
     scala.collection.concurrent.TrieMap[String, Holder]()
@@ -614,10 +624,43 @@ object MqttReceiver {
     val mine = new Holder(() =>
       new MqttReceiver(host, port, topic, cid, maxBuffered, walDir, walRollEvery))
     receivers.putIfAbsent(k, mine) match {
-      case Some(theirs) => (theirs.r, false)
+      case Some(theirs) =>
+        val r = theirs.r
+        theirs.retain()
+        (r, false)
       case None =>
-        try (mine.r, true)
-        catch { case t: Throwable => receivers.remove(k, mine); throw t }
+        val r =
+          try mine.r
+          catch { case t: Throwable => receivers.remove(k, mine); throw t }
+        if (receivers.get(k).contains(mine)) { mine.retain(); (r, true) }
+        else {
+          // a concurrent stop() removed our entry while the receiver was
+          // still being created: its close() ran against the unforced
+          // holder as a no-op, so the receiver just built is an orphan no
+          // registry entry reaches. Close it and linearize the race as
+          // stop-before-acquire: try again (round-12 review, third pass).
+          r.close()
+          acquire(host, port, topic, clientId, maxBuffered, walDir,
+            walRollEvery)
+        }
+    }
+  }
+
+  /** Undo ONE [[acquire]]: decrement the endpoint's reference count and
+    * stop the receiver only when this was the LAST reference. Shard-init
+    * partial-failure cleanup uses this so undoing its own acquires can
+    * never close a receiver a concurrent stream ALSO acquired (created
+    * does not mean exclusively used — round-12 review, third pass).
+    * [[stop]] stays the hard-stop hook for bounded exercises: it closes
+    * regardless of outstanding references. */
+  private[graft] def release(host: String, port: Int, topic: String,
+      clientId: String): Unit = {
+    val k = key(host, port, topic, clientId)
+    receivers.get(k).foreach { h =>
+      if (h.releaseRef() <= 0) {
+        receivers.remove(k, h)
+        h.close()
+      }
     }
   }
 
@@ -807,32 +850,29 @@ class MqttStream(host: String, port: Int, topics0: Seq[String],
       // receivers that predate this init attempt hold acked, driver-buffered
       // rows (for WAL-less sources those rows exist NOWHERE else — the
       // broker will not redeliver acked QoS 1 messages), so a partial
-      // failure must leave them alive for the retry and stop only the
-      // receivers THIS attempt created. Ownership comes from acquire's
-      // atomic created flag, not a pre-snapshot of the registry — a
-      // concurrent stream registering an endpoint between snapshot and
-      // create would otherwise be misclassified as ours and stopped out
-      // from under it (round-12 review).
+      // failure must leave them alive for the retry and undo ONLY this
+      // attempt's own acquires. Each successful acquire is balanced by
+      // one release, which closes a receiver only when the LAST reference
+      // drops — so neither a receiver this attempt merely reused, nor one
+      // it created that a concurrent stream has since acquired, can be
+      // stopped out from under its other users (round-12 review).
       val made = new Array[MqttReceiver](n)
-      val mine = new Array[Boolean](n)
       val errs = new Array[Throwable](n)
       val threads = (0 until n).map { i =>
         new Thread(() => {
-          try {
-            val (r, created) = receiver(i)
-            made(i) = r; mine(i) = created
-          } catch { case t: Throwable => errs(i) = t }
+          try made(i) = receiver(i)._1
+          catch { case t: Throwable => errs(i) = t }
         }, s"mqtt-shard-init-$i")
       }
       threads.foreach(_.start()); threads.foreach(_.join())
       errs.zipWithIndex.find(_._1 != null).foreach { case (t, i) =>
-        // don't leak the shards this attempt started: each holds a live
-        // broker session + WAL handle nobody will ever use (the failed
-        // lazy val retries from scratch). Stop via the registry (remove +
-        // close) so the retry re-creates them instead of getting a closed
-        // cached receiver back.
-        made.indices.filter(j => made(j) != null && mine(j)).foreach { j =>
-          try MqttReceiver.stop(host, port, topics(j), s"$clientId-s$j")
+        // don't leak the shards this attempt started: a sole-reference
+        // receiver holds a live broker session + WAL handle nobody will
+        // ever use (the failed lazy val retries from scratch); release
+        // removes it from the registry so the retry re-creates it instead
+        // of getting a closed cached receiver back.
+        made.indices.filter(made(_) != null).foreach { j =>
+          try MqttReceiver.release(host, port, topics(j), s"$clientId-s$j")
           catch { case _: Throwable => () }
         }
         throw new IllegalStateException(

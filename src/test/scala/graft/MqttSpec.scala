@@ -973,6 +973,26 @@ class MqttSpec extends SparkSpec {
       c3 shouldBe true
       assert(!(r3 eq r1))
       MqttReceiver.stop("127.0.0.1", broker.port, "acq/#", cid)
+      // release undoes ONE acquire and closes only at the LAST reference:
+      // two acquires (creator + sharer), one release → the endpoint stays
+      // registered and alive for the sharer (the shard-init cleanup
+      // contract: undoing a failed attempt can't stop a shared receiver)
+      val (r4, c4) = MqttReceiver.acquire("127.0.0.1", broker.port, "acq/#", cid)
+      c4 shouldBe true
+      val (_, c5) = MqttReceiver.acquire("127.0.0.1", broker.port, "acq/#", cid)
+      c5 shouldBe false
+      MqttReceiver.release("127.0.0.1", broker.port, "acq/#", cid)
+      val (r6, c6) = MqttReceiver.acquire("127.0.0.1", broker.port, "acq/#", cid)
+      c6 shouldBe false // still the sharer's live receiver, not a re-create
+      assert(r6 eq r4)
+      // drain the remaining two references: the last release closes and
+      // unregisters, so the next acquire creates afresh
+      MqttReceiver.release("127.0.0.1", broker.port, "acq/#", cid)
+      MqttReceiver.release("127.0.0.1", broker.port, "acq/#", cid)
+      val (r7, c7) = MqttReceiver.acquire("127.0.0.1", broker.port, "acq/#", cid)
+      c7 shouldBe true
+      assert(!(r7 eq r4))
+      MqttReceiver.stop("127.0.0.1", broker.port, "acq/#", cid)
       // a create that fails (no broker) must remove its registry entry:
       // the retry hits the wire again (IOException) instead of a poisoned
       // holder's IllegalStateException("receiver create failed")

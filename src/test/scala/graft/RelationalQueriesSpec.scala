@@ -61,6 +61,20 @@ class RelationalQueriesSpec extends SparkSpec {
     val got = out.collect().map(r => (r.getDouble(0), r.getString(1), r.getLong(2)))
     got.map(_._2).toSet shouldBe (1 to 8).map(i => s"b$i").toSet // caller's column intact
     got.foreach { case (v, _, b) => b shouldBe math.ceil(v / 2).toLong } // 8 rows / 4 bands
+    // outCol = "__bounds": the internal name must dodge the OUTPUT name
+    // too, or the final drop would silently delete the band column itself
+    val asBounds = RelationalQueries.bandedNtile(
+      (1 to 8).map(_.toDouble).toDF("v"), "v", 4, outCol = "__bounds",
+      exact = true)
+    asBounds.columns.toSeq shouldBe Seq("v", "__bounds")
+    asBounds.collect().map(_.getLong(1)).toSet shouldBe Set(1L, 2L, 3L, 4L)
+    // a differently-CASED collision: the default resolver is
+    // case-insensitive, so "__BOUNDS" must count as taken
+    val cased = (1 to 8).map(i => (i.toDouble, i)).toDF("v", "__BOUNDS")
+    val outCased = RelationalQueries.bandedNtile(cased, "v", 4, exact = true)
+    outCased.columns.toSeq shouldBe Seq("v", "__BOUNDS", "band")
+    outCased.collect().map(r => (r.getDouble(0), r.getLong(2)))
+      .foreach { case (v, b) => b shouldBe math.ceil(v / 2).toLong }
   }
 
   test("top-k matches a full driver-side sort") {

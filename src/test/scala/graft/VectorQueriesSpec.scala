@@ -288,4 +288,22 @@ class VectorQueriesSpec extends SparkSpec {
     // mutuality bounds the degree: a node keeps at most k partners
     deg.values.foreach(_ should be <= k)
   }
+
+  test("a malformed or non-positive corpus-size conf fails loudly naming " +
+      "the knob (never a contextless NumberFormatException or silent NaN " +
+      "geometry)") {
+    import graft.ops.VectorQueries.EmbeddingLsh
+    val conf = EmbeddingLsh.CorpusSizeConf
+    for (bad <- Seq("2e5", "200_000", "-5", "0")) {
+      spark.conf.set(conf, bad)
+      try {
+        val e = intercept[IllegalArgumentException](
+          EmbeddingLsh.pinnedCorpus(spark))
+        e.getMessage should include(conf)
+      } finally spark.conf.unset(conf)
+    }
+    spark.conf.set(conf, " 200000 ") // whitespace-tolerant, like before
+    try EmbeddingLsh.pinnedCorpus(spark) shouldBe Some(200000L)
+    finally spark.conf.unset(conf)
+  }
 }
