@@ -170,6 +170,40 @@ class MqttWalSpec extends graft.SparkSpec {
     fdsOn(seg5) shouldBe 0 // nothing left open on the torn segment
   }
 
+  test("recovery at EVERY byte-truncation point yields a clean record " +
+      "prefix — never garbage, a torn record, or a crash — and range reads " +
+      "over the recovered prefix drain it exactly") {
+    val dir = tmp()
+    val w = new MqttWal(dir, rollEvery = 100) // one segment
+    val rs = recs(0, 8)
+    w.append(rs)
+    w.close()
+    val seg = dir.resolve(f"wal-${0}%020d.log")
+    val full = Files.readAllBytes(seg)
+    // byte offset where each record ENDS, per the wire format (len-prefixed
+    // topic, len-prefixed payload, int pid) — a cut keeps exactly the
+    // records that end at or before it
+    val ends = rs.map { case (t, p, _) =>
+      4 + t.getBytes("UTF-8").length + 4 + p.getBytes("UTF-8").length + 4
+    }.scanLeft(0)(_ + _).tail
+    ends.last shouldBe full.length // the format model matches the file
+    // exhaustive, not sampled: the decoder's EOF classification (clean
+    // boundary vs torn length-prefix vs torn body) must hold at every cut
+    for (cut <- 0 until full.length) {
+      Files.write(seg, java.util.Arrays.copyOf(full, cut))
+      val w2 = new MqttWal(dir, rollEvery = 100)
+      w2.recoveredBase shouldBe 0L
+      w2.recovered.size shouldBe ends.count(_ <= cut)
+      w2.recovered shouldBe rs.take(w2.recovered.size).toVector
+      if (w2.recovered.nonEmpty)
+        MqttWal.readRange(dir, 0, w2.recovered.size).toSeq shouldBe
+          rs.take(w2.recovered.size).map(r => (r._1, r._2))
+      w2.close()
+    }
+    Files.write(seg, full)
+    new MqttWal(dir, rollEvery = 100).recovered shouldBe rs.toVector
+  }
+
   test("a gapped segment chain fails recovery loudly") {
     val dir = tmp()
     val w = new MqttWal(dir, rollEvery = 5)
