@@ -1006,4 +1006,41 @@ class MqttSpec extends SparkSpec {
         MqttReceiver.acquire("127.0.0.1", deadPort, "acq/#", "acq-dead"))
     } finally broker.close()
   }
+
+  test("concurrent acquires of one endpoint: one receiver instance, exactly " +
+      "one created flag, and per-acquire releases tear it down exactly once") {
+    val broker = new MiniBroker()
+    try {
+      val cid = s"acqc-${broker.port}"
+      val nThreads = 8
+      val got = new Array[(MqttReceiver, Boolean)](nThreads)
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val threads = (0 until nThreads).map { i =>
+        new Thread(() => {
+          start.await()
+          got(i) = MqttReceiver.acquire("127.0.0.1", broker.port, "acqc/#", cid)
+        }, s"acqc-$i")
+      }
+      threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+      // the putIfAbsent + holder contract: every thread saw the SAME
+      // receiver, and the creation credit went to exactly one of them
+      got.map(_._1).distinct.length shouldBe 1
+      got.count(_._2) shouldBe 1
+      // refs == nThreads: the first nThreads - 1 releases keep it alive
+      for (_ <- 0 until nThreads - 1)
+        MqttReceiver.release("127.0.0.1", broker.port, "acqc/#", cid)
+      val (again, createdAgain) =
+        MqttReceiver.acquire("127.0.0.1", broker.port, "acqc/#", cid)
+      createdAgain shouldBe false
+      assert(again eq got(0)._1)
+      // drain the two remaining references — the endpoint is then gone
+      MqttReceiver.release("127.0.0.1", broker.port, "acqc/#", cid)
+      MqttReceiver.release("127.0.0.1", broker.port, "acqc/#", cid)
+      val (fresh, createdFresh) =
+        MqttReceiver.acquire("127.0.0.1", broker.port, "acqc/#", cid)
+      createdFresh shouldBe true
+      assert(!(fresh eq got(0)._1))
+      MqttReceiver.stop("127.0.0.1", broker.port, "acqc/#", cid)
+    } finally broker.close()
+  }
 }
