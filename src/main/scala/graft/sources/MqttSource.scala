@@ -711,6 +711,17 @@ class MqttTable(o: CaseInsensitiveStringMap) extends Table with SupportsRead {
     * same checkpoint + walDir replays the retained segments instead of
     * failing the offset check. */
   private val walDir = Option(o.get("walDir")).filter(_.nonEmpty)
+  private val maxSliceBytes =
+    o.getLong("maxSliceBytes", MqttStream.DefaultMaxSliceBytes)
+  /** `follow=true` (round-13): this process owns NO receivers — ingest
+    * pumps run in OTHER processes (e.g. [[graft.tools.MqttIngestPump]])
+    * writing shard WALs + durable marks to a shared `walDir`, and this
+    * source plans [[MqttWalSlice]] partitions straight off those files.
+    * The multi-machine shape of the transport edge: pump hosts scale
+    * independently of the one Spark driver. Requires `walDir`. */
+  private val follow = o.getBoolean("follow", false)
+  require(!follow || walDir.nonEmpty,
+    "follow=true needs the 'walDir' option (the shared pump WAL root)")
   override def name(): String = s"graft-mqtt($host:$port/$topic)"
   override def schema(): StructType = MqttSourceProvider.schema
   override def capabilities(): util.Set[TableCapability] =
@@ -720,7 +731,13 @@ class MqttTable(o: CaseInsensitiveStringMap) extends Table with SupportsRead {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = MqttSourceProvider.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new MqttStream(host, port, shards, clientId, rowsPerBatch, walDir)
+          if (follow)
+            new MqttFollowStream(
+              MqttFollowStream.shardDirs(walDir.get, shards.size),
+              shards.toIndexedSeq, rowsPerBatch)
+          else
+            new MqttStream(host, port, shards, clientId, rowsPerBatch, walDir,
+              maxSliceBytes)
       }
     }
 }
@@ -779,6 +796,81 @@ object MqttShardOffset {
         .map(_.toLong).toIndexedSeq)
 }
 
+/** Offset plumbing shared by the receiver-owning [[MqttStream]] and the
+  * cross-process [[MqttFollowStream]]: decode/encode with shard-identity
+  * validation, the per-batch row-cap waterfill, and ReadLimit unwrapping.
+  * One implementation so the two stream faces can never drift on what a
+  * checkpoint means (the follower exists precisely so a DIFFERENT process
+  * can own the receivers — its offsets must stay interchangeable). */
+private[sources] object MqttShardOffsets {
+
+  /** Per-shard emitted counts from a persisted offset, with the same
+    * validation [[MqttStream]] has always applied: shard COUNT must match,
+    * and filter-keyed offsets (round-11+) must match shard IDENTITY
+    * position-by-position — WAL subdirs and broker sessions are positional,
+    * so a reordered/renamed `topics` list under an existing checkpoint
+    * would silently apply shard A's committed offset to shard B. */
+  def decode(o: Offset, topics: IndexedSeq[String]): IndexedSeq[Long] = {
+    val n = topics.size
+    o match {
+      case MqttOffset(e) =>
+        require(n == 1, s"scalar MQTT offset $e against $n topic shards " +
+          "(the topic list changed under an existing checkpoint?)")
+        IndexedSeq(e)
+      case so: MqttShardOffset =>
+        val e = so.emitted
+        require(e.size == n, s"MQTT offset has ${e.size} shards, source has " +
+          s"$n (the topic list changed under an existing checkpoint?)")
+        if (so.filters.nonEmpty) {
+          require(so.filters.size == n,
+            s"MQTT offset names ${so.filters.size} shard filters, source has $n")
+          so.filters.zip(topics).zipWithIndex.collectFirst {
+            case ((ck, cfg), i) if ck != cfg => (ck, cfg, i)
+          }.foreach { case (ck, cfg, i) =>
+            throw new IllegalStateException(
+              s"MQTT shard $i identity mismatch: checkpoint was committed for " +
+                s"topic filter '$ck' but the source's 'topics' option now has " +
+                s"'$cfg' at that position. Shard state (WAL subdir, broker " +
+                "session) is positional — reordering or renaming filters under " +
+                "an existing checkpoint would replay the wrong shard's offset. " +
+                "Restore the original topics order, or start a fresh checkpoint.")
+          }
+        }
+        e
+    }
+  }
+
+  def encode(e: IndexedSeq[Long], topics: IndexedSeq[String]): Offset =
+    if (topics.size == 1) MqttOffset(e.head) else MqttShardOffset(e, topics)
+
+  /** Waterfill `cap` rows over per-shard availability: repeated even
+    * shares (leftovers to earlier shards), so a backlogged shard cannot
+    * monopolize a batch while others have data waiting. Deterministic. */
+  def waterfill(avail: IndexedSeq[Long], cap: Long): IndexedSeq[Long] = {
+    val take = Array.fill(avail.size)(0L)
+    var left = cap
+    var progress = true
+    while (left > 0 && progress) {
+      val hungry = avail.indices.filter(i => take(i) < avail(i))
+      progress = hungry.nonEmpty
+      if (progress) {
+        val share = math.max(1L, left / hungry.size)
+        for (i <- hungry if left > 0) {
+          val t = math.min(share, math.min(avail(i) - take(i), left))
+          take(i) += t; left -= t
+        }
+      }
+    }
+    take.toIndexedSeq
+  }
+
+  def rowCap(l: ReadLimit): Option[Long] = l match {
+    case r: ReadMaxRows => Some(r.maxRows())
+    case c: CompositeReadLimit => c.getReadLimits.flatMap(rowCap(_)).headOption
+    case _ => None
+  }
+}
+
 /** The micro-batch slice ships its rows in the partition — the fallback
   * when no WAL exists (transport-edge rows are then driver-resident by
   * construction; with topic shards each shard backs its OWN partition, so
@@ -820,7 +912,8 @@ final case class MqttWalSlice(dir: String, start: Long, until: Long)
   * shares, leftovers in shard order), so one hot shard cannot starve the
   * rest of a batch. */
 class MqttStream(host: String, port: Int, topics0: Seq[String],
-    clientId: String, rowsPerBatch: Long, walDir: Option[String] = None)
+    clientId: String, rowsPerBatch: Long, walDir: Option[String] = None,
+    maxSliceBytes: Long = MqttStream.DefaultMaxSliceBytes)
     extends MicroBatchStream with SupportsAdmissionControl {
   private val topics: IndexedSeq[String] = topics0.toIndexedSeq
   private val n = topics.size
@@ -882,61 +975,13 @@ class MqttStream(host: String, port: Int, topics0: Seq[String],
     }
   }
 
-  private def offsets(o: Offset): IndexedSeq[Long] = o match {
-    case MqttOffset(e) =>
-      require(n == 1, s"scalar MQTT offset $e against $n topic shards " +
-        "(the topic list changed under an existing checkpoint?)")
-      IndexedSeq(e)
-    case so: MqttShardOffset =>
-      val e = so.emitted
-      require(e.size == n, s"MQTT offset has ${e.size} shards, source has " +
-        s"$n (the topic list changed under an existing checkpoint?)")
-      // Filter-keyed checkpoints (round-11+) validate shard IDENTITY, not
-      // just count: WAL subdirs and broker sessions are positional, so a
-      // reordered/renamed topics list under an existing checkpoint would
-      // silently apply shard A's committed offset to shard B's receiver.
-      // Legacy bare-array checkpoints carry no filters and keep the
-      // count-only check above.
-      if (so.filters.nonEmpty) {
-        require(so.filters.size == n,
-          s"MQTT offset names ${so.filters.size} shard filters, source has $n")
-        so.filters.zip(topics).zipWithIndex.collectFirst {
-          case ((ck, cfg), i) if ck != cfg => (ck, cfg, i)
-        }.foreach { case (ck, cfg, i) =>
-          throw new IllegalStateException(
-            s"MQTT shard $i identity mismatch: checkpoint was committed for " +
-              s"topic filter '$ck' but the source's 'topics' option now has " +
-              s"'$cfg' at that position. Shard state (WAL subdir, broker " +
-              "session) is positional — reordering or renaming filters under " +
-              "an existing checkpoint would replay the wrong shard's offset. " +
-              "Restore the original topics order, or start a fresh checkpoint.")
-        }
-      }
-      e
-  }
+  // Filter-keyed checkpoints (round-11+) validate shard IDENTITY, not just
+  // count; legacy bare-array checkpoints keep the weaker count-only check.
+  // Shared with the cross-process follower (MqttShardOffsets).
+  private def offsets(o: Offset): IndexedSeq[Long] =
+    MqttShardOffsets.decode(o, topics)
   private def mkOffset(e: IndexedSeq[Long]): Offset =
-    if (n == 1) MqttOffset(e.head) else MqttShardOffset(e, topics)
-
-  /** Waterfill `cap` rows over per-shard availability: repeated even
-    * shares (leftovers to earlier shards), so a backlogged shard cannot
-    * monopolize a batch while others have data waiting. Deterministic. */
-  private def allocate(avail: IndexedSeq[Long], cap: Long): IndexedSeq[Long] = {
-    val take = Array.fill(avail.size)(0L)
-    var left = cap
-    var progress = true
-    while (left > 0 && progress) {
-      val hungry = avail.indices.filter(i => take(i) < avail(i))
-      progress = hungry.nonEmpty
-      if (progress) {
-        val share = math.max(1L, left / hungry.size)
-        for (i <- hungry if left > 0) {
-          val t = math.min(share, math.min(avail(i) - take(i), left))
-          take(i) += t; left -= t
-        }
-      }
-    }
-    take.toIndexedSeq
-  }
+    MqttShardOffsets.encode(e, topics)
 
   /** A FRESH checkpoint against a pre-populated walDir starts at the
     * receiver's recovered base, not 0: offsets below the base were
@@ -981,14 +1026,9 @@ class MqttStream(host: String, port: Int, topics0: Seq[String],
           "the walDir option for cross-process replay, or start from a " +
           "fresh checkpoint")
     }
-    def rowCap(l: ReadLimit): Option[Long] = l match {
-      case r: ReadMaxRows => Some(r.maxRows())
-      case c: CompositeReadLimit => c.getReadLimits.flatMap(rowCap(_)).headOption
-      case _ => None
-    }
-    val cap = rowCap(limit).getOrElse(Long.MaxValue)
+    val cap = MqttShardOffsets.rowCap(limit).getOrElse(Long.MaxValue)
     val avail = (0 until n).map(i => receivers(i).size - s(i))
-    val take = allocate(avail, cap)
+    val take = MqttShardOffsets.waterfill(avail, cap)
     mkOffset((0 until n).map(i => s(i) + take(i)))
   }
   override def latestOffset(): Offset =
@@ -1008,7 +1048,24 @@ class MqttStream(host: String, port: Int, topics0: Seq[String],
       .map[InputPartition] { i =>
         receivers(i).walPath match {
           case Some(d) => MqttWalSlice(d, s(i), e(i))
-          case None => MqttSlice(receivers(i).slice(s(i), e(i)))
+          case None =>
+            // the fallback serializes every row byte into the task binary —
+            // through the driver heap/NIC on every batch. Fine at test
+            // scale; at data scale it is a silent foot-gun (round-12
+            // verdict), so past a byte budget it fails LOUDLY, naming the
+            // fix (walDir → executor-side MqttWalSlice reads).
+            val rows = receivers(i).slice(s(i), e(i))
+            var bytes = 0L
+            rows.foreach { case (t, p) => bytes += 2L * (t.length + p.length) + 32L }
+            if (bytes > maxSliceBytes)
+              throw new IllegalStateException(
+                s"MQTT shard $i batch [${s(i)}, ${e(i)}) would serialize " +
+                  s"~$bytes bytes of rows through the driver (cap " +
+                  s"$maxSliceBytes, option 'maxSliceBytes'). Set the " +
+                  "'walDir' option so executors read WAL segments " +
+                  "(MqttWalSlice) instead of shipping row bytes in every " +
+                  "task, or lower 'rowsPerBatch'.")
+            MqttSlice(rows)
         }
       }
       .toArray[InputPartition]
@@ -1022,6 +1079,15 @@ class MqttStream(host: String, port: Int, topics0: Seq[String],
     (0 until n).foreach(i => receivers(i).trimTo(e(i)))
   }
   override def stop(): Unit = ()
+}
+
+object MqttStream {
+  /** Default cap on the row bytes ONE driver-resident [[MqttSlice]] may
+    * serialize into a task (64 MB — generous for the test/dev scale the
+    * fallback exists for, far below where per-batch double-shipping every
+    * row byte through the driver melts a real deployment). WAL-backed
+    * sources never hit it: their partitions carry a path + two offsets. */
+  val DefaultMaxSliceBytes: Long = 64L << 20
 }
 
 object MqttReaderFactory extends PartitionReaderFactory {

@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.net.{MiniBroker, MqttClient}
-import graft.sources.{MqttReaderFactory, MqttReceiver, MqttSlice, MqttStream, MqttWalSlice}
+import graft.sources.{MqttFollowStream, MqttReaderFactory, MqttReceiver, MqttSlice, MqttStream, MqttWalMarks, MqttWalSlice}
 
 /** Ingest-edge throughput probe for the sharded MQTT source (round-9
   * verdict #2): measures wall time for P concurrent QoS 1 publishers to
@@ -30,7 +30,11 @@ object MqttIngestProbe {
     * with driver-resident [[MqttSlice]]s that is every row byte again;
     * with WAL-backed [[MqttWalSlice]]s it is a path + two offsets per
     * shard, the round-12 executor-read path (round-11 verdict #4). */
-  private def drain(stream: MqttStream, total: Long): (Double, Long, Long) = {
+  private def drain(
+      stream: org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+        with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl,
+      total: Long,
+      onRow: (String, String) => Unit = (_, _) => ()): (Double, Long, Long) = {
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
     var cur = stream.initialOffset()
     var drained = 0L
@@ -50,7 +54,11 @@ object MqttIngestProbe {
             case w: MqttWalSlice => w.dir.length + 16L
           })
           val rd = MqttReaderFactory.createReader(p)
-          while (rd.next()) { rd.get(); drained += 1 }
+          while (rd.next()) {
+            val row = rd.get()
+            onRow(row.getUTF8String(0).toString, row.getUTF8String(1).toString)
+            drained += 1
+          }
           rd.close()
         }
         stream.commit(end)
@@ -111,7 +119,130 @@ object MqttIngestProbe {
     }
   }
 
+  /** MULTI-PROCESS ingest (round-12 verdict #1): spawn `pumps` separate
+    * pump JVMs ([[MqttIngestPump]]) that split `shards` topic filters
+    * between them, all writing WAL segments + marks under one shared
+    * `walDir`, while THIS process plays the Spark driver: it runs the
+    * loopback broker and the publishers, waits for the pumps' durable hwm
+    * marks to cover every published message (the ingest timing), then
+    * drains all shards through the cross-process [[MqttFollowStream]] —
+    * planning [[MqttWalSlice]] partitions off files it never wrote, in a
+    * process that owns no receiver — and audits per-shard row counts
+    * exactly. Returns (ingestSec, messages, drainSec, driverShippedBytes,
+    * readerHeapMb). */
+  def runMulti(n: Int, publishers: Int, shards: Int,
+      pumps: Int): (Double, Long, Double, Long, Long) = {
+    require(pumps >= 1 && pumps <= shards, s"pumps=$pumps vs shards=$shards")
+    val broker = new MiniBroker()
+    val walRoot = java.nio.file.Files
+      .createTempDirectory(s"ingest_mp_${shards}_$pumps")
+    val cid = s"mp$shards-$pumps"
+    val filters = (0 until shards).map(s => s"pr/$s/#")
+    val procs = scala.collection.mutable.Buffer.empty[Process]
+    try {
+      val javaBin = System.getProperty("java.home") + "/bin/java"
+      val cp = System.getProperty("java.class.path")
+      (0 until pumps).foreach { p =>
+        val spec = (0 until shards).filter(_ % pumps == p)
+          .map(i => s"$i=pr/$i/#").mkString(",")
+        val pb = new ProcessBuilder(javaBin, "-Xmx2g", "-cp", cp,
+          "graft.tools.MqttIngestPump", "127.0.0.1", broker.port.toString,
+          walRoot.toString, cid, shards.toString, spec)
+        pb.redirectErrorStream(true)
+        val proc = pb.start()
+        procs += proc
+        // wait for PUMP_READY: receivers subscribed, identity marks written
+        val rd = new java.io.BufferedReader(
+          new java.io.InputStreamReader(proc.getInputStream))
+        val deadline = System.currentTimeMillis() + 60000
+        var ready = false
+        while (!ready && System.currentTimeMillis() < deadline) {
+          val line = rd.readLine()
+          require(line != null, s"pump $p exited before PUMP_READY")
+          if (line.startsWith("PUMP_READY")) ready = true
+        }
+        require(ready, s"pump $p not ready in 60s")
+        // keep draining the pump's stdout so it can never block on a full
+        // pipe; its final JSON line is reported through the hwm marks
+        val sink = new Thread(() => {
+          try { while (rd.readLine() != null) () }
+          catch { case _: Throwable => () }
+        }, s"pump-$p-stdout")
+        sink.setDaemon(true); sink.start()
+      }
+      val perPub = n / publishers
+      val total = perPub.toLong * publishers
+      val threads = (0 until publishers).map { p =>
+        val shard = p % shards
+        new Thread(() => {
+          val c = new MqttClient("127.0.0.1", broker.port, s"pub-$p").connect()
+          for (i <- 0 until perPub) c.publish(s"pr/$shard/x", s"m$p-$i")
+          c.close()
+        }, s"probe-pub-$p")
+      }
+      def hwmSum: Long = (0 until shards).map { i =>
+        MqttWalMarks.readLong(walRoot.resolve(s"shard-$i"),
+          MqttWalMarks.Hwm).getOrElse(0L)
+      }.sum
+      val t0 = System.nanoTime()
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      val deadline = System.currentTimeMillis() + 120000
+      while (hwmSum < total && System.currentTimeMillis() < deadline)
+        Thread.sleep(5)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val got = hwmSum
+      require(got == total, s"ingest incomplete: $got of $total durable")
+      // cross-process drain: this process owns NO receiver — it follows
+      // the pumps' WALs and marks, the way the Spark driver would
+      val follow = new MqttFollowStream(
+        MqttFollowStream.shardDirs(walRoot.toString, shards), filters, 8192L)
+      val perShard = new Array[Long](shards)
+      val (dSec, _, shipped) = drain(follow, total, (topic, _) => {
+        val s = topic.split("/")(1).toInt
+        perShard(s) += 1
+      })
+      // exact per-shard audit: every shard's rows arrived once, none
+      // crossed shards (offset/identity validation held across processes)
+      (0 until shards).foreach { s =>
+        val expect = (0 until publishers).count(_ % shards == s).toLong * perPub
+        require(perShard(s) == expect,
+          s"shard $s drained ${perShard(s)} rows, published $expect")
+      }
+      val rt = Runtime.getRuntime
+      val heapMb = (rt.totalMemory() - rt.freeMemory()) >> 20
+      (sec, got, dSec, shipped, heapMb)
+    } finally {
+      try {
+        java.nio.file.Files.write(walRoot.resolve("STOP"), Array.emptyByteArray)
+        procs.foreach { p =>
+          if (!p.waitFor(20, java.util.concurrent.TimeUnit.SECONDS))
+            p.destroyForcibly()
+        }
+      } finally broker.close()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("multi")) {
+      val n = args.lift(1).map(_.toInt).getOrElse(240000)
+      val publishers = args.lift(2).map(_.toInt).getOrElse(16)
+      val shards = args.lift(3).map(_.toInt).getOrElse(8)
+      val pumpCounts =
+        if (args.length > 4) args.drop(4).toSeq.map(_.toInt) else Seq(1, 2, 4)
+      runMulti(20000, publishers, shards, pumpCounts.head) // JIT/class warmup
+      for (p <- pumpCounts) {
+        val (sec, got, dSec, shipped, heapMb) = runMulti(n, publishers, shards, p)
+        println(f"""{"mode":"multiproc","pumps":$p,"shards":$shards,""" +
+          f""""publishers":$publishers,"messages":$got,""" +
+          f""""ingest_sec":${math.rint(sec * 1000) / 1000}%s,""" +
+          f""""ingest_msg_per_sec":${math.rint(got / sec)}%.0f,""" +
+          f""""drain_sec":${math.rint(dSec * 1000) / 1000}%s,""" +
+          f""""drain_msg_per_sec":${math.rint(got / dSec)}%.0f,""" +
+          f""""driver_shipped_bytes":$shipped,"reader_heap_mb":$heapMb}""")
+      }
+      return
+    }
     val n = args.headOption.map(_.toInt).getOrElse(40000)
     val publishers = args.lift(1).map(_.toInt).getOrElse(4)
     val shardCounts =

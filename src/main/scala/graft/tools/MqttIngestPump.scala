@@ -1,0 +1,104 @@
+package graft.tools
+
+import java.nio.file.{Files, Path, Paths}
+
+import graft.sources.{MqttReceiver, MqttWalMarks}
+
+/** Standalone MQTT ingest pump — one PROCESS of the multi-process
+  * transport edge. Owns the receivers (broker session, WAL writer, backlog
+  * bound) for a SUBSET of a sharded source's topic filters, writes each
+  * shard's WAL segments plus [[graft.sources.MqttWalMarks]] under the
+  * shared `walDir`, and trims segments as the reader commits. The Spark
+  * session that consumes the shards runs `format("graft-mqtt")
+  * .option("follow", "true")` ([[graft.sources.MqttFollowStream]]) in a
+  * DIFFERENT process — possibly a different host, with `walDir` on shared
+  * storage — so ingest capacity scales with pump processes/hosts instead
+  * of saturating the one driver box (the ceiling BASELINE.md's round-12
+  * probe measured at ~8 in-process shards). The reference's ingest edge is
+  * a single in-process subscription that scales to neither
+  * (reference/src/main/java/stream/sources/HiveMQSource.java:62-106).
+  *
+  * Args: `host port walDir clientIdBase totalShards shardSpec`
+  * where shardSpec is a comma-separated `index=filter` list naming the
+  * GLOBAL shard indices this pump owns (e.g. `"0=pr/0/#,2=pr/2/#"`) —
+  * indices decide the WAL subdirectory (`walDir/shard-<i>`, or `walDir`
+  * itself when totalShards=1) and the broker clientId
+  * (`<clientIdBase>-s<i>`), so any partition of the shard set across pump
+  * processes composes into exactly the layout the follower expects. Like
+  * the source's `topics` option, filters here cannot contain literal
+  * commas.
+  *
+  * Lifecycle: prints `PUMP_READY <indices>` once every owned receiver is
+  * subscribed and its filter-identity mark is written; pumps until
+  * `walDir/STOP` exists; then publishes final hwm marks, closes the
+  * receivers, and prints one JSON line with per-shard ingested counts. */
+object MqttIngestPump {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 6,
+      "args: host port walDir clientIdBase totalShards shardSpec")
+    val host = args(0)
+    val port = args(1).toInt
+    val walRoot = args(2)
+    val cidBase = args(3)
+    val totalShards = args(4).toInt
+    val owned: Seq[(Int, String)] = args(5).split(",").toSeq.map { s =>
+      val Array(i, f) = s.split("=", 2)
+      (i.trim.toInt, f)
+    }
+    require(owned.nonEmpty && owned.forall(o => o._1 >= 0 && o._1 < totalShards),
+      s"shard indices out of [0, $totalShards): ${owned.map(_._1).mkString(",")}")
+
+    def shardDir(i: Int): Path =
+      if (totalShards == 1) Paths.get(walRoot) else Paths.get(s"$walRoot/shard-$i")
+    def shardCid(i: Int): String =
+      if (totalShards == 1) cidBase else s"$cidBase-s$i"
+
+    // subscribe-before-publish: receivers connect here, ahead of READY
+    val receivers: Seq[(Int, Path, MqttReceiver)] = owned.map { case (i, f) =>
+      val dir = shardDir(i)
+      val r = MqttReceiver(host, port, f, clientId = shardCid(i),
+        walDir = Some(dir.toString))
+      // identity mark: lets the cross-process reader validate that this
+      // directory's bytes belong to the filter IT expects at this position
+      MqttWalMarks.write(dir, MqttWalMarks.Filter, f)
+      MqttWalMarks.writeLong(dir, MqttWalMarks.Hwm, r.size)
+      (i, dir, r)
+    }
+    println(s"PUMP_READY ${owned.map(_._1).mkString(",")}")
+
+    val stop = Paths.get(walRoot, "STOP")
+    val lastHwm = scala.collection.mutable.Map.empty[Int, Long]
+    val lastCommitted = scala.collection.mutable.Map.empty[Int, Long]
+    while (!Files.exists(stop)) {
+      receivers.foreach { case (i, dir, r) =>
+        // receiver.size is the durable high-water: the pump buffers a
+        // message only after its WAL append (fsync) returned
+        val h = r.size
+        if (!lastHwm.get(i).contains(h)) {
+          MqttWalMarks.writeLong(dir, MqttWalMarks.Hwm, h)
+          lastHwm(i) = h
+        }
+        // the reader declares commits; the WAL's owner trims
+        MqttWalMarks.readLong(dir, MqttWalMarks.Committed).foreach { c =>
+          if (c > lastCommitted.getOrElse(i, -1L)) {
+            r.trimTo(c)
+            lastCommitted(i) = c
+          }
+        }
+      }
+      Thread.sleep(5)
+    }
+    val counts = receivers.map { case (i, dir, r) =>
+      val h = r.size
+      MqttWalMarks.writeLong(dir, MqttWalMarks.Hwm, h)
+      (i, h)
+    }
+    receivers.foreach { case (i, _, _) =>
+      val f = owned.find(_._1 == i).get._2
+      MqttReceiver.stop(host, port, f, shardCid(i))
+    }
+    println(counts.map { case (i, h) => s""""$i":$h""" }
+      .mkString("""{"pump_ingested":{""", ",", "}}"))
+  }
+}
