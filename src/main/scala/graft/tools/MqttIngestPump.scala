@@ -18,7 +18,7 @@ import graft.sources.{MqttReceiver, MqttWalMarks}
   * a single in-process subscription that scales to neither
   * (reference/src/main/java/stream/sources/HiveMQSource.java:62-106).
   *
-  * Args: `host port walDir clientIdBase totalShards shardSpec`
+  * Args: `host port walDir clientIdBase totalShards shardSpec [rollEvery]`
   * where shardSpec is a comma-separated `index=filter` list naming the
   * GLOBAL shard indices this pump owns (e.g. `"0=pr/0/#,2=pr/2/#"`) —
   * indices decide the WAL subdirectory (`walDir/shard-<i>`, or `walDir`
@@ -48,6 +48,7 @@ object MqttIngestPump {
     }
     require(owned.nonEmpty && owned.forall(o => o._1 >= 0 && o._1 < totalShards),
       s"shard indices out of [0, $totalShards): ${owned.map(_._1).mkString(",")}")
+    val rollEvery = args.lift(6).map(_.toInt).getOrElse(4096)
 
     def shardDir(i: Int): Path =
       if (totalShards == 1) Paths.get(walRoot) else Paths.get(s"$walRoot/shard-$i")
@@ -58,7 +59,7 @@ object MqttIngestPump {
     val receivers: Seq[(Int, Path, MqttReceiver)] = owned.map { case (i, f) =>
       val dir = shardDir(i)
       val r = MqttReceiver(host, port, f, clientId = shardCid(i),
-        walDir = Some(dir.toString))
+        walDir = Some(dir.toString), walRollEvery = rollEvery)
       // identity mark: lets the cross-process reader validate that this
       // directory's bytes belong to the filter IT expects at this position
       MqttWalMarks.write(dir, MqttWalMarks.Filter, f)

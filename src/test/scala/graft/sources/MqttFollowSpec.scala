@@ -1,0 +1,210 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+import graft.net.{MiniBroker, MqttClient}
+
+/** The multi-process transport edge: a pump that owns the receivers in a
+  * DIFFERENT JVM writes WAL segments + durable marks, and the follower
+  * stream plans executor-side [[MqttWalSlice]] reads off those files with
+  * no in-process receiver state at all. Pins the cross-process offset and
+  * identity contracts the round-12 verdict asked for: exact replay across
+  * the process boundary, filter-identity validation on both the WAL
+  * directory (pump-side `filter` mark) and the checkpoint (filter-keyed
+  * offsets), reader-declared / owner-executed trim, and the byte-budget
+  * guard on the driver-resident fallback. */
+class MqttFollowSpec extends graft.SparkSpec {
+
+  private def tmp(prefix: String): Path = Files.createTempDirectory(prefix)
+
+  /** Drain `expect` rows through the follower exactly as the micro-batch
+    * loop would: latestOffset → planInputPartitions → reader → commit.
+    * Returns the rows and asserts every planned partition was a WAL slice
+    * (a follower can not ship rows any other way). */
+  private def drain(stream: MqttFollowStream, expect: Long,
+      batchRows: Int = 128): Vector[(String, String)] = {
+    val out = Vector.newBuilder[(String, String)]
+    var cur: Offset = stream.initialOffset()
+    var n = 0L
+    val deadline = System.currentTimeMillis() + 60000
+    while (n < expect && System.currentTimeMillis() < deadline) {
+      val end = stream.latestOffset(cur, ReadLimit.maxRows(batchRows))
+      if (end == cur) Thread.sleep(5)
+      else {
+        stream.planInputPartitions(cur, end).foreach { p =>
+          p shouldBe a[MqttWalSlice]
+          val rd = MqttReaderFactory.createReader(p)
+          while (rd.next()) {
+            val row = rd.get()
+            out += ((row.getUTF8String(0).toString, row.getUTF8String(1).toString))
+            n += 1
+          }
+          rd.close()
+        }
+        stream.commit(end)
+        cur = end
+      }
+    }
+    n shouldBe expect
+    out.result()
+  }
+
+  test("a pump in a REAL second JVM feeds a follower in this one: exact " +
+      "replay, filter-keyed offsets, reader-declared trim executed by the " +
+      "WAL's owner, clean pump exit") {
+    val broker = new MiniBroker()
+    val walRoot = tmp("follow_2jvm")
+    val filters = IndexedSeq("fp/0/#", "fp/1/#")
+    var proc: Process = null
+    try {
+      val javaBin = System.getProperty("java.home") + "/bin/java"
+      val pb = new ProcessBuilder(javaBin, "-Xmx512m",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.tools.MqttIngestPump", "127.0.0.1", broker.port.toString,
+        walRoot.toString, "f2j", "2", "0=fp/0/#,1=fp/1/#", "64")
+      pb.redirectErrorStream(true)
+      proc = pb.start()
+      val rd = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getInputStream))
+      var line = rd.readLine()
+      while (line != null && !line.startsWith("PUMP_READY")) line = rd.readLine()
+      line should startWith("PUMP_READY")
+      val sink = new Thread(() => {
+        try { while (rd.readLine() != null) () } catch { case _: Throwable => () }
+      })
+      sink.setDaemon(true); sink.start()
+
+      // publish AFTER the pump subscribed (READY): 300 messages per shard
+      val c = new MqttClient("127.0.0.1", broker.port, "f2j-pub").connect()
+      for (i <- 0 until 300; s <- 0 until 2) c.publish(s"fp/$s/t", s"m$s-$i")
+      c.close()
+
+      val follow = new MqttFollowStream(
+        MqttFollowStream.shardDirs(walRoot.toString, 2), filters, 128L)
+      val got = drain(follow, 600)
+      // exact content, per shard, no cross-shard bleed: the pump's WAL
+      // bytes and this process's offsets agree record-for-record
+      (0 until 2).foreach { s =>
+        got.filter(_._1 == s"fp/$s/t").map(_._2) shouldBe
+          (0 until 300).map(i => s"m$s-$i")
+      }
+      // offsets are filter-keyed across the process boundary, same as the
+      // in-process sharded source
+      val off = follow.latestOffset(follow.initialOffset(),
+        ReadLimit.maxRows(1)).asInstanceOf[MqttShardOffset]
+      off.filters shouldBe filters
+      // the reader only DECLARED commits; the pump must have executed the
+      // trim (rollEvery=64 → ≥4 segments/shard, all but the tail below the
+      // committed 300): wait for the owner's poll loop to catch up
+      val trimDeadline = System.currentTimeMillis() + 20000
+      def base0: Long = MqttWal.listSegments(walRoot.resolve("shard-0"))
+        .headOption.map(_._1).getOrElse(-1L)
+      while (base0 < 256 && System.currentTimeMillis() < trimDeadline)
+        Thread.sleep(20)
+      base0 should be >= 256L
+      // a RESTARTED follower (fresh checkpoint) starts at the trimmed base,
+      // not 0 — committed data below the base is gone by design
+      val follow2 = new MqttFollowStream(
+        MqttFollowStream.shardDirs(walRoot.toString, 2), filters, 128L)
+      val init2 = MqttShardOffsets.decode(follow2.initialOffset(), filters)
+      init2(0) should be >= 256L
+
+      Files.write(walRoot.resolve("STOP"), Array.emptyByteArray)
+      proc.waitFor(20, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
+      proc.exitValue() shouldBe 0
+    } finally {
+      if (proc != null) proc.destroyForcibly()
+      broker.close()
+    }
+  }
+
+  test("cross-process shard-identity validation: a WAL directory pumped " +
+      "for a DIFFERENT filter fails the follower loudly at planning time") {
+    val walRoot = tmp("follow_ident")
+    val dir = Paths.get(s"$walRoot/shard-0")
+    // a mis-assigned pump left its identity mark (no broker needed: the
+    // contract is between the mark and the follower's positional config)
+    MqttWalMarks.write(dir, MqttWalMarks.Filter, "plant/9/#")
+    MqttWalMarks.writeLong(dir, MqttWalMarks.Hwm, 0L)
+    val follow = new MqttFollowStream(
+      MqttFollowStream.shardDirs(walRoot.toString, 2),
+      IndexedSeq("plant/0/#", "plant/1/#"), 128L)
+    val e = intercept[IllegalStateException](
+      follow.latestOffset(follow.initialOffset(), ReadLimit.maxRows(10)))
+    e.getMessage should include("identity mismatch")
+    e.getMessage should include("plant/9/#")
+    e.getMessage should include("plant/0/#")
+  }
+
+  test("a reordered topics list under an existing follower checkpoint " +
+      "fails the shared filter-keyed offset validation") {
+    val walRoot = tmp("follow_reorder")
+    val follow = new MqttFollowStream(
+      MqttFollowStream.shardDirs(walRoot.toString, 2),
+      IndexedSeq("a/#", "b/#"), 128L)
+    val ckpt = MqttShardOffset(IndexedSeq(5L, 7L), IndexedSeq("b/#", "a/#"))
+    val e = intercept[IllegalStateException](
+      follow.latestOffset(follow.deserializeOffset(ckpt.json()),
+        ReadLimit.maxRows(10)))
+    e.getMessage should include("identity mismatch")
+  }
+
+  test("a checkpoint the pump trimmed past fails at planning time naming " +
+      "the mismatch, not later inside a partition read") {
+    val walRoot = tmp("follow_stale")
+    val dir = walRoot // single shard: the WAL root itself
+    val w = new MqttWal(dir, rollEvery = 4)
+    w.append((0 until 12).map(i => (s"s/t", s"p$i", i + 1)))
+    w.trimTo(8) // segments 0-3, 4-7 deleted; base is now 8
+    w.close()
+    MqttWalMarks.writeLong(dir, MqttWalMarks.Hwm, 12L)
+    val follow = new MqttFollowStream(Seq(dir.toString), Seq("s/#"), 128L)
+    val e = intercept[IllegalArgumentException](
+      follow.latestOffset(MqttOffset(5L), ReadLimit.maxRows(10)))
+    e.getMessage should include("trimmed past this checkpoint")
+  }
+
+  test("marks are atomic and self-validating: a corrupt mark fails loudly") {
+    val dir = tmp("follow_marks")
+    MqttWalMarks.writeLong(dir, MqttWalMarks.Hwm, 42L)
+    MqttWalMarks.readLong(dir, MqttWalMarks.Hwm) shouldBe Some(42L)
+    MqttWalMarks.readLong(dir, MqttWalMarks.Committed) shouldBe None
+    Files.write(dir.resolve(MqttWalMarks.Hwm), "not-a-number".getBytes)
+    val e = intercept[IllegalArgumentException](
+      MqttWalMarks.readLong(dir, MqttWalMarks.Hwm))
+    e.getMessage should include("corrupt mark")
+  }
+
+  test("the driver-resident MqttSlice fallback fails LOUDLY past the byte " +
+      "budget, naming walDir as the fix; a WAL-backed source never hits it") {
+    val broker = new MiniBroker()
+    val cid = s"budget-${broker.port}"
+    try {
+      // WAL-less stream with a deliberately tiny budget
+      val s1 = new MqttStream("127.0.0.1", broker.port, Seq("bg/#"), cid,
+        1000L, walDir = None, maxSliceBytes = 512L)
+      val start = s1.initialOffset() // creates + subscribes the receiver
+      val c = new MqttClient("127.0.0.1", broker.port, "bg-pub").connect()
+      for (i <- 0 until 50) c.publish("bg/t", s"payload-with-some-bytes-$i")
+      c.close()
+      val deadline = System.currentTimeMillis() + 10000
+      def avail: Long = MqttShardOffsets.decode(
+        s1.reportLatestOffset(), IndexedSeq("bg/#")).head
+      while (avail < 50 && System.currentTimeMillis() < deadline) Thread.sleep(5)
+      avail shouldBe 50L
+      val end = s1.latestOffset(start, ReadLimit.maxRows(1000))
+      val e = intercept[IllegalStateException](s1.planInputPartitions(start, end))
+      e.getMessage should include("walDir")
+      e.getMessage should include("maxSliceBytes")
+      // small batches under the budget still plan fine (the guard caps a
+      // BATCH, not the stream)
+      val small = s1.latestOffset(start, ReadLimit.maxRows(2))
+      s1.planInputPartitions(start, small).head shouldBe a[MqttSlice]
+    } finally {
+      MqttReceiver.stop("127.0.0.1", broker.port, "bg/#", cid)
+      broker.close()
+    }
+  }
+}

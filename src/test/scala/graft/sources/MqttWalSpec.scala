@@ -204,6 +204,38 @@ class MqttWalSpec extends graft.SparkSpec {
     new MqttWal(dir, rollEvery = 100).recovered shouldBe rs.toVector
   }
 
+  test("segment trim pins in-flight ranges: a trim at an uncommitted " +
+      "batch's start never reclaims a segment the range still needs, and a " +
+      "straddling segment survives to the exact wholly-below boundary") {
+    val dir = tmp()
+    val w = new MqttWal(dir, rollEvery = 4)
+    w.append(recs(0, 14)) // segments 0(4), 4(4), 8(4), 12(2 — active)
+    // micro-batch lifecycle: batch [6, 13) is planned but UNCOMMITTED.
+    // Spark commits batch N only after it completes and only ever trims to
+    // a committed offset, so the newest trim possible while this range is
+    // in flight is the range's own start (the previous batch's end).
+    val it = MqttWal.readRange(dir, 6, 13)
+    val first = it.next() // reader mid-flight, positioned inside segment 4
+    w.trimTo(6)
+    // segment 0 (wholly below the commit) is reclaimed; segment 4
+    // STRADDLES it — records 6..7 belong to the in-flight batch — and MUST
+    // survive: the guard is `start + count <= offset`, not `start < offset`
+    // (the buggy strictly-weaker check would delete it here and break the
+    // executor's read mid-batch)
+    walFiles(dir) shouldBe Seq(
+      f"wal-${4}%020d.log", f"wal-${8}%020d.log", f"wal-${12}%020d.log")
+    // the in-flight reader drains intact across the trim, including the
+    // roll into later segments
+    (first +: it.toSeq) shouldBe recs(6, 13).map(r => (r._1, r._2))
+    // exact boundary: one record shy of wholly-below keeps the segment...
+    w.trimTo(7)
+    walFiles(dir) should contain(f"wal-${4}%020d.log")
+    // ...and the committed batch's end releases it
+    w.trimTo(8)
+    walFiles(dir) shouldBe Seq(f"wal-${8}%020d.log", f"wal-${12}%020d.log")
+    w.close()
+  }
+
   test("a gapped segment chain fails recovery loudly") {
     val dir = tmp()
     val w = new MqttWal(dir, rollEvery = 5)
