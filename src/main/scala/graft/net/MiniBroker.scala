@@ -30,10 +30,12 @@ import scala.collection.mutable
   *
   * Concurrency: one daemon thread per connection; the session registry is
   * a synchronized map and each session's mutable state synchronizes on the
-  * session; per-subscriber delivery serializes on that subscriber's output
-  * stream (Mqtt.writePacket synchronizes), so concurrent publishers
-  * interleave whole packets, never bytes. Pending registration happens
-  * BEFORE the wire write, so a crash mid-write still redelivers. */
+  * session; publishes route through a volatile subscriber snapshot (no
+  * global lock on the hot path — see [[subscriberSnap]]); per-subscriber
+  * delivery serializes on that subscriber's output stream
+  * (Mqtt.writePacket synchronizes), so concurrent publishers interleave
+  * whole packets, never bytes. Pending registration happens BEFORE the
+  * wire write, so a crash mid-write still redelivers. */
 final class MiniBroker(port0: Int = 0) {
   import Mqtt._
 
@@ -83,6 +85,22 @@ final class MiniBroker(port0: Int = 0) {
   private val running = new AtomicBoolean(true)
   private val sessions = mutable.Map.empty[String, Session]
   private val sockets = mutable.Set.empty[Socket]
+
+  /** Lock-free routing fan-out: the sessions that hold ≥1 filter, rebuilt
+    * under the registry lock whenever membership or subscriptions change
+    * (CONNECT, SUBSCRIBE, clean-session teardown — all rare) and read
+    * volatile by every publish. route() used to scan the WHOLE registry
+    * under the global lock per message; with P publishers that is an
+    * O(P+K) scan serialized across all P publisher threads, and the probe
+    * showed it capping a 48-publisher 8-shard ingest at ~100 k msg/s —
+    * publishers hold no subscriptions and never belong in the scan. A
+    * stale read window is the same ordering as the publish racing the
+    * subscribe/disconnect on the wire, which MQTT already permits. */
+  @volatile private var subscriberSnap: Seq[Session] = Nil
+  private def rebuildSubscribers(): Unit = sessions.synchronized {
+    subscriberSnap =
+      sessions.values.filter(s => s.synchronized(s.filters.nonEmpty)).toList
+  }
 
   private val acceptor = new Thread(() => {
     while (running.get()) {
@@ -156,6 +174,9 @@ final class MiniBroker(port0: Int = 0) {
         }
       }
       session = sess
+      // a non-resumable takeover just replaced a session object in the
+      // registry; drop any unreachable predecessor from the routing snapshot
+      rebuildSubscribers()
       // CONNACK goes out BEFORE session.out becomes visible to route() —
       // otherwise a concurrent publish could hit this socket first and the
       // client's connect() (which requires CONNACK as the first packet)
@@ -207,6 +228,9 @@ final class MiniBroker(port0: Int = 0) {
               }
               granted += qos.toByte
             }
+            // snapshot BEFORE SUBACK: a publisher acting on the
+            // subscriber's "I'm subscribed" signal must see the new filter
+            rebuildSubscribers()
             writePacket(out, Suback, 0, u16(pid) ++ granted.toArray)
           case Publish =>
             val r = new BodyReader(p.body)
@@ -267,11 +291,13 @@ final class MiniBroker(port0: Int = 0) {
         // takeover already replaced out/sock with the successor's)
         if (session.out eq out) { session.out = null; session.sock = null }
       }
-      if (session != null && cleanSession)
+      if (session != null && cleanSession) {
         sessions.synchronized {
           if (sessions.get(session.clientId).contains(session))
             sessions -= session.clientId
         }
+        rebuildSubscribers()
+      }
       sockets.synchronized { sockets -= s }
       try s.close() catch { case _: Throwable => () }
     }
@@ -287,13 +313,11 @@ final class MiniBroker(port0: Int = 0) {
     * past its PUBREC. QoS 0 to a disconnected session is dropped, per
     * spec. */
   private def route(topic: String, payload: Array[Byte], pubQos: Int): Unit = {
-    val targets = sessions.synchronized {
-      sessions.values.toSeq.flatMap { sess =>
-        sess.synchronized {
-          sess.filters.collectFirst {
-            case (f, granted) if topicMatches(f, topic) =>
-              (sess, math.min(granted, pubQos))
-          }
+    val targets = subscriberSnap.flatMap { sess =>
+      sess.synchronized {
+        sess.filters.collectFirst {
+          case (f, granted) if topicMatches(f, topic) =>
+            (sess, math.min(granted, pubQos))
         }
       }
     }

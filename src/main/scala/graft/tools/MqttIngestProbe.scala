@@ -210,6 +210,9 @@ object MqttIngestProbe {
           s"shard $s drained ${perShard(s)} rows, published $expect")
       }
       val rt = Runtime.getRuntime
+      // settle the heap first: used-without-GC is dominated by collector
+      // timing, not by what the reader actually retains
+      System.gc(); Thread.sleep(100)
       val heapMb = (rt.totalMemory() - rt.freeMemory()) >> 20
       (sec, got, dSec, shipped, heapMb)
     } finally {
