@@ -56,6 +56,23 @@ object GraftSession {
     // our state-free batch queries re-read tiny dims often in tests; keep the
     // broadcast threshold at the default 10 MB (cluster-safe), AQE raises it
     // dynamically when runtime stats allow.
+    .applyGraftConf
+
+  /** `SPARK_GRAFT_CONF="k=v;k2=v2"` — A/B conf overrides for any entry
+    * point (Bench/Verify/tests), same contract ScaleProbe already honors.
+    * Applied LAST so an override beats every tuned default. */
+  implicit private final class ConfOps(private val b: SparkSession.Builder)
+      extends AnyVal {
+    def applyGraftConf: SparkSession.Builder = {
+      sys.env.get("SPARK_GRAFT_CONF").toSeq
+        .flatMap(_.split(";").map(_.trim).filter(_.nonEmpty))
+        .foldLeft(b) { (bb, kv) =>
+          val i = kv.indexOf('=')
+          require(i > 0, s"SPARK_GRAFT_CONF entry '$kv' is not key=value")
+          bb.config(kv.take(i).trim, kv.drop(i + 1).trim)
+        }
+    }
+  }
 
   def local(appName: String = "graft", cores: Int = defaultParallelism): SparkSession = {
     val spark = tune(
