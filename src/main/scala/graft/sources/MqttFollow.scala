@@ -41,9 +41,27 @@ private[graft] object MqttWalMarks {
     Files.createDirectories(dir)
     val tmp = Files.createTempFile(dir, s".$name", ".tmp")
     try {
-      Files.write(tmp, content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // force the CONTENT before the rename: rename-without-fsync
+      // filesystems may expose the new name with empty bytes after a power
+      // loss, and an empty mark fails readLong loudly on every restart —
+      // a crash-looping pump (round-13 review). The WAL's own fsync-before-
+      // ack contract extends to the marks that index it.
+      val ch = java.nio.channels.FileChannel.open(tmp,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        ch.write(java.nio.ByteBuffer.wrap(
+          content.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        ch.force(true)
+      } finally ch.close()
       Files.move(tmp, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
+      // best-effort directory fsync so the rename itself is durable (the
+      // Lucene/Kafka pattern: works on Linux, harmlessly refused elsewhere)
+      try {
+        val dch = java.nio.channels.FileChannel.open(dir,
+          java.nio.file.StandardOpenOption.READ)
+        try dch.force(true) finally dch.close()
+      } catch { case _: java.io.IOException => () }
     } finally Files.deleteIfExists(tmp)
   }
 
@@ -57,11 +75,34 @@ private[graft] object MqttWalMarks {
       java.nio.charset.StandardCharsets.UTF_8).trim)
   }
 
+  /** Highest offset a fresh WAL recovery of `dir` would reach — the last
+    * segment's start plus its intact record count; 0 with no segments.
+    * Lets a restarting pump reconcile the directory against its published
+    * hwm mark BEFORE creating a receiver (whose broker session would start
+    * redelivering — and appending at the recovered offsets — immediately):
+    * if history is missing, nothing may touch the WAL (round-13 review). */
+  def recoveredEnd(dir: Path): Long =
+    MqttWal.listSegments(dir).lastOption.map { case (start, path) =>
+      val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+        Files.newInputStream(path)))
+      var n = 0L
+      try {
+        while (MqttWal.readRecord(in).isDefined) n += 1
+      } catch { case _: java.io.EOFException => () } // truncated tail
+      finally in.close()
+      start + n
+    }.getOrElse(0L)
+
   def readLong(dir: Path, name: String): Option[Long] =
     read(dir, name).map { s =>
-      require(s.nonEmpty && s.forall(_.isDigit),
+      // toLong itself can still throw on all-digit strings past
+      // Long.MaxValue — keep every corrupt shape on the SAME named failure
+      val v = if (s.nonEmpty && s.forall(_.isDigit))
+        try Some(s.toLong) catch { case _: NumberFormatException => None }
+      else None
+      require(v.isDefined,
         s"corrupt mark $name in $dir: '$s' is not a non-negative long")
-      s.toLong
+      v.get
     }
 }
 
@@ -154,8 +195,7 @@ final class MqttFollowStream(shardDirs0: Seq[String], topics0: Seq[String],
     * earlier checkpoint's life and are gone. */
   override def initialOffset(): Offset = mkOffset((0 until n).map(base))
   override def deserializeOffset(json: String): Offset =
-    if (json.startsWith("[") || json.startsWith("{")) MqttShardOffset.parse(json)
-    else MqttOffset(json.toLong)
+    MqttShardOffsets.deserialize(json)
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
@@ -198,10 +238,18 @@ final class MqttFollowStream(shardDirs0: Seq[String], topics0: Seq[String],
     * deletes its segments). Spark guarantees it will only request offsets
     * > end after this call, so nothing the checkpoint can still reference
     * is ever below the mark. */
+  private val lastCommitted = Array.fill(n)(-1L)
   override def commit(end: Offset): Unit = {
     val e = offsets(end)
-    (0 until n).foreach(i =>
-      MqttWalMarks.writeLong(dirs(i), MqttWalMarks.Committed, e(i)))
+    // skip shards whose mark would not move: a batch that advanced 1 of K
+    // shards should not pay K fsync'd create+rename round-trips on the
+    // shared (possibly DFS) walDir (round-13 review)
+    (0 until n).foreach { i =>
+      if (e(i) != lastCommitted(i)) {
+        MqttWalMarks.writeLong(dirs(i), MqttWalMarks.Committed, e(i))
+        lastCommitted(i) = e(i)
+      }
+    }
   }
   override def stop(): Unit = ()
 }

@@ -196,12 +196,18 @@ private[sources] final class MqttWal(dir: java.nio.file.Path, rollEvery: Int = 4
     }
   }
 
-  /** Drop segments wholly below the committed offset (the active segment
-    * is never deleted under the writer). */
+  /** Drop segments wholly below the committed offset. The LAST segment is
+    * never deleted: while the writer is live it is the active segment; with
+    * the writer idle (a recovered, fully-committed WAL — the multi-process
+    * pump between batches) its NAME still carries the offset baseline a
+    * restarted writer recovers `next` from. Reclaiming every segment would
+    * reset the next recovery to offset 0 while the hwm mark and reader
+    * checkpoints keep counting in the old sequence — new messages would
+    * silently replay AS the old offsets (round-13 review). */
   def trimTo(offset: Long): Unit = synchronized {
-    val active = if (out != null) segments.lastOption else None
+    val keepLast = segments.lastOption
     val (dead, live) = segments.partition(s =>
-      s.start + s.count <= offset && !active.exists(_ eq s))
+      s.start + s.count <= offset && !keepLast.exists(_ eq s))
     segments.clear(); segments ++= live
     dead.foreach(s => try Files.deleteIfExists(s.path) catch { case _: Throwable => () })
   }
@@ -869,6 +875,14 @@ private[sources] object MqttShardOffsets {
     case c: CompositeReadLimit => c.getReadLimits.flatMap(rowCap(_)).headOption
     case _ => None
   }
+
+  /** One parser for both checkpoint forms — array/object JSON
+    * ([[MqttShardOffset]], sharded) vs bare scalar ([[MqttOffset]], the
+    * pre-shard single-endpoint form) — shared by both stream faces so a
+    * serialization change can never land on one and not the other. */
+  def deserialize(json: String): Offset =
+    if (json.startsWith("[") || json.startsWith("{")) MqttShardOffset.parse(json)
+    else MqttOffset(json.toLong)
 }
 
 /** The micro-batch slice ships its rows in the partition — the fallback
@@ -995,8 +1009,7 @@ class MqttStream(host: String, port: Int, topics0: Seq[String],
   override def initialOffset(): Offset =
     mkOffset((0 until n).map(i => receivers(i).baseOffset))
   override def deserializeOffset(json: String): Offset =
-    if (json.startsWith("[") || json.startsWith("{")) MqttShardOffset.parse(json)
-    else MqttOffset(json.toLong)
+    MqttShardOffsets.deserialize(json)
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = offsets(start)

@@ -151,24 +151,28 @@ object MqttIngestProbe {
         pb.redirectErrorStream(true)
         val proc = pb.start()
         procs += proc
-        // wait for PUMP_READY: receivers subscribed, identity marks written
+        // wait for PUMP_READY (receivers subscribed, identity marks
+        // written) on a HELPER thread: a blocking readLine on this thread
+        // would make the 60 s deadline unreachable for a pump that wedges
+        // before printing anything (round-13 review). The same thread then
+        // keeps draining stdout so the pump can never block on a full pipe;
+        // its final JSON line is reported through the hwm marks.
         val rd = new java.io.BufferedReader(
           new java.io.InputStreamReader(proc.getInputStream))
-        val deadline = System.currentTimeMillis() + 60000
-        var ready = false
-        while (!ready && System.currentTimeMillis() < deadline) {
-          val line = rd.readLine()
-          require(line != null, s"pump $p exited before PUMP_READY")
-          if (line.startsWith("PUMP_READY")) ready = true
-        }
-        require(ready, s"pump $p not ready in 60s")
-        // keep draining the pump's stdout so it can never block on a full
-        // pipe; its final JSON line is reported through the hwm marks
+        val ready = new java.util.concurrent.CountDownLatch(1)
         val sink = new Thread(() => {
-          try { while (rd.readLine() != null) () }
-          catch { case _: Throwable => () }
+          try {
+            var line = rd.readLine()
+            while (line != null) {
+              if (line.startsWith("PUMP_READY")) ready.countDown()
+              line = rd.readLine()
+            }
+          } catch { case _: Throwable => () }
         }, s"pump-$p-stdout")
         sink.setDaemon(true); sink.start()
+        require(ready.await(60, java.util.concurrent.TimeUnit.SECONDS),
+          s"pump $p not ready in 60s" +
+            (if (proc.isAlive) "" else " (process exited)"))
       }
       val perPub = n / publishers
       val total = perPub.toLong * publishers

@@ -48,6 +48,12 @@ object MqttIngestPump {
     }
     require(owned.nonEmpty && owned.forall(o => o._1 >= 0 && o._1 < totalShards),
       s"shard indices out of [0, $totalShards): ${owned.map(_._1).mkString(",")}")
+    // duplicate indices would give two receivers one WAL directory and one
+    // broker clientId: interleaved offset sequences + a [MQTT-3.1.4-2]
+    // session-takeover reconnect loop (round-13 review) — same rule as the
+    // in-process source's distinct-topics check
+    require(owned.map(_._1).distinct.size == owned.size,
+      s"duplicate shard indices in spec: ${owned.map(_._1).mkString(",")}")
     val rollEvery = args.lift(6).map(_.toInt).getOrElse(4096)
 
     def shardDir(i: Int): Path =
@@ -58,6 +64,33 @@ object MqttIngestPump {
     // subscribe-before-publish: receivers connect here, ahead of READY
     val receivers: Seq[(Int, Path, MqttReceiver)] = owned.map { case (i, f) =>
       val dir = shardDir(i)
+      // an existing identity mark is a CONTRACT, not a default: restarting
+      // this pump with a reassigned filter would repoint the mark and feed
+      // the old filter's WAL bytes to the new filter's offsets — the exact
+      // mis-assignment the mark exists to catch. Refuse, loudly, before
+      // touching the WAL (round-13 review).
+      MqttWalMarks.read(dir, MqttWalMarks.Filter).foreach { prev =>
+        require(prev == f,
+          s"shard $i WAL directory $dir is already marked for topic filter " +
+            s"'$prev' but this pump was launched with '$f' at that index. " +
+            "Shard WAL directories are positional; fix the pump's shard " +
+            "spec (or use a fresh walDir) instead of overwriting history.")
+      }
+      // hwm must never regress across pump lives: with trimTo retaining
+      // the last segment, a fresh recovery always reaches >= the published
+      // mark — a SMALLER recovered end means WAL history vanished (manual
+      // deletion, wrong directory) and restarting here would alias new
+      // messages onto offsets the reader already consumed. Checked BEFORE
+      // the receiver exists: its broker session starts redelivering (and
+      // appending at the recovered offsets) the moment it subscribes
+      // (round-13 review).
+      MqttWalMarks.readLong(dir, MqttWalMarks.Hwm).foreach { prev =>
+        val end = MqttWalMarks.recoveredEnd(dir)
+        require(end >= prev,
+          s"shard $i WAL in $dir recovers to offset $end but its " +
+            s"published hwm mark says $prev: WAL history is missing. " +
+            "Restore the directory or start a fresh walDir + checkpoint.")
+      }
       val r = MqttReceiver(host, port, f, clientId = shardCid(i),
         walDir = Some(dir.toString), walRollEvery = rollEvery)
       // identity mark: lets the cross-process reader validate that this

@@ -177,6 +177,68 @@ class MqttFollowSpec extends graft.SparkSpec {
     e.getMessage should include("corrupt mark")
   }
 
+  /** Fork a pump JVM with `spec` against a dead port (no broker needed —
+    * every startup guard under test fires before the first connect) and
+    * return (exitCode, combined output). */
+  private def pumpFails(walRoot: Path, spec: String,
+      totalShards: Int = 2): (Int, String) = {
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val pb = new ProcessBuilder(javaBin, "-Xmx256m",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.tools.MqttIngestPump", "127.0.0.1", "1",
+      walRoot.toString, "pf", totalShards.toString, spec)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    proc.waitFor(30, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
+    (proc.exitValue(), out)
+  }
+
+  test("a pump launched against a directory already marked for a DIFFERENT " +
+      "filter refuses to start instead of overwriting the identity mark") {
+    val walRoot = tmp("follow_pump_ident")
+    MqttWalMarks.write(walRoot.resolve("shard-0"), MqttWalMarks.Filter, "old/#")
+    val (rc, out) = pumpFails(walRoot, "0=new/#")
+    rc should not be 0
+    out should include("already marked for topic filter")
+    out should not include "PUMP_READY"
+    // the mark was NOT clobbered — the history it protects is intact
+    MqttWalMarks.read(walRoot.resolve("shard-0"), MqttWalMarks.Filter) shouldBe
+      Some("old/#")
+  }
+
+  test("a pump whose WAL recovered BELOW the published hwm mark refuses to " +
+      "start: missing history must not alias new messages onto old offsets") {
+    val walRoot = tmp("follow_pump_hwm")
+    // marks say 300 durable, but the WAL directory is empty (history lost)
+    MqttWalMarks.write(walRoot.resolve("shard-0"), MqttWalMarks.Filter, "hw/#")
+    MqttWalMarks.writeLong(walRoot.resolve("shard-0"), MqttWalMarks.Hwm, 300L)
+    val (rc, out) = pumpFails(walRoot, "0=hw/#")
+    rc should not be 0
+    out should include("WAL history is missing")
+    out should not include "PUMP_READY"
+  }
+
+  test("a pump spec with duplicate shard indices fails before any receiver " +
+      "exists (two writers on one WAL dir / one clientId)") {
+    val walRoot = tmp("follow_pump_dup")
+    val (rc, out) = pumpFails(walRoot, "0=a/#,0=b/#")
+    rc should not be 0
+    out should include("duplicate shard indices")
+  }
+
+  test("an all-digit mark past Long.MaxValue still fails as a NAMED corrupt " +
+      "mark, not a bare NumberFormatException") {
+    val dir = tmp("follow_marks_of")
+    Files.createDirectories(dir)
+    Files.write(dir.resolve(MqttWalMarks.Hwm),
+      "9999999999999999999999999".getBytes)
+    val e = intercept[IllegalArgumentException](
+      MqttWalMarks.readLong(dir, MqttWalMarks.Hwm))
+    e.getMessage should include("corrupt mark")
+  }
+
   test("the driver-resident MqttSlice fallback fails LOUDLY past the byte " +
       "budget, naming walDir as the fix; a WAL-backed source never hits it") {
     val broker = new MiniBroker()

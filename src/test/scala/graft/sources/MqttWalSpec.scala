@@ -97,6 +97,33 @@ class MqttWalSpec extends graft.SparkSpec {
     w3.close()
   }
 
+  test("a fully-committed trim with an IDLE writer keeps the last segment: " +
+      "the offset baseline survives pump restarts instead of resetting to 0") {
+    val dir = tmp()
+    val w = new MqttWal(dir, rollEvery = 4)
+    w.append(recs(0, 10)) // segments 0(4), 4(4), 8(2)
+    w.close()
+    // pump life 2: recover, reader commits EVERYTHING, owner trims — with
+    // no append yet there is no active writer, and a full reclaim here
+    // would erase the only carrier of the offset baseline
+    val w2 = new MqttWal(dir, rollEvery = 4)
+    w2.recovered.size shouldBe 10
+    w2.trimTo(10)
+    walFiles(dir) shouldBe Seq(f"wal-${8}%020d.log")
+    w2.close()
+    // pump life 3: recovery still counts in the original sequence — a new
+    // message lands at offset 10, not 0 (which would silently replay as
+    // already-consumed data under the reader's checkpoint)
+    val w3 = new MqttWal(dir, rollEvery = 4)
+    w3.recoveredBase shouldBe 8L
+    w3.recovered shouldBe recs(8, 10).toVector
+    w3.append(recs(10, 11))
+    w3.close()
+    val w4 = new MqttWal(dir, rollEvery = 4)
+    (w4.recoveredBase + w4.recovered.size) shouldBe 11L
+    w4.close()
+  }
+
   test("trimTo deletes wholly-committed segments but never the active one") {
     val dir = tmp()
     val w = new MqttWal(dir, rollEvery = 5)
