@@ -120,6 +120,86 @@ class MqttFollowSpec extends graft.SparkSpec {
     }
   }
 
+  test("END-TO-END follow=true: a real Spark streaming query (readStream → " +
+      "parquet sink) drains pump-owned WALs across a query restart, exactly " +
+      "once per offset") {
+    val broker = new MiniBroker()
+    val walRoot = tmp("follow_e2e")
+    var proc: Process = null
+    try {
+      val javaBin = System.getProperty("java.home") + "/bin/java"
+      val pb = new ProcessBuilder(javaBin, "-Xmx512m",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.tools.MqttIngestPump", "127.0.0.1", broker.port.toString,
+        walRoot.toString, "e2e", "2", "0=fe/0/#,1=fe/1/#", "64")
+      pb.redirectErrorStream(true)
+      proc = pb.start()
+      val rd = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getInputStream))
+      var line = rd.readLine()
+      while (line != null && !line.startsWith("PUMP_READY")) line = rd.readLine()
+      line should startWith("PUMP_READY")
+      val sink = new Thread(() => {
+        try { while (rd.readLine() != null) () } catch { case _: Throwable => () }
+      })
+      sink.setDaemon(true); sink.start()
+
+      def hwmSum: Long = (0 until 2).map(i =>
+        MqttWalMarks.readLong(walRoot.resolve(s"shard-$i"), MqttWalMarks.Hwm)
+          .getOrElse(0L)).sum
+      def awaitHwm(n: Long): Unit = {
+        val deadline = System.currentTimeMillis() + 30000
+        while (hwmSum < n && System.currentTimeMillis() < deadline)
+          Thread.sleep(10)
+        hwmSum shouldBe n
+      }
+
+      val pub = new MqttClient("127.0.0.1", broker.port, "e2e-pub").connect()
+      for (i <- 0 until 200; s <- 0 until 2) pub.publish(s"fe/$s/t", s"a$s-$i")
+      awaitHwm(400)
+
+      val spark = graft.SparkSpec.spark
+      val ckpt = Files.createTempDirectory("follow_e2e_ckpt").toString
+      val outDir = Files.createTempDirectory("follow_e2e_out").toString
+      def startQuery() = spark.readStream.format("graft-mqtt")
+        .option("follow", "true").option("walDir", walRoot.toString)
+        .option("topics", "fe/0/#,fe/1/#")
+        .option("host", "127.0.0.1").option("port", broker.port)
+        .option("rowsPerBatch", 128L)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", s"$outDir/data").option("checkpointLocation", ckpt)
+        .start()
+      val q1 = startQuery()
+      q1.processAllAvailable(); q1.stop()
+      // more data arrives while NO query is running — the pump keeps
+      // ingesting on its own (that is the decoupling under test)
+      for (i <- 200 until 300; s <- 0 until 2) pub.publish(s"fe/$s/t", s"b$s-$i")
+      awaitHwm(600)
+      val q2 = startQuery()
+      q2.processAllAvailable(); q2.stop()
+      pub.close()
+
+      val got = spark.read.parquet(s"$outDir/data")
+      got.count() shouldBe 600
+      val byShard = got.collect()
+        .map(r => (r.getString(0), r.getString(1)))
+        .groupBy(_._1)
+      (0 until 2).foreach { s =>
+        byShard(s"fe/$s/t").map(_._2).sorted.toSeq shouldBe
+          ((0 until 200).map(i => s"a$s-$i") ++
+            (200 until 300).map(i => s"b$s-$i")).sorted
+      }
+
+      Files.write(walRoot.resolve("STOP"), Array.emptyByteArray)
+      proc.waitFor(20, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
+      proc.exitValue() shouldBe 0
+    } finally {
+      if (proc != null) proc.destroyForcibly()
+      broker.close()
+    }
+  }
+
   test("cross-process shard-identity validation: a WAL directory pumped " +
       "for a DIFFERENT filter fails the follower loudly at planning time") {
     val walRoot = tmp("follow_ident")
