@@ -170,9 +170,18 @@ object MqttIngestProbe {
           } catch { case _: Throwable => () }
         }, s"pump-$p-stdout")
         sink.setDaemon(true); sink.start()
-        require(ready.await(60, java.util.concurrent.TimeUnit.SECONDS),
-          s"pump $p not ready in 60s" +
-            (if (proc.isAlive) "" else " (process exited)"))
+        // incremental await: a pump that EXITS before READY fails in
+        // milliseconds (the old fast-fail), one that wedges alive fails at
+        // the deadline (round-13 review, second pass)
+        val deadline = System.currentTimeMillis() + 60000
+        var up = false
+        while (!up && System.currentTimeMillis() < deadline) {
+          up = ready.await(50, java.util.concurrent.TimeUnit.MILLISECONDS)
+          if (!up)
+            require(proc.isAlive, s"pump $p exited before PUMP_READY " +
+              s"(exit ${proc.exitValue()})")
+        }
+        require(up, s"pump $p not ready in 60s")
       }
       val perPub = n / publishers
       val total = perPub.toLong * publishers

@@ -103,15 +103,24 @@ object MqttIngestPump {
 
     val stop = Paths.get(walRoot, "STOP")
     val lastHwm = scala.collection.mutable.Map.empty[Int, Long]
+    val nextHwmAt = scala.collection.mutable.Map.empty[Int, Long]
     val lastCommitted = scala.collection.mutable.Map.empty[Int, Long]
     while (!Files.exists(stop)) {
       receivers.foreach { case (i, dir, r) =>
         // receiver.size is the durable high-water: the pump buffers a
-        // message only after its WAL append (fsync) returned
+        // message only after its WAL append (fsync) returned. Publication
+        // is rate-limited to ~20/s/shard: the mark write is itself
+        // fsync'd (content + dir), and at sustained ingest an every-5 ms
+        // republish would fight the WAL's own appends for the same disk —
+        // the protocol tolerates staleness by design ("a stale hwm only
+        // under-reports"), and the STOP path below publishes the final
+        // value unconditionally (round-13 review, second pass).
         val h = r.size
-        if (!lastHwm.get(i).contains(h)) {
+        val now = System.currentTimeMillis()
+        if (!lastHwm.get(i).contains(h) && now >= nextHwmAt.getOrElse(i, 0L)) {
           MqttWalMarks.writeLong(dir, MqttWalMarks.Hwm, h)
           lastHwm(i) = h
+          nextHwmAt(i) = now + 50
         }
         // the reader declares commits; the WAL's owner trims
         MqttWalMarks.readLong(dir, MqttWalMarks.Committed).foreach { c =>

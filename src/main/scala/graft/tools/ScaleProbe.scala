@@ -148,20 +148,12 @@ object ScaleProbe {
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
     val keys = if (args.length > 3) args.drop(3).toSeq else DefaultKeys
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // A/B knobs (e.g. statePartitions or the RocksDB state-store provider,
+    // round-8 verdict #3) come via SPARK_GRAFT_CONF="k=v;…", applied by
+    // GraftSession.tune — the ONE parser every entry point shares (r13).
     val builder = GraftSession.tune(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus))
-    // A/B knobs for the probe itself (e.g. statePartitions or the RocksDB
-    // state-store provider, round-8 verdict #3): semicolon-separated k=v
-    // pairs applied to the session conf.
-    //   SPARK_GRAFT_CONF="spark.graft.replay.statePartitions=32"
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").map(_.trim)
-      .filter(_.nonEmpty).foreach { kv =>
-        require(kv.contains("="),
-          s"SPARK_GRAFT_CONF entry '$kv' is not key=value")
-        val Array(k, v) = kv.split("=", 2)
-        builder.config(k.trim, v.trim)
-      })
     val spark = builder.getOrCreate()
     GraftExtensions.ensureRegistered(spark)
     spark.sparkContext.setLogLevel("WARN")

@@ -19,6 +19,44 @@ class MqttFollowSpec extends graft.SparkSpec {
 
   private def tmp(prefix: String): Path = Files.createTempDirectory(prefix)
 
+  /** Fork a pump JVM and block until PUMP_READY with a REAL deadline: a
+    * pump that exits first fails in milliseconds, one that wedges alive
+    * fails at 60 s — never an unbounded readLine hang (round-13 review).
+    * Stdout keeps draining on a daemon thread for the pump's lifetime. */
+  private def startPump(brokerPort: Int, walRoot: Path, cid: String,
+      totalShards: Int, spec: String, rollEvery: Int): Process = {
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val pb = new ProcessBuilder(javaBin, "-Xmx512m",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.tools.MqttIngestPump", "127.0.0.1", brokerPort.toString,
+      walRoot.toString, cid, totalShards.toString, spec, rollEvery.toString)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val rd = new java.io.BufferedReader(
+      new java.io.InputStreamReader(proc.getInputStream))
+    val ready = new java.util.concurrent.CountDownLatch(1)
+    val sink = new Thread(() => {
+      try {
+        var line = rd.readLine()
+        while (line != null) {
+          if (line.startsWith("PUMP_READY")) ready.countDown()
+          line = rd.readLine()
+        }
+      } catch { case _: Throwable => () }
+    })
+    sink.setDaemon(true); sink.start()
+    val deadline = System.currentTimeMillis() + 60000
+    var up = false
+    while (!up && System.currentTimeMillis() < deadline) {
+      up = ready.await(50, java.util.concurrent.TimeUnit.MILLISECONDS)
+      if (!up) withClue("pump exited before PUMP_READY: ") {
+        proc.isAlive shouldBe true
+      }
+    }
+    withClue("pump not READY in 60s: ")(up shouldBe true)
+    proc
+  }
+
   /** Drain `expect` rows through the follower exactly as the micro-batch
     * loop would: latestOffset → planInputPartitions → reader → commit.
     * Returns the rows and asserts every planned partition was a WAL slice
@@ -59,22 +97,7 @@ class MqttFollowSpec extends graft.SparkSpec {
     val filters = IndexedSeq("fp/0/#", "fp/1/#")
     var proc: Process = null
     try {
-      val javaBin = System.getProperty("java.home") + "/bin/java"
-      val pb = new ProcessBuilder(javaBin, "-Xmx512m",
-        "-cp", System.getProperty("java.class.path"),
-        "graft.tools.MqttIngestPump", "127.0.0.1", broker.port.toString,
-        walRoot.toString, "f2j", "2", "0=fp/0/#,1=fp/1/#", "64")
-      pb.redirectErrorStream(true)
-      proc = pb.start()
-      val rd = new java.io.BufferedReader(
-        new java.io.InputStreamReader(proc.getInputStream))
-      var line = rd.readLine()
-      while (line != null && !line.startsWith("PUMP_READY")) line = rd.readLine()
-      line should startWith("PUMP_READY")
-      val sink = new Thread(() => {
-        try { while (rd.readLine() != null) () } catch { case _: Throwable => () }
-      })
-      sink.setDaemon(true); sink.start()
+      proc = startPump(broker.port, walRoot, "f2j", 2, "0=fp/0/#,1=fp/1/#", 64)
 
       // publish AFTER the pump subscribed (READY): 300 messages per shard
       val c = new MqttClient("127.0.0.1", broker.port, "f2j-pub").connect()
@@ -98,7 +121,7 @@ class MqttFollowSpec extends graft.SparkSpec {
       // the reader only DECLARED commits; the pump must have executed the
       // trim (rollEvery=64 → ≥4 segments/shard, all but the tail below the
       // committed 300): wait for the owner's poll loop to catch up
-      val trimDeadline = System.currentTimeMillis() + 20000
+      val trimDeadline = System.currentTimeMillis() + 40000
       def base0: Long = MqttWal.listSegments(walRoot.resolve("shard-0"))
         .headOption.map(_._1).getOrElse(-1L)
       while (base0 < 256 && System.currentTimeMillis() < trimDeadline)
@@ -112,7 +135,7 @@ class MqttFollowSpec extends graft.SparkSpec {
       init2(0) should be >= 256L
 
       Files.write(walRoot.resolve("STOP"), Array.emptyByteArray)
-      proc.waitFor(20, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
+      proc.waitFor(40, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
       proc.exitValue() shouldBe 0
     } finally {
       if (proc != null) proc.destroyForcibly()
@@ -127,22 +150,7 @@ class MqttFollowSpec extends graft.SparkSpec {
     val walRoot = tmp("follow_e2e")
     var proc: Process = null
     try {
-      val javaBin = System.getProperty("java.home") + "/bin/java"
-      val pb = new ProcessBuilder(javaBin, "-Xmx512m",
-        "-cp", System.getProperty("java.class.path"),
-        "graft.tools.MqttIngestPump", "127.0.0.1", broker.port.toString,
-        walRoot.toString, "e2e", "2", "0=fe/0/#,1=fe/1/#", "64")
-      pb.redirectErrorStream(true)
-      proc = pb.start()
-      val rd = new java.io.BufferedReader(
-        new java.io.InputStreamReader(proc.getInputStream))
-      var line = rd.readLine()
-      while (line != null && !line.startsWith("PUMP_READY")) line = rd.readLine()
-      line should startWith("PUMP_READY")
-      val sink = new Thread(() => {
-        try { while (rd.readLine() != null) () } catch { case _: Throwable => () }
-      })
-      sink.setDaemon(true); sink.start()
+      proc = startPump(broker.port, walRoot, "e2e", 2, "0=fe/0/#,1=fe/1/#", 64)
 
       def hwmSum: Long = (0 until 2).map(i =>
         MqttWalMarks.readLong(walRoot.resolve(s"shard-$i"), MqttWalMarks.Hwm)
@@ -192,7 +200,7 @@ class MqttFollowSpec extends graft.SparkSpec {
       }
 
       Files.write(walRoot.resolve("STOP"), Array.emptyByteArray)
-      proc.waitFor(20, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
+      proc.waitFor(40, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
       proc.exitValue() shouldBe 0
     } finally {
       if (proc != null) proc.destroyForcibly()
@@ -269,10 +277,23 @@ class MqttFollowSpec extends graft.SparkSpec {
       walRoot.toString, "pf", totalShards.toString, spec)
     pb.redirectErrorStream(true)
     val proc = pb.start()
-    val out = new String(proc.getInputStream.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8)
-    proc.waitFor(30, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
-    (proc.exitValue(), out)
+    // drain on a helper thread: a blocking readAllBytes here would make
+    // the 30 s waitFor unreachable if a guard regression lets the pump
+    // keep running (round-13 review, second pass)
+    val buf = new java.io.ByteArrayOutputStream
+    val t = new Thread(() => {
+      try proc.getInputStream.transferTo(buf)
+      catch { case _: Throwable => () }
+    })
+    t.setDaemon(true); t.start()
+    val done = proc.waitFor(30, java.util.concurrent.TimeUnit.SECONDS)
+    if (!done) proc.destroyForcibly()
+    withClue("pump under a failure-guard test still alive after 30s: ") {
+      done shouldBe true
+    }
+    t.join(5000)
+    (proc.exitValue(),
+      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
   }
 
   test("a pump launched against a directory already marked for a DIFFERENT " +
