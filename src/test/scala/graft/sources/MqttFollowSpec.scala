@@ -143,6 +143,58 @@ class MqttFollowSpec extends graft.SparkSpec {
     }
   }
 
+  test("a pump KILLED -9 mid-ingest loses nothing and duplicates nothing: " +
+      "broker-session redelivery + WAL-recovered pid dedup survive the " +
+      "process boundary, and the follower sees each message exactly once") {
+    val broker = new MiniBroker()
+    val walRoot = tmp("follow_kill")
+    var proc: Process = null
+    try {
+      proc = startPump(broker.port, walRoot, "kill", 1, "0=kz/#", 32)
+      val pub = new MqttClient("127.0.0.1", broker.port, "kill-pub").connect()
+      def hwm: Long =
+        MqttWalMarks.readLong(walRoot, MqttWalMarks.Hwm).getOrElse(0L)
+      // phase 1: publish 300 while the pump runs; SIGKILL it the moment
+      // >=100 are durable — in-flight deliveries die un-acked at an
+      // arbitrary point between WAL fsync and PUBACK
+      val t = new Thread(() =>
+        try for (i <- 0 until 300) pub.publish("kz/t", s"k-$i")
+        catch { case _: Throwable => () })
+      t.start()
+      val d1 = System.currentTimeMillis() + 30000
+      while (hwm < 100 && System.currentTimeMillis() < d1) Thread.sleep(1)
+      hwm should be >= 100L
+      proc.destroyForcibly()
+      proc.waitFor(10, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
+      t.join(30000); t.isAlive shouldBe false
+      // phase 2: 200 more with NO pump alive — the broker's persistent
+      // session queues them (and everything phase 1 left un-acked)
+      for (i <- 300 until 500) pub.publish("kz/t", s"k-$i")
+      pub.close()
+      // phase 3: restart the SAME pump spec; session resume redelivers
+      // with DUP + original pids, the WAL-recovered pid set dedups the
+      // acked-but-redelivered overlap, the startup guards accept the
+      // directory (recovered end >= the possibly-stale hwm mark)
+      proc = startPump(broker.port, walRoot, "kill", 1, "0=kz/#", 32)
+      val d2 = System.currentTimeMillis() + 30000
+      while (hwm < 500 && System.currentTimeMillis() < d2) Thread.sleep(10)
+      hwm shouldBe 500L
+      // settle, then confirm NOTHING extra arrives (a dup would push 501)
+      Thread.sleep(500)
+      hwm shouldBe 500L
+      val follow =
+        new MqttFollowStream(Seq(walRoot.toString), Seq("kz/#"), 128L)
+      val got = drain(follow, 500)
+      got.map(_._2).sorted shouldBe (0 until 500).map(i => s"k-$i").sorted
+      Files.write(walRoot.resolve("STOP"), Array.emptyByteArray)
+      proc.waitFor(40, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
+      proc.exitValue() shouldBe 0
+    } finally {
+      if (proc != null) proc.destroyForcibly()
+      broker.close()
+    }
+  }
+
   test("END-TO-END follow=true: a real Spark streaming query (readStream → " +
       "parquet sink) drains pump-owned WALs across a query restart, exactly " +
       "once per offset") {
