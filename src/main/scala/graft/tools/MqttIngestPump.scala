@@ -104,8 +104,13 @@ object MqttIngestPump {
     val stop = Paths.get(walRoot, "STOP")
     val lastHwm = scala.collection.mutable.Map.empty[Int, Long]
     val nextHwmAt = scala.collection.mutable.Map.empty[Int, Long]
+    val nextCommitPollAt = scala.collection.mutable.Map.empty[Int, Long]
     val lastCommitted = scala.collection.mutable.Map.empty[Int, Long]
-    while (!Files.exists(stop)) {
+    // STOP is polled at ~10/s, same DFS-chatter reasoning as the marks —
+    // shutdown latency is bounded at ~100 ms, which no caller notices
+    var stopSeen = false
+    var nextStopCheckAt = 0L
+    while (!stopSeen) {
       receivers.foreach { case (i, dir, r) =>
         // receiver.size is the durable high-water: the pump buffers a
         // message only after its WAL append (fsync) returned. Publication
@@ -122,15 +127,26 @@ object MqttIngestPump {
           lastHwm(i) = h
           nextHwmAt(i) = now + 50
         }
-        // the reader declares commits; the WAL's owner trims
-        MqttWalMarks.readLong(dir, MqttWalMarks.Committed).foreach { c =>
-          if (c > lastCommitted.getOrElse(i, -1L)) {
-            r.trimTo(c)
-            lastCommitted(i) = c
+        // the reader declares commits; the WAL's owner trims. Polled at
+        // the hwm-publication cadence (~20/s/shard), not every loop tick:
+        // trim latency is non-critical and a 5 ms metadata read per shard
+        // is pure chatter on a shared DFS walDir (round-13 review).
+        if (now >= nextCommitPollAt.getOrElse(i, 0L)) {
+          nextCommitPollAt(i) = now + 50
+          MqttWalMarks.readLong(dir, MqttWalMarks.Committed).foreach { c =>
+            if (c > lastCommitted.getOrElse(i, -1L)) {
+              r.trimTo(c)
+              lastCommitted(i) = c
+            }
           }
         }
       }
       Thread.sleep(5)
+      val nw = System.currentTimeMillis()
+      if (nw >= nextStopCheckAt) {
+        stopSeen = Files.exists(stop)
+        nextStopCheckAt = nw + 100
+      }
     }
     val counts = receivers.map { case (i, dir, r) =>
       val h = r.size
