@@ -143,6 +143,48 @@ class MqttFollowSpec extends graft.SparkSpec {
     }
   }
 
+  test("trim keeps pace with a concurrent publish + drain: after the " +
+      "backlog clears, each shard retains only its baseline tail segment") {
+    val broker = new MiniBroker()
+    val walRoot = tmp("follow_pace")
+    var proc: Process = null
+    try {
+      proc = startPump(broker.port, walRoot, "pace", 2, "0=tp/0/#,1=tp/1/#", 32)
+      val pub = new MqttClient("127.0.0.1", broker.port, "pace-pub").connect()
+      val t = new Thread(() =>
+        try for (i <- 0 until 2000; s <- 0 until 2)
+          pub.publish(s"tp/$s/t", s"p$s-$i")
+        catch { case _: Throwable => () })
+      t.start()
+      // drain CONCURRENTLY with the publisher — commits flow while the
+      // pump is still appending, so trim runs against a moving backlog
+      val follow = new MqttFollowStream(
+        MqttFollowStream.shardDirs(walRoot.toString, 2),
+        IndexedSeq("tp/0/#", "tp/1/#"), 256L)
+      val got = drain(follow, 4000, batchRows = 256)
+      t.join(30000); t.isAlive shouldBe false
+      pub.close()
+      got.size shouldBe 4000
+      // let the pump's paced commit-poll execute the final trims
+      val deadline = System.currentTimeMillis() + 20000
+      def segs(s: Int): Int =
+        MqttWal.listSegments(walRoot.resolve(s"shard-$s")).size
+      while ((segs(0) > 1 || segs(1) > 1) &&
+          System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      // fully committed: everything is reclaimed EXCEPT the baseline
+      // carrier (trimTo's last-segment retention) — disk usage at a
+      // caught-up steady state is one tail segment per shard
+      (0 until 2).foreach { s => segs(s) shouldBe 1 }
+      Files.write(walRoot.resolve("STOP"), Array.emptyByteArray)
+      proc.waitFor(40, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
+      proc.exitValue() shouldBe 0
+    } finally {
+      if (proc != null) proc.destroyForcibly()
+      broker.close()
+    }
+  }
+
   test("a pump KILLED -9 mid-ingest loses nothing and duplicates nothing: " +
       "broker-session redelivery + WAL-recovered pid dedup survive the " +
       "process boundary, and the follower sees each message exactly once") {
