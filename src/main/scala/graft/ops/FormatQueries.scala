@@ -25,7 +25,7 @@ object FormatQueries {
     * same rollup over the original parquet (the oracle). */
   def formatRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val base = Files.createTempDirectory("graft_formats").toString
+    val base = graft.TempDirs.scratch("graft_formats").toString
     t.customer.write.mode("overwrite").option("header", "true")
       .csv(s"$base/customer_csv")
     t.nation.write.mode("overwrite").json(s"$base/nation_json")
@@ -51,7 +51,7 @@ object FormatQueries {
     * unchanged and the scan keeps its pushdown contract. */
   def formatOrc(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val base = Files.createTempDirectory("graft_orc").toString
+    val base = graft.TempDirs.scratch("graft_orc").toString
     val src = t.orders
     src.write.mode("overwrite").orc(s"$base/orders_orc")
     // The timestamp flavor (LTZ vs NTZ) depends on how the parquet source was

@@ -75,7 +75,7 @@ object StreamRegistry {
   def stagedSensorJson(spark: SparkSession, dir: String, copies: Int = 1): String =
     stagedFeeds.getOrElseUpdate(
       (new java.io.File(dir).getCanonicalPath, copies), {
-        val out = Files.createTempDirectory(s"graft_feed_x$copies").toString + "/in"
+        val out = graft.TempDirs.scratch(s"graft_feed_x$copies").toString + "/in"
         eventsAsSensorJsonDuplicated(spark, dir, out, copies)
         out
       })
@@ -87,7 +87,7 @@ object StreamRegistry {
     // Unique staging root per invocation: a fixed path would let two
     // concurrent sessions (e.g. a Bench overlapping a Verify) delete each
     // other's checkpoints mid-run. Hourly sweeps are the OS's job.
-    val base = Files.createTempDirectory("graft_stream_pipeline").toString
+    val base = graft.TempDirs.scratch("graft_stream_pipeline").toString
     val in = stagedSensorJson(spark, dir)
     val out = SensorPipeline.replay(spark, in, s"$base/out")
     spark.read.parquet(out.agg)
@@ -102,7 +102,7 @@ object StreamRegistry {
     * mode + idempotent keyed upsert — returning the final table state, which
     * must equal the batch aggregate over the whole input. */
   def changelogTable(spark: SparkSession, dir: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_changelog").toString
+    val base = graft.TempDirs.scratch("graft_changelog").toString
     val in = stagedSensorJson(spark, dir)
     val table = SensorPipeline.replayChangelog(spark, in, s"$base/out")
     spark.read.parquet(table)
@@ -116,7 +116,7 @@ object StreamRegistry {
     * [[SensorPipeline.replaySessions]] (append mode, 30-min gap), returning
     * the finalized sessions — those whose end cleared the drained watermark. */
   def streamSessions(spark: SparkSession, dir: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_stream_sessions").toString
+    val base = graft.TempDirs.scratch("graft_stream_sessions").toString
     val in = stagedSensorJson(spark, dir)
     val path = SensorPipeline.replaySessions(spark, in, s"$base/out")
     spark.read.parquet(path)
@@ -130,7 +130,7 @@ object StreamRegistry {
     * [[SensorPipeline.replaySliding]] (append mode, 10-min windows hopping
     * every 5), returning the finalized windows. */
   def streamSliding(spark: SparkSession, dir: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_stream_sliding").toString
+    val base = graft.TempDirs.scratch("graft_stream_sliding").toString
     val in = stagedSensorJson(spark, dir)
     val path = SensorPipeline.replaySliding(spark, in, s"$base/out")
     spark.read.parquet(path)
@@ -145,7 +145,7 @@ object StreamRegistry {
     * ([[SensorPipeline.replayCorrelate]]). Output keys cast to BIGINT for
     * oracle parity. */
   def streamJoin(spark: SparkSession, dir: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_stream_join").toString
+    val base = graft.TempDirs.scratch("graft_stream_join").toString
     val in = stagedSensorJson(spark, dir)
     val path = SensorPipeline.replayCorrelate(spark, in, s"$base/out")
     spark.read.parquet(path)
@@ -166,7 +166,7 @@ object StreamRegistry {
     * NOT emit — the honest streaming answer, encoded in the oracle rather
     * than papered over. */
   def streamJoinOuter(spark: SparkSession, dir: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_stream_join_outer").toString
+    val base = graft.TempDirs.scratch("graft_stream_join_outer").toString
     val in = stagedSensorJson(spark, dir)
     val path = SensorPipeline.replayCorrelate(spark, in, s"$base/out",
       joinType = "left_outer")
@@ -185,7 +185,7 @@ object StreamRegistry {
     * [[streamJoinOuter]] applied symmetrically (the watermark is the MIN
     * of the two sides' max − delay, shared by both state stores). */
   def streamJoinFull(spark: SparkSession, dir: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_stream_join_full").toString
+    val base = graft.TempDirs.scratch("graft_stream_join_full").toString
     val in = stagedSensorJson(spark, dir)
     val path = SensorPipeline.replayCorrelate(spark, in, s"$base/out",
       joinType = "full_outer")
@@ -202,7 +202,7 @@ object StreamRegistry {
     * ([[SensorPipeline.replayTopkComplete]]). After the drain the dashboard
     * table equals the batch top-k, which is the oracle. */
   def streamTopk(spark: SparkSession, dir: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_stream_topk").toString
+    val base = graft.TempDirs.scratch("graft_stream_topk").toString
     val in = stagedSensorJson(spark, dir)
     val path = SensorPipeline.replayTopkComplete(spark, in, s"$base/out")
     spark.read.parquet(path)
@@ -215,7 +215,7 @@ object StreamRegistry {
     * message delivered twice): the drained output must be the duplicate-free
     * event set — byte-identical to a batch projection of ONE copy. */
   def streamDedup(spark: SparkSession, dir: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_stream_dedup").toString
+    val base = graft.TempDirs.scratch("graft_stream_dedup").toString
     val in = stagedSensorJson(spark, dir, copies = 2)
     val path = SensorPipeline.replayDedup(spark, in, s"$base/out")
     spark.read.parquet(path)
@@ -237,7 +237,7 @@ object StreamRegistry {
     * micro-batch. Sensors 0–4 have no catalog row — the left join must
     * carry them with a NULL site. */
   def streamEnrich(spark: SparkSession, dir: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_stream_enrich").toString
+    val base = graft.TempDirs.scratch("graft_stream_enrich").toString
     val in = stagedSensorJson(spark, dir)
     val sites = Tables(spark, dir).events
       .select(col("user_id")).distinct()
@@ -258,7 +258,7 @@ object StreamRegistry {
     * `flatMapGroupsWithState`) on the staged replay: every reading that
     * exceeded its sensor's all-time max, with the max it beat. */
   def streamRecordHighs(spark: SparkSession, dir: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_stream_highs").toString
+    val base = graft.TempDirs.scratch("graft_stream_highs").toString
     val in = stagedSensorJson(spark, dir)
     val path = SensorPipeline.replayRecordHighs(spark, in, s"$base/out")
     spark.read.parquet(path)
@@ -275,7 +275,7 @@ object StreamRegistry {
     * batch gaps-and-islands recurrence the oracle replays with one lag
     * over the decisive (out-of-band) readings. */
   def streamAlarms(spark: SparkSession, dir: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_stream_alarms").toString
+    val base = graft.TempDirs.scratch("graft_stream_alarms").toString
     val in = stagedSensorJson(spark, dir)
     val path = SensorPipeline.replayAlarms(spark, in, s"$base/out")
     spark.read.parquet(path)
@@ -290,7 +290,7 @@ object StreamRegistry {
     * sensor feed: tumbling per-sensor message counts with the cross-window
     * delta, oracle-shaped like the other history-fold keys. */
   def streamRates(spark: SparkSession, dir: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_stream_rates").toString
+    val base = graft.TempDirs.scratch("graft_stream_rates").toString
     val in = stagedSensorJson(spark, dir)
     val path = SensorPipeline.replayRates(spark, in, s"$base/out")
     spark.read.parquet(path)
@@ -307,7 +307,7 @@ object StreamRegistry {
     * out-of-order trade does not arise in a drained replay). */
   def streamFunnel(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val base = Files.createTempDirectory("graft_stream_funnel").toString
+    val base = graft.TempDirs.scratch("graft_stream_funnel").toString
     Tables(spark, dir).events
       .select(to_json(struct(col("user_id"), col("event_type"),
         Out.epochSec(col("ts")).as("t"), col("event_id"))).as("value"))
@@ -447,7 +447,7 @@ object StreamRegistry {
         Thread.sleep(50)
       require(receiver.size == n,
         s"transport lost data: buffered ${receiver.size} of $n")
-      val out = Files.createTempDirectory("graft_mqtt_rt").toString
+      val out = graft.TempDirs.scratch("graft_mqtt_rt").toString
       val q = spark.readStream.format("graft-mqtt")
         .option("host", "127.0.0.1").option("port", broker.port)
         .option("topic", topic).option("clientId", clientId)

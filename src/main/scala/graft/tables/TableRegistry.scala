@@ -28,7 +28,7 @@ object TableRegistry {
   val MergeBatches = 3
 
   def mergeIntoDemo(spark: SparkSession, dir: String): DataFrame = {
-    val table = Files.createTempDirectory("graft_merge_into").toString + "/table"
+    val table = graft.TempDirs.scratch("graft_merge_into").toString + "/table"
     val e = Tables(spark, dir).events
       .select(col("user_id").as("uid"), col("event_id"))
       .filter(col("uid").isNotNull && col("event_id").isNotNull)
@@ -94,7 +94,7 @@ object TableRegistry {
     * deliberately different schemas.) */
   private def sharedVersionedTable(spark: SparkSession, dir: String): String =
     versionedTables.getOrElseUpdate(new java.io.File(dir).getCanonicalPath, {
-      val table = Files.createTempDirectory("graft_versioned").toString + "/table"
+      val table = graft.TempDirs.scratch("graft_versioned").toString + "/table"
       for (b <- 0 until MergeBatches)
         TimeTravel.mergeVersioned(table, userBatch(spark, dir, b),
           keyCols = Seq("uid"))
@@ -122,7 +122,7 @@ object TableRegistry {
     * winning batch lacked — green means old files + new schema compose
     * exactly, with zero rewrites of committed data. */
   def schemaEvolutionDemo(spark: SparkSession, dir: String): DataFrame = {
-    val table = Files.createTempDirectory("graft_schema_evo").toString + "/table"
+    val table = graft.TempDirs.scratch("graft_schema_evo").toString + "/table"
     TimeTravel.mergeVersioned(table,
       userBatch(spark, dir, 0).drop("n_b"), keyCols = Seq("uid"))
     TimeTravel.mergeVersioned(table,
@@ -191,7 +191,7 @@ object TableRegistry {
     * boundaries can fall anywhere. */
   def mvIncrementalDemo(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.Out
-    val table = Files.createTempDirectory("graft_mv_inc").toString + "/mv"
+    val table = graft.TempDirs.scratch("graft_mv_inc").toString + "/mv"
     val o = Tables(spark, dir).orders
       .select(col("o_custkey").as("cust"), col("o_orderkey"),
         col("o_totalprice"))

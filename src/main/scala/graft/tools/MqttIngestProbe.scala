@@ -134,8 +134,7 @@ object MqttIngestProbe {
       pumps: Int): (Double, Long, Double, Long, Long) = {
     require(pumps >= 1 && pumps <= shards, s"pumps=$pumps vs shards=$shards")
     val broker = new MiniBroker()
-    val walRoot = java.nio.file.Files
-      .createTempDirectory(s"ingest_mp_${shards}_$pumps")
+    val walRoot = graft.TempDirs.scratch(s"ingest_mp_${shards}_$pumps")
     val cid = s"mp$shards-$pumps"
     val filters = (0 until shards).map(s => s"pr/$s/#")
     val procs = scala.collection.mutable.Buffer.empty[Process]
@@ -267,8 +266,7 @@ object MqttIngestProbe {
     run(2000, publishers, 1, None)
     for (k <- shardCounts; wal <- Seq(false, true)) {
       val dir =
-        if (wal) Some(java.nio.file.Files
-          .createTempDirectory(s"ingest_probe_$k").toString)
+        if (wal) Some(graft.TempDirs.scratch(s"ingest_probe_$k").toString)
         else None
       val (sec, got, dSec, shipped) = run(n, publishers, k, dir)
       println(f"""{"shards":$k,"publishers":$publishers,"wal":$wal,""" +
