@@ -1,6 +1,5 @@
 package graft.streaming
 
-import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.QueryDef
@@ -86,7 +85,7 @@ object StreamRegistry {
   def streamPipeline(spark: SparkSession, dir: String): DataFrame = {
     // Unique staging root per invocation: a fixed path would let two
     // concurrent sessions (e.g. a Bench overlapping a Verify) delete each
-    // other's checkpoints mid-run. Hourly sweeps are the OS's job.
+    // other's checkpoints mid-run. TempDirs sweeps it at JVM exit.
     val base = graft.TempDirs.scratch("graft_stream_pipeline").toString
     val in = stagedSensorJson(spark, dir)
     val out = SensorPipeline.replay(spark, in, s"$base/out")

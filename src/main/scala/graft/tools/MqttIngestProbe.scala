@@ -192,10 +192,14 @@ object MqttIngestProbe {
           c.close()
         }, s"probe-pub-$p")
       }
-      def hwmSum: Long = (0 until shards).map { i =>
-        MqttWalMarks.readLong(walRoot.resolve(s"shard-$i"),
-          MqttWalMarks.Hwm).getOrElse(0L)
-      }.sum
+      // shard-dir layout via the ONE shared convention — totalShards=1
+      // puts marks in walRoot itself, not walRoot/shard-0 (round-13
+      // review: a hand-rolled resolve here stalled single-shard runs)
+      val markDirs = MqttFollowStream
+        .shardDirs(walRoot.toString, shards)
+        .map(java.nio.file.Paths.get(_))
+      def hwmSum: Long = markDirs.map(d =>
+        MqttWalMarks.readLong(d, MqttWalMarks.Hwm).getOrElse(0L)).sum
       val t0 = System.nanoTime()
       threads.foreach(_.start())
       threads.foreach(_.join())

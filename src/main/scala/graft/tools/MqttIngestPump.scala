@@ -107,9 +107,13 @@ object MqttIngestPump {
     val nextCommitPollAt = scala.collection.mutable.Map.empty[Int, Long]
     val lastCommitted = scala.collection.mutable.Map.empty[Int, Long]
     // STOP is polled at ~10/s, same DFS-chatter reasoning as the marks —
-    // shutdown latency is bounded at ~100 ms, which no caller notices
+    // shutdown latency is bounded at ~100 ms, which no caller notices.
+    // All pacing clocks are MONOTONIC (nanoTime): a backward wall-clock
+    // step must not freeze STOP detection, trims, or hwm publication
+    // (round-13 review, third pass)
+    def monoMs: Long = System.nanoTime() / 1000000L
     var stopSeen = false
-    var nextStopCheckAt = 0L
+    var nextStopCheckAt = Long.MinValue // nanoTime origin is arbitrary
     while (!stopSeen) {
       receivers.foreach { case (i, dir, r) =>
         // receiver.size is the durable high-water: the pump buffers a
@@ -121,8 +125,8 @@ object MqttIngestPump {
         // under-reports"), and the STOP path below publishes the final
         // value unconditionally (round-13 review, second pass).
         val h = r.size
-        val now = System.currentTimeMillis()
-        if (!lastHwm.get(i).contains(h) && now >= nextHwmAt.getOrElse(i, 0L)) {
+        val now = monoMs
+        if (!lastHwm.get(i).contains(h) && now >= nextHwmAt.getOrElse(i, Long.MinValue)) {
           MqttWalMarks.writeLong(dir, MqttWalMarks.Hwm, h)
           lastHwm(i) = h
           nextHwmAt(i) = now + 50
@@ -131,7 +135,7 @@ object MqttIngestPump {
         // the hwm-publication cadence (~20/s/shard), not every loop tick:
         // trim latency is non-critical and a 5 ms metadata read per shard
         // is pure chatter on a shared DFS walDir (round-13 review).
-        if (now >= nextCommitPollAt.getOrElse(i, 0L)) {
+        if (now >= nextCommitPollAt.getOrElse(i, Long.MinValue)) {
           nextCommitPollAt(i) = now + 50
           MqttWalMarks.readLong(dir, MqttWalMarks.Committed).foreach { c =>
             if (c > lastCommitted.getOrElse(i, -1L)) {
@@ -142,7 +146,7 @@ object MqttIngestPump {
         }
       }
       Thread.sleep(5)
-      val nw = System.currentTimeMillis()
+      val nw = monoMs
       if (nw >= nextStopCheckAt) {
         stopSeen = Files.exists(stop)
         nextStopCheckAt = nw + 100
