@@ -130,10 +130,19 @@ object MqttIngestProbe {
     * process that owns no receiver — and audits per-shard row counts
     * exactly. Returns (ingestSec, messages, drainSec, driverShippedBytes,
     * readerHeapMb). */
+  /** `perPumpBroker=true` models the production broker TIER: each pump
+    * process gets its own broker endpoint (publishers for a shard connect
+    * to the broker its pump subscribes on), so no single broker process
+    * serializes every message — the deployment shape where pump hosts
+    * scale against a sharded/clustered MQTT tier. The follower is
+    * untouched either way: it reads WAL files + marks, never a broker. */
   def runMulti(n: Int, publishers: Int, shards: Int,
-      pumps: Int): (Double, Long, Double, Long, Long) = {
+      pumps: Int,
+      perPumpBroker: Boolean = false): (Double, Long, Double, Long, Long) = {
     require(pumps >= 1 && pumps <= shards, s"pumps=$pumps vs shards=$shards")
-    val broker = new MiniBroker()
+    val brokers =
+      (0 until (if (perPumpBroker) pumps else 1)).map(_ => new MiniBroker())
+    def brokerOfPump(p: Int): MiniBroker = brokers(p % brokers.size)
     val walRoot = graft.TempDirs.scratch(s"ingest_mp_${shards}_$pumps")
     val cid = s"mp$shards-$pumps"
     val filters = (0 until shards).map(s => s"pr/$s/#")
@@ -145,8 +154,9 @@ object MqttIngestProbe {
         val spec = (0 until shards).filter(_ % pumps == p)
           .map(i => s"$i=pr/$i/#").mkString(",")
         val pb = new ProcessBuilder(javaBin, "-Xmx2g", "-cp", cp,
-          "graft.tools.MqttIngestPump", "127.0.0.1", broker.port.toString,
-          walRoot.toString, cid, shards.toString, spec)
+          "graft.tools.MqttIngestPump", "127.0.0.1",
+          brokerOfPump(p).port.toString, walRoot.toString, cid,
+          shards.toString, spec)
         pb.redirectErrorStream(true)
         val proc = pb.start()
         procs += proc
@@ -186,8 +196,10 @@ object MqttIngestProbe {
       val total = perPub.toLong * publishers
       val threads = (0 until publishers).map { p =>
         val shard = p % shards
+        // publish to the broker the shard's PUMP subscribes on
+        val port = brokerOfPump(shard % pumps).port
         new Thread(() => {
-          val c = new MqttClient("127.0.0.1", broker.port, s"pub-$p").connect()
+          val c = new MqttClient("127.0.0.1", port, s"pub-$p").connect()
           for (i <- 0 until perPub) c.publish(s"pr/$shard/x", s"m$p-$i")
           c.close()
         }, s"probe-pub-$p")
@@ -238,21 +250,26 @@ object MqttIngestProbe {
           if (!p.waitFor(20, java.util.concurrent.TimeUnit.SECONDS))
             p.destroyForcibly()
         }
-      } finally broker.close()
+      } finally brokers.foreach(_.close())
     }
   }
 
   def main(args: Array[String]): Unit = {
-    if (args.headOption.contains("multi")) {
+    if (args.headOption.exists(Set("multi", "multib"))) {
+      val perPumpBroker = args.head == "multib"
       val n = args.lift(1).map(_.toInt).getOrElse(240000)
       val publishers = args.lift(2).map(_.toInt).getOrElse(16)
       val shards = args.lift(3).map(_.toInt).getOrElse(8)
       val pumpCounts =
         if (args.length > 4) args.drop(4).toSeq.map(_.toInt) else Seq(1, 2, 4)
-      runMulti(20000, publishers, shards, pumpCounts.head) // JIT/class warmup
+      runMulti(20000, publishers, shards, pumpCounts.head,
+        perPumpBroker) // JIT/class warmup
       for (p <- pumpCounts) {
-        val (sec, got, dSec, shipped, heapMb) = runMulti(n, publishers, shards, p)
-        println(f"""{"mode":"multiproc","pumps":$p,"shards":$shards,""" +
+        val (sec, got, dSec, shipped, heapMb) =
+          runMulti(n, publishers, shards, p, perPumpBroker)
+        val mode = if (perPumpBroker) "multiproc-sharded-brokers"
+          else "multiproc"
+        println(f"""{"mode":"$mode%s","pumps":$p,"shards":$shards,""" +
           f""""publishers":$publishers,"messages":$got,""" +
           f""""ingest_sec":${math.rint(sec * 1000) / 1000}%s,""" +
           f""""ingest_msg_per_sec":${math.rint(got / sec)}%.0f,""" +
