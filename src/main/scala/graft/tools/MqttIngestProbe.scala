@@ -20,7 +20,14 @@ import graft.sources.{MqttFollowStream, MqttReaderFactory, MqttReceiver, MqttSli
   * shards (a publisher publishes to ONE shard's topic — per-shard audit
   * stays exact); each publisher runs its own QoS 1 sync-ack loop, so
   * publisher-side latency is identical across configs and the delta
-  * isolates the receive edge. */
+  * isolates the receive edge.
+  *
+  * Multi-process modes (round-13): `multi [n] [publishers] [shards]
+  * [pumpCounts...]` forks one [[MqttIngestPump]] JVM per pump against ONE
+  * shared loopback broker; `multib` is identical but gives each pump its
+  * own broker endpoint (the production broker-TIER shape). Both drain
+  * through the cross-process [[MqttFollowStream]] and audit per-shard
+  * counts exactly. */
 object MqttIngestProbe {
 
   /** Drain the ingested backlog through the DSv2 batch machinery exactly
