@@ -123,7 +123,33 @@ object Bench {
         // and a comma decimal separator would corrupt the JSON line
         s""""$k":{"sweep":${math.rint(v * 100) / 100},"quiescent":${math.rint(b * 100) / 100}}"""
       }.mkString(""","load_suspects":{""", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField$suspectField,"sf":"$sfDir"}"""
+    // Sweep-level box fingerprint (round-13 verdict "What's wrong" #1): the
+    // per-key LOAD-SUSPECT gate (3x AND 2 s) can only catch individual
+    // outliers, but a throttled host inflates EVERY key by a near-uniform
+    // factor — the r13 driver sweep was median 1.615x across all 276 keys
+    // with only 2 keys tripping the per-key gate. The median and p90 of the
+    // per-key sweep/quiescent ratios are computable for free against the
+    // same bands file, and a median past ~1.25 is the documented host-load
+    // signature (code regressions are key-specific, load is uniform — the
+    // BASELINE.md compare-isolated-medians rule, now emitted in-record so a
+    // degraded driver sweep self-reports its regime).
+    val ratios = results.collect {
+      case (k, v, None) if bands.get(k).exists(_ > 0) => v / bands(k)
+    }.sorted
+    val fingerprintField =
+      if (ratios.isEmpty) ""
+      else {
+        val med = ratios(ratios.size / 2)
+        val p90 = ratios(math.min(ratios.size - 1, (ratios.size * 9) / 10))
+        // flag only on real sweeps: a 3-key SPARK_GRAFT_ONLY subset's median
+        // is dominated by residual first-query JIT (measured 2.85x on a
+        // quiescent box) and would cry wolf on every local iteration loop
+        val degraded = med >= 1.25 && ratios.size >= 20
+        if (degraded)
+          System.err.println(f"[bench] SWEEP LOAD-SUSPECT: median per-key ratio $med%.3f vs quiescent bands (p90 $p90%.3f, n=${ratios.size}) - uniform inflation is host load, not a code regression; re-measure on a quiescent box")
+        s""","box_fingerprint":{"median_ratio":${math.rint(med * 1000) / 1000},"p90_ratio":${math.rint(p90 * 1000) / 1000},"n":${ratios.size},"sweep_load_suspect":$degraded}"""
+      }
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField$suspectField$fingerprintField,"sf":"$sfDir"}"""
     println(line)
     // The driver tail-captures stdout at ~2000 chars, which front-truncates
     // the full per-query map on a 235-key run (~7 KB) — BENCH_r06 recorded
@@ -144,7 +170,7 @@ object Bench {
     // full_record carries the RESOLVED absolute path: a CWD-relative
     // pointer would be wrong exactly in the run-from-elsewhere case the
     // projectRoot resolution exists for (round-10 review)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowest$errField$suspectField,"sf":"$sfDir","n_queries":${results.size},"queries_truncated_to_slowest":15,"full_record":"${outP.toAbsolutePath}"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowest$errField$suspectField$fingerprintField,"sf":"$sfDir","n_queries":${results.size},"queries_truncated_to_slowest":15,"full_record":"${outP.toAbsolutePath}"}""")
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)
   }

@@ -158,9 +158,41 @@ final class MqttFollowStream(shardDirs0: Seq[String], topics0: Seq[String],
   /** Durable high-water of a shard — the pump's published hwm mark. A
     * missing mark means "nothing admitted yet" (pump not started or its
     * first publish pending); the follower simply plans no rows for that
-    * shard this round. */
+    * shard this round. But a dir that HOLDS segments with recoverable
+    * records past the base while the mark stays missing is a different
+    * state: the mark was lost (manual deletion, partial directory copy)
+    * and the follower would idle forever, indistinguishable from "pump
+    * not started". After a grace period (a just-launched pump publishes
+    * its first mark within one batch) the follower names the missing
+    * file once instead of idling silently (round-13 advice). */
+  private val missingHwmSinceNanos = Array.fill(n)(0L)
+  private val missingHwmWarned = Array.fill(n)(false)
   private def hwm(i: Int): Long =
-    MqttWalMarks.readLong(dirs(i), MqttWalMarks.Hwm).getOrElse(base(i))
+    MqttWalMarks.readLong(dirs(i), MqttWalMarks.Hwm) match {
+      case Some(h) =>
+        missingHwmSinceNanos(i) = 0L
+        h
+      case None =>
+        val b = base(i)
+        if (!missingHwmWarned(i) && Files.isDirectory(dirs(i)) &&
+            MqttWal.listSegments(dirs(i)).nonEmpty) {
+          val now = System.nanoTime()
+          if (missingHwmSinceNanos(i) == 0L) missingHwmSinceNanos(i) = now
+          else if (now - missingHwmSinceNanos(i) > MqttFollowStream.MissingHwmGraceNanos) {
+            missingHwmWarned(i) = true
+            val rec = MqttWalMarks.recoveredEnd(dirs(i))
+            if (rec > b) System.err.println(
+              s"[graft-mqtt] WARNING shard $i: WAL directory ${dirs(i)} holds " +
+                s"segments with ${rec - b} recoverable record(s) beyond base $b " +
+                s"but no '${MqttWalMarks.Hwm}' mark after " +
+                s"${MqttFollowStream.MissingHwmGraceNanos / 1000000000L} s - the " +
+                "hwm mark was likely lost (manual deletion, partial directory " +
+                "copy). This follower will plan ZERO rows for the shard until " +
+                "a pump restarts there and republishes the mark.")
+          }
+        }
+        b
+    }
 
   /** Cross-process shard-identity validation: once a shard's `filter` mark
     * exists, it must equal this source's positional topic filter. Checked
@@ -255,6 +287,13 @@ final class MqttFollowStream(shardDirs0: Seq[String], topics0: Seq[String],
 }
 
 object MqttFollowStream {
+  /** How long a shard may hold WAL segments with no hwm mark before the
+    * follower warns that the mark is likely lost — long enough for a
+    * just-launched pump's first rate-limited mark publication (~20/s per
+    * shard once ingesting), short enough that an operator watching a
+    * stalled drain sees the cause within one look at the logs. */
+  private[sources] val MissingHwmGraceNanos: Long = 10L * 1000000000L
+
   /** The shard-directory layout shared with [[MqttStream]]: the WAL root
     * itself for a single shard, `<root>/shard-<i>` for a sharded source —
     * so a pump and a follower configured from the same (walDir, topics)

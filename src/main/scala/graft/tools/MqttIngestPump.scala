@@ -43,8 +43,15 @@ object MqttIngestPump {
     val cidBase = args(3)
     val totalShards = args(4).toInt
     val owned: Seq[(Int, String)] = args(5).split(",").toSeq.map { s =>
-      val Array(i, f) = s.split("=", 2)
-      (i.trim.toInt, f)
+      // a bare MatchError on a malformed entry would be the one invalid-
+      // launch path without a named error (round-13 advice)
+      val parts = s.split("=", 2)
+      require(parts.length == 2 && parts(0).trim.nonEmpty && parts(1).nonEmpty,
+        s"malformed shardSpec entry '$s': expected 'index=filter' " +
+          "(comma-separated, e.g. '0=sensors/a,1=sensors/b')")
+      require(parts(0).trim.forall(_.isDigit),
+        s"malformed shardSpec entry '$s': shard index '${parts(0).trim}' is not a non-negative integer")
+      (parts(0).trim.toInt, parts(1))
     }
     require(owned.nonEmpty && owned.forall(o => o._1 >= 0 && o._1 < totalShards),
       s"shard indices out of [0, $totalShards): ${owned.map(_._1).mkString(",")}")
