@@ -165,8 +165,10 @@ final class MqttFollowStream(shardDirs0: Seq[String], topics0: Seq[String],
     * not started". After a grace period (a just-launched pump publishes
     * its first mark within one batch) the follower names the missing
     * file once instead of idling silently (round-13 advice). */
-  private val missingHwmSinceNanos = Array.fill(n)(0L)
-  private val missingHwmWarned = Array.fill(n)(false)
+  // package-visible so the spec can backdate the grace clock instead of
+  // sleeping out the real 10 s window
+  private[sources] val missingHwmSinceNanos = Array.fill(n)(0L)
+  private[sources] val missingHwmWarned = Array.fill(n)(false)
   private def hwm(i: Int): Long =
     MqttWalMarks.readLong(dirs(i), MqttWalMarks.Hwm) match {
       case Some(h) =>

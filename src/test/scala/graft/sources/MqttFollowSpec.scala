@@ -348,6 +348,43 @@ class MqttFollowSpec extends graft.SparkSpec {
     e.getMessage should include("trimmed past this checkpoint")
   }
 
+  test("a shard dir holding recoverable WAL records but NO hwm mark names " +
+      "the lost mark once after the grace, instead of idling silently") {
+    val dir = tmp("follow_nohwm")
+    val w = new MqttWal(dir, rollEvery = 4)
+    w.append(Seq(("s/t", "p0", 1), ("s/t", "p1", 2)))
+    w.close()
+    // segments exist, no marks at all — the lost-mark state (manual
+    // deletion / partial copy), indistinguishable from "pump not started"
+    val follow = new MqttFollowStream(Seq(dir.toString), Seq("s/#"), 128L)
+    val buf = new java.io.ByteArrayOutputStream
+    val realErr = System.err
+    System.setErr(new java.io.PrintStream(buf, true))
+    try {
+      // first planning round arms the grace clock, plans zero rows, no noise
+      follow.latestOffset(follow.initialOffset(), ReadLimit.maxRows(10))
+      follow.missingHwmWarned(0) shouldBe false
+      follow.missingHwmSinceNanos(0) should not be 0L
+      // backdate past the grace instead of sleeping out the real window
+      follow.missingHwmSinceNanos(0) =
+        System.nanoTime() - MqttFollowStream.MissingHwmGraceNanos - 1
+      follow.latestOffset(follow.initialOffset(), ReadLimit.maxRows(10))
+      val warned = buf.toString
+      warned should include("no 'hwm.mark'")
+      warned should include("2 recoverable record(s)")
+      warned should include(dir.toString)
+      warned should include("ZERO rows")
+      // the warning fires ONCE, not once per planning round
+      buf.reset()
+      follow.latestOffset(follow.initialOffset(), ReadLimit.maxRows(10))
+      buf.toString should not include "hwm.mark"
+      // and a pump finally publishing the mark clears the latch state
+      MqttWalMarks.writeLong(dir, MqttWalMarks.Hwm, 2L)
+      val end = follow.latestOffset(follow.initialOffset(), ReadLimit.maxRows(10))
+      MqttShardOffsets.decode(end, IndexedSeq("s/#")).head shouldBe 2L
+    } finally System.setErr(realErr)
+  }
+
   test("marks are atomic and self-validating: a corrupt mark fails loudly") {
     val dir = tmp("follow_marks")
     MqttWalMarks.writeLong(dir, MqttWalMarks.Hwm, 42L)
@@ -432,6 +469,126 @@ class MqttFollowSpec extends graft.SparkSpec {
     val e = intercept[IllegalArgumentException](
       MqttWalMarks.readLong(dir, MqttWalMarks.Hwm))
     e.getMessage should include("corrupt mark")
+  }
+
+  test("CHAOS: one of TWO pump JVMs SIGKILLed while the follower is " +
+      "mid-drain with trims flowing, follower restarted from its committed " +
+      "offset in the same window, dead pump restarted after — exactly-once " +
+      "counts, and no segment is ever reclaimed under an in-flight slice") {
+    val broker = new MiniBroker()
+    val walRoot = tmp("follow_chaos")
+    val filters = IndexedSeq("cz/0/#", "cz/1/#")
+    val perShard = 1200
+    var pa: Process = null
+    var pb: Process = null
+    try {
+      // two pumps, disjoint shard ownership, SAME shared walRoot — the
+      // smallest real multi-pump deployment; tiny rollEvery keeps the trim
+      // machinery hot so the kill lands while segments are being reclaimed
+      pa = startPump(broker.port, walRoot, "chA", 2, "0=cz/0/#", 32)
+      pb = startPump(broker.port, walRoot, "chB", 2, "1=cz/1/#", 32)
+
+      val pub = new MqttClient("127.0.0.1", broker.port, "chaos-pub").connect()
+      val pubT = new Thread(() =>
+        try for (i <- 0 until perShard; s <- 0 until 2)
+          pub.publish(s"cz/$s/t", s"c$s-$i")
+        catch { case _: Throwable => () })
+      pubT.start()
+
+      val dirs = MqttFollowStream.shardDirs(walRoot.toString, 2)
+      def mkFollow() = new MqttFollowStream(dirs, filters, 256L)
+      def segBase(i: Int): Long =
+        MqttWal.listSegments(Paths.get(dirs(i))).headOption.map(_._1)
+          .getOrElse(0L)
+
+      val out = Vector.newBuilder[(String, String)]
+      var total = 0L
+      var stream = mkFollow()
+      var cur: Offset = stream.initialOffset()
+      var killed = false
+      var restartedFollower = false
+      var restartedPump = false
+      val deadline = System.currentTimeMillis() + 180000
+      while (total < 2L * perShard && System.currentTimeMillis() < deadline) {
+        val end = stream.latestOffset(cur, ReadLimit.maxRows(256))
+        if (end == cur) Thread.sleep(5)
+        else {
+          val eDec = MqttShardOffsets.decode(end, filters)
+          stream.planInputPartitions(cur, end).foreach { p =>
+            val sl = p.asInstanceOf[MqttWalSlice]
+            val si = dirs.indexOf(sl.dir)
+            si should be >= 0
+            // trim authority invariant: the pump may only reclaim segments
+            // wholly below the reader's committed mark, and this slice
+            // starts at-or-above it — so the slice's start must still be
+            // addressable, before AND after the read (a trim racing the
+            // read would strand the WAL iterator on a deleted file)
+            segBase(si) should be <= sl.start
+            val rd = MqttReaderFactory.createReader(p)
+            while (rd.next()) {
+              val row = rd.get()
+              out += ((row.getUTF8String(0).toString,
+                row.getUTF8String(1).toString))
+              total += 1
+            }
+            rd.close()
+            segBase(si) should be <= sl.start
+          }
+          stream.commit(end)
+          cur = end
+          if (!killed && eDec(0) >= 300) {
+            // event 1: SIGKILL pump A mid-everything — publisher live,
+            // follower mid-drain, trims flowing. Its broker session
+            // survives and queues shard 0 from here on.
+            pa.destroyForcibly()
+            pa.waitFor(10, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
+            killed = true
+          } else if (killed && !restartedFollower) {
+            // event 2 (same failure window, pump A still dead): restart the
+            // FOLLOWER from its committed offset via the same json
+            // round-trip a real checkpoint resume performs
+            val json = cur.json()
+            stream = mkFollow()
+            cur = stream.deserializeOffset(json)
+            restartedFollower = true
+          } else if (restartedFollower && !restartedPump) {
+            // event 3: bring pump A back with the SAME spec — session
+            // resume redelivers un-acked shard-0 backlog with DUP + the
+            // original pids; WAL-recovered pid dedup drops the overlap
+            pa = startPump(broker.port, walRoot, "chA", 2, "0=cz/0/#", 32)
+            restartedPump = true
+          }
+        }
+      }
+      pubT.join(30000); pubT.isAlive shouldBe false
+      pub.close()
+      withClue("all three chaos events must have fired inside the drain: ") {
+        (killed, restartedFollower, restartedPump) shouldBe ((true, true, true))
+      }
+      total shouldBe 2L * perShard
+      // exactly-once per shard across the overlapping failures: kill +
+      // follower restart + pump restart lost nothing, duplicated nothing.
+      // (Sorted compare, same as the single-pump kill spec: redelivery
+      // order across a SIGKILL is not part of the contract; the set is.)
+      val got = out.result()
+      (0 until 2).foreach { s =>
+        got.filter(_._1 == s"cz/$s/t").map(_._2).sorted shouldBe
+          (0 until perShard).map(i => s"c$s-$i").sorted
+      }
+      // the un-killed shard never lost order: pump B ran uninterrupted, so
+      // its WAL is publish-order by construction
+      got.filter(_._1 == "cz/1/t").map(_._2) shouldBe
+        (0 until perShard).map(i => s"c1-$i")
+      Files.write(walRoot.resolve("STOP"), Array.emptyByteArray)
+      pa.waitFor(40, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
+      pb.waitFor(40, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
+      pa.exitValue() shouldBe 0
+      pb.exitValue() shouldBe 0
+    } finally {
+      if (pa != null) pa.destroyForcibly()
+      if (pb != null) pb.destroyForcibly()
+      broker.close()
+    }
   }
 
   test("the driver-resident MqttSlice fallback fails LOUDLY past the byte " +
