@@ -74,12 +74,73 @@ object GraftSession {
     }
   }
 
+  /** Apply the entry point's default master, honoring the
+    * `SPARK_GRAFT_MASTER` override (round-14 multi-executor-JVM gate:
+    * `local-cluster[2,16,4096]`).
+    *
+    * `local[n]` shares the driver JVM, so the sbt classpath is the executor
+    * classpath. A `local-cluster` master launches REAL separate executor
+    * processes (an in-process standalone Master/Worker pair, executors as
+    * child JVMs) that inherit NOTHING from the driver's classpath — exactly
+    * the deployment shape a 100 TB cluster has — so the packaged graft
+    * classes must travel as ordinary `spark.jars`: `SPARK_GRAFT_JAR`
+    * (comma-list, e.g. main + test jars) or the newest packaged jar under
+    * `target/scala-N` of the nearest build.sbt ancestor.
+    * Executor memory defaults to the per-worker allowance from the master
+    * string (third bracket field, MB): Spark's 1g default would silently
+    * strand 3/4 of the granted worker memory. Both fall to
+    * `SPARK_GRAFT_CONF` overrides, which `tune` applies last.
+    *
+    * Fails fast when SPARK_HOME is missing: the launcher library resolves
+    * the executor command against it, and without the guard the Worker dies
+    * asynchronously with a bare IllegalStateException long after
+    * getOrCreate() returned.
+    */
+  def withMaster(b: SparkSession.Builder, defaultMaster: String): SparkSession.Builder = {
+    val m = sys.env.getOrElse("SPARK_GRAFT_MASTER", defaultMaster)
+    val bb = b.master(m)
+    if (!m.startsWith("local-cluster")) bb
+    else {
+      require(sys.env.get("SPARK_HOME").exists(h => new java.io.File(h, "jars").isDirectory),
+        "local-cluster executors are launched via the Spark launcher, which needs " +
+          "a distribution root: export SPARK_HOME=/opt/spark (jars/ must exist under it)")
+      // The launcher's getScalaVersion() probes $SPARK_HOME/launcher/target
+      // (a source-build layout) unless SPARK_SCALA_VERSION is exported —
+      // normally load-spark-env.sh's job, but our in-JVM Worker launches
+      // executors without it and they die async with "Cannot find any build
+      // directories." after getOrCreate() already returned.
+      require(sys.env.contains("SPARK_SCALA_VERSION"),
+        "export SPARK_SCALA_VERSION=2.13 - the launcher resolving the executor " +
+          "command needs it against a binary distribution")
+      val jars = sys.env.get("SPARK_GRAFT_JAR").map(_.split(",").toSeq).getOrElse {
+        var d = new java.io.File(".").getAbsoluteFile.getParentFile
+        while (d != null && !new java.io.File(d, "build.sbt").exists()) d = d.getParentFile
+        val found = Option(d).toSeq
+          .flatMap(r => Option(new java.io.File(r, "target").listFiles()).toSeq.flatten)
+          .filter(_.isDirectory).filter(_.getName.startsWith("scala-"))
+          .flatMap(sd => Option(sd.listFiles()).toSeq.flatten)
+          .filter(f => f.getName.endsWith(".jar") && !f.getName.contains("-sources"))
+          .sortBy(_.getName)
+        require(found.nonEmpty,
+          "local-cluster executors do not share the driver classpath: run `sbt package` " +
+            "first (or set SPARK_GRAFT_JAR=/path/a.jar[,b.jar])")
+        found.map(_.getAbsolutePath)
+      }
+      val workerMemMb = "local-cluster\\[\\s*\\d+\\s*,\\s*\\d+\\s*,\\s*(\\d+)\\s*\\]".r
+        .findFirstMatchIn(m).map(_.group(1))
+      workerMemMb.foldLeft(bb.config("spark.jars", jars.mkString(","))) {
+        (b2, mem) => b2.config("spark.executor.memory", s"${mem}m")
+      }
+    }
+  }
+
   def local(appName: String = "graft", cores: Int = defaultParallelism): SparkSession = {
     val spark = tune(
-      SparkSession.builder()
-        .appName(appName)
-        .master(s"local[$cores]")
-        .config("spark.sql.shuffle.partitions", cores.toString)
+      withMaster(
+        SparkSession.builder()
+          .appName(appName)
+          .config("spark.sql.shuffle.partitions", cores.toString),
+        s"local[$cores]")
     ).getOrCreate()
     // getOrCreate() ignores spark.sql.extensions when it returns a session
     // that already existed — re-register the native functions imperatively

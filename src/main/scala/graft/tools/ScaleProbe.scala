@@ -151,9 +151,10 @@ object ScaleProbe {
     // A/B knobs (e.g. statePartitions or the RocksDB state-store provider,
     // round-8 verdict #3) come via SPARK_GRAFT_CONF="k=v;…", applied by
     // GraftSession.tune — the ONE parser every entry point shares (r13).
-    val builder = GraftSession.tune(SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus))
+    val builder = GraftSession.tune(GraftSession.withMaster(
+      SparkSession.builder()
+        .config("spark.sql.shuffle.partitions", cpus),
+      s"local[$cpus]"))
     val spark = builder.getOrCreate()
     GraftExtensions.ensureRegistered(spark)
     spark.sparkContext.setLogLevel("WARN")
