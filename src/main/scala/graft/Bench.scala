@@ -89,12 +89,7 @@ object Bench {
     // misplaced the full record) when Bench ran from any other directory.
     // Walk up from the CWD to the nearest ancestor holding build.sbt; both
     // the band read and the bench_full.json write resolve against it.
-    val projectRoot: java.io.File = {
-      var d = new java.io.File(".").getAbsoluteFile.getParentFile
-      while (d != null && !new java.io.File(d, "build.sbt").exists())
-        d = d.getParentFile
-      if (d != null) d else new java.io.File(".").getAbsoluteFile.getParentFile
-    }
+    val projectRoot: java.io.File = GraftSession.projectRoot
     val bandsFile: java.io.File = sys.env.get("SPARK_GRAFT_BANDS")
       .map(new java.io.File(_))
       .getOrElse(new java.io.File(projectRoot, "tools/bench_bands.json"))

@@ -23,6 +23,17 @@ object GraftSession {
     sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
       .getOrElse(Runtime.getRuntime.availableProcessors())
 
+  /** Nearest ancestor of the CWD holding build.sbt, falling back to the CWD
+    * itself — one resolver shared by Bench (bands + bench_full.json) and the
+    * local-cluster jar discovery, so a future fix (symlinked CWD,
+    * multi-module build) lands in one place. */
+  def projectRoot: java.io.File = {
+    var d = new java.io.File(".").getAbsoluteFile.getParentFile
+    while (d != null && !new java.io.File(d, "build.sbt").exists())
+      d = d.getParentFile
+    if (d != null) d else new java.io.File(".").getAbsoluteFile.getParentFile
+  }
+
   /** Apply graft engine defaults to an arbitrary builder (so Verify/Bench can
     * keep their driver-mandated master/partition settings). */
   def tune(b: SparkSession.Builder): SparkSession.Builder = b
@@ -113,14 +124,16 @@ object GraftSession {
         "export SPARK_SCALA_VERSION=2.13 - the launcher resolving the executor " +
           "command needs it against a binary distribution")
       val jars = sys.env.get("SPARK_GRAFT_JAR").map(_.split(",").toSeq).getOrElse {
-        var d = new java.io.File(".").getAbsoluteFile.getParentFile
-        while (d != null && !new java.io.File(d, "build.sbt").exists()) d = d.getParentFile
-        val found = Option(d).toSeq
-          .flatMap(r => Option(new java.io.File(r, "target").listFiles()).toSeq.flatten)
+        val found = Option(new java.io.File(projectRoot, "target").listFiles()).toSeq.flatten
           .filter(_.isDirectory).filter(_.getName.startsWith("scala-"))
           .flatMap(sd => Option(sd.listFiles()).toSeq.flatten)
-          .filter(f => f.getName.endsWith(".jar") && !f.getName.contains("-sources"))
-          .sortBy(_.getName)
+          .filter(f => f.getName.endsWith(".jar") &&
+            !f.getName.contains("-sources") && !f.getName.contains("-javadoc"))
+          // newest jar per kind (main / -tests): shipping every historical
+          // version would let a stale jar win classloading on executors
+          // after a version bump — NoSuchMethodError at a distance
+          .groupBy(_.getName.endsWith("-tests.jar")).values.toSeq
+          .map(_.maxBy(_.lastModified())).sortBy(_.getName)
         require(found.nonEmpty,
           "local-cluster executors do not share the driver classpath: run `sbt package` " +
             "first (or set SPARK_GRAFT_JAR=/path/a.jar[,b.jar])")

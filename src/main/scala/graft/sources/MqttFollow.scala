@@ -173,24 +173,45 @@ final class MqttFollowStream(shardDirs0: Seq[String], topics0: Seq[String],
     MqttWalMarks.readLong(dirs(i), MqttWalMarks.Hwm) match {
       case Some(h) =>
         missingHwmSinceNanos(i) = 0L
+        // clear the warned latch too: a pump restart republishes the mark,
+        // and a SECOND loss afterwards (another partial copy) must warn
+        // again instead of idling silently behind a stale latch
+        missingHwmWarned(i) = false
         h
       case None =>
-        val b = base(i)
-        if (!missingHwmWarned(i) && Files.isDirectory(dirs(i)) &&
-            MqttWal.listSegments(dirs(i)).nonEmpty) {
+        // one directory listing serves both the base fallback and the
+        // lost-mark probe (hwm() was listing the same shard dir twice per
+        // planning round while the mark was missing — metadata chatter the
+        // pump side deliberately rate-limits on shared walDirs)
+        val d = dirs(i)
+        val segs = if (Files.isDirectory(d)) MqttWal.listSegments(d) else Nil
+        val b = segs.headOption.map(_._1)
+          .orElse(MqttWalMarks.readLong(d, MqttWalMarks.Committed))
+          .getOrElse(0L)
+        if (!missingHwmWarned(i) && segs.nonEmpty) {
           val now = System.nanoTime()
           if (missingHwmSinceNanos(i) == 0L) missingHwmSinceNanos(i) = now
           else if (now - missingHwmSinceNanos(i) > MqttFollowStream.MissingHwmGraceNanos) {
-            missingHwmWarned(i) = true
-            val rec = MqttWalMarks.recoveredEnd(dirs(i))
-            if (rec > b) System.err.println(
-              s"[graft-mqtt] WARNING shard $i: WAL directory ${dirs(i)} holds " +
-                s"segments with ${rec - b} recoverable record(s) beyond base $b " +
-                s"but no '${MqttWalMarks.Hwm}' mark after " +
-                s"${MqttFollowStream.MissingHwmGraceNanos / 1000000000L} s - the " +
-                "hwm mark was likely lost (manual deletion, partial directory " +
-                "copy). This follower will plan ZERO rows for the shard until " +
-                "a pump restarts there and republishes the mark.")
+            val rec = MqttWalMarks.recoveredEnd(d)
+            if (rec > b) {
+              // latch ONLY on the printed warning: latching on the silent
+              // rec<=b path would permanently suppress a later real loss
+              missingHwmWarned(i) = true
+              System.err.println(
+                s"[graft-mqtt] WARNING shard $i: WAL directory $d holds " +
+                  s"segments with ${rec - b} recoverable record(s) beyond base $b " +
+                  s"but no '${MqttWalMarks.Hwm}' mark after " +
+                  s"${MqttFollowStream.MissingHwmGraceNanos / 1000000000L} s - the " +
+                  "hwm mark was likely lost (manual deletion, partial directory " +
+                  "copy). This follower will plan ZERO rows for the shard until " +
+                  "a pump restarts there and republishes the mark.")
+            } else {
+              // segments with nothing recoverable past base is a legitimate
+              // steady state (fully drained + trimmed), not a lost mark:
+              // re-arm the clock so the probe stays alive at one
+              // recoveredEnd scan per grace window, bounded
+              missingHwmSinceNanos(i) = now
+            }
           }
         }
         b

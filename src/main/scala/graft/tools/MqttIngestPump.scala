@@ -51,7 +51,13 @@ object MqttIngestPump {
           "(comma-separated, e.g. '0=sensors/a,1=sensors/b')")
       require(parts(0).trim.forall(_.isDigit),
         s"malformed shardSpec entry '$s': shard index '${parts(0).trim}' is not a non-negative integer")
-      (parts(0).trim.toInt, parts(1))
+      // all-digit but past Int range would still throw a bare
+      // NumberFormatException — the same unnamed-path hole, one layer down
+      val idx = try parts(0).trim.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"malformed shardSpec entry '$s': shard index '${parts(0).trim}' exceeds Int range")
+      }
+      (idx, parts(1))
     }
     require(owned.nonEmpty && owned.forall(o => o._1 >= 0 && o._1 < totalShards),
       s"shard indices out of [0, $totalShards): ${owned.map(_._1).mkString(",")}")

@@ -382,6 +382,51 @@ class MqttFollowSpec extends graft.SparkSpec {
       MqttWalMarks.writeLong(dir, MqttWalMarks.Hwm, 2L)
       val end = follow.latestOffset(follow.initialOffset(), ReadLimit.maxRows(10))
       MqttShardOffsets.decode(end, IndexedSeq("s/#")).head shouldBe 2L
+      // the latch clears WITH the mark: a second loss (another partial
+      // copy after the pump republished) must warn again, not idle
+      // silently behind a stale latch (round-14 review)
+      follow.missingHwmWarned(0) shouldBe false
+      Files.delete(dir.resolve(MqttWalMarks.Hwm))
+      buf.reset()
+      follow.latestOffset(follow.initialOffset(), ReadLimit.maxRows(10))
+      buf.toString should not include "hwm.mark" // grace re-arms quietly
+      follow.missingHwmSinceNanos(0) =
+        System.nanoTime() - MqttFollowStream.MissingHwmGraceNanos - 1
+      follow.latestOffset(follow.initialOffset(), ReadLimit.maxRows(10))
+      buf.toString should include("no 'hwm.mark'")
+    } finally System.setErr(realErr)
+  }
+
+  test("a markless shard whose segments hold NOTHING recoverable past base " +
+      "re-arms the grace quietly instead of latching the warning away") {
+    val dir = tmp("follow_nohwm_empty")
+    // a lone zero-byte segment: listSegments sees it, recoveredEnd == base
+    // == 0 — the torn-body corner where the old code latched warned=true
+    // on the silent path and could never warn about a LATER real loss
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("wal-0.log"), Array.emptyByteArray)
+    val follow = new MqttFollowStream(Seq(dir.toString), Seq("s/#"), 128L)
+    val buf = new java.io.ByteArrayOutputStream
+    val realErr = System.err
+    System.setErr(new java.io.PrintStream(buf, true))
+    try {
+      follow.latestOffset(follow.initialOffset(), ReadLimit.maxRows(10))
+      val armed = follow.missingHwmSinceNanos(0)
+      armed should not be 0L
+      follow.missingHwmSinceNanos(0) =
+        System.nanoTime() - MqttFollowStream.MissingHwmGraceNanos - 1
+      follow.latestOffset(follow.initialOffset(), ReadLimit.maxRows(10))
+      buf.toString should not include "hwm.mark" // nothing lost, no cry-wolf
+      follow.missingHwmWarned(0) shouldBe false  // NOT latched
+      follow.missingHwmSinceNanos(0) should not be 0L // clock re-armed
+      // records appear later (the real lost-mark state): next grace expiry warns
+      val w = new MqttWal(dir, rollEvery = 4)
+      w.append(Seq(("s/t", "p0", 1)))
+      w.close()
+      follow.missingHwmSinceNanos(0) =
+        System.nanoTime() - MqttFollowStream.MissingHwmGraceNanos - 1
+      follow.latestOffset(follow.initialOffset(), ReadLimit.maxRows(10))
+      buf.toString should include("no 'hwm.mark'")
     } finally System.setErr(realErr)
   }
 
@@ -452,6 +497,15 @@ class MqttFollowSpec extends graft.SparkSpec {
     out should not include "PUMP_READY"
   }
 
+  test("a pump spec whose all-digit shard index exceeds Int range fails as " +
+      "a NAMED malformed entry, not a bare NumberFormatException") {
+    val walRoot = tmp("follow_pump_ofidx")
+    val (rc, out) = pumpFails(walRoot, "99999999999=a/#")
+    rc should not be 0
+    out should include("exceeds Int range")
+    out should not include "NumberFormatException"
+  }
+
   test("a pump spec with duplicate shard indices fails before any receiver " +
       "exists (two writers on one WAL dir / one clientId)") {
     val walRoot = tmp("follow_pump_dup")
@@ -497,9 +551,17 @@ class MqttFollowSpec extends graft.SparkSpec {
 
       val dirs = MqttFollowStream.shardDirs(walRoot.toString, 2)
       def mkFollow() = new MqttFollowStream(dirs, filters, 256L)
-      def segBase(i: Int): Long =
-        MqttWal.listSegments(Paths.get(dirs(i))).headOption.map(_._1)
-          .getOrElse(0L)
+      // called only while a slice is in flight for shard i, so an EMPTY
+      // listing is itself the violation (trim reclaimed every segment under
+      // the reader) — the old 0L fallback made `0 <= sl.start` vacuously
+      // pass exactly when the invariant was broken (round-14 review)
+      def segBase(i: Int): Long = {
+        val segs = MqttWal.listSegments(Paths.get(dirs(i)))
+        withClue(s"shard $i: every WAL segment reclaimed under an in-flight slice: ") {
+          segs should not be empty
+        }
+        segs.head._1
+      }
 
       val out = Vector.newBuilder[(String, String)]
       var total = 0L
