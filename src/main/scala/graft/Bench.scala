@@ -66,7 +66,15 @@ object Bench {
       spark.sparkContext.getPersistentRDDs
         .foreach { case (id, rdd) =>
           if (!ops.Staged.pinned(id)) rdd.unpersist(blocking = false) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val sec = (System.nanoTime() - t0) / 1e9
+      // Per-key progress on stderr (stdout stays the one-JSON-line
+      // contract): a multi-hour blown-up-scale sweep is otherwise a black
+      // box — a timeout kill salvages nothing and leaves no clue WHICH key
+      // ground (round-14: a 59-key 100x sweep died at 50 min with zero
+      // attribution). The f-interpolator's locale sensitivity is fine here,
+      // this line is for humans, never parsed.
+      System.err.println(f"[bench] done $name $sec%.2f s")
+      (name, sec, err)
     }
     val qs = results.map { case (k, v, e) =>
       "\"" + k + "\":" + e.map(_ => "-1").getOrElse(v.toString)
