@@ -124,28 +124,38 @@ object GraftSession {
         "export SPARK_SCALA_VERSION=2.13 - the launcher resolving the executor " +
           "command needs it against a binary distribution")
       val jars = sys.env.get("SPARK_GRAFT_JAR").map(_.split(",").toSeq).getOrElse {
-        val found = Option(new java.io.File(projectRoot, "target").listFiles()).toSeq.flatten
-          .filter(_.isDirectory).filter(_.getName.startsWith("scala-"))
-          .flatMap(sd => Option(sd.listFiles()).toSeq.flatten)
-          .filter(f => f.getName.endsWith(".jar") &&
-            !f.getName.contains("-sources") && !f.getName.contains("-javadoc"))
-          // newest jar per kind (main / -tests): shipping every historical
-          // version would let a stale jar win classloading on executors
-          // after a version bump — NoSuchMethodError at a distance
-          .groupBy(_.getName.endsWith("-tests.jar")).values.toSeq
-          .map(_.maxBy(_.lastModified())).sortBy(_.getName)
+        val found = discoverJars(projectRoot)
         require(found.nonEmpty,
           "local-cluster executors do not share the driver classpath: run `sbt package` " +
             "first (or set SPARK_GRAFT_JAR=/path/a.jar[,b.jar])")
         found.map(_.getAbsolutePath)
       }
-      val workerMemMb = "local-cluster\\[\\s*\\d+\\s*,\\s*\\d+\\s*,\\s*(\\d+)\\s*\\]".r
-        .findFirstMatchIn(m).map(_.group(1))
-      workerMemMb.foldLeft(bb.config("spark.jars", jars.mkString(","))) {
+      workerMemMb(m).foldLeft(bb.config("spark.jars", jars.mkString(","))) {
         (b2, mem) => b2.config("spark.executor.memory", s"${mem}m")
       }
     }
   }
+
+  /** Packaged jars to ship to local-cluster executors: the newest jar per
+    * kind (main / `-tests`) under `<root>/target/scala-N` — shipping every
+    * historical version would let a stale jar win classloading on executors
+    * after a version bump (NoSuchMethodError at a distance); `-sources` /
+    * `-javadoc` never carry classes. */
+  private[graft] def discoverJars(root: java.io.File): Seq[java.io.File] =
+    Option(new java.io.File(root, "target").listFiles()).toSeq.flatten
+      .filter(_.isDirectory).filter(_.getName.startsWith("scala-"))
+      .flatMap(sd => Option(sd.listFiles()).toSeq.flatten)
+      .filter(f => f.getName.endsWith(".jar") &&
+        !f.getName.contains("-sources") && !f.getName.contains("-javadoc"))
+      .groupBy(_.getName.endsWith("-tests.jar")).values.toSeq
+      .map(_.maxBy(_.lastModified())).sortBy(_.getName)
+
+  /** Per-worker memory (MB) from a local-cluster master string's third
+    * bracket field — the default for `spark.executor.memory`, since Spark's
+    * 1g default would strand 3/4 of a 4096 MB worker allowance. */
+  private[graft] def workerMemMb(master: String): Option[String] =
+    "local-cluster\\[\\s*\\d+\\s*,\\s*\\d+\\s*,\\s*(\\d+)\\s*\\]".r
+      .findFirstMatchIn(master).map(_.group(1))
 
   def local(appName: String = "graft", cores: Int = defaultParallelism): SparkSession = {
     val spark = tune(
