@@ -167,3 +167,100 @@ case class SimHash48(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): SimHash48 =
     copy(child = newChild)
 }
+
+/** Minimal-band emission test for banded-LSH pair generation: true iff NO
+  * band strictly before `bandIdx` is a live collision for this pair — i.e.
+  * `bandIdx` is the FIRST band where the two signatures agree on an
+  * un-dropped bucket, so a band self-join filtered on this predicate emits
+  * every colliding pair EXACTLY once and the pair-volume `distinct()` (a
+  * full exchange + dedup aggregate of the candidate stream — the only
+  * pair-sized shuffle left in the round-12 arrays-off-the-pair-shuffle
+  * plan) can be dropped outright.
+  *
+  * Arguments: the joined row's band index, and both vectors' FULL per-band
+  * signature arrays, where a band whose bucket the
+  * [[graft.ops.DedupQueries.SimhashBucketCap]] guard dropped holds NULL
+  * instead of its band value. Droppedness is a property of the BUCKET
+  * (band_idx, band_val): two vectors colliding in band j share that bucket,
+  * so they null out band j together and `sig_a[j] <=> sig_b[j]`'s collision
+  * verdict is symmetric by construction — a null on either side reads as
+  * "not a live collision", which is exactly the cap guard's semantics
+  * (capped buckets emit no pairs). Exactly-once then follows: a pair's live
+  * collision bands form a fixed set; precisely one of them is minimal.
+  *
+  * Why a custom `Expression`: the predicate runs INSIDE the candidate
+  * self-join at pair volume (~10⁸ rows at the 100× probe scale). The
+  * `exists(sequence(...), ...)` spelling is a higher-order function —
+  * CodegenFallback, interpreted per element, and it would break the join
+  * stage's WholeStageCodegen span exactly where row volume peaks (the same
+  * reasoning as [[DotProduct]]). This generates a tight primitive loop with
+  * early exit inline in the join's generated Java.
+  *
+  * Null contract: any NULL argument → NULL (null-intolerant ternary); a
+  * `bandIdx` outside [0, min(|sigA|, |sigB|)] → NULL, the loud
+  * malformed-signature signal (same contract as [[DotProduct]]'s length
+  * mismatch). Registered as `graft_min_band` via [[graft.GraftExtensions]]. */
+case class MinBandEmit(bandIdx: Expression, sigA: Expression, sigB: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def first: Expression = bandIdx
+  override def second: Expression = sigA
+  override def third: Expression = sigB
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def arr(dt: DataType): Boolean = dt match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+    if (bandIdx.dataType == org.apache.spark.sql.types.LongType &&
+        arr(sigA.dataType) && arr(sigB.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (bigint, array<bigint>, array<bigint>), got " +
+        s"${bandIdx.dataType.sql}, ${sigA.dataType.sql}, ${sigB.dataType.sql}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "graft_min_band"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(k: Any, a: Any, b: Any): Any = {
+    val idx = k.asInstanceOf[Long]
+    val sa = a.asInstanceOf[ArrayData]
+    val sb = b.asInstanceOf[ArrayData]
+    if (idx < 0 || idx > sa.numElements() || idx > sb.numElements()) return null
+    var j = 0
+    val n = idx.toInt
+    while (j < n) {
+      if (!sa.isNullAt(j) && !sb.isNullAt(j) && sa.getLong(j) == sb.getLong(j))
+        return false
+      j += 1
+    }
+    true
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (k, a, b) => {
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val hit = ctx.freshName("hit")
+      s"""
+         |if ($k < 0 || $k > $a.numElements() || $k > $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = (int) $k;
+         |  boolean $hit = false;
+         |  for (int $j = 0; $j < $n && !$hit; $j++) {
+         |    if (!$a.isNullAt($j) && !$b.isNullAt($j) &&
+         |        $a.getLong($j) == $b.getLong($j)) {
+         |      $hit = true;
+         |    }
+         |  }
+         |  ${ev.value} = !$hit;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): MinBandEmit =
+    copy(bandIdx = newFirst, sigA = newSecond, sigB = newThird)
+}

@@ -43,8 +43,11 @@ import graft.tables.Tables
   *
   * Persist contract: [[annLsh]] `persist()`s the banded signature table, and
   * [[dedupEmbedding]]/[[mutualKnn]] persist the band rows JOINED with their
-  * vectors + norms (n × bands rows × ~560 B — the arrays deliberately ride
-  * this linear relation so they never shuffle at pair volume; round-10).
+  * vectors + norms + full per-band signature (n × bands rows × ~640 B — the
+  * arrays deliberately ride this linear relation so they never shuffle at
+  * pair volume; round-10. The signature column is what lets the pair join
+  * emit exactly-once via `graft_min_band`, so no pair-volume distinct
+  * exists either; round-14).
   * The caller runs the plan and then clears the cache — see the identical
   * contract note on [[DedupQueries]].
   */
@@ -565,37 +568,84 @@ object VectorQueries {
     else scoredEmbeddingPairs(spark, dir).filter(col("cos_sim") >= minCos)
     }
 
-  private def scoredEmbeddingPairs(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def scoredEmbeddingPairs(spark: SparkSession, dir: String): DataFrame = {
     // Arrays ride the BAND rows (n × bands — linear in the corpus), never
     // the pair stream: both sides of the candidate self-join carry their
     // vector + norm, the cosine is projected INSIDE the join's codegen
-    // pipeline, and the arrays are dropped before anything shuffles again —
-    // the only pair-volume shuffle is the 24-byte (vec_a, vec_b) distinct.
-    // The previous shape joined slim pairs back to the embedding table and
-    // shuffled/sorted the array-attached intermediate for the second join:
-    // ~560 B per CANDIDATE of spill, which filled the disk at the round-10
-    // 100× full-sweep probe (200 k vectors → ~10⁸ banded collisions →
-    // tens-of-GB sorts in q_dedup_embedding / q_mutual_knn /
+    // pipeline, and the arrays are dropped before anything shuffles again.
+    // The pre-round-12 shape joined slim pairs back to the embedding table
+    // and shuffled/sorted the array-attached intermediate for the second
+    // join: ~560 B per CANDIDATE of spill, which filled the disk at the
+    // round-10 100× full-sweep probe (200 k vectors → ~10⁸ banded
+    // collisions → tens-of-GB sorts in q_dedup_embedding / q_mutual_knn /
     // q_curation_multimodal). This shape's array-bearing relation is
     // n × bands × ~560 B — ~100× smaller there, and the gap widens with n
-    // (at n = 10⁹ / 30 bands: ~17 TB vs ~2 PB of shuffle). A pair colliding
-    // in j bands is scored j times and collapsed by the distinct (identical
-    // deterministic expression ⇒ identical rows — oracle results are
-    // byte-for-byte what the old plan produced); the duplicate-score CPU is
-    // the price of never shuffling arrays at pair volume. Norms are still
-    // per-vector, computed once before the fan-out.
+    // (at n = 10⁹ / 30 bands: ~17 TB vs ~2 PB of shuffle).
+    //
+    // Exactly-once emission (round 14): each pair is emitted from its
+    // MINIMAL live colliding band only — graft_min_band evaluates inside
+    // the join over the full signatures the band rows carry — so there is
+    // NO pair-volume shuffle left at all. The round-12→13 shape scored a
+    // j-band collision j times and collapsed the duplicates with a
+    // (vec_a, vec_b) distinct: one full exchange + dedup aggregate of the
+    // candidate stream (~156 M rows × 32 B at the 100× probe scale), spent
+    // removing a ~4% duplicate fraction on an unclustered corpus — and on
+    // a DUP-HEAVY production corpus the duplicate fraction is bands×, so
+    // both the exchange and the duplicate scoring grow exactly when the
+    // data gets hard. min-band deletes both: the candidate stream flows
+    // straight from the join into whatever consumes it. Emitted values are
+    // identical (same deterministic cosine expression, same pair set), so
+    // oracle results are byte-for-byte what the distinct plan produced.
+    // Norms are still per-vector, computed once before the fan-out.
     val e = emb(spark, dir)
       .select(col("vec_id"), col("e"), sqrt(dot(col("e"), col("e"))).as("nrm"))
-    val be = bands(spark, dir).join(e, Seq("vec_id")).persist()
-    val a = be.select(col("band_idx"), col("band_val"),
+    val be = sigBandRows(spark, dir).join(e, Seq("vec_id")).persist()
+    val a = be.select(col("band_idx"), col("band_val"), col("sig").as("sig_a"),
       col("vec_id").as("vec_a"), col("e").as("ea"), col("nrm").as("na"))
-    val c = be.select(col("band_idx"), col("band_val"),
+    val c = be.select(col("band_idx"), col("band_val"), col("sig").as("sig_b"),
       col("vec_id").as("vec_b"), col("e").as("eb"), col("nrm").as("nb"))
     a.join(c, Seq("band_idx", "band_val"))
-      .filter(col("vec_a") < col("vec_b"))
+      .filter(col("vec_a") < col("vec_b") &&
+        call_function("graft_min_band", col("band_idx"), col("sig_a"), col("sig_b")))
       .select(col("vec_a"), col("vec_b"),
         round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("cos_sim"))
-      .distinct()
+  }
+
+  /** Band rows for the PAIR generator: like [[bands]], but each row also
+    * carries its vector's full per-band signature `sig` (array indexed by
+    * band_idx; a band whose bucket the cap guard drops holds NULL — see
+    * [[graft.functions.MinBandEmit]] for why null-in-place makes the
+    * dropped-bucket verdict pair-symmetric with no separate mask). The
+    * extra column is what lets the self-join emit each colliding pair
+    * exactly once (min-band filter) so no pair-volume `distinct()` exchange
+    * exists downstream; the price is one additional exchange of the LINEAR
+    * n × bands relation (the per-vector groupBy below) and ~bands × 8 B of
+    * persist width per band row — both vanish against the candidate
+    * stream's volume (156 M rows at the 100× probe scale vs 1.6 M band
+    * rows). Cap semantics are IDENTICAL to [[bands]]: a dropped (vec, band)
+    * never joins (its exploded row is filtered on null), so pair recall and
+    * [[lshBucketStats]]'s census are unchanged. */
+  private def sigBandRows(spark: SparkSession, dir: String): DataFrame = {
+    val all = rawBands(spark, dir)
+    // over-cap bucket list: same anti-join-not-allowlist reasoning as
+    // [[bands]] (the list is ≤ n / cap rows), except the mark must KEEP the
+    // dropped row (nulled) to preserve array positions, so it is a left
+    // join + null-out instead of a left_anti.
+    val over = all.groupBy(col("band_idx"), col("band_val"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > DedupQueries.SimhashBucketCap)
+      .select(col("band_idx"), col("band_val"), lit(true).as("dropped"))
+    all.join(over, Seq("band_idx", "band_val"), "left")
+      .groupBy(col("vec_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("band_idx"),
+          when(col("dropped").isNull, col("band_val")).as("bv")))),
+        x => x.getField("bv")).as("sig"))
+      .select(col("vec_id"), col("sig"),
+        posexplode(col("sig")).as(Seq("band_idx", "band_val")))
+      .filter(col("band_val").isNotNull)
+      .select(col("vec_id"), col("sig"),
+        col("band_idx").cast("long").as("band_idx"), col("band_val"))
   }
 
   /** Neighbors kept per node in the mutual-kNN graph (shared with the

@@ -268,6 +268,48 @@ class VectorQueriesSpec extends SparkSpec {
     got.length shouldBe byLabel.size * k
   }
 
+  test("min-band emission: candidate stream is exactly-once, no distinct in the plan") {
+    // Exactly-once is the invariant that let the pair-volume distinct() be
+    // deleted (round 14): every colliding pair must appear EXACTLY once in
+    // the raw candidate stream — a duplicate would double-count an edge in
+    // every downstream consumer (mutual-kNN ranks, curation CC, SemDeDup).
+    val pairs = VectorQueries.scoredEmbeddingPairs(spark, sf)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs.length shouldBe pairs.distinct.length
+    pairs.length should be > 0
+    // and the plan enforces it structurally: the min-band predicate sits in
+    // the join (mutual-kNN's pair stream is inline — dedupEmbedding's is
+    // behind a Staged localCheckpoint, whose post-stage plan is an RDD scan)
+    val p = plan(VectorQueries.mutualKnn(spark, sf))
+    p should include("graft_min_band")
+  }
+
+  test("graft_min_band semantics: first live colliding band wins; nulls are dead buckets") {
+    val df = spark.sql(
+      """SELECT
+        |  graft_min_band(0L, array(7L, 8L), array(7L, 9L))  AS band0_always,
+        |  graft_min_band(1L, array(7L, 8L), array(7L, 8L))  AS earlier_live,
+        |  graft_min_band(1L, array(7L, 8L), array(6L, 8L))  AS earlier_differs,
+        |  graft_min_band(2L, array(NULL, 9L, 3L), array(NULL, 5L, 3L)) AS dropped_skipped,
+        |  graft_min_band(2L, array(NULL, 5L, 3L), array(NULL, 5L, 3L)) AS live_after_dead,
+        |  graft_min_band(2L, array(4L, 5L, 3L), array(NULL, 5L, 3L))   AS one_side_null,
+        |  graft_min_band(5L, array(7L, 8L), array(7L, 8L))  AS idx_past_len,
+        |  graft_min_band(-1L, array(7L), array(7L))         AS idx_negative
+        |""".stripMargin)
+    val r = df.collect().head
+    r.getBoolean(0) shouldBe true   // band 0 has no earlier bands
+    r.getBoolean(1) shouldBe false  // band 0 already emitted this pair
+    r.getBoolean(2) shouldBe true   // band 0 differs, band 1 is minimal
+    r.getBoolean(3) shouldBe true   // band 0 dead (capped), band 1 differs
+    r.getBoolean(4) shouldBe false  // band 0 dead, but band 1 is a LIVE
+                                    // earlier collision — band 1 emits, not 2
+    r.getBoolean(5) shouldBe false  // band 0 dead on ONE side reads dead
+                                    // (symmetric in real data: same bucket),
+                                    // but band 1 live-collides → not minimal
+    r.isNullAt(6) shouldBe true     // malformed: idx beyond signature length
+    r.isNullAt(7) shouldBe true     // malformed: negative idx
+  }
+
   test("mutual-kNN graph: degrees bounded by k, ranks valid, cosines exact") {
     val k = VectorQueries.MutualK
     val edges = VectorQueries.mutualKnn(spark, sf).collect()
