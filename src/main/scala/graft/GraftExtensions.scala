@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import graft.functions.{CdcChunkLens, CdcChunks, DotProduct, MinBandEmit, MinHash16, Shingles, SimHash48, ZOrder2}
+import graft.functions.{CdcChunkLens, CdcChunks, DotProduct, MinBandEmit, MinHash16, Shingles, SimHash48, TopKPairs, ZOrder2}
 
 /** Engine extension point, installed via `spark.sql.extensions`
   * ([[GraftSession.tune]] wires it into every entry point): registers the
@@ -36,6 +36,7 @@ object GraftExtensions {
     fn("graft_minhash", classOf[MinHash16], 1)(c => MinHash16(c.head)),
     fn("graft_shingles", classOf[Shingles], 2)(c => Shingles(c.head, c(1))),
     fn("graft_min_band", classOf[MinBandEmit], 3)(c => MinBandEmit(c.head, c(1), c(2))),
+    fn("graft_topk_pairs", classOf[TopKPairs], 3)(c => TopKPairs(c.head, c(1), c(2))),
     fn("graft_cdc_chunks", classOf[CdcChunks], 1)(c => CdcChunks(c.head)),
     fn("graft_cdc_chunk_lens", classOf[CdcChunkLens], 1)(c => CdcChunkLens(c.head)),
     fn("graft_zorder", classOf[ZOrder2], 2)(c => ZOrder2(c.head, c(1))),

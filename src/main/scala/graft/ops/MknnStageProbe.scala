@@ -8,9 +8,10 @@ import graft.{GraftExtensions, GraftSession}
   * blown-up scale: times successive prefixes of the SAME plan so the cost of
   * each pair-volume stage is a subtraction, not a guess.
   *
-  *   join_score   — banded self-join + inline cosine, NO distinct
-  *   plus_distinct — the above through the `(vec_a, vec_b)` distinct
-  *   mutual_knn   — the full query (window top-k + mutuality join)
+  *   join_score — the banded self-join + min-band filter + inline cosine
+  *                (the whole exactly-once candidate stream, post-round-14)
+  *   mutual_knn — the full query; the delta over join_score is the
+  *                directed-union + per-node top-k window + mutuality join
   *
   * Run: `SPARK_GRAFT_CPUS=32 sbt "runMain graft.ops.MknnStageProbe <dir>"`.
   * One JSON line per timing on stdout; `[probe]` progress on stderr. The
@@ -46,14 +47,35 @@ object MknnStageProbe {
       println(s"""{"stage":"$name","sec":${math.rint(sec * 100) / 100},"rows":$n,"dir":"$dir"}""")
       clean()
     }
-    time("join_score") {
-      VectorQueries.scoredEmbeddingPairs(spark, dir).count()
+    import org.apache.spark.sql.functions._
+    // The r13/r14-committed window spelling, reconstructed inline so the
+    // two top-k strategies can be A/B'd in ONE process with a shared
+    // control — the degraded-box episode swings cross-process readings by
+    // 1.5–4×, so only interleaved same-JVM deltas are interpretable.
+    def windowMutualKnn(ckpt: Boolean) = {
+      import org.apache.spark.sql.expressions.Window
+      val und = VectorQueries.embeddingPairs(spark, dir, minCos = -1.0)
+      val directed = und.select(col("vec_a").as("src"), col("vec_b").as("dst"), col("cos_sim"))
+        .union(und.select(col("vec_b").as("src"), col("vec_a").as("dst"), col("cos_sim")))
+      val w = Window.partitionBy(col("src")).orderBy(col("cos_sim").desc, col("dst"))
+      val knn0 = directed
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= VectorQueries.MutualK)
+      val knn = if (ckpt) knn0.localCheckpoint() else knn0
+      knn.as("f")
+        .join(knn.select(col("src").as("dst"), col("dst").as("src"),
+          col("rn").as("rn_rev")).as("r"), Seq("src", "dst"))
+        .filter(col("src") < col("dst"))
+        .select(col("src").as("vec_a"), col("dst").as("vec_b"),
+          col("cos_sim"), col("rn").as("rank_a"), col("rn_rev").as("rank_b"))
     }
-    time("plus_distinct") {
-      VectorQueries.embeddingPairs(spark, dir, minCos = -1.0).count()
-    }
-    time("mutual_knn") {
-      VectorQueries.mutualKnn(spark, dir).count()
+    (1 to 2).foreach { round =>
+      time(s"r$round.ctrl_join_score") {
+        VectorQueries.scoredEmbeddingPairs(spark, dir).count()
+      }
+      time(s"r$round.window_nockpt") { windowMutualKnn(ckpt = false).count() }
+      time(s"r$round.window_ckpt") { windowMutualKnn(ckpt = true).count() }
+      time(s"r$round.agg_ckpt") { VectorQueries.mutualKnn(spark, dir).count() }
     }
     spark.stop()
   }

@@ -663,22 +663,23 @@ object VectorQueries {
     * cap bounds the pair volume; `q_lsh_bucket_stats` is the health
     * monitor), never an all-pairs scan. The per-node top-k is row_number ≤ k
     * over the directed pair stream — WindowGroupLimit prunes to k per node
-    * per map task BEFORE the shuffle — and mutuality is a self-equi-join of
-    * that k·n-row frame on the reversed key, partition-aligned with the
-    * window it feeds from. Ranking is on the ROUNDED cosine with dst as the
+    * per map task BEFORE the shuffle (a measured round-14 A/B kept this
+    * over a bounded-buffer aggregate; see [[knnFrame]]) — and mutuality is
+    * a self-equi-join of that k·n-row frame on the reversed key, reading a
+    * localCheckpoint so the candidate pipeline materializes ONCE, not once
+    * per join side. Ranking is on the ROUNDED cosine with dst as the
     * tiebreak (a total order), so both engines pick identical neighbor
     * sets. */
   def mutualKnn(spark: SparkSession, dir: String, k: Int = MutualK): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // threshold −1: keep every scored LSH candidate pair — the graph keeps
-    // rank structure, not an absolute similarity cut
-    val und = embeddingPairs(spark, dir, minCos = -1.0)
-    val directed = und.select(col("vec_a").as("src"), col("vec_b").as("dst"), col("cos_sim"))
-      .union(und.select(col("vec_b").as("src"), col("vec_a").as("dst"), col("cos_sim")))
-    val w = Window.partitionBy(col("src")).orderBy(col("cos_sim").desc, col("dst"))
-    val knn = directed
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
+    // localCheckpoint (eager), NOT a plan reference used twice: the
+    // mutuality self-join would otherwise materialize the ENTIRE candidate
+    // pipeline — band join, scoring, union, top-k aggregation — once per
+    // join side (the 100× plan showed two complete copies; AQE's stage
+    // reuse does not collapse them). The knn frame is k·n skinny rows
+    // (~1 M × 32 B at the 100× probe scale) — checkpointing it is the
+    // same linear-relation trade the iterative graph queries make, and the
+    // Bench/Verify cache-clear contract reclaims it between queries.
+    val knn = knnFrame(spark, dir, k).localCheckpoint()
     knn.as("f")
       .join(knn.select(col("src").as("dst"), col("dst").as("src"),
         col("rn").as("rn_rev")).as("r"), Seq("src", "dst"))
@@ -686,6 +687,37 @@ object VectorQueries {
       .select(col("src").as("vec_a"), col("dst").as("vec_b"),
         col("cos_sim"), col("rn").as("rank_a"), col("rn_rev").as("rank_b"))
       .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** The per-node top-k frame `(src, dst, cos_sim, rn)` [[mutualKnn]]
+    * checkpoints before its mutuality self-join — exposed pre-checkpoint so
+    * plan-shape specs can assert on the live plan (the WindowGroupLimit
+    * prune, the min-band join predicate); the checkpointed frame is just a
+    * Scan ExistingRDD.
+    *
+    * The top-k is the row_number window, DELIBERATELY, after a measured
+    * round-14 detour through a bounded-buffer aggregate
+    * ([[graft.functions.TopKPairs]]): the aggregate's codegen'd update
+    * cascade crosses the JVM JIT's silent huge-method bytecode limit at
+    * k = 5 and runs interpreted — 100× interleaved same-JVM A/B read the
+    * aggregate spelling at 480–502 s vs 77–115 s for this window spelling
+    * (same row counts; `-XX:-DontCompileHugeMethods` recovers 7.4× of the
+    * gap, confirming the mechanism, but a library cannot ship a JVM flag).
+    * WindowGroupLimit's sort-based map-side prune IS Spark's optimized
+    * native top-k on binary rows; see TopKPairs' scaladoc for the full
+    * measurement record. */
+  private[graft] def knnFrame(spark: SparkSession, dir: String,
+      k: Int = MutualK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // threshold −1: keep every scored LSH candidate pair — the graph keeps
+    // rank structure, not an absolute similarity cut
+    val und = embeddingPairs(spark, dir, minCos = -1.0)
+    val directed = und.select(col("vec_a").as("src"), col("vec_b").as("dst"), col("cos_sim"))
+      .union(und.select(col("vec_b").as("src"), col("vec_a").as("dst"), col("cos_sim")))
+    val w = Window.partitionBy(col("src")).orderBy(col("cos_sim").desc, col("dst"))
+    directed
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
   }
 
   /** IVF search: centroids = vectors 0..9 (deterministic seed), every vector

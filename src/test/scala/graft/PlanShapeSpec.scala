@@ -352,7 +352,13 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("mutual-kNN and OOD top-k get the WindowGroupLimit pre-shuffle prune") {
-    val mk = plan(VectorQueries.mutualKnn(spark, sf))
+    // knnFrame = the live pre-checkpoint plan (mutualKnn eagerly
+    // localCheckpoints it, after which its own plan is a Scan ExistingRDD).
+    // The window spelling is a MEASURED round-14 choice: the
+    // graft_topk_pairs bounded-buffer aggregate alternative crosses the
+    // JIT's huge-method limit at k = 5 and ran 4–6× slower in a same-JVM
+    // 100× A/B — see knnFrame's and TopKPairs' scaladoc.
+    val mk = plan(VectorQueries.knnFrame(spark, sf))
     assert(mk.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$mk")
     val ood = plan(VectorQueries.oodEmbeddings(spark, sf))
     assert(ood.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$ood")

@@ -278,9 +278,9 @@ class VectorQueriesSpec extends SparkSpec {
     pairs.length shouldBe pairs.distinct.length
     pairs.length should be > 0
     // and the plan enforces it structurally: the min-band predicate sits in
-    // the join (mutual-kNN's pair stream is inline — dedupEmbedding's is
+    // the join (the knnFrame pair stream is inline — dedupEmbedding's is
     // behind a Staged localCheckpoint, whose post-stage plan is an RDD scan)
-    val p = plan(VectorQueries.mutualKnn(spark, sf))
+    val p = plan(VectorQueries.knnFrame(spark, sf))
     p should include("graft_min_band")
   }
 
