@@ -8,18 +8,24 @@ import graft.{GraftExtensions, GraftSession}
   * blown-up scale: times successive prefixes of the SAME plan so the cost of
   * each pair-volume stage is a subtraction, not a guess.
   *
-  *   join_score — the banded self-join + min-band filter + inline cosine
-  *                (the whole exactly-once candidate stream, post-round-14)
-  *   mutual_knn — the full query; the delta over join_score is the
-  *                directed-union + per-node top-k window + mutuality join
+  * Current form — a CONTROLLED interleaved A/B, two rounds of:
+  *
+  *   ctrl_join_score — the exactly-once candidate stream alone (regime
+  *                     control; its drift calibrates the other readings)
+  *   window_nockpt   — the r13/r14-committed shape: window top-k, plan
+  *                     referenced twice by the mutuality self-join
+  *   window_ckpt     — window top-k + localCheckpoint (SHIPPED shape)
+  *   agg_ckpt        — graft_topk_pairs aggregate + localCheckpoint
   *
   * Run: `SPARK_GRAFT_CPUS=32 sbt "runMain graft.ops.MknnStageProbe <dir>"`.
   * One JSON line per timing on stdout; `[probe]` progress on stderr. The
-  * probe exists because the 100× record (`tools/bench_100x_r14.json`,
-  * `q_mutual_knn` isolated 1276.6 s) cannot say WHICH of the three
-  * pair-volume stages to optimize — shuffle-eliminating work (min-band
-  * emission, bounded-heap top-k) should chase the measured stage, not the
-  * most theoretically pleasing one. */
+  * probe exists because cross-process wall clocks were uninterpretable
+  * under the degraded-box episode (1.5–4× swings) — only same-JVM
+  * interleaved deltas with a shared control settled the round-14 window-vs-
+  * aggregate decision (window+ckpt 77–115 s vs agg+ckpt 480–502 s at 100×;
+  * see TopKPairs' scaladoc for the mechanism). An earlier form of this
+  * probe timed plan PREFIXES (join / +distinct / full), which is what
+  * attributed ~90% of the pre-round-14 wall to the top-k machinery. */
 object MknnStageProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
