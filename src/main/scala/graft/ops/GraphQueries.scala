@@ -313,33 +313,48 @@ object GraphQueries {
     *
     * Shape at scale: each round is ONE partial-agg degree count plus two
     * semi-joins against the (node-sized, AQE-broadcastable) survivor set —
-    * never a window, never a collect. The peel is monotone, so the edge
-    * count is a sufficient convergence probe: any peeled node had ≥ 1 edge,
-    * hence unchanged edge count ⇔ fixpoint — one cheap `count()` per round
-    * replaces a set comparison. `localCheckpoint` per round truncates the
-    * lineage exactly as [[ConnectedComponents.minLabel]] does; rounds are
-    * data-bounded (≤ peel depth, not node count — real graphs converge in
-    * tens of rounds), and like CC a non-convergence within `maxRounds`
+    * never a window, never a collect. The peel is monotone, and convergence
+    * is probed on the DEGREE table, not the peeled edge set: zero under-k
+    * nodes ⇔ fixpoint (every node in the degree table has ≥ 1 edge, so an
+    * under-k node always removes edges and vice versa). Probing before
+    * peeling means the terminal confirm round costs one node-sized
+    * aggregate count instead of the full edge-set semi-join + checkpoint +
+    * count the pre-round-14 loop paid to observe an unchanged edge count —
+    * on a depth-1 graph (this trade graph at every measured SF) that is
+    * nearly half the iterative work. `localCheckpoint` per peel truncates
+    * the lineage exactly as [[ConnectedComponents.minLabel]] does; rounds
+    * are data-bounded (≤ peel depth, not node count — real graphs converge
+    * in tens of rounds), and like CC a non-convergence within `maxRounds`
     * throws rather than returning a half-peeled subgraph. */
   def kCoreOf(edges: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
     var e = edges.localCheckpoint()
-    var m = e.count()
-    var converged = m == 0L
+    var converged = false
     var rounds = 0
-    while (!converged && rounds < maxRounds) {
-      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select(col("src"))
-      val next = e.join(keep, Seq("src"), "left_semi")
-        .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
+    // rounds counts PEELS; the budget must allow the terminal probe-only
+    // round too, so the loop runs while rounds ≤ maxRounds and a peel at
+    // rounds == maxRounds is the failure (same contract as before: a graph
+    // whose peel depth exceeds the budget fails loudly on both engines).
+    while (!converged) {
+      // node-sized and checkpointed so the convergence probe and the keep
+      // list share ONE aggregation over the edge set per round
+      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .localCheckpoint()
-      val m2 = next.count()
-      converged = m2 == m
-      e = next; m = m2; rounds += 1
+      // node-sized probe: zero under-k survivors ⇔ fixpoint (empty edge
+      // set converges here too: its degree table is empty)
+      if (deg.filter(col("deg") < k).limit(1).count() == 0L) {
+        converged = true
+      } else if (rounds >= maxRounds) {
+        throw new IllegalStateException(
+          s"$k-core peel did not converge within $maxRounds rounds — " +
+            "raise maxRounds for this graph's peel depth")
+      } else {
+        val keep = deg.filter(col("deg") >= k).select(col("src"))
+        e = e.join(keep, Seq("src"), "left_semi")
+          .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
+          .localCheckpoint()
+        rounds += 1
+      }
     }
-    if (!converged)
-      throw new IllegalStateException(
-        s"$k-core peel did not converge within $maxRounds rounds — " +
-          "raise maxRounds for this graph's peel depth")
     e.groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
       .select(col("src").as("node"), col("core_deg"))
       .orderBy(col("node"))

@@ -112,6 +112,16 @@ class GraphQueriesSpec extends SparkSpec {
     val want = adj.map { case (n, ns) => n -> ns.size.toLong }
     GraphQueries.kCore(spark, sf, k = k).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe want
+    // peel-depth budget: a path graph peels one layer per round (depth ~L/2
+    // at k=2), so a too-small maxRounds must FAIL LOUDLY, never return a
+    // half-peeled subgraph — and the budget counts PEELS, so a graph whose
+    // depth equals the budget still converges (its last round is the cheap
+    // node-probe, not another peel)
+    val chain = (0L until 7L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val chainDf = spark.createDataFrame(chain ++ chain.map(_.swap)).toDF("src", "dst")
+    an[IllegalStateException] should be thrownBy
+      GraphQueries.kCoreOf(chainDf, k = 2, maxRounds = 2).count()
+    GraphQueries.kCoreOf(chainDf, k = 2, maxRounds = 3).count() shouldBe 0L
   }
 
   test("label propagation ≡ driver-side synchronized rounds; cliques unify") {
