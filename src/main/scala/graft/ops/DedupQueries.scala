@@ -105,43 +105,49 @@ object DedupQueries {
     * O(df²) candidate pairs). Shared with the oracle SQL via interpolation. */
   val JaccardDfCap = 100
 
-  /** Exactness ceiling for [[dedupNgramJaccard]]'s prefix-filter prunes: the
-    * one-unit integer slack absorbs `round(j, 4) >= 0.5` borderline pairs
-    * only while na + nb < ~9·10⁴ (slack needed ≈ 2.3·10⁻⁵·(na+nb)); docs at
-    * or above this many shingles fail loudly (round-3 review) instead of
-    * silently risking a pruned borderline pair the exhaustive oracle emits. */
-  val JaccardExactnessMaxShingles = 10000
+  // Historical (rounds 3–13): a JaccardExactnessMaxShingles = 10⁴ tripwire
+  // guarded the former prefix-filter plan, whose one-unit integer slack
+  // absorbed round(j, 4) >= 0.5 borderline pairs only while na + nb < ~9·10⁴
+  // and therefore had to raise_error on larger docs. The round-14 counting
+  // self-join has no prune to protect, so the tripwire (and its conditional
+  // riding every doc row) is gone and giant docs no longer abort this family.
 
   /** N-gram Jaccard near-dup pairs (threshold 0.5; the planted testdata dups
     * sit at ≥0.97, noise below 0.08 — the threshold is not load-bearing).
     *
-    * Round-3 rework: **exact prefix filtering** (the AllPairs/PPJoin family)
-    * instead of the exhaustive inverted index. Each document indexes only a
-    * PREFIX of its shingle set under a global rarity order; every qualifying
-    * pair provably shares a prefix shingle, so candidates come from a
-    * self-join on prefix postings — which hold the RAREST shingles, so the
-    * posting buckets that dominated the exhaustive plan (df ~ cap) almost
-    * never appear in a prefix. Candidates are then verified with one exact
-    * set intersection per pair, replacing the former
-    * count-every-shared-shingle shuffle (O(Σ df²) rows) with O(candidates).
+    * Round-14 rework: **counting postings self-join** — `n_common(a, b)` is
+    * the COUNT of df-capped shingles the pair shares, computed as one
+    * equi-join of the capped posting table with itself on the shingle plus
+    * one partial-aggregated pair shuffle; exact by construction (it is the
+    * identical algebra the DuckDB oracle runs, distributed). This replaces
+    * the round-3 prefix-filter plan (AllPairs/PPJoin candidates + an exact
+    * `array_intersect` verify), whose verify join shipped both documents'
+    * shingle-string ARRAYS to every candidate pair: a 100× stage profile
+    * showed 16.8 M candidates dragging 11.7 GB of arrays through the
+    * verify shuffle with 42 GB of spill — 73% of the key's wall — because
+    * near-dup candidates are precisely the docs whose shingles are all
+    * repeated, so the arrays never prune. The counting join ships ~30-byte
+    * rows instead of arrays: at the same 100× corpus the pair stream is
+    * 127 M × 32 B ≈ 4 GB with map-side combine, no distinct, no spill.
+    * It also deletes the prefix plan's ⌊na/2⌋-slack exactness tripwire
+    * (JaccardExactnessMaxShingles) — counting has no prune to protect.
     *
-    * Exactness (why this is NOT an LSH-style approximation): let A', B' be
-    * the df-capped shingle sets, na/nb the full set sizes, o = |A' ∩ B'|.
-    * The emitted jaccard is o / (na + nb − o) ≥ 0.5 ⟹ 3o ≥ na + nb; with
-    * nb ≥ o this gives o ≥ na/2 (and symmetrically o ≥ nb/2). Sort each A'
-    * by global (df, shingle) order and index its first
-    * |A'| − max(1, ⌊na/2⌋) + 1 elements: if the globally-smallest common
-    * shingle of a qualifying pair were outside A's prefix, all prefix
-    * elements would be non-shared and o ≤ max(1,⌊na/2⌋) − 1 — contradiction.
-    * So candidate generation is a strict superset of qualifying pairs and
-    * the exhaustive DuckDB oracle matches bit-for-bit. (The ⌊na/2⌋ bound
-    * already absorbs the round(,4) ≥ 0.5 threshold slack for any na < 10⁴.)
+    * Exactness: unique (df = 1) shingles exist in exactly one document and
+    * can never be shared, so the inner join to the df ≥ 2 census drops them
+    * from the posting table with zero effect on any pair count; the df cap
+    * (> [[JaccardDfCap]]) is part of the query's published semantics,
+    * mirrored by the oracle. The emitted jaccard uses FULL set sizes
+    * (na + nb − o) with o over the capped sets — stop-shingles can't
+    * manufacture similarity, exactly as before.
     *
-    * At 100 TB: the df pass and the prefix join are the two shuffles that
-    * matter; both are keyed by shingle with bounded buckets (df cap, and
-    * prefixes bias toward df≈1). Posting lists are never collected into one
-    * aggregation buffer (the df count is a partial agg, unlike a
-    * collect_list-per-shingle shape which a stop-shingle would blow up). */
+    * At 100 TB: two shuffles keyed by shingle (df census; the self-join)
+    * and one keyed by pair. Join rows are Σ_s C(df(s), 2) ≤ cap/2 × capped
+    * postings — LINEAR in the corpus with the cap as the constant, the
+    * same worst-case envelope the prefix plan had, without its array
+    * payload. A pair sharing many shingles emits one row per shared
+    * shingle, but those rows live in different shingle partitions and the
+    * partial agg collapses them map-side — no reduce-side skew. Posting
+    * lists are never collected into one aggregation buffer. */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     // The verified pair table doubles as q_text_lsh_recall's exhaustive
     // TRUTH set — stage it so the recall audit reads the pairs the key
@@ -156,65 +162,35 @@ object DedupQueries {
     // from the cache, which pipelines without materializing. (Caller clears
     // the cache; see the class-level persist contract note.)
     val docs = docShingles(spark, dir).persist()
-    // The when/raise_error guard is computed on the per-doc frame BEFORE the
-    // explode (one evaluation per doc, not per posting — round-4 review) and
-    // rides the nsh column, which the `sets` path below uses as a groupBy
-    // key, so the guard is never pruned from the always-executed branch: any
-    // doc large enough to break the prune-slack exactness proof aborts the
-    // query instead of silently dropping pairs.
     val postings = docs
-      .withColumn("raw_nsh", size(col("sh")))
-      .withColumn("nsh",
-        when(col("raw_nsh") < JaccardExactnessMaxShingles, col("raw_nsh"))
-          .otherwise(raise_error(concat(
-            lit(s"dedupNgramJaccard exactness requires < $JaccardExactnessMaxShingles " +
-              "shingles/doc (prefix-prune slack bound); got "),
-            col("raw_nsh"), lit(" for doc_id "), col("doc_id")))))
-      .select(col("doc_id"), col("nsh"), explode(col("sh")).as("s"))
-    // Census of REPEATED shingles only (df ≥ 2): the overwhelming majority of
-    // shingles are unique, so this join side stays small enough for AQE to
-    // broadcast (27 k rows vs 2.5 M postings at sf0.1) while degrading to a
-    // plain shuffled join — never a collect — if a 100× corpus outgrows it.
-    // df=1 is reconstructed via coalesce; the df cap then drops stop-shingles.
+      .select(col("doc_id"), size(col("sh")).as("nsh"), explode(col("sh")).as("s"))
+    // Census of REPEATED shingles only (df >= 2) under the stop-shingle cap:
+    // the join side stays small enough for AQE to broadcast at small SFs
+    // while degrading to a plain shuffled join -- never a collect -- when a
+    // 100x corpus outgrows it.
     val dfreq = postings.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2)
-    // Per-doc df-capped shingle list in global (df, shingle) rarity order,
-    // with the prefix length from the proof above.
-    val sets = postings.join(dfreq, Seq("s"), "left")
-      .withColumn("df", coalesce(col("df"), lit(1L)))
-      .filter(col("df") <= JaccardDfCap)
-      .groupBy(col("doc_id"), col("nsh"))
-      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("rs"))
-      .select(col("doc_id"), col("nsh"), expr("transform(rs, x -> x.s)").as("rsh"))
-      .withColumn("plen",
-        (size(col("rsh")) - greatest(lit(1L), floor(col("nsh") / 2)) + 1).cast("int"))
-      .persist() // feeds prefix postings + both verify sides
-    // Prefix postings carry (position, capped-set length, full-set length) so
-    // the candidate join can apply the two classic AllPairs/PPJoin prunes:
-    //   length: jaccard ≥ t needs max(na,nb) ≤ 2·min(na,nb)  (t = 0.5);
-    //   position: o ≤ min(la−pa, lb−pb), so require 3·that ≥ na+nb.
-    // Both use one unit of integer slack so round(j, 4) ≥ 0.5 borderline
-    // pairs can never be pruned; exact pairs always share a prefix shingle
-    // that survives both bounds (proof above).
-    val pref = sets.filter(col("plen") >= 1)
-      .select(col("doc_id"), col("nsh"), size(col("rsh")).as("lr"),
-        posexplode(expr("slice(rsh, 1, plen)")))
-    val cands = pref.select(col("col").as("s"), col("doc_id").as("doc_a"),
-        col("nsh").as("na"), col("lr").as("la"), col("pos").as("pa"))
-      .join(pref.select(col("col").as("s"), col("doc_id").as("doc_b"),
-        col("nsh").as("nb"), col("lr").as("lb"), col("pos").as("pb")), Seq("s"))
-      .filter(col("doc_a") < col("doc_b"))
-      .filter(greatest(col("na"), col("nb")) <= lit(2) * least(col("na"), col("nb")) + 1)
-      .filter(lit(3) * least(col("la") - col("pa"), col("lb") - col("pb")) >=
-        col("na") + col("nb") - 1)
-      .select(col("doc_a"), col("doc_b")).distinct()
-    cands
-      .join(sets.select(col("doc_id").as("doc_a"), col("nsh").as("na"),
-        col("rsh").as("ra")), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("nsh").as("nb"),
-        col("rsh").as("rb")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
-        size(array_intersect(col("ra"), col("rb"))).cast("long").as("n_common"))
+      .filter(col("df").between(2, JaccardDfCap))
+    // Capped posting table: only shingles that are repeated (shareable) and
+    // under the cap survive. The doc's FULL size nsh rides along so the pair
+    // aggregation below needs no join back to a per-doc table.
+    // Capped posting table PERSISTED: AQE does not stage-reuse the two
+    // textually-identical sides of a self-join (measured — each side
+    // re-ran the explode + census shuffles), so the cache is what makes
+    // the pipeline run once; it also preserves the hash(s) partitioning
+    // from the census join, so the self-join below needs no exchange at
+    // all (PlanShapeSpec). ~45 B/posting — two orders smaller than the
+    // shingle-array cache above.
+    val p = postings.join(dfreq, Seq("s"))
+      .select(col("s"), col("doc_id"), col("nsh"))
+      .persist()
+    // One equi-join on the shingle + one partial-aggregated pair shuffle =
+    // exact n_common for every co-occurring pair (the oracle's algebra,
+    // distributed).
+    p.as("a").join(p.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.nsh").as("na"), col("b.nsh").as("nb"))
+      .agg(count(lit(1)).as("n_common"))
       .withColumn("jaccard", round(col("n_common").cast("double") /
         (col("na") + col("nb") - col("n_common")), 4))
       .filter(col("jaccard") >= 0.5)
@@ -646,67 +622,48 @@ object DedupQueries {
     * intersections the df-capped sets — the same convention as
     * [[dedupNgramJaccard]], so stop-shingles can't manufacture containment.
     *
-    * Exact one-sided prefix filter: a qualifying pair needs
-    * o ≥ ⌈[[ContainmentMin]]·na⌉ − 1 shared capped shingles (the −1 is the
-    * integer slack absorbing the round(·,4) threshold for any
-    * na < 2·10⁴ — under the family's [[JaccardExactnessMaxShingles]]
-    * tripwire). Sort A's capped set A' by the global (df, shingle) rarity
-    * order and index only its first |A'| − (⌈0.9·na⌉ − 1) + 1 elements: if
-    * no prefix element were in B, the shared count could be at most
-    * ⌈0.9·na⌉ − 2 — contradiction. The CONTAINER side indexes its full
-    * capped postings (a huge B can contain a tiny A while o/nb ≈ 0, so no
-    * symmetric prune exists for it — this asymmetry is inherent to
-    * containment, and why the candidate join is prefix × full-postings
-    * rather than prefix × prefix). Both posting streams are df-capped, so
-    * every join bucket is bounded; docs whose capped set is already smaller
-    * than the required overlap generate no candidates at all. */
+    * Round-14 rework, same as [[dedupNgramJaccard]]: a counting postings
+    * self-join replaces the one-sided prefix filter + `array_intersect`
+    * verify. n_common(a, b) for every co-occurring pair is ONE equi-join of
+    * the capped posting table with itself plus one partial-aggregated pair
+    * shuffle (the oracle's algebra, distributed) — no arrays ever ride a
+    * pair row, which at a 100× profile was 73% of the family's wall.
+    * Containment is one-directional, so the unordered pair counts are
+    * exploded into both orientations AFTER the aggregation (one extra
+    * pipelined stage, no recompute of the join) and thresholded per side;
+    * a pre-filter on round(n/min(na,nb), 4) — the larger of the two
+    * orientations' containments, monotone under round — drops the explode
+    * input to only pairs at least one of whose orientations can qualify. */
   def containmentDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = docShingles(spark, dir).persist()
     val postings = docs
-      .withColumn("raw_nsh", size(col("sh")))
-      .withColumn("nsh",
-        when(col("raw_nsh") < JaccardExactnessMaxShingles, col("raw_nsh"))
-          .otherwise(raise_error(concat(
-            lit(s"containmentDedup exactness requires < $JaccardExactnessMaxShingles " +
-              "shingles/doc (prefix-prune slack bound); got "),
-            col("raw_nsh"), lit(" for doc_id "), col("doc_id")))))
+      .select(col("doc_id"), size(col("sh")).as("nsh"), explode(col("sh")).as("s"))
       .filter(col("nsh") >= ContainmentMinShingles)
-      .select(col("doc_id"), col("nsh"), explode(col("sh")).as("s"))
     val dfreq = postings.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2)
-    // capped per-doc sets in global (df, shingle) rarity order, as in the
-    // Jaccard path
-    val sets = postings.join(dfreq, Seq("s"), "left")
-      .withColumn("df", coalesce(col("df"), lit(1L)))
-      .filter(col("df") <= JaccardDfCap)
-      .groupBy(col("doc_id"), col("nsh"))
-      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("rs"))
-      .select(col("doc_id"), col("nsh"), expr("transform(rs, x -> x.s)").as("rsh"))
-      // required overlap (with the 1-unit rounding slack) and the one-sided
-      // prefix length it induces
-      .withColumn("req", (ceil(col("nsh") * ContainmentMin) - 1).cast("int"))
-      .withColumn("plen", (size(col("rsh")) - col("req") + 1).cast("int"))
-      .persist()
-    val pref = sets.filter(col("plen") >= 1)
-      .select(col("doc_id").as("doc_a"), explode(expr("slice(rsh, 1, plen)")).as("s"))
-    val full = sets
-      .select(col("doc_id").as("doc_b"), explode(col("rsh")).as("s"))
-    val cands = pref.join(full, Seq("s"))
-      .filter(col("doc_a") =!= col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
-    cands
-      .join(sets.select(col("doc_id").as("doc_a"), col("nsh").as("na"),
-        col("rsh").as("ra")), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("nsh").as("nb"),
-        col("rsh").as("rb")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        col("na").cast("long").as("na"), col("nb").cast("long").as("nb"),
-        size(array_intersect(col("ra"), col("rb"))).cast("long").as("n_common"))
+      .filter(col("df").between(2, JaccardDfCap))
+    val p = postings.join(dfreq, Seq("s"))
+      .select(col("s"), col("doc_id"), col("nsh"))
+      .persist() // self-join sides share one materialization, as above
+    val und = p.as("a").join(p.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_x"), col("b.doc_id").as("doc_y"),
+        col("a.nsh").as("nx"), col("b.nsh").as("ny"))
+      .agg(count(lit(1)).as("n_common"))
+      // best-case orientation prune (see scaladoc): round is monotone, so
+      // neither orientation can reach the threshold if this one can't
+      .filter(round(col("n_common").cast("double") /
+        least(col("nx"), col("ny")), 4) >= ContainmentMin)
+    und.select(explode(array(
+        struct(col("doc_x").as("doc_a"), col("doc_y").as("doc_b"),
+          col("nx").as("na"), col("ny").as("nb"), col("n_common")),
+        struct(col("doc_y").as("doc_a"), col("doc_x").as("doc_b"),
+          col("ny").as("na"), col("nx").as("nb"), col("n_common")))).as("r"))
+      .select(col("r.doc_a").as("doc_a"), col("r.doc_b").as("doc_b"),
+        col("r.na").cast("long").as("na"), col("r.nb").cast("long").as("nb"),
+        col("r.n_common").as("n_common"))
       .withColumn("containment",
         round(col("n_common").cast("double") / col("na"), 4))
       .filter(col("containment") >= ContainmentMin)
-      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
-        col("n_common"), col("containment"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -429,4 +429,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"types×24 cell stats are metadata and must broadcast:\n$p")
   }
+
+  test("counting-join dedup materializes the capped postings once (cached self-join)") {
+    // The round-14 jaccard/containment plan self-joins the capped posting
+    // table on the shingle. AQE does NOT stage-reuse the two textually
+    // identical sides of a self-join (measured: each side re-ran the
+    // explode + df-census shuffles), so the builder persists the capped
+    // posting table — the pipeline runs once into cache and both join
+    // sides are InMemoryTableScans. Broadcast is disabled so the sf0.001
+    // plan exercises the at-scale SMJ shape instead of hiding one side in
+    // a broadcast build.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = DedupQueries.containmentDedup(spark, sf)
+      df.collect() // finalize the adaptive plan
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("InMemoryTableScan"),
+        s"capped-postings subplan must be computed once into cache, " +
+          s"not re-executed per join side:\n$p")
+      assert(p.contains("partial_count"),
+        s"pair counts must combine map-side before the pair shuffle:\n$p")
+      assert(!p.contains("BroadcastNestedLoop") && !p.contains("Cartesian"),
+        s"counting join must stay an equi-join:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevA)
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
 }
