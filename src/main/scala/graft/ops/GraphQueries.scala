@@ -44,18 +44,24 @@ object GraphQueries {
     * and keeps the join key a single BIGINT). Undirected: each pair yields
     * both directions, so every node has in- and out-degree ≥ 1 and the
     * random walk has no dangling mass to redistribute. */
-  private def edges(t: Tables): DataFrame =
+  private def edges(t: Tables): DataFrame = {
     // [[Staged]] once per (process, dir): the 600 k-row orders⋈lineitem
     // join reduces to a ~32 k-row edge list consumed by pagerank / k-core /
-    // BFS — a small derivative, the granularity staging pays at.
-    Staged("trade_edges", t.spark, t.dir) {
-    val pairs = t.orders.select(col("o_orderkey"), col("o_custkey"))
-      .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
-    pairs.unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    // BFS — a small derivative, the granularity staging pays at. Only the
+    // ORIENTED pairs are staged (round-14, from a 100× stage profile where
+    // the staged write was the graph family's single largest stage): the
+    // symmetrized doubling is a union of two projections of the staged
+    // parquet — two cheap vectorized scans per consumer instead of writing
+    // (and distinct-shuffling) twice the rows once.
+    val pairs = Staged("trade_edges", t.spark, t.dir) {
+      t.orders.select(col("o_orderkey"), col("o_custkey"))
+        .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
     }
+    pairs.unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
+  }
 
   /** [[PrIters]] rounds of fixed-point PageRank over the trade graph.
     * Output: every node with its kind and integer rank.
@@ -312,22 +318,41 @@ object GraphQueries {
     * self-loops (the [[kCore]] wrapper does this for the co-order graph).
     *
     * Shape at scale: each round is ONE partial-agg degree count plus two
-    * semi-joins against the (node-sized, AQE-broadcastable) survivor set —
-    * never a window, never a collect. The peel is monotone, and convergence
-    * is probed on the DEGREE table, not the peeled edge set: zero under-k
-    * nodes ⇔ fixpoint (every node in the degree table has ≥ 1 edge, so an
-    * under-k node always removes edges and vice versa). Probing before
-    * peeling means the terminal confirm round costs one node-sized
-    * aggregate count instead of the full edge-set semi-join + checkpoint +
-    * count the pre-round-14 loop paid to observe an unchanged edge count —
-    * on a depth-1 graph (this trade graph at every measured SF) that is
-    * nearly half the iterative work. `localCheckpoint` per peel truncates
-    * the lineage exactly as [[ConnectedComponents.minLabel]] does; rounds
-    * are data-bounded (≤ peel depth, not node count — real graphs converge
-    * in tens of rounds), and like CC a non-convergence within `maxRounds`
-    * throws rather than returning a half-peeled subgraph. */
+    * ANTI-joins against the under-k REMOVED set — never a window, never a
+    * collect. Anti-join on removed, not semi-join on kept (round-14, from
+    * a 100× stage profile): the survivor set is ~node-sized (99.7% of the
+    * 1.6 M trade-graph nodes at 100× survive round 1), which sat just past
+    * the broadcast threshold and forced TWO full shuffles of the 119 M-row
+    * edge set per peel; the removed set is the naturally SPARSE side
+    * (~4 k nodes there — peeling terminates when it reaches zero), so AQE
+    * broadcasts it and the edge set never shuffles. Neither join side is
+    * forced: a pathological round that removes half the graph degrades to
+    * a shuffled anti-join, never a failure. The peel is monotone, and
+    * convergence is probed on the DEGREE table: zero under-k nodes ⇔
+    * fixpoint (every node in the degree table has ≥ 1 edge, so an under-k
+    * node always removes edges and vice versa); probing before peeling
+    * means the terminal round costs one node-sized aggregate, not a peel.
+    *
+    * Iterates on `persist()` (columnar MEMORY_AND_DISK batches), not
+    * `localCheckpoint` (round-14, same profile): checkpoint blocks store
+    * DESERIALIZED rows — the 119 M-edge set materialized at 12.2 GB and
+    * each round's re-read dragged ~1 s of GC per task-second — where the
+    * compressed columnar cache is ~6× smaller and byte-array-shaped. Each
+    * round materializes the next edge set through the caches it reads,
+    * then drops them; lineage stays INTACT (an evicted block recomputes,
+    * where an unpersisted localCheckpoint is unrecoverable by design).
+    * Plan depth grows by two joins per round, bounded by `maxRounds` —
+    * rounds are data-bounded (≤ peel depth; real graphs converge in tens),
+    * and like CC a non-convergence within `maxRounds` throws rather than
+    * returning a half-peeled subgraph. */
+  /** Max removed-set rows [[kCoreOf]] will explicitly broadcast per peel
+    * (~64 MB of bigint keys on the wire). The choice is made from the exact
+    * runtime count, not an estimate; larger peels degrade to a shuffled
+    * anti-join, never fail. */
+  val KCoreBroadcastMaxRemoved = 4000000L
+
   def kCoreOf(edges: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
-    var e = edges.localCheckpoint()
+    var e = edges.persist()
     var converged = false
     var rounds = 0
     // rounds counts PEELS; the budget must allow the terminal probe-only
@@ -335,23 +360,38 @@ object GraphQueries {
     // rounds == maxRounds is the failure (same contract as before: a graph
     // whose peel depth exceeds the budget fails loudly on both engines).
     while (!converged) {
-      // node-sized and checkpointed so the convergence probe and the keep
+      // node-sized and cached so the convergence probe and the removed
       // list share ONE aggregation over the edge set per round
-      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .localCheckpoint()
-      // node-sized probe: zero under-k survivors ⇔ fixpoint (empty edge
-      // set converges here too: its degree table is empty)
-      if (deg.filter(col("deg") < k).limit(1).count() == 0L) {
+      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
+      val removed = deg.filter(col("deg") < k).select(col("src"))
+      // node-sized probe doubling as the broadcast decision: zero under-k
+      // survivors ⇔ fixpoint (empty edge set converges here too: its
+      // degree table is empty)
+      val nRemoved = removed.count()
+      if (nRemoved == 0L) {
         converged = true
+        deg.unpersist(blocking = false)
       } else if (rounds >= maxRounds) {
         throw new IllegalStateException(
           s"$k-core peel did not converge within $maxRounds rounds — " +
             "raise maxRounds for this graph's peel depth")
       } else {
-        val keep = deg.filter(col("deg") >= k).select(col("src"))
-        e = e.join(keep, Seq("src"), "left_semi")
-          .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
-          .localCheckpoint()
+        // Explicit broadcast when the measured count provably fits: the
+        // static estimate of `removed` inherits the FULL cached degree
+        // table's size (no filter stats over a cache), which planned a
+        // shuffled anti-join of the whole edge set at 100×, and AQE cannot
+        // demote a running big-side stage. The runtime count is exact and
+        // already paid for by the probe; past the bound (~64 MB of longs)
+        // fall back to the shuffled anti-join rather than risk the driver.
+        val rem = if (nRemoved <= KCoreBroadcastMaxRemoved)
+          broadcast(removed) else removed
+        val eNext = e.join(rem, Seq("src"), "left_anti")
+          .join(rem.select(col("src").as("dst")), Seq("dst"), "left_anti")
+          .persist()
+        eNext.count() // materialize through this round's caches, then drop them
+        e.unpersist(blocking = false)
+        deg.unpersist(blocking = false)
+        e = eNext
         rounds += 1
       }
     }
