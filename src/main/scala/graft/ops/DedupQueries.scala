@@ -364,21 +364,42 @@ object DedupQueries {
     val okBuckets = allChunks.groupBy(col("chunk_idx"), col("chunk"))
       .agg(count(lit(1)).as("bn")).filter(col("bn") <= SimhashBucketCap)
       .select(col("chunk_idx"), col("chunk"))
-    val chunks = allChunks.join(broadcast(okBuckets), Seq("chunk_idx", "chunk"))
+    val chunksOk = allChunks.join(broadcast(okBuckets), Seq("chunk_idx", "chunk"))
+    // Per-doc bitmask of which bands survived the cap, riding both join
+    // sides so the min-band predicate below can see earlier bands' cap
+    // state without a lookup (the embedding-LSH capped-bands-nulled
+    // pattern, in 4 bits).
+    val capm = chunksOk.groupBy(col("doc_id"))
+      .agg(sum(expr("shiftleft(1, chunk_idx)")).cast("int").as("capmask"))
+    val chunks = chunksOk.join(capm, Seq("doc_id"))
     // Banded candidates come from an equi-join, not per-bucket pair expansion:
     // this corpus produces heavily skewed chunk buckets (vocabulary overlap
     // clusters the signatures), and a shuffled hash join distributes a hot
     // bucket's pair explosion across tasks where a collect_list bucket would
     // serialize it on one straggler (measured 4× slower locally).
     val a = chunks.select(col("chunk_idx"), col("chunk"),
-      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+      col("doc_id").as("doc_a"), col("simhash").as("sim_a"), col("capmask").as("cm_a"))
     val b = chunks.select(col("chunk_idx"), col("chunk"),
       col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    // Exactly-once pair emission (round-14, from a 100× stage profile where
+    // the pair-volume distinct shuffled 106 M rows — 40% of the key's
+    // wall): keep a pair only in its FIRST live colliding band. A band j
+    // collides iff the 12-bit window of sim_a ^ sim_b is zero; it is live
+    // iff the shared bucket survived the cap, which both docs agree on
+    // (same bucket), so doc_a's capmask bit suffices. Unrolled over the 3
+    // possible earlier bands — plain bitwise columns, stays in codegen.
+    // The emitted pair SET is identical to the old distinct's output: a
+    // pair survives some band iff it shares at least one uncapped bucket.
+    val noEarlierLiveCollision = (0 until 3).map { j =>
+      (col("chunk_idx") <= j) ||
+        (shiftright(col("cm_a"), j).bitwiseAND(1) === 0) ||
+        (shiftright(expr("sim_a ^ sim_b"), j * 12) % 4096 =!= 0)
+    }.reduce(_ && _)
     a.join(b, Seq("chunk_idx", "chunk")).filter(col("doc_a") < col("doc_b"))
+      .filter(noEarlierLiveCollision)
       .select(col("doc_a"), col("doc_b"),
         expr("bit_count(sim_a ^ sim_b)").cast("long").as("hamming"))
       .filter(col("hamming") <= 6)
-      .distinct()
   }
 
   /** Entity resolution by edit distance over the part-name dictionary:
