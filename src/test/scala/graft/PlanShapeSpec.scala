@@ -440,7 +440,11 @@ class PlanShapeSpec extends SparkSpec {
     // plan exercises the at-scale SMJ shape instead of hiding one side in
     // a broadcast build.
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    val prevA = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    // The adaptive threshold is normally UNSET (it falls back to the
+    // non-adaptive one); restoring a read-with-default "-1" would pin it
+    // for the rest of the shared session and disable AQE's runtime
+    // SMJ→BHJ demotion for every later test — unset it back instead.
+    val prevA = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try {
@@ -456,7 +460,12 @@ class PlanShapeSpec extends SparkSpec {
         s"counting join must stay an equi-join:\n$p")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevA)
+      prevA match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None =>
+          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
       spark.sharedState.cacheManager.clearCache()
     }
   }
