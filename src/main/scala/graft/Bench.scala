@@ -38,6 +38,19 @@ object Bench {
     // Local-iteration filter: SPARK_GRAFT_ONLY=q_a,q_b times just those.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    // Per-key teardown (round-14 verdict "what's wrong" #2, opt-in):
+    // SPARK_GRAFT_TEARDOWN=1 drops the staged prefix tables, unpersists
+    // everything, and forces a driver GC between keys so ContextCleaner
+    // reclaims dead shuffle/broadcast state — in-sweep numbers then carry
+    // isolated-run semantics (every key pays its own staged build, no
+    // block-manager residue from earlier keys; at 100× the residue
+    // inflated q_kcore up to 3× in-sweep vs isolated). OFF by default:
+    // the sf0.1 sweep protocol and its quiescent bands amortize staged
+    // prefixes across each family, and regenerating them per key would
+    // change what the bands measure. Teardown runs OUTSIDE the timed
+    // window — an isolated run doesn't pay another key's GC.
+    val teardown = sys.env.get("SPARK_GRAFT_TEARDOWN")
+      .exists(v => v == "1" || v == "true")
     // Deterministic order in only-mode so A/B hotspot comparisons aren't
     // confounded by hash-map iteration putting a different query first
     // (the first query absorbs residual JIT/codegen warmup).
@@ -67,6 +80,13 @@ object Bench {
         .foreach { case (id, rdd) =>
           if (!ops.Staged.pinned(id)) rdd.unpersist(blocking = false) }
       val sec = (System.nanoTime() - t0) / 1e9
+      if (teardown) {
+        ops.Staged.clear(spark)
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs
+          .foreach { case (_, rdd) => rdd.unpersist(blocking = true) }
+        System.gc() // ContextCleaner reclaims dead shuffles/broadcasts on GC
+      }
       // Per-key progress on stderr (stdout stays the one-JSON-line
       // contract): a multi-hour blown-up-scale sweep is otherwise a black
       // box — a timeout kill salvages nothing and leaves no clue WHICH key

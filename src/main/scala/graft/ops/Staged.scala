@@ -53,6 +53,27 @@ object Staged {
     * still attributable to this window in principle — the drivers (Verify/
     * Bench/ScaleProbe) are strictly sequential, and any concurrent caller
     * must route shared persists through Staged for this reason. */
+  /** Drop EVERY staged table and its pinned checkpoint blocks, returning
+    * the registry to empty — the next consumer rebuilds from scratch.
+    *
+    * For sweep harnesses that want per-key isolation semantics (in-sweep ≈
+    * isolated, round-14 verdict "what's wrong" #2): a multi-hundred-key
+    * single-JVM sweep otherwise accumulates staged blocks + block-manager
+    * pressure that inflated later heavy keys up to 3× vs their isolated
+    * numbers at 100×. Unpersisting a localCheckpoint is unrecoverable BY
+    * DESIGN — safe here only because the registry entries are dropped under
+    * the same lock, so the next [[apply]] rebuilds instead of returning a
+    * DataFrame whose blocks are gone. Callers must not hold staged frames
+    * across a clear (the sweep drivers are strictly sequential and
+    * re-resolve every key from the registry). */
+  def clear(spark: SparkSession): Unit = synchronized {
+    val sc = spark.sparkContext
+    sc.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (pinnedIds.contains(id)) rdd.unpersist(blocking = true) }
+    pinnedIds = Set.empty
+    tables.clear()
+  }
+
   def apply(name: String, spark: SparkSession, dir: String)
       (build: => DataFrame): DataFrame = synchronized {
     tables.getOrElseUpdate((name, new java.io.File(dir).getCanonicalPath), {
@@ -60,7 +81,18 @@ object Staged {
       val before = sc.getPersistentRDDs.keySet
       val built = build
       val mid = sc.getPersistentRDDs.keySet
-      val df = built.localCheckpoint() // eager: computes + pins blocks now
+      // Eager: computes + pins blocks now. SERIALIZED storage (round-15,
+      // from a 100× stage profile of the staged-table consumers): the
+      // default localCheckpoint level stores DESERIALIZED row objects —
+      // the 100× trade_edges table materialized at 5.7 GB and every
+      // consumer scan dragged that through the heap (three 5.7 GB re-reads
+      // inside one pagerank, ~50 GC-seconds per stage); MEMORY_AND_DISK_SER
+      // keeps the compact UnsafeRow bytes (~6× smaller here), trading a
+      // cheap per-read deserialize for most of that GC — the same
+      // deserialized-blocks finding that moved kCoreOf off localCheckpoint
+      // in round 14, applied at the staging layer.
+      val df = built.localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val fin = sc.getPersistentRDDs.keySet
       // pin ONLY the final table's own checkpoint blocks. Anything the
       // build persisted along the way (per-round CC checkpoints, signature

@@ -196,11 +196,20 @@ object ScaleProbe {
       generate(spark, src, out, copies, groups)
       Files.write(marker, stamp.getBytes("UTF-8"))
     }
+    // SPARK_GRAFT_TEARDOWN=1 (round-14 verdict, same knob as Bench): also
+    // drop the Staged prefix tables and force a GC between timings, so each
+    // reading carries isolated-run semantics instead of amortizing staged
+    // builds / accumulating block-manager residue across keys.
+    val teardown = sys.env.get("SPARK_GRAFT_TEARDOWN")
+      .exists(v => v == "1" || v == "true")
     def clean(): Unit = {
+      if (teardown) graft.ops.Staged.clear(spark)
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs
         .foreach { case (id, rdd) =>
-          if (!graft.ops.Staged.pinned(id)) rdd.unpersist(blocking = false) }
+          if (teardown || !graft.ops.Staged.pinned(id))
+            rdd.unpersist(blocking = teardown) }
+      if (teardown) System.gc()
     }
     keys.foreach { name =>
       val fn = SparkEntry.queries(name)
