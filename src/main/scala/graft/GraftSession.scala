@@ -55,6 +55,16 @@ object GraftSession {
     // predicates pushable into parquet (a plan-level NTZ→TZ cast would block
     // pushdown). Tables.withNanoTs still normalizes NTZ for untuned sessions.
     .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    // NOTE on join strategy for the iterative graph queries: the
+    // node-sized Pregel build sides (ranks/dist/labels) sit directly
+    // above a final aggregate whose output partitioning already satisfies
+    // the join, so there is no exchange under the join for AQE's
+    // DynamicJoinSelection to read map stats from, and Catalyst's static
+    // estimate for an aggregate is its CHILD's size — both the runtime
+    // (spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold) and the
+    // static (spark.sql.join.preferSortMergeJoin=false) SMJ→SHJ paths
+    // were tried in round 15 and measured to never fire on this shape.
+    // The scale-aware static hint lives in GraphQueries.shj instead.
     // Shuffle files, broadcast blocks, and localCheckpoint RDDs are cleaned
     // by ContextCleaner only when the driver GCs their references; the
     // default periodic-GC interval (30 min) never fires inside a multi-

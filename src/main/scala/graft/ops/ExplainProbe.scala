@@ -27,7 +27,20 @@ object ExplainProbe {
       s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")).getOrCreate()
     GraftExtensions.ensureRegistered(spark)
     spark.sparkContext.setLogLevel("WARN")
-    fn(spark, dir).explain("formatted")
+    // `exec` as the third arg RUNS the query first and prints the
+    // AQE-FINALIZED plan (round-15): runtime join demotions/conversions
+    // (SMJ→BHJ, SMJ→SHJ via maxShuffledHashJoinLocalMapThreshold) are
+    // invisible in the static plan, and reading them is exactly the
+    // feedback loop the AQE-delegated join strategy needs.
+    val df = fn(spark, dir)
+    if (args.lift(2).contains("exec")) {
+      // drive THIS Dataset's own queryExecution (df.count() would build a
+      // separate aggregate execution and leave this one un-finalized);
+      // the RDD count materializes every stage without shipping rows to
+      // the driver, and the print below shows the FINAL adaptive plan.
+      df.queryExecution.toRdd.count()
+      println(df.queryExecution.executedPlan.toString)
+    } else df.explain("formatted")
     spark.stop()
   }
 }

@@ -38,6 +38,42 @@ object GraphQueries {
   /** Teleport mass per node per iteration: scale·(1−d), exact. */
   val PrTeleport: Long = PrScale * (PrDampDen - PrDampNum) / PrDampDen
 
+  /** Shuffled-hash-join build-side hint for the Pregel-step joins
+    * (`edges ⋈ ranks/dist/labels` and the staged `orders ⋈ lineitem`).
+    *
+    * WHY a hint at all (round-15, 100× stage profiles): these joins plan
+    * sort-merge, and SMJ re-SORTS the 119 M-row edge stream every
+    * iteration — ~90 MB of sort buffer per task that is pure overhead (the
+    * downstream hash agg needs no order) and stacks with the round's
+    * partial-agg map into exactly the per-task demand that falls over at
+    * 32 tasks × 8 GiB (AGGREGATE_OUT_OF_MEMORY on `q_bfs_frontier`,
+    * spill-reader OOM on `q_pagerank` at local[4] — a real 4-core/8 GiB
+    * executor shape). Hash-building the node-sized side instead is
+    * O(nodes/partitions) memory and streams the edges: measured
+    * q_bfs_frontier OOM → 44 s, q_hits 80.7 → 58.5, q_pagerank 76.6 →
+    * 59.2 at 100×.
+    *
+    * WHY the hint must be SCALE-GATED (`when`): at sf0.1 the same hint
+    * cost 1.5–5.4× across the family because it blocks AQE's runtime
+    * SMJ→BROADCAST demotion that small scales live on. And WHY a static
+    * gate instead of delegating to the planner (both were built and
+    * measured this round): the build sides sit directly above a final
+    * aggregate whose output partitioning already satisfies the join — no
+    * exchange under the join means AQE's DynamicJoinSelection
+    * (`maxShuffledHashJoinLocalMapThreshold`) has no map stats to read,
+    * and Catalyst's static estimate for an aggregate is its CHILD's size,
+    * so `preferSortMergeJoin=false` never sees a qualifying build either;
+    * both mechanisms were confirmed inert on this exact shape (synthetic
+    * repro + executed-plan reads). The gate therefore decides from the
+    * REAL input scale at plan-build time — the same decision a CBO makes
+    * from table stats, sourced from the one statistic that is always
+    * available and exact: the input parquet bytes ([[Tables.bigInputs]]).
+    * Below the gate no hint is emitted and runtime broadcast demotion
+    * serves the small scale; at/above it the hash build is provably right
+    * (the node side no longer broadcasts, and sort-merge only spills). */
+  private def shj(buildSide: DataFrame, when: Boolean = true): DataFrame =
+    if (when) buildSide.hint("shuffle_hash") else buildSide
+
   /** Customer–supplier trade graph: an edge for every (customer, supplier)
     * pair connected through at least one order line. Node ids are disjoint
     * by parity (customer → 2k, supplier → 2k+1 — cheaper than a tag column
@@ -50,11 +86,16 @@ object GraphQueries {
     // BFS — a small derivative, the granularity staging pays at. Only the
     // ORIENTED pairs are staged (round-14, from a 100× stage profile where
     // the staged write was the graph family's single largest stage): the
-    // symmetrized doubling is a union of two projections of the staged
-    // parquet — two cheap vectorized scans per consumer instead of writing
+    // symmetrized doubling is a union of two projections over the staged
+    // checkpoint blocks ([[Staged]] pins a localCheckpoint, not parquet) —
+    // two cheap block-manager re-reads per consumer instead of writing
     // (and distinct-shuffling) twice the rows once.
     val pairs = Staged("trade_edges", t.spark, t.dir) {
-      t.orders.select(col("o_orderkey"), col("o_custkey"))
+      // At sf0.1 the orders side broadcasts statically (2 MB) and the gate
+      // stays off; past the gate it is SMJ by estimate and the hash build
+      // is the measured win (round-15 stage profile: the SMJ here sorted
+      // the 60 M-row lineitem stream for 10.5 GB of spill at 100×).
+      shj(t.orders.select(col("o_orderkey"), col("o_custkey")), t.bigInputs())
         .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
         .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
@@ -97,9 +138,9 @@ object GraphQueries {
     * mode), so the tripwire adds an isNull check: fail loudly, never emit
     * garbage — same contract as the BIGINT path's negative-wrap check. */
   def pagerankOf(edges: DataFrame, iters: Int = PrIters,
-      decimalSums: Boolean = false): DataFrame = {
+      decimalSums: Boolean = false, hashSteps: Boolean = false): DataFrame = {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val adj = edges.join(deg, Seq("src"))
+    val adj = edges.join(shj(deg, hashSteps), Seq("src"))
     val dec = "decimal(38,0)"
     def floorDiv(x: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column) =
       ((x - pmod(x, d)) / d).cast(dec)
@@ -114,7 +155,7 @@ object GraphQueries {
           (lit(PrTeleport).cast(dec) +
             floorDiv(col("m") * lit(PrDampNum), lit(PrDampDen))).cast(dec)
         else lit(PrTeleport) + expr(s"($PrDampNum * m) div $PrDampDen")
-      ranks = adj.join(ranks, col("src") === col("node"))
+      ranks = adj.join(shj(ranks, hashSteps), col("src") === col("node"))
         .select(col("dst"), contrib.as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("m"))
@@ -142,8 +183,10 @@ object GraphQueries {
   /** [[PrIters]] rounds of fixed-point PageRank over the trade graph (the
     * oracle-gated spelling — BIGINT sums). */
   def pagerank(spark: SparkSession, dir: String,
-      iters: Int = PrIters): DataFrame =
-    pagerankOf(edges(Tables(spark, dir)), iters)
+      iters: Int = PrIters): DataFrame = {
+    val t = Tables(spark, dir)
+    pagerankOf(edges(t), iters, hashSteps = t.bigInputs())
+  }
 
   /** Seed-set bound for [[pprTrade]]: customers with custkey < 50 (node
     * encoding custkey·2, so node < 100 ∧ even). Shared with the oracle. */
@@ -166,14 +209,16 @@ object GraphQueries {
     * PPR a proximity measure. */
   def pprTrade(spark: SparkSession, dir: String,
       iters: Int = PrIters, seedMax: Long = PprSeedMax): DataFrame = {
-    val es = edges(Tables(spark, dir))
+    val t = Tables(spark, dir)
+    val big = t.bigInputs()
+    val es = edges(t)
     val deg = es.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val adj = es.join(deg, Seq("src"))
+    val adj = es.join(shj(deg, big), Seq("src"))
     def seed(c: org.apache.spark.sql.Column) = c % 2 === 0 && c < seedMax
     var ranks = deg.select(col("src").as("node"),
       when(seed(col("src")), lit(PrScale)).otherwise(lit(0L)).as("pr"))
     for (_ <- 1 to iters) {
-      ranks = adj.join(ranks, col("src") === col("node"))
+      ranks = adj.join(shj(ranks, big), col("src") === col("node"))
         .select(col("dst"), expr("pr div deg").as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("m"))
@@ -314,8 +359,15 @@ object GraphQueries {
     * density filter (community seeds, spam-farm detection, influence
     * cores).
     *
-    * `edges` must be symmetrized: both (u,v) and (v,u) present, no
-    * self-loops (the [[kCore]] wrapper does this for the co-order graph).
+    * `edges` MUST be symmetrized — both (u,v) and (v,u) present, no
+    * self-loops (the [[kCore]]/[[kCoreTrade]] wrappers do this). Since the
+    * round-14 anti-join peel this is a CORRECTNESS precondition, not just a
+    * semantic convention: degrees are counted over `src` only, so a node
+    * appearing only as `dst` has no degree row, is never placed in the
+    * removed set, and its edges are retained forever — a wrong core that
+    * can also never peel. (The old semi-join-on-kept peel silently DROPPED
+    * such edges instead.) A debug-level guard is not worth a full edge scan
+    * per call; symmetry is enforced by construction at both call sites.
     *
     * Shape at scale: each round is ONE partial-agg degree count plus two
     * ANTI-joins against the under-k REMOVED set — never a window, never a
@@ -345,55 +397,81 @@ object GraphQueries {
     * rounds are data-bounded (≤ peel depth; real graphs converge in tens),
     * and like CC a non-convergence within `maxRounds` throws rather than
     * returning a half-peeled subgraph. */
-  /** Max removed-set rows [[kCoreOf]] will explicitly broadcast per peel
-    * (~64 MB of bigint keys on the wire). The choice is made from the exact
-    * runtime count, not an estimate; larger peels degrade to a shuffled
-    * anti-join, never fail. */
+  /** Max removed-set rows [[kCoreOf]] will explicitly broadcast per peel.
+    * Honest sizing (this bound is a memory decision, not a wire one): 4 M
+    * longs are 32 MB raw, but the anti-join build side materializes as a
+    * LongHashedRelation, MEASURED at exactly 256 MB for 4 M distinct
+    * sparse long keys (`estimatedSize`/`dataSize` metric of the
+    * BroadcastExchange, Spark 4.1.2 — LongToUnsafeRowMap's power-of-two
+    * page sizing) — held once on the driver and once per executor for the
+    * round. That is ~6% of a 4 GiB executor heap: safe, with margin for
+    * the degree cache sharing the region. The choice is made
+    * from the exact runtime count, not an estimate; larger peels degrade
+    * to a shuffled anti-join, never fail. */
   val KCoreBroadcastMaxRemoved = 4000000L
 
   def kCoreOf(edges: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
     var e = edges.persist()
+    var deg: DataFrame = null
     var converged = false
     var rounds = 0
     // rounds counts PEELS; the budget must allow the terminal probe-only
     // round too, so the loop runs while rounds ≤ maxRounds and a peel at
     // rounds == maxRounds is the failure (same contract as before: a graph
     // whose peel depth exceeds the budget fails loudly on both engines).
-    while (!converged) {
-      // node-sized and cached so the convergence probe and the removed
-      // list share ONE aggregation over the edge set per round
-      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
-      val removed = deg.filter(col("deg") < k).select(col("src"))
-      // node-sized probe doubling as the broadcast decision: zero under-k
-      // survivors ⇔ fixpoint (empty edge set converges here too: its
-      // degree table is empty)
-      val nRemoved = removed.count()
-      if (nRemoved == 0L) {
-        converged = true
-        deg.unpersist(blocking = false)
-      } else if (rounds >= maxRounds) {
-        throw new IllegalStateException(
-          s"$k-core peel did not converge within $maxRounds rounds — " +
-            "raise maxRounds for this graph's peel depth")
-      } else {
-        // Explicit broadcast when the measured count provably fits: the
-        // static estimate of `removed` inherits the FULL cached degree
-        // table's size (no filter stats over a cache), which planned a
-        // shuffled anti-join of the whole edge set at 100×, and AQE cannot
-        // demote a running big-side stage. The runtime count is exact and
-        // already paid for by the probe; past the bound (~64 MB of longs)
-        // fall back to the shuffled anti-join rather than risk the driver.
-        val rem = if (nRemoved <= KCoreBroadcastMaxRemoved)
-          broadcast(removed) else removed
-        val eNext = e.join(rem, Seq("src"), "left_anti")
-          .join(rem.select(col("src").as("dst")), Seq("dst"), "left_anti")
-          .persist()
-        eNext.count() // materialize through this round's caches, then drop them
-        e.unpersist(blocking = false)
-        deg.unpersist(blocking = false)
-        e = eNext
-        rounds += 1
+    // The cache contract is kept LOCAL: on any exception (the
+    // non-convergence throw, or a failed round) the live e and deg are
+    // unpersisted here rather than leaking to the Verify/Bench cleanup
+    // loops (round-14 advice).
+    try {
+      while (!converged) {
+        // node-sized and cached so the convergence probe and the removed
+        // list share ONE aggregation over the edge set per round
+        deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
+        val removed = deg.filter(col("deg") < k).select(col("src"))
+        // node-sized probe doubling as the broadcast decision: zero under-k
+        // survivors ⇔ fixpoint (empty edge set converges here too: its
+        // degree table is empty)
+        val nRemoved = removed.count()
+        if (nRemoved == 0L) {
+          converged = true
+          deg.unpersist(blocking = false)
+          deg = null
+        } else if (rounds >= maxRounds) {
+          throw new IllegalStateException(
+            s"$k-core peel did not converge within $maxRounds rounds — " +
+              "raise maxRounds for this graph's peel depth")
+        } else {
+          // Explicit broadcast when the measured count provably fits: the
+          // static estimate of `removed` inherits the FULL cached degree
+          // table's size (no filter stats over a cache), which planned a
+          // shuffled anti-join of the whole edge set at 100×, and AQE cannot
+          // demote a running big-side stage. The runtime count is exact and
+          // already paid for by the probe; past the bound (a measured
+          // 256 MB HashedRelation per holder) fall back to the shuffled
+          // anti-join rather than risk the driver.
+          // fallback past the broadcast bound: shuffled-hash anti-join
+          // (build the removed side per partition) — same no-sort argument
+          // as [[shj]]; sort-merge would re-sort the edge stream per peel
+          val rem = if (nRemoved <= KCoreBroadcastMaxRemoved)
+            broadcast(removed) else shj(removed)
+          val eNext = e.join(rem, Seq("src"), "left_anti")
+            .join(rem.select(col("src").as("dst")), Seq("dst"), "left_anti")
+            .persist()
+          try eNext.count() // materialize through this round's caches
+          catch { case t: Throwable =>
+            eNext.unpersist(blocking = false); throw t }
+          e.unpersist(blocking = false)
+          deg.unpersist(blocking = false)
+          deg = null
+          e = eNext
+          rounds += 1
+        }
       }
+    } catch { case t: Throwable =>
+      e.unpersist(blocking = false)
+      if (deg != null) deg.unpersist(blocking = false)
+      throw t
     }
     e.groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
       .select(col("src").as("node"), col("core_deg"))
@@ -455,13 +533,15 @@ object GraphQueries {
     * round costs more than it saves at bounded depth. A convergence-driven
     * variant (dynamic rounds) would checkpoint per round exactly as
     * [[ConnectedComponents.minLabel]] and [[kCoreOf]] must. */
-  def labelPropagationOf(edges: DataFrame, rounds: Int = 5): DataFrame = {
+  def labelPropagationOf(edges: DataFrame, rounds: Int = 5,
+      hashSteps: Boolean = false): DataFrame = {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
     for (_ <- 1 to rounds) {
       labels = edges
-        .join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
+        .join(shj(labels.select(col("node").as("dst"), col("label")), hashSteps),
+          Seq("dst"))
         .groupBy(col("src"), col("label"))
         .agg(count(lit(1)).as("n"))
         .groupBy(col("src"))
@@ -475,11 +555,12 @@ object GraphQueries {
   /** [[labelPropagationOf]] over the symmetrized co-order supplier graph. */
   def labelPropagation(spark: SparkSession, dir: String, rounds: Int = 5,
       minShared: Int = TriMinShared): DataFrame = {
-    val base = coOrderEdges(Tables(spark, dir), minShared)
+    val t = Tables(spark, dir)
+    val base = coOrderEdges(t, minShared)
     labelPropagationOf(
       base.select(col("s1").as("src"), col("s2").as("dst"))
         .unionByName(base.select(col("s2").as("src"), col("s1").as("dst"))),
-      rounds)
+      rounds, hashSteps = t.bigInputs())
   }
 
   /** Round budget for the oracle-gated LPA (unrolled in the oracle SQL —
@@ -494,7 +575,7 @@ object GraphQueries {
     * handful of labels. Node ids use the PageRank parity encoding. */
   private[ops] def nationTradeEdges(t: Tables): DataFrame =
     Staged("nation_trade_edges", t.spark, t.dir) {
-    val pairs = t.orders.select(col("o_orderkey"), col("o_custkey"))
+    val pairs = shj(t.orders.select(col("o_orderkey"), col("o_custkey")), t.bigInputs())
       .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
       .join(t.customer.select(col("c_custkey"), col("c_nationkey")),
@@ -510,8 +591,10 @@ object GraphQueries {
   /** [[labelPropagationOf]] over the same-nation trade graph: communities ≈
     * national trade clusters. */
   def labelPropagationTrade(spark: SparkSession, dir: String,
-      rounds: Int = LpaRounds): DataFrame =
-    labelPropagationOf(nationTradeEdges(Tables(spark, dir)), rounds)
+      rounds: Int = LpaRounds): DataFrame = {
+    val t = Tables(spark, dir)
+    labelPropagationOf(nationTradeEdges(t), rounds, hashSteps = t.bigInputs())
+  }
 
   /** Newman modularity of the LPA communities over the same-nation trade
     * graph — the quality score that decides whether [[labelPropagationTrade]]'s
@@ -531,11 +614,15 @@ object GraphQueries {
     * grid, a 1-row broadcast edge total, and a 1-row output. */
   def lpaModularity(spark: SparkSession, dir: String,
       rounds: Int = LpaRounds): DataFrame = {
-    val edges = nationTradeEdges(Tables(spark, dir))
-    val labels = labelPropagationOf(edges, rounds)
+    val t = Tables(spark, dir)
+    val big = t.bigInputs()
+    val edges = nationTradeEdges(t)
+    val labels = labelPropagationOf(edges, rounds, hashSteps = big)
     val ew = edges
-      .join(labels.select(col("node").as("src"), col("label").as("l1")), Seq("src"))
-      .join(labels.select(col("node").as("dst"), col("label").as("l2")), Seq("dst"))
+      .join(shj(labels.select(col("node").as("src"), col("label").as("l1")), big),
+        Seq("src"))
+      .join(shj(labels.select(col("node").as("dst"), col("label").as("l2")), big),
+        Seq("dst"))
     val per = ew.groupBy(col("l1").as("label"))
       .agg(count(lit(1)).as("degc"),
         sum(when(col("l1") === col("l2"), 1L).otherwise(0L)).as("withinc"))
@@ -628,6 +715,7 @@ object GraphQueries {
   def bfsFrontier(spark: SparkSession, dir: String,
       rounds: Int = BfsRounds): DataFrame = {
     val t = Tables(spark, dir)
+    val big = t.bigInputs()
     val e = edges(t)
     val seeds = t.supplier.filter(col("s_nationkey") === BfsSeedNation)
       .select((col("s_suppkey") * 2 + 1).as("src")).distinct()
@@ -635,7 +723,8 @@ object GraphQueries {
       .select(col("src").as("node"), lit(0L).as("dist"))
     var dist = seeds
     for (_ <- 1 to rounds) {
-      val next = e.join(dist.select(col("node").as("src"), col("dist")), Seq("src"))
+      val next = e.join(shj(dist.select(col("node").as("src"), col("dist")), big),
+        Seq("src"))
         .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
       dist = dist.unionByName(next)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
@@ -662,7 +751,8 @@ object GraphQueries {
     * [[edges]]: no symmetrization — HITS needs the direction). */
   private def orderPairs(t: Tables): DataFrame =
     Staged("order_pairs", t.spark, t.dir) {
-      t.orders.select(col("o_orderkey"), col("o_custkey"))
+      // same gated hash-build shape as [[edges]] — see the note there
+      shj(t.orders.select(col("o_orderkey"), col("o_custkey")), t.bigInputs())
         .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
@@ -688,16 +778,17 @@ object GraphQueries {
     * exchange canonicalizes identically across the unrolled rounds, so
     * runtime exchange reuse materializes the pair shuffle once
     * ([[pagerankOf]]'s measured A/B applies). */
-  def hitsOf(pairs: DataFrame, iters: Int = HitsIters): DataFrame = {
+  def hitsOf(pairs: DataFrame, iters: Int = HitsIters,
+      hashSteps: Boolean = false): DataFrame = {
     var hub = pairs.select(col("cust")).distinct()
       .select(col("cust"), lit(HitsScale).as("h"))
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
-      val aRaw = pairs.join(hub, Seq("cust"))
+      val aRaw = pairs.join(shj(hub, hashSteps), Seq("cust"))
         .groupBy(col("supp")).agg(sum(col("h")).as("a"))
       auth = aRaw.crossJoin(broadcast(aRaw.agg(max(col("a")).as("am"))))
         .select(col("supp"), expr(s"a * $HitsScale div am").as("a"))
-      val hRaw = pairs.join(auth, Seq("supp"))
+      val hRaw = pairs.join(shj(auth, hashSteps), Seq("supp"))
         .groupBy(col("cust")).agg(sum(col("a")).as("h"))
       hub = hRaw.crossJoin(broadcast(hRaw.agg(max(col("h")).as("hm"))))
         .select(col("cust"), expr(s"h * $HitsScale div hm").as("h"))
@@ -710,6 +801,8 @@ object GraphQueries {
   }
 
   /** [[hitsOf]] over the order trade graph (the registry entry). */
-  def hitsTrade(spark: SparkSession, dir: String): DataFrame =
-    hitsOf(orderPairs(Tables(spark, dir)))
+  def hitsTrade(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    hitsOf(orderPairs(t), hashSteps = t.bigInputs())
+  }
 }

@@ -13,6 +13,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class Tables(spark: SparkSession, dir: String) {
   def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Whether this dir's inputs are past the "big" plan-selection gate:
+    * true when `lineitem.parquet` (the fact table every heavy derived
+    * graph/join reads) exceeds `thresholdBytes` on disk. Used by plan
+    * builders whose best join strategy is scale-dependent AND invisible to
+    * the planner's estimates (see [[graft.ops.GraphQueries]] `shj`): the
+    * parquet byte count is the one input statistic that is exact, free,
+    * and available at plan-build time — the same signal a CBO reads from
+    * table stats. Memoized per (dir, threshold); symlinked and
+    * multi-file layouts both resolve through the filesystem walk. */
+  def bigInputs(thresholdBytes: Long = Tables.BigInputBytes): Boolean =
+    Tables.bigCache.getOrElseUpdate(
+      (new java.io.File(dir).getCanonicalPath, thresholdBytes), {
+        def sizeOf(f: java.io.File): Long =
+          if (f.isDirectory) f.listFiles match {
+            case null => 0L
+            case fs => fs.map(sizeOf).sum
+          } else f.length
+        sizeOf(new java.io.File(s"$dir/lineitem.parquet")) >= thresholdBytes
+      })
+
   /** `events.ts` has shipped as either parquet TIMESTAMP(MICROS) (current
     * testdata) or TIMESTAMP(NANOS) (earlier drops). Spark's vectorized reader
     * rejects nanos unless `spark.sql.legacy.parquet.nanosAsLong=true` (set
@@ -60,4 +80,17 @@ final case class Tables(spark: SparkSession, dir: String) {
   def events: DataFrame = withNanoTs("events", "ts")
   def documents: DataFrame = table("documents")
   def embeddings: DataFrame = table("embeddings")
+}
+
+object Tables {
+  /** Default [[Tables.bigInputs]] gate: 256 MB of lineitem parquet — ~25×
+    * the sf0.1 testdata (11 MB, where runtime broadcast demotion is the
+    * right plan and the gate must stay off) and ~4× under the 100× blow-up
+    * (1.1 GB, where the hash-build plans are measured wins). The gate is
+    * deliberately coarse: it separates "fits the broadcast/demotion
+    * regime" from "edge streams dominate", not fine tiers. */
+  val BigInputBytes: Long = 256L * 1024 * 1024
+
+  private val bigCache =
+    scala.collection.concurrent.TrieMap[(String, Long), Boolean]()
 }
