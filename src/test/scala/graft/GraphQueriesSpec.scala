@@ -44,6 +44,51 @@ class GraphQueriesSpec extends SparkSpec {
     got.map(_._1).toSet shouldBe deg.keySet
   }
 
+
+  test("hash-stepped Pregel joins are result-identical and actually plan SHJ") {
+    // The scale gate (Tables.bigInputs) flips hashSteps on past 256 MB of
+    // lineitem; this pins BOTH halves of its contract at test scale:
+    // (a) hashSteps=true changes only the physical join strategy, never a
+    // row (bit-exact vs the ungated plan), and (b) the hint genuinely
+    // plans ShuffledHashJoin (a silently-ignored hint would make the 100x
+    // OOM fix a no-op without failing anything else).
+    val t = Tables(spark, sf)
+    import graft.ops.{Staged => _}
+    val es = {
+      val base = GraphQueries.pagerank(spark, sf) // warm staged trade_edges
+      base.count()
+      // rebuild the edge frame the same way the wrappers do
+      val pairs = t.orders.select(org.apache.spark.sql.functions.col("o_orderkey"),
+          org.apache.spark.sql.functions.col("o_custkey"))
+        .join(t.lineitem.select(org.apache.spark.sql.functions.col("l_orderkey"),
+          org.apache.spark.sql.functions.col("l_suppkey")),
+          org.apache.spark.sql.functions.col("o_orderkey") ===
+            org.apache.spark.sql.functions.col("l_orderkey"))
+        .select((org.apache.spark.sql.functions.col("o_custkey") * 2).as("src"),
+          (org.apache.spark.sql.functions.col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      pairs.unionByName(pairs.select(
+        org.apache.spark.sql.functions.col("dst").as("src"),
+        org.apache.spark.sql.functions.col("src").as("dst")))
+    }
+    val plain = GraphQueries.pagerankOf(es, hashSteps = false).collect()
+    val hashed = GraphQueries.pagerankOf(es, hashSteps = true)
+    hashed.collect() shouldBe plain // bit-exact: strategy, not semantics
+    val p = hashed.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"),
+      s"hashSteps=true must plan shuffled hash joins:\n$p")
+  }
+
+  test("Tables.bigInputs gates on real lineitem bytes, memoized per dir") {
+    val t = Tables(spark, sf)
+    // test corpora are far under the production 256 MB gate: OFF
+    assert(!t.bigInputs(), s"gate must be off at $sf")
+    // the same dir passes a 1-byte threshold: the walk reads real sizes
+    assert(t.bigInputs(thresholdBytes = 1L))
+    // and a missing dir is simply not big (no throw - plan-build safety)
+    assert(!Tables(spark, "/nonexistent-graft-dir").bigInputs(thresholdBytes = 1L))
+  }
+
   test("pagerank honors the iters argument (1 round, still bit-exact)") {
     val (pr, _) = recompute(1)
     GraphQueries.pagerank(spark, sf, iters = 1).collect()
