@@ -90,7 +90,7 @@ object GraphQueries {
     // checkpoint blocks ([[Staged]] pins a localCheckpoint, not parquet) —
     // two cheap block-manager re-reads per consumer instead of writing
     // (and distinct-shuffling) twice the rows once.
-    val pairs = Staged("trade_edges", t.spark, t.dir) {
+    val pairs = Staged.viaParquet("trade_edges", t.spark, t.dir) {
       // At sf0.1 the orders side broadcasts statically (2 MB) and the gate
       // stays off; past the gate it is SMJ by estimate and the hash build
       // is the measured win (round-15 stage profile: the SMJ here sorted
@@ -257,7 +257,7 @@ object GraphQueries {
   private[ops] def coOrderEdges(t: Tables, minShared: Int): DataFrame =
     // Staged per minShared: triangles / degree-dist / assortativity /
     // link-predict all replay the same co-order self-join otherwise.
-    Staged(s"coorder_edges_$minShared", t.spark, t.dir) {
+    Staged.viaParquet(s"coorder_edges_$minShared", t.spark, t.dir) {
     val lo = t.lineitem.select(col("l_orderkey").as("o"), col("l_suppkey").as("s"))
       .distinct()
     lo.as("a").join(lo.as("b"), col("a.o") === col("b.o") && col("a.s") < col("b.s"))
@@ -574,7 +574,7 @@ object GraphQueries {
     * unlike the full bipartite trade graph, which LPA would collapse to a
     * handful of labels. Node ids use the PageRank parity encoding. */
   private[ops] def nationTradeEdges(t: Tables): DataFrame =
-    Staged("nation_trade_edges", t.spark, t.dir) {
+    Staged.viaParquet("nation_trade_edges", t.spark, t.dir) {
     val pairs = shj(t.orders.select(col("o_orderkey"), col("o_custkey")), t.bigInputs())
       .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
@@ -750,7 +750,7 @@ object GraphQueries {
   /** Directed customer→supplier order edges (the bipartite half of
     * [[edges]]: no symmetrization — HITS needs the direction). */
   private def orderPairs(t: Tables): DataFrame =
-    Staged("order_pairs", t.spark, t.dir) {
+    Staged.viaParquet("order_pairs", t.spark, t.dir) {
       // same gated hash-build shape as [[edges]] — see the note there
       shj(t.orders.select(col("o_orderkey"), col("o_custkey")), t.bigInputs())
         .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),

@@ -74,6 +74,34 @@ object Staged {
     tables.clear()
   }
 
+  /** Parquet-backed variant for NARROW staged tables (round-15): the
+    * checkpoint path stores row-serialized blocks, which for the 2-BIGINT
+    * graph tables measured ~41 B/row — a 100× pagerank re-read 2.5 GB of
+    * them per edge scan and the staged build's final distinct spilled
+    * 5.4 GB. Parquet stores the same table columnar-encoded
+    * (delta/dictionary on longs), scans it through the vectorized reader
+    * at full parallelism with zero per-row deserialization garbage, and
+    * the write parallelizes like any shuffle consumer. The round-6
+    * measurement that chose checkpoint over parquet was for the WIDE
+    * shingle-array tables (columnar encode of big string arrays ≈ the
+    * shingling CPU itself) — those stay on [[apply]]; narrow tables get
+    * files. Files live in a [[graft.TempDirs]]-swept scratch dir, so the
+    * cleanup loops (and [[clear]]) never touch them, and re-reads survive
+    * any cache/unpersist hygiene for the JVM's life. */
+  def viaParquet(name: String, spark: SparkSession, dir: String)
+      (build: => DataFrame): DataFrame = synchronized {
+    tables.getOrElseUpdate((name, new java.io.File(dir).getCanonicalPath), {
+      val out = parquetRoot.resolve(
+        name + "-" + Integer.toHexString(
+          new java.io.File(dir).getCanonicalPath.hashCode)).toString
+      build.write.mode("overwrite").parquet(out)
+      spark.read.parquet(out)
+    })
+  }
+
+  private lazy val parquetRoot: java.nio.file.Path =
+    graft.TempDirs.scratch("graft-staged-")
+
   def apply(name: String, spark: SparkSession, dir: String)
       (build: => DataFrame): DataFrame = synchronized {
     tables.getOrElseUpdate((name, new java.io.File(dir).getCanonicalPath), {
