@@ -133,7 +133,12 @@ object Bench {
         System.err.println(s"[bench] no band reference at $bandsFile (${t.getClass.getSimpleName}) — skipping load annotation")
         Map.empty
       }
-    val suspects = results.collect {
+    // Per-key suspects get the same teardown treatment as the sweep
+    // fingerprint (round-15 advice): under SPARK_GRAFT_TEARDOWN each key
+    // pays its full staged-prefix build while the bands were cut amortized,
+    // so a key reading 3x its band is the protocol, not host load — emit
+    // nothing rather than mislabel it.
+    val suspects = if (teardown) Nil else results.collect {
       case (k, v, None) if bands.get(k).exists(b => b > 0 && v >= 3 * b && v >= 2.0) =>
         (k, v, bands(k))
     }.sortBy { case (_, v, b) => -(v / b) }

@@ -74,6 +74,23 @@ object GraphQueries {
   private def shj(buildSide: DataFrame, when: Boolean = true): DataFrame =
     if (when) buildSide.hint("shuffle_hash") else buildSide
 
+  /** Build-scoped confs for the spill-prone staged DISTINCT/agg builds past
+    * the scale gate. The builds dedup a fact-sized join output (60 M rows
+    * at 100×) whose hash-agg state spilled ~5 GB per stage in 32
+    * post-shuffle tasks at 8 g (round-15 final readings). 4× the shuffle
+    * partitions quarters per-task state; coalescing must be OFF for the
+    * build because AQE's `parallelismFirst` folds small partitions back to
+    * core count (measured this round: 128 → 32, spill unchanged) — with
+    * it off the final agg runs its full width and the spill disappears.
+    * Scoped to the staged WRITE only ([[Staged.viaParquet]] restores both
+    * confs), so consumer plans keep default AQE coalescing. Below the gate:
+    * empty — sf0.1 builds fit comfortably and tiny tasks only add overhead. */
+  private def stagedBuildConfs(t: Tables): Map[String, String] =
+    if (t.bigInputs())
+      Map("spark.sql.shuffle.partitions" -> "128",
+        "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    else Map.empty
+
   /** Customer–supplier trade graph: an edge for every (customer, supplier)
     * pair connected through at least one order line. Node ids are disjoint
     * by parity (customer → 2k, supplier → 2k+1 — cheaper than a tag column
@@ -81,16 +98,19 @@ object GraphQueries {
     * both directions, so every node has in- and out-degree ≥ 1 and the
     * random walk has no dangling mass to redistribute. */
   private def edges(t: Tables): DataFrame = {
-    // [[Staged]] once per (process, dir): the 600 k-row orders⋈lineitem
-    // join reduces to a ~32 k-row edge list consumed by pagerank / k-core /
-    // BFS — a small derivative, the granularity staging pays at. Only the
-    // ORIENTED pairs are staged (round-14, from a 100× stage profile where
-    // the staged write was the graph family's single largest stage): the
-    // symmetrized doubling is a union of two projections over the staged
-    // checkpoint blocks ([[Staged]] pins a localCheckpoint, not parquet) —
-    // two cheap block-manager re-reads per consumer instead of writing
-    // (and distinct-shuffling) twice the rows once.
-    val pairs = Staged.viaParquet("trade_edges", t.spark, t.dir) {
+    // Staged once per (process, dir) as PARQUET scratch files
+    // ([[Staged.viaParquet]], round-15: columnar-encoded longs through the
+    // vectorized reader beat row-serialized checkpoint blocks ~3× on these
+    // narrow tables): the 600 k-row orders⋈lineitem join reduces to a
+    // ~32 k-row edge list consumed by pagerank / k-core / BFS — a small
+    // derivative, the granularity staging pays at. Only the ORIENTED pairs
+    // are staged (round-14, from a 100× stage profile where the staged
+    // write was the graph family's single largest stage): the symmetrized
+    // doubling is a union of two projections over the same parquet files —
+    // two cheap columnar scans per consumer instead of writing (and
+    // distinct-shuffling) twice the rows once.
+    val pairs = Staged.viaParquet("trade_edges", t.spark, t.dir,
+      buildConfs = stagedBuildConfs(t)) {
       // At sf0.1 the orders side broadcasts statically (2 MB) and the gate
       // stays off; past the gate it is SMJ by estimate and the hash build
       // is the measured win (round-15 stage profile: the SMJ here sorted
@@ -99,7 +119,20 @@ object GraphQueries {
         .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
         .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-        .distinct()
+        // Dedup AND src-cluster on ONE exchange: HashPartitioning(src)
+        // satisfies the dedup aggregate's ClusteredDistribution(src, dst)
+        // (equal pairs share a src), so Catalyst plans the dropDuplicates
+        // directly on the repartition output with no second shuffle — the
+        // same exchange count as a bare distinct(), but the staged files
+        // land src-disjoint and (src, dst)-sorted. Sorted near-monotone
+        // longs delta-encode tighter in parquet and compress tighter
+        // through every consumer's edge shuffle (measured this round at
+        // 100×: hash(src,dst)-sharded unsorted staging cost 941–1281 MB
+        // per symmetrized exchange and 176 MB per degree exchange;
+        // src-clustered sorted staging cut those to ~790 MB and ~25 MB).
+        .repartition(col("src"))
+        .dropDuplicates("src", "dst")
+        .sortWithinPartitions(col("src"), col("dst"))
     }
     pairs.unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
   }
@@ -161,7 +194,19 @@ object GraphQueries {
         .agg(sum(col("c")).as("m"))
         .select(col("dst").as("node"), damped.as("pr"))
     }
-    ranks.select(
+    // The trailing isNotNull mirrors the constraint every NON-final
+    // iteration already carries: round k's output joins round k+1's adj
+    // INNER on the node id, which pushes isnotnull(dst) down into round
+    // k's edge scan — but the LAST round has no next join, so its scan's
+    // pushed DataFilters were weaker, the exchange canonicalized
+    // differently, and runtime exchange reuse skipped it: the 100× plan
+    // materialized the 984 MB symmetrized-edge shuffle TWICE (round-15
+    // verdict #2, read off the AQE-final plan: iterations 1–2 shared one
+    // Exchange + ReusedExchange, the final iteration rebuilt its own).
+    // Node ids are never null (integer arithmetic over join keys), so this
+    // filter drops nothing; it only makes every round's scan — and hence
+    // every round's exchange — canonically identical.
+    ranks.where(col("node").isNotNull).select(
         col("node"),
         when(col("node") % 2 === 0, lit("cust")).otherwise(lit("supp")).as("kind"),
         // Overflow guard: the BIGINT fixed-point envelope (scaladoc above)
@@ -226,7 +271,8 @@ object GraphQueries {
           (when(seed(col("dst")), lit(PrTeleport)).otherwise(lit(0L)) +
             expr(s"($PrDampNum * m) div $PrDampDen")).as("pr"))
     }
-    ranks.select(col("node"),
+    // same last-round exchange-canonicalization filter as [[pagerankOf]]
+    ranks.where(col("node").isNotNull).select(col("node"),
         when(col("node") % 2 === 0, lit("cust")).otherwise(lit("supp")).as("kind"),
         when(seed(col("node")), 1L).otherwise(0L).as("is_seed"),
         // same wrap tripwire as pagerankOf: fail loudly on overflow
@@ -257,7 +303,8 @@ object GraphQueries {
   private[ops] def coOrderEdges(t: Tables, minShared: Int): DataFrame =
     // Staged per minShared: triangles / degree-dist / assortativity /
     // link-predict all replay the same co-order self-join otherwise.
-    Staged.viaParquet(s"coorder_edges_$minShared", t.spark, t.dir) {
+    Staged.viaParquet(s"coorder_edges_$minShared", t.spark, t.dir,
+        buildConfs = stagedBuildConfs(t)) {
     val lo = t.lineitem.select(col("l_orderkey").as("o"), col("l_suppkey").as("s"))
       .distinct()
     lo.as("a").join(lo.as("b"), col("a.o") === col("b.o") && col("a.s") < col("b.s"))
@@ -574,7 +621,8 @@ object GraphQueries {
     * unlike the full bipartite trade graph, which LPA would collapse to a
     * handful of labels. Node ids use the PageRank parity encoding. */
   private[ops] def nationTradeEdges(t: Tables): DataFrame =
-    Staged.viaParquet("nation_trade_edges", t.spark, t.dir) {
+    Staged.viaParquet("nation_trade_edges", t.spark, t.dir,
+        buildConfs = stagedBuildConfs(t)) {
     val pairs = shj(t.orders.select(col("o_orderkey"), col("o_custkey")), t.bigInputs())
       .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
@@ -729,7 +777,11 @@ object GraphQueries {
       dist = dist.unionByName(next)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
     }
-    dist.select(col("node"),
+    // same last-round exchange-canonicalization filter as [[pagerankOf]]:
+    // rounds 1..n-1's edge scans carry isnotnull(dst) pushed back through
+    // the next round's inner join; the last round's did not, splitting the
+    // edge exchange in two at 100×.
+    dist.where(col("node").isNotNull).select(col("node"),
         when(col("node") % 2 === 0, lit("cust")).otherwise(lit("supp")).as("kind"),
         col("dist"))
       .orderBy(col("node"))
@@ -750,13 +802,20 @@ object GraphQueries {
   /** Directed customer→supplier order edges (the bipartite half of
     * [[edges]]: no symmetrization — HITS needs the direction). */
   private def orderPairs(t: Tables): DataFrame =
-    Staged.viaParquet("order_pairs", t.spark, t.dir) {
+    Staged.viaParquet("order_pairs", t.spark, t.dir,
+        buildConfs = stagedBuildConfs(t)) {
       // same gated hash-build shape as [[edges]] — see the note there
       shj(t.orders.select(col("o_orderkey"), col("o_custkey")), t.bigInputs())
         .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
-        .distinct()
+        // single-exchange clustered dedup, same spelling + rationale as
+        // [[edges]]: hash(cust) satisfies the dedup's clustering, files
+        // land cust-disjoint and sorted for tighter parquet + shuffle
+        // compression in both HITS half-step exchanges
+        .repartition(col("cust"))
+        .dropDuplicates("cust", "supp")
+        .sortWithinPartitions(col("cust"), col("supp"))
     }
 
   /** [[HitsIters]] rounds of fixed-point HITS (hubs & authorities) over
@@ -793,10 +852,17 @@ object GraphQueries {
       hub = hRaw.crossJoin(broadcast(hRaw.agg(max(col("h")).as("hm"))))
         .select(col("cust"), expr(s"h * $HitsScale div hm").as("h"))
     }
-    hub.select(lit("cust").as("kind"), col("cust").as("node"),
+    // same last-half-step exchange-canonicalization filters as
+    // [[pagerankOf]]: every non-final half-step's pair scan inherits an
+    // isnotnull on its group key from the NEXT half-step's inner join; the
+    // final hub and auth half-steps have no next join, so without these
+    // their pair exchanges canonicalize differently and lose reuse.
+    hub.where(col("cust").isNotNull)
+      .select(lit("cust").as("kind"), col("cust").as("node"),
         col("h").as("score"))
-      .unionByName(auth.select(lit("supp").as("kind"),
-        col("supp").as("node"), col("a").as("score")))
+      .unionByName(auth.where(col("supp").isNotNull)
+        .select(lit("supp").as("kind"),
+          col("supp").as("node"), col("a").as("score")))
       .orderBy(col("kind"), col("node"))
   }
 

@@ -72,6 +72,10 @@ object Staged {
       if (pinnedIds.contains(id)) rdd.unpersist(blocking = true) }
     pinnedIds = Set.empty
     tables.clear()
+    // clear() marks a "fresh process" boundary for sweep harnesses; a dir
+    // regenerated since the first probe must not keep its stale size
+    // verdict across that boundary (round-15 advice).
+    graft.tables.Tables.invalidateBigInputs()
   }
 
   /** Parquet-backed variant for NARROW staged tables (round-15): the
@@ -88,13 +92,34 @@ object Staged {
     * files. Files live in a [[graft.TempDirs]]-swept scratch dir, so the
     * cleanup loops (and [[clear]]) never touch them, and re-reads survive
     * any cache/unpersist hygiene for the JVM's life. */
-  def viaParquet(name: String, spark: SparkSession, dir: String)
+  def viaParquet(name: String, spark: SparkSession, dir: String,
+      buildConfs: Map[String, String] = Map.empty)
       (build: => DataFrame): DataFrame = synchronized {
-    tables.getOrElseUpdate((name, new java.io.File(dir).getCanonicalPath), {
-      val out = parquetRoot.resolve(
-        name + "-" + Integer.toHexString(
-          new java.io.File(dir).getCanonicalPath.hashCode)).toString
-      build.write.mode("overwrite").parquet(out)
+    val canonical = new java.io.File(dir).getCanonicalPath
+    tables.getOrElseUpdate((name, canonical), {
+      // Output path must be INJECTIVE in the source dir: a 32-bit
+      // String.hashCode can collide across two dirs staged in one JVM, and
+      // with mode(overwrite) + per-path memoization dir A's memoized frame
+      // would then silently read dir B's rows after B's build (round-15
+      // advice). SHA-256 truncated to 128 bits makes an engineered-or-
+      // accidental collision practically impossible while keeping the
+      // scratch file names short.
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(canonical.getBytes("UTF-8"))
+        .take(16).map("%02x".format(_)).mkString
+      val out = parquetRoot.resolve(name + "-" + digest).toString
+      // Build-scoped conf overrides (e.g. a higher shuffle-partition count
+      // for a spill-prone staged distinct): set for the write's planning/
+      // execution only, restored (to the prior value or to unset) before
+      // returning, so consumer plans never see them.
+      val prior = buildConfs.keys.map(k =>
+        k -> spark.conf.getOption(k)).toMap
+      buildConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try build.write.mode("overwrite").parquet(out)
+      finally prior.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
       spark.read.parquet(out)
     })
   }

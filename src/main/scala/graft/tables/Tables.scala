@@ -21,7 +21,11 @@ final case class Tables(spark: SparkSession, dir: String) {
     * parquet byte count is the one input statistic that is exact, free,
     * and available at plan-build time — the same signal a CBO reads from
     * table stats. Memoized per (dir, threshold); symlinked and
-    * multi-file layouts both resolve through the filesystem walk. */
+    * multi-file layouts both resolve through the filesystem walk. The memo
+    * has NO content invalidation: probe only after the dir is fully
+    * populated, and if a harness regenerates a probed dir in-process it
+    * must call [[Tables.invalidateBigInputs]] (ScaleProbe.generate and
+    * Staged.clear do). */
   def bigInputs(thresholdBytes: Long = Tables.BigInputBytes): Boolean =
     Tables.bigCache.getOrElseUpdate(
       (new java.io.File(dir).getCanonicalPath, thresholdBytes), {
@@ -93,4 +97,12 @@ object Tables {
 
   private val bigCache =
     scala.collection.concurrent.TrieMap[(String, Long), Boolean]()
+
+  /** Drop every memoized [[Tables.bigInputs]] verdict. The memo assumes a
+    * dir's contents are immutable for the JVM's life; any harness that
+    * (re)generates parquet under an already-probed dir in-process must call
+    * this (wired into [[graft.tools.ScaleProbe.generate]] and
+    * [[graft.ops.Staged.clear]]) or the stale verdict silently keeps the
+    * wrong join regime (round-15 advice). */
+  def invalidateBigInputs(): Unit = bigCache.clear()
 }

@@ -134,6 +134,9 @@ object ScaleProbe {
       if (!Files.exists(link))
         Files.createSymbolicLink(link, Paths.get(s"$src/$t.parquet"))
     }
+    // The out dir's contents just changed; any bigInputs verdict probed
+    // against a half-populated (or prior-generation) state is now stale.
+    graft.tables.Tables.invalidateBigInputs()
   }
 
   private def time(fn: => Long): (Double, Long) = {

@@ -53,7 +53,6 @@ class GraphQueriesSpec extends SparkSpec {
     // plans ShuffledHashJoin (a silently-ignored hint would make the 100x
     // OOM fix a no-op without failing anything else).
     val t = Tables(spark, sf)
-    import graft.ops.{Staged => _}
     val es = {
       val base = GraphQueries.pagerank(spark, sf) // warm staged trade_edges
       base.count()
