@@ -712,18 +712,20 @@ object GraphQueries {
     * removes existing edges, and the top-k is TakeOrderedAndProject — a
     * per-partition heap, never a global sort.
     *
-    * The thresholded edge set is `localCheckpoint`ed before fan-out: it is
+    * The thresholded edge set is MATERIALIZED before fan-out (as staged
+    * parquet scratch, [[Staged.viaParquet]] via [[coOrderEdges]]): it is
     * referenced three times (sym ×2, anti-join ×1) with DIFFERENT required
     * columns, and Catalyst's column pruning pushes per-consumer projections
     * into the aggregate subtree, so the three references canonicalize
     * differently and exchange reuse never fires — without materialization
     * the expensive order-fanout pair aggregation runs three times (measured
-    * 11.6 s → 2.4 s at sf0.1). The edge set itself is sparse by
-    * construction (minShared thresholding), so the checkpoint is
-    * metadata-scale at any corpus size. */
+    * 11.6 s → 2.4 s at sf0.1, on the round-10 localCheckpoint spelling;
+    * round 15 moved the materialization to parquet files). The edge set
+    * itself is sparse by construction (minShared thresholding), so the
+    * staged files are metadata-scale at any corpus size. */
   def linkPredict(spark: SparkSession, dir: String,
       minShared: Int = TriMinShared, k: Int = LinkPredTopK): DataFrame = {
-    // coOrderEdges is already a pinned checkpoint (Staged) — no re-pin
+    // coOrderEdges is already staged parquet — scans are cheap re-reads
     val e = coOrderEdges(Tables(spark, dir), minShared)
     val sym = e.select(col("s1").as("src"), col("s2").as("dst"))
       .unionByName(e.select(col("s2").as("src"), col("s1").as("dst")))
