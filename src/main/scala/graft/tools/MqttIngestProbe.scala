@@ -1,5 +1,7 @@
 package graft.tools
 
+import org.apache.spark.sql.connector.read.streaming.ReadLimit
+
 import graft.net.{MiniBroker, MqttClient}
 import graft.sources.{MqttFollowStream, MqttReaderFactory, MqttReceiver, MqttSlice, MqttStream, MqttWalMarks, MqttWalSlice}
 
@@ -126,6 +128,48 @@ object MqttIngestProbe {
     }
   }
 
+  /** Fork one [[MqttIngestPump]] JVM and block until PUMP_READY (receivers
+    * subscribed, identity marks written), waiting on a HELPER thread: a
+    * blocking readLine on the caller thread would make the 60 s deadline
+    * unreachable for a pump that wedges before printing anything
+    * (round-13 review). The same thread then keeps draining stdout so the
+    * pump can never block on a full pipe; its results are reported through
+    * the hwm marks. A pump that EXITS before READY fails in milliseconds
+    * (the old fast-fail); one that wedges alive fails at the deadline
+    * (round-13 review, second pass). */
+  private def forkPump(javaBin: String, cp: String, brokerPort: Int,
+      walRoot: String, cid: String, shards: Int, spec: String,
+      tag: Int): Process = {
+    val pb = new ProcessBuilder(javaBin, "-Xmx2g", "-cp", cp,
+      "graft.tools.MqttIngestPump", "127.0.0.1", brokerPort.toString,
+      walRoot, cid, shards.toString, spec)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val rd = new java.io.BufferedReader(
+      new java.io.InputStreamReader(proc.getInputStream))
+    val ready = new java.util.concurrent.CountDownLatch(1)
+    val sink = new Thread(() => {
+      try {
+        var line = rd.readLine()
+        while (line != null) {
+          if (line.startsWith("PUMP_READY")) ready.countDown()
+          line = rd.readLine()
+        }
+      } catch { case _: Throwable => () }
+    }, s"pump-$tag-stdout")
+    sink.setDaemon(true); sink.start()
+    val deadline = System.currentTimeMillis() + 60000
+    var up = false
+    while (!up && System.currentTimeMillis() < deadline) {
+      up = ready.await(50, java.util.concurrent.TimeUnit.MILLISECONDS)
+      if (!up)
+        require(proc.isAlive, s"pump $tag exited before PUMP_READY " +
+          s"(exit ${proc.exitValue()})")
+    }
+    require(up, s"pump $tag not ready in 60s")
+    proc
+  }
+
   /** MULTI-PROCESS ingest (round-12 verdict #1): spawn `pumps` separate
     * pump JVMs ([[MqttIngestPump]]) that split `shards` topic filters
     * between them, all writing WAL segments + marks under one shared
@@ -160,44 +204,8 @@ object MqttIngestProbe {
       (0 until pumps).foreach { p =>
         val spec = (0 until shards).filter(_ % pumps == p)
           .map(i => s"$i=pr/$i/#").mkString(",")
-        val pb = new ProcessBuilder(javaBin, "-Xmx2g", "-cp", cp,
-          "graft.tools.MqttIngestPump", "127.0.0.1",
-          brokerOfPump(p).port.toString, walRoot.toString, cid,
-          shards.toString, spec)
-        pb.redirectErrorStream(true)
-        val proc = pb.start()
-        procs += proc
-        // wait for PUMP_READY (receivers subscribed, identity marks
-        // written) on a HELPER thread: a blocking readLine on this thread
-        // would make the 60 s deadline unreachable for a pump that wedges
-        // before printing anything (round-13 review). The same thread then
-        // keeps draining stdout so the pump can never block on a full pipe;
-        // its final JSON line is reported through the hwm marks.
-        val rd = new java.io.BufferedReader(
-          new java.io.InputStreamReader(proc.getInputStream))
-        val ready = new java.util.concurrent.CountDownLatch(1)
-        val sink = new Thread(() => {
-          try {
-            var line = rd.readLine()
-            while (line != null) {
-              if (line.startsWith("PUMP_READY")) ready.countDown()
-              line = rd.readLine()
-            }
-          } catch { case _: Throwable => () }
-        }, s"pump-$p-stdout")
-        sink.setDaemon(true); sink.start()
-        // incremental await: a pump that EXITS before READY fails in
-        // milliseconds (the old fast-fail), one that wedges alive fails at
-        // the deadline (round-13 review, second pass)
-        val deadline = System.currentTimeMillis() + 60000
-        var up = false
-        while (!up && System.currentTimeMillis() < deadline) {
-          up = ready.await(50, java.util.concurrent.TimeUnit.MILLISECONDS)
-          if (!up)
-            require(proc.isAlive, s"pump $p exited before PUMP_READY " +
-              s"(exit ${proc.exitValue()})")
-        }
-        require(up, s"pump $p not ready in 60s")
+        procs += forkPump(javaBin, cp, brokerOfPump(p).port, walRoot.toString,
+          cid, shards, spec, p)
       }
       val perPub = n / publishers
       val total = perPub.toLong * publishers
@@ -261,7 +269,173 @@ object MqttIngestProbe {
     }
   }
 
+  /** SOAK (round-15 verdict stretch #9): sustained multi-process ingest at
+    * the round-13 broker-scan-ceiling configuration with the follower
+    * draining CONCURRENTLY for `durationSec`, sampling the reader
+    * process's GC-settled heap on a fixed cadence the whole time. The
+    * claim under test is the last single-node seam in the R1 path: with
+    * pumps owning the receivers in other JVMs, the Spark-driver-role
+    * process holds NO per-message state — it plans (path, start, end)
+    * WAL slices and commits offsets — so its heap must stay FLAT while
+    * millions of messages flow for minutes, not just across one fixed
+    * batch (the round-13 table sampled heap once, post-drain). Trims run
+    * live off the follower's commits, so WAL disk stays bounded too (the
+    * max live segment bytes across samples is reported alongside).
+    *
+    * Publishers run free (sync-ack QoS 1 loops, no message budget) until
+    * the deadline, then stop; the audit then waits for durable hwm to
+    * cover every published message and drains the tail — per-shard counts
+    * must match exactly, same as the fixed-batch modes. */
+  def runSoak(durationSec: Int, publishers: Int, shards: Int,
+      pumps: Int): Unit = {
+    val broker = new MiniBroker()
+    val walRoot = graft.TempDirs.scratch(s"ingest_soak_${shards}_$pumps")
+    val cid = s"soak$shards-$pumps"
+    val filters = (0 until shards).map(s => s"pr/$s/#")
+    val procs = scala.collection.mutable.Buffer.empty[Process]
+    try {
+      val javaBin = System.getProperty("java.home") + "/bin/java"
+      val cp = System.getProperty("java.class.path")
+      (0 until pumps).foreach { p =>
+        val spec = (0 until shards).filter(_ % pumps == p)
+          .map(i => s"$i=pr/$i/#").mkString(",")
+        procs += forkPump(javaBin, cp, broker.port, walRoot.toString,
+          cid, shards, spec, p)
+      }
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val published = new Array[Long](publishers)
+      val threads = (0 until publishers).map { p =>
+        val shard = p % shards
+        new Thread(() => {
+          val c = new MqttClient("127.0.0.1", broker.port, s"pub-$p").connect()
+          var i = 0L
+          while (!stop.get()) {
+            c.publish(s"pr/$shard/x", s"m$p-$i")
+            i += 1
+          }
+          published(p) = i
+          c.close()
+        }, s"soak-pub-$p")
+      }
+      // heap + WAL-disk sampler: GC-settled used heap every 2 s for the
+      // soak's lifetime (raw used-without-GC is collector timing, not
+      // retention). Daemon: dies with the probe on any failure path.
+      val heapSamples = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val walSamples = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val sampling = new java.util.concurrent.atomic.AtomicBoolean(true)
+      def walBytes: Long = {
+        def sz(f: java.io.File): Long =
+          if (f.isDirectory) Option(f.listFiles).map(_.map(sz).sum).getOrElse(0L)
+          else f.length
+        sz(walRoot.toFile)
+      }
+      val sampler = new Thread(() => {
+        val rt = Runtime.getRuntime
+        while (sampling.get()) {
+          System.gc()
+          heapSamples.add((rt.totalMemory() - rt.freeMemory()) >> 20)
+          walSamples.add(walBytes >> 20)
+          Thread.sleep(2000)
+        }
+      }, "soak-sampler")
+      sampler.setDaemon(true); sampler.start()
+
+      val markDirs = MqttFollowStream
+        .shardDirs(walRoot.toString, shards)
+        .map(java.nio.file.Paths.get(_))
+      def hwmSum: Long = markDirs.map(d =>
+        MqttWalMarks.readLong(d, MqttWalMarks.Hwm).getOrElse(0L)).sum
+      val follow = new MqttFollowStream(
+        MqttFollowStream.shardDirs(walRoot.toString, shards), filters, 8192L)
+      val perShard = new Array[Long](shards)
+      var shipped = 0L
+      var drained = 0L
+      var cur = follow.initialOffset()
+      def drainStep(): Boolean = {
+        val end = follow.latestOffset(cur, ReadLimit.maxRows(8192))
+        if (end == cur) false
+        else {
+          follow.planInputPartitions(cur, end).foreach { p =>
+            shipped += (p match {
+              case w: MqttWalSlice => w.dir.length + 16L
+              case _ => 0L // follower plans WAL slices only; audited below
+            })
+            val rd = MqttReaderFactory.createReader(p)
+            while (rd.next()) {
+              val row = rd.get()
+              val s = row.getUTF8String(0).toString.split("/")(1).toInt
+              perShard(s) += 1
+              drained += 1
+            }
+            rd.close()
+          }
+          follow.commit(end)
+          cur = end
+          true
+        }
+      }
+      val t0 = System.nanoTime()
+      threads.foreach(_.start())
+      val deadline = System.currentTimeMillis() + durationSec * 1000L
+      while (System.currentTimeMillis() < deadline) {
+        if (!drainStep()) Thread.sleep(2)
+      }
+      stop.set(true)
+      threads.foreach(_.join(120000))
+      require(threads.forall(!_.isAlive), "a publisher failed to stop")
+      val total = published.sum
+      val ingestSec = (System.nanoTime() - t0) / 1e9
+      // every published message must become durable, then drain exactly
+      val d2 = System.currentTimeMillis() + 120000
+      while (hwmSum < total && System.currentTimeMillis() < d2)
+        Thread.sleep(5)
+      require(hwmSum == total, s"ingest incomplete: $hwmSum of $total durable")
+      val d3 = System.currentTimeMillis() + 120000
+      while (drained < total && System.currentTimeMillis() < d3) {
+        if (!drainStep()) Thread.sleep(2)
+      }
+      (0 until shards).foreach { s =>
+        val expect = (0 until publishers).filter(_ % shards == s)
+          .map(published(_)).sum
+        require(perShard(s) == expect,
+          s"shard $s drained ${perShard(s)} rows, published $expect")
+      }
+      sampling.set(false); sampler.join(10000)
+      import scala.jdk.CollectionConverters._
+      val heap = heapSamples.asScala.toVector
+      val wal = walSamples.asScala.toVector
+      def stats(v: Vector[Long]): String =
+        if (v.isEmpty) """{"n":0}"""
+        else s"""{"start":${v.head},"median":${v.sorted.apply(v.size / 2)},""" +
+          s""""max":${v.max},"end":${v.last},"n":${v.size}}"""
+      println(s"""{"mode":"soak","duration_sec":$durationSec,""" +
+        s""""pumps":$pumps,"shards":$shards,"publishers":$publishers,""" +
+        s""""messages":$total,""" +
+        s""""ingest_msg_per_sec":${math.rint(total / ingestSec)},""" +
+        s""""driver_shipped_bytes":$shipped,""" +
+        s""""reader_heap_mb":${stats(heap)},""" +
+        s""""wal_disk_mb":${stats(wal)}}""")
+    } finally {
+      try {
+        java.nio.file.Files.write(walRoot.resolve("STOP"), Array.emptyByteArray)
+        procs.foreach { p =>
+          if (!p.waitFor(20, java.util.concurrent.TimeUnit.SECONDS))
+            p.destroyForcibly()
+        }
+      } finally broker.close()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("soak")) {
+      val durationSec = args.lift(1).map(_.toInt).getOrElse(120)
+      val publishers = args.lift(2).map(_.toInt).getOrElse(48)
+      val shards = args.lift(3).map(_.toInt).getOrElse(8)
+      val pumps = args.lift(4).map(_.toInt).getOrElse(4)
+      runMulti(20000, publishers, shards, pumps) // JIT/class warmup
+      runSoak(durationSec, publishers, shards, pumps)
+      return
+    }
     if (args.headOption.exists(Set("multi", "multib"))) {
       val perPumpBroker = args.head == "multib"
       val n = args.lift(1).map(_.toInt).getOrElse(240000)
