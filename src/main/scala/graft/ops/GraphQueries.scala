@@ -620,9 +620,14 @@ object GraphQueries {
     * (one dense cluster per nation, bridged only through shared suppliers),
     * unlike the full bipartite trade graph, which LPA would collapse to a
     * handful of labels. Node ids use the PageRank parity encoding. */
+  // NO stagedBuildConfs here (round-16 measured regression): the
+  // same-nation filter shrinks the distinct's input ~25×, so the default
+  // 32-partition build never spilled — while 128 coalescing-off partitions
+  // landed the SMALL output as 128 tiny files that every LPA round
+  // re-scans (q_label_prop 5.5 → 11.3 s, q_lpa_modularity 5.7 → 13.7 s at
+  // 100× before this revert).
   private[ops] def nationTradeEdges(t: Tables): DataFrame =
-    Staged.viaParquet("nation_trade_edges", t.spark, t.dir,
-        buildConfs = stagedBuildConfs(t)) {
+    Staged.viaParquet("nation_trade_edges", t.spark, t.dir) {
     val pairs = shj(t.orders.select(col("o_orderkey"), col("o_custkey")), t.bigInputs())
       .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
