@@ -33,6 +33,12 @@ def main() -> None:
         stages[info["Stage ID"]] = dict(
             wall=(info.get("Completion Time", 0) - info.get("Submission Time", 0)) / 1e3,
             tasks=info.get("Number of Tasks", 0),
+            # task_s is summed executor run time; wall includes scheduling
+            # delay (a stage submitted early but launched late reads a huge
+            # wall with near-zero task_s — a ghost, not a cost). cpu_s low
+            # relative to task_s means IO/contention/host steal, not code.
+            task_s=int(acc.get("internal.metrics.executorRunTime", 0) or 0) / 1e3,
+            cpu_s=int(acc.get("internal.metrics.executorCpuTime", 0) or 0) / 1e9,
             spill=mb("internal.metrics.memoryBytesSpilled"),
             dspill=mb("internal.metrics.diskBytesSpilled"),
             shW=mb("internal.metrics.shuffle.write.bytesWritten"),
@@ -43,7 +49,8 @@ def main() -> None:
         s = stages[sid]
         if s["wall"] > min_wall or s["spill"] > 0 or s["shW"] > 100:
             print(
-                f'stage {sid:3d} wall {s["wall"]:7.1f}s tasks {s["tasks"]:4d} '
+                f'stage {sid:3d} wall {s["wall"]:7.1f}s task {s["task_s"]:7.1f}s '
+                f'cpu {s["cpu_s"]:7.1f}s tasks {s["tasks"]:4d} '
                 f'shR {s["shR"]:8.0f}MB shW {s["shW"]:8.0f}MB '
                 f'memSpill {s["spill"]:8.0f}MB diskSpill {s["dspill"]:7.0f}MB'
             )
