@@ -469,4 +469,75 @@ class PlanShapeSpec extends SparkSpec {
       spark.sharedState.cacheManager.clearCache()
     }
   }
+
+  test("clustered dedup rides ONE exchange: hash(src) satisfies the " +
+      "dropDuplicates clustering") {
+    // The staged graph builds (trade_edges / order_pairs) depend on this
+    // planner property: HashPartitioning(src) satisfies the dedup
+    // aggregate's ClusteredDistribution(src, dst) — equal pairs share a
+    // src — so repartition + dropDuplicates + sortWithinPartitions costs
+    // exactly the one exchange a bare distinct() would, while landing the
+    // output src-clustered and sorted (round-16; the clustering cut the
+    // consumer-side symmetrized-edge shuffle 941 -> 800 MB and the degree
+    // shuffle 176 -> 23 MB at 100x). If a Spark upgrade or edit makes the
+    // dedup re-shuffle, the staged builds silently double their exchange
+    // cost - this pins it.
+    val df = Tables(spark, sf).lineitem
+      .select(col("l_orderkey").as("src"), col("l_suppkey").as("dst"))
+      .repartition(col("src"))
+      .dropDuplicates("src", "dst")
+      .sortWithinPartitions(col("src"), col("dst"))
+    val p = plan(df)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"clustered dedup must plan exactly one exchange, found $exchanges:\n$p")
+    assert(p.contains("keys=[src"), s"dedup aggregate missing:\n$p")
+  }
+
+  test("unrolled Pregel rounds share ONE edge exchange via ReusedExchange " +
+      "(uniform notnull pushdown)") {
+    // Round-16 engine fix: the LAST unrolled pagerank round has no next
+    // inner join to push isnotnull(dst) back through, so without the
+    // trailing where(node.isNotNull) its edge scan carried weaker pushed
+    // filters, canonicalized differently, and AQE materialized the
+    // symmetrized edge shuffle TWICE (2 x 984 MB at 100x). This pins the
+    // fixed shape at test scale with broadcasts disabled (static AND
+    // adaptive thresholds - the at-scale all-shuffle regime): the final
+    // adaptive plan must build exactly three src-keyed exchanges (edges,
+    // degree partial-agg, ranks-init distinct) and reuse them across the
+    // remaining rounds instead of rebuilding per round.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = GraphQueries.pagerank(spark, sf)
+      df.collect() // finalize the adaptive plan
+      val full = df.queryExecution.executedPlan.toString
+      // assert on the FINAL adaptive plan only (the initial-plan section
+      // repeats every exchange textually by construction)
+      val p = full.split("== Initial Plan ==").head
+      // line-based: a ReusedExchange node prints its REFERENCED exchange on
+      // the same line ("ReusedExchange [...], Exchange hashpartitioning("),
+      // which a substring count would misread as a built exchange
+      val built = p.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning(src#") &&
+          !l.contains("ReusedExchange"))
+      val reused = p.linesIterator.count(_.contains("ReusedExchange"))
+      assert(built == 3,
+        s"expected exactly 3 built src-keyed exchanges (edges, degree, " +
+          s"ranks-init) in the final plan, found $built:\n$p")
+      assert(reused >= 4,
+        s"expected the later rounds to ReusedExchange the edge and degree " +
+          s"shuffles (>=4 reuses for 3 rounds), found $reused:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      prevA match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None =>
+          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
 }
