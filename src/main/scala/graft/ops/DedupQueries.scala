@@ -74,6 +74,18 @@ object DedupQueries {
   private def fanout(df: DataFrame, key: String): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(key))
 
+  /** Width for the counting self-joins' pair-aggregation shuffle: cores at
+    * test scale, 4× cores past the [[Tables.bigInputs]] gate. The ~127 M
+    * pair rows at 100× hold ~190 MB of aggregate state per task at default
+    * width (measured 13.1 GB spill); 4× splits it under the executor
+    * budget. Explicit N, not AQE-advisory: the agg sits ABOVE this
+    * exchange, so coalescing by shuffle bytes would re-fold exactly the
+    * state the width exists to split (the same parallelismFirst finding as
+    * [[graft.ops.Staged.viaParquet]]'s buildConfs). */
+  private def pairAggWidth(spark: SparkSession, dir: String): Int =
+    spark.sparkContext.defaultParallelism *
+      (if (Tables(spark, dir).bigInputs()) 4 else 1)
+
   /** Exact dedup: group by content hash, keep the smallest doc_id. */
   def dedupDocExact(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
@@ -128,7 +140,7 @@ object DedupQueries {
     * near-dup candidates are precisely the docs whose shingles are all
     * repeated, so the arrays never prune. The counting join ships ~30-byte
     * rows instead of arrays: at the same 100× corpus the pair stream is
-    * 127 M × 32 B ≈ 4 GB with map-side combine, no distinct, no spill.
+    * 127 M × 32 B ≈ 4 GB, no arrays, no distinct.
     * It also deletes the prefix plan's ⌊na/2⌋-slack exactness tripwire
     * (JaccardExactnessMaxShingles) — counting has no prune to protect.
     *
@@ -145,9 +157,14 @@ object DedupQueries {
     * postings — LINEAR in the corpus with the cap as the constant, the
     * same worst-case envelope the prefix plan had, without its array
     * payload. A pair sharing many shingles emits one row per shared
-    * shingle, but those rows live in different shingle partitions and the
-    * partial agg collapses them map-side — no reduce-side skew. Posting
-    * lists are never collected into one aggregation buffer. */
+    * shingle; those rows live in DIFFERENT shingle partitions, so the pair
+    * shuffle ships them raw and the aggregation collapses them post-
+    * shuffle (round-16 correction: the old map-side partial agg measured
+    * 125.47 M rows in → 125.47 M shuffle records out — zero collapse, pure
+    * spill — so the agg now rides an explicit hash(doc_a) repartition
+    * instead; see the impl). Per-pair fan-in is bounded by min(na, nb), so
+    * no reduce-side skew. Posting lists are never collected into one
+    * aggregation buffer. */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     // The verified pair table doubles as q_text_lsh_recall's exhaustive
     // TRUTH set — stage it so the recall audit reads the pairs the key
@@ -183,13 +200,27 @@ object DedupQueries {
     val p = postings.join(dfreq, Seq("s"))
       .select(col("s"), col("doc_id"), col("nsh"))
       .persist()
-    // One equi-join on the shingle + one partial-aggregated pair shuffle =
-    // exact n_common for every co-occurring pair (the oracle's algebra,
-    // distributed).
+    // One equi-join on the shingle + one pair shuffle = exact n_common for
+    // every co-occurring pair (the oracle's algebra, distributed). The
+    // aggregation RIDES an explicit hash(doc_a) repartition instead of
+    // planning its own keyed exchange (round-16, from a 100× stage
+    // profile): a pair's occurrences live in DIFFERENT shingle partitions,
+    // so the map-side partial agg below the old exchange collapsed
+    // nothing — measured 125.47 M rows in, 125.47 M shuffle records out —
+    // while its hash map spilled 12.7 GB; and the final agg at default
+    // width spilled 13.1 GB more. Shuffling the RAW pair rows costs the
+    // same bytes, the partial+final aggs both run above the exchange on
+    // each task's bounded share, and the explicit width (4× cores past the
+    // scale gate; AQE never coalesces an explicit-N repartition) keeps
+    // that share spill-free. hash(doc_a) satisfies the aggregate's
+    // clustering (equal pairs share doc_a — the PlanShapeSpec-pinned
+    // property), so no second exchange appears.
     p.as("a").join(p.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.nsh").as("na"), col("b.nsh").as("nb"))
+      .repartition(pairAggWidth(spark, dir), col("doc_a"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("n_common"))
       .withColumn("jaccard", round(col("n_common").cast("double") /
         (col("na") + col("nb") - col("n_common")), 4))
@@ -665,10 +696,16 @@ object DedupQueries {
     val p = postings.join(dfreq, Seq("s"))
       .select(col("s"), col("doc_id"), col("nsh"))
       .persist() // self-join sides share one materialization, as above
+    // pair agg rides an explicit hash(doc_x) repartition — same measured
+    // rationale as [[dedupNgramJaccardImpl]] (the map-side partial agg
+    // below a keyed exchange collapses nothing on shingle-partitioned
+    // pair streams and only spills)
     val und = p.as("a").join(p.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_x"), col("b.doc_id").as("doc_y"),
+      .select(col("a.doc_id").as("doc_x"), col("b.doc_id").as("doc_y"),
         col("a.nsh").as("nx"), col("b.nsh").as("ny"))
+      .repartition(pairAggWidth(spark, dir), col("doc_x"))
+      .groupBy(col("doc_x"), col("doc_y"), col("nx"), col("ny"))
       .agg(count(lit(1)).as("n_common"))
       // best-case orientation prune (see scaladoc): round is monotone, so
       // neither orientation can reach the threshold if this one can't
