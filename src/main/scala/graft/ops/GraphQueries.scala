@@ -305,10 +305,22 @@ object GraphQueries {
     // link-predict all replay the same co-order self-join otherwise.
     Staged.viaParquet(s"coorder_edges_$minShared", t.spark, t.dir,
         buildConfs = stagedBuildConfs(t)) {
+    // Both aggregations ride explicit repartitions (round-16, same measured
+    // anti-pattern as the DedupQueries counting joins): (1) the (order,
+    // supplier) distinct's map-side partial agg collapsed ~5% of 60 M rows
+    // while spilling 4.6 GB at 100× — hash(o) clusters it for free and the
+    // dedup plans no second exchange; the self-join on the order key then
+    // reuses that same exchange on both sides. (2) a supplier pair's
+    // co-occurrences live in DIFFERENT order partitions, so the pair
+    // count's map-side partial agg collapsed nothing (1.7 GB spill) —
+    // shuffle the raw pairs on hash(s1) and aggregate above it. Widths
+    // come from [[stagedBuildConfs]] (128 + coalescing off past the gate).
     val lo = t.lineitem.select(col("l_orderkey").as("o"), col("l_suppkey").as("s"))
-      .distinct()
+      .repartition(col("o"))
+      .dropDuplicates("o", "s")
     lo.as("a").join(lo.as("b"), col("a.o") === col("b.o") && col("a.s") < col("b.s"))
       .select(col("a.s").as("s1"), col("b.s").as("s2"))
+      .repartition(col("s1"))
       .groupBy(col("s1"), col("s2"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
