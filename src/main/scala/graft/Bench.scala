@@ -1,6 +1,32 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** Sums executor CPU ns + task run ms across all completed tasks.
+    *
+    * The regime-independent half of the bench record (round-16 verdict #1):
+    * wall-clock on a shared box lies — the r16 sweep read 2.03× the
+    * quiescent bands purely from host throttle (fingerprint median 1.899,
+    * uniform across 276 keys) — but `executorCpuTime` counts only cycles
+    * the tasks actually burned, so it holds within ~10% across load
+    * regimes while wall swings 2–3×. Per-key attribution = snapshot-diff
+    * around each query with a listener-bus drain on both sides
+    * ([[org.apache.spark.graftbridge.ListenerBusDrain]]). `runMs`
+    * (executorRunTime) is carried too: task seconds ≫ CPU seconds flags
+    * IO/contention/steal, same reading as tools/stagedump.py. */
+  private final class CpuListener extends org.apache.spark.scheduler.SparkListener {
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong
+    val runMs = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        cpuNs.addAndGet(m.executorCpuTime)
+        runMs.addAndGet(m.executorRunTime)
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -11,6 +37,12 @@ object Bench {
       .getOrCreate()
     GraftExtensions.ensureRegistered(spark)
     spark.sparkContext.setLogLevel("WARN")
+    val cpuL = new CpuListener
+    spark.sparkContext.addSparkListener(cpuL)
+    def drainBus(): Unit = {
+      if (!org.apache.spark.graftbridge.ListenerBusDrain.drain(spark.sparkContext))
+        System.err.println("[bench] listener bus drain timed out - per-key cpu attribution may bleed into the next key")
+    }
     // Warm the session so the first timed query measures the query, not JVM
     // startup. The range/parquet pass warms the basics, but the heavy paths
     // (digest kernels, LSH banding, broadcast + window exec) JIT lazily —
@@ -59,6 +91,8 @@ object Bench {
         .filter { case (n, _) => only.isEmpty || only(n) }
         .toSeq.sortBy(_._1)
     val results = selected.map { case (name, fn) =>
+      drainBus() // flush prior key's tail events before snapshotting
+      val cpu0 = cpuL.cpuNs.get(); val run0 = cpuL.runMs.get()
       val t0 = System.nanoTime()
       // A failed query must be VISIBLE in the output (round-4 review: the
       // old swallow-to--1L benched a broken query as ~0 s with rc=0).
@@ -67,6 +101,11 @@ object Bench {
           System.err.println(s"[bench] QUERY FAILED $name: ${t.getClass.getSimpleName}: ${t.getMessage}")
           Some(t.getClass.getSimpleName)
       }
+      // CPU window closes HERE (post-drain, pre-cleanup): the teardown /
+      // unpersist work below is harness hygiene, not query cost.
+      drainBus()
+      val cpuSec = (cpuL.cpuNs.get() - cpu0) / 1e9
+      val runSec = (cpuL.runMs.get() - run0) / 1e3
       // Signature-table persists (dedup/vector queries) are per-plan and
       // never unpersisted by the builders; drop them between queries so the
       // 60+-query run doesn't accumulate cached partitions. localCheckpoint
@@ -93,16 +132,29 @@ object Bench {
       // ground (round-14: a 59-key 100x sweep died at 50 min with zero
       // attribution). The f-interpolator's locale sensitivity is fine here,
       // this line is for humans, never parsed.
-      System.err.println(f"[bench] done $name $sec%.2f s")
-      (name, sec, err)
+      System.err.println(f"[bench] done $name $sec%.2f s (cpu $cpuSec%.2f s, task $runSec%.2f s)")
+      (name, sec, cpuSec, runSec, err)
     }
-    val qs = results.map { case (k, v, e) =>
+    val qs = results.map { case (k, v, _, _, e) =>
       "\"" + k + "\":" + e.map(_ => "-1").getOrElse(v.toString)
     }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => s"\"$k\":\"$e\"" }
+    // Per-key summed executor CPU seconds + task (run) seconds — the
+    // regime-independent metrics next to wall (round-16 verdict #1). Wall
+    // stays the headline `queries` map so BENCH_r{N} history remains
+    // comparable; cpu/task live in sibling maps keyed identically.
+    def metricMap(field: String, pick: ((String, Double, Double, Double,
+        Option[String])) => Double): String =
+      results.map { r =>
+        "\"" + r._1 + "\":" + (if (r._5.isDefined) "-1"
+          else (math.rint(pick(r) * 1000) / 1000).toString)
+      }.mkString(s""","$field":{""", ",", "}")
+    val cpuField = metricMap("cpu", _._3)
+    val taskField = metricMap("task", _._4)
+    val errs = results.collect { case (k, _, _, _, Some(e)) => s"\"$k\":\"$e\"" }
     val errField =
       if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
-    val total = results.collect { case (_, v, None) => v }.sum
+    val total = results.collect { case (_, v, _, _, None) => v }.sum
+    val totalCpu = results.collect { case (_, _, c, _, None) => c }.sum
     // Self-annotating load detection (round-8 verdict #7): compare each key
     // against the checked-in quiescent reference (tools/bench_bands.json, a
     // copy of a clean closing sweep's per-query record). A key ≥3× its
@@ -121,36 +173,54 @@ object Bench {
     val bandsFile: java.io.File = sys.env.get("SPARK_GRAFT_BANDS")
       .map(new java.io.File(_))
       .getOrElse(new java.io.File(projectRoot, "tools/bench_bands.json"))
-    val bands: Map[String, Double] =
+    def readBandMap(field: String, quiet: Boolean = false): Map[String, Double] =
       try {
         val node = new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(bandsFile).get("queries")
+          .readTree(bandsFile).get(field)
         val it = node.fields()
         val m = scala.collection.mutable.Map.empty[String, Double]
         while (it.hasNext) { val e = it.next(); m(e.getKey) = e.getValue.asDouble() }
         m.toMap
       } catch { case t: Throwable =>
-        System.err.println(s"[bench] no band reference at $bandsFile (${t.getClass.getSimpleName}) — skipping load annotation")
+        if (!quiet)
+          System.err.println(s"[bench] no band reference at $bandsFile (${t.getClass.getSimpleName}) — skipping load annotation")
         Map.empty
       }
+    val bands: Map[String, Double] = readBandMap("queries")
+    // CPU bands (round-16 verdict #1): optional "cpu" map in the same file,
+    // written from a sweep's cpu record. Quiet when absent — pre-r17 bands
+    // files carry wall only.
+    val cpuBands: Map[String, Double] = readBandMap("cpu", quiet = true)
     // Per-key suspects get the same teardown treatment as the sweep
     // fingerprint (round-15 advice): under SPARK_GRAFT_TEARDOWN each key
     // pays its full staged-prefix build while the bands were cut amortized,
     // so a key reading 3x its band is the protocol, not host load — emit
     // nothing rather than mislabel it.
     val suspects = if (teardown) Nil else results.collect {
-      case (k, v, None) if bands.get(k).exists(b => b > 0 && v >= 3 * b && v >= 2.0) =>
-        (k, v, bands(k))
-    }.sortBy { case (_, v, b) => -(v / b) }
-    suspects.foreach { case (k, v, b) =>
-      System.err.println(f"[bench] LOAD-SUSPECT $k: $v%.2f s in-sweep vs $b%.2f s quiescent reference (${v / b}%.1fx) - re-measure isolated before reading this as a regression")
+      case (k, v, c, _, None) if bands.get(k).exists(b => b > 0 && v >= 3 * b && v >= 2.0) =>
+        (k, v, bands(k), c)
+    }.sortBy { case (_, v, b, _) => -(v / b) }
+    suspects.foreach { case (k, v, b, c) =>
+      // When CPU bands exist, adjudicate the suspect IN the message: a key
+      // whose wall blew past 3x its band but whose CPU sits at ITS band is
+      // host load by construction (the tasks burned the same cycles,
+      // slower) — no isolated re-measure needed. CPU also inflated means
+      // the plan itself changed: treat as a real regression lead.
+      val cpuNote = cpuBands.get(k).filter(_ > 0).map { cb =>
+        if (c <= 1.3 * cb) f" [cpu ${c}%.2f s AT its ${cb}%.2f s band - host load, not a regression]"
+        else f" [cpu ${c}%.2f s vs ${cb}%.2f s band (${c / cb}%.1fx) - CPU moved too, suspect a REAL plan change]"
+      }.getOrElse("")
+      System.err.println(f"[bench] LOAD-SUSPECT $k: $v%.2f s in-sweep vs $b%.2f s quiescent reference (${v / b}%.1fx) - re-measure isolated before reading this as a regression$cpuNote")
     }
     val suspectField =
       if (suspects.isEmpty) ""
-      else suspects.take(5).map { case (k, v, b) =>
+      else suspects.take(5).map { case (k, v, b, c) =>
         // Double.toString, not %.2f: the f-interpolator is locale-sensitive
         // and a comma decimal separator would corrupt the JSON line
-        s""""$k":{"sweep":${math.rint(v * 100) / 100},"quiescent":${math.rint(b * 100) / 100}}"""
+        val cpuBits = cpuBands.get(k).filter(_ > 0).map { cb =>
+          s""","cpu":${math.rint(c * 100) / 100},"cpu_quiescent":${math.rint(cb * 100) / 100},"cpu_at_band":${c <= 1.3 * cb}"""
+        }.getOrElse("")
+        s""""$k":{"sweep":${math.rint(v * 100) / 100},"quiescent":${math.rint(b * 100) / 100}$cpuBits}"""
       }.mkString(""","load_suspects":{""", ",", "}")
     // Sweep-level box fingerprint (round-13 verdict "What's wrong" #1): the
     // per-key LOAD-SUSPECT gate (3x AND 2 s) can only catch individual
@@ -163,13 +233,24 @@ object Bench {
     // BASELINE.md compare-isolated-medians rule, now emitted in-record so a
     // degraded driver sweep self-reports its regime).
     val ratios = results.collect {
-      case (k, v, None) if bands.get(k).exists(_ > 0) => v / bands(k)
+      case (k, v, _, _, None) if bands.get(k).exists(_ > 0) => v / bands(k)
     }.sorted
+    // CPU-ratio fingerprint next to the wall one (round-16 verdict #1): on
+    // a throttled host wall inflates uniformly while summed task CPU holds
+    // within ~10%, so cpu_median_ratio near 1.0 under a wall-degraded sweep
+    // PROVES host load in-record — no regime-correction argument needed.
+    // cpu_median_ratio elevated alongside wall means the code itself got
+    // more expensive.
+    val cpuRatios = results.collect {
+      case (k, _, c, _, None) if cpuBands.get(k).exists(_ > 0) => c / cpuBands(k)
+    }.sorted
+    def pct(v: Vector[Double], q: Double): Double =
+      v(math.min(v.size - 1, (v.size * q).toInt))
     val fingerprintField =
       if (ratios.isEmpty) ""
       else {
         val med = ratios(ratios.size / 2)
-        val p90 = ratios(math.min(ratios.size - 1, (ratios.size * 9) / 10))
+        val p90 = pct(ratios.toVector, 0.9)
         // flag only on real sweeps: a 3-key SPARK_GRAFT_ONLY subset's median
         // is dominated by residual first-query JIT (measured 2.85x on a
         // quiescent box) and would cry wolf on every local iteration loop.
@@ -178,11 +259,20 @@ object Bench {
         // sweep reads uniformly high BY CONSTRUCTION (measured median 3.25
         // on the round-15 family sweep); the record says so itself.
         val degraded = med >= 1.25 && ratios.size >= 20 && !teardown
+        val cpuBits =
+          if (cpuRatios.isEmpty) ""
+          else {
+            val cmed = cpuRatios(cpuRatios.size / 2)
+            val cp90 = pct(cpuRatios.toVector, 0.9)
+            val hostLoad = degraded && cmed <= 1.15
+            s""","cpu_median_ratio":${math.rint(cmed * 1000) / 1000},"cpu_p90_ratio":${math.rint(cp90 * 1000) / 1000},"cpu_n":${cpuRatios.size}""" +
+              (if (degraded) s""","cpu_confirms_host_load":$hostLoad""" else "")
+          }
         if (degraded)
           System.err.println(f"[bench] SWEEP LOAD-SUSPECT: median per-key ratio $med%.3f vs quiescent bands (p90 $p90%.3f, n=${ratios.size}) - uniform inflation is host load, not a code regression; re-measure on a quiescent box")
-        s""","box_fingerprint":{"median_ratio":${math.rint(med * 1000) / 1000},"p90_ratio":${math.rint(p90 * 1000) / 1000},"n":${ratios.size},"sweep_load_suspect":$degraded${if (teardown) ",\"teardown\":true,\"bands_comparable\":false" else ""}}"""
+        s""","box_fingerprint":{"median_ratio":${math.rint(med * 1000) / 1000},"p90_ratio":${math.rint(p90 * 1000) / 1000},"n":${ratios.size}$cpuBits,"sweep_load_suspect":$degraded${if (teardown) ",\"teardown\":true,\"bands_comparable\":false" else ""}}"""
       }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField$suspectField$fingerprintField,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_cpu_sec":${math.rint(totalCpu * 100) / 100},"queries":$qs$cpuField$taskField$errField$suspectField$fingerprintField,"sf":"$sfDir"}"""
     println(line)
     // The driver tail-captures stdout at ~2000 chars, which front-truncates
     // the full per-query map on a 235-key run (~7 KB) — BENCH_r06 recorded
@@ -198,12 +288,12 @@ object Bench {
     } catch { case t: Throwable =>
       System.err.println(s"[bench] could not write $outP: ${t.getMessage}")
     }
-    val slowest = results.filter(_._3.isEmpty).sortBy(-_._2).take(15)
-      .map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val slowest = results.filter(_._5.isEmpty).sortBy(-_._2).take(15)
+      .map { case (k, v, _, _, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // full_record carries the RESOLVED absolute path: a CWD-relative
     // pointer would be wrong exactly in the run-from-elsewhere case the
     // projectRoot resolution exists for (round-10 review)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowest$errField$suspectField$fingerprintField,"sf":"$sfDir","n_queries":${results.size},"queries_truncated_to_slowest":15,"full_record":"${outP.toAbsolutePath}"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_cpu_sec":${math.rint(totalCpu * 100) / 100},"queries":$slowest$errField$suspectField$fingerprintField,"sf":"$sfDir","n_queries":${results.size},"queries_truncated_to_slowest":15,"full_record":"${outP.toAbsolutePath}"}""")
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)
   }

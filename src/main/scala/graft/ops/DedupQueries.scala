@@ -81,7 +81,7 @@ object DedupQueries {
     * budget. Explicit N, not AQE-advisory: the agg sits ABOVE this
     * exchange, so coalescing by shuffle bytes would re-fold exactly the
     * state the width exists to split (the same parallelismFirst finding as
-    * [[graft.ops.Staged.viaParquet]]'s buildConfs). */
+    * [[graft.ops.GraphQueries]]'s stagedRepartition). */
   private def pairAggWidth(spark: SparkSession, dir: String): Int =
     spark.sparkContext.defaultParallelism *
       (if (Tables(spark, dir).bigInputs()) 4 else 1)

@@ -74,22 +74,26 @@ object GraphQueries {
   private def shj(buildSide: DataFrame, when: Boolean = true): DataFrame =
     if (when) buildSide.hint("shuffle_hash") else buildSide
 
-  /** Build-scoped confs for the spill-prone staged DISTINCT/agg builds past
-    * the scale gate. The builds dedup a fact-sized join output (60 M rows
-    * at 100×) whose hash-agg state spilled ~5 GB per stage in 32
-    * post-shuffle tasks at 8 g (round-15 final readings). 4× the shuffle
-    * partitions quarters per-task state; coalescing must be OFF for the
-    * build because AQE's `parallelismFirst` folds small partitions back to
-    * core count (measured this round: 128 → 32, spill unchanged) — with
-    * it off the final agg runs its full width and the spill disappears.
-    * Scoped to the staged WRITE only ([[Staged.viaParquet]] restores both
-    * confs), so consumer plans keep default AQE coalescing. Below the gate:
-    * empty — sf0.1 builds fit comfortably and tiny tasks only add overhead. */
-  private def stagedBuildConfs(t: Tables): Map[String, String] =
-    if (t.bigInputs())
-      Map("spark.sql.shuffle.partitions" -> "128",
-        "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
-    else Map.empty
+  /** Explicit-width repartition for the spill-prone staged DISTINCT/agg
+    * builds past the scale gate. The builds dedup a fact-sized join output
+    * (60 M rows at 100×) whose hash-agg state spilled ~5 GB per stage in
+    * 32 post-shuffle tasks at 8 g (round-15 final readings); 4× the width
+    * quarters per-task state and the spill disappears (round-16 A/B).
+    *
+    * Spelled as `repartition(N, col)` — shuffle origin REPARTITION_BY_NUM —
+    * rather than the round-16 session-conf overrides
+    * (`spark.sql.shuffle.partitions=128` + coalescing off): AQE's
+    * `CoalesceShufflePartitions` only folds ENSURE_REQUIREMENTS /
+    * REPARTITION_BY_COL / REBALANCE shuffles, so a user-pinned width
+    * survives `parallelismFirst` with ZERO conf mutation (pinned in
+    * PlanShapeSpec). The conf spelling mutated the SHARED session's SQL
+    * confs for the build window — any concurrently-planned query (streaming
+    * feeds, a parallel test) silently picked them up (round-16 advice).
+    * Below the gate: column-only repartition, exactly the pre-gate plan —
+    * sf0.1 builds fit comfortably and tiny tasks only add overhead. */
+  private def stagedRepartition(df: DataFrame, t: Tables,
+      key: org.apache.spark.sql.Column): DataFrame =
+    if (t.bigInputs()) df.repartition(128, key) else df.repartition(key)
 
   /** Customer–supplier trade graph: an edge for every (customer, supplier)
     * pair connected through at least one order line. Node ids are disjoint
@@ -109,13 +113,13 @@ object GraphQueries {
     // doubling is a union of two projections over the same parquet files —
     // two cheap columnar scans per consumer instead of writing (and
     // distinct-shuffling) twice the rows once.
-    val pairs = Staged.viaParquet("trade_edges", t.spark, t.dir,
-      buildConfs = stagedBuildConfs(t)) {
+    val pairs = Staged.viaParquet("trade_edges", t.spark, t.dir) {
       // At sf0.1 the orders side broadcasts statically (2 MB) and the gate
       // stays off; past the gate it is SMJ by estimate and the hash build
       // is the measured win (round-15 stage profile: the SMJ here sorted
       // the 60 M-row lineitem stream for 10.5 GB of spill at 100×).
-      shj(t.orders.select(col("o_orderkey"), col("o_custkey")), t.bigInputs())
+      val joined =
+        shj(t.orders.select(col("o_orderkey"), col("o_custkey")), t.bigInputs())
         .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
         .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
@@ -130,7 +134,8 @@ object GraphQueries {
         // 100×: hash(src,dst)-sharded unsorted staging cost 941–1281 MB
         // per symmetrized exchange and 176 MB per degree exchange;
         // src-clustered sorted staging cut those to ~790 MB and ~25 MB).
-        .repartition(col("src"))
+        // Width from [[stagedRepartition]] (128 past the gate).
+      stagedRepartition(joined, t, col("src"))
         .dropDuplicates("src", "dst")
         .sortWithinPartitions(col("src"), col("dst"))
     }
@@ -303,8 +308,7 @@ object GraphQueries {
   private[ops] def coOrderEdges(t: Tables, minShared: Int): DataFrame =
     // Staged per minShared: triangles / degree-dist / assortativity /
     // link-predict all replay the same co-order self-join otherwise.
-    Staged.viaParquet(s"coorder_edges_$minShared", t.spark, t.dir,
-        buildConfs = stagedBuildConfs(t)) {
+    Staged.viaParquet(s"coorder_edges_$minShared", t.spark, t.dir) {
     // Both aggregations ride explicit repartitions (round-16, same measured
     // anti-pattern as the DedupQueries counting joins): (1) the (order,
     // supplier) distinct's map-side partial agg collapsed ~5% of 60 M rows
@@ -314,13 +318,15 @@ object GraphQueries {
     // co-occurrences live in DIFFERENT order partitions, so the pair
     // count's map-side partial agg collapsed nothing (1.7 GB spill) —
     // shuffle the raw pairs on hash(s1) and aggregate above it. Widths
-    // come from [[stagedBuildConfs]] (128 + coalescing off past the gate).
-    val lo = t.lineitem.select(col("l_orderkey").as("o"), col("l_suppkey").as("s"))
-      .repartition(col("o"))
+    // come from [[stagedRepartition]] (128 pinned past the gate).
+    val lo = stagedRepartition(
+        t.lineitem.select(col("l_orderkey").as("o"), col("l_suppkey").as("s")),
+        t, col("o"))
       .dropDuplicates("o", "s")
-    lo.as("a").join(lo.as("b"), col("a.o") === col("b.o") && col("a.s") < col("b.s"))
-      .select(col("a.s").as("s1"), col("b.s").as("s2"))
-      .repartition(col("s1"))
+    stagedRepartition(
+      lo.as("a").join(lo.as("b"), col("a.o") === col("b.o") && col("a.s") < col("b.s"))
+        .select(col("a.s").as("s1"), col("b.s").as("s2")),
+      t, col("s1"))
       .groupBy(col("s1"), col("s2"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
@@ -821,18 +827,18 @@ object GraphQueries {
   /** Directed customer→supplier order edges (the bipartite half of
     * [[edges]]: no symmetrization — HITS needs the direction). */
   private def orderPairs(t: Tables): DataFrame =
-    Staged.viaParquet("order_pairs", t.spark, t.dir,
-        buildConfs = stagedBuildConfs(t)) {
+    Staged.viaParquet("order_pairs", t.spark, t.dir) {
       // same gated hash-build shape as [[edges]] — see the note there
-      shj(t.orders.select(col("o_orderkey"), col("o_custkey")), t.bigInputs())
+      val joined =
+        shj(t.orders.select(col("o_orderkey"), col("o_custkey")), t.bigInputs())
         .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
-        // single-exchange clustered dedup, same spelling + rationale as
-        // [[edges]]: hash(cust) satisfies the dedup's clustering, files
-        // land cust-disjoint and sorted for tighter parquet + shuffle
-        // compression in both HITS half-step exchanges
-        .repartition(col("cust"))
+      // single-exchange clustered dedup, same spelling + rationale as
+      // [[edges]]: hash(cust) satisfies the dedup's clustering, files
+      // land cust-disjoint and sorted for tighter parquet + shuffle
+      // compression in both HITS half-step exchanges
+      stagedRepartition(joined, t, col("cust"))
         .dropDuplicates("cust", "supp")
         .sortWithinPartitions(col("cust"), col("supp"))
     }

@@ -92,8 +92,7 @@ object Staged {
     * files. Files live in a [[graft.TempDirs]]-swept scratch dir, so the
     * cleanup loops (and [[clear]]) never touch them, and re-reads survive
     * any cache/unpersist hygiene for the JVM's life. */
-  def viaParquet(name: String, spark: SparkSession, dir: String,
-      buildConfs: Map[String, String] = Map.empty)
+  def viaParquet(name: String, spark: SparkSession, dir: String)
       (build: => DataFrame): DataFrame = synchronized {
     val canonical = new java.io.File(dir).getCanonicalPath
     tables.getOrElseUpdate((name, canonical), {
@@ -108,18 +107,14 @@ object Staged {
         .digest(canonical.getBytes("UTF-8"))
         .take(16).map("%02x".format(_)).mkString
       val out = parquetRoot.resolve(name + "-" + digest).toString
-      // Build-scoped conf overrides (e.g. a higher shuffle-partition count
-      // for a spill-prone staged distinct): set for the write's planning/
-      // execution only, restored (to the prior value or to unset) before
-      // returning, so consumer plans never see them.
-      val prior = buildConfs.keys.map(k =>
-        k -> spark.conf.getOption(k)).toMap
-      buildConfs.foreach { case (k, v) => spark.conf.set(k, v) }
-      try build.write.mode("overwrite").parquet(out)
-      finally prior.foreach {
-        case (k, Some(v)) => spark.conf.set(k, v)
-        case (k, None) => spark.conf.unset(k)
-      }
+      // No session-conf overrides here (round-16 shipped a buildConfs
+      // set/restore window; round-16 advice: any query planned CONCURRENTLY
+      // on the shared session — streaming feeds, a parallel test — silently
+      // picked up the temporary confs). Builds that need a wider agg width
+      // pin it IN THE PLAN via repartition(N, col) — REPARTITION_BY_NUM is
+      // exempt from AQE coalescing, so the width holds without touching
+      // session state ([[graft.ops.GraphQueries]] stagedRepartition).
+      build.write.mode("overwrite").parquet(out)
       spark.read.parquet(out)
     })
   }

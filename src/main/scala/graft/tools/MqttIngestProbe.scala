@@ -304,17 +304,30 @@ object MqttIngestProbe {
       }
       val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
       val published = new Array[Long](publishers)
+      // A publisher that dies mid-soak must not fail SILENTLY as a wrong
+      // count: without the try/finally, a publish throwing mid-loop left
+      // published(p)=0 despite delivered messages, so the audit later
+      // failed with a misleading "ingest incomplete: X of Y durable"
+      // (round-16 advice). The finally records the true delivered count
+      // and closes the client; the cause is surfaced in the audit message.
+      val pubErrors =
+        new java.util.concurrent.ConcurrentLinkedQueue[(Int, Throwable)]()
       val threads = (0 until publishers).map { p =>
         val shard = p % shards
         new Thread(() => {
           val c = new MqttClient("127.0.0.1", broker.port, s"pub-$p").connect()
           var i = 0L
-          while (!stop.get()) {
-            c.publish(s"pr/$shard/x", s"m$p-$i")
-            i += 1
+          try {
+            while (!stop.get()) {
+              c.publish(s"pr/$shard/x", s"m$p-$i")
+              i += 1
+            }
+          } catch { case t: Throwable => pubErrors.add((p, t)) }
+          finally {
+            published(p) = i
+            try c.close()
+            catch { case _: Throwable => () } // count already recorded
           }
-          published(p) = i
-          c.close()
         }, s"soak-pub-$p")
       }
       // heap + WAL-disk sampler: GC-settled used heap every 2 s for the
@@ -383,6 +396,14 @@ object MqttIngestProbe {
       stop.set(true)
       threads.foreach(_.join(120000))
       require(threads.forall(!_.isAlive), "a publisher failed to stop")
+      // surface a dead publisher as ITS OWN failure, not as a downstream
+      // count mismatch (round-16 advice)
+      import scala.jdk.CollectionConverters._
+      val pubErrs = pubErrors.asScala.toVector
+      require(pubErrs.isEmpty, "publisher(s) died mid-soak: " +
+        pubErrs.map { case (p, t) =>
+          s"pub-$p: ${t.getClass.getSimpleName}: ${t.getMessage}" }
+          .mkString("; "))
       val total = published.sum
       val ingestSec = (System.nanoTime() - t0) / 1e9
       // every published message must become durable, then drain exactly
@@ -401,7 +422,6 @@ object MqttIngestProbe {
           s"shard $s drained ${perShard(s)} rows, published $expect")
       }
       sampling.set(false); sampler.join(10000)
-      import scala.jdk.CollectionConverters._
       val heap = heapSamples.asScala.toVector
       val wal = walSamples.asScala.toVector
       def stats(v: Vector[Long]): String =
@@ -414,6 +434,12 @@ object MqttIngestProbe {
         s""""ingest_msg_per_sec":${math.rint(total / ingestSec)},""" +
         s""""driver_shipped_bytes":$shipped,""" +
         s""""reader_heap_mb":${stats(heap)},""" +
+        // The sampled JVM co-hosts the publisher threads (sync QoS1 loops)
+        // and per-shard audit counters alongside the planner/reader role —
+        // heap samples are an UPPER BOUND on reader retention, not a pure
+        // reader-process measurement (round-16 advice). The pumps (the
+        // per-message path) are separate JVMs either way.
+        s""""heap_includes_colocated_publishers":true,""" +
         s""""wal_disk_mb":${stats(wal)}}""")
     } finally {
       try {

@@ -134,9 +134,16 @@ object ScaleProbe {
       if (!Files.exists(link))
         Files.createSymbolicLink(link, Paths.get(s"$src/$t.parquet"))
     }
-    // The out dir's contents just changed; any bigInputs verdict probed
-    // against a half-populated (or prior-generation) state is now stale.
-    graft.tables.Tables.invalidateBigInputs()
+    // The out dir's contents just changed. Two memo layers are now stale
+    // (round-16 advice): any bigInputs verdict probed against a
+    // half-populated (or prior-generation) state, AND any Staged derived
+    // tables (trade_edges, coorder_edges, jaccard_pairs, …) already built
+    // for this dir in this JVM — those memoized frames/parquet scratch
+    // would keep serving pre-regeneration rows. Staged.clear drops the
+    // whole registry (it also invalidates bigInputs internally); a
+    // dir-targeted eviction isn't worth the bookkeeping for a probe-tool
+    // path that regenerates at most a handful of times per process.
+    graft.ops.Staged.clear(spark)
   }
 
   private def time(fn: => Long): (Double, Long) = {

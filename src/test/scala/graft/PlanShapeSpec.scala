@@ -494,6 +494,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("keys=[src"), s"dedup aggregate missing:\n$p")
   }
 
+  test("explicit-width repartition survives AQE coalescing " +
+      "(REPARTITION_BY_NUM is exempt)") {
+    // The staged builds' spill fix pins the agg width IN THE PLAN
+    // (stagedRepartition → repartition(128, col)) instead of the round-16
+    // session-conf overrides, which leaked to concurrently-planned queries
+    // (round-16 advice). That respelling is only sound while AQE's
+    // CoalesceShufflePartitions keeps honoring user-pinned widths — it
+    // folds ENSURE_REQUIREMENTS / REPARTITION_BY_COL / REBALANCE shuffles
+    // but must skip REPARTITION_BY_NUM. Executed (AQE-final) plan check:
+    // the column-only spelling coalesces these tiny partitions, the
+    // explicit-width spelling must not.
+    val base = Tables(spark, sf).lineitem
+      .select(col("l_orderkey").as("src"), col("l_suppkey").as("dst"))
+    def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect() // finalize the adaptive plan
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    }
+    val pinned = finalPlan(
+      base.repartition(24, col("src")).dropDuplicates("src", "dst"))
+    assert(pinned.contains("REPARTITION_BY_NUM"),
+      s"expected a REPARTITION_BY_NUM exchange:\n$pinned")
+    assert(!pinned.contains("coalesced"),
+      s"repartition(24, src) must not be AQE-coalesced:\n$pinned")
+    val byCol = finalPlan(
+      base.repartition(col("src")).dropDuplicates("src", "dst"))
+    assert(byCol.contains("coalesced"),
+      s"sanity: the column-only spelling should coalesce these tiny " +
+        s"partitions — if not, this pin tests nothing:\n$byCol")
+  }
+
   test("unrolled Pregel rounds share ONE edge exchange via ReusedExchange " +
       "(uniform notnull pushdown)") {
     // Round-16 engine fix: the LAST unrolled pagerank round has no next
