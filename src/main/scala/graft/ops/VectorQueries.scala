@@ -604,7 +604,31 @@ object VectorQueries {
       col("vec_id").as("vec_a"), col("e").as("ea"), col("nrm").as("na"))
     val c = be.select(col("band_idx"), col("band_val"), col("sig").as("sig_b"),
       col("vec_id").as("vec_b"), col("e").as("eb"), col("nrm").as("nb"))
-    a.join(c, Seq("band_idx", "band_val"))
+    // Join width PINNED past the scale gate (round-17, from the r16 100×
+    // q_mutual_knn stage attribution): the band-join shuffle carries the
+    // LINEAR n × bands relation (slim bytes), so AQE's byte-targeted
+    // coalescing folds the join to few partitions — but the join OUTPUT is
+    // the candidate-pair stream (~156 M rows at 100×), and everything
+    // pipelined above it (cosine, min-band filter, a consumer window's
+    // map-side top-k sort) runs at that folded width. That mismatch is the
+    // classic explosive-join trap: per-task sort/agg state scales with
+    // candidates-per-task, and q_mutual_knn's WindowGroupLimit sort spilled
+    // 17.4 GB deterministically. 16× cores of REPARTITION_BY_NUM width
+    // (exempt from coalescing — PlanShapeSpec) divides the pipelined state
+    // to ~0.6 M candidates/task: measured same-window at 100× (one JVM per
+    // reading), 8×/16×/32× walls 59.1/48.0/106.0 s with spill
+    // 11.8 GB/1.2 GB/0 — 16× leaves only the bucket-skew residual (a hot
+    // bucket's C(cap,2) pairs are indivisible by ANY width on the join
+    // keys), while 32× fragments the slim exchange into mapTasks×1024
+    // ~40 KB blocks and the stage goes IO-bound (task 2475 s vs cpu 969 s).
+    // Below the gate AQE's fold is the right call for tiny inputs, so the
+    // pin stays off.
+    def pinned(df: DataFrame): DataFrame =
+      if (Tables(spark, dir).bigInputs())
+        df.repartition(spark.sparkContext.defaultParallelism * 16,
+          col("band_idx"), col("band_val"))
+      else df
+    pinned(a).join(pinned(c), Seq("band_idx", "band_val"))
       .filter(col("vec_a") < col("vec_b") &&
         call_function("graft_min_band", col("band_idx"), col("sig_a"), col("sig_b")))
       .select(col("vec_a"), col("vec_b"),
@@ -712,8 +736,19 @@ object VectorQueries {
     // threshold −1: keep every scored LSH candidate pair — the graph keeps
     // rank structure, not an absolute similarity cut
     val und = embeddingPairs(spark, dir, minCos = -1.0)
-    val directed = und.select(col("vec_a").as("src"), col("vec_b").as("dst"), col("cos_sim"))
-      .union(und.select(col("vec_b").as("src"), col("vec_a").as("dst"), col("cos_sim")))
+    // Symmetrize by EXPLODE, not union (round-17): the two union branches
+    // were two complete physical copies of the candidate pipeline — the
+    // band self-join and the cosine dot product each ran TWICE (exchange
+    // reuse dedupes the join's input shuffles, not the join/scoring stage
+    // itself). A 2-element inline array explode emits the same two directed
+    // rows per pair from ONE scoring pass, pipelined in the same stage —
+    // identical row set, half the join/cosine work.
+    val directed = und.select(explode(array(
+        struct(col("vec_a").as("src"), col("vec_b").as("dst"), col("cos_sim")),
+        struct(col("vec_b").as("src"), col("vec_a").as("dst"), col("cos_sim"))))
+        .as("d"))
+      .select(col("d.src").as("src"), col("d.dst").as("dst"),
+        col("d.cos_sim").as("cos_sim"))
     val w = Window.partitionBy(col("src")).orderBy(col("cos_sim").desc, col("dst"))
     directed
       .withColumn("rn", row_number().over(w).cast("long"))
