@@ -109,15 +109,34 @@ object ClusterQueries {
     * to its nearest centroid in `cents` (cluster, ce) → (vec_id, e,
     * cluster). The `max_by` ordering struct (cos, -cluster) reproduces the
     * oracle's `ORDER BY cos DESC, cluster` tie-break. `cents` is always
-    * driver-scale metadata (10²–10⁵ rows), hence the explicit broadcast. */
-  private def assignTo(vectors: DataFrame, cents: DataFrame): DataFrame =
-    vectors.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("e"), col("cluster"),
+    * driver-scale metadata (10²–10⁵ rows), hence the explicit broadcast.
+    *
+    * The argmax aggregates SCALARS ONLY and joins `e` back afterwards
+    * (round-17, from a 100× stage profile): any `max_by` whose value or
+    * ordering is non-fixed-width plans as SortAggregate — HashAggregate
+    * needs mutable fixed-width buffer slots — and the old spelling carried
+    * the embedding array in the `max_by` payload, so the physical plan
+    * SORTED the entire k×-exploded cross-join stream with ~600 B of vector
+    * on every row (q_semdedup: 8.4 GB memory spill in a stage that emits
+    * one 40 B row per vector). Slimming the agg row to (vec_id, cluster,
+    * cs, tb) still plans SortAggregate (struct ordering), but the sort data
+    * shrinks ~15× and the spill disappears; the vectors ride ONE explicit
+    * hash(vec_id) exchange that the agg's clustering AND the e-recovery
+    * join both reuse (ReusedExchange — no second shuffle). Measured 100×
+    * A/B in BASELINE round-17; q_kmeans_refine and the Lloyd loop share
+    * this E-step. */
+  private def assignTo(vectors: DataFrame, cents: DataFrame): DataFrame = {
+    val v = vectors.repartition(
+      vectors.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
+    val win = v.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cluster"),
         cosine(col("e"), col("ce")).as("cs"))
       .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("e"), col("cluster")),
-        struct(col("cs"), (-col("cluster")).as("tb"))).as("m"))
-      .select(col("vec_id"), col("m.e").as("e"), col("m.cluster").as("cluster"))
+      .agg(max_by(col("cluster"),
+        struct(col("cs"), (-col("cluster")).as("tb"))).as("cluster"))
+    win.join(v, Seq("vec_id"))
+      .select(col("vec_id"), col("e"), col("cluster"))
+  }
 
   /** M-step: exact per-(cluster, dim) DECIMAL(38,12) means over an
     * assignment frame (vec_id, e, cluster), reassembled into centroid

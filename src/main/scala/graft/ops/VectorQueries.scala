@@ -775,20 +775,25 @@ object VectorQueries {
     * so the result equals brute-force [[similarVectors]] exactly. */
   def ivfSearchWith(spark: SparkSession, dir: String, cents: DataFrame,
       probeId: Long, k: Int, nprobe: Int): DataFrame = {
-    val e = emb(spark, dir)
     // Assignment: argmax over the broadcast centroid table, as a map-side
     // combinable `max_by` aggregate — one partial-agg row per vector reaches
     // the shuffle, where a window argmax would shuffle and sort the whole
     // 10×-exploded assignment table (round-2 review). The ordering struct
     // (cdot, -cent_id) reproduces the oracle's ORDER BY cdot DESC, cent_id.
-    val assigned = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("label"), col("e"), col("cent_id"),
-        dot(col("e"), col("ce")).as("cdot"))
+    // The agg carries SCALARS only, with (label, e) joined back on the same
+    // hash(vec_id) exchange (round-17, the ClusterQueries.assignTo finding):
+    // a max_by payload holding the embedding array plans as SortAggregate
+    // (non-fixed-width buffer) and physically sorts the whole exploded
+    // stream with the vector on every row.
+    val e = emb(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+    val winners = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"), dot(col("e"), col("ce")).as("cdot"))
       .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("label"), col("e"), col("cent_id")),
-        struct(col("cdot"), (-col("cent_id")).as("tb"))).as("m"))
-      .select(col("vec_id"), col("m.label").as("label"), col("m.e").as("e"),
-        col("m.cent_id").as("cent_id"))
+      .agg(max_by(col("cent_id"),
+        struct(col("cdot"), (-col("cent_id")).as("tb"))).as("cent_id"))
+    val assigned = winners.join(e, Seq("vec_id"))
+      .select(col("vec_id"), col("label"), col("e"), col("cent_id"))
     // nprobe centroid lists nearest the probe.
     val probeLists = cents
       .crossJoin(broadcast(probe(spark, dir, probeId)))
