@@ -412,6 +412,18 @@ object DedupQueries {
       col("doc_id").as("doc_a"), col("simhash").as("sim_a"), col("capmask").as("cm_a"))
     val b = chunks.select(col("chunk_idx"), col("chunk"),
       col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    // Join width pinned past the scale gate (round-17, same explosive-join
+    // lever as the embedding band join in [[VectorQueries]]): the chunk
+    // rows are slim (4 per doc) but the join OUTPUT is the banded collision
+    // stream whose per-bucket Hamming work is quadratic in bucket size, so
+    // at core-count width a few hot-bucket tasks straggle the stage (100×
+    // profile: 660 task-s across 32 tasks, 51.7 s wall). 8× cores of
+    // REPARTITION_BY_NUM width spreads buckets across 8 waves.
+    def pinned(df: DataFrame): DataFrame =
+      if (Tables(spark, dir).bigInputs())
+        df.repartition(spark.sparkContext.defaultParallelism * 8,
+          col("chunk_idx"), col("chunk"))
+      else df
     // Exactly-once pair emission (round-14, from a 100× stage profile where
     // the pair-volume distinct shuffled 106 M rows — 40% of the key's
     // wall): keep a pair only in its FIRST live colliding band. A band j
@@ -426,7 +438,8 @@ object DedupQueries {
         (shiftright(col("cm_a"), j).bitwiseAND(1) === 0) ||
         (shiftright(expr("sim_a ^ sim_b"), j * 12) % 4096 =!= 0)
     }.reduce(_ && _)
-    a.join(b, Seq("chunk_idx", "chunk")).filter(col("doc_a") < col("doc_b"))
+    pinned(a).join(pinned(b), Seq("chunk_idx", "chunk"))
+      .filter(col("doc_a") < col("doc_b"))
       .filter(noEarlierLiveCollision)
       .select(col("doc_a"), col("doc_b"),
         expr("bit_count(sim_a ^ sim_b)").cast("long").as("hamming"))
