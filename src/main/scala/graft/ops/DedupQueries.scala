@@ -805,10 +805,24 @@ object DedupQueries {
     val truth = dedupVerified(spark, dir).select(col("doc_a"), col("doc_b"))
     val cand = simhashPairs(spark, dir).select(col("doc_a"), col("doc_b"))
     val nTruth = truth.agg(count(lit(1)).as("n_truth"))
-    val nCand = cand.agg(count(lit(1)).as("n_cand"))
-    val nHit = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
-      .agg(count(lit(1)).as("n_hit"))
-    nTruth.crossJoin(broadcast(nCand)).crossJoin(broadcast(nHit))
+    // n_cand and n_hit in ONE exchange-free pass over the candidate table
+    // (round-17, from a 100× profile): the old truth-LEFT-SEMI-candidates
+    // spelling put the 92.7 M-row candidate table on the RIGHT of a semi
+    // join, which BroadcastHashJoin can only build — so Spark shuffled the
+    // whole candidate set (92.7 M-row exchange + 3 GB spill) to probe a
+    // 25 k-row truth side. Flipped, the truth set broadcasts and the
+    // candidates stream map-side. Counts are identical because BOTH pair
+    // tables are duplicate-free on (doc_a, doc_b) (min-band exactly-once
+    // emission / verified-pair distinctness), so |truth ⋉ cand| =
+    // |cand ⋈ truth|. The broadcast is sized by REAL near-dup density
+    // (truth = exact-Jaccard ≥ τ pairs), the quantity this audit exists to
+    // measure — a corpus whose truth set outgrows the driver needs its dup
+    // explosion fixed, not a bigger audit join.
+    val counted = cand.join(
+        broadcast(truth.withColumn("t", lit(1L))), Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("n_cand"),
+        sum(coalesce(col("t"), lit(0L))).as("n_hit"))
+    nTruth.crossJoin(broadcast(counted))
       .select(col("n_truth"), col("n_cand"), col("n_hit"),
         when(col("n_truth") > 0,
           round(col("n_hit").cast("double") / col("n_truth").cast("double"), 6))
