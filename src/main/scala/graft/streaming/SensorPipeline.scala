@@ -170,6 +170,36 @@ object SensorPipeline {
     * measured bracket. */
   private val ApproxFeedBytesPerRow = 150L
 
+  /** Estimated feed rows above which a BIG-WINDOW-STATE replay (one that
+    * declares `bigWindowState` — currently the sliding-window and
+    * session-window aggs) flips the state store to RocksDB.
+    *
+    * Round-17, measured at 100× feed volume (10.5 M events): the default
+    * heap-backed store DIED on the sliding replay — the within-drain state
+    * peak (every window of the corpus is live until the watermark advances
+    * at batch END) filled the 8 g heap into a GC death spiral (670 s of GC
+    * in one 717 s stage, ~0 CPU progress) that took the SparkContext down;
+    * the session replay survived at 2,597 summed GC-seconds. RocksDB holds
+    * that state off-heap: sliding FAILED → 98.8 s, sessions 48.3 → 39.0 s.
+    * Every OTHER replay measured FASTER on the heap store at the same
+    * scale (joins 1.6–6.4× — four stores' per-batch RocksDB maintenance;
+    * tumbling aggs ~1.1–2.7×, their per-(window,sensor) state being far
+    * smaller than the sliding family's), so the flip is PER-REPLAY and
+    * feed-gated, not global — the round-9 "flip the provider when state
+    * outgrows executor memory, not before" doctrine, now with the measured
+    * crossover. 5 M splits the [1 M fine → 10.5 M fatal] bracket the same
+    * conservative way [[AutoStateRowThreshold]] does. */
+  val RocksDbFeedRowThreshold = 5000000L
+
+  /** Heap-death guard for the big-window-state replays: past
+    * [[RocksDbFeedRowThreshold]] estimated feed rows, scope the state-store
+    * provider to RocksDB (bundled with Spark; off-heap state) for the
+    * query started inside `body`. Same set/restore seam as
+    * [[withStatePartitions]] — the conf is read once at query START. */
+  private val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  private val ProviderConf = "spark.sql.streaming.stateStore.providerClass"
+
   /** Auto-size state partitions from the replay feed's on-disk volume when
     * `spark.graft.replay.statePartitions` is unset: the round-9 100× probe
     * showed the right value is a function of STATE size, and the feed is
@@ -178,7 +208,13 @@ object SensorPipeline {
     * the first batch). An explicit conf always wins; production sets it
     * from expected key cardinality × volume. */
   def autoStatePartitions(feedDir: String): Int =
-    if (feedDir == null) DefaultStatePartitions
+    if (feedRowEstimate(feedDir) > AutoStateRowThreshold) ScaledStatePartitions
+    else DefaultStatePartitions
+
+  /** Order-of-magnitude feed row estimate from on-disk volume (0 when the
+    * dir is null/unreadable — every consumer treats that as "small"). */
+  private def feedRowEstimate(feedDir: String): Long =
+    if (feedDir == null) 0L
     else try {
       var bytes = 0L
       val stream = java.nio.file.Files.walk(java.nio.file.Paths.get(feedDir))
@@ -189,10 +225,8 @@ object SensorPipeline {
           if (java.nio.file.Files.isRegularFile(p)) bytes += java.nio.file.Files.size(p)
         }
       } finally stream.close()
-      if (bytes / ApproxFeedBytesPerRow > AutoStateRowThreshold)
-        ScaledStatePartitions
-      else DefaultStatePartitions
-    } catch { case _: Throwable => DefaultStatePartitions }
+      bytes / ApproxFeedBytesPerRow
+    } catch { case _: Throwable => 0L }
 
   /** Run `body` (which starts and drains a stateful streaming query) with
     * the session's shuffle-partition count temporarily set to the replay
@@ -200,13 +234,35 @@ object SensorPipeline {
     * `feedDir` ([[autoStatePartitions]]). The previous value is always
     * restored; batch queries in the same session are unaffected because
     * Spark reads the conf at query START only. */
-  def withStatePartitions[T](spark: SparkSession, feedDir: String = null)(body: => T): T = {
+  def withStatePartitions[T](spark: SparkSession, feedDir: String = null,
+      bigWindowState: Boolean = false)(body: => T): T = {
     val n = spark.conf.getOption(StatePartitionsConf)
       .map(_.trim.toInt).getOrElse(autoStatePartitions(feedDir))
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    // Heap-death guard (round-17, see RocksDbFeedRowThreshold): a declared
+    // big-window-state replay past the threshold runs on RocksDB. The
+    // detection must compare VALUES, not presence — `conf.getOption` on a
+    // conf with a built-in default returns the default, never None (the
+    // first spelling checked isEmpty and silently never fired — caught by
+    // a 100× re-run still dying on the heap store). A session that already
+    // runs a NON-default provider (a RocksDB A/B via SPARK_GRAFT_CONF)
+    // is left alone; an A/B that needs to pin the heap store on a big feed
+    // sets [[NoRocksDbConf]].
+    val flipProvider = bigWindowState &&
+      spark.conf.get(ProviderConf).endsWith("HDFSBackedStateStoreProvider") &&
+      !spark.conf.getOption(NoRocksDbConf).exists(v => v == "1" || v == "true") &&
+      feedRowEstimate(feedDir) > RocksDbFeedRowThreshold
     spark.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    if (flipProvider) spark.conf.set(ProviderConf, RocksDbProvider)
+    try body finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      if (flipProvider) spark.conf.unset(ProviderConf)
+    }
   }
+
+  /** A/B escape hatch: disables the [[withStatePartitions]] RocksDB
+    * escalation so a measurement can pin the heap store on a big feed. */
+  val NoRocksDbConf = "spark.graft.replay.noRocksDb"
 
   /** Replays JSON-line files through the full pipeline with three sinks:
     *
@@ -357,7 +413,7 @@ object SensorPipeline {
   /** Replay `inDir` through parse → validity filter → sliding-window agg in
     * append mode; returns the sink path. */
   def replaySliding(spark: SparkSession, inDir: String, outBase: String): String =
-    withStatePartitions(spark, inDir) {
+    withStatePartitions(spark, inDir, bigWindowState = true) {
       val raw = spark.readStream.schema(StructType(Seq(StructField("value", StringType))))
         .text(inDir).toDF("value")
       val filtered = parse(raw).filter(isValid(col("temperature"), col("humidity")))
@@ -396,7 +452,7 @@ object SensorPipeline {
   /** Replay `inDir` through parse → validity filter → session-window agg in
     * append mode; returns the session sink path. */
   def replaySessions(spark: SparkSession, inDir: String, outBase: String): String =
-    withStatePartitions(spark, inDir) {
+    withStatePartitions(spark, inDir, bigWindowState = true) {
       val raw = spark.readStream.schema(StructType(Seq(StructField("value", StringType))))
         .text(inDir).toDF("value")
       val filtered = parse(raw).filter(isValid(col("temperature"), col("humidity")))
