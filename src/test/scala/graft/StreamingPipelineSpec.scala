@@ -242,4 +242,44 @@ class StreamingPipelineSpec extends SparkSpec {
     streamed shouldBe expected
     assert(expected.nonEmpty, "fixture must produce matches for this test to bite")
   }
+
+  test("big-window-state replays flip the state store to RocksDB past the " +
+      "feed threshold, scoped and restored") {
+    // Pins the round-17 heap-death guard AND the detection trap that
+    // silently disarmed its first spelling: `conf.getOption` on a conf
+    // with a built-in default (the state-store providerClass) returns the
+    // DEFAULT, never None, so presence-checking can't detect "unset" — the
+    // guard must value-compare against the HDFS default class. Caught only
+    // because a 100x re-run died again on the heap store; this test makes
+    // the regression loud and cheap. The big feed is a SPARSE file (size
+    // without disk), since the estimator reads Files.size only.
+    val conf = "spark.sql.streaming.stateStore.providerClass"
+    val dir = TempDirs.scratch("flipspec_").toFile
+    val f = new java.io.RandomAccessFile(new java.io.File(dir, "feed.txt"), "rw")
+    try f.setLength(2L * 1024 * 1024 * 1024) // ~14 M estimated rows at 150 B/row
+    finally f.close()
+    val before = spark.conf.get(conf)
+    assert(before.endsWith("HDFSBackedStateStoreProvider"),
+      s"precondition: session must be on the default provider, got $before")
+    var inside: String = null
+    SensorPipeline.withStatePartitions(spark, dir.toString,
+        bigWindowState = true) {
+      inside = spark.conf.get(conf)
+    }
+    assert(inside.endsWith("RocksDBStateStoreProvider"),
+      s"big-window-state replay past the threshold must run on RocksDB, got $inside")
+    assert(spark.conf.get(conf) == before, "provider conf must be restored")
+    // a NON-big-window replay on the same feed must stay on the default
+    SensorPipeline.withStatePartitions(spark, dir.toString) {
+      assert(spark.conf.get(conf) == before,
+        "non-flagged replays must keep the heap store regardless of feed size")
+    }
+    // the A/B escape hatch pins the heap store even for flagged replays
+    spark.conf.set(SensorPipeline.NoRocksDbConf, "true")
+    try SensorPipeline.withStatePartitions(spark, dir.toString,
+        bigWindowState = true) {
+      assert(spark.conf.get(conf) == before,
+        "noRocksDb conf must disable the escalation")
+    } finally spark.conf.unset(SensorPipeline.NoRocksDbConf)
+  }
 }
