@@ -818,10 +818,14 @@ object DedupQueries {
     // (truth = exact-Jaccard ≥ τ pairs), the quantity this audit exists to
     // measure — a corpus whose truth set outgrows the driver needs its dup
     // explosion fixed, not a bigger audit join.
+    // coalesce the SUM, not (only) the per-row term: with an EMPTY candidate
+    // table the global agg returns n_cand=0 but sum(...)=NULL, and n_hit /
+    // recall would go NULL where the pre-r17 left-semi spelling returned 0
+    // (round-17 ADVICE).
     val counted = cand.join(
         broadcast(truth.withColumn("t", lit(1L))), Seq("doc_a", "doc_b"), "left")
       .agg(count(lit(1)).as("n_cand"),
-        sum(coalesce(col("t"), lit(0L))).as("n_hit"))
+        coalesce(sum(coalesce(col("t"), lit(0L))), lit(0L)).as("n_hit"))
     nTruth.crossJoin(broadcast(counted))
       .select(col("n_truth"), col("n_cand"), col("n_hit"),
         when(col("n_truth") > 0,

@@ -877,30 +877,42 @@ object RelationalQueries {
 
   /** Top co-purchased part pairs: distinct parts sharing an order, paired
     * (p1 < p2), counted, top-20 by support — market-basket affinity, the
-    * self-join shape behind "frequently bought together".
+    * "frequently bought together" shape.
     *
-    * Shape at scale: the self-join is on `l_orderkey` — both sides shuffle
-    * on the SAME key (one exchange, reused), and the fan-out per order is
-    * bounded by the basket size (TPC-H baskets ≤ 7 lines → ≤ 21 pairs), so
-    * output is linear in orders, not quadratic in lineitems. The
-    * [[CoPurchaseMaxBasket]] tripwire enforces that boundedness instead of
-    * assuming it. Top-20 compiles to TakeOrderedAndProject over the
-    * partial-aggregated pair counts — no global sort. */
+    * Round-18 rework (from a plan audit): the old spelling self-joined a
+    * `distinct + count-over-window` subplan with itself — Spark re-executes
+    * an uncached subplan per reference, so the scan, the distinct exchange,
+    * and the window sort all ran TWICE, plus a broadcast of one whole side
+    * (plans/r18/q_copurchase_before.txt: 2 scans, 2 windows, 5 exchanges).
+    * Baskets are the per-order grain, so one `collect_set(pk)` groupBy
+    * gives the distinct basket AND its size in a single partial-aggregated
+    * exchange, the [[CoPurchaseMaxBasket]] tripwire reads `size(basket)`
+    * directly, and the (p1 < p2) pairs expand IN-ROW from the array — the
+    * same bucket-pair expansion the dedup family uses, bounded by
+    * C(cap, 2) per order. After: 2 exchanges, no window, no join, one scan.
+    *
+    * Shape at scale: one shuffle keyed by order (map-side partial
+    * collect_set), one partial-aggregated pair shuffle; fan-out per order
+    * is C(basket, 2) ≤ C(cap, 2) (TPC-H baskets ≤ 7 lines → ≤ 21 pairs) —
+    * linear in orders, never quadratic in lineitems, and the tripwire
+    * enforces that boundedness instead of assuming it. Top-20 compiles to
+    * TakeOrderedAndProject over the partial-aggregated pair counts — no
+    * global sort. */
   def coPurchase(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables(spark, dir).lineitem
+    val baskets = Tables(spark, dir).lineitem
       .where(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val guarded = li
-      .withColumn("basket", count(lit(1)).over(Window.partitionBy(col("ok"))))
-      .withColumn("pk",
-        when(col("basket") > CoPurchaseMaxBasket, raise_error(concat(
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(collect_set(col("l_partkey")).as("pks"))
+      .withColumn("pks",
+        when(size(col("pks")) > CoPurchaseMaxBasket, raise_error(concat(
           lit(s"coPurchase: basket exceeds $CoPurchaseMaxBasket parts for order "),
-          col("ok")))).otherwise(col("pk")))
-      .select(col("ok"), col("pk"))
-    guarded.as("a").join(guarded.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+          col("ok")))).otherwise(col("pks")))
+    baskets
+      .select(explode(expr(
+        """flatten(transform(pks, a ->
+          |  transform(filter(pks, b -> b > a),
+          |    b -> named_struct('p1', a, 'p2', b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("p1"), col("p2"))
       .limit(20)

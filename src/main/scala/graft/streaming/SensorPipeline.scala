@@ -233,11 +233,26 @@ object SensorPipeline {
     * state sizing — the explicit conf if set, else auto-sized from
     * `feedDir` ([[autoStatePartitions]]). The previous value is always
     * restored; batch queries in the same session are unaffected because
-    * Spark reads the conf at query START only. */
+    * Spark reads the conf at query START only.
+    *
+    * Concurrency contract (round-17 ADVICE, same class as the removed
+    * `Staged.viaParquet` buildConfs window): this is a set/restore window on
+    * the SHARED session conf — a stateful streaming query started from
+    * ANOTHER thread while `body` runs would silently adopt this replay's
+    * partition count (and, past the RocksDB gate, its state-store
+    * provider). Safe here because every driver of the replays (Verify,
+    * Bench, the test suites, ScaleProbe) starts streaming queries strictly
+    * sequentially from one thread; a concurrent harness must clone the
+    * session (`spark.newSession()`) per replay instead. */
   def withStatePartitions[T](spark: SparkSession, feedDir: String = null,
       bigWindowState: Boolean = false)(body: => T): T = {
+    // One directory walk serves both the partition sizing and the RocksDB
+    // gate (round-17 ADVICE: the unset-conf path walked the feed dir twice).
+    val feedRows = feedRowEstimate(feedDir)
     val n = spark.conf.getOption(StatePartitionsConf)
-      .map(_.trim.toInt).getOrElse(autoStatePartitions(feedDir))
+      .map(_.trim.toInt)
+      .getOrElse(if (feedRows > AutoStateRowThreshold) ScaledStatePartitions
+        else DefaultStatePartitions)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     // Heap-death guard (round-17, see RocksDbFeedRowThreshold): a declared
     // big-window-state replay past the threshold runs on RocksDB. The
@@ -251,7 +266,7 @@ object SensorPipeline {
     val flipProvider = bigWindowState &&
       spark.conf.get(ProviderConf).endsWith("HDFSBackedStateStoreProvider") &&
       !spark.conf.getOption(NoRocksDbConf).exists(v => v == "1" || v == "true") &&
-      feedRowEstimate(feedDir) > RocksDbFeedRowThreshold
+      feedRows > RocksDbFeedRowThreshold
     spark.conf.set("spark.sql.shuffle.partitions", n.toString)
     if (flipProvider) spark.conf.set(ProviderConf, RocksDbProvider)
     try body finally {
