@@ -329,14 +329,18 @@ object SensorPipeline {
     * files, which is why a long-lived production table would sit in an ACID
     * format with compaction rather than bare parquet. */
   // An alias, not a second constant: the merge logic lives in tables.Merge
-  // and ITS default applies whenever the conf is unset — a diverging value
-  // here would be silently ignored (review finding).
+  // and ITS sizing applies whenever the conf is unset — a diverging value
+  // here would be silently ignored (review finding). Round-18: the unset
+  // default is no longer a fixed 32 — mergeInto derives the creation count
+  // from the first batch's key cardinality via Merge.autoBuckets (the
+  // keys/50 k ChangelogProbe rule, automated).
   val ChangelogBuckets: Int = graft.tables.Merge.DefaultBuckets
 
   /** Production sizing knob for the changelog table: bucket count should
     * track key cardinality (buckets ≈ keys / 50 k keeps a bucket's rewrite
     * cost bounded as keys grow — see the ChangelogProbe measurements in
-    * BASELINE.md). Unset → [[ChangelogBuckets]]. The count used at table
+    * BASELINE.md; an unset conf applies that rule automatically from the
+    * first batch via [[graft.tables.Merge.autoBuckets]]). The count used at table
     * CREATION is persisted in a `_graft_buckets` marker next to the data and
     * wins on every later batch — the bucket column is part of the on-disk
     * layout, so a different count on a replay run would hash keys into
@@ -351,9 +355,10 @@ object SensorPipeline {
     * the table schema and delegate to the engine's generic batch MERGE
     * ([[graft.tables.Merge.mergeInto]] — this sink was the original home of
     * that logic; it is now the shared upsert path for any keyed parquet
-    * table). An unset conf defers to the table's persisted marker (or
-    * [[graft.tables.Merge.DefaultBuckets]] on creation); a set conf that
-    * disagrees with an existing layout fails loudly inside mergeInto. */
+    * table). An unset conf defers to the table's persisted marker (or the
+    * [[graft.tables.Merge.autoBuckets]] first-batch derivation on
+    * creation); a set conf that disagrees with an existing layout fails
+    * loudly inside mergeInto. */
   def upsertBatch(tablePath: String)(batch: DataFrame, batchId: Long): Unit =
     graft.tables.Merge.mergeInto(
       tablePath,

@@ -32,16 +32,48 @@ import org.apache.spark.sql.functions.{col, hash, lit, pmod}
   * bounded as the table grows. */
 object Merge {
 
+  /** Historical fixed default, kept as the auto-sizing CAP interaction
+    * anchor in docs/tests; new tables derive their count from the first
+    * batch instead (see [[autoBuckets]]). */
   val DefaultBuckets = 32
+
+  /** Target keys per bucket for the auto-derived layout — the measured
+    * ChangelogProbe rule (BASELINE.md: buckets ≈ keys / 50 k keeps one
+    * bucket's copy-on-write rewrite bounded as the table grows). */
+  val KeysPerBucket = 50000L
+
+  /** Auto-derivation cap: past ~4 k bucket directories the per-merge commit
+    * machinery (listing + dynamic-partition renames) dominates; a table
+    * that big should size its layout explicitly from expected cardinality. */
+  val MaxAutoBuckets = 4096
+
   private val BucketsMarker = "_graft_buckets"
 
+  /** Bucket count for a NEW table when the caller pinned nothing: the
+    * keys/50 k rule applied to the creating batch (updates carry ≤ 1 row
+    * per key, so its row count IS its key count). Round-18, replacing the
+    * fixed 32: at small cardinality 32 buckets meant every merge paid 32
+    * file writes + commits for kilobytes of data (sf0.1 A/B over the six
+    * table-format keys: family CPU 44 → 22 cpu-s, task-time 25 → 14 s),
+    * while at 100 TB cardinality 32 buckets would be far too FEW — the
+    * fixed constant was wrong in both directions. First-batch derivation
+    * assumes the creating batch is representative of steady-state
+    * cardinality (true for the replay/demo tables here); a table whose
+    * first batch is a non-representative sliver should pin the count
+    * explicitly, exactly as production deployments are documented to do. */
+  def autoBuckets(firstBatchRows: Long): Int =
+    math.min(MaxAutoBuckets.toLong,
+      math.max(1L, (firstBatchRows + KeysPerBucket - 1) / KeysPerBucket)).toInt
+
   /** Persisted marker if present (cross-checked against an explicit
-    * request), else the request/default. Driver-side metadata, a few bytes. */
+    * request), else the request, else the first-batch derivation.
+    * Driver-side metadata, a few bytes. */
   private def resolveBuckets(
       fs: org.apache.hadoop.fs.FileSystem,
       marker: org.apache.hadoop.fs.Path,
       markerExists: Boolean,
-      requested: Option[Int]): Int = {
+      requested: Option[Int],
+      firstBatchRows: Long): Int = {
     if (markerExists) {
       val in = fs.open(marker)
       val persisted =
@@ -54,7 +86,7 @@ object Merge {
             "rebuild (the bucket column is baked into the on-disk layout)")
       }
       persisted
-    } else requested.getOrElse(DefaultBuckets)
+    } else requested.getOrElse(autoBuckets(firstBatchRows))
   }
 
   /** True iff the table holds COMMITTED data: at least one bucket partition
@@ -90,28 +122,35 @@ object Merge {
     val fs = tableP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val markerP = new org.apache.hadoop.fs.Path(tableP, BucketsMarker)
     val tableExists = hasData(fs, tableP)
-    val nBuckets = resolveBuckets(fs, markerP, fs.exists(markerP), requestedBuckets)
-    // Pin the layout BEFORE the first data write: a crash between the two
-    // must leave a marker without data (harmless — the next run reads the
-    // pinned count and takes the create path), never data without a marker
-    // (fatal — a later run could adopt a DIFFERENT count and the left-anti
-    // merge would silently keep stale old-scheme copies of updated keys).
-    if (!fs.exists(markerP)) {
-      val out = fs.create(markerP, true)
-      try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
-    }
     // Cache the updates FIRST: under foreachBatch every action re-executes
     // the batch plan (for a stateful query, the whole shuffle + state-store
     // pass) — uncached, the emptiness probe, the affected-bucket scan, and
     // the merge would each pay it (measured 2× the batch cost at sf0.1).
-    val keyed = updates
-      .withColumn("bucket", pmod(hash(keyCols.map(col): _*), lit(nBuckets)))
-      .persist()
+    // Cached BEFORE the bucket projection so the auto-sizing count and the
+    // keyed frame share one materialization.
+    val base = updates.persist()
     try {
       // count(), not isEmpty(): the emptiness probe is a limit-1 partial
       // execution that caches only the partitions it touches; one count
-      // fully populates the cache in a single pass.
-      if (keyed.count() == 0L) return
+      // fully populates the cache in a single pass. It doubles as the
+      // auto-sizing cardinality (≤ 1 row per key is the updates contract).
+      val nRows = base.count()
+      // An empty batch touches nothing — including the layout marker: the
+      // first NON-empty batch is what pins (and auto-sizes) the layout.
+      if (nRows == 0L) return
+      val nBuckets =
+        resolveBuckets(fs, markerP, fs.exists(markerP), requestedBuckets, nRows)
+      // Pin the layout BEFORE the first data write: a crash between the two
+      // must leave a marker without data (harmless — the next run reads the
+      // pinned count and takes the create path), never data without a marker
+      // (fatal — a later run could adopt a DIFFERENT count and the left-anti
+      // merge would silently keep stale old-scheme copies of updated keys).
+      if (!fs.exists(markerP)) {
+        val out = fs.create(markerP, true)
+        try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
+      }
+      val keyed = base
+        .withColumn("bucket", pmod(hash(keyCols.map(col): _*), lit(nBuckets)))
       val merged = if (tableExists) {
         // Affected-bucket set is ≤ nBuckets values — a bounded driver
         // decision, not a data collect.
@@ -138,6 +177,6 @@ object Merge {
         .partitionBy("bucket")
         .parquet(tablePath)
       snap.unpersist()
-    } finally keyed.unpersist()
+    } finally base.unpersist()
   }
 }

@@ -32,9 +32,46 @@ import org.apache.spark.sql.functions.{col, hash, lit, pmod}
   * the retention story that bounds storage growth. */
 object TimeTravel {
 
-  val DefaultBuckets = 32
+  /** Sentinel default for `nBuckets`: resolve from the table's persisted
+    * layout marker, or — at first non-empty merge — derive from the batch's
+    * key count via [[Merge.autoBuckets]] (the keys/50 k rule). An explicit
+    * positive count at creation pins that layout instead; on an existing
+    * table it must MATCH the marker (resizing requires a rebuild), exactly
+    * the [[Merge.mergeInto]] contract. Round-18: replaces the fixed 32,
+    * which over-fragmented small tables (32 file writes + commits per
+    * version for kilobytes) and would under-bucket 100 TB ones. */
+  val AutoBuckets = 0
+  private val BucketsMarker = "_graft_buckets"
   private def manifestDir(t: Path) = new Path(t, "_manifests")
   private def filesDir(t: Path, v: Int) = new Path(t, s"files/v$v")
+
+  /** Persisted bucket count: marker if present, cross-checked against an
+    * explicit request — same resolution as [[Merge]], duplicated here only
+    * because the versioned table keeps its own marker next to its
+    * manifests. */
+  private def resolveBuckets(fs: FileSystem, t: Path, requested: Int,
+      firstBatchRows: Long): Int = {
+    val marker = new Path(t, BucketsMarker)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val persisted =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+        finally in.close()
+      require(requested == AutoBuckets || requested == persisted,
+        s"table at $t was created with $persisted buckets but the merge " +
+          s"requested $requested; resizing an existing table requires a " +
+          "rebuild (the bucket column is baked into the on-disk layout)")
+      persisted
+    } else {
+      val n = if (requested > 0) requested else Merge.autoBuckets(firstBatchRows)
+      // marker BEFORE any data file — the Merge crash contract: a marker
+      // without data is harmless, data without a marker could adopt a
+      // different count on retry and strand stale bucket copies
+      val out = fs.create(marker, true)
+      try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+      n
+    }
+  }
 
   /** Union with ADDITIVE SCHEMA EVOLUTION (the Delta/Iceberg mergeSchema
     * semantic): version dirs written before a column existed surface it as
@@ -88,9 +125,11 @@ object TimeTravel {
   }
 
   /** Merge `updates` (≤ 1 row per key, full-row upsert — the [[Merge]]
-    * contract) as a NEW snapshot; returns its version. */
+    * contract) as a NEW snapshot; returns its version. `nBuckets`:
+    * [[AutoBuckets]] resolves the persisted layout (auto-derived at first
+    * non-empty merge); a positive count pins it at creation. */
   def mergeVersioned(tablePath: String, updates: DataFrame,
-      keyCols: Seq[String], nBuckets: Int = DefaultBuckets): Int = {
+      keyCols: Seq[String], nBuckets: Int = AutoBuckets): Int = {
     require(keyCols.nonEmpty, "mergeVersioned needs at least one key column")
     require(!updates.columns.contains("bucket"),
       "updates must not carry a 'bucket' column (reserved for the layout)")
@@ -100,15 +139,18 @@ object TimeTravel {
     val prevV = latestVersion(spark, tablePath)
     val prev = prevV.map(readManifest(fs, t, _)).getOrElse(Map.empty[Int, Int])
     val v = prevV.map(_ + 1).getOrElse(0)
-    val keyed = updates
-      .withColumn("bucket", pmod(hash(keyCols.map(col): _*), lit(nBuckets)))
-      .persist()
+    val base = updates.persist()
     try {
-      if (keyed.count() == 0L) return prevV.getOrElse {
+      val nRows = base.count()
+      if (nRows == 0L) return prevV.getOrElse {
         // an empty FIRST batch still commits an empty table (version 0
-        // exists, reads as zero rows) — callers can rely on a version
+        // exists, reads as zero rows) — callers can rely on a version. No
+        // layout marker yet: the first NON-empty merge auto-sizes it.
         writeManifest(fs, t, v, Map.empty); v
       }
+      val bucketCount = resolveBuckets(fs, t, nBuckets, nRows)
+      val keyed = base
+        .withColumn("bucket", pmod(hash(keyCols.map(col): _*), lit(bucketCount)))
       // NULL keys never match the left_anti upsert join (SQL null
       // inequality): a NULL-key update row would be APPENDED every merge
       // while prior NULL-key rows survive — duplicates accumulating across
@@ -144,7 +186,7 @@ object TimeTravel {
         .parquet(filesDir(t, v).toString)
       writeManifest(fs, t, v, prev ++ affected.map(_ -> v))
       v
-    } finally keyed.unpersist()
+    } finally base.unpersist()
   }
 
   /** The table exactly as of snapshot `version` (data columns only). */
@@ -176,8 +218,7 @@ object TimeTravel {
     * out across them); compaction collapses the read back to one dir and
     * makes every older version dir vacuum-eligible the moment retention
     * passes it. Returns the new version. */
-  def compactLatest(spark: SparkSession, tablePath: String,
-      nBuckets: Int = DefaultBuckets): Int = {
+  def compactLatest(spark: SparkSession, tablePath: String): Int = {
     val t = new Path(tablePath)
     val fs = fsOf(spark, t)
     val prevV = latestVersion(spark, tablePath).getOrElse(

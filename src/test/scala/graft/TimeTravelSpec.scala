@@ -33,9 +33,11 @@ class TimeTravelSpec extends SparkSpec {
   test("untouched buckets are carried by pointer: old version dirs serve " +
       "newer snapshots") {
     val t = tmp()
-    // many keys spread over buckets in v0; v1 touches exactly one key
+    // many keys spread over buckets in v0; v1 touches exactly one key.
+    // Pointer mechanics need a MULTI-bucket layout, which 50 keys no longer
+    // auto-derive (keys/50k rule) — pin it explicitly at creation.
     TimeTravel.mergeVersioned(t,
-      (1L to 50L).map(k => (k, s"v$k")).toDF("k", "v"), Seq("k"))
+      (1L to 50L).map(k => (k, s"v$k")).toDF("k", "v"), Seq("k"), nBuckets = 32)
     TimeTravel.mergeVersioned(t, Seq((7L, "SEVEN")).toDF("k", "v"), Seq("k"))
     val s1 = TimeTravel.readAt(spark, t, 1).as[(Long, String)].collect().toMap
     s1(7L) shouldBe "SEVEN"
@@ -48,8 +50,10 @@ class TimeTravelSpec extends SparkSpec {
 
   test("vacuum reclaims carried-forward dirs once compaction de-references them") {
     val t = tmp()
+    // explicit multi-bucket layout: carried-forward references require v1
+    // to leave most of v0's buckets untouched (see pointer test above)
     TimeTravel.mergeVersioned(t,
-      (1L to 20L).map(k => (k, "x")).toDF("k", "v"), Seq("k"))
+      (1L to 20L).map(k => (k, "x")).toDF("k", "v"), Seq("k"), nBuckets = 32)
     TimeTravel.mergeVersioned(t, Seq((1L, "y")).toDF("k", "v"), Seq("k"))
     // first vacuum: v0's manifest goes but its files stay (v1 references
     // them for the untouched buckets)
@@ -149,8 +153,10 @@ class TimeTravelSpec extends SparkSpec {
 
   test("vacuum drops pruned snapshots but keeps files newer manifests reference") {
     val t = tmp()
+    // explicit multi-bucket layout so v2's manifest genuinely references
+    // v0's files for the untouched buckets (the behavior under test)
     TimeTravel.mergeVersioned(t,
-      (1L to 20L).map(k => (k, "x")).toDF("k", "v"), Seq("k"))
+      (1L to 20L).map(k => (k, "x")).toDF("k", "v"), Seq("k"), nBuckets = 32)
     TimeTravel.mergeVersioned(t, Seq((1L, "y")).toDF("k", "v"), Seq("k"))
     TimeTravel.mergeVersioned(t, Seq((2L, "z")).toDF("k", "v"), Seq("k"))
     val dropped = TimeTravel.vacuum(spark, t, keepLast = 1)
@@ -266,6 +272,38 @@ class TimeTravelSpec extends SparkSpec {
     dirs.toSeq shouldBe Seq("v3")
     TimeTravel.readAt(spark, t, 3).as[(Long, String)]
       .collect().toSet shouldBe before
+  }
+
+  test("auto-sized layout: first non-empty merge derives the bucket count " +
+      "from its key count, pins it, and later explicit disagreement fails") {
+    val t = tmp()
+    // empty first batch commits v0 but pins NO layout
+    TimeTravel.mergeVersioned(t,
+      Seq.empty[(Long, String)].toDF("k", "v"), Seq("k")) shouldBe 0
+    new java.io.File(s"$t/_graft_buckets").exists() shouldBe false
+    // first non-empty merge: 3 keys → keys/50k rule → 1 bucket, pinned
+    TimeTravel.mergeVersioned(t,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), Seq("k")) shouldBe 1
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$t/_graft_buckets")), "UTF-8").trim shouldBe "1"
+    // the pinned layout governs later merges and reads stay exact
+    TimeTravel.mergeVersioned(t, Seq((2L, "B")).toDF("k", "v"), Seq("k"))
+    TimeTravel.readAt(spark, t, 2).as[(Long, String)].collect().toSet shouldBe
+      Set((1L, "a"), (2L, "B"), (3L, "c"))
+    // an explicit count that disagrees with the marker fails loudly
+    an[IllegalArgumentException] should be thrownBy
+      TimeTravel.mergeVersioned(t, Seq((4L, "d")).toDF("k", "v"), Seq("k"),
+        nBuckets = 8)
+  }
+
+  test("Merge.autoBuckets applies the keys/50k rule with floor and cap") {
+    import graft.tables.Merge
+    Merge.autoBuckets(0L) shouldBe 1
+    Merge.autoBuckets(1L) shouldBe 1
+    Merge.autoBuckets(50000L) shouldBe 1
+    Merge.autoBuckets(50001L) shouldBe 2
+    Merge.autoBuckets(1600000L) shouldBe 32
+    Merge.autoBuckets(Long.MaxValue / 4) shouldBe Merge.MaxAutoBuckets
   }
 
   test("the demo key's history equals the per-version recompute") {
