@@ -769,9 +769,12 @@ object RelationalQueries {
       .limit(k)
   }
 
-  /** Market segment + bloom sizing for [[bloomSemiJoin]]. */
+  /** Market segment for [[bloomSemiJoin]]. */
   val BloomSegment = "BUILDING"
-  val BloomEstItems = 1000000L
+
+  /** Floor for the bloom sizing: below this many build keys the filter is
+    * kilobytes either way and a tight estimate buys nothing. */
+  val BloomMinItems = 10000L
 
   /** Bloom-prefiltered semi-join: revenue of orders whose customer is in
     * one market segment, with the fact side pre-filtered by a bloom filter
@@ -797,6 +800,17 @@ object RelationalQueries {
   def bloomSemiJoin(spark: SparkSession, dir: String,
       segment: String = BloomSegment): DataFrame = {
     val t = Tables(spark, dir)
+    // Size the filter from the TRUE build-side count (guide rule:
+    // expectedNumItems >= the real key count, or the fpp degrades toward
+    // all-pass and the prefilter silently stops filtering). The count is
+    // one narrow scan of the dim — the documented price of bloom
+    // prefiltering (the small side is read twice); the round-17 fixed
+    // 1 M-item constant was oversized 300× at sf0.1 (a ~1 MB broadcast for
+    // 3 k keys) and would be UNDERSIZED past ~1000× corpus growth, which
+    // is the failure direction that defeats the filter's purpose.
+    val dimCount = t.customer
+      .filter(col("c_mktsegment") === segment).count()
+    val estItems = math.max(dimCount, BloomMinItems)
     // might_contain accepts the filter only as a constant or scalar
     // subquery (the InjectRuntimeFilter contract — the filter must be a
     // build-once broadcast, never a per-row attribute), so the probe is
@@ -810,7 +824,7 @@ object RelationalQueries {
          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS revenue
          |FROM graft_bloom_orders
          |WHERE graft_bloom_contains(
-         |    (SELECT graft_bloom_agg(xxhash64(c_custkey), ${BloomEstItems}L)
+         |    (SELECT graft_bloom_agg(xxhash64(c_custkey), ${estItems}L)
          |     FROM dim),
          |    xxhash64(o_custkey))
          |  AND o_custkey IN (SELECT c_custkey FROM dim)
