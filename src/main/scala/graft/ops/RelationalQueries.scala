@@ -906,12 +906,24 @@ object RelationalQueries {
     * C(cap, 2) per order. After: 2 exchanges, no window, no join, one scan.
     *
     * Shape at scale: one shuffle keyed by order (map-side partial
-    * collect_set), one partial-aggregated pair shuffle; fan-out per order
-    * is C(basket, 2) ≤ C(cap, 2) (TPC-H baskets ≤ 7 lines → ≤ 21 pairs) —
-    * linear in orders, never quadratic in lineitems, and the tripwire
-    * enforces that boundedness instead of assuming it. Top-20 compiles to
-    * TakeOrderedAndProject over the partial-aggregated pair counts — no
-    * global sort. */
+    * collect_set — lineitem files cluster by order key, so the partial
+    * collapses ~lines-per-order to 1), then the RAW pair rows shuffle on an
+    * explicit hash(p1) repartition and aggregate ABOVE it — the
+    * [[graft.ops.DedupQueries]] counting-join lesson applied here after a
+    * 100× stage profile of the first spelling: co-purchase pairs are
+    * near-unique (each occurs ~1.3×), so a map-side pair partial agg
+    * collapsed nothing while its hash map spilled 13.3 GB, and the final
+    * agg at core-count width held ~8 M entries/task for another 11.4 GB of
+    * spill. Raw pairs cost the same shuffle bytes with no map, and the
+    * explicit width (4× cores past the [[Tables.bigInputs]] gate;
+    * REPARTITION_BY_NUM is AQE-coalesce-exempt) bounds the above-exchange
+    * aggregate's per-task state. hash(p1) satisfies the aggregate's
+    * clustering (equal pairs share p1), so no second exchange appears.
+    * Fan-out per order is C(basket, 2) ≤ C(cap, 2) (TPC-H baskets ≤ 7
+    * lines → ≤ 21 pairs) — linear in orders, never quadratic in lineitems,
+    * and the tripwire enforces that boundedness instead of assuming it.
+    * Top-20 compiles to TakeOrderedAndProject over the aggregated pair
+    * counts — no global sort. */
   def coPurchase(spark: SparkSession, dir: String): DataFrame = {
     val baskets = Tables(spark, dir).lineitem
       .where(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
@@ -921,12 +933,23 @@ object RelationalQueries {
         when(size(col("pks")) > CoPurchaseMaxBasket, raise_error(concat(
           lit(s"coPurchase: basket exceeds $CoPurchaseMaxBasket parts for order "),
           col("ok")))).otherwise(col("pks")))
-    baskets
+    val pairs = baskets
       .select(explode(expr(
         """flatten(transform(pks, a ->
           |  transform(filter(pks, b -> b > a),
           |    b -> named_struct('p1', a, 'p2', b))))""".stripMargin)).as("p"))
-      .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
+      .select(col("p.p1").as("p1"), col("p.p2").as("p2"))
+    // Raw-pair repartition only past the scale gate (the simhash `pinned`
+    // precedent): at sf0.1 the extra exchange costs ~3× the key's CPU for
+    // nothing (the pair stream is 3 M rows and the default agg exchange
+    // doesn't spill), while at 100× it is the difference between 24 GB of
+    // aggregate-map spill and zero.
+    val shuffled =
+      if (Tables(spark, dir).bigInputs())
+        pairs.repartition(spark.sparkContext.defaultParallelism * 4, col("p1"))
+      else pairs
+    shuffled
+      .groupBy(col("p1"), col("p2"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("p1"), col("p2"))
       .limit(20)
