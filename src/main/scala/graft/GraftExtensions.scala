@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import graft.functions.{CdcChunkLens, CdcChunks, DotProduct, MinBandEmit, MinHash16, Shingles, SimHash48, TopKPairs, ZOrder2}
+import graft.functions.{CdcChunkLens, CdcChunks, DotProduct, LaneAgree, MinBandEmit, MinHash16, PairsExpand, Shingles, SimHash48, TopKPairs, ZOrder2}
 
 /** Engine extension point, installed via `spark.sql.extensions`
   * ([[GraftSession.tune]] wires it into every entry point): registers the
@@ -40,6 +40,8 @@ object GraftExtensions {
     fn("graft_cdc_chunks", classOf[CdcChunks], 1)(c => CdcChunks(c.head)),
     fn("graft_cdc_chunk_lens", classOf[CdcChunkLens], 1)(c => CdcChunkLens(c.head)),
     fn("graft_zorder", classOf[ZOrder2], 2)(c => ZOrder2(c.head, c(1))),
+    fn("graft_pairs", classOf[PairsExpand], 1)(c => PairsExpand(c.head)),
+    fn("graft_lane_agree", classOf[LaneAgree], 2)(c => LaneAgree(c.head, c(1))),
     // Spark's own runtime-filter bloom pair (codegen'd, XXH64-keyed),
     // surfaced as engine functions so a query can build the filter over a
     // dim side and probe it at a fact scan EXPLICITLY — the semi-join

@@ -117,14 +117,13 @@ object CurationQueries {
     bands.groupBy(col("band_idx"), col("band_key"))
       .agg(collect_list(struct(col("doc_id"), col("sig"))).as("xs"))
       .filter(size(col("xs")).between(2, DedupQueries.SimhashBucketCap))
-      .select(explode(expr(
-        """flatten(transform(xs, a ->
-          |  transform(filter(xs, b -> b.doc_id > a.doc_id),
-          |            b -> named_struct('doc_a', a.doc_id, 'doc_b', b.doc_id,
-          |                              'est', size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), v -> v)) / cast(16 as double)))))""".stripMargin))
-        .as("p"))
-      .filter(col("p.est") >= SigAgreeMin)
-      .select(col("p.doc_a").as("a"), col("p.doc_b").as("b")).distinct()
+      // Pair expansion + lane scoring via the codegen'd kernels
+      // ([[graft.functions.PairsExpand]] / [[graft.functions.LaneAgree]],
+      // round 19) — same semantics as the nested-HOF spelling they replace,
+      // compiled instead of interpreted per candidate pair.
+      .select(explode(expr("graft_pairs(xs)")).as("p"))
+      .filter(expr("graft_lane_agree(p.a.sig, p.b.sig) / cast(16 as double)") >= SigAgreeMin)
+      .select(col("p.a.doc_id").as("a"), col("p.b.doc_id").as("b")).distinct()
   }
 
   def curate(spark: SparkSession, dir: String): DataFrame = {

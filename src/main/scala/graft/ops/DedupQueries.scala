@@ -105,13 +105,6 @@ object DedupQueries {
   private def docShingles(spark: SparkSession, dir: String): DataFrame =
     shingled(fanout(Tables(spark, dir).documents.select("doc_id", "text"), "doc_id"), 3)
 
-  /** All (doc_a, doc_b) pairs within each bucket row's `xs` list, `payload`
-    * naming the extra struct fields to carry from each side. */
-  private def bucketPairs(extra: String): String =
-    s"""flatten(transform(xs, a ->
-       |  transform(filter(xs, b -> b.doc_id > a.doc_id),
-       |            b -> named_struct('doc_a', a.doc_id, 'doc_b', b.doc_id$extra))))""".stripMargin
-
   /** Shingles seen in more than this many documents are dropped entirely
     * (stop-shingles carry no near-dup signal and would otherwise produce
     * O(df²) candidate pairs). Shared with the oracle SQL via interpolation. */
@@ -249,14 +242,17 @@ object DedupQueries {
       // skip it rather than materialize it. No current-SF bucket approaches
       // the cap, and the oracle applies the identical bound.
       .filter(size(col("xs")).between(2, SimhashBucketCap))
-      .select(explode(expr(bucketPairs(
-        // `/ cast(16 as double)`, not `/ 16.0`: a decimal literal in Spark
-        // SQL text is DecimalType, which would propagate DECIMAL(16,4) to the
-        // output where the oracle (and the DataFrame-DSL `lit(16.0)`) is DOUBLE.
-        ", 'est_jaccard', round(size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), v -> v)) / cast(16 as double), 4)")))
-        .as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-        col("p.est_jaccard").as("est_jaccard"))
+      // Pair expansion + lane scoring via the codegen'd kernels (round 19):
+      // [[graft.functions.PairsExpand]] replaces the nested-HOF expansion,
+      // [[graft.functions.LaneAgree]] the zip_with lane count — both were
+      // CodegenFallback, interpreted once per candidate pair.
+      // `/ cast(16 as double)`, not `/ 16.0`: a decimal literal in Spark
+      // SQL text is DecimalType, which would propagate DECIMAL(16,4) to the
+      // output where the oracle (and the DataFrame-DSL `lit(16.0)`) is DOUBLE.
+      .select(explode(expr("graft_pairs(xs)")).as("p"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        expr("round(graft_lane_agree(p.a.sig, p.b.sig) / cast(16 as double), 4)")
+          .as("est_jaccard"))
       .distinct()
   }
 
@@ -868,12 +864,9 @@ object DedupQueries {
         .groupBy(col("band_idx"), col("band_key"))
         .agg(collect_list(col("doc_id")).as("xs"))
         .filter(size(col("xs")).between(2, SimhashBucketCap))
-        .select(explode(expr(
-          """flatten(transform(xs, a ->
-            |  transform(filter(xs, b -> b > a),
-            |    b -> named_struct('doc_a', a, 'doc_b', b))))""".stripMargin))
-          .as("p"))
-        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+        // codegen'd pair kernel, same semantics as the HOF it replaces
+        .select(explode(expr("graft_pairs(xs)")).as("p"))
+        .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
         .distinct()
       val nCand = cand.agg(count(lit(1)).as("n_cand"))
       val nHit = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")

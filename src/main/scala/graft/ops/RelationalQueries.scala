@@ -933,12 +933,12 @@ object RelationalQueries {
         when(size(col("pks")) > CoPurchaseMaxBasket, raise_error(concat(
           lit(s"coPurchase: basket exceeds $CoPurchaseMaxBasket parts for order "),
           col("ok")))).otherwise(col("pks")))
+    // Pair expansion via the codegen'd [[graft.functions.PairsExpand]]
+    // kernel (round 19) — same nested-loop semantics as the HOF spelling it
+    // replaces, compiled instead of interpreted per pair.
     val pairs = baskets
-      .select(explode(expr(
-        """flatten(transform(pks, a ->
-          |  transform(filter(pks, b -> b > a),
-          |    b -> named_struct('p1', a, 'p2', b))))""".stripMargin)).as("p"))
-      .select(col("p.p1").as("p1"), col("p.p2").as("p2"))
+      .select(explode(expr("graft_pairs(pks)")).as("p"))
+      .select(col("p.a").as("p1"), col("p.b").as("p2"))
     // Raw-pair repartition only past the scale gate (the simhash `pinned`
     // precedent): at sf0.1 the extra exchange costs ~3× the key's CPU for
     // nothing (the pair stream is 3 M rows and the default agg exchange

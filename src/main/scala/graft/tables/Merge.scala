@@ -67,8 +67,9 @@ object Merge {
 
   /** Persisted marker if present (cross-checked against an explicit
     * request), else the request, else the first-batch derivation.
-    * Driver-side metadata, a few bytes. */
-  private def resolveBuckets(
+    * Driver-side metadata, a few bytes. Shared with [[TimeTravel]] (round-18
+    * ADVICE: one marker read/cross-check, one exception type). */
+  private[tables] def resolveBuckets(
       fs: org.apache.hadoop.fs.FileSystem,
       marker: org.apache.hadoop.fs.Path,
       markerExists: Boolean,
@@ -87,6 +88,14 @@ object Merge {
       }
       persisted
     } else requested.getOrElse(autoBuckets(firstBatchRows))
+  }
+
+  /** Write the layout marker (overwriting any partial file from a crashed
+    * attempt). Shared with [[TimeTravel]]. */
+  private[tables] def pinMarker(fs: org.apache.hadoop.fs.FileSystem,
+      marker: org.apache.hadoop.fs.Path, n: Int): Unit = {
+    val out = fs.create(marker, true)
+    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
   }
 
   /** True iff the table holds COMMITTED data: at least one bucket partition
@@ -145,10 +154,7 @@ object Merge {
       // pinned count and takes the create path), never data without a marker
       // (fatal — a later run could adopt a DIFFERENT count and the left-anti
       // merge would silently keep stale old-scheme copies of updated keys).
-      if (!fs.exists(markerP)) {
-        val out = fs.create(markerP, true)
-        try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
-      }
+      if (!fs.exists(markerP)) pinMarker(fs, markerP, nBuckets)
       val keyed = base
         .withColumn("bucket", pmod(hash(keyCols.map(col): _*), lit(nBuckets)))
       val merged = if (tableExists) {

@@ -46,31 +46,33 @@ object TimeTravel {
   private def filesDir(t: Path, v: Int) = new Path(t, s"files/v$v")
 
   /** Persisted bucket count: marker if present, cross-checked against an
-    * explicit request — same resolution as [[Merge]], duplicated here only
-    * because the versioned table keeps its own marker next to its
-    * manifests. */
+    * explicit request — [[Merge.resolveBuckets]] is the one shared
+    * read/cross-check (round-18 ADVICE: the duplicated spelling here threw
+    * a DIFFERENT exception type for the same condition).
+    *
+    * `tableHasData` gates the auto-size path (round-18 ADVICE): committed
+    * version data WITHOUT a marker — a legacy table from before the marker
+    * existed, or an externally deleted marker — must fail loudly instead of
+    * silently adopting a bucket count derived from the current batch, which
+    * would strand every existing key copy in old-layout buckets (exactly
+    * the hazard the marker exists to prevent; [[Merge]] documents the
+    * adopt-and-pin behavior for its flat tables, but a versioned table's
+    * old snapshots are immutable and CANNOT be re-bucketed in place). */
   private def resolveBuckets(fs: FileSystem, t: Path, requested: Int,
-      firstBatchRows: Long): Int = {
+      firstBatchRows: Long, tableHasData: Boolean): Int = {
     val marker = new Path(t, BucketsMarker)
-    if (fs.exists(marker)) {
-      val in = fs.open(marker)
-      val persisted =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
-        finally in.close()
-      require(requested == AutoBuckets || requested == persisted,
-        s"table at $t was created with $persisted buckets but the merge " +
-          s"requested $requested; resizing an existing table requires a " +
-          "rebuild (the bucket column is baked into the on-disk layout)")
-      persisted
-    } else {
-      val n = if (requested > 0) requested else Merge.autoBuckets(firstBatchRows)
-      // marker BEFORE any data file — the Merge crash contract: a marker
-      // without data is harmless, data without a marker could adopt a
-      // different count on retry and strand stale bucket copies
-      val out = fs.create(marker, true)
-      try out.write(n.toString.getBytes("UTF-8")) finally out.close()
-      n
-    }
+    val markerExists = fs.exists(marker)
+    if (!markerExists && tableHasData) throw new IllegalStateException(
+      s"table at $t has committed version data but no $BucketsMarker marker; " +
+        "refusing to adopt a new bucket layout over an existing table — " +
+        "rebuild the table (or restore the marker) instead")
+    val n = Merge.resolveBuckets(fs, marker, markerExists,
+      if (requested == AutoBuckets) None else Some(requested), firstBatchRows)
+    // marker BEFORE any data file — the Merge crash contract: a marker
+    // without data is harmless, data without a marker could adopt a
+    // different count on retry and strand stale bucket copies
+    if (!markerExists) Merge.pinMarker(fs, marker, n)
+    n
   }
 
   /** Union with ADDITIVE SCHEMA EVOLUTION (the Delta/Iceberg mergeSchema
@@ -148,18 +150,22 @@ object TimeTravel {
         // layout marker yet: the first NON-empty merge auto-sizes it.
         writeManifest(fs, t, v, Map.empty); v
       }
-      val bucketCount = resolveBuckets(fs, t, nBuckets, nRows)
-      val keyed = base
-        .withColumn("bucket", pmod(hash(keyCols.map(col): _*), lit(bucketCount)))
       // NULL keys never match the left_anti upsert join (SQL null
       // inequality): a NULL-key update row would be APPENDED every merge
       // while prior NULL-key rows survive — duplicates accumulating across
-      // versions. Reject loudly instead (same spirit as the bucket guard).
-      val nNullKey = keyed
+      // versions. Reject loudly instead (same spirit as the bucket guard) —
+      // and BEFORE resolveBuckets pins a marker (round-18 ADVICE: a
+      // rejected first batch must not pin a layout sized from its invalid
+      // row count).
+      val nNullKey = base
         .filter(keyCols.map(col(_).isNull).reduce(_ || _)).count()
       require(nNullKey == 0L,
         s"mergeVersioned: $nNullKey update rows have NULL in a key column " +
           s"(${keyCols.mkString(", ")}) — the upsert contract needs non-null keys")
+      val bucketCount =
+        resolveBuckets(fs, t, nBuckets, nRows, tableHasData = prev.nonEmpty)
+      val keyed = base
+        .withColumn("bucket", pmod(hash(keyCols.map(col): _*), lit(bucketCount)))
       val affected = keyed.select(col("bucket")).distinct()
         .collect().map(_.getInt(0)).toSet
       // current rows of the affected buckets, grouped by the version dir

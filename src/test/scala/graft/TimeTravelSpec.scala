@@ -290,10 +290,35 @@ class TimeTravelSpec extends SparkSpec {
     TimeTravel.mergeVersioned(t, Seq((2L, "B")).toDF("k", "v"), Seq("k"))
     TimeTravel.readAt(spark, t, 2).as[(Long, String)].collect().toSet shouldBe
       Set((1L, "a"), (2L, "B"), (3L, "c"))
-    // an explicit count that disagrees with the marker fails loudly
-    an[IllegalArgumentException] should be thrownBy
+    // an explicit count that disagrees with the marker fails loudly (the
+    // shared Merge.resolveBuckets cross-check — one exception type for
+    // both table kinds since round 19)
+    an[IllegalStateException] should be thrownBy
       TimeTravel.mergeVersioned(t, Seq((4L, "d")).toDF("k", "v"), Seq("k"),
         nBuckets = 8)
+  }
+
+  test("a rejected (NULL-key) FIRST batch pins no layout marker") {
+    import spark.implicits._
+    val t = tmp()
+    val bad = Seq((Option(1L), "a"), (Option.empty[Long], "b")).toDF("k", "v")
+    an[IllegalArgumentException] should be thrownBy
+      TimeTravel.mergeVersioned(t, bad, Seq("k"))
+    new java.io.File(s"$t/_graft_buckets").exists() shouldBe false
+    // a valid retry is then free to size from ITS row count
+    TimeTravel.mergeVersioned(t, Seq((1L, "a")).toDF("k", "v"), Seq("k"))
+    new java.io.File(s"$t/_graft_buckets").exists() shouldBe true
+  }
+
+  test("committed version data without a marker fails loudly, never re-sizes") {
+    import spark.implicits._
+    val t = tmp()
+    TimeTravel.mergeVersioned(t, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Seq("k"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$t/_graft_buckets"))
+    val e = intercept[IllegalStateException] {
+      TimeTravel.mergeVersioned(t, Seq((3L, "c")).toDF("k", "v"), Seq("k"))
+    }
+    e.getMessage should include("no _graft_buckets marker")
   }
 
   test("Merge.autoBuckets applies the keys/50k rule with floor and cap") {
